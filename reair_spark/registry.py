@@ -1,0 +1,35 @@
+"""Central registry: every implemented query/operator + its oracle."""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from reair_spark.queries import DECLARED_ORACLES, DECLARED_QUERIES
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+def all_queries() -> dict[str, QueryFn]:
+    out: dict[str, QueryFn] = {}
+    out.update(DECLARED_QUERIES)
+    try:
+        from reair_spark.datapipe.registry import DATAPIPE_QUERIES
+
+        out.update(DATAPIPE_QUERIES)
+    except ImportError:
+        pass
+    return out
+
+
+def all_oracles() -> dict[str, str]:
+    out: dict[str, str] = {}
+    out.update(DECLARED_ORACLES)
+    try:
+        from reair_spark.datapipe.registry import DATAPIPE_ORACLES
+
+        out.update(DATAPIPE_ORACLES)
+    except ImportError:
+        pass
+    return out

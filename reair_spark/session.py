@@ -1,0 +1,46 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Local testing runs on local[N]; the same config block is what we'd
+ship for a 1000-executor cluster (AQE, skew-join handling, coalesced
+shuffle partitions) — only memory/parallelism sizing changes.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "reair_spark", cpus: int | None = None) -> SparkSession:
+    """Build (or reuse) the engine SparkSession.
+
+    AQE is on so runtime statistics re-plan joins (broadcast demotion/
+    promotion, skew-join splitting, partition coalescing) — this is the
+    100 TB scale story: plans written here are declarative and AQE
+    fixes sizing at runtime.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0) or os.cpu_count() or 4
+    shuffle_parts = max(cpus, 8)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        # match shuffle width to cores locally; a real cluster would set
+        # this ~2-3x total cores (AQE coalesces the excess anyway)
+        .config("spark.sql.shuffle.partitions", str(shuffle_parts))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        # copy/commit tasks are side-effecting; never speculate
+        # (reference: MetastoreReplicationJob.java:251-258)
+        .config("spark.speculation", "false")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
