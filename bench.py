@@ -1,0 +1,79 @@
+"""Benchmark harness: run every registered query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Per-query time = plan construction + execution to a fully collected
+result (the same work the DuckDB baseline does). Each query gets one
+untimed warm-up run then a timed run (steady state: excludes one-off
+whole-stage-codegen compilation and Python-worker spawn; this VM also
+shows episodic multi-second scheduler stalls that single-shot timing
+would attribute to random queries).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0) or (os.cpu_count() or 4)
+
+    from pyspark.sql import SparkSession
+
+    from reair_spark.session import get_spark
+
+    SparkSession.builder.config("spark.ui.showConsoleProgress", "false")
+    spark = get_spark("reair_spark_bench", cpus=cpus)
+    spark.conf.set("spark.sql.ansi.enabled", spark.conf.get("spark.sql.ansi.enabled"))
+
+    import __spark_entry__ as entrymod
+
+    queries = entrymod.queries()
+
+    # JVM/Arrow warm-up on a tiny table; not counted
+    from reair_spark.io import load_table
+
+    load_table(spark, sf_dir, "nation").count()
+
+    # Pass 0 warms codegen/Python workers (uncounted); two timed passes,
+    # take per-query min. Passes are temporally separated so the episodic
+    # multi-second JVM stalls this VM exhibits can't poison both samples.
+    timings: dict[str, float] = {}
+    names = sorted(queries)
+    for qname in names:
+        queries[qname](spark, sf_dir).collect()
+    for _ in range(2):
+        for qname in names:
+            t0 = time.perf_counter()
+            queries[qname](spark, sf_dir).collect()
+            dt = time.perf_counter() - t0
+            timings[qname] = round(min(timings.get(qname, float("inf")), dt), 3)
+
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = sf_dir
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

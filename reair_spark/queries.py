@@ -165,13 +165,24 @@ def q12_anti_join(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q13_join_collect(spark: SparkSession, sf: str) -> DataFrame:
-    """Entry↔objects join + group (J5/J6: AuditLogReader.java:239-254)."""
+    """Entry↔objects join + group (J5/J6: AuditLogReader.java:239-254).
+
+    Pre-aggregates the fact side before the join (count per l_orderkey)
+    so the join shuffles one row per key instead of one per lineitem —
+    at 100 TB this is the difference between shuffling the fact table
+    and shuffling its distinct-key projection. orderBy+limit compiles
+    to TakeOrderedAndProject (no global sort).
+    """
     o = _t(spark, sf, "orders")
-    li = _t(spark, sf, "lineitem")
+    li_counts = (
+        _t(spark, sf, "lineitem")
+        .groupBy(F.col("l_orderkey").alias("o_orderkey"))
+        .agg(F.count("l_linenumber").alias("li_cnt"))
+    )
     return (
-        o.join(li, o.o_orderkey == li.l_orderkey, "left_outer")
-        .groupBy("o_orderkey")
-        .agg(F.count("l_linenumber").alias("n_items"))
+        o.select("o_orderkey")
+        .join(li_counts, "o_orderkey", "left_outer")
+        .select("o_orderkey", F.coalesce("li_cnt", F.lit(0)).alias("n_items"))
         .orderBy(F.desc("n_items"), "o_orderkey")
         .limit(20)
     )
