@@ -1,0 +1,371 @@
+"""Deduplication operators over the ``documents`` table.
+
+Four dedup strategies a training-data pipeline needs, all expressed as
+DataFrame programs with exact DuckDB oracles (the portable md5-based
+hash family makes even MinHash/SimHash cross-engine deterministic):
+
+- exact: hash-groupBy on content digest (one shuffle on the digest)
+- MinHash+LSH: shingle → k minhashes → band → bucket self-join
+- SimHash: per-shingle bit votes → 48-bit signature → byte-band join
+- n-gram Jaccard: char-4-gram sets, prefix-blocked candidate pairs
+
+The test corpus is derived deterministically from the input: every
+doc_id % 10 == 0 document gets a planted duplicate (exact copy for
+exact dedup; last-3-words-truncated copy for the near-dup operators)
+at doc_id + 1_000_000, so each operator has real positives to find.
+
+Scale notes (100 TB): every operator is shuffle-minimal — exact dedup
+shuffles digests (not text) once; MinHash shuffles (doc_id, shingle)
+once for the signature agg and band signatures (16 longs/doc) for the
+bucket join; candidate verification joins only the candidate set, not
+all pairs. Skewed band buckets (boilerplate docs) are handled by AQE
+skew-join splitting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from reair_spark.datapipe.common import (
+    portable_hash32,
+    portable_hash32_sql,
+    seeded_hash,
+    seeded_hash_sql,
+    word_shingles,
+    word_shingles_sql,
+)
+from reair_spark.io import load_table as _t
+
+N_MINHASH = 16
+N_BANDS = 4
+ROWS_PER_BAND = N_MINHASH // N_BANDS
+SIMHASH_BITS = 48
+SIMHASH_MAX_HAMMING = 6
+JACCARD_THRESHOLD = 0.5
+NGRAM_THRESHOLD = 0.6
+PREFIX_BLOCK_LEN = 24
+
+
+# ---------------------------------------------------------------------------
+# derived corpus with planted duplicates
+# ---------------------------------------------------------------------------
+
+
+def _corpus(spark: SparkSession, sf: str, exact: bool) -> DataFrame:
+    """documents ∪ planted duplicates (doc_id % 10 == 0 → +1_000_000)."""
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    base = d.filter(F.col("doc_id") % 10 == 0)
+    if exact:
+        dup_text = F.col("text")
+    else:
+        tok = F.split("text", " ")
+        dup_text = F.concat_ws(
+            " ", F.slice(tok, F.lit(1), F.greatest(F.size(tok) - 3, F.lit(1)))
+        )
+    dups = base.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), dup_text.alias("text")
+    )
+    return d.union(dups)
+
+
+def _corpus_sql(exact: bool) -> str:
+    dup_text = (
+        "text"
+        if exact
+        else "array_to_string(t[1:greatest(len(t)-3, 1)], ' ')"
+    )
+    return (
+        "SELECT doc_id, text FROM documents UNION ALL "
+        f"SELECT doc_id + 1000000 AS doc_id, {dup_text} AS text FROM "
+        "(SELECT doc_id, text, string_split(text, ' ') AS t FROM documents) b "
+        "WHERE doc_id % 10 = 0"
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup via content-digest groupBy. Shuffles 32-byte digests
+    instead of document bodies — at 100 TB the shuffle is ~0.03% of the
+    data. keep_id = min(doc_id) is the canonical-survivor rule."""
+    c = _corpus(spark, sf, exact=True)
+    return (
+        c.select("doc_id", F.md5("text").alias("text_md5"))
+        .groupBy("text_md5")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def _band_sig(cols: list[Column]) -> Column:
+    return F.concat_ws("_", *[c.cast("string") for c in cols])
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs: word-3-gram shingles → 16 portable
+    minhashes → 4 bands of 4 → band-bucket self-join → exact-Jaccard
+    verify of candidates only.
+
+    One shuffle computes all 16 signature mins (single groupBy with 16
+    min aggs); the LSH join shuffles 4 short strings per doc; exact
+    verification touches only candidate pairs.
+    """
+    c = _corpus(spark, sf, exact=False)
+    tok = F.split("text", " ")
+    sh = c.select("doc_id", F.explode(word_shingles(tok)).alias("sh"))
+    sig = sh.groupBy("doc_id").agg(
+        *[F.min(seeded_hash(s, F.col("sh"))).alias(f"mh{s}") for s in range(N_MINHASH)]
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        _band_sig(
+                            [F.col(f"mh{b * ROWS_PER_BAND + j}") for j in range(ROWS_PER_BAND)]
+                        ).alias("sig"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+
+    x, y = bands.alias("x"), bands.alias("y")
+    cand = (
+        x.join(y, ["band", "sig"])
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b"))
+        .distinct()
+    )
+
+    sets = c.select("doc_id", word_shingles(tok).alias("shset"))
+    a, b = sets.alias("a"), sets.alias("b")
+    jac = F.size(F.array_intersect("a.shset", "b.shset")).cast("double") / F.size(
+        F.array_union("a.shset", "b.shset")
+    ).cast("double")
+    return (
+        cand.join(a, cand.id_a == F.col("a.doc_id"))
+        .join(b, cand.id_b == F.col("b.doc_id"))
+        .select("id_a", "id_b", F.round(jac, 3).alias("jac"))
+        .where(F.col("jac") >= JACCARD_THRESHOLD)
+    )
+
+
+def _minhash_sql() -> str:
+    shingles = word_shingles_sql("t")
+    mins = ", ".join(
+        f"min({seeded_hash_sql(s, 'sh')}) AS mh{s}" for s in range(N_MINHASH)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, concat_ws('_', {cols}) AS sig FROM sig".format(
+            b=b,
+            cols=", ".join(
+                f"CAST(mh{b * ROWS_PER_BAND + j} AS VARCHAR)"
+                for j in range(ROWS_PER_BAND)
+            ),
+        )
+        for b in range(N_BANDS)
+    )
+    return f"""
+WITH corpus AS ({_corpus_sql(exact=False)}),
+tokd AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+shd AS (SELECT doc_id, unnest({shingles}) AS sh FROM tokd),
+sig AS (SELECT doc_id, {mins} FROM shd GROUP BY doc_id),
+bands AS ({band_selects}),
+cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         FROM bands x JOIN bands y ON x.band = y.band AND x.sig = y.sig
+         WHERE x.doc_id < y.doc_id),
+sets AS (SELECT doc_id, {shingles} AS shset FROM tokd)
+SELECT id_a, id_b,
+       round(len(list_intersect(a.shset, b.shset))
+             / CAST(len(list_distinct(list_concat(a.shset, b.shset))) AS DOUBLE), 3) AS jac
+FROM cand JOIN sets a ON cand.id_a = a.doc_id JOIN sets b ON cand.id_b = b.doc_id
+WHERE round(len(list_intersect(a.shset, b.shset))
+            / CAST(len(list_distinct(list_concat(a.shset, b.shset))) AS DOUBLE), 3)
+      >= {JACCARD_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash near-dup pairs: per-distinct-token hash, per-bit majority
+    vote → 48-bit signature; candidates share ≥1 of 6 signature bytes;
+    keep pairs with hamming distance ≤ 6. Votes come from word-3-gram
+    shingles, not tokens: the synthetic corpus has a tiny vocabulary, so
+    token SETS barely differ between unrelated docs — shingle sets do.
+
+    The 32 bit-vote sums run in ONE aggregation (32 agg exprs, still a
+    single shuffle of (doc_id, token-hash))."""
+    c = _corpus(spark, sf, exact=False)
+    tokw = c.select(
+        "doc_id", F.explode(word_shingles(F.split("text", " "))).alias("w")
+    )
+    tokh = tokw.select("doc_id", portable_hash32(F.col("w")).alias("h"))
+    votes = tokh.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"s{j}")
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    simhash = votes.select(
+        "doc_id",
+        sum(
+            [
+                F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+                for j in range(SIMHASH_BITS)
+            ],
+            F.lit(0),
+        ).cast("long").alias("simhash"),
+    )
+    bands = simhash.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("simhash", 8 * b).bitwiseAND(F.lit(255)).alias("bv"),
+                    )
+                    for b in range(6)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", "simhash", F.col("bs.band").alias("band"), F.col("bs.bv").alias("bv"))
+
+    x, y = bands.alias("x"), bands.alias("y")
+    ham = F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash")))
+    return (
+        x.join(y, ["band", "bv"])
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("id_a"),
+            F.col("y.doc_id").alias("id_b"),
+            ham.cast("long").alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+    )
+
+
+def _simhash_sql() -> str:
+    votes = ", ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    sh_expr = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(SIMHASH_BITS)
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {b} AS band, (simhash >> {8 * b}) & 255 AS bv FROM sh"
+        for b in range(6)
+    )
+    return f"""
+WITH corpus AS ({_corpus_sql(exact=False)}),
+tokh AS (SELECT doc_id, {portable_hash32_sql('w')} AS h FROM
+         (SELECT doc_id, unnest({word_shingles_sql('t')}) AS w FROM
+          (SELECT doc_id, string_split(text, ' ') AS t FROM corpus) tk) u),
+votes AS (SELECT doc_id, {votes} FROM tokh GROUP BY doc_id),
+sh AS (SELECT doc_id, CAST({sh_expr} AS BIGINT) AS simhash FROM votes),
+bands AS ({band_selects})
+SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+       bit_count(xor(x.simhash, y.simhash)) AS hamming
+FROM bands x JOIN bands y ON x.band = y.band AND x.bv = y.bv
+WHERE x.doc_id < y.doc_id
+  AND bit_count(xor(x.simhash, y.simhash)) <= {SIMHASH_MAX_HAMMING}
+"""
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """Char-4-gram Jaccard with prefix blocking: candidate pairs share
+    a 24-char prefix (cheap equality join — near-dups from truncation/
+    suffix edits share prefixes), then exact set Jaccard ≥ 0.6.
+
+    Blocking keeps the pair space linear in bucket sizes instead of
+    quadratic in corpus size; the gram arrays are built per-row inside
+    codegen (transform over a sequence), no explode."""
+    c = _corpus(spark, sf, exact=False)
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length("text") - 3, F.lit(1))),
+            lambda i: F.col("text").substr(i, F.lit(4)),
+        )
+    )
+    g = c.select(
+        "doc_id",
+        F.substring("text", 1, PREFIX_BLOCK_LEN).alias("prefix"),
+        grams.alias("grams"),
+    )
+    a, b = g.alias("a"), g.alias("b")
+    jac = F.size(F.array_intersect("a.grams", "b.grams")).cast("double") / F.size(
+        F.array_union("a.grams", "b.grams")
+    ).cast("double")
+    return (
+        a.join(b, "prefix")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.round(jac, 3).alias("jac"),
+        )
+        .where(F.col("jac") >= NGRAM_THRESHOLD)
+    )
+
+
+def _ngram_sql() -> str:
+    grams = (
+        "list_distinct(list_transform(range(1, greatest(length(text) - 2, 2)), "
+        "i -> substr(text, i, 4)))"
+    )
+    return f"""
+WITH corpus AS ({_corpus_sql(exact=False)}),
+g AS (SELECT doc_id, substr(text, 1, {PREFIX_BLOCK_LEN}) AS prefix, {grams} AS grams
+      FROM corpus)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(len(list_intersect(a.grams, b.grams))
+             / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE), 3) AS jac
+FROM g a JOIN g b ON a.prefix = b.prefix AND a.doc_id < b.doc_id
+WHERE round(len(list_intersect(a.grams, b.grams))
+            / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE), 3)
+      >= {NGRAM_THRESHOLD}
+"""
+
+
+DEDUP_QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+}
+
+DEDUP_ORACLES = {
+    "dedup_exact": (
+        f"SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS n_copies "
+        f"FROM ({_corpus_sql(exact=True)}) corpus GROUP BY 1"
+    ),
+    "dedup_minhash_lsh": _minhash_sql(),
+    "dedup_simhash": _simhash_sql(),
+    "dedup_ngram_jaccard": _ngram_sql(),
+}

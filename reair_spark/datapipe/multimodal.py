@@ -1,0 +1,148 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video ride through the engine as ``binary`` columns with a
+metadata struct (format, width, height, n_frames). Decode / feature
+extraction runs as Arrow-batched ``mapInPandas`` — the Spark-side
+contract (schema, batch iteration, binary in/out) is real and tested;
+the actual codec is stubbed because no image/audio libs exist in this
+container (see :func:`decode_image_real`, gated NotImplementedError).
+
+The deterministic fake payload is ``encode(text)`` from the documents
+table, so every feature the stub extracts is reproducible in the
+DuckDB oracle (byte statistics over the UTF-8 bytes).
+
+Scale notes: mapInPandas streams Arrow batches — constant memory per
+task regardless of corpus size; binary payloads never pass through a
+shuffle (features are extracted before any wide operation, so 100 TB of
+image bytes moves zero times)."""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from reair_spark.io import load_table as _t
+
+FRAME_BYTES = 32
+FRAME_STRIDE = 4
+
+try:  # no image libs in this container — plumbing is real, codec is stubbed
+    import PIL.Image  # noqa: F401
+
+    _HAVE_PIL = True
+except ImportError:
+    _HAVE_PIL = False
+
+
+def decode_image_real(payload: bytes) -> object:
+    """Real image decode — requires an imaging library.
+
+    STUB: raises in this environment; `multimodal_features` uses the
+    deterministic byte-statistics fake instead.
+    """
+    if not _HAVE_PIL:
+        raise NotImplementedError(
+            "image decode requires an imaging library (PIL/opencv) not "
+            "present in this container; use the deterministic fake path"
+        )
+    import io
+
+    import PIL.Image
+
+    return PIL.Image.open(io.BytesIO(payload))
+
+
+def with_media_column(df: DataFrame) -> DataFrame:
+    """Attach the opaque binary payload + typed metadata struct."""
+    return df.select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("media"),
+        F.struct(
+            F.lit("fakeimg").alias("format"),
+            (F.length("text") % 640).cast("int").alias("width"),
+            F.lit(480).alias("height"),
+            F.ceil(F.length("text") / FRAME_BYTES).cast("int").alias("n_frames"),
+        ).alias("meta"),
+    )
+
+
+def multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Decode-and-featurize over the binary media column via
+    mapInPandas (Arrow batches, constant memory per task).
+
+    The batch function is a nested closure on purpose: cloudpickle
+    serializes it BY VALUE, so Python workers need no reair_spark on
+    their import path (the driver may run the engine from any cwd).
+    """
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # stub codec = byte statistics; a real deployment swaps the
+        # two marked lines for decode_image_real(payload) + features
+        import pandas as _pd
+
+        for pdf in batches:
+            feats = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                data = bytes(payload)
+                feats.append(
+                    (
+                        int(doc_id),
+                        len(data),                                      # stub: real = img.size
+                        float(sum(data)) / len(data) if data else 0.0,  # stub: real = feature vec
+                    )
+                )
+            yield _pd.DataFrame(feats, columns=["doc_id", "byte_len", "mean_byte"])
+
+    media = with_media_column(_t(spark, sf, "documents"))
+    return media.mapInPandas(
+        extract, schema="doc_id long, byte_len long, mean_byte double"
+    )
+
+
+def multimodal_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Frame sampling over a binary "video": every FRAME_STRIDE-th
+    FRAME_BYTES-chunk, digested. Pure built-in composition (no Python):
+    frame slicing is substring arithmetic inside codegen, proving the
+    binary layout math without leaving the JVM."""
+    d = _t(spark, sf, "documents")
+    n_frames = F.ceil(F.length("text") / FRAME_BYTES).cast("long")
+    idx = F.sequence(F.lit(0), ((n_frames - 1) / FRAME_STRIDE).cast("long"))
+    sampled = F.transform(
+        idx, lambda i: F.col("text").substr(i * FRAME_STRIDE * FRAME_BYTES + 1, F.lit(FRAME_BYTES))
+    )
+    return d.select(
+        "doc_id",
+        n_frames.alias("n_frames"),
+        F.size(sampled).cast("long").alias("n_sampled"),
+        F.md5(F.concat_ws("", sampled)).alias("sample_digest"),
+    )
+
+
+MM_QUERIES = {
+    "multimodal_features": multimodal_features,
+    "multimodal_frame_sample": multimodal_frame_sample,
+}
+
+MM_ORACLES = {
+    # text is ASCII → UTF-8 byte stats == codepoint stats
+    "multimodal_features": (
+        "SELECT doc_id, length(text) AS byte_len, "
+        "list_aggregate(list_transform(string_split(text, ''), c -> unicode(c)), 'avg') "
+        "AS mean_byte FROM documents"
+    ),
+    "multimodal_frame_sample": f"""
+SELECT doc_id,
+       CAST(ceil(length(text) / {FRAME_BYTES}.0) AS BIGINT) AS n_frames,
+       CAST(len(r) AS BIGINT) AS n_sampled,
+       md5(array_to_string(list_transform(r,
+           i -> substr(text, i * {FRAME_STRIDE} * {FRAME_BYTES} + 1, {FRAME_BYTES})), '')) AS sample_digest
+FROM (
+  SELECT doc_id, text,
+         range(0, CAST(floor((ceil(length(text) / {FRAME_BYTES}.0) - 1) / {FRAME_STRIDE}) AS BIGINT) + 1) AS r
+  FROM documents) s
+""",
+}

@@ -1,0 +1,136 @@
+"""Text-analysis operators over the ``documents`` table.
+
+Training-data-pipeline primitives: token counting, quality scoring,
+language ID, content fingerprinting. Everything is built-in-function
+composition (JVM-side, codegen'd) — these run per-row with no shuffle
+except the final aggregation-free scan, so they scale linearly and
+pipeline with downstream filters at 100 TB.
+
+Each operator has an exact DuckDB oracle (same formula, same aliases).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from reair_spark.datapipe.common import portable_hash32, portable_hash32_sql
+from reair_spark.io import load_table as _t
+
+# word-boundary stopword patterns per language; the CASE ladder makes
+# the argmax deterministic (priority order on ties)
+_LANG_PATTERNS = {
+    "en": r"\b(the|and|of|a|to)\b",
+    "es": r"\b(el|la|los|de|y)\b",
+    "fr": r"\b(le|la|les|et|des)\b",
+    "de": r"\b(der|die|das|und|ist)\b",
+}
+
+
+def text_token_count(spark: SparkSession, sf: str) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish regex token count
+    (word pieces = letter runs, digit runs, or single punctuation)."""
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("ws_tokens"),
+        F.regexp_count(F.col("text"), F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"))
+        .cast("long")
+        .alias("re_tokens"),
+    )
+
+
+def text_quality_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality scoring: alpha ratio, mean word length, and a composite
+    score — the standard cheap pre-filter before expensive pipeline
+    stages (dedup, embedding)."""
+    d = _t(spark, sf, "documents")
+    n = F.length("text").cast("double")
+    alpha = F.regexp_count(F.col("text"), F.lit(r"[a-zA-Z]")).cast("double")
+    words = F.size(F.split("text", " ")).cast("double")
+    alpha_ratio = alpha / n
+    avg_word_len = (n - (words - 1)) / words  # chars excluding separators
+    quality = F.round(alpha_ratio * 0.7 + F.least(avg_word_len / 10.0, F.lit(1.0)) * 0.3, 4)
+    return d.select(
+        "doc_id",
+        alpha_ratio.alias("alpha_ratio"),
+        avg_word_len.alias("avg_word_len"),
+        quality.alias("quality"),
+    )
+
+
+def text_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    """Language ID by stopword-hit argmax (n-gram-heuristic family).
+    Deterministic tie-break: en > es > fr > de > unknown."""
+    d = _t(spark, sf, "documents")
+    hits = {
+        lang: F.regexp_count(F.col("text"), F.lit(pat)).alias(f"h_{lang}")
+        for lang, pat in _LANG_PATTERNS.items()
+    }
+    best = F.greatest(*hits.values())
+    pred = F.when(best == 0, "unknown")
+    for lang in _LANG_PATTERNS:  # insertion order = tie-break priority
+        pred = pred.when(hits[lang] == best, lang)
+    return d.select("doc_id", pred.alias("lang_pred"))
+
+
+def text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """Document fingerprinting: order-insensitive content fingerprint
+    (md5 of the sorted distinct token set) + a 32-bit shard hash of it.
+    The shard hash is the partitioning key a 100 TB dedup would
+    repartition on."""
+    d = _t(spark, sf, "documents")
+    canon = F.concat_ws(" ", F.array_sort(F.array_distinct(F.split("text", " "))))
+    return d.select(
+        "doc_id",
+        F.md5(canon).alias("fp"),
+        portable_hash32(canon).alias("shard_hash"),
+    )
+
+
+TEXT_QUERIES = {
+    "text_token_count": text_token_count,
+    "text_quality_score": text_quality_score,
+    "text_lang_id": text_lang_id,
+    "text_fingerprint": text_fingerprint,
+}
+
+
+def _lang_case_sql() -> str:
+    hit = {
+        lang: f"len(regexp_extract_all(text, '{pat}'))"
+        for lang, pat in _LANG_PATTERNS.items()
+    }
+    best = "greatest(" + ", ".join(hit.values()) + ")"
+    whens = "".join(f" WHEN {hit[lang]} = best THEN '{lang}'" for lang in _LANG_PATTERNS)
+    return (
+        f"SELECT doc_id, CASE WHEN best = 0 THEN 'unknown'{whens} END AS lang_pred "
+        f"FROM (SELECT doc_id, text, {best} AS best FROM documents) s"
+    )
+
+
+_CANON_SQL = "array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')"
+
+TEXT_ORACLES = {
+    "text_token_count": (
+        "SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens, "
+        r"len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS re_tokens "
+        "FROM documents"
+    ),
+    "text_quality_score": (
+        "SELECT doc_id, "
+        "len(regexp_extract_all(text, '[a-zA-Z]')) / CAST(length(text) AS DOUBLE) "
+        "  AS alpha_ratio, "
+        "(length(text) - (len(string_split(text, ' ')) - 1)) "
+        "  / CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_word_len, "
+        "round(len(regexp_extract_all(text, '[a-zA-Z]')) / CAST(length(text) AS DOUBLE) * 0.7 "
+        " + least((length(text) - (len(string_split(text, ' ')) - 1)) "
+        "   / CAST(len(string_split(text, ' ')) AS DOUBLE) / 10.0, 1.0) * 0.3, 4) AS quality "
+        "FROM documents"
+    ),
+    "text_lang_id": _lang_case_sql(),
+    "text_fingerprint": (
+        f"SELECT doc_id, md5({_CANON_SQL}) AS fp, "
+        f"{portable_hash32_sql(_CANON_SQL)} AS shard_hash FROM documents"
+    ),
+}

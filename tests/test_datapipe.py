@@ -1,0 +1,67 @@
+"""Datapipe operators: oracle parity at smoke scale + plumbing checks."""
+
+from __future__ import annotations
+
+import pytest
+
+from reair_spark.datapipe.registry import DATAPIPE_ORACLES, DATAPIPE_QUERIES
+from tests.oracle_check import compare
+
+
+@pytest.mark.parametrize("name", sorted(DATAPIPE_QUERIES))
+def test_datapipe_matches_oracle(name, spark, duck, sf_dir):
+    result = compare(DATAPIPE_QUERIES[name](spark, sf_dir), duck, DATAPIPE_ORACLES[name])
+    assert result["rows_match"] and result["cols_match"] and result["hash_match"], (
+        f"{name}: {result}"
+    )
+
+
+def test_dedup_finds_planted_duplicates(spark, sf_dir):
+    from reair_spark.datapipe.dedup import dedup_exact, dedup_minhash_lsh
+
+    exact = dedup_exact(spark, sf_dir).where("n_copies > 1").collect()
+    assert len(exact) > 0
+    assert all(r.keep_id < 1_000_000 for r in exact)
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).collect()
+    planted = [r for r in pairs if r.id_b - r.id_a == 1_000_000]
+    assert len(planted) > 0
+    assert all(r.jac >= 0.5 for r in pairs)
+
+
+def test_ann_topk_shape(spark, sf_dir):
+    from reair_spark.datapipe.similarity import TOP_K, ann_cosine_topk
+
+    rows = ann_cosine_topk(spark, sf_dir).collect()
+    by_query: dict[int, list] = {}
+    for r in rows:
+        by_query.setdefault(r.query_id, []).append(r)
+    for qid, neighbors in by_query.items():
+        assert len(neighbors) == TOP_K
+        assert all(n.vec_id != qid for n in neighbors)
+        sims = sorted((n.sim for n in neighbors), reverse=True)
+        assert sims == [n.sim for n in sorted(neighbors, key=lambda n: (-n.sim, n.vec_id))]
+
+
+def test_multimodal_binary_roundtrip(spark, sf_dir):
+    from reair_spark.datapipe.multimodal import with_media_column
+    from reair_spark.io import load_table
+
+    media = with_media_column(load_table(spark, sf_dir, "documents"))
+    row = media.first()
+    assert isinstance(row.media, (bytes, bytearray))
+    assert row.meta.format == "fakeimg"
+    assert row.meta.n_frames >= 1
+    # payload round-trips: binary column holds the utf-8 text bytes
+    doc = load_table(spark, sf_dir, "documents").where(
+        f"doc_id = {row.doc_id}"
+    ).first()
+    assert bytes(row.media).decode("utf-8") == doc.text
+
+
+def test_multimodal_real_decoder_is_gated():
+    from reair_spark.datapipe.multimodal import _HAVE_PIL, decode_image_real
+
+    if not _HAVE_PIL:
+        with pytest.raises(NotImplementedError):
+            decode_image_real(b"\x89PNG...")
