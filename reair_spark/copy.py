@@ -1,0 +1,134 @@
+"""Executor-side file copy with an atomic commit protocol.
+
+Spark mapping of the reference's stage 2 (batch/hive/
+Stage2DirectoryCopyMapper/Reducer) and BatchUtils.doCopyFileAction
+(batch/BatchUtils.java:39-132):
+
+- plan → per-file copy tasks: the COPY rows join the src file
+  inventory, producing one row per file (the reference's mapper emit).
+- load-balance shuffle: repartition by a hash of (path, size, mtime) —
+  the murmur3 re-key of Stage2DirectoryCopyMapper.java:116-125 — so
+  one huge directory spreads over the cluster.
+- per-file semantics preserved: skip if dest exists with same size
+  (BatchUtils.java:64-72), copy to tmp file, fsync, atomic rename,
+  preserve mtime, 3 attempts with backoff (BatchUtils.java:50-53).
+- results come back as a DataFrame (status per file: COPIED/SKIPPED/
+  FAILED + bytes) via mapPartitions — the engine's A6 counters are a
+  groupBy away. No collect of file contents, ever.
+
+Speculative execution must stay off for this stage (side-effecting
+tasks; the reference insists too — MetastoreReplicationJob.java:251-258);
+the session factory pins spark.speculation=false.
+
+At 100 TB: tasks stream bytes file-by-file with O(buffer) memory;
+task count scales with files; AQE coalesces small outputs. Directory-
+level strategy selection (coalesced common-dir copy when cheap —
+CopyPartitionsTask.java:163-235's optimistic copy) is a plan rewrite
+in plan_copy_tasks, not a runtime special case.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+COPY_RESULT_SCHEMA = T.StructType(
+    [
+        T.StructField("src_file", T.StringType()),
+        T.StructField("dest_file", T.StringType()),
+        T.StructField("status", T.StringType()),  # COPIED | SKIPPED | FAILED
+        T.StructField("bytes_copied", T.LongType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+COPY_ATTEMPTS = 3
+
+
+def plan_copy_tasks(plan: DataFrame, src_files: DataFrame) -> DataFrame:
+    """COPY plan rows × src inventory → one row per file to move.
+
+    F6 action projection (Stage2DirectoryCopyMapper.java:55-66): only
+    COPY_* rows with update_data ever reach the data path. The join is
+    src_path(prefix)-to-root equality — file inventories are listed per
+    plan root so the key is exact, no prefix scans.
+    """
+    copies = plan.filter(
+        F.col("action").startswith("COPY") & F.col("update_data")
+    ).select("src_path", "dest_path")
+    return (
+        copies.join(src_files, copies.src_path == src_files.root)
+        .select(
+            F.concat_ws("/", "src_path", "rel_path").alias("src_file"),
+            F.concat_ws("/", "dest_path", "rel_path").alias("dest_file"),
+            "size",
+            "mtime",
+        )
+    )
+
+
+def _copy_one(src_file: str, dest_file: str, size: int, mtime: int) -> tuple:
+    """BatchUtils.doCopyFileAction semantics: skip same-size, tmp +
+    fsync + atomic rename, preserve mtime, bounded retries."""
+    try:
+        st = os.stat(dest_file)
+        if st.st_size == size:
+            return (src_file, dest_file, "SKIPPED", 0, None)
+    except FileNotFoundError:
+        pass
+    err = None
+    for attempt in range(COPY_ATTEMPTS):
+        try:
+            os.makedirs(os.path.dirname(dest_file), exist_ok=True)
+            tmp = f"{dest_file}.__copying_{os.getpid()}"
+            n = 0
+            with open(src_file, "rb") as src, open(tmp, "wb") as dst:
+                while True:
+                    chunk = src.read(1 << 20)
+                    if not chunk:
+                        break
+                    dst.write(chunk)
+                    n += len(chunk)
+                dst.flush()
+                os.fsync(dst.fileno())
+            os.utime(tmp, (mtime / 1000, mtime / 1000))
+            os.replace(tmp, dest_file)  # atomic publish
+            return (src_file, dest_file, "COPIED", n, None)
+        except OSError as exc:  # pragma: no cover - exercised via FAILED test
+            err = f"{type(exc).__name__}: {exc}"
+            time.sleep(0.05 * (2**attempt))
+    return (src_file, dest_file, "FAILED", 0, err)
+
+
+def execute_copies(
+    spark: SparkSession, tasks: DataFrame, parallelism: int | None = None
+) -> DataFrame:
+    """Run the copy tasks executor-side; returns the per-file result
+    DataFrame. Tasks are re-keyed by a hash of (path, size, mtime) —
+    the reference's skew-busting second shuffle (X8)."""
+    from reair_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)
+    parallelism = parallelism or spark.sparkContext.defaultParallelism
+    balanced = tasks.repartition(
+        parallelism, F.xxhash64("src_file", "size", "mtime")
+    )
+
+    def run(rows: Iterator) -> Iterator[tuple]:
+        for r in rows:
+            yield _copy_one(r.src_file, r.dest_file, r.size, r.mtime)
+
+    return spark.createDataFrame(balanced.rdd.mapPartitions(run), COPY_RESULT_SCHEMA)
+
+
+def copy_summary(results: DataFrame) -> DataFrame:
+    """A6 counters: counts + bytes by outcome
+    (incremental/ReplicationCounters.java)."""
+    return results.groupBy("status").agg(
+        F.count("*").alias("n_files"), F.sum("bytes_copied").alias("bytes")
+    )

@@ -1,0 +1,44 @@
+"""Replication filters (F1-F4): regex white/blacklists + command-type
+filters as composable DataFrame predicates.
+
+Reference: batch blacklist TableCompareWorker.java:50-64,122-131;
+incremental RegexReplicationFilter.java:40-64; pluggable chain
+ReplicationLauncher.java:145-169; command-type filter
+AuditLogReader.java:202-204.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# command types that never replicate (AuditLogReader.java:202-204)
+NON_REPLICATING_COMMANDS = ("SHOWTABLES", "SHOWPARTITIONS", "SWITCHDATABASE")
+
+
+def blacklist_predicate(pairs: list[tuple[str, str]]) -> Column:
+    """True for rows matching any (db_regex, table_regex) pair —
+    full-match semantics like Java's String.matches."""
+    cond = F.lit(False)
+    for db_re, tbl_re in pairs:
+        cond = cond | (
+            F.col("db").rlike(f"^(?:{db_re})$") & F.col("table").rlike(f"^(?:{tbl_re})$")
+        )
+    return cond
+
+
+def apply_regex_filters(
+    snapshot: DataFrame, blacklist: list[tuple[str, str]] | None = None
+) -> DataFrame:
+    if not blacklist:
+        return snapshot
+    return snapshot.filter(~blacklist_predicate(blacklist))
+
+
+def replicating_commands(events: DataFrame) -> DataFrame:
+    """Drop non-replicating command types + entries without outputs
+    (F4; ReplicationJobFactory.java:576-583)."""
+    return events.filter(
+        ~F.col("command_type").isin(*NON_REPLICATING_COMMANDS)
+        & (F.size(F.col("objects")) > 0)
+    )

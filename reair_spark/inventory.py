@@ -1,0 +1,153 @@
+"""Distributed file inventory: recursive listings as DataFrames.
+
+Spark mapping of the reference's listing machinery:
+- breadth-first parallel directory scan (batch/hdfs/DirScanInputFormat
+  .java:34-53): each level's directories are a DataFrame partitioned
+  across executors; mapPartitions lists them; loop until no dirs
+  remain. Level-by-level keeps fan-out balanced no matter how deep or
+  skewed the tree — the same reason the reference stops splitting at
+  the level with enough splits.
+- per-file rows (batch/hdfs/ReplicationJob.ListFileMapper:153-199) →
+  (root, rel_path, size, mtime, is_hidden) per FIXTURES.md B.3.
+- hidden filter: names starting '_' or '.' (ReplicationJob.java:141-146).
+
+equalDirs (utils/.../FsUtils.java:305-381) becomes a digest aggregate:
+two directories are equal iff their (rel_path, size) sets match —
+computed as count + total size + an order-insensitive xor-style digest
+in ONE aggregation pass instead of the reference's per-file RPC loop.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+FILE_SCHEMA = T.StructType(
+    [
+        T.StructField("root", T.StringType(), False),
+        T.StructField("rel_path", T.StringType(), False),
+        T.StructField("size", T.LongType()),
+        T.StructField("mtime", T.LongType()),
+        T.StructField("is_hidden", T.BooleanType()),
+    ]
+)
+
+_DIR_SCHEMA = T.StructType(
+    [
+        T.StructField("root", T.StringType(), False),
+        T.StructField("dir", T.StringType(), False),
+    ]
+)
+
+
+def _scan_level(rows: Iterator) -> Iterator[tuple]:
+    """List one directory level. Emits ('d', root, path, 0, 0) for
+    subdirs and ('f', root, rel_path, size, mtime) for files."""
+    for row in rows:
+        root, d = row.root, row.dir
+        try:
+            entries = list(os.scandir(d))
+        except FileNotFoundError:
+            continue
+        for e in entries:
+            hidden = e.name.startswith(("_", "."))
+            if e.is_dir(follow_symlinks=False):
+                yield ("d", root, e.path, 0, 0, hidden)
+            else:
+                st = e.stat()
+                rel = os.path.relpath(e.path, root)
+                yield ("f", root, rel, st.st_size, int(st.st_mtime * 1000), hidden)
+
+
+_SCAN_SCHEMA = T.StructType(
+    [
+        T.StructField("kind", T.StringType()),
+        T.StructField("root", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("size", T.LongType()),
+        T.StructField("mtime", T.LongType()),
+        T.StructField("is_hidden", T.BooleanType()),
+    ]
+)
+
+
+def list_files(
+    spark: SparkSession,
+    roots: list[str],
+    include_hidden: bool = False,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Breadth-first distributed listing of ``roots`` → B.3 DataFrame.
+
+    Each iteration lists one tree level executor-side; discovered
+    subdirectories seed the next level, repartitioned so one huge
+    directory (millions of partitions under one table) fans out across
+    the cluster instead of serializing on one task.
+    """
+    from reair_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)
+    parallelism = parallelism or spark.sparkContext.defaultParallelism
+    dirs = spark.createDataFrame([(r, r) for r in roots], _DIR_SCHEMA)
+    files: DataFrame | None = None
+    while True:
+        listed = dirs.repartition(min(parallelism, 64)).rdd.mapPartitions(_scan_level)
+        level = spark.createDataFrame(listed, _SCAN_SCHEMA).cache()
+        level_files = level.filter(F.col("kind") == "f").select(
+            "root",
+            F.col("path").alias("rel_path"),
+            "size",
+            "mtime",
+            "is_hidden",
+        )
+        files = level_files if files is None else files.union(level_files)
+        next_dirs = level.filter(F.col("kind") == "d")
+        # hidden directories are pruned entirely (reference skips them)
+        if not include_hidden:
+            next_dirs = next_dirs.filter(~F.col("is_hidden"))
+        n = next_dirs.count()  # materializes `level` (cached)
+        if n == 0:
+            break
+        dirs = next_dirs.select("root", F.col("path").alias("dir"))
+    out = files
+    if not include_hidden:
+        out = out.filter(~F.col("is_hidden"))
+    return out
+
+
+def dir_digest(files: DataFrame, check_mtime: bool = False) -> DataFrame:
+    """Per-root equality digest (FsUtils.equalDirs port): n_files,
+    total_size, and an order-insensitive content digest over
+    (rel_path, size[, mtime]). One shuffle, no per-file compare loop."""
+    content = [F.col("rel_path"), F.col("size").cast("string")]
+    if check_mtime:
+        content.append(F.col("mtime").cast("string"))
+    row_h = F.conv(F.substring(F.md5(F.concat_ws("\x01", *content)), 1, 15), 16, 10).cast(
+        "long"
+    )
+    return files.groupBy("root").agg(
+        F.count("*").alias("n_files"),
+        F.sum("size").alias("total_size"),
+        # sum of per-row hashes = order-insensitive set digest
+        F.sum(row_h).alias("digest"),
+    )
+
+
+def dirs_equal(spark: SparkSession, a: str, b: str, check_mtime: bool = False) -> bool:
+    """Directory-pair equality via one aggregate pass over both trees."""
+    inv = list_files(spark, [a, b])
+    d = {r["root"]: (r["n_files"], r["total_size"], r["digest"])
+         for r in dir_digest(inv, check_mtime).collect()}
+    return d.get(a, (0, 0, 0)) == d.get(b, (0, 0, 0))
+
+
+def extras_on_dest(src_files: DataFrame, dest_files: DataFrame) -> DataFrame:
+    """Files present on dest but not src — the distcp -update gate
+    (FsUtils.filesExistOnDestButNotSrc:246-268) as a left-anti join."""
+    return dest_files.select("rel_path").join(
+        src_files.select("rel_path"), "rel_path", "left_anti"
+    )

@@ -1,0 +1,140 @@
+"""Batch warehouse replication — the MetastoreReplicationJob
+equivalent (batch/hive/MetastoreReplicationJob.java:53-100's 3-stage
+plan) as one PySpark driver program:
+
+  stage 1  snapshot catalogs + file inventories → diff plan DataFrame
+  stage 2  plan → per-file copy tasks → executor-side copy
+  stage 3  plan (+ serialized src payloads) → per-table ordered commits
+
+Between stages the plan persists as parquet (S7's TSV roundtrip,
+kept for debuggability/restartability) when ``work_dir`` is given.
+Data moves before metadata commits (ST6 ordering), and dest locations
+are rewritten src-root → dest-root (F8).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from reair_spark.catalog import (
+    DirectoryCatalog,
+    snapshot_partitions,
+    snapshot_tables,
+)
+from reair_spark.commit import execute_commits, rewrite_locations
+from reair_spark.copy import copy_summary, execute_copies, plan_copy_tasks
+from reair_spark.diff import PLAN_COLUMNS, warehouse_plan
+from reair_spark.filters import apply_regex_filters
+from reair_spark.inventory import dir_digest, list_files
+
+
+def _digests(spark: SparkSession, tables: DataFrame, parts: DataFrame) -> DataFrame | None:
+    roots = [
+        r.location
+        for r in tables.select("location").union(parts.select("location")).distinct().collect()
+        if r.location and not r.location.startswith("s3")
+    ]
+    existing = [r for r in roots if os.path.isdir(r)]
+    if not existing:
+        return None
+    return dir_digest(list_files(spark, existing))
+
+
+def replicate_warehouse(
+    spark: SparkSession,
+    src_root: str,
+    dest_root: str,
+    blacklist: list[tuple[str, str]] | None = None,
+    overwrite_newer: bool = True,
+    work_dir: str | None = None,
+) -> dict[str, DataFrame]:
+    """Replicate src warehouse → dest warehouse. Returns the plan and
+    per-stage result DataFrames."""
+    src_cat, dest_cat = DirectoryCatalog(src_root), DirectoryCatalog(dest_root)
+
+    # ---- stage 1: snapshots + diff ------------------------------------
+    src_t = apply_regex_filters(snapshot_tables(spark, src_cat), blacklist)
+    dest_t = apply_regex_filters(snapshot_tables(spark, dest_cat), blacklist)
+    src_p = apply_regex_filters(snapshot_partitions(spark, src_cat), blacklist)
+    dest_p = apply_regex_filters(snapshot_partitions(spark, dest_cat), blacklist)
+
+    src_dg = _digests(spark, src_t, src_p)
+    dest_dg = _digests(spark, dest_t, dest_p)
+
+    plan = warehouse_plan(
+        src_t, dest_t, src_p, dest_p, src_dg, dest_dg, overwrite_newer
+    )
+    plan = rewrite_locations(plan, src_root, dest_root)
+
+    # serialized src payloads + dest TLDT (CAS guard) ride with the plan
+    t_payload = src_t.select(
+        "db", "table", F.lit(None).cast("string").alias("partition_name"),
+        F.to_json(F.struct("db", "table", "table_type", "cols", "partition_keys",
+                           "serde", "parameters")).alias("payload"),
+    )
+    p_payload = src_p.select(
+        "db", "table", "partition_name",
+        F.to_json(F.struct("partition_name", "values", "parameters")).alias("payload"),
+    )
+    payloads = t_payload.union(p_payload)
+    dest_tldt = dest_t.select(
+        "db", "table", F.lit(None).cast("string").alias("partition_name"),
+        F.element_at("parameters", "transient_lastDdlTime").alias("expected_tldt"),
+    ).union(
+        dest_p.select(
+            "db", "table", "partition_name",
+            F.element_at("parameters", "transient_lastDdlTime").alias("expected_tldt"),
+        )
+    )
+    # NULL partition_name (table-level rows) never equi-joins — use a
+    # sentinel key so payloads attach to table rows too
+    pn_key = F.coalesce(F.col("partition_name"), F.lit("\x00"))
+    plan = (
+        plan.withColumn("pn_key", pn_key)
+        .join(payloads.withColumn("pn_key", pn_key).drop("partition_name"),
+              ["db", "table", "pn_key"], "left")
+        .join(dest_tldt.withColumn("pn_key", pn_key).drop("partition_name"),
+              ["db", "table", "pn_key"], "left")
+        .select(*PLAN_COLUMNS, "payload", "expected_tldt")
+    )
+
+    if work_dir:
+        step1 = os.path.join(work_dir, "step1_plan.parquet")
+        plan.write.mode("overwrite").parquet(step1)
+        plan = spark.read.parquet(step1)
+
+    # ---- stage 2: data movement ---------------------------------------
+    copy_roots = [
+        r.src_path
+        for r in plan.filter(
+            F.col("action").startswith("COPY") & F.col("update_data")
+        ).select("src_path").distinct().collect()
+        if r.src_path and os.path.isdir(r.src_path)
+    ]
+    if copy_roots:
+        src_files = list_files(spark, copy_roots)
+        tasks = plan_copy_tasks(plan, src_files)
+        copy_results = execute_copies(spark, tasks).cache()
+    else:
+        copy_results = spark.createDataFrame(
+            [], "src_file string, dest_file string, status string, "
+                "bytes_copied long, error string"
+        )
+    # side-effecting stage: materialize exactly once (cache + count) so
+    # (a) data lands BEFORE metadata commits (ST6 ordering) and (b)
+    # later actions on the result never re-run the copies
+    copy_results.count()
+
+    # ---- stage 3: metadata commit -------------------------------------
+    commit_results = execute_commits(spark, plan, dest_root).cache()
+    commit_results.count()
+
+    return {
+        "plan": plan,
+        "copy_results": copy_results,
+        "copy_summary": copy_summary(copy_results),
+        "commit_results": commit_results,
+    }
