@@ -1,0 +1,115 @@
+"""Engine-path queries: replication operators routed through the
+correctness gate.
+
+The replication engine's own dataflows (diff planner, streaming
+window) run over catalogs/streams, not the star schema — so these
+entries DERIVE catalog-shaped inputs from the TESTDATA tables and push
+them through the REAL engine code (reair_spark.diff, reair_spark.
+streaming), with a DuckDB oracle reimplementing the decision table
+independently. A planner bug breaks the hash match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from reair_spark.catalog import TABLE_SCHEMA
+from reair_spark.diff import table_diff
+from reair_spark.io import load_table as _t
+
+
+def _derived_catalogs(spark: SparkSession, sf: str) -> tuple[DataFrame, DataFrame]:
+    """nation → two drifted catalog snapshots:
+    src: one table per nation; dest: misses n%3==0 (→ COPY), carries a
+    drifted TLDT for n%4==0 (→ metadata drift), plus one extra table
+    per region (→ DROP)."""
+    n = _t(spark, sf, "nation")
+
+    def snap(base: DataFrame, tldt_col, name_col) -> DataFrame:
+        return base.select(
+            F.lit("wh").alias("db"),
+            name_col.alias("table"),
+            F.lit("MANAGED_TABLE").alias("table_type"),
+            F.array(
+                F.struct(
+                    F.lit("c1").alias("name"),
+                    F.lit("string").alias("type"),
+                    F.lit(None).cast("string").alias("comment"),
+                )
+            ).cast(TABLE_SCHEMA["cols"].dataType).alias("cols"),
+            F.array().cast(TABLE_SCHEMA["partition_keys"].dataType).alias("partition_keys"),
+            F.concat(F.lit("/wh/"), name_col).alias("location"),
+            F.lit("parquet").alias("serde"),
+            F.create_map(
+                F.lit("transient_lastDdlTime"), tldt_col.cast("string")
+            ).alias("parameters"),
+        )
+
+    src = snap(n, F.col("n_nationkey") * 10, F.lower("n_name"))
+    dest = snap(
+        n.filter(F.col("n_nationkey") % 3 != 0),
+        F.when(F.col("n_nationkey") % 4 == 0, F.col("n_nationkey") * 10 + 1)
+        .otherwise(F.col("n_nationkey") * 10),
+        F.lower("n_name"),
+    )
+    extras = snap(
+        n.select("n_regionkey").distinct(),
+        F.lit(1),
+        F.concat(F.lit("stale_"), F.col("n_regionkey").cast("string")),
+    ).withColumn("cols", F.array().cast(TABLE_SCHEMA["cols"].dataType))
+    return src, dest.unionByName(extras)
+
+
+def replication_table_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """The REAL diff planner over derived catalogs (J1 through the
+    correctness gate)."""
+    src, dest = _derived_catalogs(spark, sf)
+    plan = table_diff(src, dest)
+    return plan.select("db", "table", "action", "update_metadata", "update_data")
+
+
+def stream_hourly_counts_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Structured Streaming windowed agg, bounded run (ST8 through the
+    correctness gate — final complete-mode state equals batch groupBy)."""
+    from reair_spark.streaming import stream_hourly_counts
+
+    return stream_hourly_counts(spark, sf)
+
+
+ENGINE_QUERIES = {
+    "replication_table_diff": replication_table_diff,
+    "stream_hourly_counts": stream_hourly_counts_q,
+}
+
+# independent SQL reimplementation of the decision table: src-only →
+# COPY(meta+data); dest-only → DROP; TLDT drift → COPY(meta only,
+# digests unknown ⇒ data treated equal); else NO_OP
+ENGINE_ORACLES = {
+    "replication_table_diff": """
+WITH src AS (
+  SELECT 'wh' AS db, lower(n_name) AS t, n_nationkey * 10 AS tldt FROM nation
+),
+dest AS (
+  SELECT 'wh' AS db, lower(n_name) AS t,
+         CASE WHEN n_nationkey % 4 = 0 THEN n_nationkey * 10 + 1
+              ELSE n_nationkey * 10 END AS tldt
+  FROM nation WHERE n_nationkey % 3 <> 0
+  UNION
+  SELECT DISTINCT 'wh', 'stale_' || CAST(n_regionkey AS VARCHAR), 1 FROM nation
+)
+SELECT coalesce(s.db, d.db) AS db, coalesce(s.t, d.t) AS "table",
+       CASE WHEN d.t IS NULL THEN 'COPY_UNPARTITIONED_TABLE'
+            WHEN s.t IS NULL THEN 'DROP_TABLE'
+            WHEN s.tldt <> d.tldt THEN 'COPY_UNPARTITIONED_TABLE'
+            ELSE 'NO_OP' END AS action,
+       CASE WHEN d.t IS NULL OR (s.t IS NOT NULL AND s.tldt <> d.tldt)
+            THEN TRUE ELSE FALSE END AS update_metadata,
+       CASE WHEN d.t IS NULL AND s.t IS NOT NULL THEN TRUE ELSE FALSE END AS update_data
+FROM src s FULL OUTER JOIN dest d ON s.t = d.t
+""",
+    "stream_hourly_counts": (
+        "SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) "
+        "AS window_start, count(*) AS cnt FROM events GROUP BY 1"
+    ),
+}

@@ -28,11 +28,18 @@ def blacklist_predicate(pairs: list[tuple[str, str]]) -> Column:
 
 
 def apply_regex_filters(
-    snapshot: DataFrame, blacklist: list[tuple[str, str]] | None = None
+    snapshot: DataFrame,
+    blacklist: list[tuple[str, str]] | None = None,
+    whitelist: list[tuple[str, str]] | None = None,
 ) -> DataFrame:
-    if not blacklist:
-        return snapshot
-    return snapshot.filter(~blacklist_predicate(blacklist))
+    """Whitelist-and-not-blacklist (F2 semantics: accept iff matching
+    the whitelist and not the blacklist)."""
+    out = snapshot
+    if whitelist:
+        out = out.filter(blacklist_predicate(whitelist))
+    if blacklist:
+        out = out.filter(~blacklist_predicate(blacklist))
+    return out
 
 
 def replicating_commands(events: DataFrame) -> DataFrame:

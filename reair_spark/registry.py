@@ -14,22 +14,20 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 def all_queries() -> dict[str, QueryFn]:
     out: dict[str, QueryFn] = {}
     out.update(DECLARED_QUERIES)
-    try:
-        from reair_spark.datapipe.registry import DATAPIPE_QUERIES
+    from reair_spark.datapipe.registry import DATAPIPE_QUERIES
+    from reair_spark.engine_queries import ENGINE_QUERIES
 
-        out.update(DATAPIPE_QUERIES)
-    except ImportError:
-        pass
+    out.update(DATAPIPE_QUERIES)
+    out.update(ENGINE_QUERIES)
     return out
 
 
 def all_oracles() -> dict[str, str]:
     out: dict[str, str] = {}
     out.update(DECLARED_ORACLES)
-    try:
-        from reair_spark.datapipe.registry import DATAPIPE_ORACLES
+    from reair_spark.datapipe.registry import DATAPIPE_ORACLES
+    from reair_spark.engine_queries import ENGINE_ORACLES
 
-        out.update(DATAPIPE_ORACLES)
-    except ImportError:
-        pass
+    out.update(DATAPIPE_ORACLES)
+    out.update(ENGINE_ORACLES)
     return out

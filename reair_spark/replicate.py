@@ -48,6 +48,7 @@ def replicate_warehouse(
     src_root: str,
     dest_root: str,
     blacklist: list[tuple[str, str]] | None = None,
+    whitelist: list[tuple[str, str]] | None = None,
     overwrite_newer: bool = True,
     work_dir: str | None = None,
 ) -> dict[str, DataFrame]:
@@ -56,10 +57,10 @@ def replicate_warehouse(
     src_cat, dest_cat = DirectoryCatalog(src_root), DirectoryCatalog(dest_root)
 
     # ---- stage 1: snapshots + diff ------------------------------------
-    src_t = apply_regex_filters(snapshot_tables(spark, src_cat), blacklist)
-    dest_t = apply_regex_filters(snapshot_tables(spark, dest_cat), blacklist)
-    src_p = apply_regex_filters(snapshot_partitions(spark, src_cat), blacklist)
-    dest_p = apply_regex_filters(snapshot_partitions(spark, dest_cat), blacklist)
+    src_t = apply_regex_filters(snapshot_tables(spark, src_cat), blacklist, whitelist)
+    dest_t = apply_regex_filters(snapshot_tables(spark, dest_cat), blacklist, whitelist)
+    src_p = apply_regex_filters(snapshot_partitions(spark, src_cat), blacklist, whitelist)
+    dest_p = apply_regex_filters(snapshot_partitions(spark, dest_cat), blacklist, whitelist)
 
     src_dg = _digests(spark, src_t, src_p)
     dest_dg = _digests(spark, dest_t, dest_p)

@@ -1,0 +1,89 @@
+"""Persisted engine state: checkpoint KV + job-state tables.
+
+Port of the reference's MySQL state (main/src/main/resources/
+create_tables.sql:1-33 — ``key_value`` + ``replication_jobs``;
+PersistedJobInfoStore incremental/db/PersistedJobInfoStore.java:
+107-320, DbKeyValueStore):
+
+- KeyValueStore: single-writer driver-side map (carries
+  ``last_persisted_id`` — ST1's source offset, ReplicationServer
+  .java:63-65). Atomic-rename JSON; a cluster deployment swaps this
+  for a metastore/JDBC-backed class with the same three methods.
+- JobStore: append-only parquet log of job-state transitions
+  (PENDING→RUNNING→{SUCCESSFUL,FAILED,NOT_COMPLETABLE,ABORTED});
+  current state = latest transition per job id (window), so recovery
+  re-queues everything non-terminal (ST4 — ReplicationServer
+  .restoreReplicationJob:240-328). Append-only + last-writer-wins
+  makes retries idempotent without transactions.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+TERMINAL_STATES = ("SUCCESSFUL", "FAILED", "NOT_COMPLETABLE", "ABORTED")
+
+JOB_SCHEMA = (
+    "job_id long, seq long, operation string, status string, "
+    "db string, table string, partition_names array<string>, "
+    "rename_to_db string, rename_to_table string, src_event_id long"
+)
+
+
+class KeyValueStore:
+    """key_value table port: get/set with atomic-rename persistence."""
+
+    def __init__(self, path: str):
+        self.path = path
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+
+    def _load(self) -> dict:
+        if not os.path.exists(self.path):
+            return {}
+        with open(self.path) as fh:
+            return json.load(fh)
+
+    def get(self, key: str, default: str | None = None) -> str | None:
+        return self._load().get(key, default)
+
+    def set(self, key: str, value: str) -> None:
+        data = self._load()
+        data[key] = value
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(self.path) or ".")
+        with os.fdopen(fd, "w") as fh:
+            json.dump(data, fh)
+        os.replace(tmp, self.path)
+
+
+class JobStore:
+    """replication_jobs port: append-only transition log in parquet."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        self._seq = 0
+
+    def append(self, jobs: DataFrame) -> None:
+        self._seq += 1
+        jobs.withColumn("seq", F.lit(self._seq)).write.mode("append").parquet(self.path)
+
+    def current(self) -> DataFrame:
+        """Latest transition per job_id."""
+        if not os.path.exists(self.path):
+            return self.spark.createDataFrame([], JOB_SCHEMA)
+        log = self.spark.read.parquet(self.path)
+        w = W.partitionBy("job_id").orderBy(F.desc("seq"))
+        return (
+            log.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    def incomplete(self) -> DataFrame:
+        """Jobs to re-queue on restart (ST4)."""
+        return self.current().filter(~F.col("status").isin(*TERMINAL_STATES))

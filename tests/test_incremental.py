@@ -1,0 +1,210 @@
+"""Incremental mode — pytest port of the reference's
+ReplicationServerTest scenarios (FIXTURES.md B.7 #5-6): event
+classification, dynamic-partition batching, rename, exchange-partition
+parsing, checkpoint restart."""
+
+from __future__ import annotations
+
+import datetime
+import json
+
+import pytest
+
+from reair_spark.catalog import DirectoryCatalog
+from reair_spark.events import compile_jobs, run_incremental
+from reair_spark.state import KeyValueStore
+from tests.test_batch_replication import _make_unpartitioned, _write_files
+
+EVENT_SCHEMA = (
+    "id long, create_time timestamp, command_type string, command string, "
+    "objects array<struct<category:string, obj_type:string, name:string, payload:string>>"
+)
+
+_T0 = datetime.datetime(2024, 1, 1)
+
+
+def _ev(eid, ctype, command="", objects=()):
+    return (eid, _T0, ctype, command, list(objects))
+
+
+def _out(name, obj_type="TABLE", payload="{}"):
+    return ("OUTPUT", obj_type, name, payload)
+
+
+@pytest.fixture()
+def events_df(spark):
+    def make(rows):
+        return spark.createDataFrame(rows, EVENT_SCHEMA)
+
+    return make
+
+
+def test_create_table_compiles_to_copy(spark, events_df):
+    jobs = compile_jobs(events_df([_ev(1, "CREATETABLE", objects=[_out("db1.t1")])]))
+    r = jobs.collect()[0]
+    assert r.operation == "COPY_UNPARTITIONED_TABLE"
+    assert (r.db, r.table) == ("db1", "t1")
+
+
+def test_partitioned_create_detected_from_payload(spark, events_df):
+    payload = json.dumps({"partition_keys": [{"name": "ds"}]})
+    jobs = compile_jobs(
+        events_df([_ev(1, "CREATETABLE", objects=[_out("db1.t1", payload=payload)])])
+    )
+    assert jobs.collect()[0].operation == "COPY_PARTITIONED_TABLE"
+
+
+def test_dynamic_partition_insert_batches_to_one_job(spark, events_df):
+    """>1 partitions of one table in one entry → ONE COPY_PARTITIONS
+    (ReplicationJobFactory.java:660-663)."""
+    jobs = compile_jobs(
+        events_df(
+            [
+                _ev(
+                    7,
+                    "QUERY",
+                    objects=[
+                        _out("db1.t1/ds=1/hr=1", "PARTITION"),
+                        _out("db1.t1/ds=1/hr=2", "PARTITION"),
+                        _out("db1.t1/ds=1/hr=3", "PARTITION"),
+                    ],
+                )
+            ]
+        )
+    ).collect()
+    assert len(jobs) == 1
+    j = jobs[0]
+    assert j.operation == "COPY_PARTITIONS"
+    assert j.partition_names == ["ds=1/hr=1", "ds=1/hr=2", "ds=1/hr=3"]
+
+
+def test_rename_classified_with_old_and_new_names(spark, events_df):
+    jobs = compile_jobs(
+        events_df(
+            [
+                _ev(
+                    3,
+                    "ALTERTABLE_RENAME",
+                    objects=[
+                        ("RENAME_FROM", "TABLE", "db1.old", "{}"),
+                        _out("db1.new"),
+                    ],
+                )
+            ]
+        )
+    ).collect()
+    j = jobs[0]
+    assert j.operation == "RENAME_TABLE"
+    assert (j.db, j.table) == ("db1", "old")
+    assert (j.rename_to_db, j.rename_to_table) == ("db1", "new")
+
+
+def test_drop_table_and_partition(spark, events_df):
+    jobs = {
+        j.operation
+        for j in compile_jobs(
+            events_df(
+                [
+                    _ev(4, "DROPTABLE", objects=[_out("db1.t1")]),
+                    _ev(5, "DROPPARTITION", objects=[_out("db1.t1/ds=1", "PARTITION")]),
+                ]
+            )
+        ).collect()
+    }
+    assert jobs == {"DROP_TABLE", "DROP_PARTITION"}
+
+
+def test_non_replicating_commands_filtered(spark, events_df):
+    jobs = compile_jobs(
+        events_df(
+            [
+                _ev(1, "SHOWTABLES", objects=[_out("db1.t1")]),
+                _ev(2, "QUERY", objects=[]),  # no outputs
+            ]
+        )
+    )
+    assert jobs.count() == 0
+
+
+def test_exchange_partition_regex_workaround(spark, events_df):
+    """HIVE-12865: outputs are lost, so the SQL text is parsed
+    (ExchangePartitionParser.java:19-52)."""
+    cmd = "ALTER TABLE db1.src_t EXCHANGE PARTITION (ds='1', hr='2') WITH TABLE db1.dest_t"
+    jobs = compile_jobs(
+        events_df([_ev(9, "EXCHANGEPARTITION", command=cmd,
+                       objects=[("INPUT", "TABLE", "db1.src_t", "{}")])])
+    ).collect()
+    j = jobs[0]
+    assert j.operation == "COPY_PARTITION"
+    assert (j.db, j.table) == ("db1", "dest_t")
+    assert j.partition_names == ["ds=1/hr=2"]
+
+
+def test_incremental_loop_with_checkpoint_restart(spark, events_df, tmp_path):
+    src_root, dest_root = str(tmp_path / "src"), str(tmp_path / "dest")
+    state_dir = str(tmp_path / "state")
+    src_cat = DirectoryCatalog(src_root)
+    dest_cat = DirectoryCatalog(dest_root)
+
+    _make_unpartitioned(src_cat, "db1", "t1")
+    _make_unpartitioned(src_cat, "db1", "t2")
+    events = events_df(
+        [
+            _ev(1, "CREATETABLE", objects=[_out("db1.t1")]),
+            _ev(2, "CREATETABLE", objects=[_out("db1.t2")]),
+        ]
+    )
+
+    # process only the first batch (batch_size=1), then "crash"
+    r1 = run_incremental(
+        spark, events, src_root, dest_root, state_dir, batch_size=1, max_batches=1
+    )
+    assert r1["last_id"] == 1
+    assert dest_cat.get_table("db1", "t1") is not None
+    # t2's event not yet consumed — but targeted replication may not have
+    # touched it either
+    kv = KeyValueStore(f"{state_dir}/key_value.json")
+    assert kv.get("last_persisted_id") == "1"
+
+    # resume: picks up after the checkpoint, consumes the rest
+    r2 = run_incremental(
+        spark, events, src_root, dest_root, state_dir, batch_size=10
+    )
+    assert r2["last_id"] == 2
+    assert dest_cat.get_table("db1", "t2") is not None
+
+    # replay safety: running again from the same events is a no-op
+    r3 = run_incremental(spark, events, src_root, dest_root, state_dir)
+    assert r3["batches"] == 0
+
+
+def test_rename_execution_moves_dest_table(spark, events_df, tmp_path):
+    src_root, dest_root = str(tmp_path / "src"), str(tmp_path / "dest")
+    src_cat, dest_cat = DirectoryCatalog(src_root), DirectoryCatalog(dest_root)
+    _make_unpartitioned(src_cat, "db1", "old")
+    run_incremental(
+        spark,
+        spark.createDataFrame([_ev(1, "CREATETABLE", objects=[_out("db1.old")])], EVENT_SCHEMA),
+        src_root, dest_root, str(tmp_path / "s1"),
+    )
+    assert dest_cat.get_table("db1", "old") is not None
+
+    # source renames old → new
+    src_cat.rename_table("db1", "old", "db1", "new")
+    loc = src_cat.table_location("db1", "new")
+    import shutil
+
+    shutil.move(src_cat.table_location("db1", "old"), loc)
+    rec = src_cat.get_table("db1", "new")
+    rec["location"] = loc
+    rec["parameters"]["transient_lastDdlTime"] = "200"
+    src_cat.alter_table(rec)
+
+    ev = spark.createDataFrame(
+        [_ev(2, "ALTERTABLE_RENAME",
+             objects=[("RENAME_FROM", "TABLE", "db1.old", "{}"), _out("db1.new")])],
+        EVENT_SCHEMA,
+    )
+    run_incremental(spark, ev, src_root, dest_root, str(tmp_path / "s2"))
+    assert dest_cat.get_table("db1", "old") is None
+    assert dest_cat.get_table("db1", "new") is not None
