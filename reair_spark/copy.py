@@ -110,11 +110,14 @@ def execute_copies(
 ) -> DataFrame:
     """Run the copy tasks executor-side; returns the per-file result
     DataFrame. Tasks are re-keyed by a hash of (path, size, mtime) —
-    the reference's skew-busting second shuffle (X8)."""
+    the reference's skew-busting second shuffle (X8) — with task count
+    sized by data volume (A8: one task per 256 MB or 100 files,
+    DistCpWrapperOptions.java:34-37) instead of a flat cluster constant."""
+    from reair_spark.plans import size_copy_parallelism
     from reair_spark.shipping import ensure_shipped
 
     ensure_shipped(spark)
-    parallelism = parallelism or spark.sparkContext.defaultParallelism
+    parallelism = parallelism or size_copy_parallelism(tasks)
     balanced = tasks.repartition(
         parallelism, F.xxhash64("src_file", "size", "mtime")
     )

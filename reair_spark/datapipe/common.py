@@ -15,6 +15,23 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def widen(df, spark=None):
+    """Repartition up to the default parallelism when the source scan
+    produced fewer partitions than cores.
+
+    Small single-row-group parquet files scan as ONE partition, which
+    serializes the per-row compute these operators do (shingling,
+    hashing, regex) onto one core. At 100 TB the scan is naturally
+    wide and this is a no-op — the check costs nothing and never
+    shrinks a wide input.
+    """
+    spark = spark or df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def portable_hash32(col: Column) -> Column:
     """32-bit hash identical across Spark and DuckDB (md5-hex prefix)."""
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")

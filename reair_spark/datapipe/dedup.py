@@ -28,6 +28,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from reair_spark.datapipe.common import (
+    widen,
     portable_hash32,
     portable_hash32_sql,
     seeded_hash,
@@ -66,7 +67,9 @@ def _corpus(spark: SparkSession, sf: str, exact: bool) -> DataFrame:
     dups = base.select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"), dup_text.alias("text")
     )
-    return d.union(dups)
+    # widen: the tiny parquet scans as 1 partition, serializing the
+    # per-row shingle/hash compute downstream
+    return widen(d.union(dups))
 
 
 def _corpus_sql(exact: bool) -> str:

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from reair_spark.datapipe.common import cosine
+from reair_spark.datapipe.common import cosine, widen
 from reair_spark.io import load_table as _t
 
 TOP_K = 10
@@ -37,7 +37,7 @@ _COS_SQL = "list_cosine_similarity(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))
 
 
 def _emb(spark: SparkSession, sf: str) -> DataFrame:
-    e = _t(spark, sf, "embeddings")
+    e = widen(_t(spark, sf, "embeddings"), spark)
     return e.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"), "label")
 
 

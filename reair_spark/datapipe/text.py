@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from reair_spark.datapipe.common import portable_hash32, portable_hash32_sql
+from reair_spark.datapipe.common import portable_hash32, portable_hash32_sql, widen
 from reair_spark.io import load_table as _t
 
 # word-boundary stopword patterns per language; the CASE ladder makes
@@ -30,7 +30,7 @@ _LANG_PATTERNS = {
 def text_token_count(spark: SparkSession, sf: str) -> DataFrame:
     """Token counting: whitespace tokens + a BPE-ish regex token count
     (word pieces = letter runs, digit runs, or single punctuation)."""
-    d = _t(spark, sf, "documents")
+    d = widen(_t(spark, sf, "documents"), spark)
     return d.select(
         "doc_id",
         F.size(F.split("text", " ")).cast("long").alias("ws_tokens"),
@@ -44,7 +44,7 @@ def text_quality_score(spark: SparkSession, sf: str) -> DataFrame:
     """Quality scoring: alpha ratio, mean word length, and a composite
     score — the standard cheap pre-filter before expensive pipeline
     stages (dedup, embedding)."""
-    d = _t(spark, sf, "documents")
+    d = widen(_t(spark, sf, "documents"), spark)
     n = F.length("text").cast("double")
     alpha = F.regexp_count(F.col("text"), F.lit(r"[a-zA-Z]")).cast("double")
     words = F.size(F.split("text", " ")).cast("double")
@@ -62,7 +62,7 @@ def text_quality_score(spark: SparkSession, sf: str) -> DataFrame:
 def text_lang_id(spark: SparkSession, sf: str) -> DataFrame:
     """Language ID by stopword-hit argmax (n-gram-heuristic family).
     Deterministic tie-break: en > es > fr > de > unknown."""
-    d = _t(spark, sf, "documents")
+    d = widen(_t(spark, sf, "documents"), spark)
     hits = {
         lang: F.regexp_count(F.col("text"), F.lit(pat)).alias(f"h_{lang}")
         for lang, pat in _LANG_PATTERNS.items()
@@ -79,7 +79,7 @@ def text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     (md5 of the sorted distinct token set) + a 32-bit shard hash of it.
     The shard hash is the partitioning key a 100 TB dedup would
     repartition on."""
-    d = _t(spark, sf, "documents")
+    d = widen(_t(spark, sf, "documents"), spark)
     canon = F.concat_ws(" ", F.array_sort(F.array_distinct(F.split("text", " "))))
     return d.select(
         "doc_id",

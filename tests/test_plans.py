@@ -1,0 +1,93 @@
+"""Plan-rewrite rules: common-dir aggregate, optimistic copy
+coalescing (CopyPartitionsTask semantics), A8 task sizing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from reair_spark.plans import (
+    coalesce_copy_plan,
+    common_directory,
+    size_copy_parallelism,
+)
+
+
+def _plan(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "action string, update_metadata boolean, update_data boolean, "
+        "src_path string, dest_path string, db string, table string, "
+        "partition_name string",
+    )
+
+
+def _sizes(spark, pairs):
+    return spark.createDataFrame(
+        [(k, 1, v, 0) for k, v in pairs.items()],
+        "root string, n_files long, total_size long, digest long",
+    )
+
+
+def test_common_directory_min_max_trick(spark):
+    df = spark.createDataFrame(
+        [("t", "/wh/db/t/ds=1/hr=1"), ("t", "/wh/db/t/ds=1/hr=2"),
+         ("t", "/wh/db/t/ds=2/hr=1"), ("u", "/wh/db/u/ds=1")],
+        "table string, src_path string",
+    )
+    out = {r.table: r.common_dir for r in common_directory(df, ["table"]).collect()}
+    assert out == {"t": "/wh/db/t", "u": "/wh/db/u/ds=1"}
+
+
+def test_coalesce_when_common_dir_is_cheap(spark):
+    plan = _plan(spark, [
+        ("COPY_PARTITION", True, True, "/src/t/ds=1", "/dst/t/ds=1", "db", "t", "ds=1"),
+        ("COPY_PARTITION", True, True, "/src/t/ds=2", "/dst/t/ds=2", "db", "t", "ds=2"),
+        ("COPY_PARTITION", True, True, "/src/t/ds=3", "/dst/t/ds=3", "db", "t", "ds=3"),
+    ])
+    sizes = _sizes(spark, {
+        "/src/t/ds=1": 100, "/src/t/ds=2": 100, "/src/t/ds=3": 100,
+        "/src/t": 350,  # ≤ 2× wanted(300) → coalesce
+    })
+    out = coalesce_copy_plan(plan, sizes).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.action == "COPY_PARTITIONS_DIR"
+    assert r.src_path == "/src/t" and r.dest_path == "/dst/t"
+
+
+def test_no_coalesce_when_common_dir_too_big(spark):
+    plan = _plan(spark, [
+        ("COPY_PARTITION", True, True, "/src/t/ds=1", "/dst/t/ds=1", "db", "t", "ds=1"),
+        ("COPY_PARTITION", True, True, "/src/t/ds=2", "/dst/t/ds=2", "db", "t", "ds=2"),
+    ])
+    sizes = _sizes(spark, {
+        "/src/t/ds=1": 100, "/src/t/ds=2": 100,
+        "/src/t": 1000,  # > 2× wanted(200): other partitions dominate
+    })
+    out = coalesce_copy_plan(plan, sizes).collect()
+    assert sorted(r.action for r in out) == ["COPY_PARTITION", "COPY_PARTITION"]
+
+
+def test_single_partition_and_non_partition_rows_pass_through(spark):
+    plan = _plan(spark, [
+        ("COPY_PARTITION", True, True, "/src/t/ds=1", "/dst/t/ds=1", "db", "t", "ds=1"),
+        ("COPY_UNPARTITIONED_TABLE", True, True, "/src/u", "/dst/u", "db", "u", None),
+        ("DROP_TABLE", False, False, None, None, "db", "v", None),
+    ])
+    sizes = _sizes(spark, {"/src/t/ds=1": 100, "/src/t": 100})
+    out = {r.action for r in coalesce_copy_plan(plan, sizes).collect()}
+    assert out == {"COPY_PARTITION", "COPY_UNPARTITIONED_TABLE", "DROP_TABLE"}
+
+
+def test_size_copy_parallelism(spark):
+    small = spark.createDataFrame([("a", 10, 0)] * 5, "src_file string, size long, mtime long")
+    assert size_copy_parallelism(small) == 1
+    many_files = spark.createDataFrame(
+        [(f"f{i}", 10, 0) for i in range(550)], "src_file string, size long, mtime long"
+    )
+    assert size_copy_parallelism(many_files) == 6  # ceil(550/100)
+    big = spark.createDataFrame(
+        [("a", 300 * 1024 * 1024, 0), ("b", 300 * 1024 * 1024, 0)],
+        "src_file string, size long, mtime long",
+    )
+    assert size_copy_parallelism(big) == 3  # ceil(600MB/256MB)
