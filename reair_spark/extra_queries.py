@@ -1,0 +1,151 @@
+"""Extended query surface: custom operators (as-of join,
+sessionization) and Spark-native analytics the reference lacks
+entirely (cube, pivot, exact percentile/distinct) — each oracle-
+checked. DuckDB's native ASOF JOIN verifies our union-marker+window
+as-of implementation independently.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from reair_spark.io import load_table as _t
+from reair_spark.operators import asof_join, sessionize
+
+
+def _event_days(spark: SparkSession, sf: str) -> DataFrame:
+    """events → (user_id, event_day, event_id) with event days mapped
+    into the orders date range; deduped per (user_id, day) so as-of
+    tie-breaks are well-defined on both engines."""
+    ev = _t(spark, sf, "events")
+    day = F.timestamp_seconds(
+        F.unix_timestamp(F.lit("1992-01-01 00:00:00"))
+        + (F.col("event_id") % 2400) * 86400
+    )
+    return (
+        ev.select("user_id", day.alias("event_day"), "event_id")
+        .groupBy("user_id", "event_day")
+        .agg(F.max("event_id").alias("event_id"))
+    )
+
+
+def asof_orders_events(spark: SparkSession, sf: str) -> DataFrame:
+    """For each order: the latest event of that customer at or before
+    the order date (classic as-of enrichment)."""
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    ev = _event_days(spark, sf).select(
+        F.col("user_id"), F.col("event_day"), F.col("event_id")
+    )
+    joined = asof_join(
+        o,
+        ev.withColumnRenamed("user_id", "o_custkey"),
+        on="o_custkey",
+        left_time="o_orderdate",
+        right_time="event_day",
+        right_values=["event_id", "event_day"],
+    )
+    return joined.select("o_orderkey", "o_custkey", "event_id", "event_day")
+
+
+def sessionize_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-based sessions (30 min) per user over the event stream."""
+    ev = _t(spark, sf, "events")
+    return sessionize(ev.select("user_id", "ts"), "user_id", "ts", 1800)
+
+
+def cube_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus) — grouping-set surface."""
+    li = _t(spark, sf, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(F.count("*").alias("cnt"))
+
+
+def pivot_status_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """Pivot orders: one row per priority, one count column per status."""
+    o = _t(spark, sf, "orders")
+    p = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+    return p.select(
+        "o_orderpriority",
+        F.coalesce("F", F.lit(0)).alias("cnt_f"),
+        F.coalesce("O", F.lit(0)).alias("cnt_o"),
+        F.coalesce("P", F.lit(0)).alias("cnt_p"),
+    )
+
+
+def exact_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact median + distinct counts (the reference had no aggregate
+    layer at all; Spark also has approx_count_distinct/percentile_approx
+    as the sketch path — not oracle-comparable, so the gate uses the
+    exact forms)."""
+    li = _t(spark, sf, "lineitem")
+    return li.agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("median_price"),
+        F.count_distinct("l_partkey").alias("n_parts"),
+        F.count_distinct("l_suppkey").alias("n_supps"),
+    )
+
+
+EXTRA_QUERIES = {
+    "asof_orders_events": asof_orders_events,
+    "sessionize_events": sessionize_events,
+    "cube_counts": cube_counts,
+    "pivot_status_priority": pivot_status_priority,
+    "exact_stats": exact_stats,
+}
+
+_EV_DAYS_SQL = """
+SELECT user_id,
+       TIMESTAMP '1992-01-01 00:00:00' + INTERVAL ((event_id % 2400) * 86400) SECOND
+         AS event_day,
+       max(event_id) AS event_id
+FROM events GROUP BY 1, 2
+"""
+
+EXTRA_ORACLES = {
+    # DuckDB's native ASOF JOIN checks the union+window implementation
+    "asof_orders_events": f"""
+WITH ev AS ({_EV_DAYS_SQL})
+SELECT o.o_orderkey, o.o_custkey, e.event_id, e.event_day
+FROM orders o ASOF LEFT JOIN ev e
+  ON o.o_custkey = e.user_id AND e.event_day <= o.o_orderdate
+""",
+    "sessionize_events": """
+WITH marked AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(CAST(ts AS TIMESTAMP)) - epoch(lag(CAST(ts AS TIMESTAMP)) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP))
+),
+sessions AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events
+FROM sessions GROUP BY user_id, session_id
+""",
+    "cube_counts": (
+        "SELECT l_returnflag, l_linestatus, count(*) AS cnt FROM lineitem "
+        "GROUP BY CUBE(l_returnflag, l_linestatus)"
+    ),
+    "pivot_status_priority": """
+SELECT o_orderpriority,
+       count(*) FILTER (o_orderstatus = 'F') AS cnt_f,
+       count(*) FILTER (o_orderstatus = 'O') AS cnt_o,
+       count(*) FILTER (o_orderstatus = 'P') AS cnt_p
+FROM orders GROUP BY 1
+""",
+    "exact_stats": (
+        "SELECT quantile_cont(l_extendedprice, 0.5) AS median_price, "
+        "count(DISTINCT l_partkey) AS n_parts, "
+        "count(DISTINCT l_suppkey) AS n_supps FROM lineitem"
+    ),
+}

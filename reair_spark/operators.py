@@ -1,0 +1,127 @@
+"""Custom relational operators Spark lacks as built-ins, composed from
+DataFrame primitives (preference (a) of the custom-operator ladder —
+no Pandas UDF needed for any of these).
+
+- asof_join: for each left row, the latest right row with
+  right_time <= left_time per key. Implemented with the union-marker +
+  window technique: tag both sides, union, sort per key by (time,
+  side), carry the last right value forward with last(ignorenulls)
+  over an unbounded-preceding window, keep left rows. ONE shuffle on
+  the key — same cost as a regular join — instead of a per-key
+  merge_asof in Python. DuckDB's native ASOF JOIN is the oracle.
+- sessionize: gap-based sessions via lag + cumulative sum of
+  gap-breaks — the batch equivalent of session_window (streaming.py
+  has the streaming one).
+- top_k_per_group: row_number window + filter (the reference's W1
+  latest-per-key generalized).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    right_values: list[str],
+    tolerance: Column | None = None,
+) -> DataFrame:
+    """Left as-of join: latest right row at-or-before each left row.
+
+    Right rows sort before left rows at equal timestamps (side marker
+    0 < 1) so a right row AT the left timestamp matches — pandas
+    merge_asof semantics.
+    """
+    lcols = left.columns
+    l = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__side"),
+        F.struct(*lcols).alias("__l"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_values],
+    )
+    r = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__side"),
+        F.lit(None).cast(l.schema["__l"].dataType).alias("__l"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_values],
+    )
+    w = (
+        W.partitionBy("__k")
+        .orderBy("__t", "__side")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    merged = l.unionByName(r).select(
+        "__k",
+        "__t",
+        "__side",
+        "__l",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__rv_{c}")
+            for c in right_values
+        ],
+        F.last(F.when(F.col("__side") == 0, F.col("__t")), ignorenulls=True)
+        .over(w)
+        .alias("__rt"),
+    )
+    out = merged.filter(F.col("__side") == 1)
+    if tolerance is not None:
+        keep = F.col("__rt").isNotNull() & (F.col("__t") - F.col("__rt") <= tolerance)
+        out = out.select(
+            "__l",
+            *[
+                F.when(keep, F.col(f"__rv_{c}")).alias(f"__rv_{c}")
+                for c in right_values
+            ],
+        )
+    return out.select(
+        *[F.col(f"__l.{c}").alias(c) for c in left.columns],
+        *[F.col(f"__rv_{c}").alias(c) for c in right_values],
+    )
+
+
+def sessionize(
+    df: DataFrame, key: str, ts: str, gap_seconds: int
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the time
+    since the previous event of the same key exceeds the gap. Output:
+    one row per session (key, session_start, session_end, n_events).
+    One shuffle (the per-key sort); the cumulative-sum trick keeps it
+    a pure window program."""
+    w = W.partitionBy(key).orderBy(ts)
+    gap_break = (
+        F.col(ts).cast("double") - F.lag(F.col(ts).cast("double")).over(w)
+        > gap_seconds
+    )
+    marked = df.withColumn(
+        "__new_session", F.when(gap_break | F.lag(ts).over(w).isNull(), 1).otherwise(0)
+    ).withColumn(
+        "__session_id", F.sum("__new_session").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    return (
+        marked.groupBy(key, "__session_id")
+        .agg(
+            F.min(ts).alias("session_start"),
+            F.max(ts).alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+        .drop("__session_id")
+    )
+
+
+def top_k_per_group(
+    df: DataFrame, keys: list[str], order_by: list[Column], k: int
+) -> DataFrame:
+    """Generalized W1 latest-per-key: top-k rows per group."""
+    w = W.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -16,9 +16,11 @@ def all_queries() -> dict[str, QueryFn]:
     out.update(DECLARED_QUERIES)
     from reair_spark.datapipe.registry import DATAPIPE_QUERIES
     from reair_spark.engine_queries import ENGINE_QUERIES
+    from reair_spark.extra_queries import EXTRA_QUERIES
 
     out.update(DATAPIPE_QUERIES)
     out.update(ENGINE_QUERIES)
+    out.update(EXTRA_QUERIES)
     return out
 
 
@@ -27,7 +29,9 @@ def all_oracles() -> dict[str, str]:
     out.update(DECLARED_ORACLES)
     from reair_spark.datapipe.registry import DATAPIPE_ORACLES
     from reair_spark.engine_queries import ENGINE_ORACLES
+    from reair_spark.extra_queries import EXTRA_ORACLES
 
     out.update(DATAPIPE_ORACLES)
     out.update(ENGINE_ORACLES)
+    out.update(EXTRA_ORACLES)
     return out

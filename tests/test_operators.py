@@ -1,0 +1,74 @@
+"""Custom operator unit tests: as-of join semantics, sessionization
+gap boundaries, top-k per group."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from reair_spark.operators import asof_join, sessionize, top_k_per_group
+
+
+def _ts(s):
+    return datetime.datetime.fromisoformat(s)
+
+
+def test_asof_basic_and_no_match(spark):
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00"), "a"), (1, _ts("2024-01-01 12:00"), "b"),
+         (2, _ts("2024-01-01 09:00"), "c")],
+        "k long, lt timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01 09:30"), 100), (1, _ts("2024-01-01 11:00"), 200),
+         (2, _ts("2024-01-01 09:30"), 300)],  # after left's 09:00 → no match
+        "k long, rt timestamp, v long",
+    )
+    out = {r.tag: r.v for r in asof_join(left, right, "k", "lt", "rt", ["v"]).collect()}
+    assert out == {"a": 100, "b": 200, "c": None}
+
+
+def test_asof_equal_timestamp_matches(spark):
+    left = spark.createDataFrame([(1, _ts("2024-01-01 10:00"))], "k long, lt timestamp")
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00"), 7)], "k long, rt timestamp, v long"
+    )
+    rows = asof_join(left, right, "k", "lt", "rt", ["v"]).collect()
+    assert rows[0].v == 7
+
+
+def test_asof_tolerance(spark):
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00")), (1, _ts("2024-01-01 23:00"))],
+        "k long, lt timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01 09:00"), 5)], "k long, rt timestamp, v long"
+    )
+    out = asof_join(
+        left, right, "k", "lt", "rt", ["v"],
+        tolerance=F.expr("INTERVAL 2 HOURS"),
+    ).orderBy("lt").collect()
+    assert out[0].v == 5       # 1h old → within tolerance
+    assert out[1].v is None    # 14h old → dropped
+
+
+def test_sessionize_gap_boundary(spark):
+    rows = [
+        (1, _ts("2024-01-01 10:00:00")),
+        (1, _ts("2024-01-01 10:29:00")),   # within 30min gap → same session
+        (1, _ts("2024-01-01 11:30:00")),   # 61min gap → new session
+        (2, _ts("2024-01-01 10:00:00")),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = sessionize(df, "user_id", "ts", 1800).orderBy("user_id", "session_start").collect()
+    assert [(r.user_id, r.n_events) for r in out] == [(1, 2), (1, 1), (2, 1)]
+
+
+def test_top_k_per_group(spark):
+    df = spark.createDataFrame(
+        [(1, 10), (1, 30), (1, 20), (2, 5)], "k long, v long"
+    )
+    out = top_k_per_group(df, ["k"], [F.desc("v")], 2).orderBy("k", F.desc("v")).collect()
+    assert [(r.k, r.v) for r in out] == [(1, 30), (1, 20), (2, 5)]
