@@ -1,0 +1,97 @@
+"""Skew utilities (result equivalence vs unsalted forms) + hypothesis
+property tests for the diff planner's algebraic invariants."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from reair_spark.catalog import TABLE_SCHEMA
+from reair_spark.diff import table_diff
+from reair_spark.io import load_table
+from reair_spark.skew import salted_agg, salted_count, salted_join
+
+# ---------------------------------------------------------------------------
+# skew utilities: salted == unsalted
+# ---------------------------------------------------------------------------
+
+
+def test_salted_count_matches_plain(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    plain = {r.l_returnflag: r.cnt for r in
+             li.groupBy("l_returnflag").agg(F.count("*").alias("cnt")).collect()}
+    salted = {r.l_returnflag: r.cnt for r in salted_count(li, "l_returnflag").collect()}
+    assert plain == salted
+
+
+def test_salted_agg_matches_plain(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    plain = li.groupBy("l_returnflag").agg(
+        F.sum("l_quantity").alias("s"), F.min("l_quantity").alias("mn"),
+        F.max("l_quantity").alias("mx"),
+    ).collect()
+    p = {r.l_returnflag: (round(r.s, 2), r.mn, r.mx) for r in plain}
+    s = {r.l_returnflag: (round(r.sum_val, 2), r.min_val, r.max_val)
+         for r in salted_agg(li, "l_returnflag", "l_quantity").collect()}
+    assert p == s
+
+
+def test_salted_join_matches_plain(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    customers = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    plain = orders.join(
+        customers, orders.o_custkey == customers.c_custkey
+    ).count()
+    salted = salted_join(
+        orders.withColumnRenamed("o_custkey", "k"),
+        customers.withColumnRenamed("c_custkey", "k"),
+        "k",
+    ).count()
+    assert plain == salted
+
+
+# ---------------------------------------------------------------------------
+# diff-planner properties (hypothesis)
+# ---------------------------------------------------------------------------
+
+_name = st.text(alphabet="abcdefgh", min_size=1, max_size=4)
+_tldt = st.integers(min_value=1, max_value=5).map(str)
+
+
+def _snapshot_rows(draw_names):
+    return [
+        ("db1", n, "MANAGED_TABLE", [("c1", "string", None)], [],
+         f"/wh/db1/{n}", "parquet", {"transient_lastDdlTime": t})
+        for n, t in draw_names
+    ]
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    src=st.dictionaries(_name, _tldt, max_size=6),
+    dest=st.dictionaries(_name, _tldt, max_size=6),
+)
+def test_diff_planner_invariants(spark, src, dest):
+    """For ANY pair of catalogs:
+    1. every (db, table) from either side appears exactly once;
+    2. src-only → COPY, dest-only → DROP;
+    3. identical snapshots (same tldt, data unknown⇒equal) → never DROP;
+    4. diff(x, x) is all NO_OP (idempotence)."""
+    sdf = spark.createDataFrame(_snapshot_rows(src.items()), TABLE_SCHEMA)
+    ddf = spark.createDataFrame(_snapshot_rows(dest.items()), TABLE_SCHEMA)
+    plan = {r.table: r.action for r in table_diff(sdf, ddf).collect()}
+
+    assert set(plan) == set(src) | set(dest)
+    for t in set(src) - set(dest):
+        assert plan[t] == "COPY_UNPARTITIONED_TABLE"
+    for t in set(dest) - set(src):
+        assert plan[t] == "DROP_TABLE"
+    for t in set(src) & set(dest):
+        assert plan[t] != "DROP_TABLE"
+        if src[t] == dest[t]:
+            assert plan[t] == "NO_OP"
+
+    self_plan = {r.action for r in table_diff(sdf, sdf).collect()}
+    assert self_plan <= {"NO_OP"}
