@@ -1,0 +1,107 @@
+"""CLI entry points — the engine's equivalents of the reference's
+three executables (SURVEY.md top table):
+
+  python -m reair_spark replicate <src_wh> <dest_wh> [--blacklist db:tbl ...]
+      MetastoreReplicationJob equivalent (batch warehouse replication)
+  python -m reair_spark sync <src_dir> [<src_dir> ...] <dest_dir> [--dry-run] [--delete]
+      batch/hdfs ReplicationJob equivalent (directory sync)
+  python -m reair_spark incremental <events_parquet> <src_wh> <dest_wh> <state_dir>
+      ReplicationLauncher equivalent (audit-log driven incremental)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="reair_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    rep = sub.add_parser("replicate", help="batch warehouse replication")
+    rep.add_argument("src_root")
+    rep.add_argument("dest_root")
+    rep.add_argument("--blacklist", nargs="*", default=[],
+                     metavar="DB_RE:TBL_RE", help="db:table regex pairs to skip")
+    rep.add_argument("--no-overwrite-newer", action="store_true")
+    rep.add_argument("--work-dir")
+
+    sync = sub.add_parser("sync", help="directory-tree sync")
+    sync.add_argument("roots", nargs="+",
+                      help="one or more source dirs followed by the dest dir")
+    sync.add_argument("--dry-run", action="store_true")
+    sync.add_argument("--delete", action="store_true",
+                      help="delete dest files absent from src")
+
+    inc = sub.add_parser("incremental", help="incremental replication loop")
+    inc.add_argument("events_parquet")
+    inc.add_argument("src_root")
+    inc.add_argument("dest_root")
+    inc.add_argument("state_dir")
+    inc.add_argument("--batch-size", type=int, default=32)
+    inc.add_argument("--max-batches", type=int)
+
+    args = p.parse_args(argv)
+
+    from reair_spark.session import get_spark
+
+    spark = get_spark(f"reair_spark_{args.cmd}")
+
+    if args.cmd == "replicate":
+        from reair_spark.replicate import replicate_warehouse
+
+        blacklist = [tuple(b.split(":", 1)) for b in args.blacklist] or None
+        res = replicate_warehouse(
+            spark, args.src_root, args.dest_root, blacklist=blacklist,
+            overwrite_newer=not args.no_overwrite_newer, work_dir=args.work_dir,
+        )
+        summary = {
+            "actions": {r["action"]: r["count"] for r in
+                        res["plan"].groupBy("action").count().collect()},
+            "copies": {r["status"]: [r["n_files"], r["bytes"]] for r in
+                       res["copy_summary"].collect()},
+            "commits": {r["status"]: r["count"] for r in
+                        res["commit_results"].groupBy("status").count().collect()},
+        }
+        print(json.dumps(summary))
+        failed = summary["commits"].get("FAILED", 0)
+        return 1 if failed else 0
+
+    if args.cmd == "sync":
+        from reair_spark.dirsync import sync_directories
+
+        *src_roots, dest_root = args.roots
+        if not src_roots:
+            p.error("sync needs at least one src dir and a dest dir")
+        res = sync_directories(
+            spark, src_roots, dest_root,
+            dry_run=args.dry_run, delete_extraneous=args.delete,
+        )
+        out = {
+            "plan": {r["action"]: r["count"] for r in
+                     res["plan"].groupBy("action").count().collect()}
+        }
+        if res["results"] is not None:
+            out["results"] = {r["status"]: r["count"] for r in
+                              res["results"].groupBy("status").count().collect()}
+        print(json.dumps(out))
+        return 1 if out.get("results", {}).get("FAILED") else 0
+
+    if args.cmd == "incremental":
+        from reair_spark.events import run_incremental
+
+        events = spark.read.parquet(args.events_parquet)
+        res = run_incremental(
+            spark, events, args.src_root, args.dest_root, args.state_dir,
+            batch_size=args.batch_size, max_batches=args.max_batches,
+        )
+        print(json.dumps({"last_id": res["last_id"], "batches": res["batches"]}))
+        return 0
+
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())
