@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from reair_spark.io import load_table as _t
-from reair_spark.operators import asof_join, sessionize
+from reair_spark.operators import asof_join, range_join, sessionize
 
 
 def _event_days(spark: SparkSession, sf: str) -> DataFrame:
@@ -76,6 +76,24 @@ def pivot_status_priority(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def range_join_prices(spark: SparkSession, sf: str) -> DataFrame:
+    """For each supplier balance, count parts whose retail price lies
+    within ±50 — a point-in-interval join via bucketing (no cross
+    product; intervals explode into ~2 buckets at width 100)."""
+    s = _t(spark, sf, "supplier").select("s_suppkey", "s_acctbal")
+    p = _t(spark, sf, "part").select(
+        "p_partkey",
+        (F.col("p_retailprice") - 50).alias("lo"),
+        (F.col("p_retailprice") + 50).alias("hi"),
+    )
+    joined = range_join(s, p, "s_acctbal", "lo", "hi", bucket_width=100.0)
+    return (
+        joined.groupBy("s_suppkey")
+        .agg(F.count("*").alias("n_parts_in_range"))
+        .orderBy("s_suppkey")
+    )
+
+
 def exact_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Exact median + distinct counts (the reference had no aggregate
     layer at all; Spark also has approx_count_distinct/percentile_approx
@@ -94,6 +112,7 @@ EXTRA_QUERIES = {
     "sessionize_events": sessionize_events,
     "cube_counts": cube_counts,
     "pivot_status_priority": pivot_status_priority,
+    "range_join_prices": range_join_prices,
     "exact_stats": exact_stats,
 }
 
@@ -143,6 +162,11 @@ SELECT o_orderpriority,
        count(*) FILTER (o_orderstatus = 'P') AS cnt_p
 FROM orders GROUP BY 1
 """,
+    "range_join_prices": (
+        "SELECT s_suppkey, count(*) AS n_parts_in_range FROM supplier s "
+        "JOIN part p ON s.s_acctbal BETWEEN p.p_retailprice - 50 AND p.p_retailprice + 50 "
+        "GROUP BY 1 ORDER BY 1"
+    ),
     "exact_stats": (
         "SELECT quantile_cont(l_extendedprice, 0.5) AS median_price, "
         "count(DISTINCT l_partkey) AS n_parts, "

@@ -115,6 +115,46 @@ def sessionize(
     )
 
 
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_width: float,
+) -> DataFrame:
+    """Point-in-interval join without a cross product: bucket points by
+    floor(point/width); explode each interval across the buckets it
+    overlaps (sequence of bucket ids); equi-join on bucket; exact
+    filter. Shuffle ∝ rows × avg-buckets-per-interval instead of
+    |points| × |intervals| — the standard bucketized range-join that
+    Spark lacks as a built-in (DBR has one; OSS doesn't).
+
+    Choose ``bucket_width`` ≈ the typical interval length so intervals
+    explode into O(1) buckets.
+    """
+    p = points.withColumn(
+        "__bucket", F.floor(F.col(point_col) / bucket_width).cast("long")
+    )
+    i = intervals.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) / bucket_width).cast("long"),
+                F.floor(F.col(end_col) / bucket_width).cast("long"),
+            )
+        ),
+    )
+    return (
+        p.join(i, "__bucket")
+        .where(
+            (F.col(point_col) >= F.col(start_col))
+            & (F.col(point_col) <= F.col(end_col))
+        )
+        .drop("__bucket")
+    )
+
+
 def top_k_per_group(
     df: DataFrame, keys: list[str], order_by: list[Column], k: int
 ) -> DataFrame:

@@ -72,3 +72,22 @@ def test_top_k_per_group(spark):
     )
     out = top_k_per_group(df, ["k"], [F.desc("v")], 2).orderBy("k", F.desc("v")).collect()
     assert [(r.k, r.v) for r in out] == [(1, 30), (1, 20), (2, 5)]
+
+
+def test_range_join_boundaries_and_negatives(spark):
+    from reair_spark.operators import range_join
+
+    points = spark.createDataFrame(
+        [(1, -150.0), (2, 0.0), (3, 99.9), (4, 100.0), (5, 250.0)],
+        "pid long, v double",
+    )
+    intervals = spark.createDataFrame(
+        [(10, -200.0, -100.0), (20, 0.0, 100.0), (30, 100.0, 100.0)],
+        "iid long, lo double, hi double",
+    )
+    out = sorted(
+        (r.pid, r.iid)
+        for r in range_join(points, intervals, "v", "lo", "hi", 100.0).collect()
+    )
+    # inclusive boundaries on both ends; negative buckets handled
+    assert out == [(1, 10), (2, 20), (3, 20), (4, 20), (4, 30)]
