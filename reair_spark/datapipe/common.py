@@ -43,12 +43,53 @@ def portable_hash32_sql(expr: str) -> str:
 
 
 def seeded_hash(seed: int, col: Column) -> Column:
-    """Seed-s member of a portable hash family."""
+    """Seed-s member of a portable hash family (one md5 PER SEED —
+    prefer :func:`hash_family_ab` + :func:`derived_hash` for k-member
+    families; this remains for single-seed uses)."""
     return portable_hash32(F.concat(F.lit(f"{seed}:"), col))
 
 
 def seeded_hash_sql(seed: int, expr: str) -> str:
     return portable_hash32_sql(f"concat('{seed}:', {expr})")
+
+
+# One-md5 k-member hash family (Broder's derived permutations):
+# md5 gives 128 bits; words a = bits[0:32], b = bits[32:64] feed the
+# 2-universal family h_s = (a + s*b) mod P32. ONE md5 per input row
+# replaces k of them — at 100 TB the hash is the dominant per-row cost
+# of MinHash, so this is a k-fold cut on the hot path. Both operands
+# are < 2^32 and s < ~2^6, so a + s*b < 2^39: exact in BIGINT/long in
+# both engines, and both engines' % on non-negative values agree.
+P32 = 4294967291  # largest prime < 2^32
+
+
+def hash_family_ab(md5_col: Column) -> tuple[Column, Column]:
+    """(a, b) words of the derived family, given a column ALREADY
+    holding the md5 hex (materialize ``F.md5(x)`` in a prior select so
+    it is computed exactly once per row)."""
+    a = F.conv(F.substring(md5_col, 1, 8), 16, 10).cast("long")
+    b = F.conv(F.substring(md5_col, 9, 8), 16, 10).cast("long")
+    return a, b
+
+
+def derived_hash(a: Column, b: Column, seed: int) -> Column:
+    """Seed-s member of the derived family: (a + s*b) mod P32."""
+    return (a + F.lit(seed) * b) % F.lit(P32)
+
+
+def hash_family_ab_sql(expr: str) -> tuple[str, str]:
+    """DuckDB rendering of :func:`hash_family_ab` over ``md5(expr)``.
+
+    Returns SQL for (a, b) given ``expr`` names a column holding the
+    md5 hex string.
+    """
+    a = f"CAST(concat('0x', substr({expr}, 1, 8)) AS BIGINT)"
+    b = f"CAST(concat('0x', substr({expr}, 9, 8)) AS BIGINT)"
+    return a, b
+
+
+def derived_hash_sql(a_expr: str, b_expr: str, seed: int) -> str:
+    return f"(({a_expr}) + {seed} * ({b_expr})) % {P32}"
 
 
 def tokens(col: Column) -> Column:

@@ -31,8 +31,10 @@ from reair_spark.datapipe.common import (
     widen,
     portable_hash32,
     portable_hash32_sql,
-    seeded_hash,
-    seeded_hash_sql,
+    hash_family_ab,
+    hash_family_ab_sql,
+    derived_hash,
+    derived_hash_sql,
     word_shingles,
     word_shingles_sql,
 )
@@ -124,8 +126,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     c = _corpus(spark, sf, exact=False)
     tok = F.split("text", " ")
     sh = c.select("doc_id", F.explode(word_shingles(tok)).alias("sh"))
-    sig = sh.groupBy("doc_id").agg(
-        *[F.min(seeded_hash(s, F.col("sh"))).alias(f"mh{s}") for s in range(N_MINHASH)]
+    # ONE md5 per shingle; all 16 family members derived as
+    # (a + s*b) mod P32 (exact long arithmetic, DuckDB-identical).
+    hx = sh.select("doc_id", F.md5("sh").alias("m"))
+    a, b = hash_family_ab(F.col("m"))
+    ab = hx.select("doc_id", a.alias("a"), b.alias("b"))
+    sig = ab.groupBy("doc_id").agg(
+        *[
+            F.min(derived_hash(F.col("a"), F.col("b"), s)).alias(f"mh{s}")
+            for s in range(N_MINHASH)
+        ]
     )
     bands = sig.select(
         "doc_id",
@@ -167,8 +177,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
 
 def _minhash_sql() -> str:
     shingles = word_shingles_sql("t")
+    a_sql, b_sql = hash_family_ab_sql("m")
     mins = ", ".join(
-        f"min({seeded_hash_sql(s, 'sh')}) AS mh{s}" for s in range(N_MINHASH)
+        f"min({derived_hash_sql('a', 'b', s)}) AS mh{s}" for s in range(N_MINHASH)
     )
     band_selects = " UNION ALL ".join(
         "SELECT doc_id, {b} AS band, concat_ws('_', {cols}) AS sig FROM sig".format(
@@ -184,7 +195,9 @@ def _minhash_sql() -> str:
 WITH corpus AS ({_corpus_sql(exact=False)}),
 tokd AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
 shd AS (SELECT doc_id, unnest({shingles}) AS sh FROM tokd),
-sig AS (SELECT doc_id, {mins} FROM shd GROUP BY doc_id),
+hx AS (SELECT doc_id, md5(sh) AS m FROM shd),
+ab AS (SELECT doc_id, {a_sql} AS a, {b_sql} AS b FROM hx),
+sig AS (SELECT doc_id, {mins} FROM ab GROUP BY doc_id),
 bands AS ({band_selects}),
 cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
          FROM bands x JOIN bands y ON x.band = y.band AND x.sig = y.sig

@@ -77,9 +77,20 @@ def stream_hourly_counts_q(spark: SparkSession, sf: str) -> DataFrame:
     return stream_hourly_counts(spark, sf)
 
 
+def stream_funnel_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState
+    funnel / CEP-lite) through the correctness gate — the bounded
+    stream's final update-mode output equals the batch ordered-triple
+    join the oracle computes."""
+    from reair_spark.streaming import stream_funnel
+
+    return stream_funnel(spark, sf)
+
+
 ENGINE_QUERIES = {
     "replication_table_diff": replication_table_diff,
     "stream_hourly_counts": stream_hourly_counts_q,
+    "stream_funnel": stream_funnel_q,
 }
 
 # independent SQL reimplementation of the decision table: src-only →
@@ -112,4 +123,14 @@ FROM src s FULL OUTER JOIN dest d ON s.t = d.t
         "SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) "
         "AS window_start, count(*) AS cnt FROM events GROUP BY 1"
     ),
+    # first purchase preceded (strictly) by a click preceded by a view;
+    # min over valid completions == the stateful operator's greedy chain
+    "stream_funnel": """
+SELECT p.user_id, CAST(min(p.ts) AS TIMESTAMP) AS completed_ts
+FROM events p
+JOIN events c ON c.user_id = p.user_id AND c.event_type = 'click' AND c.ts < p.ts
+JOIN events v ON v.user_id = p.user_id AND v.event_type = 'view' AND v.ts < c.ts
+WHERE p.event_type = 'purchase'
+GROUP BY p.user_id
+""",
 }

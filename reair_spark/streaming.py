@@ -95,6 +95,92 @@ def stream_sessionize(
     return _run_to_memory(agg, "complete")
 
 
+def funnel_detect(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+) -> DataFrame:
+    """Ordered-funnel detection per user — CEP-lite pattern matching,
+    which Spark has no built-in for (no MATCH_RECOGNIZE) and the
+    reference's totally-ordered single stream never needed. Custom
+    stateful operator via ``applyInPandasWithState``: state carries
+    (stage, bound) per user across micro-batches; a user completes at
+    the first ``steps[-1]`` event strictly after the greedy-earliest
+    chain of prior steps. Emits one row per user at completion.
+
+    Greedy-earliest is exact for first-completion semantics: the
+    minimal valid completion time is reached by taking, at each stage,
+    the minimal event time strictly greater than the previous stage's
+    bound (exchange argument) — so each batch advances with vectorized
+    per-step ``min`` instead of a per-row scan.
+
+    Cross-batch correctness assumes per-key in-order delivery (batch
+    N+1 events not earlier than batch N), the reference's audit-log
+    contract (id-ordered stream, ReplicationServer.java:348-420). For
+    out-of-order buses, compose with a watermark-sorted pre-stage.
+
+    ``events`` must be a streaming DataFrame with columns
+    (user_id long, event_type string, ts long) — ts in any monotone
+    integer unit (ns-epoch here).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    n_steps = len(steps)
+    step_list = list(steps)
+
+    def fn(key, pdf_iter, state):
+        import pandas as pd
+
+        if state.exists:
+            stage, bound = state.get
+        else:
+            stage, bound = 0, -(1 << 62)
+        rows = []
+        if stage < n_steps:
+            pdf = pd.concat(list(pdf_iter), ignore_index=True)
+            while stage < n_steps:
+                cand = pdf.loc[
+                    (pdf["event_type"] == step_list[stage]) & (pdf["ts"] > bound),
+                    "ts",
+                ]
+                if cand.empty:
+                    break
+                bound = int(cand.min())
+                stage += 1
+            if stage == n_steps:
+                rows.append((key[0], bound))
+        else:
+            for _ in pdf_iter:  # drain; user already completed
+                pass
+        state.update((stage, bound))
+        if rows:
+            yield pd.DataFrame(rows, columns=["user_id", "completed_ts_long"])
+
+    return (
+        events.select("user_id", "event_type", "ts")
+        .where(F.col("event_type").isin(step_list))
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType="user_id long, completed_ts_long long",
+            stateStructType="stage int, bound long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view→click→purchase funnel over the bounded event stream; ts
+    arrives as long nanos (nanosAsLong schema), converted to a µs
+    timestamp only at the output edge."""
+    ev = stream_events(spark, sf_dir, max_files_per_trigger=1)
+    out = _run_to_memory(funnel_detect(ev), "update")
+    return out.select(
+        "user_id",
+        F.timestamp_micros(F.expr("completed_ts_long DIV 1000")).alias("completed_ts"),
+    )
+
+
 def stream_compile_jobs_foreachbatch(
     spark: SparkSession,
     events: DataFrame,

@@ -70,3 +70,83 @@ def test_foreachbatch_compile_is_checkpointed(spark, tmp_path):
     stream_compile_jobs_foreachbatch(spark, stream2, out, ckpt)
     assert spark.read.option("basePath", out).parquet(out).count() == before
     assert os.path.isdir(ckpt)
+
+
+def test_funnel_detect_multibatch_state(spark, tmp_path):
+    """State (stage, bound) must carry across micro-batches: the funnel
+    spans two files delivered as two triggers."""
+    import glob
+    import time
+
+    from reair_spark.streaming import funnel_detect
+
+    src = str(tmp_path / "funnel_src")
+    schema = "user_id long, event_type string, ts long"
+    # batch 1: u1 view; u2 click-before-view (invalid prefix) + view;
+    #          u3 view (never completes)
+    b1 = [(1, "view", 10), (2, "click", 5), (2, "view", 10), (3, "view", 10)]
+    # batch 2: u1 click+purchase; u2 click+purchase; u3 purchase w/o click
+    b2 = [
+        (1, "click", 20),
+        (1, "purchase", 30),
+        (2, "click", 15),
+        (2, "purchase", 20),
+        (3, "purchase", 20),
+    ]
+    spark.createDataFrame(b1, schema).repartition(1).write.mode("append").parquet(src)
+    time.sleep(1.1)  # distinct file mtimes → deterministic trigger order
+    spark.createDataFrame(b2, schema).repartition(1).write.mode("append").parquet(src)
+    files = sorted(glob.glob(src + "/part-*"), key=os.path.getmtime)
+    assert len(files) == 2
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    import uuid
+
+    name = f"funnel_{uuid.uuid4().hex[:8]}"
+    q = (
+        funnel_detect(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert len(q.recentProgress) >= 2  # genuinely ran >1 micro-batch
+    finally:
+        q.stop()
+    got = {(r.user_id, r.completed_ts_long) for r in spark.table(name).collect()}
+    assert got == {(1, 30), (2, 20)}
+
+
+def test_stream_funnel_matches_batch(spark, sf_dir):
+    """Bounded streaming funnel == batch ordered-triple join."""
+    from reair_spark.streaming import stream_funnel
+
+    streamed = {
+        (r.user_id, r.completed_ts) for r in stream_funnel(spark, sf_dir).collect()
+    }
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    p, c, v = e.alias("p"), e.alias("c"), e.alias("v")
+    batch = {
+        (r.user_id, r.completed_ts)
+        for r in p.where(F.col("p.event_type") == "purchase")
+        .join(
+            c.where(F.col("c.event_type") == "click"),
+            (F.col("c.user_id") == F.col("p.user_id"))
+            & (F.col("c.ts") < F.col("p.ts")),
+        )
+        .join(
+            v.where(F.col("v.event_type") == "view"),
+            (F.col("v.user_id") == F.col("p.user_id"))
+            & (F.col("v.ts") < F.col("c.ts")),
+        )
+        .groupBy(F.col("p.user_id").alias("user_id"))
+        .agg(F.min(F.col("p.ts")).alias("completed_ts"))
+        .collect()
+    }
+    assert streamed == batch
