@@ -100,11 +100,15 @@ def exact_stats(spark: SparkSession, sf: str) -> DataFrame:
     as the sketch path — not oracle-comparable, so the gate uses the
     exact forms)."""
     li = _t(spark, sf, "lineitem")
-    return li.agg(
-        F.expr("percentile(l_extendedprice, 0.5)").alias("median_price"),
-        F.count_distinct("l_partkey").alias("n_parts"),
-        F.count_distinct("l_suppkey").alias("n_supps"),
-    )
+    # three single-purpose branches + 1-row cross joins: multiple
+    # count_distinct in ONE agg makes Catalyst plan an Expand (3x the
+    # scan rows through the shuffle, percentile riding the expanded
+    # stream); split branches each scan ONE pruned column and shuffle
+    # only partial-agg state — strictly less data moved at any scale
+    med = li.agg(F.expr("percentile(l_extendedprice, 0.5)").alias("median_price"))
+    n_parts = li.agg(F.count_distinct("l_partkey").alias("n_parts"))
+    n_supps = li.agg(F.count_distinct("l_suppkey").alias("n_supps"))
+    return med.crossJoin(n_parts).crossJoin(n_supps)
 
 
 EXTRA_QUERIES = {

@@ -169,12 +169,25 @@ def funnel_detect(
     )
 
 
-def stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_funnel(
+    spark: SparkSession, sf_dir: str, state_partitions: int = 8
+) -> DataFrame:
     """view→click→purchase funnel over the bounded event stream; ts
     arrives as long nanos (nanosAsLong schema), converted to a µs
-    timestamp only at the output edge."""
+    timestamp only at the output edge.
+
+    ``state_partitions`` pins the stateful operator's store count for
+    THIS query (a streaming query's state partitioning is fixed at
+    first checkpoint, so it must be sized deliberately: ~key-cardinality
+    / executor balance, not whatever the relational shuffle width
+    happens to be). Restored after query start."""
     ev = stream_events(spark, sf_dir, max_files_per_trigger=1)
-    out = _run_to_memory(funnel_detect(ev), "update")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        out = _run_to_memory(funnel_detect(ev), "update")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return out.select(
         "user_id",
         F.timestamp_micros(F.expr("completed_ts_long DIV 1000")).alias("completed_ts"),
