@@ -34,6 +34,9 @@ def main(argv: list[str] | None = None) -> int:
     sync.add_argument("--dry-run", action="store_true")
     sync.add_argument("--delete", action="store_true",
                       help="delete dest files absent from src")
+    sync.add_argument("--trash-dir",
+                      help="with --delete: move extras here (preserving "
+                           "relative paths) instead of unlinking")
 
     inc = sub.add_parser("incremental", help="incremental replication loop")
     inc.add_argument("events_parquet")
@@ -78,6 +81,7 @@ def main(argv: list[str] | None = None) -> int:
         res = sync_directories(
             spark, src_roots, dest_root,
             dry_run=args.dry_run, delete_extraneous=args.delete,
+            trash_dir=args.trash_dir,
         )
         out = {
             "plan": {r["action"]: r["count"] for r in

@@ -77,9 +77,16 @@ def execute_sync(
     plan: DataFrame,
     dest_root: str,
     delete_extraneous: bool = False,
+    trash_dir: str | None = None,
 ) -> DataFrame:
     """Job 2: copies for ADD/UPDATE (re-keyed by hash — X8), optional
-    deletes for dest-only files."""
+    deletes for dest-only files.
+
+    ``trash_dir`` switches deletes to HDFS-Trash-style moves: each
+    extra file is renamed to ``trash_dir/<rel_path>`` (status TRASHED)
+    instead of unlinked. At 100 TB a bad src listing turns DELETE into
+    a mass-wipe; trash keeps it recoverable and the rename is O(1)
+    metadata per file either way."""
     tasks = plan.filter(F.col("action").isin("ADD", "UPDATE")).select(
         F.concat_ws("/", "src_root", "rel_path").alias("src_file"),
         F.concat_ws("/", F.lit(dest_root), "rel_path").alias("dest_file"),
@@ -98,8 +105,14 @@ def execute_sync(
             for r in rows:
                 path = os.path.join(dest_root, r.rel_path)
                 try:
-                    os.remove(path)
-                    yield (path, path, "DELETED", 0, None)
+                    if trash_dir is not None:
+                        target = os.path.join(trash_dir, r.rel_path)
+                        os.makedirs(os.path.dirname(target), exist_ok=True)
+                        os.replace(path, target)
+                        yield (path, target, "TRASHED", 0, None)
+                    else:
+                        os.remove(path)
+                        yield (path, path, "DELETED", 0, None)
                 except OSError as exc:
                     yield (path, path, "FAILED", 0, str(exc))
 
@@ -119,11 +132,14 @@ def sync_directories(
     dry_run: bool = False,
     delete_extraneous: bool = False,
     compare_mtime: bool = False,
+    trash_dir: str | None = None,
 ) -> dict[str, DataFrame]:
     plan = sync_plan(spark, src_roots, dest_root, compare_mtime)
     if dry_run:  # reference parity: stop after job 1
         return {"plan": plan, "results": None}
     return {
         "plan": plan,
-        "results": execute_sync(spark, plan, dest_root, delete_extraneous),
+        "results": execute_sync(
+            spark, plan, dest_root, delete_extraneous, trash_dir
+        ),
     }

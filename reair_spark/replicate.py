@@ -29,6 +29,7 @@ from reair_spark.copy import copy_summary, execute_copies, plan_copy_tasks
 from reair_spark.diff import PLAN_COLUMNS, warehouse_plan
 from reair_spark.filters import apply_regex_filters
 from reair_spark.inventory import dir_digest, list_files
+from reair_spark.metrics import JobMetrics
 
 
 def _digests(spark: SparkSession, tables: DataFrame, parts: DataFrame) -> DataFrame | None:
@@ -115,10 +116,11 @@ def replicate_warehouse(
         ).select("src_path").distinct().collect()
         if r.src_path and os.path.isdir(r.src_path)
     ]
+    metrics = JobMetrics()
     if copy_roots:
         src_files = list_files(spark, copy_roots)
         tasks = plan_copy_tasks(plan, src_files)
-        copy_results = execute_copies(spark, tasks).cache()
+        copy_results = metrics.observe(execute_copies(spark, tasks), "copy").cache()
     else:
         copy_results = spark.createDataFrame(
             [], "src_file string, dest_file string, status string, "
@@ -128,14 +130,19 @@ def replicate_warehouse(
     # (a) data lands BEFORE metadata commits (ST6 ordering) and (b)
     # later actions on the result never re-run the copies
     copy_results.count()
+    metrics.mark_done("copy")
 
     # ---- stage 3: metadata commit -------------------------------------
-    commit_results = execute_commits(spark, plan, dest_root).cache()
+    commit_results = metrics.observe(
+        execute_commits(spark, plan, dest_root), "commit"
+    ).cache()
     commit_results.count()
+    metrics.mark_done("commit")
 
     return {
         "plan": plan,
         "copy_results": copy_results,
         "copy_summary": copy_summary(copy_results),
         "commit_results": commit_results,
+        "metrics": metrics.snapshot(),
     }

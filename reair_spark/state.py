@@ -31,7 +31,8 @@ TERMINAL_STATES = ("SUCCESSFUL", "FAILED", "NOT_COMPLETABLE", "ABORTED")
 JOB_SCHEMA = (
     "job_id long, seq long, operation string, status string, "
     "db string, table string, partition_names array<string>, "
-    "rename_to_db string, rename_to_table string, src_event_id long"
+    "rename_to_db string, rename_to_table string, src_event_id long, "
+    "create_time timestamp"
 )
 
 
@@ -70,7 +71,10 @@ class JobStore:
 
     def append(self, jobs: DataFrame) -> None:
         self._seq += 1
-        jobs.withColumn("seq", F.lit(self._seq)).write.mode("append").parquet(self.path)
+        jobs = jobs.withColumn("seq", F.lit(self._seq))
+        if "create_time" not in jobs.columns:
+            jobs = jobs.withColumn("create_time", F.current_timestamp())
+        jobs.write.mode("append").parquet(self.path)
 
     def current(self) -> DataFrame:
         """Latest transition per job_id."""
@@ -87,3 +91,18 @@ class JobStore:
     def incomplete(self) -> DataFrame:
         """Jobs to re-queue on restart (ST4)."""
         return self.current().filter(~F.col("status").isin(*TERMINAL_STATES))
+
+    def lag_seconds(self, now_ts: float | None = None) -> float:
+        """A7 lag gauge (StatsTracker.java:35-57): age of the oldest
+        in-flight job, measured from its FIRST persisted transition
+        (job creation), not its latest retry."""
+        from reair_spark.metrics import lag_seconds as _lag
+
+        if not os.path.exists(self.path):
+            return 0.0
+        log = self.spark.read.parquet(self.path)
+        first_seen = log.groupBy("job_id").agg(
+            F.min("create_time").alias("create_time")
+        )
+        inflight = self.incomplete().select("job_id")
+        return _lag(first_seen.join(inflight, "job_id"), now_ts)

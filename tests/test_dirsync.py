@@ -27,6 +27,24 @@ def test_sync_add_update_delete(spark, tmp_path):
     assert not os.path.exists(f"{dest}/gone.txt")
 
 
+def test_sync_trash_mode(spark, tmp_path):
+    """--trash-dir: extras are moved aside (rel_path preserved), not
+    unlinked — recoverable mass-delete."""
+    src, dest = str(tmp_path / "src"), str(tmp_path / "dest")
+    trash = str(tmp_path / "trash")
+    _write_files(src, {"a.txt": "alpha"})
+    _write_files(dest, {"a.txt": "alpha", "sub/gone.txt": "dest-only"})
+
+    r = sync_directories(
+        spark, [src], dest, delete_extraneous=True, trash_dir=trash
+    )
+    statuses = {x.src_file: x.status for x in r["results"].collect()}
+    assert statuses == {f"{dest}/sub/gone.txt": "TRASHED"}
+    assert not os.path.exists(f"{dest}/sub/gone.txt")
+    assert open(f"{trash}/sub/gone.txt").read() == "dest-only"
+    assert dirs_equal(spark, src, dest)
+
+
 def test_sync_dry_run_copies_nothing(spark, tmp_path):
     src, dest = str(tmp_path / "src"), str(tmp_path / "dest")
     _write_files(src, {"a.txt": "alpha"})
