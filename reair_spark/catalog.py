@@ -23,6 +23,7 @@ from __future__ import annotations
 import json
 import os
 import tempfile
+from typing import Protocol, runtime_checkable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -74,6 +75,31 @@ def partition_name_to_map(name: str) -> dict[str, str]:
     """'ds=1/hr=2' → {'ds':'1','hr':'2'}
     (ThriftHiveMetastoreClient.partitionNameToMap:312-321 port)."""
     return dict(kv.split("=", 1) for kv in name.split("/") if kv)
+
+
+@runtime_checkable
+class MetastoreCatalog(Protocol):
+    """The metastore client surface every engine path programs against
+    (ThriftHiveMetastoreClient.java:97-438's method set, minus Thrift).
+    Implementations: `DirectoryCatalog` (JSON files, executor-safe),
+    `SparkSqlCatalog` (live Spark SQL session catalog — a real Hive
+    metastore when the session has Hive support). A deployment adds an
+    HMS-Thrift client with these same twelve methods and nothing else
+    changes: snapshot scans, diff, and commit all go through here."""
+
+    def table_location(self, db: str, table: str) -> str: ...
+    def databases(self) -> list[str]: ...
+    def tables(self, db: str) -> list[str]: ...
+    def get_table(self, db: str, table: str) -> dict | None: ...
+    def get_partitions(self, db: str, table: str) -> list[dict]: ...
+    def create_table(self, rec: dict) -> None: ...
+    def alter_table(self, rec: dict) -> None: ...
+    def drop_table(self, db: str, table: str) -> None: ...
+    def add_partition(self, db: str, table: str, part: dict) -> None: ...
+    def drop_partition(self, db: str, table: str, partition_name: str) -> None: ...
+    def rename_table(
+        self, db: str, table: str, new_db: str, new_table: str
+    ) -> None: ...
 
 
 class DirectoryCatalog:
@@ -173,6 +199,208 @@ class DirectoryCatalog:
         self._write(new_db, new_table, rec)
 
 
+def _sql_str(v: str) -> str:
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+def _bt(ident: str) -> str:
+    return "`" + ident.replace("`", "``") + "`"
+
+
+def _strip_scheme(location: str | None) -> str | None:
+    if location and location.startswith("file:"):
+        return location[len("file:"):]
+    return location
+
+
+class SparkSqlCatalog:
+    """MetastoreCatalog backed by the live Spark SQL session catalog —
+    with ``enableHiveSupport()`` on a cluster this IS the Hive
+    metastore; on the in-memory catalog it behaves identically for the
+    DDL subset the engine uses (probed: CREATE/ALTER/DROP TABLE, ADD/
+    DROP/SHOW PARTITIONS, TBLPROPERTIES all work without Hive).
+
+    Tables are created EXTERNAL (explicit LOCATION) so DDL is
+    metadata-only and data files stay owned by the copy stage (ST6:
+    data moves first, metadata commits second). Driver-side client —
+    SparkSession doesn't serialize — so commits against it go through
+    ``commit.apply_commits_driver``; an executor-parallel deployment
+    swaps in a Thrift HMS client with the same method surface."""
+
+    def __init__(self, spark: SparkSession, root: str, dbs: list[str] | None = None):
+        """``dbs`` scopes the replication universe: the diff planner
+        treats anything absent from src as droppable, so an unscoped
+        client aimed at a shared session catalog would plan DROP_TABLE
+        for every unrelated database. Always scope in production."""
+        self.spark = spark
+        self.root = root
+        self.dbs = list(dbs) if dbs else None
+
+    # -- paths ---------------------------------------------------------
+    def table_location(self, db: str, table: str) -> str:
+        return os.path.join(self.root, db, table)
+
+    def _fqn(self, db: str, table: str) -> str:
+        return f"{_bt(db)}.{_bt(table)}"
+
+    # -- reads ---------------------------------------------------------
+    def databases(self) -> list[str]:
+        if self.dbs is not None:
+            return sorted(self.dbs)
+        return sorted(d.name for d in self.spark.catalog.listDatabases())
+
+    def tables(self, db: str) -> list[str]:
+        if not self.spark.catalog.databaseExists(db):
+            return []
+        return sorted(
+            t.name for t in self.spark.catalog.listTables(db)
+            if t.tableType != "TEMPORARY"
+        )
+
+    def get_table(self, db: str, table: str) -> dict | None:
+        fqn = self._fqn(db, table)
+        if not self.spark.catalog.tableExists(fqn):
+            return None
+        cols, pkeys = [], []
+        for c in self.spark.catalog.listColumns(f"{db}.{table}"):
+            field = {"name": c.name, "type": c.dataType, "comment": c.description}
+            (pkeys if c.isPartition else cols).append(field)
+        ttype, location, provider = "MANAGED_TABLE", None, "parquet"
+        for r in self.spark.sql(f"DESCRIBE TABLE EXTENDED {fqn}").collect():
+            if r.col_name == "Type":
+                ttype = "EXTERNAL_TABLE" if r.data_type == "EXTERNAL" else "MANAGED_TABLE"
+            elif r.col_name == "Location":
+                location = _strip_scheme(r.data_type)
+            elif r.col_name == "Provider":
+                provider = r.data_type
+        params = {
+            r["key"]: r["value"]
+            for r in self.spark.sql(f"SHOW TBLPROPERTIES {fqn}").collect()
+            if not r["key"].startswith(("option.", "spark.sql."))
+        }
+        return {
+            "db": db,
+            "table": table,
+            "table_type": ttype,
+            "cols": cols,
+            "partition_keys": pkeys,
+            "location": location,
+            "serde": provider,
+            "parameters": params,
+        }
+
+    def get_partitions(self, db: str, table: str) -> list[dict]:
+        fqn = self._fqn(db, table)
+        if not self.spark.catalog.tableExists(fqn):
+            return []
+        rec = self.get_table(db, table)
+        if not rec["partition_keys"]:
+            return []
+        base = rec["location"] or self.table_location(db, table)
+        out = []
+        for r in self.spark.sql(f"SHOW PARTITIONS {fqn}").collect():
+            name = r[0]
+            out.append(
+                {
+                    "partition_name": name,
+                    "values": partition_name_to_values(name),
+                    "location": os.path.join(base, name),
+                    "parameters": {},
+                }
+            )
+        return sorted(out, key=lambda p: p["partition_name"])
+
+    # -- writes --------------------------------------------------------
+    def create_table(self, rec: dict) -> None:
+        db, table = rec["db"], rec["table"]
+        self.spark.sql(f"CREATE DATABASE IF NOT EXISTS {_bt(db)}")
+        location = rec.get("location") or self.table_location(db, table)
+        os.makedirs(location, exist_ok=True)  # Spark resolves LOCATION eagerly
+        col_ddl = ", ".join(
+            f"{_bt(c['name'])} {c['type']}"
+            for c in list(rec.get("cols", [])) + list(rec.get("partition_keys", []))
+        ) or "`__placeholder` string"
+        pkeys = [c["name"] for c in rec.get("partition_keys", [])]
+        part_ddl = (
+            f" PARTITIONED BY ({', '.join(_bt(k) for k in pkeys)})" if pkeys else ""
+        )
+        params = rec.get("parameters") or {}
+        props_ddl = (
+            " TBLPROPERTIES ("
+            + ", ".join(f"{_sql_str(k)}={_sql_str(v)}" for k, v in sorted(params.items()))
+            + ")"
+            if params
+            else ""
+        )
+        serde = rec.get("serde") or "parquet"
+        self.spark.sql(
+            f"CREATE TABLE {self._fqn(db, table)} ({col_ddl}) USING {serde}"
+            f"{part_ddl} LOCATION {_sql_str(location)}{props_ddl}"
+        )
+
+    def alter_table(self, rec: dict) -> None:
+        """Replace-with-same-location: external DDL is metadata-only, so
+        drop+recreate is atomic enough per (db, table) owner task;
+        registered partitions are carried over."""
+        db, table = rec["db"], rec["table"]
+        existing = self.get_table(db, table)
+        if existing is None:
+            self.create_table(rec)
+            return
+        parts = self.get_partitions(db, table)
+        merged = {**existing, **{k: v for k, v in rec.items() if k != "partitions"}}
+        self.spark.sql(f"DROP TABLE IF EXISTS {self._fqn(db, table)}")
+        self.create_table(merged)
+        for p in parts:
+            self.add_partition(db, table, p)
+
+    def drop_table(self, db: str, table: str) -> None:
+        self.spark.sql(f"DROP TABLE IF EXISTS {self._fqn(db, table)}")
+
+    def _part_spec(self, partition_name: str) -> str:
+        kv = partition_name_to_map(partition_name)
+        return ", ".join(f"{_bt(k)}={_sql_str(v)}" for k, v in kv.items())
+
+    def add_partition(self, db: str, table: str, part: dict) -> None:
+        if self.get_table(db, table) is None:
+            raise KeyError(f"{db}.{table} does not exist")
+        spec = self._part_spec(part["partition_name"])
+        location = part.get("location") or os.path.join(
+            self.table_location(db, table), part["partition_name"]
+        )
+        os.makedirs(location, exist_ok=True)
+        self.spark.sql(
+            f"ALTER TABLE {self._fqn(db, table)} ADD IF NOT EXISTS "
+            f"PARTITION ({spec}) LOCATION {_sql_str(location)}"
+        )
+
+    def drop_partition(self, db: str, table: str, partition_name: str) -> None:
+        if self.get_table(db, table) is None:
+            return
+        self.spark.sql(
+            f"ALTER TABLE {self._fqn(db, table)} DROP IF EXISTS "
+            f"PARTITION ({self._part_spec(partition_name)})"
+        )
+
+    def rename_table(self, db: str, table: str, new_db: str, new_table: str) -> None:
+        rec = self.get_table(db, table)
+        if rec is None:
+            raise KeyError(f"{db}.{table} does not exist")
+        if db == new_db:
+            self.spark.sql(
+                f"ALTER TABLE {self._fqn(db, table)} RENAME TO "
+                f"{self._fqn(new_db, new_table)}"
+            )
+            return
+        # session catalogs refuse cross-db RENAME — recreate instead
+        parts = self.get_partitions(db, table)
+        rec["db"], rec["table"] = new_db, new_table
+        self.drop_table(db, table)
+        self.create_table(rec)
+        for p in parts:
+            self.add_partition(new_db, new_table, p)
+
+
 # ---------------------------------------------------------------------------
 # snapshot scans → DataFrames
 # ---------------------------------------------------------------------------
@@ -193,7 +421,7 @@ def _table_row(rec: dict) -> tuple:
     )
 
 
-def snapshot_tables(spark: SparkSession, catalog: DirectoryCatalog) -> DataFrame:
+def snapshot_tables(spark: SparkSession, catalog: MetastoreCatalog) -> DataFrame:
     """One row per table (B.1 schema). Identity listing is driver-side
     (metadata-scale); payloads come along because the directory catalog
     is cheap — a metastore-backed client would fetch payloads in
@@ -207,7 +435,7 @@ def snapshot_tables(spark: SparkSession, catalog: DirectoryCatalog) -> DataFrame
     return spark.createDataFrame(rows, TABLE_SCHEMA) if rows else spark.createDataFrame([], TABLE_SCHEMA)
 
 
-def snapshot_partitions(spark: SparkSession, catalog: DirectoryCatalog) -> DataFrame:
+def snapshot_partitions(spark: SparkSession, catalog: MetastoreCatalog) -> DataFrame:
     """One row per partition (B.2 schema)."""
     rows = []
     for db in catalog.databases():

@@ -29,7 +29,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from reair_spark.catalog import TLDT, DirectoryCatalog
+from collections.abc import Callable
+
+from reair_spark.catalog import TLDT, DirectoryCatalog, MetastoreCatalog
 
 COMMIT_RESULT_SCHEMA = T.StructType(
     [
@@ -54,7 +56,7 @@ def rewrite_locations(plan: DataFrame, src_root: str, dest_root: str) -> DataFra
     )
 
 
-def _apply_one(catalog: DirectoryCatalog, row, payload: dict | None) -> tuple:
+def _apply_one(catalog: MetastoreCatalog, row, payload: dict | None) -> tuple:
     """One plan row → one catalog mutation (task-primitive port)."""
     action = row["action"]
     db, table, pname = row["db"], row["table"], row["partition_name"]
@@ -110,12 +112,22 @@ def _apply_one(catalog: DirectoryCatalog, row, payload: dict | None) -> tuple:
         return (db, table, pname, action, "FAILED", f"{type(exc).__name__}: {exc}")
 
 
+def _enrich(plan: DataFrame) -> DataFrame:
+    enriched = plan if "payload" in plan.columns else plan.withColumn(
+        "payload", F.lit(None).cast("string")
+    )
+    if "expected_tldt" not in enriched.columns:
+        enriched = enriched.withColumn("expected_tldt", F.lit(None).cast("string"))
+    return enriched
+
+
 def execute_commits(
     spark: SparkSession,
     plan: DataFrame,
     dest_root: str,
     src_payloads: DataFrame | None = None,
     parallelism: int | None = None,
+    catalog_factory: Callable[[], MetastoreCatalog] | None = None,
 ) -> DataFrame:
     """Apply metadata actions, one owner task per (db, table).
 
@@ -124,28 +136,52 @@ def execute_commits(
     input pattern (S7), so committers never re-scan the src catalog.
     The dest catalog client is constructed inside the task (one per
     partition), matching the reference's per-mapper metastore clients
-    (Stage3CommitChangeMapper setup).
+    (Stage3CommitChangeMapper setup). ``catalog_factory`` swaps the
+    client class (default: ``DirectoryCatalog(dest_root)``); it must be
+    picklable and is called once per partition executor-side — the
+    shape a Thrift HMS client needs (host/port in the closure, socket
+    opened in the task).
     """
     from reair_spark.shipping import ensure_shipped
 
     ensure_shipped(spark)
     parallelism = parallelism or spark.sparkContext.defaultParallelism
-    enriched = plan if "payload" in plan.columns else plan.withColumn(
-        "payload", F.lit(None).cast("string")
-    )
-    if "expected_tldt" not in enriched.columns:
-        enriched = enriched.withColumn("expected_tldt", F.lit(None).cast("string"))
-
-    ordered = enriched.repartition(parallelism, "db", "table").sortWithinPartitions(
+    ordered = _enrich(plan).repartition(parallelism, "db", "table").sortWithinPartitions(
         "db", "table", F.col("action") != "DROP_TABLE", "partition_name"
     )
 
     def run(rows: Iterator) -> Iterator[tuple]:
         import json as _json
 
-        catalog = DirectoryCatalog(dest_root)
+        catalog = (
+            catalog_factory() if catalog_factory else DirectoryCatalog(dest_root)
+        )
         for r in rows:
             payload = _json.loads(r["payload"]) if r["payload"] else None
             yield _apply_one(catalog, r, payload)
 
     return spark.createDataFrame(ordered.rdd.mapPartitions(run), COMMIT_RESULT_SCHEMA)
+
+
+def apply_commits_driver(
+    spark: SparkSession, plan: DataFrame, catalog: MetastoreCatalog
+) -> DataFrame:
+    """Driver-side commit loop for clients that can't cross the
+    serialization boundary (``SparkSqlCatalog`` holds the live
+    SparkSession). Same per-row semantics as ``execute_commits`` —
+    shared ``_apply_one`` — and the same ordering (tables before their
+    partitions, DROP_TABLE last per key); the plan is metadata-scale
+    (changed objects, not files), so one collect is the honest cost of
+    a single-endpoint metastore."""
+    import json as _json
+
+    rows = (
+        _enrich(plan)
+        .orderBy("db", "table", F.col("action") != "DROP_TABLE", "partition_name")
+        .collect()
+    )
+    out = [
+        _apply_one(catalog, r, _json.loads(r["payload"]) if r["payload"] else None)
+        for r in rows
+    ]
+    return spark.createDataFrame(out, COMMIT_RESULT_SCHEMA)

@@ -21,10 +21,15 @@ from pyspark.sql import functions as F
 
 from reair_spark.catalog import (
     DirectoryCatalog,
+    MetastoreCatalog,
     snapshot_partitions,
     snapshot_tables,
 )
-from reair_spark.commit import execute_commits, rewrite_locations
+from reair_spark.commit import (
+    apply_commits_driver,
+    execute_commits,
+    rewrite_locations,
+)
 from reair_spark.copy import copy_summary, execute_copies, plan_copy_tasks
 from reair_spark.diff import PLAN_COLUMNS, warehouse_plan
 from reair_spark.filters import apply_regex_filters
@@ -52,10 +57,18 @@ def replicate_warehouse(
     whitelist: list[tuple[str, str]] | None = None,
     overwrite_newer: bool = True,
     work_dir: str | None = None,
+    src_catalog: MetastoreCatalog | None = None,
+    dest_catalog: MetastoreCatalog | None = None,
 ) -> dict[str, DataFrame]:
     """Replicate src warehouse → dest warehouse. Returns the plan and
-    per-stage result DataFrames."""
-    src_cat, dest_cat = DirectoryCatalog(src_root), DirectoryCatalog(dest_root)
+    per-stage result DataFrames.
+
+    ``src_catalog``/``dest_catalog`` swap the metastore client (default
+    ``DirectoryCatalog`` on each root). A driver-bound dest client
+    (e.g. ``SparkSqlCatalog``) commits via ``apply_commits_driver``;
+    the default path keeps executor-parallel per-table committers."""
+    src_cat = src_catalog or DirectoryCatalog(src_root)
+    dest_cat = dest_catalog or DirectoryCatalog(dest_root)
 
     # ---- stage 1: snapshots + diff ------------------------------------
     src_t = apply_regex_filters(snapshot_tables(spark, src_cat), blacklist, whitelist)
@@ -133,9 +146,12 @@ def replicate_warehouse(
     metrics.mark_done("copy")
 
     # ---- stage 3: metadata commit -------------------------------------
-    commit_results = metrics.observe(
-        execute_commits(spark, plan, dest_root), "commit"
-    ).cache()
+    committed = (
+        apply_commits_driver(spark, plan, dest_cat)
+        if dest_catalog is not None
+        else execute_commits(spark, plan, dest_root)
+    )
+    commit_results = metrics.observe(committed, "commit").cache()
     commit_results.count()
     metrics.mark_done("commit")
 
