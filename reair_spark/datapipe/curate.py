@@ -1,0 +1,198 @@
+"""Dataset-curation operators: the selection/packaging half of a
+training-data pipeline (the reference stops at replication; these are
+the ops a 100 TB corpus needs between "replicated" and "trainable").
+
+- stratified sampling: deterministic hash-threshold per stratum — no
+  rand(), so the sample is reproducible across runs/engines and
+  re-executable on a changed cluster (same property the portable
+  md5 hash family gives the dedup ops).
+- decontamination: n-gram overlap between the train split and a held-
+  out eval split, the standard train/test-leakage check. The eval side
+  is tiny → broadcast; the train side streams through one shuffle-free
+  map + one broadcast-hash join, which is the only shape that survives
+  100 TB (shuffling train-side shingles would not).
+- sequence packing: concat-and-chunk into fixed context windows via a
+  window cumsum — the deterministic equivalent of greedy packing, one
+  shuffle on the stratum key.
+- PII masking: pseudonymize identifiers (md5), mask digit runs except
+  a suffix — pure built-ins, trivially vectorized.
+
+All four are DuckDB-oracle-checkable (queries() + oracle_sql()).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from reair_spark.datapipe.common import portable_hash32, portable_hash32_sql, widen
+from reair_spark.io import load_table as _t
+
+# per-language keep-rate (percent) — en-heavy corpora downsample the
+# head language; rates are data, not code, in a real pipeline
+SAMPLE_RATES = {"en": 30, "de": 80, "es": 80, "fr": 80, "zh": 80}
+DECON_SHINGLE_K = 3  # tiny synthetic vocabulary ≈ 13-gram on web text
+DECON_MIN_OVERLAP = 3
+PACK_CTX = 128  # tokens per packed context window
+
+
+def _sample_hash(doc_id_col):
+    return portable_hash32(F.concat(F.lit("sample:"), doc_id_col.cast("string"))) % 100
+
+
+def curate_sample_stratified(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language deterministic sample: keep doc iff
+    md5-hash(doc_id) mod 100 < rate(lang). Equivalent to sampleBy()
+    but reproducible byte-for-byte on any engine; selection is a
+    map-only predicate, so it pushes into the scan and never shuffles."""
+    d = _t(spark, sf, "documents")
+    rate_expr = None
+    for lang, r in SAMPLE_RATES.items():
+        rate_expr = (
+            F.when(F.col("lang") == lang, r)
+            if rate_expr is None
+            else rate_expr.when(F.col("lang") == lang, r)
+        )
+    rate = rate_expr.otherwise(0)
+    return (
+        d.where(_sample_hash(F.col("doc_id")) < rate)
+        .select("doc_id", "lang", _sample_hash(F.col("doc_id")).alias("bucket"))
+    )
+
+
+def _sample_hash_sql() -> str:
+    return (
+        portable_hash32_sql("concat('sample:', CAST(doc_id AS VARCHAR))") + " % 100"
+    )
+
+
+def _sample_rate_sql() -> str:
+    whens = " ".join(
+        f"WHEN lang = '{lang}' THEN {r}" for lang, r in SAMPLE_RATES.items()
+    )
+    return f"CASE {whens} ELSE 0 END"
+
+
+def curate_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Train/eval overlap: eval split = doc_id % 97 == 0 (a stand-in
+    for a benchmark set); a train doc is contaminated when it shares
+    ≥ DECON_MIN_OVERLAP distinct word-k-grams with ANY eval doc.
+
+    Plan shape for scale: eval shingles are tiny → F.broadcast; the
+    train side is map + broadcast-join + partial agg — the 100 TB
+    train corpus is never shuffled, only the (doc_id, n) partial
+    counts are."""
+    from reair_spark.datapipe.common import word_shingles
+
+    d = widen(_t(spark, sf, "documents"), spark)
+    grams = lambda df: df.select(  # noqa: E731
+        "doc_id",
+        F.explode(word_shingles(F.split("text", " "), k=DECON_SHINGLE_K)).alias("g"),
+    )
+    ev = grams(d.where(F.col("doc_id") % 97 == 0)).select(
+        F.col("g").alias("eg")
+    ).distinct()
+    tr = grams(d.where(F.col("doc_id") % 97 != 0))
+    return (
+        tr.join(F.broadcast(ev), tr.g == ev.eg)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= DECON_MIN_OVERLAP)
+        .select("doc_id", F.col("n_shared").cast("long").alias("n_shared"))
+    )
+
+
+def curate_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    """Concat-and-chunk packing: docs ordered by doc_id within each
+    language are concatenated and cut into PACK_CTX-token windows; a
+    doc's bin is the window its first token lands in. One shuffle on
+    (lang), then window cumsum — the same plan at 100 TB with lang
+    (or a finer stratum) as the distribution key. Emits per-bin
+    occupancy, the packing-efficiency metric."""
+    from pyspark.sql import Window as W
+
+    d = _t(spark, sf, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    w = W.partitionBy("lang").orderBy("doc_id")
+    binned = toks.withColumn(
+        "bin",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / PACK_CTX).cast("long"),
+    )
+    return (
+        binned.groupBy("lang", "bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("bin_tokens"),
+        )
+    )
+
+
+def curate_pii_mask(spark: SparkSession, sf: str) -> DataFrame:
+    """PII-style masking over customer identities: stable pseudonym
+    (md5 of the identifier), digit runs masked except the last 4.
+    Built-in regexp functions only — vectorized JVM-side, no UDF."""
+    c = _t(spark, sf, "customer")
+    digits = F.regexp_extract(F.col("c_name"), r"([0-9]+)$", 1)
+    keep4 = F.substring(digits, -4, 4)
+    return c.select(
+        F.col("c_custkey").alias("custkey"),
+        F.md5(F.col("c_name")).alias("pseudonym"),
+        F.concat(
+            F.regexp_replace(F.regexp_replace("c_name", r"[0-9]+$", ""), r"[0-9]", "*"),
+            F.lit("****"),
+            keep4,
+        ).alias("masked_name"),
+    )
+
+
+CURATE_QUERIES = {
+    "curate_sample_stratified": curate_sample_stratified,
+    "curate_decontaminate": curate_decontaminate,
+    "curate_pack_sequences": curate_pack_sequences,
+    "curate_pii_mask": curate_pii_mask,
+}
+
+
+def _decon_sql() -> str:
+    from reair_spark.datapipe.common import word_shingles_sql
+
+    sh = word_shingles_sql("t", k=DECON_SHINGLE_K)
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+grams AS (SELECT doc_id, unnest({sh}) AS g FROM toks),
+ev AS (SELECT DISTINCT g AS eg FROM grams WHERE doc_id % 97 = 0),
+tr AS (SELECT doc_id, g FROM grams WHERE doc_id % 97 <> 0)
+SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+FROM tr JOIN ev ON tr.g = ev.eg
+GROUP BY tr.doc_id HAVING count(*) >= {DECON_MIN_OVERLAP}
+"""
+
+
+CURATE_ORACLES = {
+    "curate_sample_stratified": (
+        f"SELECT doc_id, lang, {_sample_hash_sql()} AS bucket FROM documents "
+        f"WHERE {_sample_hash_sql()} < {_sample_rate_sql()}"
+    ),
+    "curate_decontaminate": _decon_sql(),
+    "curate_pack_sequences": f"""
+WITH toks AS (SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tok
+              FROM documents),
+binned AS (SELECT lang,
+                  CAST(floor((sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id)
+                              - n_tok) / {PACK_CTX}) AS BIGINT) AS bin,
+                  n_tok
+           FROM toks)
+SELECT lang, bin, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS bin_tokens
+FROM binned GROUP BY lang, bin
+""",
+    "curate_pii_mask": (
+        "SELECT c_custkey AS custkey, md5(c_name) AS pseudonym, "
+        "concat(regexp_replace(regexp_replace(c_name, '[0-9]+$', ''), "
+        "'[0-9]', '*', 'g'), '****', "
+        "substr(regexp_extract(c_name, '([0-9]+)$', 1), -4)) AS masked_name "
+        "FROM customer"
+    ),
+}

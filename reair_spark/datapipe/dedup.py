@@ -45,6 +45,9 @@ N_BANDS = 4
 ROWS_PER_BAND = N_MINHASH // N_BANDS
 SIMHASH_BITS = 48
 SIMHASH_MAX_HAMMING = 6
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = 12  # bands * band_bits == SIMHASH_BITS
+SIMHASH_BAND_MASK = (1 << SIMHASH_BAND_BITS) - 1
 JACCARD_THRESHOLD = 0.5
 NGRAM_THRESHOLD = 0.6
 PREFIX_BLOCK_LEN = 24
@@ -220,12 +223,20 @@ WHERE round(len(list_intersect(a.shset, b.shset))
 
 def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     """SimHash near-dup pairs: per-distinct-token hash, per-bit majority
-    vote → 48-bit signature; candidates share ≥1 of 6 signature bytes;
-    keep pairs with hamming distance ≤ 6. Votes come from word-3-gram
-    shingles, not tokens: the synthetic corpus has a tiny vocabulary, so
-    token SETS barely differ between unrelated docs — shingle sets do.
+    vote → 48-bit signature; candidates share ≥1 of 4 12-bit signature
+    bands; keep pairs with hamming distance ≤ 6. Votes come from
+    word-3-gram shingles, not tokens: the synthetic corpus has a tiny
+    vocabulary, so token SETS barely differ between unrelated docs —
+    shingle sets do.
 
-    The 32 bit-vote sums run in ONE aggregation (32 agg exprs, still a
+    Band width is the scale lever: expected bucket size is N / 2^width,
+    and candidate pairs grow with sum(bucket²). 8-bit bands (256
+    values) produced 30M candidate pairs from a 5.5k-doc corpus and
+    would be O(N²/256) at 100 TB; 12-bit bands cut that ~16× per band
+    while still guaranteeing recall for hamming ≤ 3 (4 bands, 3 flipped
+    bits can't touch all of them) — real near-dups sit at hamming 0-2.
+
+    The 48 bit-vote sums run in ONE aggregation (48 agg exprs, still a
     single shuffle of (doc_id, token-hash))."""
     c = _corpus(spark, sf, exact=False)
     tokw = c.select(
@@ -258,9 +269,11 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftright("simhash", 8 * b).bitwiseAND(F.lit(255)).alias("bv"),
+                        F.shiftright("simhash", SIMHASH_BAND_BITS * b)
+                        .bitwiseAND(F.lit(SIMHASH_BAND_MASK))
+                        .alias("bv"),
                     )
-                    for b in range(6)
+                    for b in range(SIMHASH_BANDS)
                 ]
             )
         ).alias("bs"),
@@ -276,8 +289,8 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
             F.col("y.doc_id").alias("id_b"),
             ham.cast("long").alias("hamming"),
         )
-        .distinct()
         .where(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .distinct()
     )
 
 
@@ -290,8 +303,9 @@ def _simhash_sql() -> str:
         f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(SIMHASH_BITS)
     )
     band_selects = " UNION ALL ".join(
-        f"SELECT doc_id, simhash, {b} AS band, (simhash >> {8 * b}) & 255 AS bv FROM sh"
-        for b in range(6)
+        f"SELECT doc_id, simhash, {b} AS band, "
+        f"(simhash >> {SIMHASH_BAND_BITS * b}) & {SIMHASH_BAND_MASK} AS bv FROM sh"
+        for b in range(SIMHASH_BANDS)
     )
     return f"""
 WITH corpus AS ({_corpus_sql(exact=False)}),

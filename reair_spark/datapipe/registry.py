@@ -34,3 +34,11 @@ try:
     DATAPIPE_ORACLES.update(MM_ORACLES)
 except ImportError:
     pass
+
+try:
+    from reair_spark.datapipe.curate import CURATE_ORACLES, CURATE_QUERIES
+
+    DATAPIPE_QUERIES.update(CURATE_QUERIES)
+    DATAPIPE_ORACLES.update(CURATE_ORACLES)
+except ImportError:
+    pass

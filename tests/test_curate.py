@@ -1,0 +1,77 @@
+"""Dataset-curation operators (sampling, decontamination, packing,
+PII masking) — SURVEY §8.3 training-data pipeline extensions."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from reair_spark.datapipe.curate import (
+    PACK_CTX,
+    SAMPLE_RATES,
+    curate_decontaminate,
+    curate_pack_sequences,
+    curate_pii_mask,
+    curate_sample_stratified,
+)
+
+SF = "/root/testdata/sf0.01"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF), reason="driver testdata not present"
+)
+
+
+def test_stratified_sample_rates(spark):
+    out = curate_sample_stratified(spark, SF).cache()
+    total = spark.read.parquet(f"{SF}/documents.parquet")
+    by_lang = {r.lang: r.n for r in total.groupBy("lang").agg(
+        F.count("*").alias("n")).collect()}
+    kept = {r.lang: r.n for r in out.groupBy("lang").agg(
+        F.count("*").alias("n")).collect()}
+    # en downsampled hard; others kept near their 80% rate
+    for lang, rate in SAMPLE_RATES.items():
+        frac = kept.get(lang, 0) / by_lang[lang]
+        assert abs(frac - rate / 100) < 0.2, (lang, frac, rate)
+    # deterministic: same rows on re-run
+    again = curate_sample_stratified(spark, SF)
+    assert sorted(r.doc_id for r in out.collect()) == sorted(
+        r.doc_id for r in again.collect())
+
+
+def test_decontaminate_flags_overlap(spark):
+    out = curate_decontaminate(spark, SF).collect()
+    assert len(out) > 0
+    assert all(r.n_shared >= 3 for r in out)
+    # no eval doc may appear in the contaminated train list
+    assert all(r.doc_id % 97 != 0 for r in out)
+
+
+def test_pack_sequences_invariants(spark):
+    bins = curate_pack_sequences(spark, SF).collect()
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    n_docs = docs.count()
+    assert sum(r.n_docs for r in bins) == n_docs
+    # a doc never exceeds the window by construction of the cumsum cut:
+    # every bin's token load is < CTX + max single doc length
+    max_doc = docs.select(F.max(F.size(F.split("text", " ")))).first()[0]
+    assert all(r.bin_tokens < PACK_CTX + max_doc for r in bins)
+    # bins within a lang are dense from 0
+    for lang in {r.lang for r in bins}:
+        seq = sorted(r.bin for r in bins if r.lang == lang)
+        assert seq == list(range(len(seq)))
+
+
+def test_pii_mask_shape(spark):
+    out = curate_pii_mask(spark, SF)
+    row = out.orderBy("custkey").first()
+    assert row.masked_name.startswith("Customer#")
+    digits_left = [c for c in row.masked_name.split("#")[1][:-4] if c.isdigit()]
+    assert digits_left == []           # all but last 4 digits masked
+    assert row.masked_name[-4:].isdigit()
+    assert len(row.pseudonym) == 32    # md5 hex
+    # pseudonym is stable and collision-free across the table
+    n = out.count()
+    assert out.select("pseudonym").distinct().count() == n
