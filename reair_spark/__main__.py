@@ -45,6 +45,10 @@ def main(argv: list[str] | None = None) -> int:
     inc.add_argument("state_dir")
     inc.add_argument("--batch-size", type=int, default=32)
     inc.add_argument("--max-batches", type=int)
+    inc.add_argument("--streaming", action="store_true",
+                     help="run as a Structured Streaming query "
+                          "(availableNow trigger, checkpointed) instead "
+                          "of the polling loop")
 
     args = p.parse_args(argv)
 
@@ -95,6 +99,22 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "incremental":
         from reair_spark.events import run_incremental
+
+        if args.streaming:
+            from reair_spark.streaming import stream_replicate
+
+            schema = spark.read.parquet(args.events_parquet).schema
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", args.batch_size)
+                .parquet(args.events_parquet)
+            )
+            stream_replicate(
+                spark, stream, args.src_root, args.dest_root,
+                args.state_dir, f"{args.state_dir}/_checkpoint",
+            )
+            print(json.dumps({"mode": "streaming", "status": "drained"}))
+            return 0
 
         events = spark.read.parquet(args.events_parquet)
         res = run_incremental(

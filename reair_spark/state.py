@@ -67,7 +67,13 @@ class JobStore:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = path
+        # resume seq after the persisted log's max: a fresh store writing
+        # seq=1 over a log whose rows reach seq=N would lose every
+        # latest-transition race, leaving requeued jobs PENDING forever
         self._seq = 0
+        if os.path.exists(path):
+            row = spark.read.parquet(path).agg(F.max("seq")).first()
+            self._seq = int(row[0] or 0)
 
     def append(self, jobs: DataFrame) -> None:
         self._seq += 1

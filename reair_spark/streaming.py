@@ -194,6 +194,47 @@ def stream_funnel(
     )
 
 
+def stream_replicate(
+    spark: SparkSession,
+    events_stream: DataFrame,
+    src_root: str,
+    dest_root: str,
+    state_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """The full incremental replication loop AS a Structured Streaming
+    query: each micro-batch compiles audit events to jobs, persists the
+    PENDING transitions, executes targeted replication, and persists
+    the terminal transitions (ST1-ST7 end-to-end).
+
+    Delivery semantics: the checkpoint gives at-least-once batch
+    delivery; `execute_jobs` is idempotent (targeted replication
+    re-reads the current src object and the JobStore is append-only
+    last-writer-wins), so a replayed batch converges to the same dest
+    state — the same exactly-once-ish contract the reference builds by
+    hand (ReplicationServer.restoreReplicationJob:240-328). On a real
+    bus this is `readStream.format("kafka")` + `trigger(processingTime=
+    ...)` with NO code change in the sink."""
+    from reair_spark.events import _job_cols, compile_jobs, execute_jobs
+    from reair_spark.state import JobStore
+
+    job_store = JobStore(spark, f"{state_dir}/replication_jobs")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        jobs = compile_jobs(batch_df)
+        job_store.append(jobs.select(*_job_cols()))
+        executed = execute_jobs(spark, jobs, src_root, dest_root)
+        job_store.append(executed.select(*_job_cols()))
+
+    q = (
+        events_stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def stream_compile_jobs_foreachbatch(
     spark: SparkSession,
     events: DataFrame,

@@ -130,6 +130,33 @@ def test_job_store_lag(spark, tmp_path):
     assert store.lag_seconds() == 0.0
 
 
+def test_job_store_seq_survives_restart(spark, tmp_path):
+    """A store reopened over an existing log must continue the seq
+    sequence, or post-restart transitions lose the latest-per-job race
+    and requeued jobs stay PENDING forever."""
+    from reair_spark.state import JobStore
+
+    path = str(tmp_path / "jobs")
+
+    def _jobs(rows):
+        return spark.createDataFrame(
+            rows,
+            "job_id long, operation string, status string, db string, "
+            "table string, partition_names array<string>, "
+            "rename_to_db string, rename_to_table string, src_event_id long",
+        )
+
+    s1 = JobStore(spark, path)
+    s1.append(_jobs([(1, "COPY", "PENDING", "db1", "t1", None, None, None, 10)]))
+    s1.append(_jobs([(1, "COPY", "RUNNING", "db1", "t1", None, None, None, 10)]))
+
+    s2 = JobStore(spark, path)  # "restart"
+    s2.append(_jobs([(1, "COPY", "SUCCESSFUL", "db1", "t1", None, None, None, 10)]))
+    cur = s2.current().collect()
+    assert [(r.job_id, r.status) for r in cur] == [(1, "SUCCESSFUL")]
+    assert s2.incomplete().count() == 0
+
+
 def test_lag_seconds(spark):
     now = datetime.datetime(2026, 8, 13, 12, 0, 0)
     df = spark.createDataFrame(

@@ -150,3 +150,54 @@ def test_stream_funnel_matches_batch(spark, sf_dir):
         .collect()
     }
     assert streamed == batch
+
+
+def test_stream_replicate_end_to_end(spark, tmp_path):
+    """Full incremental replication as a Structured Streaming query:
+    two event files → two micro-batches → dest catalog converges;
+    replay with the same checkpoint is a no-op; job store reaches
+    all-terminal state."""
+    from reair_spark.catalog import DirectoryCatalog
+    from reair_spark.state import JobStore
+    from reair_spark.streaming import stream_replicate
+    from tests.test_batch_replication import _make_unpartitioned
+
+    src_root, dest_root = str(tmp_path / "src"), str(tmp_path / "dest")
+    state, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+    src_cat, dest_cat = DirectoryCatalog(src_root), DirectoryCatalog(dest_root)
+    _make_unpartitioned(src_cat, "db1", "t1")
+    _make_unpartitioned(src_cat, "db1", "t2")
+
+    schema = (
+        "id long, create_time timestamp, command_type string, command string, "
+        "objects array<struct<category:string, obj_type:string, name:string, "
+        "payload:string>>"
+    )
+    ev_dir = str(tmp_path / "events_src")
+    spark.createDataFrame(
+        [(1, None, "CREATETABLE", "", [("OUTPUT", "TABLE", "db1.t1", "{}")])],
+        schema,
+    ).repartition(1).write.mode("append").parquet(ev_dir)
+    spark.createDataFrame(
+        [(2, None, "CREATETABLE", "", [("OUTPUT", "TABLE", "db1.t2", "{}")])],
+        schema,
+    ).repartition(1).write.mode("append").parquet(ev_dir)
+
+    def _stream():
+        return (
+            spark.readStream.schema(spark.read.parquet(ev_dir).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(ev_dir)
+        )
+
+    stream_replicate(spark, _stream(), src_root, dest_root, state, ckpt)
+    assert dest_cat.get_table("db1", "t1") is not None
+    assert dest_cat.get_table("db1", "t2") is not None
+    store = JobStore(spark, f"{state}/replication_jobs")
+    assert store.incomplete().count() == 0
+    assert store.lag_seconds() == 0.0
+    n_transitions = spark.read.parquet(f"{state}/replication_jobs").count()
+
+    # replay with same checkpoint: no new batches, no new transitions
+    stream_replicate(spark, _stream(), src_root, dest_root, state, ckpt)
+    assert spark.read.parquet(f"{state}/replication_jobs").count() == n_transitions
