@@ -187,6 +187,42 @@ def table_diff(
     )
 
 
+def schema_diff(src_tables: DataFrame, dest_tables: DataFrame) -> DataFrame:
+    """Field-level schema drift between two catalog snapshots — the
+    column-granular view underneath `schemasMatch` (ReplicationUtils
+    .java:139-142 compares sd.cols/partitionKeys wholesale; this
+    operator says WHICH fields moved): one row per (db, table, column)
+    whose presence or type differs, classified ADDED (src-only),
+    REMOVED (dest-only), RETYPED.
+
+    Plan shape: posexplode both sides' cols arrays → one full-outer
+    join on (db, table, col_name). Field rows ≈ tables × avg-width, so
+    the shuffle is metadata-scale even for a 100k-table warehouse."""
+
+    def fields(side: DataFrame, prefix: str) -> DataFrame:
+        return side.select(
+            "db", "table", F.posexplode("cols").alias("pos", "f")
+        ).select(
+            "db",
+            "table",
+            F.col("f.name").alias("col_name"),
+            F.col("f.type").alias(f"{prefix}_type"),
+        )
+
+    s, d = fields(src_tables, "src"), fields(dest_tables, "dest")
+    j = s.join(d, ["db", "table", "col_name"], "full_outer")
+    change = (
+        F.when(F.col("dest_type").isNull(), "ADDED")
+        .when(F.col("src_type").isNull(), "REMOVED")
+        .when(F.col("src_type") != F.col("dest_type"), "RETYPED")
+        .otherwise("UNCHANGED")
+    )
+    return j.select(
+        "db", "table", "col_name", "src_type", "dest_type",
+        change.alias("change"),
+    ).where(F.col("change") != "UNCHANGED")
+
+
 def partition_diff(
     src_parts: DataFrame,
     dest_parts: DataFrame,

@@ -61,6 +61,56 @@ def _derived_catalogs(spark: SparkSession, sf: str) -> tuple[DataFrame, DataFram
     return src, dest.unionByName(extras)
 
 
+def _drifted_schema_catalogs(
+    spark: SparkSession, sf: str
+) -> tuple[DataFrame, DataFrame]:
+    """nation → two snapshots with per-table column drift:
+    src has (c1 string, c2 int, +c3 string when n%2=0);
+    dest has (c1 string, c2 int|bigint when n%5=0, +c4 double when
+    n%7=0) — yielding ADDED c3, RETYPED c2, REMOVED c4 rows."""
+    n = _t(spark, sf, "nation")
+
+    def field(name, typ):
+        return F.struct(
+            F.lit(name).alias("name"),
+            typ if isinstance(typ, F.Column) else F.lit(typ).alias("type"),
+            F.lit(None).cast("string").alias("comment"),
+        )
+
+    def snap(cols_col) -> DataFrame:
+        return n.select(
+            F.lit("wh").alias("db"),
+            F.lower("n_name").alias("table"),
+            F.lit("MANAGED_TABLE").alias("table_type"),
+            cols_col.cast(TABLE_SCHEMA["cols"].dataType).alias("cols"),
+            F.array().cast(TABLE_SCHEMA["partition_keys"].dataType).alias("partition_keys"),
+            F.concat(F.lit("/wh/"), F.lower("n_name")).alias("location"),
+            F.lit("parquet").alias("serde"),
+            F.create_map(F.lit("transient_lastDdlTime"), F.lit("1")).alias("parameters"),
+        )
+
+    key = F.col("n_nationkey")
+    src_cols = F.concat(
+        F.array(field("c1", "string"), field("c2", "int")),
+        F.when(key % 2 == 0, F.array(field("c3", "string"))).otherwise(F.array()),
+    )
+    dest_c2_type = F.when(key % 5 == 0, "bigint").otherwise("int").alias("type")
+    dest_cols = F.concat(
+        F.array(field("c1", "string"), field("c2", dest_c2_type)),
+        F.when(key % 7 == 0, F.array(field("c4", "double"))).otherwise(F.array()),
+    )
+    return snap(src_cols), snap(dest_cols)
+
+
+def replication_schema_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """The REAL field-level schema-diff operator over drifted derived
+    catalogs (§1.3 schemasMatch, column-granular)."""
+    from reair_spark.diff import schema_diff
+
+    src, dest = _drifted_schema_catalogs(spark, sf)
+    return schema_diff(src, dest)
+
+
 def replication_table_diff(spark: SparkSession, sf: str) -> DataFrame:
     """The REAL diff planner over derived catalogs (J1 through the
     correctness gate)."""
@@ -89,6 +139,7 @@ def stream_funnel_q(spark: SparkSession, sf: str) -> DataFrame:
 
 ENGINE_QUERIES = {
     "replication_table_diff": replication_table_diff,
+    "replication_schema_diff": replication_schema_diff,
     "stream_hourly_counts": stream_hourly_counts_q,
     "stream_funnel": stream_funnel_q,
 }
@@ -118,6 +169,31 @@ SELECT coalesce(s.db, d.db) AS db, coalesce(s.t, d.t) AS "table",
             THEN TRUE ELSE FALSE END AS update_metadata,
        CASE WHEN d.t IS NULL AND s.t IS NOT NULL THEN TRUE ELSE FALSE END AS update_data
 FROM src s FULL OUTER JOIN dest d ON s.t = d.t
+""",
+    "replication_schema_diff": """
+WITH n AS (SELECT n_nationkey AS k, lower(n_name) AS t FROM nation),
+src AS (
+  SELECT t, 'c1' AS col_name, 'string' AS ty FROM n
+  UNION ALL SELECT t, 'c2', 'int' FROM n
+  UNION ALL SELECT t, 'c3', 'string' FROM n WHERE k % 2 = 0
+),
+dest AS (
+  SELECT t, 'c1' AS col_name, 'string' AS ty FROM n
+  UNION ALL SELECT t, 'c2', CASE WHEN k % 5 = 0 THEN 'bigint' ELSE 'int' END FROM n
+  UNION ALL SELECT t, 'c4', 'double' FROM n WHERE k % 7 = 0
+)
+SELECT 'wh' AS db, coalesce(s.t, d.t) AS "table",
+       coalesce(s.col_name, d.col_name) AS col_name,
+       s.ty AS src_type, d.ty AS dest_type,
+       CASE WHEN d.ty IS NULL THEN 'ADDED'
+            WHEN s.ty IS NULL THEN 'REMOVED'
+            WHEN s.ty <> d.ty THEN 'RETYPED'
+            ELSE 'UNCHANGED' END AS change
+FROM src s FULL OUTER JOIN dest d ON s.t = d.t AND s.col_name = d.col_name
+WHERE CASE WHEN d.ty IS NULL THEN 'ADDED'
+           WHEN s.ty IS NULL THEN 'REMOVED'
+           WHEN s.ty <> d.ty THEN 'RETYPED'
+           ELSE 'UNCHANGED' END <> 'UNCHANGED'
 """,
     "stream_hourly_counts": (
         "SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) "

@@ -151,3 +151,25 @@ def test_warehouse_plan_unions_levels(spark, tdf, pdf):
     )
     actions = sorted(r.action for r in plan.collect())
     assert actions == ["COPY_PARTITION", "COPY_PARTITIONED_TABLE"]
+
+
+def test_schema_diff_classifies_field_drift(spark, tdf):
+    from reair_spark.diff import schema_diff
+
+    src = tdf([_table(cols=(("c1", "string", None), ("c2", "int", None),
+                            ("c3", "string", None)))])
+    dest = tdf([_table(cols=(("c1", "string", None), ("c2", "bigint", None),
+                             ("c4", "double", None)))])
+    rows = {r.col_name: r for r in schema_diff(src, dest).collect()}
+    assert set(rows) == {"c2", "c3", "c4"}  # c1 unchanged → absent
+    assert rows["c2"].change == "RETYPED"
+    assert (rows["c2"].src_type, rows["c2"].dest_type) == ("int", "bigint")
+    assert rows["c3"].change == "ADDED"
+    assert rows["c4"].change == "REMOVED"
+
+
+def test_schema_diff_identical_schemas_empty(spark, tdf):
+    from reair_spark.diff import schema_diff
+
+    t = tdf([_table()])
+    assert schema_diff(t, t).count() == 0
