@@ -111,6 +111,25 @@ def replication_schema_diff(spark: SparkSession, sf: str) -> DataFrame:
     return schema_diff(src, dest)
 
 
+def replication_compact_plan(spark: SparkSession, sf: str) -> DataFrame:
+    """The REAL small-file compaction planner over a file inventory
+    derived from lineitem (dir = returnflag/linestatus, size =
+    quantity×100): files under 2500 pack into ~10000-byte merge
+    tasks."""
+    from reair_spark.plans import compact_plan
+
+    li = _t(spark, sf, "lineitem")
+    files = li.select(
+        F.concat_ws("/", "l_returnflag", "l_linestatus").alias("dir"),
+        F.lpad(
+            (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("string"),
+            12, "0",
+        ).alias("rel_path"),
+        (F.col("l_quantity").cast("long") * 100).alias("size"),
+    )
+    return compact_plan(files, small_bytes=2500, target_bytes=10000)
+
+
 def replication_table_diff(spark: SparkSession, sf: str) -> DataFrame:
     """The REAL diff planner over derived catalogs (J1 through the
     correctness gate)."""
@@ -140,6 +159,7 @@ def stream_funnel_q(spark: SparkSession, sf: str) -> DataFrame:
 ENGINE_QUERIES = {
     "replication_table_diff": replication_table_diff,
     "replication_schema_diff": replication_schema_diff,
+    "replication_compact_plan": replication_compact_plan,
     "stream_hourly_counts": stream_hourly_counts_q,
     "stream_funnel": stream_funnel_q,
 }
@@ -169,6 +189,19 @@ SELECT coalesce(s.db, d.db) AS db, coalesce(s.t, d.t) AS "table",
             THEN TRUE ELSE FALSE END AS update_metadata,
        CASE WHEN d.t IS NULL AND s.t IS NOT NULL THEN TRUE ELSE FALSE END AS update_data
 FROM src s FULL OUTER JOIN dest d ON s.t = d.t
+""",
+    "replication_compact_plan": """
+WITH files AS (
+  SELECT l_returnflag || '/' || l_linestatus AS dir,
+         lpad(CAST(l_orderkey * 10 + l_linenumber AS VARCHAR), 12, '0')
+           AS rel_path,
+         CAST(l_quantity AS BIGINT) * 100 AS size
+  FROM lineitem
+)
+SELECT dir, rel_path, size,
+       CAST(floor((sum(size) OVER (PARTITION BY dir ORDER BY rel_path)
+                   - size) / 10000) AS BIGINT) AS task
+FROM files WHERE size < 2500
 """,
     "replication_schema_diff": """
 WITH n AS (SELECT n_nationkey AS k, lower(n_name) AS t FROM nation),

@@ -145,3 +145,79 @@ def size_copy_parallelism(tasks: DataFrame, max_tasks: int = 10000) -> int:
         1,
     )
     return min(need, max_tasks)
+
+
+SMALL_FILE_BYTES = 32 * 1024 * 1024
+COMPACT_TARGET_BYTES = 256 * 1024 * 1024
+
+
+def compact_plan(
+    files: DataFrame,
+    small_bytes: int = SMALL_FILE_BYTES,
+    target_bytes: int = COMPACT_TARGET_BYTES,
+    dir_col: str = "dir",
+) -> DataFrame:
+    """Small-file compaction plan: within each directory, files under
+    ``small_bytes`` are packed (ordered by rel_path, greedy cumsum) into
+    merge tasks of ~``target_bytes`` output each — one row per small
+    file with its task assignment.
+
+    Small files are the canonical 100 TB warehouse disease (every
+    dynamic-partition insert leaves a row-group-sized stripe per task);
+    the plan is pure window arithmetic — one shuffle on the directory
+    key, no driver loop — so planning over a billion-file inventory is
+    the same job as planning over a thousand. Deterministic ordering
+    makes the plan re-runnable and oracle-checkable."""
+    from pyspark.sql import Window as W
+
+    small = files.where(F.col("size") < small_bytes)
+    w = W.partitionBy(dir_col).orderBy("rel_path")
+    return small.select(
+        dir_col,
+        "rel_path",
+        "size",
+        F.floor((F.sum("size").over(w) - F.col("size")) / target_bytes)
+        .cast("long")
+        .alias("task"),
+    )
+
+
+def execute_compaction(
+    spark,
+    src_root: str,
+    dest_root: str,
+    target_bytes: int = COMPACT_TARGET_BYTES,
+    fmt: str = "parquet",
+) -> DataFrame:
+    """Rewrite each leaf directory of parquet files into
+    ceil(bytes/target) output files under ``dest_root`` (non-destructive
+    publish-elsewhere, the engine's ST6 discipline — swap roots after
+    verifying). One Spark write per directory, repartitioned to the
+    planned width; file-level parallelism stays inside the job."""
+    import math
+    import os
+
+    from reair_spark.inventory import list_files
+
+    inv = list_files(spark, [src_root])
+    dirs = (
+        inv.withColumn(
+            "dir",
+            F.expr("substring(rel_path, 1, greatest(length(rel_path) - "
+                   "length(split_part(rel_path, '/', -1)) - 1, 0))"),
+        )
+        .groupBy("dir")
+        .agg(F.sum("size").alias("bytes"), F.count(F.lit(1)).alias("n_files"))
+        .collect()
+    )
+    out_rows = []
+    for r in dirs:
+        src_dir = os.path.join(src_root, r.dir) if r.dir else src_root
+        dest_dir = os.path.join(dest_root, r.dir) if r.dir else dest_root
+        n_out = max(1, math.ceil(r.bytes / target_bytes))
+        df = spark.read.format(fmt).load(src_dir)
+        df.repartition(n_out).write.mode("overwrite").format(fmt).save(dest_dir)
+        out_rows.append((r.dir, int(r.n_files), int(r.bytes), n_out))
+    return spark.createDataFrame(
+        out_rows, "dir string, n_files_in long, bytes long, n_files_out long"
+    )
