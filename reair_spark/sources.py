@@ -1,0 +1,137 @@
+"""Format-agnostic sources and sinks.
+
+The reference moves opaque HDFS files and is format-blind (batch/hdfs/
+ReplicationJob.java copies bytes); the ENGINE-side tables it manages
+are whatever Hive serde the table declares (ThriftHiveMetastoreClient
+Table.sd.serdeInfo). Spark-first, that maps to the DataSource API: one
+`read_table` that dispatches on the catalog record's serde string, and
+sinks that preserve the two publish disciplines the engine guarantees —
+atomic overwrite (ST6) and partition-scoped overwrite (dynamic mode, so
+re-publishing one partition never clobbers its siblings).
+
+Everything here stays declarative: format choice is a reader option,
+so Catalyst keeps pushdown/pruning wherever the format supports it
+(parquet/orc pushdown; csv/json get column pruning only).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+# serde string (catalog B.1 record) → Spark datasource format
+SERDE_FORMATS = {
+    "parquet": "parquet",
+    "orc": "orc",
+    "avro": "avro",        # needs spark-avro on the cluster classpath
+    "text": "text",
+    "csv": "csv",
+    "json": "json",
+}
+
+
+def read_location(
+    spark: SparkSession,
+    location: str,
+    serde: str = "parquet",
+    schema=None,
+    **options,
+) -> DataFrame:
+    """Read one table/partition location with its declared serde.
+    csv defaults to header=true + inferSchema only when no schema is
+    given — at scale ALWAYS pass the catalog schema (inference is a
+    full extra scan)."""
+    fmt = SERDE_FORMATS.get(serde, serde)
+    reader = spark.read.format(fmt)
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif fmt == "csv":
+        options.setdefault("header", "true")
+        options.setdefault("inferSchema", "true")
+    return reader.options(**options).load(location)
+
+
+def read_catalog_table(spark: SparkSession, catalog, db: str, table: str,
+                       **options) -> DataFrame:
+    """Read a MetastoreCatalog table at its recorded location with its
+    recorded serde (partition dirs resolve via the format's partition
+    discovery)."""
+    rec = catalog.get_table(db, table)
+    if rec is None:
+        raise KeyError(f"{db}.{table} does not exist")
+    return read_location(
+        spark, rec["location"], rec.get("serde") or "parquet",
+        basePath=rec["location"], **options,
+    )
+
+
+def write_partitioned(
+    df: DataFrame,
+    location: str,
+    partition_by: list[str],
+    serde: str = "parquet",
+    dynamic: bool = True,
+) -> None:
+    """Partitioned sink with partition-scoped overwrite: with
+    ``dynamic`` (default), an overwrite only replaces the partitions
+    present in ``df`` — re-publishing one day of a 5-year table
+    touches one directory, and a bad upstream filter can't silently
+    truncate the other ~1800 (the sink-side analog of the copy
+    stage's tmp+rename publish)."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode",
+            "dynamic" if dynamic else "static",
+        )
+        (
+            df.write.format(SERDE_FORMATS.get(serde, serde))
+            .partitionBy(*partition_by)
+            .mode("overwrite")
+            .save(location)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def convert_location(
+    spark: SparkSession,
+    src_location: str,
+    dest_location: str,
+    src_serde: str,
+    dest_serde: str,
+    schema=None,
+    partition_by: list[str] | None = None,
+) -> None:
+    """Serde migration for one location (e.g. csv → parquet as part of
+    a warehouse modernization): one declarative read → write, so the
+    whole conversion is a single distributed job with no driver-side
+    row handling."""
+    df = read_location(spark, src_location, src_serde, schema=schema)
+    writer = df.write.format(SERDE_FORMATS.get(dest_serde, dest_serde)).mode(
+        "overwrite"
+    )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(dest_location)
+
+
+def atomic_overwrite(df: DataFrame, location: str, serde: str = "parquet") -> None:
+    """Whole-location overwrite via write-to-temp + directory swap —
+    readers of ``location`` never observe a half-written table even on
+    filesystems without atomic job commit. (Spark's own overwrite
+    deletes before writing; this keeps the old data until the new data
+    is fully materialized — the DistCpWrapper.java:94-98 discipline.)"""
+    import shutil
+    import uuid
+
+    tmp = f"{location.rstrip('/')}_.tmp_{uuid.uuid4().hex[:8]}"
+    df.write.format(SERDE_FORMATS.get(serde, serde)).mode("overwrite").save(tmp)
+    old = f"{location.rstrip('/')}_.old_{uuid.uuid4().hex[:8]}"
+    if os.path.exists(location):
+        os.replace(location, old)
+    os.replace(tmp, location)
+    if os.path.exists(old):
+        shutil.rmtree(old)
