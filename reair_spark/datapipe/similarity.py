@@ -138,10 +138,114 @@ def embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def kmeans_fit(
+    emb: DataFrame, k: int = 4, iters: int = 3
+) -> tuple[DataFrame, DataFrame]:
+    """Lloyd's k-means over an (vec_id, emb array<double>) frame with
+    cosine assignment — the real fit step for the IVF quantizer
+    ("k-means centroids in production", ann_ivf_topk docstring).
+
+    Deterministic throughout: seeds are the k vectors with the
+    smallest portable hash of vec_id (reproducible across engines and
+    cluster sizes — no rand()), and ties break on (cluster) order.
+
+    Plan shape per iteration: centroids are k×dim ≈ nothing, so
+    assignment is a broadcast crossJoin with the cosine folded JVM-side
+    (corpus never shuffles); the update is one shuffle of (cluster,
+    dim) partial sums — map-side combined, so shuffle volume is
+    k×dim×partitions regardless of corpus size. Centroids materialize
+    to the driver each iteration (k×dim values), keeping lineage flat —
+    the same structure MLlib uses. Iterative ⇒ no SQL oracle; the gate
+    runs a rows-only check and pytest asserts algorithmic invariants
+    (complete assignment, argmax self-consistency, determinism).
+
+    Returns (assignments(vec_id, cluster, sim), centroids(cluster,
+    cemb))."""
+    from reair_spark.datapipe.common import portable_hash32
+
+    spark = emb.sparkSession
+    e = emb.select("vec_id", "emb")
+    seeds = (
+        e.orderBy(portable_hash32(F.col("vec_id").cast("string")), "vec_id")
+        .limit(k)
+        .collect()
+    )
+    cent = spark.createDataFrame(
+        [(i, list(r.emb)) for i, r in enumerate(seeds)],
+        "cluster int, cemb array<double>",
+    )
+
+    def assign(cent_df: DataFrame) -> DataFrame:
+        scored = e.crossJoin(F.broadcast(cent_df)).select(
+            "vec_id", "emb", "cluster",
+            cosine(F.col("emb"), F.col("cemb")).alias("sim"),
+        )
+        w = W.partitionBy("vec_id").orderBy(F.desc("sim"), "cluster")
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    for _ in range(iters):
+        assigned = assign(cent)
+        new_rows = (
+            assigned.select("cluster", F.posexplode("emb").alias("pos", "v"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("v").alias("c"))
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                    lambda s: s.c,
+                ).alias("cemb")
+            )
+            .collect()
+        )
+        cent = spark.createDataFrame(
+            [(r.cluster, list(r.cemb)) for r in new_rows],
+            "cluster int, cemb array<double>",
+        )
+
+    return assign(cent).select("vec_id", "cluster", "sim"), cent
+
+
+def embedding_kmeans(spark: SparkSession, sf: str) -> DataFrame:
+    """k-means cluster assignment over the embeddings table (rows-only
+    gate: iterative algorithm, no closed-form SQL)."""
+    assignments, _ = kmeans_fit(_emb(spark, sf), k=4, iters=3)
+    return assignments.select("vec_id", "cluster")
+
+
+def embedding_quantize(spark: SparkSession, sf: str) -> DataFrame:
+    """Int8 symmetric quantization per vector: scale = 127/max|x|,
+    q_i = round(x_i·scale). Emits the scale and the integer L1 mass —
+    enough to reconstruct storage cost and verify the transform.
+    Pure array built-ins (transform/aggregate), fully codegen'd; at
+    100 TB this is a map-only pass that cuts embedding storage 4×."""
+    e = _emb(spark, sf)
+    absmax = F.aggregate(
+        "emb", F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
+    )
+    scale = F.lit(127.0) / absmax
+    q_l1 = F.aggregate(
+        F.transform("emb", lambda x: F.abs(F.round(x * scale))),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return e.select(
+        "vec_id",
+        F.round(scale, 4).alias("scale"),
+        q_l1.cast("long").alias("q_l1"),
+    )
+
+
 SIM_QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "embedding_neardup": embedding_neardup,
+    "embedding_kmeans": embedding_kmeans,
+    "embedding_quantize": embedding_quantize,
 }
 
 _NEARDUP_CORPUS_SQL = """
@@ -155,6 +259,15 @@ FROM embeddings WHERE vec_id % 10 = 0
 """
 
 SIM_ORACLES = {
+    "embedding_quantize": """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+m AS (SELECT vec_id, emb,
+             list_max(list_transform(emb, x -> abs(x))) AS am FROM e)
+SELECT vec_id, round(127.0 / am, 4) AS scale,
+       CAST(list_sum(list_transform(emb, x -> abs(round(x * (127.0 / am)))))
+            AS BIGINT) AS q_l1
+FROM m
+""",
     "ann_cosine_topk": f"""
 SELECT query_id, vec_id, sim FROM (
   SELECT q.vec_id AS query_id, e.vec_id AS vec_id,

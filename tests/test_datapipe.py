@@ -10,6 +10,8 @@ from tests.oracle_check import compare
 
 @pytest.mark.parametrize("name", sorted(DATAPIPE_QUERIES))
 def test_datapipe_matches_oracle(name, spark, duck, sf_dir):
+    if name not in DATAPIPE_ORACLES:
+        pytest.skip(f"{name} is rows-only (no SQL oracle)")
     result = compare(DATAPIPE_QUERIES[name](spark, sf_dir), duck, DATAPIPE_ORACLES[name])
     assert result["rows_match"] and result["cols_match"] and result["hash_match"], (
         f"{name}: {result}"
@@ -65,3 +67,55 @@ def test_multimodal_real_decoder_is_gated():
     if not _HAVE_PIL:
         with pytest.raises(NotImplementedError):
             decode_image_real(b"\x89PNG...")
+
+
+def test_kmeans_invariants(spark, sf_dir):
+    """Deterministic Lloyd's k-means invariants (the synthetic
+    embeddings carry no geometric label structure — within-label
+    cosine ≈ cross-label — so there is no purity to recover; we assert
+    the algorithm, not the data): complete assignment, self-consistent
+    argmax (each vector sits in its max-cosine cluster), non-degenerate
+    clustering, and bit-identical re-runs."""
+    from pyspark.sql import functions as F
+
+    from reair_spark.datapipe.common import cosine
+    from reair_spark.datapipe.similarity import _emb, kmeans_fit
+
+    e = _emb(spark, sf_dir)
+    k = 4
+    assignments, centroids = kmeans_fit(e, k=k, iters=3)
+    n = e.count()
+    assert assignments.count() == n                      # every vector assigned
+    used = assignments.select("cluster").distinct().count()
+    assert 1 < used <= k
+    assert centroids.count() == k
+
+    # self-consistency: assigned sim equals the max sim over all centroids
+    best = (
+        e.crossJoin(F.broadcast(centroids))
+        .select("vec_id", cosine(F.col("emb"), F.col("cemb")).alias("s"))
+        .groupBy("vec_id")
+        .agg(F.max("s").alias("best"))
+    )
+    mism = (
+        assignments.join(best, "vec_id")
+        .where(F.abs(F.col("sim") - F.col("best")) > 1e-12)
+        .count()
+    )
+    assert mism == 0
+
+    again, _ = kmeans_fit(e, k=k, iters=3)
+    a1 = sorted((r.vec_id, r.cluster) for r in assignments.collect())
+    a2 = sorted((r.vec_id, r.cluster) for r in again.collect())
+    assert a1 == a2
+
+
+def test_embedding_quantize_bounds(spark, sf_dir):
+    """scale maps the max-|x| component to exactly 127, so q_l1 is
+    bounded by 127×dim and positive."""
+    from reair_spark.datapipe.similarity import embedding_quantize
+
+    rows = embedding_quantize(spark, sf_dir).collect()
+    assert len(rows) > 0
+    assert all(0 < r.q_l1 <= 127 * 64 for r in rows)
+    assert all(r.scale > 0 for r in rows)
