@@ -383,9 +383,79 @@ WHERE round(len(list_intersect(a.grams, b.grams))
 """
 
 
+DEDUP_CC_ITERS = 2
+
+
+def dedup_components(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup pairs → connected components → canonical keep-list:
+    the decision step of the dedup pipeline (pairs alone don't tell
+    you which copies to drop). Component id = min doc_id reachable in
+    ≤ DEDUP_CC_ITERS hops of label propagation over the MinHash pair
+    graph; keep = (doc_id == component).
+
+    Fixed iteration count keeps the operator closed-form (mechanically
+    unrolled in the oracle — hash-identical by construction) and is
+    sufficient for near-dup graphs, whose components are tiny by
+    nature (a dup cluster of diameter > 2 means transitive-only
+    near-dups, which the Jaccard verify already filtered). A general
+    graph would use alternating large-star/small-star instead. Each
+    hop is one join + one map-side-combined min-agg on the edge list —
+    edges ≈ dup pairs ≪ corpus."""
+    c = _corpus(spark, sf, exact=False).select("doc_id")
+    pairs = dedup_minhash_lsh(spark, sf).select("id_a", "id_b")
+    edges = pairs.union(
+        pairs.select(F.col("id_b"), F.col("id_a"))
+    ).toDF("src", "dst")
+    labels = c.select("doc_id", F.col("doc_id").alias("comp"))
+    for _ in range(DEDUP_CC_ITERS):
+        nb = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("comp").alias("nb_comp"))
+        )
+        labels = (
+            labels.join(nb, labels.doc_id == nb.src, "left")
+            .select(
+                labels.doc_id,
+                F.least(
+                    F.col("comp"), F.coalesce("nb_comp", F.col("comp"))
+                ).alias("comp"),
+            )
+        )
+    return labels.select(
+        "doc_id",
+        F.col("comp").cast("long").alias("component"),
+        (F.col("doc_id") == F.col("comp")).alias("keep"),
+    )
+
+
+def _components_sql() -> str:
+    prop = """
+l{o} AS (
+  SELECT l{i}.doc_id,
+         least(l{i}.comp, coalesce(min(lx.comp), l{i}.comp)) AS comp
+  FROM l{i}
+  LEFT JOIN edges e ON e.src = l{i}.doc_id
+  LEFT JOIN l{i} lx ON lx.doc_id = e.dst
+  GROUP BY l{i}.doc_id, l{i}.comp
+)"""
+    iters = ",".join(prop.format(i=i, o=i + 1) for i in range(DEDUP_CC_ITERS))
+    return f"""
+WITH pairs AS ({_minhash_sql()}),
+cdocs AS ({_corpus_sql(exact=False)}),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+l0 AS (SELECT doc_id, doc_id AS comp FROM cdocs),
+{iters}
+SELECT doc_id, CAST(comp AS BIGINT) AS component, doc_id = comp AS keep
+FROM l{DEDUP_CC_ITERS}
+"""
+
+
 DEDUP_QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_components": dedup_components,
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
 }
@@ -396,6 +466,7 @@ DEDUP_ORACLES = {
         f"FROM ({_corpus_sql(exact=True)}) corpus GROUP BY 1"
     ),
     "dedup_minhash_lsh": _minhash_sql(),
+    "dedup_components": _components_sql(),
     "dedup_simhash": _simhash_sql(),
     "dedup_ngram_jaccard": _ngram_sql(),
 }

@@ -119,3 +119,32 @@ def test_embedding_quantize_bounds(spark, sf_dir):
     assert len(rows) > 0
     assert all(0 < r.q_l1 <= 127 * 64 for r in rows)
     assert all(r.scale > 0 for r in rows)
+
+
+def test_dedup_components_keep_list(spark, sf_dir):
+    """Planted dup x↔x+1M must share a component with the original as
+    canonical (min id), and exactly one keep=True per component."""
+    from pyspark.sql import functions as F
+
+    from reair_spark.datapipe.dedup import dedup_components, dedup_minhash_lsh
+
+    comp = dedup_components(spark, sf_dir).cache()
+    pairs = {(r.id_a, r.id_b) for r in
+             dedup_minhash_lsh(spark, sf_dir).collect()}
+    by_id = {r.doc_id: r for r in comp.collect()}
+    planted = [(a, b) for a, b in pairs if b == a + 1_000_000]
+    assert planted, "minhash found no planted pairs"
+    for a, b in planted:
+        assert by_id[a].component == by_id[b].component
+        # the planted copy can never be canonical: its original (< b)
+        # is in the same component, so the min is below it
+        assert not by_id[b].keep
+    # one keep per component, component id is its min member
+    agg = (
+        comp.groupBy("component")
+        .agg(F.sum(F.col("keep").cast("int")).alias("n_keep"),
+             F.min("doc_id").alias("min_id"))
+        .where((F.col("n_keep") != 1) | (F.col("min_id") != F.col("component")))
+        .count()
+    )
+    assert agg == 0
