@@ -403,9 +403,18 @@ def dedup_components(spark: SparkSession, sf: str) -> DataFrame:
     edges ≈ dup pairs ≪ corpus."""
     c = _corpus(spark, sf, exact=False).select("doc_id")
     pairs = dedup_minhash_lsh(spark, sf).select("id_a", "id_b")
-    edges = pairs.union(
-        pairs.select(F.col("id_b"), F.col("id_a"))
-    ).toDF("src", "dst")
+    # one explode instead of union-of-two-subplans (would run the whole
+    # MinHash lineage twice), then cache: each propagation hop re-joins
+    # the edge list, and edges ≈ dup pairs — tiny even at 100 TB —
+    # while their lineage is the full shingle/LSH pipeline
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+                F.struct(F.col("id_b").alias("src"), F.col("id_a").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst").cache()
     labels = c.select("doc_id", F.col("doc_id").alias("comp"))
     for _ in range(DEDUP_CC_ITERS):
         nb = (

@@ -164,7 +164,11 @@ def kmeans_fit(
     from reair_spark.datapipe.common import portable_hash32
 
     spark = emb.sparkSession
-    e = emb.select("vec_id", "emb")
+    # cache the working set: seeds + every assign/update re-reads it
+    # (2·iters + 2 passes) — the same input caching MLlib's iterative
+    # fits do; at 100 TB this is persist(DISK_ONLY) or a pre-
+    # materialized parquet of just (vec_id, emb)
+    e = emb.select("vec_id", "emb").cache()
     seeds = (
         e.orderBy(portable_hash32(F.col("vec_id").cast("string")), "vec_id")
         .limit(k)
