@@ -197,11 +197,17 @@ WITH files AS (
            AS rel_path,
          CAST(l_quantity AS BIGINT) * 100 AS size
   FROM lineitem
+),
+binned AS (
+  SELECT dir, rel_path, size,
+         floor((sum(size) OVER (PARTITION BY dir ORDER BY rel_path)
+                - size) / 10000) AS bin
+  FROM files WHERE size < 2500
 )
 SELECT dir, rel_path, size,
-       CAST(floor((sum(size) OVER (PARTITION BY dir ORDER BY rel_path)
-                   - size) / 10000) AS BIGINT) AS task
-FROM files WHERE size < 2500
+       CAST(dense_rank() OVER (PARTITION BY dir ORDER BY bin) - 1
+            AS BIGINT) AS task
+FROM binned
 """,
     "replication_schema_diff": """
 WITH n AS (SELECT n_nationkey AS k, lower(n_name) AS t FROM nation),

@@ -172,13 +172,22 @@ def compact_plan(
 
     small = files.where(F.col("size") < small_bytes)
     w = W.partitionBy(dir_col).orderBy("rel_path")
-    return small.select(
+    binned = small.select(
         dir_col,
         "rel_path",
         "size",
         F.floor((F.sum("size").over(w) - F.col("size")) / target_bytes)
-        .cast("long")
-        .alias("task"),
+        .alias("bin"),
+    )
+    # dense-rank the raw window index: a file bigger than the target
+    # spans several windows and would skip ids, leaving "task count"
+    # ≠ max+1 for the executor that maps task → output file
+    wd = W.partitionBy(dir_col).orderBy("bin")
+    return binned.select(
+        dir_col,
+        "rel_path",
+        "size",
+        (F.dense_rank().over(wd) - 1).cast("long").alias("task"),
     )
 
 

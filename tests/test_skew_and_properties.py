@@ -95,3 +95,43 @@ def test_diff_planner_invariants(spark, src, dest):
 
     self_plan = {r.action for r in table_diff(sdf, sdf).collect()}
     assert self_plan <= {"NO_OP"}
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    sizes=st.lists(
+        st.tuples(
+            st.sampled_from(["d1", "d2", "d3"]),
+            st.integers(min_value=1, max_value=500),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    target=st.integers(min_value=50, max_value=400),
+)
+def test_compact_plan_invariants(spark, sizes, target):
+    """For ANY inventory and target size:
+    1. every under-threshold file is assigned exactly once, none other;
+    2. task ids per dir are dense from 0;
+    3. no task exceeds target + its largest member (greedy bound);
+    4. total planned bytes == total small-file bytes."""
+    from reair_spark.plans import compact_plan
+
+    small_bytes = 300
+    rows = [(d, f"f{i:04d}", s) for i, (d, s) in enumerate(sizes)]
+    files = spark.createDataFrame(rows, "dir string, rel_path string, size long")
+    plan = compact_plan(files, small_bytes=small_bytes, target_bytes=target)
+    got = plan.collect()
+
+    expect = {(d, p) for d, p, s in rows if s < small_bytes}
+    assert {(r.dir, r.rel_path) for r in got} == expect
+    assert len(got) == len(expect)
+
+    per_dir: dict[str, dict[int, list[int]]] = {}
+    for r in got:
+        per_dir.setdefault(r.dir, {}).setdefault(r.task, []).append(r.size)
+    for d, tasks in per_dir.items():
+        assert sorted(tasks) == list(range(len(tasks)))
+        for members in tasks.values():
+            assert sum(members) <= target + max(members)
+    assert sum(r.size for r in got) == sum(s for d, p, s in rows if s < small_bytes)
