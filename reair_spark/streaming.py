@@ -98,6 +98,7 @@ def stream_sessionize(
 def funnel_detect(
     events: DataFrame,
     steps: tuple[str, ...] = ("view", "click", "purchase"),
+    ttl_minutes: int | None = None,
 ) -> DataFrame:
     """Ordered-funnel detection per user — CEP-lite pattern matching,
     which Spark has no built-in for (no MATCH_RECOGNIZE) and the
@@ -121,6 +122,11 @@ def funnel_detect(
     ``events`` must be a streaming DataFrame with columns
     (user_id long, event_type string, ts long) — ts in any monotone
     integer unit (ns-epoch here).
+
+    ``ttl_minutes`` bounds state: a key idle that long is dropped
+    (processing-time timeout). Unbounded key spaces — the 100 TB
+    reality — MUST set it or per-user state grows forever; the trade
+    is that a funnel spanning a gap longer than the TTL restarts.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -130,6 +136,9 @@ def funnel_detect(
     def fn(key, pdf_iter, state):
         import pandas as pd
 
+        if ttl_minutes is not None and state.hasTimedOut:
+            state.remove()
+            return
         if state.exists:
             stage, bound = state.get
         else:
@@ -152,9 +161,16 @@ def funnel_detect(
             for _ in pdf_iter:  # drain; user already completed
                 pass
         state.update((stage, bound))
+        if ttl_minutes is not None:
+            state.setTimeoutDuration(ttl_minutes * 60 * 1000)
         if rows:
             yield pd.DataFrame(rows, columns=["user_id", "completed_ts_long"])
 
+    timeout_conf = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_minutes is not None
+        else GroupStateTimeout.NoTimeout
+    )
     return (
         events.select("user_id", "event_type", "ts")
         .where(F.col("event_type").isin(step_list))
@@ -164,7 +180,7 @@ def funnel_detect(
             outputStructType="user_id long, completed_ts_long long",
             stateStructType="stage int, bound long",
             outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=timeout_conf,
         )
     )
 

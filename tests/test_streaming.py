@@ -201,3 +201,44 @@ def test_stream_replicate_end_to_end(spark, tmp_path):
     # replay with same checkpoint: no new batches, no new transitions
     stream_replicate(spark, _stream(), src_root, dest_root, state, ckpt)
     assert spark.read.parquet(f"{state}/replication_jobs").count() == n_transitions
+
+
+def test_funnel_ttl_path(spark, tmp_path):
+    """TTL variant produces the same completions on a bounded stream
+    (no key idles past the TTL during the run) while exercising the
+    ProcessingTimeTimeout wiring."""
+    import glob
+    import uuid
+
+    from reair_spark.streaming import funnel_detect
+
+    events = spark.createDataFrame(
+        [(1, "view", 100), (1, "click", 200), (1, "purchase", 300),
+         (2, "view", 100), (2, "purchase", 150)],  # no click → incomplete
+        "user_id long, event_type string, ts long",
+    )
+    src = str(tmp_path / "ev")
+    events.repartition(1).write.parquet(src)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    name = f"funnel_ttl_{uuid.uuid4().hex[:8]}"
+    # a query with pending processing-time timeouts never terminates on
+    # its own (it keeps scheduling "cleaning up state" batches until
+    # the TTL fires) — poll for the completion row, then stop
+    q = (
+        funnel_detect(stream, ttl_minutes=60)
+        .writeStream.outputMode("update").format("memory").queryName(name)
+        .start()
+    )
+    import time
+
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline and spark.table(name).count() < 1:
+            time.sleep(1)
+    finally:
+        q.stop()
+    rows = spark.table(name).collect()
+    assert [(r.user_id, r.completed_ts_long) for r in rows] == [(1, 300)]
