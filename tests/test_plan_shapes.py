@@ -1,0 +1,100 @@
+"""Physical-plan regression guards: the shapes that make these
+operators scale (pushdown, pruning, broadcast sides, no cartesian
+blowups) — properties row-level correctness tests can't see."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _formatted(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_partition_pruning_reaches_scan(spark, tmp_path):
+    """A filter on a partition column must prune at the source: the
+    scan's partition filters carry the predicate and non-matching
+    partitions are never read."""
+    loc = str(tmp_path / "t")
+    (
+        spark.range(300)
+        .select("id", (F.col("id") % 3).alias("ds"))
+        .write.partitionBy("ds")
+        .parquet(loc)
+    )
+    df = spark.read.parquet(loc).where("ds = 1").select("id")
+    plan = _formatted(df)
+    assert "PartitionFilters" in plan
+    assert "dynamicpruning" in plan or "(ds" in plan  # predicate bound to ds
+    assert df.count() == 100  # only the matching third
+
+
+def test_filter_and_projection_pushdown_lineitem(spark, sf_dir):
+    """q02-style scan: predicates in PushedFilters, projection narrows
+    ReadSchema to the referenced columns only."""
+    from reair_spark.io import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    df = li.where("l_quantity < 5.0").select("l_orderkey", "l_quantity")
+    plan = _formatted(df)
+    assert "PushedFilters" in plan and "LessThan(l_quantity,5.0)" in plan
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_comment" not in read_schema and "l_extendedprice" not in read_schema
+
+
+def test_decontaminate_broadcasts_eval_side(spark, sf_dir):
+    """The train corpus must reach the join as the streamed side; only
+    the (tiny) eval shingle set may build a broadcast."""
+    from reair_spark.datapipe.curate import curate_decontaminate
+
+    plan = _formatted(curate_decontaminate(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan  # train side would pay a full shuffle
+
+
+def test_ann_broadcasts_query_side(spark, sf_dir):
+    """Brute-force ANN: the 5-query side broadcasts; the corpus scan
+    must not shuffle before similarity is computed."""
+    from reair_spark.datapipe.similarity import ann_cosine_topk
+
+    plan = _formatted(ann_cosine_topk(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sample_stratified_is_scan_only(spark, sf_dir):
+    """Deterministic sampling is a map-only predicate: no exchange
+    anywhere in the plan."""
+    from reair_spark.datapipe.curate import curate_sample_stratified
+
+    plan = _formatted(curate_sample_stratified(spark, sf_dir))
+    assert "Exchange" not in plan
+
+
+def test_commit_plan_partitions_by_table(spark):
+    """Commit ordering rides repartition(db, table) +
+    sortWithinPartitions — the plan must show a hash exchange on those
+    keys, not a global sort."""
+    from reair_spark.commit import _enrich
+    from reair_spark.diff import PLAN_COLUMNS
+
+    plan_df = spark.createDataFrame(
+        [("db1", "t1", None, "NO_OP", None, None, True, False, None, None)],
+        "db string, table string, partition_name string, action string, "
+        "src_path string, dest_path string, update_metadata boolean, "
+        "update_data boolean, src_tldt string, dest_tldt string",
+    )
+    ordered = (
+        _enrich(plan_df)
+        .repartition(4, "db", "table")
+        .sortWithinPartitions("db", "table", "partition_name")
+    )
+    plan = _formatted(ordered)
+    assert "hashpartitioning(db" in plan          # exchange keyed on (db, table)
+    assert "rangepartitioning" not in plan.lower()  # no global-sort barrier
