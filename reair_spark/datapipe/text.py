@@ -88,11 +88,62 @@ def text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+TOP_TERMS = 3
+TOP_TOKENS = 20
+
+
+def text_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-wide top-N token frequencies — the vocabulary profile a
+    tokenizer/quality pipeline starts from. Exact two-stage count (map-
+    side combine on (token) then one small shuffle) + driver-merged
+    top-N; at 100 TB the candidate set after partial aggregation is
+    |vocab|, not |corpus|, and the sketch path (count-min) only matters
+    when vocab itself won't fit — not the case for word-level."""
+    d = widen(_t(spark, sf, "documents"), spark)
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(TOP_TOKENS)
+    )
+
+
+def text_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document top-k terms by tf-idf (tf = in-doc count, idf =
+    ln((N+1)/(df+1))): the standard salient-term extraction. Two
+    shuffles total — (doc, token) counts, then token → df join — with
+    the df table broadcast (|vocab| rows). Ordering uses the rounded
+    score + token tie-break so ranks are reproducible cross-engine."""
+    from pyspark.sql import Window as W
+
+    d = widen(_t(spark, sf, "documents"), spark)
+    n_docs = d.count()
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(F.broadcast(df_), "token").select(
+        "doc_id",
+        "token",
+        F.round(
+            F.col("tf") * F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)), 4
+        ).alias("tfidf"),
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), "token")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_TERMS)
+        .select("doc_id", "token", "tfidf", F.col("rank").cast("long").alias("rank"))
+    )
+
+
 TEXT_QUERIES = {
     "text_token_count": text_token_count,
     "text_quality_score": text_quality_score,
     "text_lang_id": text_lang_id,
     "text_fingerprint": text_fingerprint,
+    "text_heavy_hitters": text_heavy_hitters,
+    "text_tfidf_top_terms": text_tfidf_top_terms,
 }
 
 
@@ -129,6 +180,28 @@ TEXT_ORACLES = {
         "FROM documents"
     ),
     "text_lang_id": _lang_case_sql(),
+    "text_heavy_hitters": (
+        "SELECT token, CAST(count(*) AS BIGINT) AS n FROM "
+        "(SELECT unnest(string_split(text, ' ')) AS token FROM documents) t "
+        "GROUP BY token ORDER BY n DESC, token LIMIT 20"
+    ),
+    "text_tfidf_top_terms": """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+             FROM documents),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+dfx AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token,
+         round(tf.tf * ln((n.n_docs + 1.0) / (dfx.df + 1.0)), 4) AS tfidf
+  FROM tf JOIN dfx ON tf.token = dfx.token CROSS JOIN n
+)
+SELECT doc_id, token, tfidf, CAST(rnk AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, token) AS rnk
+      FROM scored) s
+WHERE rnk <= 3
+""",
     "text_fingerprint": (
         f"SELECT doc_id, md5({_CANON_SQL}) AS fp, "
         f"{portable_hash32_sql(_CANON_SQL)} AS shard_hash FROM documents"

@@ -118,6 +118,32 @@ def convert_location(
     writer.save(dest_location)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    path: str | None = None,
+    sort_cols: list[str] | None = None,
+    serde: str = "parquet",
+) -> None:
+    """Bucketed table sink: co-locates rows by hash(bucket_cols) at
+    WRITE time, so later equi-joins and aggregations on those keys run
+    with ZERO exchange — the write pays the shuffle once, every
+    downstream join skips it. This is the 100 TB answer for a fact
+    table joined on the same key daily; pick n_buckets ≈ cluster
+    cores × small multiple. Requires a catalog table (bucket metadata
+    lives there); pass ``path`` to keep the data external."""
+    w = df.write.format(SERDE_FORMATS.get(serde, serde)).bucketBy(
+        n_buckets, *bucket_cols
+    )
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    if path:
+        w = w.option("path", path)
+    w.mode("overwrite").saveAsTable(table)
+
+
 def atomic_overwrite(df: DataFrame, location: str, serde: str = "parquet") -> None:
     """Whole-location overwrite via write-to-temp + directory swap —
     readers of ``location`` never observe a half-written table even on

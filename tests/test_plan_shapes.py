@@ -98,3 +98,32 @@ def test_commit_plan_partitions_by_table(spark):
     plan = _formatted(ordered)
     assert "hashpartitioning(db" in plan          # exchange keyed on (db, table)
     assert "rangepartitioning" not in plan.lower()  # no global-sort barrier
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Two tables bucketed on the join key: the sort-merge join must
+    read bucket-aligned scans with NO exchange on either side — the
+    write paid the shuffle once; every later join skips it."""
+    from reair_spark.sources import write_bucketed
+
+    a = spark.range(1000).select("id", (F.col("id") * 2).alias("va"))
+    b = spark.range(1000).select("id", (F.col("id") * 3).alias("vb"))
+    write_bucketed(a, "bkt_a", ["id"], 8, path=str(tmp_path / "a"),
+                   sort_cols=["id"])
+    write_bucketed(b, "bkt_b", ["id"], 8, path=str(tmp_path / "b"),
+                   sort_cols=["id"])
+    try:
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = spark.table("bkt_a").join(spark.table("bkt_b"), "id")
+            plan = _formatted(joined)
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan
+            assert "SelectedBucketsCount: 8 out of 8" in plan
+            assert joined.count() == 1000
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")
