@@ -137,6 +137,57 @@ def text_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# quality-rule bounds (Gopher-style): docs outside any bound are
+# dropped with the FIRST failing rule as the reason
+MIN_WORDS, MAX_WORDS = 10, 1000
+MAX_DUP_2GRAM = 0.60  # fraction of repeated word-bigrams
+MIN_ALPHA_RATIO = 0.60
+
+
+def text_quality_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """Rule-based quality filter with per-doc verdicts: word-count
+    bounds, duplicate-bigram ratio (boilerplate/repetition signal),
+    and alpha ratio — the cheap rule chain every corpus pass runs
+    before expensive dedup/scoring. One map-only pass: every feature
+    is array/regexp arithmetic on the row, so the filter runs at scan
+    speed and pushes nothing to a shuffle."""
+    d = widen(_t(spark, sf, "documents"), spark)
+    tok = F.split("text", " ")
+    n_words = F.size(tok)
+    # NB: for a 1-word doc the bigram list degenerates (out-of-range
+    # element_at) and Spark/DuckDB disagree on the null handling; the
+    # corpus generator guarantees ≥10 words, and such a doc is
+    # 'too_short' regardless
+    grams2 = F.expr(
+        "transform(sequence(1, greatest(size(split(text, ' ')) - 1, 1)), "
+        "i -> concat_ws(' ', element_at(split(text, ' '), i), "
+        "element_at(split(text, ' '), i + 1)))"
+    )
+    dup2 = F.round(
+        1.0 - F.size(F.array_distinct(grams2)) / F.size(grams2).cast("double"), 4
+    )
+    alpha = F.round(
+        F.regexp_count(F.col("text"), F.lit("[a-zA-Z]"))
+        / F.length("text").cast("double"),
+        4,
+    )
+    reason = (
+        F.when(n_words < MIN_WORDS, "too_short")
+        .when(n_words > MAX_WORDS, "too_long")
+        .when(dup2 > MAX_DUP_2GRAM, "repetitive")
+        .when(alpha < MIN_ALPHA_RATIO, "low_alpha")
+        .otherwise("ok")
+    )
+    return d.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        dup2.alias("dup_2gram"),
+        alpha.alias("alpha_ratio"),
+        reason.alias("verdict"),
+        (reason == "ok").alias("keep"),
+    )
+
+
 TEXT_QUERIES = {
     "text_token_count": text_token_count,
     "text_quality_score": text_quality_score,
@@ -144,6 +195,7 @@ TEXT_QUERIES = {
     "text_fingerprint": text_fingerprint,
     "text_heavy_hitters": text_heavy_hitters,
     "text_tfidf_top_terms": text_tfidf_top_terms,
+    "text_quality_filter": text_quality_filter,
 }
 
 
@@ -180,6 +232,33 @@ TEXT_ORACLES = {
         "FROM documents"
     ),
     "text_lang_id": _lang_case_sql(),
+    "text_quality_filter": f"""
+WITH feats AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_words,
+         round(1.0 - len(list_distinct(g2)) / CAST(len(g2) AS DOUBLE), 4)
+           AS dup_2gram,
+         round(len(regexp_extract_all(text, '[a-zA-Z]'))
+               / CAST(length(text) AS DOUBLE), 4) AS alpha_ratio
+  FROM (SELECT doc_id, text,
+               list_transform(range(1, greatest(len(string_split(text, ' ')) - 1, 1) + 1),
+                              i -> string_split(text, ' ')[i] || ' ' ||
+                                   string_split(text, ' ')[i + 1]) AS g2
+        FROM documents) b
+)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, dup_2gram, alpha_ratio,
+       CASE WHEN n_words < {MIN_WORDS} THEN 'too_short'
+            WHEN n_words > {MAX_WORDS} THEN 'too_long'
+            WHEN dup_2gram > {MAX_DUP_2GRAM} THEN 'repetitive'
+            WHEN alpha_ratio < {MIN_ALPHA_RATIO} THEN 'low_alpha'
+            ELSE 'ok' END AS verdict,
+       (CASE WHEN n_words < {MIN_WORDS} THEN 'too_short'
+             WHEN n_words > {MAX_WORDS} THEN 'too_long'
+             WHEN dup_2gram > {MAX_DUP_2GRAM} THEN 'repetitive'
+             WHEN alpha_ratio < {MIN_ALPHA_RATIO} THEN 'low_alpha'
+             ELSE 'ok' END) = 'ok' AS keep
+FROM feats
+""",
     "text_heavy_hitters": (
         "SELECT token, CAST(count(*) AS BIGINT) AS n FROM "
         "(SELECT unnest(string_split(text, ' ')) AS token FROM documents) t "
