@@ -7,6 +7,10 @@ three executables (SURVEY.md top table):
       batch/hdfs ReplicationJob equivalent (directory sync)
   python -m reair_spark incremental <events_parquet> <src_wh> <dest_wh> <state_dir>
       ReplicationLauncher equivalent (audit-log driven incremental)
+  python -m reair_spark compact <src_root> <dest_root> [--target-mb N]
+      small-file compaction (non-destructive rewrite under dest_root)
+  python -m reair_spark convert <src> <dest> --from-serde csv --to-serde parquet
+      serde migration for one location
 """
 
 from __future__ import annotations
@@ -49,6 +53,19 @@ def main(argv: list[str] | None = None) -> int:
                      help="run as a Structured Streaming query "
                           "(availableNow trigger, checkpointed) instead "
                           "of the polling loop")
+
+    cmp = sub.add_parser("compact", help="small-file compaction")
+    cmp.add_argument("src_root")
+    cmp.add_argument("dest_root")
+    cmp.add_argument("--target-mb", type=int, default=256,
+                     help="output file size target (MB)")
+
+    conv = sub.add_parser("convert", help="serde migration for one location")
+    conv.add_argument("src")
+    conv.add_argument("dest")
+    conv.add_argument("--from-serde", required=True)
+    conv.add_argument("--to-serde", required=True)
+    conv.add_argument("--partition-by", nargs="*", default=[])
 
     args = p.parse_args(argv)
 
@@ -122,6 +139,30 @@ def main(argv: list[str] | None = None) -> int:
             batch_size=args.batch_size, max_batches=args.max_batches,
         )
         print(json.dumps({"last_id": res["last_id"], "batches": res["batches"]}))
+        return 0
+
+    if args.cmd == "compact":
+        from reair_spark.plans import execute_compaction
+
+        out = execute_compaction(
+            spark, args.src_root, args.dest_root,
+            target_bytes=args.target_mb * 1024 * 1024,
+        )
+        print(json.dumps({
+            r.dir or ".": {"files_in": r.n_files_in, "bytes": r.bytes,
+                           "files_out": r.n_files_out}
+            for r in out.collect()
+        }))
+        return 0
+
+    if args.cmd == "convert":
+        from reair_spark.sources import convert_location
+
+        convert_location(
+            spark, args.src, args.dest, args.from_serde, args.to_serde,
+            partition_by=args.partition_by or None,
+        )
+        print(json.dumps({"converted": args.dest, "serde": args.to_serde}))
         return 0
 
     return 2
