@@ -111,7 +111,71 @@ def exact_stats(spark: SparkSession, sf: str) -> DataFrame:
     return med.crossJoin(n_parts).crossJoin(n_supps)
 
 
+def _revenue():
+    """Exact decimal revenue: float sums of this magnitude can flip
+    the 2nd decimal between engines (summation order); decimal
+    arithmetic is exact on both, so the rounded result is identical."""
+    price = F.col("l_extendedprice").cast("decimal(18,4)")
+    disc = F.col("l_discount").cast("decimal(18,4)")
+    return F.sum(price * (F.lit(1).cast("decimal(18,4)") - disc))
+
+
+_REV_SQL = (
+    "sum(CAST(l_extendedprice AS DECIMAL(18,4)) * "
+    "(CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))"
+)
+
+
+def tpch_q3_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join with a selective dim side. Customer
+    (filtered) broadcasts; orders⋈lineitem is the only real shuffle;
+    top-10 compiles to TakeOrderedAndProject (per-partition top-k)."""
+    c = _t(spark, sf, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf, "orders").where(F.col("o_orderdate") < "1998-01-01")
+    li = _t(spark, sf, "lineitem").where(F.col("l_shipdate") > "1998-01-01")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(_revenue().cast("double"), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+def tpch_q5_local_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join; all dims (region→nation→customer/
+    supplier) broadcast, the fact side shuffles once for the final
+    per-nation agg. The c_nationkey = s_nationkey local-supplier
+    constraint rides the join."""
+    r = _t(spark, sf, "region").where(F.col("r_name") == "ASIA")
+    n = _t(spark, sf, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    c = _t(spark, sf, "customer")
+    s = _t(spark, sf, "supplier")
+    o = _t(spark, sf, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(
+            F.broadcast(c),
+            (o.o_custkey == c.c_custkey)
+            & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.round(_revenue().cast("double"), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
 EXTRA_QUERIES = {
+    "tpch_q3_shipping_priority": tpch_q3_shipping_priority,
+    "tpch_q5_local_supplier": tpch_q5_local_supplier,
     "asof_orders_events": asof_orders_events,
     "sessionize_events": sessionize_events,
     "cube_counts": cube_counts,
@@ -129,6 +193,33 @@ FROM events GROUP BY 1, 2
 """
 
 EXTRA_ORACLES = {
+    "tpch_q3_shipping_priority": f"""
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       round(CAST({_REV_SQL} AS DOUBLE), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+""",
+    "tpch_q5_local_supplier": f"""
+SELECT n_name, round(CAST({_REV_SQL} AS DOUBLE), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+""",
     # DuckDB's native ASOF JOIN checks the union+window implementation
     "asof_orders_events": f"""
 WITH ev AS ({_EV_DAYS_SQL})
