@@ -111,6 +111,27 @@ def exact_stats(spark: SparkSession, sf: str) -> DataFrame:
     return med.crossJoin(n_parts).crossJoin(n_supps)
 
 
+def events_moving_average(spark: SparkSession, sf: str) -> DataFrame:
+    """7-row moving average over the daily event rollup — window-FRAME
+    coverage (ROWS BETWEEN), which the rest of the surface's windows
+    (row_number/lag/last) don't exercise. The unpartitioned window runs
+    AFTER the day-level aggregation, so its input is |days| rows —
+    metadata scale — regardless of corpus size; the heavy lifting is
+    the map-side-combined daily count."""
+    from pyspark.sql import Window as W
+
+    e = _t(spark, sf, "events")
+    daily = e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = W.orderBy("day").rowsBetween(-6, 0)
+    return daily.select(
+        "day",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.avg("n").over(w), 2).alias("ma7"),
+    )
+
+
 def _revenue():
     """Exact decimal revenue: float sums of this magnitude can flip
     the 2nd decimal between engines (summation order); decimal
@@ -174,6 +195,7 @@ def tpch_q5_local_supplier(spark: SparkSession, sf: str) -> DataFrame:
 
 
 EXTRA_QUERIES = {
+    "events_moving_average": events_moving_average,
     "tpch_q3_shipping_priority": tpch_q3_shipping_priority,
     "tpch_q5_local_supplier": tpch_q5_local_supplier,
     "asof_orders_events": asof_orders_events,
@@ -193,6 +215,17 @@ FROM events GROUP BY 1, 2
 """
 
 EXTRA_ORACLES = {
+    "events_moving_average": """
+WITH daily AS (
+  SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+)
+SELECT day, n,
+       round(avg(n) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING
+                          AND CURRENT ROW), 2) AS ma7
+FROM daily
+""",
     "tpch_q3_shipping_priority": f"""
 SELECT l_orderkey, o_orderdate, o_orderpriority,
        round(CAST({_REV_SQL} AS DOUBLE), 2) AS revenue
