@@ -156,7 +156,16 @@ def stream_funnel_q(spark: SparkSession, sf: str) -> DataFrame:
     return stream_funnel(spark, sf)
 
 
+def stream_interval_join_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-stream watermarked interval join through the correctness
+    gate (drained bounded streams == batch interval join)."""
+    from reair_spark.streaming import stream_order_event_join
+
+    return stream_order_event_join(spark, sf)
+
+
 ENGINE_QUERIES = {
+    "stream_interval_join": stream_interval_join_q,
     "replication_table_diff": replication_table_diff,
     "replication_schema_diff": replication_schema_diff,
     "replication_compact_plan": replication_compact_plan,
@@ -189,6 +198,19 @@ SELECT coalesce(s.db, d.db) AS db, coalesce(s.t, d.t) AS "table",
             THEN TRUE ELSE FALSE END AS update_metadata,
        CASE WHEN d.t IS NULL AND s.t IS NOT NULL THEN TRUE ELSE FALSE END AS update_data
 FROM src s FULL OUTER JOIN dest d ON s.t = d.t
+""",
+    "stream_interval_join": """
+WITH ev AS (
+  SELECT event_id, user_id,
+         TIMESTAMP '1992-01-01 00:00:00'
+           + INTERVAL ((event_id % 2400) * 86400) SECOND AS ets
+  FROM events
+)
+SELECT o.o_orderkey, e.event_id, e.ets
+FROM orders o JOIN ev e
+  ON e.user_id = o.o_custkey
+ AND e.ets >= o.o_orderdate
+ AND e.ets < o.o_orderdate + INTERVAL 2 DAY
 """,
     "replication_compact_plan": """
 WITH files AS (

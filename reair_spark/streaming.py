@@ -210,6 +210,50 @@ def stream_funnel(
     )
 
 
+def stream_order_event_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval inner join — orders stream ⋈ events
+    stream on (customer, event-time ∈ [order-time, +2 days)), both
+    sides watermarked so the join state is bounded: an order's buffer
+    entry is dropped once the event watermark passes its 2-day window
+    (Spark derives the state cleanup from the time-range predicate).
+    Inner joins emit eagerly, so draining the bounded streams yields
+    exactly the batch join — oracle-checkable. Event days are remapped
+    onto the order date domain exactly as `asof_orders_events` does
+    (deterministic event_id → day mapping)."""
+    ev = stream_events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        (
+            F.lit("1992-01-01 00:00:00").cast("timestamp")
+            + F.make_interval(secs=(F.col("event_id") % 2400) * 86400)
+        ).alias("ets"),
+    )
+    raw_orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).schema
+    orders = (
+        spark.readStream.schema(raw_orders)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "orders.parquet")
+        .parquet(sf_dir)
+        # parquet NTZ → TIMESTAMP: watermarks require an instant type;
+        # the session is pinned UTC so the cast is value-preserving
+        .select(
+            "o_orderkey", "o_custkey",
+            F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
+        )
+    )
+    j = (
+        orders.withWatermark("o_orderdate", "1 day")
+        .join(
+            ev.withWatermark("ets", "1 day"),
+            (F.col("o_custkey") == F.col("user_id"))
+            & (F.col("ets") >= F.col("o_orderdate"))
+            & (F.col("ets") < F.col("o_orderdate") + F.expr("INTERVAL 2 DAYS")),
+        )
+        .select("o_orderkey", "event_id", "ets")
+    )
+    return _run_to_memory(j, "append")
+
+
 def stream_replicate(
     spark: SparkSession,
     events_stream: DataFrame,

@@ -242,3 +242,28 @@ def test_funnel_ttl_path(spark, tmp_path):
         q.stop()
     rows = spark.table(name).collect()
     assert [(r.user_id, r.completed_ts_long) for r in rows] == [(1, 300)]
+
+
+def test_stream_interval_join_matches_batch(spark, sf_dir):
+    """Drained bounded stream-stream interval join == batch interval
+    join (inner joins emit eagerly; nothing is held past the drain)."""
+    from pyspark.sql import functions as F
+
+    from reair_spark.io import load_table
+    from reair_spark.streaming import stream_order_event_join
+
+    got = stream_order_event_join(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id",
+        (F.lit("1992-01-01 00:00:00").cast("timestamp")
+         + F.make_interval(secs=(F.col("event_id") % 2400) * 86400)).alias("ets"),
+    )
+    o = load_table(spark, sf_dir, "orders")
+    batch = o.join(
+        ev,
+        (o.o_custkey == ev.user_id)
+        & (ev.ets >= o.o_orderdate)
+        & (ev.ets < o.o_orderdate + F.expr("INTERVAL 2 DAYS")),
+    ).select("o_orderkey", "event_id")
+    assert sorted((r.o_orderkey, r.event_id) for r in got.collect()) == \
+        sorted((r.o_orderkey, r.event_id) for r in batch.collect())
