@@ -164,8 +164,17 @@ def stream_interval_join_q(spark: SparkSession, sf: str) -> DataFrame:
     return stream_order_event_join(spark, sf)
 
 
+def stream_dedup_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming dedup-within-watermark through the gate (duplicated
+    delivery → drained distinct == the unique events table)."""
+    from reair_spark.streaming import stream_dedup_events
+
+    return stream_dedup_events(spark, sf)
+
+
 ENGINE_QUERIES = {
     "stream_interval_join": stream_interval_join_q,
+    "stream_dedup": stream_dedup_q,
     "replication_table_diff": replication_table_diff,
     "replication_schema_diff": replication_schema_diff,
     "replication_compact_plan": replication_compact_plan,
@@ -199,6 +208,7 @@ SELECT coalesce(s.db, d.db) AS db, coalesce(s.t, d.t) AS "table",
        CASE WHEN d.t IS NULL AND s.t IS NOT NULL THEN TRUE ELSE FALSE END AS update_data
 FROM src s FULL OUTER JOIN dest d ON s.t = d.t
 """,
+    "stream_dedup": "SELECT event_id, user_id FROM events",
     "stream_interval_join": """
 WITH ev AS (
   SELECT event_id, user_id,

@@ -111,6 +111,31 @@ def exact_stats(spark: SparkSession, sf: str) -> DataFrame:
     return med.crossJoin(n_parts).crossJoin(n_supps)
 
 
+def rollup_status_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """ROLLUP grouping-set hierarchy with grouping_id — the subtotal
+    ladder (status×priority → status → grand total) in ONE pass; the
+    Expand operator replays each row per grouping set map-side, so the
+    shuffle carries partial aggregates for all levels at once."""
+    o = _t(spark, sf, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.grouping_id().cast("long").alias("gid"),
+    )
+
+
+def skew_salted_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """The skew.salted_agg two-stage aggregation through the gate:
+    per-event-type stats where one hot key would otherwise pin a whole
+    group on one task. Values floor to integers first so the sums are
+    exact and engine-order-independent."""
+    from reair_spark.skew import salted_agg
+
+    e = _t(spark, sf, "events").select(
+        "event_type", F.floor("value").cast("long").alias("v")
+    )
+    return salted_agg(e, "event_type", "v", salts=16)
+
+
 def events_moving_average(spark: SparkSession, sf: str) -> DataFrame:
     """7-row moving average over the daily event rollup — window-FRAME
     coverage (ROWS BETWEEN), which the rest of the surface's windows
@@ -195,6 +220,8 @@ def tpch_q5_local_supplier(spark: SparkSession, sf: str) -> DataFrame:
 
 
 EXTRA_QUERIES = {
+    "rollup_status_priority": rollup_status_priority,
+    "skew_salted_stats": skew_salted_stats,
     "events_moving_average": events_moving_average,
     "tpch_q3_shipping_priority": tpch_q3_shipping_priority,
     "tpch_q5_local_supplier": tpch_q5_local_supplier,
@@ -215,6 +242,19 @@ FROM events GROUP BY 1, 2
 """
 
 EXTRA_ORACLES = {
+    "rollup_status_priority": (
+        "SELECT o_orderstatus, o_orderpriority, "
+        "CAST(count(*) AS BIGINT) AS n, "
+        "CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid "
+        "FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)"
+    ),
+    "skew_salted_stats": """
+WITH v AS (SELECT event_type, CAST(floor(value) AS BIGINT) AS v FROM events)
+SELECT event_type, CAST(sum(v) AS BIGINT) AS sum_val,
+       CAST(count(*) AS BIGINT) AS cnt,
+       CAST(min(v) AS BIGINT) AS min_val, CAST(max(v) AS BIGINT) AS max_val
+FROM v GROUP BY event_type
+""",
     "events_moving_average": """
 WITH daily AS (
   SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,

@@ -254,6 +254,30 @@ def stream_order_event_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(j, "append")
 
 
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup — ``dropDuplicatesWithinWatermark`` keyed
+    on event_id, with the dedup state evicted once the watermark passes
+    (bounded memory on an infinite stream; plain dropDuplicates would
+    hold every key forever). Duplicate delivery is simulated by
+    unioning two independent readers of the same source — the at-least-
+    once shape of any real bus — and the drained output equals the
+    batch distinct."""
+    def one_reader():
+        return stream_events(spark, sf_dir).select(
+            "event_id",
+            "user_id",
+            F.timestamp_micros(F.expr("ts DIV 1000")).alias("ts"),
+        )
+
+    doubled = one_reader().union(one_reader())
+    out = (
+        doubled.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id")
+    )
+    return _run_to_memory(out, "append")
+
+
 def stream_replicate(
     spark: SparkSession,
     events_stream: DataFrame,
