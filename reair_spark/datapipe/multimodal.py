@@ -122,12 +122,50 @@ def multimodal_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+RESIZE_STRIDE = 4  # stub "resize": keep every 4th byte (≈ 1/4 scale)
+
+
+def multimodal_resize(spark: SparkSession, sf: str) -> DataFrame:
+    """Resize over the binary media column via mapInPandas: real byte
+    work per Arrow batch (strided downsample stands in for the pixel
+    resample — a real deployment swaps the marked line for
+    decode_image_real + PIL resize + re-encode). The observable
+    contract (output sizes, scale) is closed-form, so the oracle
+    checks it exactly while the byte plumbing runs for real."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                data = bytes(payload)
+                small = data[::RESIZE_STRIDE]  # stub: real = decode+resize+encode
+                rows.append((int(doc_id), len(data), len(small)))
+            yield _pd.DataFrame(
+                rows, columns=["doc_id", "orig_bytes", "resized_bytes"]
+            )
+
+    media = with_media_column(_t(spark, sf, "documents"))
+    return media.mapInPandas(
+        resize, schema="doc_id long, orig_bytes long, resized_bytes long"
+    )
+
+
 MM_QUERIES = {
     "multimodal_features": multimodal_features,
     "multimodal_frame_sample": multimodal_frame_sample,
+    "multimodal_resize": multimodal_resize,
 }
 
 MM_ORACLES = {
+    # ASCII text → byte length == char length; strided slice keeps
+    # ceil(n / stride) bytes
+    "multimodal_resize": (
+        "SELECT doc_id, CAST(length(text) AS BIGINT) AS orig_bytes, "
+        f"CAST(ceil(length(text) / {RESIZE_STRIDE}.0) AS BIGINT) AS resized_bytes "
+        "FROM documents"
+    ),
     # text is ASCII → UTF-8 byte stats == codepoint stats
     "multimodal_features": (
         "SELECT doc_id, length(text) AS byte_len, "
