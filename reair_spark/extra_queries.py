@@ -111,6 +111,22 @@ def exact_stats(spark: SparkSession, sf: str) -> DataFrame:
     return med.crossJoin(n_parts).crossJoin(n_supps)
 
 
+def json_props_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """JSON extraction in the hot path (X2/X3 over real data): pull a
+    typed field out of the events' JSON props column and aggregate per
+    event type. get_json_object is JVM-side (Jackson) — no Python in
+    the loop — and the extraction runs inside the scan's codegen
+    stage, so a 100 TB events table pays one pass."""
+    e = _t(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return e.groupBy("event_type").agg(
+        F.count(k).cast("long").alias("n_k"),
+        F.sum(k).cast("long").alias("sum_k"),
+        F.min(k).cast("long").alias("min_k"),
+        F.max(k).cast("long").alias("max_k"),
+    )
+
+
 def rollup_status_priority(spark: SparkSession, sf: str) -> DataFrame:
     """ROLLUP grouping-set hierarchy with grouping_id — the subtotal
     ladder (status×priority → status → grand total) in ONE pass; the
@@ -220,6 +236,7 @@ def tpch_q5_local_supplier(spark: SparkSession, sf: str) -> DataFrame:
 
 
 EXTRA_QUERIES = {
+    "json_props_stats": json_props_stats,
     "rollup_status_priority": rollup_status_priority,
     "skew_salted_stats": skew_salted_stats,
     "events_moving_average": events_moving_average,
@@ -242,6 +259,15 @@ FROM events GROUP BY 1, 2
 """
 
 EXTRA_ORACLES = {
+    "json_props_stats": """
+WITH k AS (SELECT event_type,
+                  CAST(json_extract_string(props, '$.k') AS BIGINT) AS kv
+           FROM events)
+SELECT event_type, CAST(count(kv) AS BIGINT) AS n_k,
+       CAST(sum(kv) AS BIGINT) AS sum_k,
+       CAST(min(kv) AS BIGINT) AS min_k, CAST(max(kv) AS BIGINT) AS max_k
+FROM k GROUP BY event_type
+""",
     "rollup_status_priority": (
         "SELECT o_orderstatus, o_orderpriority, "
         "CAST(count(*) AS BIGINT) AS n, "
