@@ -181,13 +181,18 @@ def compact_plan(
     )
     # dense-rank the raw window index: a file bigger than the target
     # spans several windows and would skip ids, leaving "task count"
-    # ≠ max+1 for the executor that maps task → output file
+    # ≠ max+1 for the executor that maps task → output file. Rank the
+    # DISTINCT (dir, bin) set — |bins| ≈ bytes/target, orders of
+    # magnitude below |files| — and broadcast it back, instead of
+    # dense_rank over every file row (which would re-sort the full
+    # inventory a second time).
+    bins = binned.select(dir_col, "bin").distinct()
     wd = W.partitionBy(dir_col).orderBy("bin")
-    return binned.select(
-        dir_col,
-        "rel_path",
-        "size",
-        (F.dense_rank().over(wd) - 1).cast("long").alias("task"),
+    ranked = bins.withColumn(
+        "task", (F.row_number().over(wd) - 1).cast("long")
+    )
+    return binned.join(F.broadcast(ranked), [dir_col, "bin"]).select(
+        dir_col, "rel_path", "size", "task"
     )
 
 

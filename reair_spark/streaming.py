@@ -210,7 +210,9 @@ def stream_funnel(
     )
 
 
-def stream_order_event_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_order_event_join(
+    spark: SparkSession, sf_dir: str, state_partitions: int = 8
+) -> DataFrame:
     """Stream-stream interval inner join — orders stream ⋈ events
     stream on (customer, event-time ∈ [order-time, +2 days)), both
     sides watermarked so the join state is bounded: an order's buffer
@@ -251,7 +253,15 @@ def stream_order_event_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("o_orderkey", "event_id", "ets")
     )
-    return _run_to_memory(j, "append")
+    # pin the join's state-store count (same rationale as stream_funnel:
+    # fixed at first checkpoint; 32 stores × ~4 state sub-stores per
+    # stream-stream join dominates a bounded run's wall clock)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        return _run_to_memory(j, "append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -275,7 +285,12 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicatesWithinWatermark(["event_id"])
         .select("event_id", "user_id")
     )
-    return _run_to_memory(out, "append")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        return _run_to_memory(out, "append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def stream_replicate(
