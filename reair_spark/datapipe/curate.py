@@ -147,7 +147,67 @@ def curate_pii_mask(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def curate_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """The canonical corpus-curation DAG as ONE composed DataFrame
+    program: quality filter → exact-dedup keep-list → stratified
+    sample → sequence packing, reporting per-language yield (docs,
+    bins, tokens). Each stage is the already-gated operator logic;
+    composing them declaratively lets Catalyst pipeline the map-only
+    stages (filter, dedup hash, sample predicate are ONE codegen stage
+    over the scan) and keeps the only shuffles at the dedup groupBy
+    and the per-language pack window — the same plan a 100 TB curation
+    run wants."""
+    from pyspark.sql import Window as W
+
+    d = _t(spark, sf, "documents")
+    tok = F.split("text", " ")
+
+    # stage 1: quality (inline the filter's keep predicate)
+    n_words = F.size(tok)
+    grams2 = F.expr(
+        "transform(sequence(1, greatest(size(split(text, ' ')) - 1, 1)), "
+        "i -> concat_ws(' ', element_at(split(text, ' '), i), "
+        "element_at(split(text, ' '), i + 1)))"
+    )
+    dup2 = 1.0 - F.size(F.array_distinct(grams2)) / F.size(grams2).cast("double")
+    alpha = F.regexp_count(F.col("text"), F.lit("[a-zA-Z]")) / F.length(
+        "text"
+    ).cast("double")
+    quality_ok = (
+        (n_words >= 10) & (n_words <= 1000) & (dup2 <= 0.60) & (alpha >= 0.60)
+    )
+    kept = d.where(quality_ok)
+
+    # stage 2: exact dedup — canonical fingerprint, min doc_id survives
+    canon = F.concat_ws(" ", F.array_sort(F.array_distinct(tok)))
+    fp = kept.select("doc_id", "lang", F.size(tok).alias("n_tok"), F.md5(canon).alias("fp"))
+    wdup = W.partitionBy("fp").orderBy("doc_id")
+    surv = fp.withColumn("rn", F.row_number().over(wdup)).where(F.col("rn") == 1)
+
+    # stage 3: deterministic stratified sample
+    rate_expr = None
+    for lang, r in SAMPLE_RATES.items():
+        rate_expr = (
+            F.when(F.col("lang") == lang, r)
+            if rate_expr is None
+            else rate_expr.when(F.col("lang") == lang, r)
+        )
+    sampled = surv.where(_sample_hash(F.col("doc_id")) < rate_expr.otherwise(0))
+
+    # stage 4: pack into PACK_CTX-token windows per language
+    wp = W.partitionBy("lang").orderBy("doc_id")
+    binned = sampled.withColumn(
+        "bin", F.floor((F.sum("n_tok").over(wp) - F.col("n_tok")) / PACK_CTX)
+    )
+    return binned.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count_distinct("bin").cast("long").alias("n_bins"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+    )
+
+
 CURATE_QUERIES = {
+    "curate_pipeline": curate_pipeline,
     "curate_sample_stratified": curate_sample_stratified,
     "curate_decontaminate": curate_decontaminate,
     "curate_pack_sequences": curate_pack_sequences,
@@ -170,7 +230,44 @@ GROUP BY tr.doc_id HAVING count(*) >= {DECON_MIN_OVERLAP}
 """
 
 
+def _pipeline_sql() -> str:
+    return f"""
+WITH toks AS (SELECT doc_id, lang, text, string_split(text, ' ') AS t
+              FROM documents),
+feats AS (
+  SELECT doc_id, lang, t,
+         len(t) AS n_words,
+         1.0 - len(list_distinct(g2)) / CAST(len(g2) AS DOUBLE) AS dup2,
+         len(regexp_extract_all(text, '[a-zA-Z]'))
+           / CAST(length(text) AS DOUBLE) AS alpha
+  FROM (SELECT *, list_transform(range(1, greatest(len(t) - 1, 1) + 1),
+                                 i -> t[i] || ' ' || t[i + 1]) AS g2
+        FROM toks) b
+),
+kept AS (SELECT doc_id, lang, t FROM feats
+         WHERE n_words >= 10 AND n_words <= 1000
+           AND dup2 <= 0.60 AND alpha >= 0.60),
+fp AS (SELECT doc_id, lang, len(t) AS n_tok,
+              md5(array_to_string(list_sort(list_distinct(t)), ' ')) AS fp
+       FROM kept),
+surv AS (SELECT doc_id, lang, n_tok FROM
+         (SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+          FROM fp) r WHERE rn = 1),
+sampled AS (SELECT * FROM surv
+            WHERE {_sample_hash_sql()} < {_sample_rate_sql()}),
+binned AS (SELECT lang, n_tok,
+                  floor((sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id)
+                         - n_tok) / {PACK_CTX}) AS bin
+           FROM sampled)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT bin) AS BIGINT) AS n_bins,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens
+FROM binned GROUP BY lang
+"""
+
+
 CURATE_ORACLES = {
+    "curate_pipeline": _pipeline_sql(),
     "curate_sample_stratified": (
         f"SELECT doc_id, lang, {_sample_hash_sql()} AS bucket FROM documents "
         f"WHERE {_sample_hash_sql()} < {_sample_rate_sql()}"

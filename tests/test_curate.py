@@ -14,6 +14,7 @@ from reair_spark.datapipe.curate import (
     curate_decontaminate,
     curate_pack_sequences,
     curate_pii_mask,
+    curate_pipeline,
     curate_sample_stratified,
 )
 
@@ -75,3 +76,24 @@ def test_pii_mask_shape(spark):
     # pseudonym is stable and collision-free across the table
     n = out.count()
     assert out.select("pseudonym").distinct().count() == n
+
+
+def test_pipeline_yield_and_plan(spark):
+    """The composed curation DAG yields a plausible fraction of the
+    corpus per language, and the map-only stages (quality, dedup hash,
+    sample predicate) fuse — only two exchanges in the whole plan
+    (dedup groupBy + pack window), not one per stage."""
+    out = curate_pipeline(spark, SF).collect()
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    by_lang = {r.lang: r.n for r in docs.groupBy("lang").agg(
+        F.count("*").alias("n")).collect()}
+    for r in out:
+        assert 0 < r.n_docs <= by_lang[r.lang]
+        assert 0 < r.n_bins <= r.n_docs
+        assert r.total_tokens >= r.n_docs * 10  # quality floor is 10 words
+
+    plan = curate_pipeline(spark, SF)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"))
+    # window(fp) + window(lang pack) + final agg = 3 shuffles max
+    assert plan.count("Exchange") <= 4, plan
