@@ -32,6 +32,13 @@ def get_spark(app_name: str = "reair_spark", cpus: int | None = None) -> SparkSe
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # scan-split + post-shuffle sizing: 256 MB splits keep scan
+        # tasks at the parquet row-group sweet spot; AQE coalesces
+        # toward 128 MB partitions so reducers neither spill nor
+        # proliferate — the two knobs that keep a 100 TB scan at
+        # ~400k tasks instead of millions
+        .config("spark.sql.files.maxPartitionBytes", "256m")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "128m")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
