@@ -199,6 +199,9 @@ class DirectoryCatalog:
         self._write(new_db, new_table, rec)
 
 
+_PART_PROP_PREFIX = "reair.part."
+
+
 def _sql_str(v: str) -> str:
     return "'" + str(v).replace("'", "''") + "'"
 
@@ -274,9 +277,8 @@ class SparkSqlCatalog:
             elif r.col_name == "Provider":
                 provider = r.data_type
         params = {
-            r["key"]: r["value"]
-            for r in self.spark.sql(f"SHOW TBLPROPERTIES {fqn}").collect()
-            if not r["key"].startswith(("option.", "spark.sql."))
+            k: v for k, v in self._raw_props(fqn).items()
+            if not k.startswith(_PART_PROP_PREFIX)
         }
         return {
             "db": db,
@@ -289,6 +291,13 @@ class SparkSqlCatalog:
             "parameters": params,
         }
 
+    def _raw_props(self, fqn: str) -> dict[str, str]:
+        return {
+            r["key"]: r["value"]
+            for r in self.spark.sql(f"SHOW TBLPROPERTIES {fqn}").collect()
+            if not r["key"].startswith(("option.", "spark.sql."))
+        }
+
     def get_partitions(self, db: str, table: str) -> list[dict]:
         fqn = self._fqn(db, table)
         if not self.spark.catalog.tableExists(fqn):
@@ -297,6 +306,13 @@ class SparkSqlCatalog:
         if not rec["partition_keys"]:
             return []
         base = rec["location"] or self.table_location(db, table)
+        # partition parameters (TLDT CAS guard!) ride namespaced table
+        # properties — SHOW PARTITIONS can't carry them
+        pprops: dict[str, dict[str, str]] = {}
+        for k, v in self._raw_props(fqn).items():
+            if k.startswith(_PART_PROP_PREFIX) and "#" in k:
+                pname, pkey = k[len(_PART_PROP_PREFIX):].split("#", 1)
+                pprops.setdefault(pname, {})[pkey] = v
         out = []
         for r in self.spark.sql(f"SHOW PARTITIONS {fqn}").collect():
             name = r[0]
@@ -305,7 +321,7 @@ class SparkSqlCatalog:
                     "partition_name": name,
                     "values": partition_name_to_values(name),
                     "location": os.path.join(base, name),
-                    "parameters": {},
+                    "parameters": pprops.get(name, {}),
                 }
             )
         return sorted(out, key=lambda p: p["partition_name"])
@@ -373,14 +389,32 @@ class SparkSqlCatalog:
             f"ALTER TABLE {self._fqn(db, table)} ADD IF NOT EXISTS "
             f"PARTITION ({spec}) LOCATION {_sql_str(location)}"
         )
+        params = part.get("parameters") or {}
+        if params:
+            props = ", ".join(
+                f"{_sql_str(_PART_PROP_PREFIX + part['partition_name'] + '#' + k)}"
+                f"={_sql_str(v)}"
+                for k, v in sorted(params.items())
+            )
+            self.spark.sql(
+                f"ALTER TABLE {self._fqn(db, table)} SET TBLPROPERTIES ({props})"
+            )
 
     def drop_partition(self, db: str, table: str, partition_name: str) -> None:
         if self.get_table(db, table) is None:
             return
+        fqn = self._fqn(db, table)
         self.spark.sql(
-            f"ALTER TABLE {self._fqn(db, table)} DROP IF EXISTS "
+            f"ALTER TABLE {fqn} DROP IF EXISTS "
             f"PARTITION ({self._part_spec(partition_name)})"
         )
+        stale = [
+            k for k in self._raw_props(fqn)
+            if k.startswith(_PART_PROP_PREFIX + partition_name + "#")
+        ]
+        if stale:
+            keys = ", ".join(_sql_str(k) for k in stale)
+            self.spark.sql(f"ALTER TABLE {fqn} UNSET TBLPROPERTIES ({keys})")
 
     def rename_table(self, db: str, table: str, new_db: str, new_table: str) -> None:
         rec = self.get_table(db, table)

@@ -84,6 +84,54 @@ def test_sqlcatalog_crud_roundtrip(spark, tmp_path):
     assert cat2.get_table("sqlcat_crud2", "t3") is None
 
 
+def test_partition_params_roundtrip_and_cas(spark, tmp_path):
+    """Partition parameters (the TLDT CAS guard) must survive the
+    session catalog — they ride namespaced table properties since
+    SHOW PARTITIONS can't carry them — and must not leak into the
+    table-level parameter map the diff planner compares."""
+    from reair_spark.commit import apply_commits_driver
+
+    cat = SparkSqlCatalog(spark, str(tmp_path), dbs=["sqlcat_pp"])
+    loc = cat.table_location("sqlcat_pp", "t")
+    cat.create_table(_rec("sqlcat_pp", "t", loc, partition_keys=["ds"]))
+    cat.add_partition(
+        "sqlcat_pp", "t",
+        {"partition_name": "ds=1",
+         "parameters": {"transient_lastDdlTime": "111", "rows": "42"}},
+    )
+    parts = cat.get_partitions("sqlcat_pp", "t")
+    assert parts[0]["parameters"] == {
+        "transient_lastDdlTime": "111", "rows": "42"}
+    # table params stay clean of the namespaced keys
+    assert not any(k.startswith("reair.part.")
+                   for k in cat.get_table("sqlcat_pp", "t")["parameters"])
+
+    # TLDT mismatch → DROP_PARTITION refuses (NOT_COMPLETABLE)
+    plan = spark.createDataFrame(
+        [("sqlcat_pp", "t", "ds=1", "DROP_PARTITION", None, None,
+          True, False, None, "999")],
+        "db string, table string, partition_name string, action string, "
+        "src_path string, dest_path string, update_metadata boolean, "
+        "update_data boolean, payload string, expected_tldt string",
+    )
+    res = apply_commits_driver(spark, plan, cat).first()
+    assert res.status == "NOT_COMPLETABLE"
+    assert len(cat.get_partitions("sqlcat_pp", "t")) == 1
+
+    # matching TLDT → drop succeeds and the namespaced props vanish
+    plan_ok = spark.createDataFrame(
+        [("sqlcat_pp", "t", "ds=1", "DROP_PARTITION", None, None,
+          True, False, None, "111")],
+        plan.schema,
+    )
+    res2 = apply_commits_driver(spark, plan_ok, cat).first()
+    assert res2.status == "SUCCESSFUL"
+    assert cat.get_partitions("sqlcat_pp", "t") == []
+    assert not any(k.startswith("reair.part.")
+                   for k in cat.get_table("sqlcat_pp", "t")["parameters"])
+    cat.drop_table("sqlcat_pp", "t")
+
+
 def test_snapshot_scans_over_sqlcatalog(spark, tmp_path):
     cat = SparkSqlCatalog(spark, str(tmp_path), dbs=["sqlcat_snap"])
     loc = cat.table_location("sqlcat_snap", "t1")
