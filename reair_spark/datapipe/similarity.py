@@ -214,6 +214,48 @@ def kmeans_fit(
     return assign(cent).select("vec_id", "cluster", "sim"), cent
 
 
+def ann_ivf_fitted_topk(
+    spark: SparkSession, sf: str, k_cells: int = 4, iters: int = 2,
+    n_probe: int = N_PROBE,
+) -> DataFrame:
+    """IVF ANN with a TRAINED quantizer: kmeans_fit centroids replace
+    ann_ivf_topk's label-derived cells — the production path the label
+    variant's docstring promises. Same probe/search shape: each query
+    ranks the k_cells centroids (broadcast), brute-forces only its
+    n_probe nearest cells. Expected recall on structureless data ≈
+    fraction of corpus probed; on clustered data it approaches 1 —
+    the pytest measures it against the exact baseline. Deterministic
+    end-to-end (hash-seeded k-means, tie-broken windows)."""
+    e = _emb(spark, sf)
+    assignments, centroids = kmeans_fit(e, k=k_cells, iters=iters)
+    cells = e.join(assignments.select("vec_id", "cluster"), "vec_id")
+
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
+    qc = q.crossJoin(F.broadcast(centroids)).select(
+        "query_id", "cluster", cosine(F.col("qemb"), F.col("cemb")).alias("csim")
+    )
+    wprobe = W.partitionBy("query_id").orderBy(F.desc("csim"), "cluster")
+    probed = (
+        qc.withColumn("pr", F.row_number().over(wprobe))
+        .where(F.col("pr") <= n_probe)
+        .select("query_id", "cluster")
+    )
+    cand = cells.join(F.broadcast(probed), "cluster").where(
+        F.col("vec_id") >= N_QUERIES
+    )
+    sim = cand.join(F.broadcast(q), "query_id").select(
+        "query_id", "vec_id", cosine(F.col("qemb"), F.col("emb")).alias("sim")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), "vec_id")
+    return (
+        sim.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TOP_K)
+        .select("query_id", "vec_id", "sim")
+    )
+
+
 def embedding_kmeans(spark: SparkSession, sf: str) -> DataFrame:
     """k-means cluster assignment over the embeddings table (rows-only
     gate: iterative algorithm, no closed-form SQL)."""

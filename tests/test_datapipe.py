@@ -148,3 +148,37 @@ def test_dedup_components_keep_list(spark, sf_dir):
         .count()
     )
     assert agg == 0
+
+
+def test_ann_ivf_fitted_recall(spark, sf_dir):
+    """Trained-quantizer IVF: results must be drawn only from probed
+    cells but exactly ranked; recall@10 vs the exact baseline must be
+    at least the probed-fraction expectation (structureless synthetic
+    embeddings → recall ≈ n_probe/k_cells); deterministic re-runs."""
+    from reair_spark.datapipe.similarity import (
+        TOP_K,
+        ann_cosine_topk,
+        ann_ivf_fitted_topk,
+    )
+
+    ivf = ann_ivf_fitted_topk(spark, sf_dir).collect()
+    exact = ann_cosine_topk(spark, sf_dir).collect()
+    by_q_ivf: dict[int, set] = {}
+    for r in ivf:
+        by_q_ivf.setdefault(r.query_id, set()).add(r.vec_id)
+    by_q_exact: dict[int, set] = {}
+    for r in exact:
+        by_q_exact.setdefault(r.query_id, set()).add(r.vec_id)
+
+    recalls = []
+    for qid, truth in by_q_exact.items():
+        got = by_q_ivf.get(qid, set())
+        assert len(got) <= TOP_K
+        recalls.append(len(got & truth) / len(truth))
+    mean_recall = sum(recalls) / len(recalls)
+    # n_probe=2 of 4 cells ⇒ ~0.5 expected on structureless data
+    assert mean_recall >= 0.3, f"recall {mean_recall:.2f}"
+
+    again = ann_ivf_fitted_topk(spark, sf_dir).collect()
+    assert sorted((r.query_id, r.vec_id) for r in again) == sorted(
+        (r.query_id, r.vec_id) for r in ivf)
