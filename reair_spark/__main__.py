@@ -138,8 +138,12 @@ def main(argv: list[str] | None = None) -> int:
             spark, events, args.src_root, args.dest_root, args.state_dir,
             batch_size=args.batch_size, max_batches=args.max_batches,
         )
-        print(json.dumps({"last_id": res["last_id"], "batches": res["batches"]}))
-        return 0
+        print(json.dumps({
+            "last_id": res["last_id"], "batches": res["batches"],
+            "jobs": res["job_status_counts"],
+            "lag_seconds": round(res["lag_seconds"], 1),
+        }))
+        return 1 if res["job_status_counts"].get("FAILED") else 0
 
     if args.cmd == "compact":
         from reair_spark.plans import execute_compaction

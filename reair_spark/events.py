@@ -263,7 +263,17 @@ def run_incremental(
         last_id = int(rows_max)
         kv.set(LAST_PERSISTED_ID, str(last_id))
         batches += 1
-    return {"last_id": last_id, "batches": batches, "job_store": job_store}
+    status_counts = {
+        r["status"]: r["count"]
+        for r in job_store.current().groupBy("status").count().collect()
+    }
+    return {
+        "last_id": last_id,
+        "batches": batches,
+        "job_store": job_store,
+        "job_status_counts": status_counts,        # A6 counters
+        "lag_seconds": job_store.lag_seconds(),    # A7 gauge
+    }
 
 
 def _job_cols() -> list[str]:

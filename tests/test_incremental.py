@@ -176,6 +176,10 @@ def test_incremental_loop_with_checkpoint_restart(spark, events_df, tmp_path):
     # replay safety: running again from the same events is a no-op
     r3 = run_incremental(spark, events, src_root, dest_root, state_dir)
     assert r3["batches"] == 0
+    # monitoring surface: all jobs terminal, zero lag
+    assert set(r3["job_status_counts"]) <= {"SUCCESSFUL", "NOT_COMPLETABLE"}
+    assert r3["job_status_counts"].get("FAILED") is None
+    assert r3["lag_seconds"] == 0.0
 
 
 def test_rename_execution_moves_dest_table(spark, events_df, tmp_path):
