@@ -172,9 +172,17 @@ def stream_dedup_q(spark: SparkSession, sf: str) -> DataFrame:
     return stream_dedup_events(spark, sf)
 
 
+def stream_enrich_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-static dimension enrichment through the gate."""
+    from reair_spark.streaming import stream_enrich_events
+
+    return stream_enrich_events(spark, sf)
+
+
 ENGINE_QUERIES = {
     "stream_interval_join": stream_interval_join_q,
     "stream_dedup": stream_dedup_q,
+    "stream_enrich": stream_enrich_q,
     "replication_table_diff": replication_table_diff,
     "replication_schema_diff": replication_schema_diff,
     "replication_compact_plan": replication_compact_plan,
@@ -209,6 +217,11 @@ SELECT coalesce(s.db, d.db) AS db, coalesce(s.t, d.t) AS "table",
 FROM src s FULL OUTER JOIN dest d ON s.t = d.t
 """,
     "stream_dedup": "SELECT event_id, user_id FROM events",
+    "stream_enrich": (
+        "SELECT c_mktsegment, count(*) AS n_events "
+        "FROM events e JOIN customer c ON e.user_id = c.c_custkey "
+        "GROUP BY c_mktsegment"
+    ),
     "stream_interval_join": """
 WITH ev AS (
   SELECT event_id, user_id,

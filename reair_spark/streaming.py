@@ -264,6 +264,26 @@ def stream_order_event_join(
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
+def stream_enrich_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the event stream joined to the
+    static customer dimension (user_id → c_custkey), aggregated per
+    market segment. Stream-static joins are stateless — the static
+    side broadcasts into every micro-batch, no watermark, no state
+    store — which is why dimension enrichment is the FIRST join to
+    reach for on a stream; the drained result equals the batch join
+    exactly."""
+    ev = stream_events(spark, sf_dir).select("event_id", "user_id")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    agg = (
+        ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return _run_to_memory(agg, "complete")
+
+
 def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup — ``dropDuplicatesWithinWatermark`` keyed
     on event_id, with the dedup state evicted once the watermark passes
