@@ -98,7 +98,9 @@ def exact_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Exact median + distinct counts (the reference had no aggregate
     layer at all; Spark also has approx_count_distinct/percentile_approx
     as the sketch path — not oracle-comparable, so the gate uses the
-    exact forms)."""
+    exact forms). `percentile()` buffers every value in one aggregator;
+    at data scale use `operators.exact_median_scalable` (histogram
+    prune + tiny residual, same value bit-for-bit)."""
     li = _t(spark, sf, "lineitem")
     # three single-purpose branches + 1-row cross joins: multiple
     # count_distinct in ONE agg makes Catalyst plan an Expand (3x the

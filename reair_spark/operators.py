@@ -165,3 +165,69 @@ def top_k_per_group(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def exact_median_scalable(
+    df: DataFrame, col: str, n_buckets: int = 10_000
+) -> float:
+    """Distributed exact median without a single-reducer sort — the
+    scale path behind exact_stats' `percentile()` (which aggregates
+    every value into one task's memory and dies at data-scale inputs).
+
+    Two distributed passes + one tiny residual:
+      1. min/max/count (one agg);
+      2. fixed-width histogram (one map-side-combined agg of n_buckets
+         partial counts);
+      3. the bucket(s) straddling ranks k/k+1 are filtered and sorted —
+         residual size ≈ n/n_buckets rows, driver-safe by construction.
+
+    Matches `percentile(col, 0.5)` bit-for-bit: rank = 0.5·(n−1)
+    (0-based continuous), linear interpolation between floor/ceil
+    neighbors. Returns None for an empty input."""
+    stats = df.agg(
+        F.count(col).alias("n"), F.min(col).alias("lo"), F.max(col).alias("hi")
+    ).first()
+    n, lo, hi = stats["n"], stats["lo"], stats["hi"]
+    if not n:
+        return None
+    if lo == hi:
+        return float(lo)
+    rank = 0.5 * (n - 1)
+    k_lo, k_hi = int(rank), min(int(rank) + 1, n - 1)
+
+    width = (hi - lo) / n_buckets
+    bucket = F.least(
+        F.floor((F.col(col) - lo) / width), F.lit(n_buckets - 1)
+    ).cast("int")
+    hist = dict(
+        (r["b"], r["c"])
+        for r in df.select(bucket.alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    # walk the (driver-side, n_buckets-long) histogram to the buckets
+    # holding ranks k_lo..k_hi
+    cum, b_start = 0, None
+    for b in range(n_buckets):
+        c = hist.get(b, 0)
+        if b_start is None and cum + c > k_lo:
+            b_start = b
+        if cum + c > k_hi:
+            b_end = b
+            break
+        cum += c
+    else:  # pragma: no cover - defensive
+        b_start, b_end = n_buckets - 1, n_buckets - 1
+    skipped = sum(hist.get(b, 0) for b in range(b_start))
+
+    residual = sorted(
+        r[0]
+        for r in df.where(
+            (bucket >= b_start) & (bucket <= b_end)
+        ).select(col).collect()
+    )
+    v_lo = residual[k_lo - skipped]
+    v_hi = residual[k_hi - skipped]
+    frac = rank - k_lo
+    return float(v_lo + (v_hi - v_lo) * frac)

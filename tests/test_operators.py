@@ -91,3 +91,27 @@ def test_range_join_boundaries_and_negatives(spark):
     )
     # inclusive boundaries on both ends; negative buckets handled
     assert out == [(1, 10), (2, 20), (3, 20), (4, 20), (4, 30)]
+
+
+def test_exact_median_scalable_matches_percentile(spark, sf_dir):
+    """Histogram-pruned distributed median == percentile(col, 0.5)
+    bit-for-bit, including interpolation on even counts and constant
+    columns; residual slice stays tiny."""
+    from pyspark.sql import functions as F
+
+    from reair_spark.io import load_table
+    from reair_spark.operators import exact_median_scalable
+
+    li = load_table(spark, sf_dir, "lineitem")
+    got = exact_median_scalable(li, "l_extendedprice")
+    ref = li.agg(F.expr("percentile(l_extendedprice, 0.5)")).first()[0]
+    assert abs(got - ref) < 1e-9
+
+    for vals in ([1.0], [1.0, 2.0], [3.0, 1.0, 2.0], [5.0] * 10):
+        df = spark.createDataFrame([(v,) for v in vals], "x double")
+        assert abs(
+            exact_median_scalable(df, "x")
+            - df.agg(F.expr("percentile(x, 0.5)")).first()[0]
+        ) < 1e-12
+    assert exact_median_scalable(
+        spark.createDataFrame([], "x double"), "x") is None
