@@ -113,6 +113,24 @@ def exact_stats(spark: SparkSession, sf: str) -> DataFrame:
     return med.crossJoin(n_parts).crossJoin(n_supps)
 
 
+def exact_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-quantile EXACT percentiles via the scale path
+    (`operators.exact_percentiles_scalable`): two map-side-combined
+    aggregation passes + one tiny residual fetch shared by ALL five
+    quantiles — no single aggregator ever buffers the column, unlike
+    `percentile(col, array(...))`, so the same plan survives a 100 TB
+    lineitem. Gate-checked against DuckDB quantile_cont."""
+    from reair_spark.operators import exact_percentiles_scalable
+
+    li = _t(spark, sf, "lineitem")
+    probs = [0.25, 0.5, 0.75, 0.9, 0.99]
+    vals = exact_percentiles_scalable(li, "l_extendedprice", probs)
+    return spark.createDataFrame(
+        [tuple(vals)],
+        "p25 double, p50 double, p75 double, p90 double, p99 double",
+    )
+
+
 def json_props_stats(spark: SparkSession, sf: str) -> DataFrame:
     """JSON extraction in the hot path (X2/X3 over real data): pull a
     typed field out of the events' JSON props column and aggregate per
@@ -250,6 +268,7 @@ EXTRA_QUERIES = {
     "pivot_status_priority": pivot_status_priority,
     "range_join_prices": range_join_prices,
     "exact_stats": exact_stats,
+    "exact_percentiles": exact_percentiles,
 }
 
 _EV_DAYS_SQL = """
@@ -367,5 +386,12 @@ FROM orders GROUP BY 1
         "SELECT quantile_cont(l_extendedprice, 0.5) AS median_price, "
         "count(DISTINCT l_partkey) AS n_parts, "
         "count(DISTINCT l_suppkey) AS n_supps FROM lineitem"
+    ),
+    "exact_percentiles": (
+        "SELECT quantile_cont(l_extendedprice, 0.25) AS p25, "
+        "quantile_cont(l_extendedprice, 0.5) AS p50, "
+        "quantile_cont(l_extendedprice, 0.75) AS p75, "
+        "quantile_cont(l_extendedprice, 0.9) AS p90, "
+        "quantile_cont(l_extendedprice, 0.99) AS p99 FROM lineitem"
     ),
 }

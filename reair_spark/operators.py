@@ -167,21 +167,24 @@ def top_k_per_group(
     )
 
 
-def exact_median_scalable(
-    df: DataFrame, col: str, n_buckets: int = 10_000
-) -> float:
-    """Distributed exact median without a single-reducer sort — the
-    scale path behind exact_stats' `percentile()` (which aggregates
+def exact_percentiles_scalable(
+    df: DataFrame, col: str, probs: list[float], n_buckets: int = 10_000
+) -> list[float] | None:
+    """Distributed exact percentiles without a single-reducer sort — the
+    scale path behind `percentile(col, array(...))` (which aggregates
     every value into one task's memory and dies at data-scale inputs).
 
-    Two distributed passes + one tiny residual:
+    ALL requested quantiles share the same two distributed passes + one
+    tiny residual:
       1. min/max/count (one agg);
       2. fixed-width histogram (one map-side-combined agg of n_buckets
          partial counts);
-      3. the bucket(s) straddling ranks k/k+1 are filtered and sorted —
-         residual size ≈ n/n_buckets rows, driver-safe by construction.
+      3. the buckets straddling any requested rank are filtered in a
+         single pass and sorted per-bucket driver-side — residual size
+         ≈ |needed buckets|·n/n_buckets rows, driver-safe by
+         construction.
 
-    Matches `percentile(col, 0.5)` bit-for-bit: rank = 0.5·(n−1)
+    Matches `percentile(col, p)` bit-for-bit per prob: rank = p·(n−1)
     (0-based continuous), linear interpolation between floor/ceil
     neighbors. Returns None for an empty input."""
     stats = df.agg(
@@ -191,9 +194,11 @@ def exact_median_scalable(
     if not n:
         return None
     if lo == hi:
-        return float(lo)
-    rank = 0.5 * (n - 1)
-    k_lo, k_hi = int(rank), min(int(rank) + 1, n - 1)
+        return [float(lo)] * len(probs)
+
+    # per-prob continuous ranks and the integer neighbor ranks needed
+    ranks = [p * (n - 1) for p in probs]
+    needed = sorted({k for r in ranks for k in (int(r), min(int(r) + 1, n - 1))})
 
     width = (hi - lo) / n_buckets
     bucket = F.least(
@@ -206,28 +211,54 @@ def exact_median_scalable(
         .agg(F.count(F.lit(1)).alias("c"))
         .collect()
     )
-    # walk the (driver-side, n_buckets-long) histogram to the buckets
-    # holding ranks k_lo..k_hi
-    cum, b_start = 0, None
+    # one walk over the (driver-side, n_buckets-long) histogram: map
+    # each needed rank to its bucket and that bucket's cumulative start
+    bucket_of: dict[int, int] = {}  # rank -> bucket
+    cum_start: dict[int, int] = {}  # bucket -> #rows before it
+    cum, it = 0, iter(needed)
+    k = next(it)
     for b in range(n_buckets):
         c = hist.get(b, 0)
-        if b_start is None and cum + c > k_lo:
-            b_start = b
-        if cum + c > k_hi:
-            b_end = b
+        while k is not None and cum + c > k:
+            bucket_of[k] = b
+            cum_start[b] = cum
+            k = next(it, None)
+        if k is None:
             break
         cum += c
     else:  # pragma: no cover - defensive
-        b_start, b_end = n_buckets - 1, n_buckets - 1
-    skipped = sum(hist.get(b, 0) for b in range(b_start))
+        for rest in [k, *it]:
+            if rest is not None:
+                bucket_of[rest] = n_buckets - 1
+        cum_start.setdefault(n_buckets - 1, cum)
 
-    residual = sorted(
-        r[0]
-        for r in df.where(
-            (bucket >= b_start) & (bucket <= b_end)
-        ).select(col).collect()
-    )
-    v_lo = residual[k_lo - skipped]
-    v_hi = residual[k_hi - skipped]
-    frac = rank - k_lo
-    return float(v_lo + (v_hi - v_lo) * frac)
+    # single residual fetch for every straddled bucket, grouped
+    # driver-side; per-bucket sort gives local rank = k - cum_start
+    want = sorted(set(bucket_of.values()))
+    by_bucket: dict[int, list] = {b: [] for b in want}
+    for r in (
+        df.where(bucket.isin(want)).select(bucket.alias("b"), col).collect()
+    ):
+        by_bucket[r["b"]].append(r[1])
+    for vals in by_bucket.values():
+        vals.sort()
+
+    def value_at(k: int) -> float:
+        b = bucket_of[k]
+        return by_bucket[b][k - cum_start[b]]
+
+    out = []
+    for r in ranks:
+        k_lo, k_hi = int(r), min(int(r) + 1, n - 1)
+        v_lo, v_hi = value_at(k_lo), value_at(k_hi)
+        out.append(float(v_lo + (v_hi - v_lo) * (r - k_lo)))
+    return out
+
+
+def exact_median_scalable(
+    df: DataFrame, col: str, n_buckets: int = 10_000
+) -> float | None:
+    """Exact median via `exact_percentiles_scalable` (see there for the
+    histogram-prune scale argument)."""
+    got = exact_percentiles_scalable(df, col, [0.5], n_buckets)
+    return None if got is None else got[0]

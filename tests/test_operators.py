@@ -115,3 +115,34 @@ def test_exact_median_scalable_matches_percentile(spark, sf_dir):
         ) < 1e-12
     assert exact_median_scalable(
         spark.createDataFrame([], "x double"), "x") is None
+
+
+def test_exact_percentiles_scalable_matches_percentile_array(spark, sf_dir):
+    """Multi-quantile histogram prune == percentile(col, array(...))
+    per-prob, with all quantiles sharing one histogram pass and one
+    residual fetch (including extreme p=0/p=1 and tiny inputs where
+    several ranks land in the same bucket)."""
+    from pyspark.sql import functions as F
+
+    from reair_spark.io import load_table
+    from reair_spark.operators import exact_percentiles_scalable
+
+    probs = [0.0, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]
+    arr = "array(" + ",".join(str(p) for p in probs) + ")"
+
+    li = load_table(spark, sf_dir, "lineitem")
+    got = exact_percentiles_scalable(li, "l_extendedprice", probs)
+    ref = li.agg(F.expr(f"percentile(l_extendedprice, {arr})")).first()[0]
+    assert len(got) == len(ref)
+    for g, r in zip(got, ref):
+        assert abs(g - r) < 1e-9
+
+    for vals in ([1.0], [1.0, 2.0], [3.0, 1.0, 2.0], [5.0] * 10,
+                 [float(i) for i in range(7)]):
+        df = spark.createDataFrame([(v,) for v in vals], "x double")
+        got = exact_percentiles_scalable(df, "x", probs, n_buckets=4)
+        ref = df.agg(F.expr(f"percentile(x, {arr})")).first()[0]
+        for g, r in zip(got, ref):
+            assert abs(g - r) < 1e-12
+    assert exact_percentiles_scalable(
+        spark.createDataFrame([], "x double"), "x", probs) is None
