@@ -1,0 +1,200 @@
+"""Kafka transport for the incremental audit-event stream.
+
+The reference tails its audit log out of MySQL with a hand-rolled
+fetch loop (incremental/auditlog/AuditLogReader.java:239-254, 200
+rows/query) polled every 10 s (incremental/ReplicationServer.java:56).
+A modern deployment publishes the same entries to a Kafka topic and
+consumes them with Structured Streaming's native kafka source, which
+provides the loop's hand-built properties for free: offset tracking in
+the checkpoint (ST1), micro-batching (ST2), backpressure via
+``maxOffsetsPerTrigger`` (ST3), and at-least-once delivery into the
+idempotent foreachBatch sink (ST4).
+
+No Kafka broker or spark-sql-kafka connector jar exists in this
+container, so the module splits at the wire:
+
+- The CODEC — audit event rows ⇄ Kafka records — is pure DataFrame
+  logic over the exact fixed schema every Spark kafka read produces
+  (``KAFKA_RECORD_DDL``), testable on batch DataFrames and file-stream
+  stand-ins. Records are keyed by the entry's primary output table so
+  one table's mutations land in ONE topic-partition in publish order:
+  Kafka's per-partition ordering then gives per-table FIFO (the
+  reference builds this with a parallelism-1 lock DAG,
+  incremental/ReplicationServer.java worker dispatch; batch mode's W4)
+  no matter how many consumers fan out.
+- The SOURCE/SINK builders (`audit_stream`, `publish_audit_events`)
+  call the real ``format("kafka")`` and raise an actionable error when
+  the connector is absent (``--packages org.apache.spark:
+  spark-sql-kafka-0-10_2.13:<spark version>``).
+
+Timestamps ride the JSON envelope as unix MICROS (integer), not a
+formatted string: exact roundtrip, timezone-proof — same reasoning as
+the events table's ns handling (io.load_table).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# B.4 audit-entry shape (FIXTURES.md; audit_log ⟕ audit_objects flattened)
+AUDIT_EVENT_DDL = (
+    "id long, create_time timestamp, command_type string, command string, "
+    "objects array<struct<category:string, obj_type:string, name:string, "
+    "payload:string>>"
+)
+
+# the fixed schema every Spark kafka source (batch or streaming) emits
+KAFKA_RECORD_DDL = (
+    "key binary, value binary, topic string, partition int, offset long, "
+    "timestamp timestamp, timestampType int"
+)
+
+# JSON envelope on the wire: create_time as unix micros for exactness
+_ENVELOPE_DDL = (
+    "id long, create_time_us long, command_type string, command string, "
+    "objects array<struct<category:string, obj_type:string, name:string, "
+    "payload:string>>"
+)
+
+
+def encode_audit_events(events: DataFrame) -> DataFrame:
+    """Audit rows → Kafka producer records ``(key, value)``.
+
+    key = ``db.table`` of the entry's first OUTPUT object (falls back
+    to the entry id for output-less entries) — the Kafka partitioner
+    hashes it so each table's stream is totally ordered within one
+    topic-partition; value = JSON envelope of the full entry."""
+    first_out = F.try_element_at(
+        F.filter(F.col("objects"), lambda o: o["category"] == "OUTPUT"),
+        F.lit(1),
+    )
+    key = F.coalesce(
+        F.split_part(first_out["name"], F.lit("/"), F.lit(1)),
+        F.col("id").cast("string"),
+    )
+    envelope = F.to_json(
+        F.struct(
+            F.col("id"),
+            F.unix_micros(F.col("create_time")).alias("create_time_us"),
+            F.col("command_type"),
+            F.col("command"),
+            F.col("objects"),
+        )
+    )
+    return events.select(
+        key.cast("binary").alias("key"), envelope.cast("binary").alias("value")
+    )
+
+
+def decode_audit_events(
+    records: DataFrame, keep_malformed: bool = False
+) -> DataFrame:
+    """Kafka records → audit rows (inverse of `encode_audit_events`).
+
+    Works identically on a batch read and a streaming source — the
+    whole codec is JVM-side (from_json/Jackson inside the scan's
+    codegen stage; no Python in the per-record path). Malformed
+    payloads (unparseable JSON / missing id) are dropped by default;
+    ``keep_malformed=True`` adds a ``malformed`` string column holding
+    the raw payload for dead-lettering and keeps them."""
+    parsed = records.select(
+        F.from_json(F.col("value").cast("string"), _ENVELOPE_DDL).alias("e"),
+        F.col("value").cast("string").alias("_raw"),
+    )
+    bad = F.col("e").isNull() | F.col("e.id").isNull()
+    out = parsed.select(
+        F.col("e.id").alias("id"),
+        F.timestamp_micros(F.col("e.create_time_us")).alias("create_time"),
+        F.col("e.command_type").alias("command_type"),
+        F.col("e.command").alias("command"),
+        F.col("e.objects").alias("objects"),
+        F.when(bad, F.col("_raw")).alias("malformed"),
+    )
+    if keep_malformed:
+        return out
+    return out.where(~bad).drop("malformed")
+
+
+def _kafka_unavailable(exc: Exception) -> RuntimeError:
+    return RuntimeError(
+        "the spark-sql-kafka connector is not on the classpath; launch "
+        "with --packages org.apache.spark:spark-sql-kafka-0-10_2.13:"
+        "<spark version> (or inject a file-source stand-in shaped like "
+        "KAFKA_RECORD_DDL and decode with decode_audit_events)"
+    )
+
+
+def audit_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming audit-event source off a Kafka topic, decoded.
+
+    ``maxOffsetsPerTrigger`` is the audit-log batch-size knob
+    (reference default 32 entries/poll, ConfigurationKeys.java:21-23) —
+    but enforced by the source against its own lag, not by a
+    hand-rolled LIMIT query."""
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .option("failOnDataLoss", "false")
+    )
+    if max_offsets_per_trigger is not None:
+        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
+    try:
+        raw = reader.load()
+    except Exception as exc:  # connector jar absent in this container
+        raise _kafka_unavailable(exc) from exc
+    return decode_audit_events(raw)
+
+
+def publish_audit_events(
+    events: DataFrame, bootstrap_servers: str, topic: str
+) -> None:
+    """Producer side (batch): encode and write to the topic — the seat
+    of the reference's hive-hooks audit-log INSERT (hive-hooks/.../
+    audit_log_core.sql) when the log is a Kafka topic instead of MySQL."""
+    writer = (
+        encode_audit_events(events)
+        .write.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+    )
+    try:
+        writer.save()
+    except Exception as exc:
+        raise _kafka_unavailable(exc) from exc
+
+
+def kafka_stream_replicate(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    src_root: str,
+    dest_root: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    max_offsets_per_trigger: int | None = None,
+) -> None:
+    """The full incremental replication loop off a Kafka audit topic:
+    `audit_stream` → `streaming.stream_replicate` (compile → persist →
+    execute per micro-batch). Offsets live in the checkpoint; the sink
+    is idempotent — the same exactly-once-ish contract as the file
+    source, with the transport swapped and zero sink changes."""
+    from reair_spark.streaming import stream_replicate
+
+    events = audit_stream(
+        spark,
+        bootstrap_servers,
+        topic,
+        max_offsets_per_trigger=max_offsets_per_trigger,
+    )
+    stream_replicate(
+        spark, events, src_root, dest_root, state_dir, checkpoint_dir
+    )
