@@ -263,6 +263,66 @@ def embedding_kmeans(spark: SparkSession, sf: str) -> DataFrame:
     return assignments.select("vec_id", "cluster")
 
 
+def semdedup(
+    emb: DataFrame, k: int = 4, iters: int = 2, tau: float = NEARDUP_COS
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup
+    by k-means blocking — cluster the embeddings, compare pairs ONLY
+    within a cluster, drop every vector with a cosine-≥ tau neighbor of
+    lower vec_id in its cluster (deterministic keep-lowest-id rule,
+    same canonicalization as dedup_exact's keep-list).
+
+    Scale shape: the pairwise term drops from N² to Σ|cell|² ≈ N²/k,
+    and each cell's self-join is an equi-join on the cluster id — the
+    exact cells the IVF index already maintains, so a deployment
+    reuses one quantizer for search AND dedup. kmeans_fit is iterative
+    ⇒ no SQL oracle; pytest brute-force-verifies the keep/drop
+    invariant per cluster.
+
+    Returns the input rows + ``cluster``, minus the dropped
+    duplicates."""
+    assignments, _ = kmeans_fit(emb, k=k, iters=iters)
+    cells = emb.join(assignments.select("vec_id", "cluster"), "vec_id")
+    a = cells.select(
+        F.col("vec_id").alias("id_a"), F.col("emb").alias("ea"), "cluster"
+    )
+    b = cells.select(
+        F.col("vec_id").alias("id_b"), F.col("emb").alias("eb"), "cluster"
+    )
+    dup_ids = (
+        a.join(b, "cluster")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(cosine(F.col("ea"), F.col("eb")) >= tau)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    return cells.join(dup_ids, "vec_id", "left_anti")
+
+
+def embedding_semdedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Gate query for `semdedup` over the planted-duplicate corpus
+    (embeddings ∪ perturbed copies, same corpus as embedding_neardup):
+    per-cluster totals and survivors. Rows-only gate (iterative
+    quantizer); the keep/drop invariant is pytest-verified."""
+    e = _emb(spark, sf)
+    perturbed = e.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            "emb", lambda x, i: x * (1.0 + 0.01 * ((i % 5).cast("double") - 2.0))
+        ).alias("emb"),
+        "label",
+    )
+    corpus = e.union(perturbed)
+    kept = semdedup(corpus.select("vec_id", "emb"), k=4, iters=2)
+    n_total = corpus.count()
+    return (
+        kept.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+        .withColumn("n_total", F.lit(n_total))
+        .orderBy("cluster")
+    )
+
+
 def embedding_quantize(spark: SparkSession, sf: str) -> DataFrame:
     """Int8 symmetric quantization per vector: scale = 127/max|x|,
     q_i = round(x_i·scale). Emits the scale and the integer L1 mass —
@@ -291,6 +351,7 @@ SIM_QUERIES = {
     "ann_ivf_topk": ann_ivf_topk,
     "embedding_neardup": embedding_neardup,
     "embedding_kmeans": embedding_kmeans,
+    "embedding_semdedup": embedding_semdedup,
     "embedding_quantize": embedding_quantize,
 }
 

@@ -182,3 +182,54 @@ def test_ann_ivf_fitted_recall(spark, sf_dir):
     again = ann_ivf_fitted_topk(spark, sf_dir).collect()
     assert sorted((r.query_id, r.vec_id) for r in again) == sorted(
         (r.query_id, r.vec_id) for r in ivf)
+
+
+def test_semdedup_invariants(spark, sf_dir):
+    """SemDeDup keep/drop is exactly the keep-lowest-id rule within
+    each k-means cell (brute-force verified per cluster), planted
+    near-identical copies are dropped when co-clustered with their
+    original, and re-runs are bit-identical."""
+    from pyspark.sql import functions as F
+
+    from reair_spark.datapipe.common import cosine
+    from reair_spark.datapipe.similarity import (
+        NEARDUP_COS,
+        _emb,
+        embedding_semdedup,
+        kmeans_fit,
+        semdedup,
+    )
+
+    e = _emb(spark, sf_dir).select("vec_id", "emb")
+    kept = semdedup(e, k=4, iters=2)
+    n = e.count()
+    assert 0 < kept.count() <= n
+
+    # brute force: a vector is dropped iff it has a >= tau neighbor of
+    # lower id in ITS cluster (recompute the same deterministic fit)
+    assignments, _ = kmeans_fit(e, k=4, iters=2)
+    cells = e.join(assignments.select("vec_id", "cluster"), "vec_id")
+    a = cells.select(F.col("vec_id").alias("id_a"), F.col("emb").alias("ea"),
+                     "cluster")
+    b = cells.select(F.col("vec_id").alias("id_b"), F.col("emb").alias("eb"),
+                     "cluster")
+    should_drop = {
+        r.id_b
+        for r in a.join(b, "cluster")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(cosine(F.col("ea"), F.col("eb")) >= NEARDUP_COS)
+        .select("id_b").distinct().collect()
+    }
+    kept_ids = {r.vec_id for r in kept.collect()}
+    all_ids = {r.vec_id for r in e.collect()}
+    assert kept_ids == all_ids - should_drop
+
+    # determinism
+    again = {r.vec_id for r in semdedup(e, k=4, iters=2).collect()}
+    assert again == kept_ids
+
+    # gate query: planted perturbed copies (cos ~ 0.9997 to original)
+    # shrink the corpus — survivors < corpus, and cluster counts add up
+    rows = embedding_semdedup(spark, sf_dir).collect()
+    n_total = rows[0].n_total
+    assert sum(r.n_kept for r in rows) < n_total
