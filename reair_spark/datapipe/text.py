@@ -188,8 +188,58 @@ def text_quality_filter(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+CHUNK_W = 10
+
+
+def text_dedup_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    """Within-document repetition removal — the CCNet/RefinedWeb
+    'drop duplicated lines/paragraphs per page' step. The synthetic
+    docs are single-line, so the dedup unit is a fixed CHUNK_W-word
+    window; on real data the identical expression runs over
+    split(text, '\\n') instead. Keeps each chunk's FIRST occurrence
+    (order-preserving) and reassembles the text.
+
+    Planted self-repeats (first CHUNK_W words twice, doc_id+1e6 —
+    same convention as the corpus-level dedup gates) prove the drop
+    path on data whose natural chunks never align.
+
+    Map-only at any scale: chunking, the per-doc first-occurrence
+    filter (O(chunks²) within one row), and reassembly are all array
+    built-ins inside one codegen stage — no shuffle, no Python."""
+    d = widen(_t(spark, sf, "documents"), spark)
+    words = F.split("text", " ")
+    planted = d.where(
+        (F.size(words) >= CHUNK_W) & (F.col("doc_id") % 7 == 0)
+    ).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.array_join(
+            F.concat(F.slice(words, 1, CHUNK_W), F.slice(words, 1, CHUNK_W)),
+            " ",
+        ).alias("text"),
+    )
+    corpus = d.select("doc_id", "text").union(planted)
+
+    w = F.split("text", " ")
+    n_chunks = F.ceil(F.size(w) / CHUNK_W).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(w, i * CHUNK_W + 1, CHUNK_W), " "),
+    )
+    kept = F.filter(
+        chunks,
+        lambda c, i: F.array_position(F.slice(chunks, F.lit(1), i), c) == 0,
+    )
+    return corpus.select(
+        "doc_id",
+        F.size(chunks).cast("long").alias("n_chunks"),
+        F.size(kept).cast("long").alias("n_kept"),
+        F.array_join(kept, " ").alias("text_deduped"),
+    )
+
+
 TEXT_QUERIES = {
     "text_token_count": text_token_count,
+    "text_dedup_chunks": text_dedup_chunks,
     "text_quality_score": text_quality_score,
     "text_lang_id": text_lang_id,
     "text_fingerprint": text_fingerprint,
@@ -214,7 +264,34 @@ def _lang_case_sql() -> str:
 
 _CANON_SQL = "array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')"
 
+_DEDUP_CHUNKS_SQL = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         array_to_string(
+           list_slice(string_split(text, ' '), 1, 10)
+             || list_slice(string_split(text, ' '), 1, 10), ' ') AS text
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= 10 AND doc_id % 7 = 0
+),
+w AS (SELECT doc_id, string_split(text, ' ') AS words FROM corpus),
+c AS (SELECT doc_id,
+             list_transform(range(0, CAST(ceil(len(words)/10.0) AS INT)),
+                            i -> array_to_string(list_slice(words, i*10+1, i*10+10), ' ')) AS chunks
+      FROM w),
+k AS (SELECT doc_id, chunks,
+             list_filter(chunks,
+                         (x, i) -> coalesce(list_position(chunks[1:i-1], x), 0) = 0) AS kept
+      FROM c)
+SELECT doc_id, CAST(len(chunks) AS BIGINT) AS n_chunks,
+       CAST(len(kept) AS BIGINT) AS n_kept,
+       array_to_string(kept, ' ') AS text_deduped
+FROM k
+"""
+
 TEXT_ORACLES = {
+    "text_dedup_chunks": _DEDUP_CHUNKS_SQL,
     "text_token_count": (
         "SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens, "
         r"len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS re_tokens "

@@ -233,3 +233,21 @@ def test_semdedup_invariants(spark, sf_dir):
     rows = embedding_semdedup(spark, sf_dir).collect()
     n_total = rows[0].n_total
     assert sum(r.n_kept for r in rows) < n_total
+
+
+def test_dedup_chunks_drops_planted_repeats(spark, sf_dir):
+    """Planted self-repeated docs lose their duplicate window; natural
+    docs keep all chunks; reassembled text is a prefix-preserving
+    first-occurrence sequence."""
+    from reair_spark.datapipe.text import CHUNK_W, text_dedup_chunks
+
+    rows = text_dedup_chunks(spark, sf_dir).collect()
+    planted = [r for r in rows if r.doc_id >= 1_000_000]
+    assert planted and all(
+        r.n_chunks == 2 and r.n_kept == 1 for r in planted
+    )
+    # a planted doc's deduped text is exactly its first window
+    for r in planted:
+        assert len(r.text_deduped.split(" ")) == CHUNK_W
+    natural = [r for r in rows if r.doc_id < 1_000_000]
+    assert all(r.n_kept <= r.n_chunks for r in natural)
