@@ -129,6 +129,42 @@ def curate_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+TOKEN_BUDGET = 400  # tokens per source
+
+
+def curate_token_budget(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-budget selection: each source contributes its best
+    documents until a per-source token budget is exhausted — the data-
+    mixing step that turns corpus weights into an actual document
+    pick. 'Best' here is (longest, then doc_id) as the deterministic
+    quality proxy; a production run substitutes its quality score in
+    the ORDER BY and nothing else changes.
+
+    One shuffle on source, then a running token sum per source and a
+    cumulative-≤-budget filter. At scale the sort within each source
+    is a range partition (Spark's sort machinery), not a single task;
+    a source whose docs exceed executor memory still works because
+    the window is rows-ordered, never buffering the whole source."""
+    from pyspark.sql import Window as W
+
+    d = _t(spark, sf, "documents")
+    toks = d.select(
+        "doc_id", "source", "n_chars",
+        F.size(F.split("text", " ")).alias("n_tok"),
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy(F.desc("n_chars"), "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        toks.withColumn("cum_tok", F.sum("n_tok").over(w).cast("long"))
+        .where(F.col("cum_tok") <= TOKEN_BUDGET)
+        .select("source", "doc_id", F.col("n_tok").cast("long").alias("n_tok"),
+                "cum_tok")
+    )
+
+
 def curate_pii_mask(spark: SparkSession, sf: str) -> DataFrame:
     """PII-style masking over customer identities: stable pseudonym
     (md5 of the identifier), digit runs masked except the last 4.
@@ -208,6 +244,7 @@ def curate_pipeline(spark: SparkSession, sf: str) -> DataFrame:
 
 CURATE_QUERIES = {
     "curate_pipeline": curate_pipeline,
+    "curate_token_budget": curate_token_budget,
     "curate_sample_stratified": curate_sample_stratified,
     "curate_decontaminate": curate_decontaminate,
     "curate_pack_sequences": curate_pack_sequences,
@@ -268,6 +305,20 @@ FROM binned GROUP BY lang
 
 CURATE_ORACLES = {
     "curate_pipeline": _pipeline_sql(),
+    "curate_token_budget": f"""
+WITH toks AS (SELECT doc_id, source, n_chars,
+                     len(string_split(text, ' ')) AS n_tok
+              FROM documents),
+c AS (SELECT source, doc_id, n_tok,
+             sum(n_tok) OVER (PARTITION BY source
+                              ORDER BY n_chars DESC, doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS cum_tok
+      FROM toks)
+SELECT source, doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+       CAST(cum_tok AS BIGINT) AS cum_tok
+FROM c WHERE cum_tok <= {TOKEN_BUDGET}
+""",
     "curate_sample_stratified": (
         f"SELECT doc_id, lang, {_sample_hash_sql()} AS bucket FROM documents "
         f"WHERE {_sample_hash_sql()} < {_sample_rate_sql()}"

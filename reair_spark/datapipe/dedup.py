@@ -461,15 +461,60 @@ FROM l{DEDUP_CC_ITERS}
 """
 
 
+def dedup_against_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-corpus dedup: drop candidate documents already present in
+    a REFERENCE corpus — the 'dedup the new crawl against the existing
+    training set' step, distinct from within-corpus dedup. Reference =
+    even doc_ids; candidates = odd doc_ids ∪ planted exact copies of
+    reference docs (doc_id + 1_000_001, proving the drop path).
+
+    Anti-join on the content digest: the reference side collapses to
+    DISTINCT 16-byte digests before the join (partial aggregation →
+    shuffle carries |unique digests|, not documents), candidates
+    shuffle digests not bodies. When the reference digest set fits an
+    executor (it usually does — digests are ~0.03% of corpus bytes)
+    AQE turns this into a broadcast anti-join with zero candidate
+    shuffle."""
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    ref = d.where(F.col("doc_id") % 2 == 0)
+    planted = ref.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_001).alias("doc_id"), "text"
+    )
+    cand = d.where(F.col("doc_id") % 2 == 1).union(planted)
+    ref_fp = ref.select(F.md5("text").alias("fp")).distinct()
+    return (
+        widen(cand, spark)
+        .select("doc_id", F.md5("text").alias("fp"))
+        .join(ref_fp, "fp", "left_anti")
+        .select("doc_id")
+    )
+
+
 DEDUP_QUERIES = {
     "dedup_exact": dedup_exact,
+    "dedup_against_corpus": dedup_against_corpus,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_components": dedup_components,
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
 }
 
+_AGAINST_CORPUS_SQL = """
+WITH ref AS (
+  SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 2 = 0
+),
+cand AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+  UNION ALL
+  SELECT doc_id + 1000001 AS doc_id, text FROM documents
+  WHERE doc_id % 2 = 0 AND doc_id % 10 = 0
+)
+SELECT doc_id FROM cand
+WHERE md5(text) NOT IN (SELECT fp FROM ref)
+"""
+
 DEDUP_ORACLES = {
+    "dedup_against_corpus": _AGAINST_CORPUS_SQL,
     "dedup_exact": (
         f"SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS n_copies "
         f"FROM ({_corpus_sql(exact=True)}) corpus GROUP BY 1"
