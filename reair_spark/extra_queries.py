@@ -11,7 +11,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from reair_spark.io import load_table as _t
-from reair_spark.operators import asof_join, range_join, sessionize
+from reair_spark.operators import (
+    asof_join,
+    blocked_fuzzy_join,
+    range_join,
+    sessionize,
+    top_k_per_group,
+)
 
 
 def _event_days(spark: SparkSession, sf: str) -> DataFrame:
@@ -255,8 +261,82 @@ def tpch_q5_local_supplier(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def tpch_q18_large_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): HAVING-filtered
+    aggregate used as a semi-join filter on the fact table.
+
+    The plan exploits the HAVING's selectivity: the per-order quantity
+    rollup (map-side combined, one shuffle on l_orderkey) survives
+    only for orders over the threshold — a tiny set — which is then
+    BROADCAST into orders, and the handful of surviving orders is in
+    turn broadcast into customer. Neither orders nor customer ever
+    shuffles; at 100 TB the only exchange in the whole query is the
+    lineitem rollup. Deterministic top-100 via the o_orderkey
+    tie-break (ties at the price cutoff would otherwise make LIMIT
+    engine-dependent)."""
+    li = _t(spark, sf, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .where(F.col("sum_qty") > 300)
+    )
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    big_orders = o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+    return (
+        c.join(F.broadcast(big_orders), big_orders.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            F.col("c_custkey").cast("long").alias("c_custkey"),
+            F.col("o_orderkey").cast("long").alias("o_orderkey"),
+            "o_orderdate",
+            F.round(F.col("o_totalprice").cast("double"), 2).alias("o_totalprice"),
+            F.col("sum_qty").cast("double").alias("sum_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderdate", "o_orderkey")
+        .limit(100)
+    )
+
+
+def fuzzy_match_parts(spark: SparkSession, sf: str) -> DataFrame:
+    """Blocked fuzzy entity resolution over part names: a 'dirty' side
+    (every p_name with its 3rd character deleted — a deterministic
+    stand-in for typo'd vendor feeds) is matched back to the clean
+    catalog within edit distance 1, then resolved to the single best
+    match per dirty record (lowest distance, then lowest part key).
+
+    Exercises `operators.blocked_fuzzy_join` (first-2-chars blocking —
+    edit-invariant for the position-3 deletion) + `top_k_per_group`
+    for the best-match pick. One shuffle per side on the block key,
+    one on the dirty key for the window; no cross product."""
+    p = _t(spark, sf, "part")
+    dirty = p.select(
+        F.col("p_partkey").cast("long").alias("d_key"),
+        F.concat(
+            F.substring("p_name", 1, 2), F.expr("substring(p_name, 4)")
+        ).alias("d_name"),
+    )
+    clean = p.select(
+        F.col("p_partkey").cast("long").alias("match_key"),
+        F.col("p_name").alias("match_name"),
+    )
+    matched = blocked_fuzzy_join(
+        dirty, clean, "d_name", "match_name",
+        block=lambda c: F.substring(c, 1, 2), max_dist=1,
+    )
+    best = top_k_per_group(
+        matched, ["d_key"], [F.col("dist"), F.col("match_key")], 1
+    )
+    return best.select(
+        "d_key", "d_name", "match_key", "match_name",
+        F.col("dist").cast("long").alias("dist"),
+    )
+
+
 EXTRA_QUERIES = {
     "json_props_stats": json_props_stats,
+    "tpch_q18_large_orders": tpch_q18_large_orders,
+    "fuzzy_match_parts": fuzzy_match_parts,
     "rollup_status_priority": rollup_status_priority,
     "skew_salted_stats": skew_salted_stats,
     "events_moving_average": events_moving_average,
@@ -280,6 +360,43 @@ FROM events GROUP BY 1, 2
 """
 
 EXTRA_ORACLES = {
+    "tpch_q18_large_orders": """
+WITH big AS (
+  SELECT l_orderkey, sum(l_quantity) AS sum_qty FROM lineitem
+  GROUP BY 1 HAVING sum(l_quantity) > 300
+)
+SELECT c.c_name, CAST(c.c_custkey AS BIGINT) AS c_custkey,
+       CAST(o.o_orderkey AS BIGINT) AS o_orderkey, o.o_orderdate,
+       ROUND(CAST(o.o_totalprice AS DOUBLE), 2) AS o_totalprice,
+       CAST(b.sum_qty AS DOUBLE) AS sum_qty
+FROM orders o
+JOIN big b ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 100
+""",
+    "fuzzy_match_parts": """
+WITH dirty AS (
+  SELECT CAST(p_partkey AS BIGINT) AS d_key,
+         concat(substr(p_name, 1, 2), substr(p_name, 4)) AS d_name
+  FROM part
+),
+m AS (
+  SELECT d.d_key, d.d_name,
+         CAST(c.p_partkey AS BIGINT) AS match_key, c.p_name AS match_name,
+         levenshtein(d.d_name, c.p_name) AS dist
+  FROM dirty d
+  JOIN part c ON substr(d.d_name, 1, 2) = substr(c.p_name, 1, 2)
+            AND abs(len(d.d_name) - len(c.p_name)) <= 1
+  WHERE levenshtein(d.d_name, c.p_name) <= 1
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY d_key
+                               ORDER BY dist, match_key) AS rn
+  FROM m
+)
+SELECT d_key, d_name, match_key, match_name, CAST(dist AS BIGINT) AS dist
+FROM r WHERE rn = 1
+""",
     "json_props_stats": """
 WITH k AS (SELECT event_type,
                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS kv
