@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def asof_join(
@@ -95,9 +96,15 @@ def sessionize(
     One shuffle (the per-key sort); the cumulative-sum trick keeps it
     a pure window program."""
     w = W.partitionBy(key).orderBy(ts)
-    gap_break = (
-        F.col(ts).cast("double") - F.lag(F.col(ts).cast("double")).over(w)
-        > gap_seconds
+    # interval subtraction, not cast-to-double: works for TIMESTAMP,
+    # TIMESTAMP_NTZ, and numeric ts alike, with no timezone dependence
+    prev = F.lag(F.col(ts)).over(w)
+    gap_break = (F.col(ts) - prev) > (
+        # DayTimeInterval literal (make_interval yields the legacy
+        # CalendarInterval, which won't compare with ts - lag(ts))
+        F.expr(f"INTERVAL '{int(gap_seconds)}' SECOND")
+        if isinstance(df.schema[ts].dataType, (T.TimestampType, T.TimestampNTZType))
+        else F.lit(gap_seconds)
     )
     marked = df.withColumn(
         "__new_session", F.when(gap_break | F.lag(ts).over(w).isNull(), 1).otherwise(0)
@@ -302,3 +309,63 @@ def blocked_fuzzy_join(
         .where(F.col("dist") <= max_dist)
         .drop("__blk")
     )
+
+
+def deletion_neighborhood_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+) -> DataFrame:
+    """Edit-distance-<=1 join via deletion neighborhoods (the SymSpell
+    candidate-generation idea): two strings are within one edit iff
+    their {self} ∪ {one-char-deleted variants} sets intersect, so each
+    side explodes into |s|+1 variant keys, the sides equi-join on the
+    hashed variant, and exact levenshtein verifies the survivors.
+
+    Column sets of the two sides must be disjoint (the pair dedup
+    keys on them).
+
+    Why this beats prefix blocking when blocks are populous: candidate
+    volume for a blocked join is Σ_b |L_b|·|R_b|, which degenerates to
+    ~N²/|blocks| on low-cardinality keys (part names start with ~90
+    color words — 20k parts made 10^8 levenshtein calls). Here
+    candidate volume is |true matches| + hash-collision noise,
+    independent of key skew: variants of distinct strings collide only
+    when the strings really are within one edit (or a transposition).
+
+    The expensive middle runs at DISTINCT-VALUE level, not row level:
+    both sides project to their distinct strings first, the variant
+    explode + equi-join + levenshtein produce a (left_val, right_val,
+    dist) match table, and that small table joins back to each side's
+    rows. Duplicated values (the common case in entity resolution —
+    64 distinct names across 20k parts here) therefore never multiply
+    through the candidate join; they only fan out in the final
+    row-level equi-joins, which AQE broadcasts when the match table is
+    small. At 100 TB the variant explode is a map-side flatMap over
+    |distinct values| rows and every join is an ordinary equi-join.
+    """
+
+    def vkeys(c: str) -> Column:
+        return F.expr(
+            f"array_distinct(concat(array({c}), "
+            f"transform(sequence(1, greatest(length({c}), 1)), "
+            f"i -> concat(substring({c}, 1, i-1), substring({c}, i+1)))))"
+        )
+
+    lv = left.select(left_col).distinct()
+    rv = right.select(right_col).distinct()
+    le = lv.withColumn("__vk", F.explode(vkeys(left_col))).withColumn(
+        "__vk", F.xxhash64("__vk")
+    )
+    re_ = rv.withColumn("__vk", F.explode(vkeys(right_col))).withColumn(
+        "__vk", F.xxhash64("__vk")
+    )
+    pairs = (
+        le.join(re_, "__vk")
+        .drop("__vk")
+        .withColumn("dist", F.levenshtein(F.col(left_col), F.col(right_col)))
+        .where(F.col("dist") <= 1)
+        .dropDuplicates([left_col, right_col])
+    )
+    return left.join(pairs, left_col).join(right, right_col)

@@ -27,19 +27,31 @@ from reair_spark.io import load_table
 def stream_events(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
 ) -> DataFrame:
-    """events table as a file stream. load_table first: it sets the
-    nanosAsLong session conf, after which the raw parquet schema reads
-    ts as LONG (nanos) — the stream carries that and downstream ops
-    convert with timestamp_micros(ts DIV 1000)."""
+    """events table as a file stream, ts normalized to TIMESTAMP.
+
+    The parquet has carried ts as TIMESTAMP(NANOS) (readable only as
+    long via nanosAsLong) in some generations and TIMESTAMP(MICROS)
+    (NTZ) in others; load_table first (sets the nanosAsLong conf so
+    the nanos generation reads at all), then convert whatever arrived
+    — long nanos → µs instant, NTZ → instant (session pinned UTC, so
+    the cast is value-preserving). Downstream operators always see an
+    event-time TIMESTAMP they can watermark directly."""
     load_table(spark, sf_dir, "events")
     raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     # file-stream sources need a directory; select the one file by glob
-    return (
+    ev = (
         spark.readStream.schema(raw_schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
+    import pyspark.sql.types as T
+
+    if isinstance(raw_schema["ts"].dataType, T.LongType):
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    else:
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    return ev
 
 
 def _run_to_memory(stream_df: DataFrame, mode: str) -> DataFrame:
@@ -62,9 +74,8 @@ def stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded run via memory sink. Complete mode → the final state equals
     the batch groupBy, making this streaming operator oracle-checkable."""
     ev = stream_events(spark, sf_dir, max_files_per_trigger=1)
-    ts = F.timestamp_micros(F.expr("ts DIV 1000"))
     agg = (
-        ev.select(ts.alias("ts"))
+        ev.select("ts")
         .withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour").alias("w"))
         .agg(F.count("*").alias("cnt"))
@@ -79,9 +90,8 @@ def stream_sessionize(
     """Session windows per user (ST8 — absent in the reference's
     totally-ordered stream; native in Spark)."""
     ev = stream_events(spark, sf_dir, max_files_per_trigger=1)
-    ts = F.timestamp_micros(F.expr("ts DIV 1000"))
     agg = (
-        ev.select("user_id", ts.alias("ts"))
+        ev.select("user_id", "ts")
         .withWatermark("ts", "1 hour")
         .groupBy("user_id", F.session_window("ts", gap).alias("w"))
         .agg(F.count("*").alias("n_events"))
@@ -121,7 +131,7 @@ def funnel_detect(
 
     ``events`` must be a streaming DataFrame with columns
     (user_id long, event_type string, ts long) — ts in any monotone
-    integer unit (ns-epoch here).
+    integer unit (µs-epoch here).
 
     ``ttl_minutes`` bounds state: a key idle that long is dropped
     (processing-time timeout). Unbounded key spaces — the 100 TB
@@ -188,16 +198,19 @@ def funnel_detect(
 def stream_funnel(
     spark: SparkSession, sf_dir: str, state_partitions: int = 8
 ) -> DataFrame:
-    """view→click→purchase funnel over the bounded event stream; ts
-    arrives as long nanos (nanosAsLong schema), converted to a µs
-    timestamp only at the output edge.
+    """view→click→purchase funnel over the bounded event stream; the
+    normalized event-time TIMESTAMP is lowered to long µs for the
+    stateful operator (its state schema wants a monotone integer) and
+    raised back to a timestamp only at the output edge.
 
     ``state_partitions`` pins the stateful operator's store count for
     THIS query (a streaming query's state partitioning is fixed at
     first checkpoint, so it must be sized deliberately: ~key-cardinality
     / executor balance, not whatever the relational shuffle width
     happens to be). Restored after query start."""
-    ev = stream_events(spark, sf_dir, max_files_per_trigger=1)
+    ev = stream_events(spark, sf_dir, max_files_per_trigger=1).withColumn(
+        "ts", F.unix_micros("ts")
+    )
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
@@ -206,7 +219,7 @@ def stream_funnel(
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return out.select(
         "user_id",
-        F.timestamp_micros(F.expr("completed_ts_long DIV 1000")).alias("completed_ts"),
+        F.timestamp_micros("completed_ts_long").alias("completed_ts"),
     )
 
 
@@ -293,11 +306,7 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     once shape of any real bus — and the drained output equals the
     batch distinct."""
     def one_reader():
-        return stream_events(spark, sf_dir).select(
-            "event_id",
-            "user_id",
-            F.timestamp_micros(F.expr("ts DIV 1000")).alias("ts"),
-        )
+        return stream_events(spark, sf_dir).select("event_id", "user_id", "ts")
 
     doubled = one_reader().union(one_reader())
     out = (
