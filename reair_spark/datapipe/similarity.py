@@ -149,50 +149,66 @@ def kmeans_fit(
     smallest portable hash of vec_id (reproducible across engines and
     cluster sizes — no rand()), and ties break on (cluster) order.
 
-    Plan shape per iteration: centroids are k×dim ≈ nothing, so
-    assignment is a broadcast crossJoin with the cosine folded JVM-side
-    (corpus never shuffles); the update is one shuffle of (cluster,
-    dim) partial sums — map-side combined, so shuffle volume is
-    k×dim×partitions regardless of corpus size. Centroids materialize
-    to the driver each iteration (k×dim values), keeping lineage flat —
-    the same structure MLlib uses. Iterative ⇒ no SQL oracle; the gate
-    runs a rows-only check and pytest asserts algorithmic invariants
-    (complete assignment, argmax self-consistency, determinism).
+    Plan shape per iteration: the k centroids round-trip through the
+    driver (k×dim values) and re-enter the plan as LITERALS, each
+    pre-normalized in Python, so assignment is a pure map — one dot
+    product per (row, centroid) against the cached unit-norm corpus,
+    argmax folded into an array_sort of k (neg-sim, cluster) structs.
+    No crossJoin, no per-vec_id window, ZERO shuffle to assign; the
+    only exchange per iteration is the centroid update's (cluster,
+    dim) partial-sum agg — map-side combined, k×dim×partitions rows
+    regardless of corpus size. Same structure MLlib's fit uses
+    (broadcast centroids + map-side argmin). Iterative ⇒ no SQL
+    oracle; the gate runs a rows-only check and pytest asserts
+    algorithmic invariants (complete assignment, argmax
+    self-consistency, determinism).
 
     Returns (assignments(vec_id, cluster, sim), centroids(cluster,
     cemb))."""
-    from reair_spark.datapipe.common import portable_hash32
+    import math
+
+    from reair_spark.datapipe.common import dot, portable_hash32, unit_norm
 
     spark = emb.sparkSession
-    # cache the working set: seeds + every assign/update re-reads it
-    # (2·iters + 2 passes) — the same input caching MLlib's iterative
-    # fits do; at 100 TB this is persist(DISK_ONLY) or a pre-
-    # materialized parquet of just (vec_id, emb)
-    e = emb.select("vec_id", "emb").cache()
+    # cache the working set — unit-normalized ONCE, so every pass pays
+    # a dot product instead of a full cosine (3 folds). Seeds + every
+    # assign/update re-read it (iters + 2 passes) — the same input
+    # caching MLlib's iterative fits do; at 100 TB this is
+    # persist(DISK_ONLY) or a pre-materialized parquet.
+    e = emb.select("vec_id", "emb", unit_norm(F.col("emb")).alias("__n")).cache()
     seeds = (
         e.orderBy(portable_hash32(F.col("vec_id").cast("string")), "vec_id")
         .limit(k)
         .collect()
     )
-    cent = spark.createDataFrame(
-        [(i, list(r.emb)) for i, r in enumerate(seeds)],
-        "cluster int, cemb array<double>",
-    )
+    cent_py: list[tuple[int, list[float]]] = [
+        (i, list(r.emb)) for i, r in enumerate(seeds)
+    ]
 
-    def assign(cent_df: DataFrame) -> DataFrame:
-        scored = e.crossJoin(F.broadcast(cent_df)).select(
-            "vec_id", "emb", "cluster",
-            cosine(F.col("emb"), F.col("cemb")).alias("sim"),
+    def assign(cent_rows: list[tuple[int, list[float]]]) -> DataFrame:
+        def norm_lit(v: list[float]) -> list[Column]:
+            nrm = math.sqrt(sum(x * x for x in v)) or 1.0
+            return [F.lit(float(x) / nrm) for x in v]
+
+        scored = F.array(
+            *[
+                F.struct(
+                    (-dot(F.col("__n"), F.array(*norm_lit(cv)))).alias("neg"),
+                    F.lit(c).alias("cluster"),
+                )
+                for c, cv in cent_rows
+            ]
         )
-        w = W.partitionBy("vec_id").orderBy(F.desc("sim"), "cluster")
-        return (
-            scored.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .drop("rn")
+        best = F.element_at(F.array_sort(scored), 1)
+        return e.select(
+            "vec_id",
+            "emb",
+            best["cluster"].alias("cluster"),
+            (-best["neg"]).alias("sim"),
         )
 
     for _ in range(iters):
-        assigned = assign(cent)
+        assigned = assign(cent_py)
         new_rows = (
             assigned.select("cluster", F.posexplode("emb").alias("pos", "v"))
             .groupBy("cluster", "pos")
@@ -206,12 +222,12 @@ def kmeans_fit(
             )
             .collect()
         )
-        cent = spark.createDataFrame(
-            [(r.cluster, list(r.cemb)) for r in new_rows],
-            "cluster int, cemb array<double>",
-        )
+        cent_py = sorted((r.cluster, list(r.cemb)) for r in new_rows)
 
-    return assign(cent).select("vec_id", "cluster", "sim"), cent
+    cent = spark.createDataFrame(
+        [(c, v) for c, v in cent_py], "cluster int, cemb array<double>"
+    )
+    return assign(cent_py).select("vec_id", "cluster", "sim"), cent
 
 
 def ann_ivf_fitted_topk(
@@ -281,18 +297,22 @@ def semdedup(
 
     Returns the input rows + ``cluster``, minus the dropped
     duplicates."""
+    from reair_spark.datapipe.common import dot, unit_norm
+
     assignments, _ = kmeans_fit(emb, k=k, iters=iters)
     cells = emb.join(assignments.select("vec_id", "cluster"), "vec_id")
-    a = cells.select(
-        F.col("vec_id").alias("id_a"), F.col("emb").alias("ea"), "cluster"
-    )
-    b = cells.select(
-        F.col("vec_id").alias("id_b"), F.col("emb").alias("eb"), "cluster"
-    )
+    # normalize each vector ONCE (cached: both sides of the self-join
+    # and the final anti-join read it) so the N²/k pair stage pays a
+    # single dot fold per pair instead of a full cosine (3 folds)
+    nc = cells.select(
+        "vec_id", "cluster", unit_norm(F.col("emb")).alias("ne")
+    ).cache()
+    a = nc.select(F.col("vec_id").alias("id_a"), F.col("ne").alias("ea"), "cluster")
+    b = nc.select(F.col("vec_id").alias("id_b"), F.col("ne").alias("eb"), "cluster")
     dup_ids = (
         a.join(b, "cluster")
         .where(F.col("id_a") < F.col("id_b"))
-        .where(cosine(F.col("ea"), F.col("eb")) >= tau)
+        .where(dot(F.col("ea"), F.col("eb")) >= tau)
         .select(F.col("id_b").alias("vec_id"))
         .distinct()
     )
