@@ -237,9 +237,102 @@ def text_dedup_chunks(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+CORPUS_DUP_MIN_DOCS = 3
+
+
+def text_line_dedup_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """CORPUS-level repeated-passage removal — the C4 'three-sentence
+    span occurring in multiple pages' / CCNet cross-shard line dedup
+    step, complementing text_dedup_chunks' WITHIN-document pass. A
+    CHUNK_W-word chunk is boilerplate when it appears in >=
+    CORPUS_DUP_MIN_DOCS distinct documents; every occurrence is
+    removed and each doc's survivors reassemble in order. Docs whose
+    chunks are all boilerplate survive with empty text (they're
+    exactly what a downstream quality filter should see and drop).
+
+    Scale shape: explode chunks WITH position, one map-side-combined
+    count-distinct-docs per chunk, join the (chunk, n_docs) table
+    back, one groupBy(doc) to reassemble — two shuffles total, both
+    on keys that can't skew past chunk frequency itself. A production
+    run shuffles xxhash64(chunk) instead of the chunk text (8-byte
+    keys, strings never shuffle twice); the string form here keeps
+    the DuckDB oracle exact."""
+    d = widen(_t(spark, sf, "documents"), spark)
+    w = F.split("text", " ")
+    n_chunks = F.ceil(F.size(w) / CHUNK_W).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(w, i * CHUNK_W + 1, CHUNK_W), " "),
+    )
+    ex = d.select(
+        "doc_id",
+        F.size(chunks).cast("long").alias("n_chunks"),
+        F.posexplode(chunks).alias("pos", "chunk"),
+    )
+    freq = ex.groupBy("chunk").agg(
+        F.count_distinct("doc_id").alias("__n_docs")
+    )
+    kept = (
+        ex.join(freq, "chunk")
+        .where(F.col("__n_docs") < CORPUS_DUP_MIN_DOCS)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
+                    lambda s: s.chunk,
+                ),
+                " ",
+            ).alias("text_deduped"),
+        )
+    )
+    base = d.select("doc_id", n_chunks.cast("long").alias("n_chunks"))
+    return base.join(kept, "doc_id", "left_outer").select(
+        "doc_id",
+        "n_chunks",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("text_deduped", F.lit("")).alias("text_deduped"),
+    )
+
+
+def text_perplexity_unigram(spark: SparkSession, sf: str) -> DataFrame:
+    """Unigram-LM perplexity scoring — the SQL-expressible stand-in
+    for CCNet's KenLM quality gate: train token probabilities on the
+    corpus itself (count/total), score each doc by the mean negative
+    log-likelihood of its tokens, report ppl = exp(nll). Low-ppl docs
+    read like the corpus; high-ppl docs are outliers — same decision
+    axis as the real 5-gram model, one corpus pass instead of an
+    external model.
+
+    Scale shape: one map-side-combined token count (the LM 'fit'),
+    one token→prob join (vocabulary-sized build side — broadcastable
+    until web-scale vocab, then an ordinary shuffle join), one
+    groupBy(doc) for the mean. The log/exp algebra stays in codegen;
+    rounding at 4 decimals makes the cross-engine float sums exact."""
+    d = widen(_t(spark, sf, "documents"), spark)
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("total"))
+    probs = counts.crossJoin(total).select(
+        "token", (F.col("cnt") / F.col("total")).alias("p")
+    )
+    return (
+        tok.join(probs, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(F.avg(-F.log("p")), 4).alias("nll"),
+            F.round(F.exp(F.avg(-F.log("p"))), 4).alias("ppl"),
+        )
+    )
+
+
 TEXT_QUERIES = {
     "text_token_count": text_token_count,
     "text_dedup_chunks": text_dedup_chunks,
+    "text_line_dedup_corpus": text_line_dedup_corpus,
+    "text_perplexity_unigram": text_perplexity_unigram,
     "text_quality_score": text_quality_score,
     "text_lang_id": text_lang_id,
     "text_fingerprint": text_fingerprint,
@@ -290,8 +383,50 @@ SELECT doc_id, CAST(len(chunks) AS BIGINT) AS n_chunks,
 FROM k
 """
 
+_LINE_DEDUP_CORPUS_SQL = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+c AS (SELECT doc_id,
+             list_transform(range(0, CAST(ceil(len(words)/10.0) AS INT)),
+                            i -> array_to_string(list_slice(words, i*10+1, i*10+10), ' ')) AS chunks
+      FROM w),
+ex AS (SELECT doc_id, len(chunks) AS n_chunks,
+              unnest(chunks) AS chunk,
+              generate_subscripts(chunks, 1) AS pos
+       FROM c),
+freq AS (SELECT chunk, count(DISTINCT doc_id) AS n_docs FROM ex GROUP BY 1),
+kept AS (
+  SELECT ex.doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         array_to_string(list_transform(
+           list_sort(list(ROW(ex.pos, ex.chunk))), r -> r[2]), ' ')
+           AS text_deduped
+  FROM ex JOIN freq USING (chunk)
+  WHERE freq.n_docs < 3
+  GROUP BY ex.doc_id
+)
+SELECT c.doc_id, CAST(len(c.chunks) AS BIGINT) AS n_chunks,
+       coalesce(k.n_kept, 0) AS n_kept,
+       coalesce(k.text_deduped, '') AS text_deduped
+FROM c LEFT OUTER JOIN kept k ON c.doc_id = k.doc_id
+"""
+
+_PPL_UNIGRAM_SQL = """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+             FROM documents),
+counts AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1),
+total AS (SELECT sum(cnt) AS total FROM counts),
+probs AS (SELECT token, cnt / CAST(total AS DOUBLE) AS p
+          FROM counts CROSS JOIN total)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       round(avg(-ln(p)), 4) AS nll,
+       round(exp(avg(-ln(p))), 4) AS ppl
+FROM tok JOIN probs USING (token)
+GROUP BY doc_id
+"""
+
 TEXT_ORACLES = {
     "text_dedup_chunks": _DEDUP_CHUNKS_SQL,
+    "text_line_dedup_corpus": _LINE_DEDUP_CORPUS_SQL,
+    "text_perplexity_unigram": _PPL_UNIGRAM_SQL,
     "text_token_count": (
         "SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens, "
         r"len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS re_tokens "

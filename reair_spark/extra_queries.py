@@ -340,7 +340,156 @@ def fuzzy_match_parts(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def tpch_q4_priority_semi(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS-decorrelated LEFT SEMI join + count per
+    priority. The semi join needs only l_orderkey from the matching
+    side, so the lineitem scan prunes to one column + its pushed
+    filter, and the semi-join build side deduplicates before the probe
+    (Catalyst plans it as a semi hash join — no row multiplication,
+    which is the whole point of EXISTS vs JOIN+DISTINCT at scale).
+    Slim-schema note: the reference predicate (commitdate < receiptdate)
+    maps to the available returned-flag lateness stand-in."""
+    o = _t(spark, sf, "orders").where(
+        (F.col("o_orderdate") >= "1996-07-01") & (F.col("o_orderdate") < "1996-10-01")
+    )
+    li = _t(spark, sf, "lineitem").where(F.col("l_returnflag") == "R")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def tpch_q10_returned_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q10 shape: fact⋈orders filtered quarter, returned items
+    only, revenue per customer, nation broadcast, deterministic top 20.
+    orders (date-filtered) and customer both broadcast into the
+    lineitem scan at this SF; at 100 TB orders⋈lineitem shuffles on
+    orderkey and the agg is map-side combined on custkey."""
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    o = _t(spark, sf, "orders").where(
+        (F.col("o_orderdate") >= "1996-10-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = _t(spark, sf, "lineitem").where(F.col("l_returnflag") == "R")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.round(_revenue().cast("double"), 2).alias("revenue"))
+        .select(
+            F.col("c_custkey").cast("long").alias("c_custkey"),
+            "c_name",
+            F.round(F.col("c_acctbal").cast("double"), 2).alias("c_acctbal"),
+            "n_name",
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+def tpch_q12_priority_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q12 shape: join + conditional two-bucket aggregation
+    (high/low priority counts per line status). The CASE folds into
+    the join's codegen stage, so the only exchange is the final tiny
+    group-by — sum-of-CASE is the scalable form of pivot for a fixed
+    bucket set."""
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("long")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(high).alias("high_line_count"),
+            F.sum(1 - high).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+def tpch_q13_order_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q13 shape: filtered LEFT OUTER join + two-level
+    aggregation — per-customer order count, then the distribution of
+    those counts (customers with zero orders survive the outer join
+    and land in the c_count=0 bucket). The filter rides the join (not
+    a WHERE after it — that would turn the outer join inner), exactly
+    the reference's comment-exclusion semantics on the slim schema."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").where(F.col("o_orderpriority") != "4-NOT SPECIFIED")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("long").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def tpch_q22_dormant_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar subquery (global avg over a filtered
+    set) + anti join (customers with NO orders) + per-group agg.
+    The avg collapses to one row and enters the filter as a broadcast
+    (Catalyst's scalar-subquery plan); the anti join probes orders'
+    custkey set. Country code → nationkey decile on the slim schema."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    avg_bal = (
+        c.where(F.col("c_acctbal") > 0.0)
+        .agg(F.avg("c_acctbal").alias("a"))
+        .select(F.col("a"))
+    )
+    eligible = (
+        c.withColumn("code", (F.col("c_nationkey") % 10).cast("long"))
+        .join(avg_bal)
+        .where(F.col("c_acctbal") > F.col("a"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+    )
+    return (
+        eligible.groupBy("code")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("numcust"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(18,4)")).cast("double"), 2)
+            .alias("totacctbal"),
+        )
+        .orderBy("code")
+    )
+
+
+def orders_price_deciles(spark: SparkSession, sf: str) -> DataFrame:
+    """Ranking-window breadth: ntile/percent_rank/cume_dist over order
+    price within each priority — the window-function family the rest
+    of the surface (row_number/lag/last) doesn't exercise. One shuffle
+    on the partition key; the fully-specified ORDER BY (price, key)
+    makes every rank deterministic and engine-portable."""
+    o = _t(spark, sf, "orders")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        "o_orderpriority",
+        F.ntile(10).over(w).cast("long").alias("decile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
 EXTRA_QUERIES = {
+    "tpch_q4_priority_semi": tpch_q4_priority_semi,
+    "tpch_q10_returned_revenue": tpch_q10_returned_revenue,
+    "tpch_q12_priority_buckets": tpch_q12_priority_buckets,
+    "tpch_q13_order_histogram": tpch_q13_order_histogram,
+    "tpch_q22_dormant_customers": tpch_q22_dormant_customers,
+    "orders_price_deciles": orders_price_deciles,
     "json_props_stats": json_props_stats,
     "tpch_q18_large_orders": tpch_q18_large_orders,
     "fuzzy_match_parts": fuzzy_match_parts,
@@ -367,6 +516,69 @@ FROM events GROUP BY 1, 2
 """
 
 EXTRA_ORACLES = {
+    "tpch_q4_priority_semi": """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o_orderdate < TIMESTAMP '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+    "tpch_q10_returned_revenue": f"""
+SELECT CAST(c.c_custkey AS BIGINT) AS c_custkey, c.c_name,
+       round(CAST(c.c_acctbal AS DOUBLE), 2) AS c_acctbal, n.n_name,
+       round(CAST({_REV_SQL} AS DOUBLE), 2) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-10-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+ORDER BY revenue DESC, c_custkey LIMIT 20
+""",
+    "tpch_q12_priority_buckets": """
+SELECT l_linestatus,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_linestatus ORDER BY l_linestatus
+""",
+    "tpch_q13_order_histogram": """
+WITH per_cust AS (
+  SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c
+  LEFT OUTER JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '4-NOT SPECIFIED'
+  GROUP BY c.c_custkey
+)
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM per_cust GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+""",
+    "tpch_q22_dormant_customers": """
+SELECT CAST(c_nationkey % 10 AS BIGINT) AS code,
+       CAST(count(*) AS BIGINT) AS numcust,
+       round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE), 2)
+         AS totacctbal
+FROM customer c
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY 1 ORDER BY code
+""",
+    "orders_price_deciles": """
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderpriority,
+       CAST(ntile(10) OVER w AS BIGINT) AS decile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+""",
     "tpch_q18_large_orders": """
 WITH big AS (
   SELECT l_orderkey, sum(l_quantity) AS sum_qty FROM lineitem
