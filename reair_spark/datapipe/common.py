@@ -128,6 +128,23 @@ def word_shingles_sql(tok_name: str = "t", k: int = 3) -> str:
     )
 
 
+def word_bigrams(tok: Column) -> Column:
+    """Adjacent-word bigrams of a token-array column, via zip_with
+    over two slices so the tokenization is evaluated ONCE per row —
+    the transform(sequence(...), i -> element_at(split(text), i))
+    formulation re-evaluates the split per element (O(n²) per doc:
+    lambda bodies sit outside whole-stage subexpression elimination).
+    Single-token rows yield [token], matching concat_ws's null-skip
+    in the index formulation (and the DuckDB oracles' range form)."""
+    n = F.size(tok)
+    z = F.zip_with(
+        F.slice(tok, 1, n - 1),
+        F.slice(tok, 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return F.when(n >= 2, z).otherwise(F.slice(tok, 1, 1))
+
+
 def dot(x: Column, y: Column) -> Column:
     """Dot product of two array<double> columns, fully JVM-side
     (zip_with product + aggregate fold; sequential sum matches DuckDB's

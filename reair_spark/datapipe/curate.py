@@ -199,12 +199,10 @@ def curate_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     tok = F.split("text", " ")
 
     # stage 1: quality (inline the filter's keep predicate)
+    from reair_spark.datapipe.common import word_bigrams
+
     n_words = F.size(tok)
-    grams2 = F.expr(
-        "transform(sequence(1, greatest(size(split(text, ' ')) - 1, 1)), "
-        "i -> concat_ws(' ', element_at(split(text, ' '), i), "
-        "element_at(split(text, ' '), i + 1)))"
-    )
+    grams2 = word_bigrams(tok)
     dup2 = 1.0 - F.size(F.array_distinct(grams2)) / F.size(grams2).cast("double")
     alpha = F.regexp_count(F.col("text"), F.lit("[a-zA-Z]")) / F.length(
         "text"

@@ -151,18 +151,12 @@ def text_quality_filter(spark: SparkSession, sf: str) -> DataFrame:
     before expensive dedup/scoring. One map-only pass: every feature
     is array/regexp arithmetic on the row, so the filter runs at scan
     speed and pushes nothing to a shuffle."""
+    from reair_spark.datapipe.common import word_bigrams
+
     d = widen(_t(spark, sf, "documents"), spark)
     tok = F.split("text", " ")
     n_words = F.size(tok)
-    # NB: for a 1-word doc the bigram list degenerates (out-of-range
-    # element_at) and Spark/DuckDB disagree on the null handling; the
-    # corpus generator guarantees ≥10 words, and such a doc is
-    # 'too_short' regardless
-    grams2 = F.expr(
-        "transform(sequence(1, greatest(size(split(text, ' ')) - 1, 1)), "
-        "i -> concat_ws(' ', element_at(split(text, ' '), i), "
-        "element_at(split(text, ' '), i + 1)))"
-    )
+    grams2 = word_bigrams(tok)
     dup2 = F.round(
         1.0 - F.size(F.array_distinct(grams2)) / F.size(grams2).cast("double"), 4
     )

@@ -104,19 +104,23 @@ def exact_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Exact median + distinct counts (the reference had no aggregate
     layer at all; Spark also has approx_count_distinct/percentile_approx
     as the sketch path — not oracle-comparable, so the gate uses the
-    exact forms). `percentile()` buffers every value in one aggregator;
-    at data scale use `operators.exact_median_scalable` (histogram
-    prune + tiny residual, same value bit-for-bit)."""
+    exact forms). The median takes the SCALE path
+    (`operators.exact_median_scalable`: histogram prune + tiny
+    residual — no aggregator ever buffers the column, and the value
+    matches `percentile(col, 0.5)` bit-for-bit), not the
+    buffer-everything `percentile()` builtin."""
+    from reair_spark.operators import exact_median_scalable
+
     li = _t(spark, sf, "lineitem")
-    # three single-purpose branches + 1-row cross joins: multiple
-    # count_distinct in ONE agg makes Catalyst plan an Expand (3x the
-    # scan rows through the shuffle, percentile riding the expanded
-    # stream); split branches each scan ONE pruned column and shuffle
-    # only partial-agg state — strictly less data moved at any scale
-    med = li.agg(F.expr("percentile(l_extendedprice, 0.5)").alias("median_price"))
+    # single-purpose branches + 1-row cross joins: multiple
+    # count_distinct in ONE agg makes Catalyst plan an Expand (2x the
+    # scan rows through the shuffle); split branches each scan ONE
+    # pruned column and shuffle only partial-agg state
+    med = exact_median_scalable(li, "l_extendedprice")
+    med_df = spark.createDataFrame([(med,)], "median_price double")
     n_parts = li.agg(F.count_distinct("l_partkey").alias("n_parts"))
     n_supps = li.agg(F.count_distinct("l_suppkey").alias("n_supps"))
-    return med.crossJoin(n_parts).crossJoin(n_supps)
+    return med_df.crossJoin(n_parts).crossJoin(n_supps)
 
 
 def exact_percentiles(spark: SparkSession, sf: str) -> DataFrame:
@@ -464,6 +468,97 @@ def tpch_q22_dormant_customers(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+HLL_M = 256  # 2^8 buckets; 24 bits of rank per entry
+
+
+def sketch_hll_cardinality(spark: SparkSession, sf: str) -> DataFrame:
+    """Portable HyperLogLog distinct-count sketch, flat in DataFrame
+    algebra: bucket = h mod m over the md5-derived 32-bit hash, rank =
+    leading-zero count of the remaining 24 bits + 1, one
+    map-side-combined max per bucket (the ENTIRE shuffle is m rows of
+    partial maxima regardless of input size — the reason HLL is the
+    canonical distributed-cardinality sketch), then the standard
+    bias-corrected harmonic estimate with the small-range linear
+    counting correction. Production would use
+    `approx_count_distinct` (Spark's native HLL++, same shape,
+    engine-tuned); this portable construction is deterministic md5
+    arithmetic, so DuckDB computes the IDENTICAL sketch and the gate
+    hash-checks estimate AND error against the exact count.
+    Measured here: |distinct l_partkey| over lineitem."""
+    from reair_spark.datapipe.common import portable_hash32
+
+    li = _t(spark, sf, "lineitem")
+    h = portable_hash32(F.col("l_partkey").cast("string"))
+    v = F.floor(h / HLL_M)
+    rho = F.when(v > 0, 25 - F.length(F.bin(v))).otherwise(F.lit(25))
+    buckets = (
+        li.select((h % HLL_M).alias("bucket"), rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("mj"))
+    )
+    alpha = 0.7213 / (1.0 + 1.079 / HLL_M)
+    agg = buckets.agg(
+        F.count(F.lit(1)).alias("seen"),
+        F.sum(F.pow(F.lit(2.0), -F.col("mj"))).alias("zsum"),
+    ).select(
+        F.col("seen").cast("long").alias("n_buckets_seen"),
+        (
+            F.lit(alpha * HLL_M * HLL_M)
+            / (F.col("zsum") + (HLL_M - F.col("seen")))
+        ).alias("e_raw"),
+        (HLL_M - F.col("seen")).cast("double").alias("v0"),
+    )
+    est = F.when(
+        (F.col("e_raw") <= 2.5 * HLL_M) & (F.col("v0") > 0),
+        F.round(HLL_M * F.log(F.lit(HLL_M) / F.col("v0"))),
+    ).otherwise(F.round(F.col("e_raw")))
+    exact = li.agg(F.count_distinct("l_partkey").alias("exact"))
+    return (
+        agg.crossJoin(exact)
+        .select(
+            "n_buckets_seen",
+            est.cast("long").alias("est"),
+            F.col("exact").cast("long").alias("exact"),
+            F.round(F.abs(est - F.col("exact")) / F.col("exact"), 3).alias(
+                "rel_err"
+            ),
+        )
+    )
+
+
+def events_gap_fill(spark: SparkSession, sf: str) -> DataFrame:
+    """Sparse→dense time-series gap fill: hourly rollup per event
+    type, then each type's [min, max] hour range densified via an
+    exploded sequence and left-joined back — absent hours surface as
+    zero-count rows. The dense spine is |types|×|hours| rows built
+    from a per-type 2-row aggregate, so the explode is metadata-sized
+    next to the event scan; the rollup itself is one
+    map-side-combined shuffle."""
+    e = _t(spark, sf, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("value").alias("sum_value"),
+    )
+    spine = (
+        hourly.groupBy("event_type")
+        .agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hr"),
+        )
+    )
+    return spine.join(hourly, ["event_type", "hr"], "left_outer").select(
+        "event_type",
+        "hr",
+        F.coalesce("n", F.lit(0)).alias("n"),
+        F.round(F.coalesce("sum_value", F.lit(0.0)), 2).alias("sum_value"),
+    )
+
+
 def orders_price_deciles(spark: SparkSession, sf: str) -> DataFrame:
     """Ranking-window breadth: ntile/percent_rank/cume_dist over order
     price within each priority — the window-function family the rest
@@ -484,6 +579,8 @@ def orders_price_deciles(spark: SparkSession, sf: str) -> DataFrame:
 
 
 EXTRA_QUERIES = {
+    "sketch_hll_cardinality": sketch_hll_cardinality,
+    "events_gap_fill": events_gap_fill,
     "tpch_q4_priority_semi": tpch_q4_priority_semi,
     "tpch_q10_returned_revenue": tpch_q10_returned_revenue,
     "tpch_q12_priority_buckets": tpch_q12_priority_buckets,
@@ -516,6 +613,58 @@ FROM events GROUP BY 1, 2
 """
 
 EXTRA_ORACLES = {
+    "sketch_hll_cardinality": """
+WITH h AS (
+  SELECT CAST(concat('0x', substr(md5(CAST(l_partkey AS VARCHAR)), 1, 8))
+              AS BIGINT) AS hv
+  FROM lineitem
+),
+rk AS (
+  SELECT hv % 256 AS bucket,
+         CASE WHEN hv // 256 > 0
+              THEN 25 - length(bin(hv // 256))
+              ELSE 25 END AS rho
+  FROM h
+),
+b AS (SELECT bucket, max(rho) AS mj FROM rk GROUP BY 1),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_buckets_seen,
+         (0.7213 / (1.0 + 1.079/256)) * 256 * 256
+           / (sum(power(2.0, -mj)) + (256 - count(*))) AS e_raw,
+         CAST(256 - count(*) AS DOUBLE) AS v0
+  FROM b
+),
+est AS (
+  SELECT n_buckets_seen,
+         CASE WHEN e_raw <= 2.5 * 256 AND v0 > 0
+              THEN round(256 * ln(256 / v0))
+              ELSE round(e_raw) END AS est_d
+  FROM agg
+)
+SELECT n_buckets_seen, CAST(est_d AS BIGINT) AS est,
+       CAST(x.exact AS BIGINT) AS exact,
+       round(abs(est_d - x.exact) / x.exact, 3) AS rel_err
+FROM est CROSS JOIN (SELECT count(DISTINCT l_partkey) AS exact
+                     FROM lineitem) x
+""",
+    "events_gap_fill": """
+WITH hourly AS (
+  SELECT event_type,
+         CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS hr,
+         CAST(count(*) AS BIGINT) AS n, sum(value) AS sum_value
+  FROM events GROUP BY 1, 2
+),
+spine AS (
+  SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr
+  FROM (SELECT event_type, min(hr) AS lo, max(hr) AS hi
+        FROM hourly GROUP BY 1) b
+)
+SELECT s.event_type, s.hr,
+       coalesce(h.n, 0) AS n,
+       round(coalesce(h.sum_value, 0.0), 2) AS sum_value
+FROM spine s LEFT OUTER JOIN hourly h
+  ON s.event_type = h.event_type AND s.hr = h.hr
+""",
     "tpch_q4_priority_semi": """
 SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
 FROM orders o

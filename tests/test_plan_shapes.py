@@ -127,3 +127,42 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS bkt_a")
         spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def test_q4_semi_join_no_row_multiplication(spark, sf_dir):
+    """EXISTS compiles to a SEMI hash join (probe-only match flag),
+    never an inner join + distinct — at scale a returned-flag lineitem
+    side would multiply order rows before the dedup."""
+    from reair_spark.extra_queries import tpch_q4_priority_semi
+
+    plan = _formatted(tpch_q4_priority_semi(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q22_anti_join_and_scalar_broadcast(spark, sf_dir):
+    """The no-orders test compiles to a LEFT ANTI join; the global avg
+    enters as a one-row side, never a shuffle of customer."""
+    from reair_spark.extra_queries import tpch_q22_dormant_customers
+
+    plan = _formatted(tpch_q22_dormant_customers(spark, sf_dir))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_fuzzy_join_candidates_at_distinct_value_level(spark, sf_dir):
+    """The deletion-neighborhood join must aggregate to distinct
+    values BEFORE the variant explode+join: with 64 distinct names
+    across 20k parts, a row-level candidate join would multiply every
+    name-pair match ~312x312 through the shuffle."""
+    from reair_spark.extra_queries import fuzzy_match_parts
+
+    plan = _formatted(fuzzy_match_parts(spark, sf_dir))
+    # every explode(variant-keys) Generate must sit directly above a
+    # distinct/min-key aggregate, not above the raw scan
+    lines = plan.splitlines()
+    gen_lines = [i for i, ln in enumerate(lines) if "Generate (" in ln]
+    assert gen_lines, plan
+    for i in gen_lines:
+        assert "HashAggregate" in lines[i + 1], "\n".join(lines[i : i + 2])
+    assert "CartesianProduct" not in plan
