@@ -468,6 +468,60 @@ def tpch_q22_dormant_customers(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def events_median_by_type(spark: SparkSession, sf: str) -> DataFrame:
+    """Grouped-map Pandas UDF surface (applyInPandas): per-group exact
+    median + count, each group's rows delivered to Python as ONE Arrow
+    batch. Medians are selection (not summation), so numpy and DuckDB
+    agree bit-for-bit — the right statistic to push through the
+    Python path when the gate hash-compares engines.
+
+    This is the escape hatch for per-group logic Spark's aggregates
+    can't express (model fits, custom sketches); the plan is one
+    shuffle on the grouping key and the Python cost is per-batch, not
+    per-row (Arrow columnar transfer). The UDF body stays a nested
+    closure so executors never need the package shipped."""
+    e = _t(spark, sf, "events")
+
+    def median_fn(pdf):
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n": [len(pdf)],
+                "median_value": [round(float(pdf["value"].median()), 6)],
+            }
+        )
+
+    return (
+        e.select("event_type", "value")
+        .groupBy("event_type")
+        .applyInPandas(
+            median_fn, "event_type string, n long, median_value double"
+        )
+    )
+
+
+def grouped_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-group exact quantiles (p25/p50/p75 of extendedprice per
+    return flag) via the percentile(col, array(...)) aggregate — the
+    grouped complement of the global `exact_percentiles`. Per-GROUP
+    percentile buffers only that group's values in its aggregator, so
+    unlike the global form this stays feasible whenever groups are
+    bounded; unbounded groups take the histogram-prune path per key."""
+    li = _t(spark, sf, "lineitem")
+    pct = F.expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(pct[0], 4).alias("p25"),
+            F.round(pct[1], 4).alias("p50"),
+            F.round(pct[2], 4).alias("p75"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 HLL_M = 256  # 2^8 buckets; 24 bits of rank per entry
 
 
@@ -581,6 +635,8 @@ def orders_price_deciles(spark: SparkSession, sf: str) -> DataFrame:
 EXTRA_QUERIES = {
     "sketch_hll_cardinality": sketch_hll_cardinality,
     "events_gap_fill": events_gap_fill,
+    "events_median_by_type": events_median_by_type,
+    "grouped_percentiles": grouped_percentiles,
     "tpch_q4_priority_semi": tpch_q4_priority_semi,
     "tpch_q10_returned_revenue": tpch_q10_returned_revenue,
     "tpch_q12_priority_buckets": tpch_q12_priority_buckets,
@@ -613,6 +669,18 @@ FROM events GROUP BY 1, 2
 """
 
 EXTRA_ORACLES = {
+    "events_median_by_type": """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       round(median(value), 6) AS median_value
+FROM events GROUP BY event_type
+""",
+    "grouped_percentiles": """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+       round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
     "sketch_hll_cardinality": """
 WITH h AS (
   SELECT CAST(concat('0x', substr(md5(CAST(l_partkey AS VARCHAR)), 1, 8))
