@@ -166,3 +166,37 @@ def test_fuzzy_join_candidates_at_distinct_value_level(spark, sf_dir):
     for i in gen_lines:
         assert "HashAggregate" in lines[i + 1], "\n".join(lines[i : i + 2])
     assert "CartesianProduct" not in plan
+
+
+def test_runtime_bloom_filter_injects_at_scale_thresholds(spark, sf_dir):
+    """Spark's runtime bloom-filter join pruning (on by default in the
+    session) only injects when the probe side is big enough to be
+    worth it — ~50 MB local scans sit under the 10 GB
+    application-side threshold, so local plans stay clean. Lowering
+    the thresholds to local scale proves the mechanism is armed: the
+    probe side gains a BloomFilterMightContain predicate fed by the
+    filtered build side, which at 100 TB prunes shuffle input before
+    the join."""
+    from reair_spark.io import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1kb",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100mb",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").where("o_totalprice > 500000")
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = _formatted(j)
+        assert "might_contain" in plan.lower(), plan[:2000]
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
