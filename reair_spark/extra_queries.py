@@ -468,6 +468,50 @@ def tpch_q22_dormant_customers(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _zorder_sql(cols: list[str], bits: int) -> str:
+    """DuckDB rendering of operators.zorder_key — same shift/mask/or
+    chain, bit for bit."""
+    n = len(cols)
+    terms = [
+        f"((({c} >> {j}) & 1) << {j * n + k})"
+        for j in range(bits)
+        for k, c in enumerate(cols)
+    ]
+    return "(" + " | ".join(terms) + ")"
+
+
+def lineitem_zorder_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Z-order layout key over (partkey, suppkey) deciles-of-1024 with
+    per-zbucket extent stats: each 1024-key z-range covers a BOUNDED
+    rectangle in both dimensions simultaneously — the property that
+    makes a z-sorted write skippable on either column's predicate.
+    The key is `operators.zorder_key` (pure codegen bit interleave);
+    the layout itself is repartitionByRange(z)+sortWithinPartitions(z)
+    at write time (asserted in test_plan_shapes)."""
+    from reair_spark.operators import zorder_key
+
+    li = _t(spark, sf, "lineitem")
+    a = F.pmod(F.col("l_partkey"), F.lit(1024))
+    b = F.pmod(F.col("l_suppkey"), F.lit(1024))
+    z = zorder_key([a, b], bits=10)
+    return (
+        li.select(
+            F.shiftright(z, 10).alias("zbucket"),
+            a.alias("pa"),
+            b.alias("pb"),
+        )
+        .groupBy("zbucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("pa").cast("long").alias("min_part"),
+            F.max("pa").cast("long").alias("max_part"),
+            F.min("pb").cast("long").alias("min_supp"),
+            F.max("pb").cast("long").alias("max_supp"),
+        )
+        .orderBy("zbucket")
+    )
+
+
 def events_median_by_type(spark: SparkSession, sf: str) -> DataFrame:
     """Grouped-map Pandas UDF surface (applyInPandas): per-group exact
     median + count, each group's rows delivered to Python as ONE Arrow
@@ -637,6 +681,7 @@ EXTRA_QUERIES = {
     "events_gap_fill": events_gap_fill,
     "events_median_by_type": events_median_by_type,
     "grouped_percentiles": grouped_percentiles,
+    "lineitem_zorder_stats": lineitem_zorder_stats,
     "tpch_q4_priority_semi": tpch_q4_priority_semi,
     "tpch_q10_returned_revenue": tpch_q10_returned_revenue,
     "tpch_q12_priority_buckets": tpch_q12_priority_buckets,
@@ -669,6 +714,17 @@ FROM events GROUP BY 1, 2
 """
 
 EXTRA_ORACLES = {
+    "lineitem_zorder_stats": f"""
+WITH z AS (
+  SELECT {_zorder_sql(['(l_partkey % 1024)', '(l_suppkey % 1024)'], 10)} AS zk,
+         l_partkey % 1024 AS pa, l_suppkey % 1024 AS pb
+  FROM lineitem
+)
+SELECT zk >> 10 AS zbucket, CAST(count(*) AS BIGINT) AS n,
+       CAST(min(pa) AS BIGINT) AS min_part, CAST(max(pa) AS BIGINT) AS max_part,
+       CAST(min(pb) AS BIGINT) AS min_supp, CAST(max(pb) AS BIGINT) AS max_supp
+FROM z GROUP BY 1 ORDER BY zbucket
+""",
     "events_median_by_type": """
 SELECT event_type, CAST(count(*) AS BIGINT) AS n,
        round(median(value), 6) AS median_value

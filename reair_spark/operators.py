@@ -271,6 +271,37 @@ def exact_median_scalable(
     return None if got is None else got[0]
 
 
+def zorder_key(cols: list[Column], bits: int = 16) -> Column:
+    """Morton (Z-order) key: interleave the low ``bits`` bits of each
+    column into one long, so rows close in EVERY dimension are close
+    in the one-dimensional sort order. Sorting/range-partitioning a
+    table by this key before writing gives parquet row-group min/max
+    bounds that are tight in ALL the interleaved dimensions at once —
+    multi-column data skipping from a single sort, where sorting by
+    (a, b) lexicographically skips only on a. This is the layout
+    DBR's OPTIMIZE ZORDER BY and Iceberg's sort orders compute; plain
+    OSS Spark expresses it as this pure-expression key +
+    repartitionByRange(key) + sortWithinPartitions(key).
+
+    Pure integer arithmetic (shift/mask/or) — codegen'd, no UDF, and
+    identically computable by any engine for oracle checks. Columns
+    must be non-negative integers (callers bucket/offset first);
+    len(cols)*bits must fit a long (<= 63).
+    """
+    n = len(cols)
+    assert n * bits <= 63, "interleaved key must fit a signed long"
+    out = F.lit(0).cast("long")
+    for j in range(bits):
+        for k, c in enumerate(cols):
+            out = out.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(c.cast("long"), j).bitwiseAND(F.lit(1)),
+                    j * n + k,
+                )
+            )
+    return out
+
+
 def blocked_fuzzy_join(
     left: DataFrame,
     right: DataFrame,

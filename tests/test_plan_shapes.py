@@ -200,3 +200,53 @@ def test_runtime_bloom_filter_injects_at_scale_thresholds(spark, sf_dir):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_zorder_layout_bounds_both_dimensions(spark, sf_dir, tmp_path):
+    """Write lineitem twice: lexicographically sorted by (partkey,
+    orderkey) and z-ordered. Per output file, the lex layout leaves
+    the SECOND (independent) dimension unbounded — every file spans
+    ~the full orderkey-residue domain — while the z layout bounds
+    both: the min/max row-group stats a scan with a predicate on
+    EITHER column can actually prune on. (suppkey is generator-
+    correlated with partkey here, so orderkey is the honest
+    independent second dimension.)"""
+    from reair_spark.io import load_table
+    from reair_spark.operators import zorder_key
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.pmod("l_partkey", F.lit(1024)).alias("pa"),
+        F.pmod("l_orderkey", F.lit(1024)).alias("pb"),
+    )
+    z = zorder_key([F.col("pa"), F.col("pb")], bits=10)
+
+    lex_loc = str(tmp_path / "lex")
+    z_loc = str(tmp_path / "zord")
+    (
+        li.repartitionByRange(4, "pa", "pb")
+        .sortWithinPartitions("pa", "pb")
+        .write.parquet(lex_loc)
+    )
+    (
+        li.withColumn("zk", z)
+        .repartitionByRange(4, "zk")
+        .sortWithinPartitions("zk")
+        .drop("zk")
+        .write.parquet(z_loc)
+    )
+
+    def max_file_extent(loc, col):
+        per_file = (
+            spark.read.parquet(loc)
+            .groupBy(F.input_file_name())
+            .agg((F.max(col) - F.min(col)).alias("ext"))
+        )
+        return per_file.agg(F.max("ext")).first()[0]
+
+    lex_ord = max_file_extent(lex_loc, "pb")
+    z_ord = max_file_extent(z_loc, "pb")
+    z_part = max_file_extent(z_loc, "pa")
+    # lex: orderkey unbounded per file (~full domain); z: both bounded
+    assert lex_ord > 900, lex_ord
+    assert z_ord <= 0.75 * lex_ord, (z_ord, lex_ord)
+    assert z_part <= 600, z_part
