@@ -322,11 +322,85 @@ def text_perplexity_unigram(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+CMS_D = 4  # hash rows
+CMS_W = 256  # counters per row
+
+
+def sketch_countmin_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """Portable count-min sketch over the token stream, queried for
+    the exact top-20 tokens: d×w = 4×256 counters built in ONE
+    map-side-combined aggregation (the entire shuffle is ≤1024 partial
+    counter rows regardless of corpus size — the frequency-sketch
+    analog of the HLL shuffle bound), estimates = min over rows of the
+    token's counter, with the CM guarantee est ≥ exact surfaced as an
+    explicit overcount column. The d hash rows come from the one-md5
+    derived family (a + s·b mod P32 — same family MinHash uses), so
+    DuckDB builds the IDENTICAL sketch and the gate hash-checks
+    estimates exactly. Production path: this sketch IS the mergeable
+    per-partition state a streaming heavy-hitters pipeline keeps."""
+    from reair_spark.datapipe.common import derived_hash, hash_family_ab
+
+    d = widen(_t(spark, sf, "documents"), spark)
+    tok = d.select(F.explode(F.split("text", " ")).alias("token"))
+    tokh = tok.select("token", F.md5("token").alias("m"))
+    a, b = hash_family_ab(F.col("m"))
+    pairs = tokh.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"),
+                        (derived_hash(a, b, s) % CMS_W).alias("bucket"),
+                    )
+                    for s in range(CMS_D)
+                ]
+            )
+        ).alias("sb")
+    ).select(F.col("sb.s").alias("s"), F.col("sb.bucket").alias("bucket"))
+    counters = pairs.groupBy("s", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+
+    top = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(20)
+    )
+    ta, tb = hash_family_ab(F.md5("token"))
+    queries = top.select(
+        "token",
+        "n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"),
+                        (derived_hash(ta, tb, s) % CMS_W).alias("bucket"),
+                    )
+                    for s in range(CMS_D)
+                ]
+            )
+        ).alias("sb"),
+    ).select("token", "n", F.col("sb.s").alias("s"), F.col("sb.bucket").alias("bucket"))
+    return (
+        queries.join(F.broadcast(counters), ["s", "bucket"])
+        .groupBy("token", "n")
+        .agg(F.min("cnt").alias("est"))
+        .select(
+            "token",
+            F.col("n").cast("long").alias("n"),
+            F.col("est").cast("long").alias("est"),
+            (F.col("est") - F.col("n")).cast("long").alias("overcount"),
+        )
+        .orderBy(F.desc("n"), "token")
+    )
+
+
 TEXT_QUERIES = {
     "text_token_count": text_token_count,
     "text_dedup_chunks": text_dedup_chunks,
     "text_line_dedup_corpus": text_line_dedup_corpus,
     "text_perplexity_unigram": text_perplexity_unigram,
+    "sketch_countmin_tokens": sketch_countmin_tokens,
     "text_quality_score": text_quality_score,
     "text_lang_id": text_lang_id,
     "text_fingerprint": text_fingerprint,
@@ -417,10 +491,39 @@ FROM tok JOIN probs USING (token)
 GROUP BY doc_id
 """
 
+def _countmin_sql() -> str:
+    from reair_spark.datapipe.common import derived_hash_sql, hash_family_ab_sql
+
+    a, b = hash_family_ab_sql("m")
+    pair_rows = " UNION ALL ".join(
+        f"SELECT token, {s} AS s, ({derived_hash_sql(a, b, s)}) % {CMS_W} AS bucket FROM h"
+        for s in range(CMS_D)
+    )
+    return f"""
+WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+h AS (SELECT token, md5(token) AS m FROM tok),
+pairs AS ({pair_rows}),
+counters AS (SELECT s, bucket, CAST(count(*) AS BIGINT) AS cnt
+             FROM pairs GROUP BY 1, 2),
+top AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM tok
+        GROUP BY 1 ORDER BY n DESC, token LIMIT 20),
+th AS (SELECT token, n, md5(token) AS m FROM top),
+q AS ({" UNION ALL ".join(
+    f"SELECT token, n, {s} AS s, ({derived_hash_sql(a, b, s)}) % {CMS_W} AS bucket FROM th"
+    for s in range(CMS_D))})
+SELECT q.token, q.n, min(c.cnt) AS est,
+       CAST(min(c.cnt) - q.n AS BIGINT) AS overcount
+FROM q JOIN counters c ON q.s = c.s AND q.bucket = c.bucket
+GROUP BY q.token, q.n
+ORDER BY n DESC, token
+"""
+
+
 TEXT_ORACLES = {
     "text_dedup_chunks": _DEDUP_CHUNKS_SQL,
     "text_line_dedup_corpus": _LINE_DEDUP_CORPUS_SQL,
     "text_perplexity_unigram": _PPL_UNIGRAM_SQL,
+    "sketch_countmin_tokens": _countmin_sql(),
     "text_token_count": (
         "SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens, "
         r"len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS re_tokens "
