@@ -657,6 +657,30 @@ def events_gap_fill(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def orders_metrics_unpivot(spark: SparkSession, sf: str) -> DataFrame:
+    """Unpivot (melt) — the wide→long inverse of pivot: per-priority
+    metric columns rotate into (metric, value) rows via the native
+    `unpivot` operator (an Expand node — each input row replays once
+    per metric, map-side, no shuffle beyond the feeding aggregate).
+    The long form is what metric stores and plotting layers ingest."""
+    o = _t(spark, sf, "orders")
+    wide = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double"), 2)
+        .alias("sum_price"),
+        F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+    )
+    return (
+        wide.unpivot(
+            ["o_orderpriority"],
+            ["n_orders", "sum_price", "avg_price"],
+            "metric",
+            "value",
+        )
+        .orderBy("o_orderpriority", "metric")
+    )
+
+
 def orders_price_deciles(spark: SparkSession, sf: str) -> DataFrame:
     """Ranking-window breadth: ntile/percent_rank/cume_dist over order
     price within each priority — the window-function family the rest
@@ -682,6 +706,7 @@ EXTRA_QUERIES = {
     "events_median_by_type": events_median_by_type,
     "grouped_percentiles": grouped_percentiles,
     "lineitem_zorder_stats": lineitem_zorder_stats,
+    "orders_metrics_unpivot": orders_metrics_unpivot,
     "tpch_q4_priority_semi": tpch_q4_priority_semi,
     "tpch_q10_returned_revenue": tpch_q10_returned_revenue,
     "tpch_q12_priority_buckets": tpch_q12_priority_buckets,
@@ -714,6 +739,22 @@ FROM events GROUP BY 1, 2
 """
 
 EXTRA_ORACLES = {
+    "orders_metrics_unpivot": """
+WITH wide AS (
+  SELECT o_orderpriority,
+         CAST(count(*) AS DOUBLE) AS n_orders,
+         round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2)
+           AS sum_price,
+         round(avg(o_totalprice), 2) AS avg_price
+  FROM orders GROUP BY 1
+)
+SELECT o_orderpriority, 'n_orders' AS metric, n_orders AS value FROM wide
+UNION ALL
+SELECT o_orderpriority, 'sum_price', sum_price FROM wide
+UNION ALL
+SELECT o_orderpriority, 'avg_price', avg_price FROM wide
+ORDER BY o_orderpriority, metric
+""",
     "lineitem_zorder_stats": f"""
 WITH z AS (
   SELECT {_zorder_sql(['(l_partkey % 1024)', '(l_suppkey % 1024)'], 10)} AS zk,
