@@ -100,6 +100,31 @@ def range_join_prices(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def interval_overlap_balances(spark: SparkSession, sf: str) -> DataFrame:
+    """`operators.interval_overlap_join` through the gate: supplier
+    balance windows (±25) × part price windows (±25), overlapping
+    pairs counted per supplier — an interval×interval join with NO
+    equi-key, where the bucket explode + first-shared-bucket emit
+    keeps shuffle at rows×O(1) and needs no dedup pass."""
+    from reair_spark.operators import interval_overlap_join
+
+    s = _t(spark, sf, "supplier").select(
+        "s_suppkey",
+        (F.col("s_acctbal") - 25).alias("ls"),
+        (F.col("s_acctbal") + 25).alias("le"),
+    )
+    p = _t(spark, sf, "part").select(
+        (F.col("p_retailprice") - 25).alias("rs"),
+        (F.col("p_retailprice") + 25).alias("re"),
+    )
+    joined = interval_overlap_join(s, p, "ls", "le", "rs", "re", 50.0)
+    return (
+        joined.groupBy("s_suppkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_overlaps"))
+        .orderBy("s_suppkey")
+    )
+
+
 def exact_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Exact median + distinct counts (the reference had no aggregate
     layer at all; Spark also has approx_count_distinct/percentile_approx
@@ -707,6 +732,7 @@ EXTRA_QUERIES = {
     "grouped_percentiles": grouped_percentiles,
     "lineitem_zorder_stats": lineitem_zorder_stats,
     "orders_metrics_unpivot": orders_metrics_unpivot,
+    "interval_overlap_balances": interval_overlap_balances,
     "tpch_q4_priority_semi": tpch_q4_priority_semi,
     "tpch_q10_returned_revenue": tpch_q10_returned_revenue,
     "tpch_q12_priority_buckets": tpch_q12_priority_buckets,
@@ -739,6 +765,13 @@ FROM events GROUP BY 1, 2
 """
 
 EXTRA_ORACLES = {
+    "interval_overlap_balances": """
+SELECT s_suppkey, CAST(count(*) AS BIGINT) AS n_overlaps
+FROM supplier s JOIN part p
+  ON s.s_acctbal - 25 <= p.p_retailprice + 25
+ AND p.p_retailprice - 25 <= s.s_acctbal + 25
+GROUP BY 1 ORDER BY s_suppkey
+""",
     "orders_metrics_unpivot": """
 WITH wide AS (
   SELECT o_orderpriority,

@@ -162,6 +162,47 @@ def range_join(
     )
 
 
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bucket_width: float,
+) -> DataFrame:
+    """Interval×interval overlap join with NO equi-key — the general
+    form of `range_join`. Both sides explode across the buckets their
+    interval touches and equi-join on bucket; a pair overlapping k
+    shared buckets would surface k times, so instead of a
+    dedup shuffle each pair is emitted ONLY from the bucket containing
+    the intersection's start (bucket == floor(max(starts)/width)):
+    exact, computed row-locally, zero extra exchange. Shuffle volume
+    is rows × O(interval/width) instead of |L|×|R|; pick
+    ``bucket_width`` ≈ the typical interval span.
+    """
+    def explode_buckets(df: DataFrame, s: str, e: str) -> DataFrame:
+        return df.withColumn(
+            "__bucket",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(s) / bucket_width).cast("long"),
+                    F.floor(F.col(e) / bucket_width).cast("long"),
+                )
+            ),
+        )
+
+    lb = explode_buckets(left, left_start, left_end)
+    rb = explode_buckets(right, right_start, right_end)
+    overlap = (F.col(left_start) <= F.col(right_end)) & (
+        F.col(right_start) <= F.col(left_end)
+    )
+    first_shared = F.col("__bucket") == F.floor(
+        F.greatest(F.col(left_start), F.col(right_start)) / bucket_width
+    ).cast("long")
+    return lb.join(rb, "__bucket").where(overlap & first_shared).drop("__bucket")
+
+
 def top_k_per_group(
     df: DataFrame, keys: list[str], order_by: list[Column], k: int
 ) -> DataFrame:
