@@ -152,10 +152,60 @@ def multimodal_resize(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+AUDIO_WINDOW = 64  # "samples" (bytes) per analysis window
+
+
+def multimodal_audio_windows(spark: SparkSession, sf: str) -> DataFrame:
+    """Audio-shaped analysis over the binary column: treat the payload
+    as a PCM sample stream, compute per-window energy (mean squared
+    sample over AUDIO_WINDOW-byte windows) in numpy inside
+    mapInPandas, and report each doc's window count + first-peak
+    window and its energy. A real deployment swaps the marked line
+    for an audio decode (soundfile/librosa — not in this container);
+    the windowing, Arrow batch flow, and vectorized per-window
+    reduction are the production plumbing, and the deterministic fake
+    makes every number oracle-checkable."""
+
+    def energy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                samples = _np.frombuffer(bytes(payload), dtype=_np.uint8)  # stub: real = audio decode
+                n_w = -(-len(samples) // AUDIO_WINDOW)
+                e = _np.array(
+                    [
+                        float(
+                            _np.mean(
+                                samples[w * AUDIO_WINDOW : (w + 1) * AUDIO_WINDOW]
+                                .astype(_np.float64)
+                                ** 2
+                            )
+                        )
+                        for w in range(n_w)
+                    ]
+                )
+                peak = int(_np.argmax(e))  # first max — deterministic
+                rows.append((int(doc_id), n_w, peak, round(float(e[peak]), 4)))
+            yield _pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_windows", "peak_window", "peak_energy"],
+            )
+
+    media = with_media_column(_t(spark, sf, "documents"))
+    return media.mapInPandas(
+        energy,
+        schema="doc_id long, n_windows long, peak_window long, peak_energy double",
+    )
+
+
 MM_QUERIES = {
     "multimodal_features": multimodal_features,
     "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_resize": multimodal_resize,
+    "multimodal_audio_windows": multimodal_audio_windows,
 }
 
 MM_ORACLES = {
@@ -172,6 +222,35 @@ MM_ORACLES = {
         "list_aggregate(list_transform(string_split(text, ''), c -> unicode(c)), 'avg') "
         "AS mean_byte FROM documents"
     ),
+    # ASCII text → bytes == codepoints; windowed mean-square over
+    # 64-char windows, first argmax by (energy desc, window asc)
+    "multimodal_audio_windows": f"""
+WITH w AS (
+  SELECT doc_id,
+         CAST(ceil(length(text) / {AUDIO_WINDOW}.0) AS BIGINT) AS n_windows,
+         unnest(range(0, CAST(ceil(length(text) / {AUDIO_WINDOW}.0) AS INT))) AS widx,
+         text
+  FROM documents
+),
+e AS (
+  SELECT doc_id, n_windows, widx,
+         list_aggregate(
+           list_transform(
+             string_split(substr(text, CAST(widx * {AUDIO_WINDOW} + 1 AS INT), {AUDIO_WINDOW}), ''),
+             c -> CAST(unicode(c) AS DOUBLE) * unicode(c)),
+           'avg') AS energy
+  FROM w
+),
+r AS (
+  SELECT doc_id, n_windows, widx, energy,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY energy DESC, widx) AS rn
+  FROM e
+)
+SELECT doc_id, n_windows, CAST(widx AS BIGINT) AS peak_window,
+       round(energy, 4) AS peak_energy
+FROM r WHERE rn = 1
+""",
     "multimodal_frame_sample": f"""
 SELECT doc_id,
        CAST(ceil(length(text) / {FRAME_BYTES}.0) AS BIGINT) AS n_frames,
