@@ -11,6 +11,14 @@ event-time tumbling windows with watermarks and session windows.
 For local verification the events parquet drives a bounded stream
 (memory sink + processAllAvailable) — the documented pattern for
 testing streaming queries without a live bus.
+
+API note: Spark 4's `transformWithStateInPandas` (the successor
+arbitrary-state API — typed value/list/map state, timers) needs the
+`google.protobuf` state-server protocol, which this container lacks
+(worker crashes with STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE
+on import); custom stateful operators here therefore use
+`applyInPandasWithState`, which is wire-compatible with the same
+state-store files and carries the same semantics.
 """
 
 from __future__ import annotations
