@@ -146,3 +146,35 @@ def test_exact_percentiles_scalable_matches_percentile_array(spark, sf_dir):
             assert abs(g - r) < 1e-12
     assert exact_percentiles_scalable(
         spark.createDataFrame([], "x double"), "x", probs) is None
+
+
+def test_interval_overlap_join_exact_no_duplicates(spark):
+    """The first-shared-bucket emit must produce each overlapping pair
+    EXACTLY once even when intervals span many buckets, match a brute-
+    force cross join, and handle negatives/touching endpoints."""
+    from reair_spark.operators import interval_overlap_join
+
+    left = spark.createDataFrame(
+        [(1, -30.0, 25.0), (2, 0.0, 1.0), (3, 90.0, 200.0), (4, -100.0, -50.0)],
+        "lid long, ls double, le double",
+    )
+    right = spark.createDataFrame(
+        [(10, -60.0, -30.0), (11, 0.5, 120.0), (12, 25.0, 26.0), (13, 300.0, 301.0)],
+        "rid long, rs double, re double",
+    )
+    got = sorted(
+        (r.lid, r.rid)
+        for r in interval_overlap_join(
+            left, right, "ls", "le", "rs", "re", bucket_width=10.0
+        ).collect()
+    )
+    brute = sorted(
+        (r.lid, r.rid)
+        for r in left.crossJoin(right)
+        .where("ls <= re AND rs <= le")
+        .collect()
+    )
+    assert got == brute
+    # known overlaps: touching endpoint (1,10) at -30, wide spans
+    assert (1, 10) in got and (3, 11) in got and (1, 12) in got
+    assert len(got) == len(set(got))  # no duplicate emissions
