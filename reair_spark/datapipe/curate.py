@@ -240,7 +240,43 @@ def curate_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+N_SHARDS = 16
+
+
+def curate_shard_manifest(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic shard assignment + manifest — the export step a
+    training run reads: every doc lands in portable_hash(doc_id) mod
+    N_SHARDS (stable across engines, reruns, and cluster sizes — no
+    round-robin, no rand()), and the manifest reports per-shard doc /
+    token / byte totals plus an order-independent content digest
+    (bit_xor of per-doc content hashes), which is how a loader
+    verifies a shard set without re-reading payloads. One map-side-
+    combined aggregation; the actual shard write is
+    `sources.write_partitioned(df.withColumn('shard', ...),
+    partition_cols=['shard'])` — same expression, zero extra
+    shuffle beyond the write's own partitioning."""
+    d = widen(_t(spark, sf, "documents"), spark)
+    shard = portable_hash32(F.col("doc_id").cast("string")) % N_SHARDS
+    return (
+        d.select(
+            shard.alias("shard"),
+            F.size(F.split("text", " ")).alias("n_tok"),
+            F.length("text").alias("n_chars"),
+            portable_hash32(F.col("text")).alias("h"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.sum("n_chars").cast("long").alias("n_bytes"),
+            F.expr("bit_xor(h)").cast("long").alias("content_digest"),
+        )
+        .orderBy("shard")
+    )
+
+
 CURATE_QUERIES = {
+    "curate_shard_manifest": curate_shard_manifest,
     "curate_pipeline": curate_pipeline,
     "curate_token_budget": curate_token_budget,
     "curate_sample_stratified": curate_sample_stratified,
@@ -302,6 +338,14 @@ FROM binned GROUP BY lang
 
 
 CURATE_ORACLES = {
+    "curate_shard_manifest": f"""
+SELECT {portable_hash32_sql("CAST(doc_id AS VARCHAR)")} % {N_SHARDS} AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+       CAST(sum(length(text)) AS BIGINT) AS n_bytes,
+       CAST(bit_xor({portable_hash32_sql("text")}) AS BIGINT) AS content_digest
+FROM documents GROUP BY 1 ORDER BY shard
+""",
     "curate_pipeline": _pipeline_sql(),
     "curate_token_budget": f"""
 WITH toks AS (SELECT doc_id, source, n_chars,
