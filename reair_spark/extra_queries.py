@@ -571,6 +571,34 @@ def events_median_by_type(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def events_geomean_udaf(spark: SparkSession, sf: str) -> DataFrame:
+    """Grouped-AGGREGATE Pandas UDF surface (the Series→scalar form,
+    completing the UDF matrix: scalar q28, grouped-map median,
+    map-iter multimodal, stateful funnel): per-type geometric mean of
+    1+|value| computed as a vectorized numpy reduction per Arrow
+    batch group, with the exp/round lifted OUTSIDE the UDF so the
+    Python side returns only the log-mean scalar per group. Rounded
+    at 4 decimals — numpy's pairwise sum and DuckDB's sequential avg
+    agree far beyond that."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit functionType: this module has `from __future__ import
+    # annotations`, which stringifies type hints and breaks
+    # pandas_udf's hint-based dispatch
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def log1p_mean(v):
+        import numpy as _np
+
+        return float(_np.log1p(_np.abs(v.to_numpy())).mean())
+
+    e = _t(spark, sf, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(F.round(F.exp(log1p_mean(F.col("value"))), 4).alias("geomean1p"))
+        .orderBy("event_type")
+    )
+
+
 def grouped_percentiles(spark: SparkSession, sf: str) -> DataFrame:
     """Per-group exact quantiles (p25/p50/p75 of extendedprice per
     return flag) via the percentile(col, array(...)) aggregate — the
@@ -729,6 +757,7 @@ EXTRA_QUERIES = {
     "sketch_hll_cardinality": sketch_hll_cardinality,
     "events_gap_fill": events_gap_fill,
     "events_median_by_type": events_median_by_type,
+    "events_geomean_udaf": events_geomean_udaf,
     "grouped_percentiles": grouped_percentiles,
     "lineitem_zorder_stats": lineitem_zorder_stats,
     "orders_metrics_unpivot": orders_metrics_unpivot,
@@ -803,6 +832,10 @@ FROM z GROUP BY 1 ORDER BY zbucket
 SELECT event_type, CAST(count(*) AS BIGINT) AS n,
        round(median(value), 6) AS median_value
 FROM events GROUP BY event_type
+""",
+    "events_geomean_udaf": """
+SELECT event_type, round(exp(avg(ln(1 + abs(value)))), 4) AS geomean1p
+FROM events GROUP BY event_type ORDER BY event_type
 """,
     "grouped_percentiles": """
 SELECT l_returnflag,
