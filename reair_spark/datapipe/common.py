@@ -159,8 +159,14 @@ def dot(x: Column, y: Column) -> Column:
 def unit_norm(a: Column) -> Column:
     """L2-normalize an array<double> column. Pre-normalizing a corpus
     ONCE turns every later cosine into a single dot fold (1/3 the
-    per-pair work) — the lever behind kmeans_fit and semdedup."""
+    per-pair work) — the lever behind kmeans_fit and semdedup.
+
+    An all-zero vector normalizes to itself (norm coerced to 1) instead
+    of NaN — the same guard kmeans_fit's Python-side centroid
+    normalization applies (`or 1.0`), so zero vectors flow through dot
+    products as sim=0 rather than poisoning every downstream argmax."""
     nrm = F.sqrt(dot(a, a))
+    nrm = F.when(nrm == 0.0, F.lit(1.0)).otherwise(nrm)
     return F.transform(a, lambda x: x / nrm)
 
 

@@ -175,6 +175,9 @@ def multimodal_audio_windows(spark: SparkSession, sf: str) -> DataFrame:
             for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
                 samples = _np.frombuffer(bytes(payload), dtype=_np.uint8)  # stub: real = audio decode
                 n_w = -(-len(samples) // AUDIO_WINDOW)
+                if n_w == 0:  # empty payload: no windows, null peak
+                    rows.append((int(doc_id), 0, None, 0.0))
+                    continue
                 e = _np.array(
                     [
                         float(

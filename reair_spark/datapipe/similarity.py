@@ -158,10 +158,11 @@ def kmeans_fit(
     only exchange per iteration is the centroid update's (cluster,
     dim) partial-sum agg — map-side combined, k×dim×partitions rows
     regardless of corpus size. Same structure MLlib's fit uses
-    (broadcast centroids + map-side argmin). Iterative ⇒ no SQL
-    oracle; the gate runs a rows-only check and pytest asserts
-    algorithmic invariants (complete assignment, argmax
-    self-consistency, determinism).
+    (broadcast centroids + map-side argmin). The fixed-iteration,
+    hash-seeded loop is a straight-line dataflow, so the DuckDB gate
+    oracle unrolls it exactly (:func:`_kmeans_cte_sql`); pytest
+    additionally asserts the algorithmic invariants (complete
+    assignment, argmax self-consistency, determinism).
 
     Returns (assignments(vec_id, cluster, sim), centroids(cluster,
     cemb))."""
@@ -273,8 +274,9 @@ def ann_ivf_fitted_topk(
 
 
 def embedding_kmeans(spark: SparkSession, sf: str) -> DataFrame:
-    """k-means cluster assignment over the embeddings table (rows-only
-    gate: iterative algorithm, no closed-form SQL)."""
+    """k-means cluster assignment over the embeddings table; the gate
+    oracle unrolls the fixed-iteration Lloyd's loop in SQL
+    (:func:`_kmeans_cte_sql`) and hash-checks the assignment."""
     assignments, _ = kmeans_fit(_emb(spark, sf), k=4, iters=3)
     return assignments.select("vec_id", "cluster")
 
@@ -291,8 +293,9 @@ def semdedup(
     Scale shape: the pairwise term drops from N² to Σ|cell|² ≈ N²/k,
     and each cell's self-join is an equi-join on the cluster id — the
     exact cells the IVF index already maintains, so a deployment
-    reuses one quantizer for search AND dedup. kmeans_fit is iterative
-    ⇒ no SQL oracle; pytest brute-force-verifies the keep/drop
+    reuses one quantizer for search AND dedup. The gate oracle unrolls
+    the fixed-iteration quantizer in SQL and hash-checks the
+    per-cluster tally; pytest brute-force-verifies the keep/drop
     invariant per cluster.
 
     Returns the input rows + ``cluster``, minus the dropped
@@ -322,8 +325,8 @@ def semdedup(
 def embedding_semdedup(spark: SparkSession, sf: str) -> DataFrame:
     """Gate query for `semdedup` over the planted-duplicate corpus
     (embeddings ∪ perturbed copies, same corpus as embedding_neardup):
-    per-cluster totals and survivors. Rows-only gate (iterative
-    quantizer); the keep/drop invariant is pytest-verified."""
+    per-cluster totals and survivors, hash-checked against the
+    unrolled-quantizer DuckDB oracle."""
     e = _emb(spark, sf)
     perturbed = e.filter(F.col("vec_id") % 10 == 0).select(
         (F.col("vec_id") + 1_000_000).alias("vec_id"),
@@ -364,6 +367,71 @@ def embedding_quantize(spark: SparkSession, sf: str) -> DataFrame:
         F.round(scale, 4).alias("scale"),
         q_l1.cast("long").alias("q_l1"),
     )
+
+
+def _kmeans_cte_sql(corpus_sql: str, k: int, iters: int, dim: int = 64) -> str:
+    """DuckDB rendering of :func:`kmeans_fit` as chained CTEs — Lloyd's
+    with FIXED k/iters and hash-deterministic seeding is a straight-line
+    dataflow, so "iterative ⇒ no SQL" only holds for unbounded loops;
+    unrolling the bounded loop gives the formerly oracle-less gates a
+    real hash-checkable oracle.
+
+    Mirrors the engine exactly: md5-prefix seed order (portable_hash32),
+    unit-normalized corpus cached once, per-centroid element-wise
+    normalize-then-dot (same FP operation order as the engine's
+    ``norm_lit``), argmax with ties to the lowest cluster id, per-dim
+    mean update. FP divergence across engines (fold order of 64-double
+    sums) only matters at exact argmax ties, which the continuous
+    synthetic embeddings never produce.
+
+    Returns the CTE body (no leading WITH); the final assignment CTE is
+    ``assign{iters}`` with columns (vec_id, cluster, sim) and the final
+    centroids are ``cent{iters}`` (cluster, cemb)."""
+    hash_expr = (
+        "CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+    )
+    parts = [
+        f"corpus AS ({corpus_sql})",
+        (
+            "nrm AS (SELECT vec_id, emb, "
+            "list_transform(emb, x -> x / sqrt(list_dot_product(emb, emb))) AS nemb "
+            "FROM corpus)"
+        ),
+        (
+            "dims AS (SELECT vec_id, i AS pos, emb[i] AS v "
+            f"FROM corpus, (SELECT unnest(range(1, {dim + 1})) AS i))"
+        ),
+        (
+            "cent0 AS (SELECT cluster, cemb FROM ("
+            "SELECT CAST(row_number() OVER "
+            f"(ORDER BY {hash_expr}, vec_id) AS INT) - 1 AS cluster, "
+            "emb AS cemb FROM corpus) s "
+            f"WHERE cluster < {k})"
+        ),
+    ]
+    cosine = (
+        "list_dot_product(n.nemb, list_transform(c.cemb, "
+        "x -> x / sqrt(list_dot_product(c.cemb, c.cemb))))"
+    )
+    for it in range(iters + 1):
+        parts.append(
+            f"score{it} AS (SELECT n.vec_id, c.cluster, {cosine} AS sim "
+            f"FROM nrm n, cent{it} c)"
+        )
+        parts.append(
+            f"assign{it} AS (SELECT vec_id, cluster, sim FROM ("
+            "SELECT vec_id, cluster, sim, row_number() OVER "
+            "(PARTITION BY vec_id ORDER BY sim DESC, cluster) AS rn "
+            f"FROM score{it}) s WHERE rn = 1)"
+        )
+        if it < iters:
+            parts.append(
+                f"cent{it + 1} AS (SELECT cluster, list(avg_v ORDER BY pos) AS cemb "
+                f"FROM (SELECT a.cluster, d.pos, avg(d.v) AS avg_v "
+                f"FROM assign{it} a JOIN dims d ON a.vec_id = d.vec_id "
+                "GROUP BY a.cluster, d.pos) g GROUP BY cluster)"
+            )
+    return ",\n".join(parts)
 
 
 SIM_QUERIES = {
@@ -444,5 +512,25 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        list_cosine_similarity(a.emb, b.emb) AS cos_sim
 FROM c a JOIN c b ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.emb, b.emb) >= {NEARDUP_COS}
+""",
+    # unrolled Lloyd's (fixed k/iters, hash-deterministic seeds) — the
+    # final assignment of the engine's kmeans_fit(k=4, iters=3)
+    "embedding_kmeans": f"""
+WITH {_kmeans_cte_sql("SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings", k=4, iters=3)}
+SELECT vec_id, cluster FROM assign3
+""",
+    # kmeans_fit(k=4, iters=2) over the planted-duplicate corpus, then
+    # the within-cluster keep-lowest-id dedup rule and per-cluster tally
+    "embedding_semdedup": f"""
+WITH {_kmeans_cte_sql(f"SELECT vec_id, emb FROM ({_NEARDUP_CORPUS_SQL})", k=4, iters=2)},
+nc AS (SELECT a.vec_id, a.cluster, n.nemb
+       FROM assign2 a JOIN nrm n ON a.vec_id = n.vec_id),
+dups AS (SELECT DISTINCT b.vec_id
+         FROM nc a JOIN nc b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         WHERE list_dot_product(a.nemb, b.nemb) >= {NEARDUP_COS}),
+kept AS (SELECT * FROM nc WHERE vec_id NOT IN (SELECT vec_id FROM dups))
+SELECT cluster, CAST(count(*) AS BIGINT) AS n_kept,
+       (SELECT CAST(count(*) AS BIGINT) FROM corpus) AS n_total
+FROM kept GROUP BY cluster ORDER BY cluster
 """,
 }

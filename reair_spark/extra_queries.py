@@ -580,17 +580,13 @@ def events_geomean_udaf(spark: SparkSession, sf: str) -> DataFrame:
     Python side returns only the log-mean scalar per group. Rounded
     at 4 decimals — numpy's pairwise sum and DuckDB's sequential avg
     agree far beyond that."""
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
+    # built in a helper module without `from __future__ import
+    # annotations` so the supported Series->float hint dispatch applies
+    # (this module's stringified hints would force the deprecated
+    # PandasUDFType functionType argument)
+    from reair_spark.udaf_helpers import make_log1p_mean
 
-    # explicit functionType: this module has `from __future__ import
-    # annotations`, which stringifies type hints and breaks
-    # pandas_udf's hint-based dispatch
-    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
-    def log1p_mean(v):
-        import numpy as _np
-
-        return float(_np.log1p(_np.abs(v.to_numpy())).mean())
-
+    log1p_mean = make_log1p_mean()
     e = _t(spark, sf, "events")
     return (
         e.groupBy("event_type")
