@@ -203,35 +203,131 @@ def execute_compaction(
     target_bytes: int = COMPACT_TARGET_BYTES,
     fmt: str = "parquet",
 ) -> DataFrame:
-    """Rewrite each leaf directory of parquet files into
-    ceil(bytes/target) output files under ``dest_root`` (non-destructive
-    publish-elsewhere, the engine's ST6 discipline — swap roots after
-    verifying). One Spark write per directory, repartitioned to the
-    planned width; file-level parallelism stays inside the job."""
-    import math
+    """Rewrite each leaf directory of data files into
+    ceil(records/records_per_file) output files under ``dest_root``
+    (non-destructive publish-elsewhere, the engine's ST6 discipline —
+    swap roots after verifying).
+
+    ONE Spark job for all directories — never a driver loop of
+    per-directory jobs (that serializes 10⁵-10⁶ leaf dirs through the
+    driver at warehouse scale):
+
+    1. one recursive read tags every row with its source directory via
+       the ``_metadata.file_path`` column (no data shuffled to do it);
+    2. a single metadata-column aggregate counts records per dir, and
+       the file inventory (listing only) supplies bytes per dir;
+       records-per-output-file = target_bytes / global avg bytes per
+       record — exact byte sizing per dir would need per-dir row
+       widths, and compaction runs per table where widths are uniform
+       (heterogeneous-schema roots: invoke once per table root);
+    3. one shuffle hash-partitions rows by directory (each dir lands
+       wholly in one task — intra-dir file slicing happens inside the
+       task via ``maxRecordsPerFile``, so output counts are exactly
+       ceil(rec_dir / records_per_file)), and one dynamic-partition
+       write emits every directory's files in parallel;
+    4. publish = driver-side renames of the ``__dir=...`` staging dirs
+       onto the source-relative layout — pure filesystem metadata, the
+       same O(dirs) namespace pass any commit protocol pays, with zero
+       Spark jobs.
+
+    Parallelism is therefore min(#dirs, cluster width) for the data
+    pass. A single pathological multi-TB leaf dir serializes its
+    rewrite in one task; salting it across tasks is possible but costs
+    the exact-file-count contract, so it is deliberately not default.
+    """
     import os
+    import re
+    import shutil
+    from urllib.parse import unquote
 
     from reair_spark.inventory import list_files
 
-    inv = list_files(spark, [src_root])
-    dirs = (
-        inv.withColumn(
+    root_abs = os.path.abspath(src_root)
+    dirs_df = (
+        list_files(spark, [src_root])
+        .withColumn(
             "dir",
             F.expr("substring(rel_path, 1, greatest(length(rel_path) - "
                    "length(split_part(rel_path, '/', -1)) - 1, 0))"),
         )
         .groupBy("dir")
-        .agg(F.sum("size").alias("bytes"), F.count(F.lit(1)).alias("n_files"))
-        .collect()
+        .agg(F.sum("size").alias("bytes"), F.count(F.lit(1)).alias("n_files_in"))
     )
-    out_rows = []
-    for r in dirs:
-        src_dir = os.path.join(src_root, r.dir) if r.dir else src_root
-        dest_dir = os.path.join(dest_root, r.dir) if r.dir else dest_root
-        n_out = max(1, math.ceil(r.bytes / target_bytes))
-        df = spark.read.format(fmt).load(src_dir)
-        df.repartition(n_out).write.mode("overwrite").format(fmt).save(dest_dir)
-        out_rows.append((r.dir, int(r.n_files), int(r.bytes), n_out))
-    return spark.createDataFrame(
-        out_rows, "dir string, n_files_in long, bytes long, n_files_out long"
+    stats = dirs_df.agg(
+        F.sum("bytes").alias("b"), F.count(F.lit(1)).alias("d")
+    ).first()
+    if stats["d"] == 0:
+        return spark.createDataFrame(
+            [], "dir string, n_files_in long, bytes long, n_files_out long"
+        )
+
+    df = spark.read.format(fmt).option("recursiveFileLookup", "true").load(src_root)
+    # file:///abs/root/sub/t1/part-0.parquet → "sub/t1" ("." for root files:
+    # empty partition values would write as the Hive default partition)
+    rel = F.regexp_replace(
+        F.regexp_replace(F.col("_metadata.file_path"), "^[a-zA-Z0-9.+-]+:/+", "/"),
+        "^" + re.escape(root_abs) + "/?",
+        "",
+    )
+    tagged = df.withColumn("__rel", rel).withColumn(
+        "__dir",
+        F.coalesce(
+            F.nullif(
+                F.expr(
+                    "substring(__rel, 1, greatest(length(__rel) - "
+                    "length(split_part(__rel, '/', -1)) - 1, 0))"
+                ),
+                F.lit(""),
+            ),
+            F.lit("."),
+        ),
+    ).drop("__rel")
+
+    total_records = tagged.count()  # metadata-column scan, no data columns
+    avg_bpr = max(1.0, float(stats["b"]) / max(total_records, 1))
+    max_records = max(1, int(target_bytes / avg_bpr))
+
+    staging = os.path.join(dest_root, "__compact_staging__")
+    (
+        tagged.repartition(F.col("__dir"))
+        .write.mode("overwrite")
+        .partitionBy("__dir")
+        .option("maxRecordsPerFile", max_records)
+        .format(fmt)
+        .save(staging)
+    )
+
+    # publish: rename each staged partition dir onto the mirrored layout
+    out_counts: list[tuple[str, int]] = []
+    for name in sorted(os.listdir(staging)):
+        if not name.startswith("__dir="):
+            continue
+        d = unquote(name[len("__dir="):])
+        src_dir = os.path.join(staging, name)
+        dest_dir = dest_root if d == "." else os.path.join(dest_root, d)
+        n_out = sum(
+            1 for f in os.listdir(src_dir)
+            if not f.startswith((".", "_"))
+        )
+        if d == ".":
+            for f in os.listdir(src_dir):
+                os.replace(os.path.join(src_dir, f), os.path.join(dest_root, f))
+            shutil.rmtree(src_dir, ignore_errors=True)
+        else:
+            if os.path.exists(dest_dir):
+                shutil.rmtree(dest_dir)
+            os.makedirs(os.path.dirname(dest_dir), exist_ok=True)
+            os.replace(src_dir, dest_dir)
+        out_counts.append(("" if d == "." else d, n_out))
+    shutil.rmtree(staging, ignore_errors=True)
+
+    planned = spark.createDataFrame(out_counts, "dir string, n_files_out long")
+    return (
+        dirs_df.join(planned, "dir", "left")
+        .select(
+            "dir",
+            F.col("n_files_in").cast("long"),
+            F.col("bytes").cast("long"),
+            F.coalesce("n_files_out", F.lit(0)).cast("long").alias("n_files_out"),
+        )
     )

@@ -44,3 +44,35 @@ def test_execute_compaction_roundtrip(spark, tmp_path):
     assert out.agg(F.sum("id")).first()[0] == df.agg(F.sum("id")).first()[0]
     data_files = [p for p in glob.glob(f"{dest}/sub/t1/*.parquet")]
     assert len(data_files) == 1
+
+
+def test_execute_compaction_single_job_many_dirs(spark, tmp_path):
+    """One action over N dirs produces exactly the planned per-dir file
+    counts (ceil(records / records_per_file)) — the distributed
+    executor's contract; no per-directory driver jobs."""
+    import math
+
+    src, dest = str(tmp_path / "src"), str(tmp_path / "dest")
+    sizes = {"a": 300, "b/nested": 500, "c": 40}
+    for d, n in sizes.items():
+        spark.range(n).repartition(4).write.parquet(f"{src}/{d}")
+
+    # derive the same records_per_file the executor will pick: global
+    # avg bytes/record from the source inventory
+    from reair_spark.inventory import list_files
+
+    total_bytes = list_files(spark, [src]).agg({"size": "sum"}).first()[0]
+    total_rec = sum(sizes.values())
+    target = int(2.5 * total_bytes / total_rec)  # ~2.5 records per file
+    max_records = max(1, int(target / max(1.0, total_bytes / total_rec)))
+
+    summary = {r.dir: r for r in
+               execute_compaction(spark, src, dest, target_bytes=target).collect()}
+    assert set(summary) == set(sizes)
+    for d, n in sizes.items():
+        planned = math.ceil(n / max_records)
+        assert summary[d].n_files_out == planned, (d, summary[d])
+        files = glob.glob(f"{dest}/{d}/*.parquet")
+        assert len(files) == planned
+        got = spark.read.parquet(f"{dest}/{d}")
+        assert got.count() == n and got.agg({"id": "sum"}).first()[0] == n * (n - 1) // 2
