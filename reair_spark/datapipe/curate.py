@@ -102,23 +102,82 @@ def curate_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+PACK_CHUNK = 4096  # rows of the order key per cumsum chunk
+
+
+def chunked_running_sum(
+    df: DataFrame,
+    part_cols: list[str],
+    chunk_col,
+    order_cols: list,
+    value_col: str,
+    out_col: str,
+) -> DataFrame:
+    """Running sum over (part_cols, ordered by order_cols) WITHOUT a
+    per-stratum window: Spark window functions put an entire window
+    partition in ONE task, so partitioning by a handful of strata
+    (lang, source) caps parallelism at the stratum count — terabytes
+    through single tasks at warehouse scale.
+
+    Two-level decomposition instead: ``chunk_col`` must be monotone
+    non-decreasing along ``order_cols`` within each stratum (e.g. a
+    range bucket of the leading sort key). Level 1 windows over
+    (stratum, chunk) — cardinality strata × chunks, i.e. scales with
+    data. Level 2 computes each chunk's prefix offset on the per-chunk
+    totals table (rows = strata × chunks, metadata-sized) and
+    broadcast-joins it back. Integer sums are associative, so the
+    result is EXACTLY the single-window cumsum, same oracle hashes."""
+    from pyspark.sql import Window as W
+
+    df = df.withColumn("__chunk", chunk_col)
+    w1 = (
+        W.partitionBy(*part_cols, "__chunk")
+        .orderBy(*order_cols)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    local = df.withColumn("__local", F.sum(value_col).over(w1))
+    w2 = (
+        W.partitionBy(*part_cols)
+        .orderBy("__chunk")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offsets = (
+        df.groupBy(*part_cols, "__chunk")
+        .agg(F.sum(value_col).alias("__t"))
+        .select(
+            *part_cols,
+            "__chunk",
+            F.coalesce(F.sum("__t").over(w2), F.lit(0)).alias("__off"),
+        )
+    )
+    return (
+        local.join(F.broadcast(offsets), [*part_cols, "__chunk"])
+        .withColumn(out_col, (F.col("__local") + F.col("__off")))
+        .drop("__chunk", "__local", "__off")
+    )
+
+
 def curate_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
     """Concat-and-chunk packing: docs ordered by doc_id within each
     language are concatenated and cut into PACK_CTX-token windows; a
-    doc's bin is the window its first token lands in. One shuffle on
-    (lang), then window cumsum — the same plan at 100 TB with lang
-    (or a finer stratum) as the distribution key. Emits per-bin
-    occupancy, the packing-efficiency metric."""
-    from pyspark.sql import Window as W
-
+    doc's bin is the window its first token lands in. The running token
+    sum uses :func:`chunked_running_sum` over (lang, doc_id-range
+    chunks), so parallelism scales with corpus size instead of being
+    capped at the language count. Emits per-bin occupancy, the
+    packing-efficiency metric."""
     d = _t(spark, sf, "documents")
     toks = d.select(
         "doc_id", "lang", F.size(F.split("text", " ")).alias("n_tok")
     )
-    w = W.partitionBy("lang").orderBy("doc_id")
-    binned = toks.withColumn(
-        "bin",
-        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / PACK_CTX).cast("long"),
+    binned = chunked_running_sum(
+        toks,
+        ["lang"],
+        F.floor(F.col("doc_id") / PACK_CHUNK),
+        ["doc_id"],
+        "n_tok",
+        "cum_tok",
+    ).withColumn(
+        "bin", F.floor((F.col("cum_tok") - F.col("n_tok")) / PACK_CTX).cast("long")
     )
     return (
         binned.groupBy("lang", "bin")
@@ -140,25 +199,23 @@ def curate_token_budget(spark: SparkSession, sf: str) -> DataFrame:
     quality proxy; a production run substitutes its quality score in
     the ORDER BY and nothing else changes.
 
-    One shuffle on source, then a running token sum per source and a
-    cumulative-≤-budget filter. At scale the sort within each source
-    is a range partition (Spark's sort machinery), not a single task;
-    a source whose docs exceed executor memory still works because
-    the window is rows-ordered, never buffering the whole source."""
-    from pyspark.sql import Window as W
-
+    The per-source running sum uses :func:`chunked_running_sum` with
+    descending n_chars range buckets as the chunk key (ties share a
+    bucket, so the key is monotone along the sort) — parallelism
+    scales with corpus size, not source count."""
     d = _t(spark, sf, "documents")
     toks = d.select(
         "doc_id", "source", "n_chars",
         F.size(F.split("text", " ")).alias("n_tok"),
     )
-    w = (
-        W.partitionBy("source")
-        .orderBy(F.desc("n_chars"), "doc_id")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
+    # -floor(n_chars/64): ascending chunk order == descending n_chars
+    chunk = -F.floor(F.col("n_chars") / 64)
     return (
-        toks.withColumn("cum_tok", F.sum("n_tok").over(w).cast("long"))
+        chunked_running_sum(
+            toks, ["source"], chunk, [F.desc("n_chars"), "doc_id"],
+            "n_tok", "cum_raw",
+        )
+        .withColumn("cum_tok", F.col("cum_raw").cast("long"))
         .where(F.col("cum_tok") <= TOKEN_BUDGET)
         .select("source", "doc_id", F.col("n_tok").cast("long").alias("n_tok"),
                 "cum_tok")
@@ -228,7 +285,15 @@ def curate_pipeline(spark: SparkSession, sf: str) -> DataFrame:
         )
     sampled = surv.where(_sample_hash(F.col("doc_id")) < rate_expr.otherwise(0))
 
-    # stage 4: pack into PACK_CTX-token windows per language
+    # stage 4: pack into PACK_CTX-token windows per language.
+    # Deliberately the plain per-lang window here, NOT
+    # chunked_running_sum: the chunked form forks the plan into two
+    # branches and this stage's input embeds the dedup shuffle, which
+    # Spark would recompute once per branch — a full extra pass over
+    # the corpus that costs more than the stratum-width window saves.
+    # A production pipeline materializes the dedup output between
+    # stages and then uses the chunked form (see
+    # curate_pack_sequences for the scale-safe standalone shape).
     wp = W.partitionBy("lang").orderBy("doc_id")
     binned = sampled.withColumn(
         "bin", F.floor((F.sum("n_tok").over(wp) - F.col("n_tok")) / PACK_CTX)

@@ -97,3 +97,27 @@ def test_pipeline_yield_and_plan(spark):
             "formatted"))
     # window(fp) + window(lang pack) + final agg = 3 shuffles max
     assert plan.count("Exchange") <= 4, plan
+
+
+def test_chunked_running_sum_equals_single_window(spark):
+    """Two-level cumsum == the single stratum-wide window, while its
+    level-1 window partitions on (stratum, chunk) — cardinality that
+    scales with rows instead of stratum count."""
+    from pyspark.sql import Window as W
+
+    from reair_spark.datapipe.curate import chunked_running_sum
+
+    rows = [(i % 3, i, (i * 7919) % 101) for i in range(500)]
+    df = spark.createDataFrame(rows, "s int, k long, v long")
+
+    got = chunked_running_sum(
+        df, ["s"], F.floor(F.col("k") / 32), ["k"], "v", "cum"
+    )
+    w = W.partitionBy("s").orderBy("k").rowsBetween(W.unboundedPreceding, W.currentRow)
+    want = df.withColumn("cum", F.sum("v").over(w))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    # level-1 key cardinality: 3 strata x ~16 chunks >> 3 strata
+    plan = got._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert "__chunk" in plan  # the window key includes the chunk column
