@@ -31,6 +31,9 @@ def main(argv: list[str] | None = None) -> int:
                      metavar="DB_RE:TBL_RE", help="db:table regex pairs to skip")
     rep.add_argument("--no-overwrite-newer", action="store_true")
     rep.add_argument("--work-dir")
+    rep.add_argument("--verify-checksum", action="store_true",
+                     help="digest-verify each copied file "
+                          "(reference: BatchUtils.java:105-117)")
 
     sync = sub.add_parser("sync", help="directory-tree sync")
     sync.add_argument("roots", nargs="+",
@@ -41,6 +44,7 @@ def main(argv: list[str] | None = None) -> int:
     sync.add_argument("--trash-dir",
                       help="with --delete: move extras here (preserving "
                            "relative paths) instead of unlinking")
+    sync.add_argument("--verify-checksum", action="store_true")
 
     inc = sub.add_parser("incremental", help="incremental replication loop")
     inc.add_argument("events_parquet")
@@ -80,6 +84,7 @@ def main(argv: list[str] | None = None) -> int:
         res = replicate_warehouse(
             spark, args.src_root, args.dest_root, blacklist=blacklist,
             overwrite_newer=not args.no_overwrite_newer, work_dir=args.work_dir,
+            verify_checksum=args.verify_checksum,
         )
         summary = {
             "actions": {r["action"]: r["count"] for r in
@@ -102,7 +107,7 @@ def main(argv: list[str] | None = None) -> int:
         res = sync_directories(
             spark, src_roots, dest_root,
             dry_run=args.dry_run, delete_extraneous=args.delete,
-            trash_dir=args.trash_dir,
+            trash_dir=args.trash_dir, verify_checksum=args.verify_checksum,
         )
         out = {
             "plan": {r["action"]: r["count"] for r in

@@ -72,12 +72,44 @@ def plan_copy_tasks(plan: DataFrame, src_files: DataFrame) -> DataFrame:
     )
 
 
-def _copy_one(src_file: str, dest_file: str, size: int, mtime: int) -> tuple:
+def _md5_of(path: str) -> str:
+    import hashlib
+
+    h = hashlib.md5()
+    with open(path, "rb") as fh:
+        while True:
+            chunk = fh.read(1 << 20)
+            if not chunk:
+                break
+            h.update(chunk)
+    return h.hexdigest()
+
+
+def _copy_one(
+    src_file: str,
+    dest_file: str,
+    size: int,
+    mtime: int,
+    verify_checksum: bool = False,
+) -> tuple:
     """BatchUtils.doCopyFileAction semantics: skip same-size, tmp +
-    fsync + atomic rename, preserve mtime, bounded retries."""
+    fsync + atomic rename, preserve mtime, bounded retries.
+
+    ``verify_checksum`` is the reference's config-gated checksum check
+    (BatchUtils.java:105-117 / FsUtils.checksumsMatch:530-544): the
+    skip-if-exists test additionally requires matching content digests
+    (a same-size corrupted dest is re-copied, not skipped), and each
+    copy attempt verifies the staged bytes against the source digest
+    before the atomic publish — a mismatch burns the attempt and
+    retries. Default off: it reads every byte of src and dest once
+    more, the same cost trade the reference gates behind config."""
+    import hashlib
+
     try:
         st = os.stat(dest_file)
-        if st.st_size == size:
+        if st.st_size == size and (
+            not verify_checksum or _md5_of(dest_file) == _md5_of(src_file)
+        ):
             return (src_file, dest_file, "SKIPPED", 0, None)
     except FileNotFoundError:
         pass
@@ -87,15 +119,21 @@ def _copy_one(src_file: str, dest_file: str, size: int, mtime: int) -> tuple:
             os.makedirs(os.path.dirname(dest_file), exist_ok=True)
             tmp = f"{dest_file}.__copying_{os.getpid()}"
             n = 0
+            src_md5 = hashlib.md5()
             with open(src_file, "rb") as src, open(tmp, "wb") as dst:
                 while True:
                     chunk = src.read(1 << 20)
                     if not chunk:
                         break
+                    if verify_checksum:
+                        src_md5.update(chunk)
                     dst.write(chunk)
                     n += len(chunk)
                 dst.flush()
                 os.fsync(dst.fileno())
+            if verify_checksum and _md5_of(tmp) != src_md5.hexdigest():
+                os.unlink(tmp)
+                raise OSError("checksum mismatch after copy")
             os.utime(tmp, (mtime / 1000, mtime / 1000))
             os.replace(tmp, dest_file)  # atomic publish
             return (src_file, dest_file, "COPIED", n, None)
@@ -106,13 +144,18 @@ def _copy_one(src_file: str, dest_file: str, size: int, mtime: int) -> tuple:
 
 
 def execute_copies(
-    spark: SparkSession, tasks: DataFrame, parallelism: int | None = None
+    spark: SparkSession,
+    tasks: DataFrame,
+    parallelism: int | None = None,
+    verify_checksum: bool = False,
 ) -> DataFrame:
     """Run the copy tasks executor-side; returns the per-file result
     DataFrame. Tasks are re-keyed by a hash of (path, size, mtime) —
     the reference's skew-busting second shuffle (X8) — with task count
     sized by data volume (A8: one task per 256 MB or 100 files,
-    DistCpWrapperOptions.java:34-37) instead of a flat cluster constant."""
+    DistCpWrapperOptions.java:34-37) instead of a flat cluster constant.
+    ``verify_checksum`` gates the per-file digest verification
+    (BatchUtils.java:105-117)."""
     from reair_spark.plans import size_copy_parallelism
     from reair_spark.shipping import ensure_shipped
 
@@ -124,7 +167,10 @@ def execute_copies(
 
     def run(rows: Iterator) -> Iterator[tuple]:
         for r in rows:
-            yield _copy_one(r.src_file, r.dest_file, r.size, r.mtime)
+            yield _copy_one(
+                r.src_file, r.dest_file, r.size, r.mtime,
+                verify_checksum=verify_checksum,
+            )
 
     return spark.createDataFrame(balanced.rdd.mapPartitions(run), COPY_RESULT_SCHEMA)
 

@@ -78,6 +78,7 @@ def execute_sync(
     dest_root: str,
     delete_extraneous: bool = False,
     trash_dir: str | None = None,
+    verify_checksum: bool = False,
 ) -> DataFrame:
     """Job 2: copies for ADD/UPDATE (re-keyed by hash — X8), optional
     deletes for dest-only files.
@@ -93,7 +94,7 @@ def execute_sync(
         "size",
         "mtime",
     )
-    results = execute_copies(spark, tasks)
+    results = execute_copies(spark, tasks, verify_checksum=verify_checksum)
 
     if delete_extraneous:
         from reair_spark.shipping import ensure_shipped
@@ -133,6 +134,7 @@ def sync_directories(
     delete_extraneous: bool = False,
     compare_mtime: bool = False,
     trash_dir: str | None = None,
+    verify_checksum: bool = False,
 ) -> dict[str, DataFrame]:
     plan = sync_plan(spark, src_roots, dest_root, compare_mtime)
     if dry_run:  # reference parity: stop after job 1
@@ -140,6 +142,7 @@ def sync_directories(
     return {
         "plan": plan,
         "results": execute_sync(
-            spark, plan, dest_root, delete_extraneous, trash_dir
+            spark, plan, dest_root, delete_extraneous, trash_dir,
+            verify_checksum=verify_checksum,
         ),
     }

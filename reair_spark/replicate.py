@@ -59,6 +59,7 @@ def replicate_warehouse(
     work_dir: str | None = None,
     src_catalog: MetastoreCatalog | None = None,
     dest_catalog: MetastoreCatalog | None = None,
+    verify_checksum: bool = False,
 ) -> dict[str, DataFrame]:
     """Replicate src warehouse → dest warehouse. Returns the plan and
     per-stage result DataFrames.
@@ -133,7 +134,10 @@ def replicate_warehouse(
     if copy_roots:
         src_files = list_files(spark, copy_roots)
         tasks = plan_copy_tasks(plan, src_files)
-        copy_results = metrics.observe(execute_copies(spark, tasks), "copy").cache()
+        copy_results = metrics.observe(
+            execute_copies(spark, tasks, verify_checksum=verify_checksum),
+            "copy",
+        ).cache()
     else:
         copy_results = spark.createDataFrame(
             [], "src_file string, dest_file string, status string, "

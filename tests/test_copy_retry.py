@@ -47,3 +47,18 @@ def test_same_size_dest_skips(tmp_path):
     out = _copy_one(src, dest, 3, 1000)
     assert out[2] == "SKIPPED"
     assert open(dest).read() == "xyz"
+
+
+def test_checksum_detects_corrupt_dest(tmp_path):
+    """BatchUtils.java:105-117 parity: with verify_checksum, a
+    same-size corrupted dest is re-copied instead of skipped."""
+    src, dest = str(tmp_path / "s"), str(tmp_path / "d")
+    open(src, "w").write("abc")
+    open(dest, "w").write("xyz")  # same size, wrong bytes
+    # default path still skips (size-only semantics preserved)
+    assert _copy_one(src, dest, 3, 1000)[2] == "SKIPPED"
+    out = _copy_one(src, dest, 3, 1000, verify_checksum=True)
+    assert out[2] == "COPIED"
+    assert open(dest).read() == "abc"
+    # matching dest now skips even under checksum
+    assert _copy_one(src, dest, 3, 1000, verify_checksum=True)[2] == "SKIPPED"
