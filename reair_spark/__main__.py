@@ -11,6 +11,9 @@ three executables (SURVEY.md top table):
       small-file compaction (non-destructive rewrite under dest_root)
   python -m reair_spark convert <src> <dest> --from-serde csv --to-serde parquet
       serde migration for one location
+  python -m reair_spark status <state_dir>
+      monitoring snapshot over persisted job state (Thrift
+      getActiveJobs/getRetiredJobs/getLag parity)
 """
 
 from __future__ import annotations
@@ -63,6 +66,10 @@ def main(argv: list[str] | None = None) -> int:
     cmp.add_argument("dest_root")
     cmp.add_argument("--target-mb", type=int, default=256,
                      help="output file size target (MB)")
+
+    st = sub.add_parser("status", help="job-state monitoring snapshot")
+    st.add_argument("state_dir")
+    st.add_argument("--max-active", type=int, default=100)
 
     conv = sub.add_parser("convert", help="serde migration for one location")
     conv.add_argument("src")
@@ -162,6 +169,13 @@ def main(argv: list[str] | None = None) -> int:
                            "files_out": r.n_files_out}
             for r in out.collect()
         }))
+        return 0
+
+    if args.cmd == "status":
+        from reair_spark.state import status_snapshot
+
+        print(json.dumps(status_snapshot(
+            spark, args.state_dir, max_active=args.max_active)))
         return 0
 
     if args.cmd == "convert":

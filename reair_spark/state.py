@@ -98,6 +98,10 @@ class JobStore:
         """Jobs to re-queue on restart (ST4)."""
         return self.current().filter(~F.col("status").isin(*TERMINAL_STATES))
 
+    def retired(self) -> DataFrame:
+        """Terminal jobs (getRetiredJobs parity)."""
+        return self.current().filter(F.col("status").isin(*TERMINAL_STATES))
+
     def lag_seconds(self, now_ts: float | None = None) -> float:
         """A7 lag gauge (StatsTracker.java:35-57): age of the oldest
         in-flight job, measured from its FIRST persisted transition
@@ -112,3 +116,43 @@ class JobStore:
         )
         inflight = self.incomplete().select("job_id")
         return _lag(first_seen.join(inflight, "job_id"), now_ts)
+
+
+def status_snapshot(
+    spark: SparkSession, state_dir: str, max_active: int = 100
+) -> dict:
+    """Monitoring snapshot over a persisted state dir — the engine's
+    answer to the reference's Thrift monitoring service
+    (thrift/src/main/resources/reair.thrift: getActiveJobs /
+    getRetiredJobs / getLag; served by ReplicationServer.java:515-590
+    and the web UI). pause/resume are service-lifecycle calls with no
+    analog in a batch-driven loop, so the read side is the parity
+    surface. Everything comes from the JobStore transition log plus
+    the checkpoint KV — no running engine required, which is exactly
+    how an operator inspects a crashed or in-flight deployment."""
+    store = JobStore(spark, f"{state_dir}/replication_jobs")
+    kv = KeyValueStore(f"{state_dir}/key_value.json")
+
+    active_rows = (
+        store.incomplete()
+        .orderBy("job_id")
+        .limit(max_active)
+        .select("job_id", "operation", "status", "db", "table", "src_event_id")
+        .collect()
+    )
+    status_counts = {
+        r["status"]: r["count"]
+        for r in store.current().groupBy("status").count().collect()
+    }
+    n_active = sum(
+        v for k, v in status_counts.items() if k not in TERMINAL_STATES
+    )
+    n_retired = sum(v for k, v in status_counts.items() if k in TERMINAL_STATES)
+    return {
+        "last_persisted_id": int(kv.get("last_persisted_id", "0") or 0),
+        "n_active": n_active,
+        "n_retired": n_retired,
+        "status_counts": status_counts,
+        "lag_seconds": round(store.lag_seconds(), 1),
+        "active_jobs": [r.asDict() for r in active_rows],
+    }

@@ -167,3 +167,48 @@ def test_lag_seconds(spark):
     assert 89.0 <= lag <= 91.0
     empty = spark.createDataFrame([], "id long, create_time timestamp")
     assert lag_seconds(empty) == 0.0
+
+
+def test_status_snapshot_over_seeded_state(spark, tmp_path):
+    """status surface parity (reair.thrift getActiveJobs/getLag):
+    seeded transition log -> active/retired split, counts, lag."""
+    from reair_spark.state import JobStore, KeyValueStore, status_snapshot
+
+    state = str(tmp_path / "state")
+    store = JobStore(spark, f"{state}/replication_jobs")
+    jobs = spark.createDataFrame(
+        [(1, "COPY_UNPARTITIONED_TABLE", "PENDING", "db", "t1", [], None, None, 10),
+         (2, "COPY_PARTITION", "PENDING", "db", "t2", ["ds=1"], None, None, 11),
+         (3, "DROP_TABLE", "PENDING", "db", "t3", [], None, None, 12)],
+        "job_id long, operation string, status string, db string, table string, "
+        "partition_names array<string>, rename_to_db string, "
+        "rename_to_table string, src_event_id long",
+    )
+    store.append(jobs)
+    store.append(jobs.filter("job_id = 1").replace("PENDING", "SUCCESSFUL", "status"))
+    KeyValueStore(f"{state}/key_value.json").set("last_persisted_id", "12")
+
+    snap = status_snapshot(spark, state)
+    assert snap["last_persisted_id"] == 12
+    assert snap["n_active"] == 2 and snap["n_retired"] == 1
+    assert snap["status_counts"] == {"PENDING": 2, "SUCCESSFUL": 1}
+    assert snap["lag_seconds"] >= 0
+    assert [j["job_id"] for j in snap["active_jobs"]] == [2, 3]
+
+
+def test_status_cli(spark, tmp_path, capsys):
+    import json as _json
+
+    from reair_spark.__main__ import main
+    from reair_spark.state import JobStore
+
+    state = str(tmp_path / "state")
+    JobStore(spark, f"{state}/replication_jobs").append(spark.createDataFrame(
+        [(5, "COPY_PARTITION", "PENDING", "db", "t", ["ds=1"], None, None, 1)],
+        "job_id long, operation string, status string, db string, table string, "
+        "partition_names array<string>, rename_to_db string, "
+        "rename_to_table string, src_event_id long",
+    ))
+    assert main(["status", state]) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["n_active"] == 1 and out["active_jobs"][0]["job_id"] == 5
