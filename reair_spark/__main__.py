@@ -5,8 +5,10 @@ three executables (SURVEY.md top table):
       MetastoreReplicationJob equivalent (batch warehouse replication)
   python -m reair_spark sync <src_dir> [<src_dir> ...] <dest_dir> [--dry-run] [--delete]
       batch/hdfs ReplicationJob equivalent (directory sync)
-  python -m reair_spark incremental <events_parquet> <src_wh> <dest_wh> <state_dir>
-      ReplicationLauncher equivalent (audit-log driven incremental)
+  python -m reair_spark incremental <events> <src_wh> <dest_wh> <state_dir>
+      ReplicationLauncher equivalent (audit-log driven incremental);
+      <events> is a parquet path, or a jdbc: URL to tail the audit
+      tables directly (AuditLogReader parity)
   python -m reair_spark compact <src_root> <dest_root> [--target-mb N]
       small-file compaction (non-destructive rewrite under dest_root)
   python -m reair_spark convert <src> <dest> --from-serde csv --to-serde parquet
@@ -56,6 +58,8 @@ def main(argv: list[str] | None = None) -> int:
     inc.add_argument("state_dir")
     inc.add_argument("--batch-size", type=int, default=32)
     inc.add_argument("--max-batches", type=int)
+    inc.add_argument("--jdbc-driver",
+                     help="JDBC driver class when <events> is a jdbc: URL")
     inc.add_argument("--streaming", action="store_true",
                      help="run as a Structured Streaming query "
                           "(availableNow trigger, checkpointed) instead "
@@ -128,6 +132,24 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "incremental":
         from reair_spark.events import run_incremental
+
+        if args.events_parquet.startswith("jdbc:"):
+            from reair_spark.auditlog import JdbcAuditLogSource, run_incremental_jdbc
+
+            props = {"driver": args.jdbc_driver} if args.jdbc_driver else {}
+            source = JdbcAuditLogSource(
+                args.events_parquet, properties=props, batch_size=args.batch_size
+            )
+            res = run_incremental_jdbc(
+                spark, source, args.src_root, args.dest_root, args.state_dir,
+                max_batches=args.max_batches,
+            )
+            print(json.dumps({
+                "last_id": res["last_id"], "batches": res["batches"],
+                "jobs": res["job_status_counts"],
+                "lag_seconds": round(res["lag_seconds"], 1),
+            }))
+            return 1 if res["job_status_counts"].get("FAILED") else 0
 
         if args.streaming:
             from reair_spark.streaming import stream_replicate
