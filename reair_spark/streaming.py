@@ -62,19 +62,55 @@ def stream_events(
     return ev
 
 
-def _run_to_memory(stream_df: DataFrame, mode: str) -> DataFrame:
+def _run_to_memory(
+    stream_df: DataFrame, mode: str, state_partitions: int = 8
+) -> DataFrame:
+    """Drain a bounded stream into a memory sink.
+
+    Two floor-dominating confs are pinned for the query's lifetime
+    (a streaming query's state partitioning is fixed at its first
+    checkpoint, so they must be set at START, not on the session
+    factory):
+
+    - ``shuffle.partitions`` → ``state_partitions``: every stateful
+      operator materializes one state store per shuffle partition per
+      sub-operator; 32 stores × setup cost dominates a bounded run's
+      wall clock. Size to key cardinality / executor balance, not the
+      relational shuffle width.
+    - ``noDataMicroBatches`` off: the extra empty batch exists to
+      advance watermarks for append-mode FINALIZATION (e.g. windowed
+      aggs in append mode) and timed state cleanup. Every operator
+      here emits eagerly (complete-mode aggs, inner joins,
+      within-watermark dedup, processing-time state), so the empty
+      batch only adds a full state-store load/commit cycle per store.
+      An append-mode windowed agg must NOT use this helper with the
+      flag off — it would drain before emitting finalized windows.
+    """
+    spark = stream_df.sparkSession
     name = f"stream_out_{uuid.uuid4().hex[:8]}"
-    q = (
-        stream_df.writeStream.outputMode(mode)
-        .format("memory")
-        .queryName(name)
-        .start()
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_nodata = spark.conf.get(
+        "spark.sql.streaming.noDataMicroBatches.enabled", "true"
     )
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     try:
-        q.processAllAvailable()
+        q = (
+            stream_df.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
-    return stream_df.sparkSession.table(name)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", prev_nodata
+        )
+    return spark.table(name)
 
 
 def stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -212,19 +248,12 @@ def stream_funnel(
     raised back to a timestamp only at the output edge.
 
     ``state_partitions`` pins the stateful operator's store count for
-    THIS query (a streaming query's state partitioning is fixed at
-    first checkpoint, so it must be sized deliberately: ~key-cardinality
-    / executor balance, not whatever the relational shuffle width
-    happens to be). Restored after query start."""
+    THIS query (see ``_run_to_memory`` — fixed at first checkpoint, so
+    it must be sized deliberately)."""
     ev = stream_events(spark, sf_dir, max_files_per_trigger=1).withColumn(
         "ts", F.unix_micros("ts")
     )
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
-    try:
-        out = _run_to_memory(funnel_detect(ev), "update")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    out = _run_to_memory(funnel_detect(ev), "update", state_partitions)
     return out.select(
         "user_id",
         F.timestamp_micros("completed_ts_long").alias("completed_ts"),
@@ -274,15 +303,9 @@ def stream_order_event_join(
         )
         .select("o_orderkey", "event_id", "ets")
     )
-    # pin the join's state-store count (same rationale as stream_funnel:
-    # fixed at first checkpoint; 32 stores × ~4 state sub-stores per
-    # stream-stream join dominates a bounded run's wall clock)
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
-    try:
-        return _run_to_memory(j, "append")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    # state-store count pinned by _run_to_memory (a stream-stream join
+    # materializes ~4 state sub-stores per shuffle partition)
+    return _run_to_memory(j, "append", state_partitions)
 
 
 def stream_enrich_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -322,12 +345,7 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicatesWithinWatermark(["event_id"])
         .select("event_id", "user_id")
     )
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        return _run_to_memory(out, "append")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return _run_to_memory(out, "append")
 
 
 def stream_replicate(
