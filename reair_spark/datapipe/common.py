@@ -17,19 +17,45 @@ from pyspark.sql import functions as F
 
 def widen(df, spark=None):
     """Repartition up to the default parallelism when the source scan
-    produced fewer partitions than cores.
+    would produce fewer partitions than cores.
 
     Small single-row-group parquet files scan as ONE partition, which
     serializes the per-row compute these operators do (shingling,
     hashing, regex) onto one core. At 100 TB the scan is naturally
-    wide and this is a no-op — the check costs nothing and never
-    shrinks a wide input.
+    wide and this is a no-op.
+
+    The width estimate comes from the scan relation's plan statistics
+    (sizeInBytes / files.maxPartitionBytes) — pure metadata already on
+    the driver. The old form asked ``df.rdd.getNumPartitions()``,
+    which forces plan→RDD materialization per query just to read a
+    number the optimizer already knows.
     """
     spark = spark or df.sparkSession
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        size_bytes = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        max_split = _parse_bytes(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", str(128 << 20))
+        )
+    except Exception:
+        return df.repartition(target)
+    est_parts = max(1, -(-size_bytes // max_split))
+    if est_parts < target:
         return df.repartition(target)
     return df
+
+
+_BYTE_SUFFIX = {"b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+
+
+def _parse_bytes(v: str) -> int:
+    s = str(v).strip().lower()
+    for suf in ("kb", "mb", "gb", "tb", "k", "m", "g", "t", "b"):
+        if s.endswith(suf):
+            return int(float(s[: -len(suf)]) * _BYTE_SUFFIX[suf[0]])
+    return int(s)
 
 
 def portable_hash32(col: Column) -> Column:
