@@ -204,14 +204,229 @@ def multimodal_audio_windows(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Real pure-numpy codecs: RIFF/PCM WAV and 24-bpp BMP.
+#
+# These are genuine binary-format implementations (magic validation,
+# chunk walking, header field parsing, row-stride padding, bottom-up
+# row order) — not stubs. They exist so the multimodal path exercises
+# a REAL encode → bytes → decode cycle through mapInPandas without any
+# external imaging/audio library. JPEG/PNG/FLAC stay behind the
+# `decode_image_real` gate (they need PIL/soundfile); the WAV/BMP
+# pipeline below is the production plumbing running for real.
+# ---------------------------------------------------------------------------
+
+WAV_RATE = 8000
+
+
+def wav_encode(samples, rate: int = WAV_RATE) -> bytes:
+    """Minimal-but-real RIFF/WAVE writer: PCM, mono, 16-bit LE."""
+    import struct
+
+    data = samples.astype("<i2").tobytes()
+    fmt = struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + 16 + 8 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def wav_decode(payload: bytes):
+    """Real RIFF/WAVE chunk-walking parser: validates magic, walks
+    chunks in file order (fmt may precede or follow others), reads the
+    fmt fields, and returns (sample_rate, int16 sample array)."""
+    import struct
+
+    import numpy as _np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (clen,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            audio_fmt, channels, rate, _, _, bits = struct.unpack("<HHIIHH", body[:16])
+            if (audio_fmt, channels, bits) != (1, 1, 16):
+                raise ValueError("only PCM mono 16-bit supported")
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    return rate, _np.frombuffer(data, dtype="<i2")
+
+
+BMP_WIDTH = 16
+
+
+def bmp_encode(gray) -> bytes:
+    """Real 24-bpp BMP writer (BITMAPINFOHEADER): grayscale replicated
+    into BGR, rows padded to 4-byte stride, bottom-up row order."""
+    import struct
+
+    import numpy as _np
+
+    h, w = gray.shape
+    stride = (w * 3 + 3) // 4 * 4
+    px = bytearray()
+    for row in gray[::-1]:  # bottom-up
+        line = _np.repeat(row.astype(_np.uint8), 3).tobytes()
+        px += line + b"\x00" * (stride - len(line))
+    off = 14 + 40
+    return (
+        b"BM"
+        + struct.pack("<IHHI", off + len(px), 0, 0, off)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(px), 2835, 2835, 0, 0)
+        + bytes(px)
+    )
+
+
+def bmp_decode(payload: bytes):
+    """Real BMP parser: validates 'BM', reads the pixel offset and
+    BITMAPINFOHEADER dims, honors the 4-byte row stride, undoes the
+    bottom-up row order, and returns the grayscale (B-channel) 2-D
+    array."""
+    import struct
+
+    import numpy as _np
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (off,) = struct.unpack("<I", payload[10:14])
+    hdr_sz, w, h, _planes, bpp = struct.unpack("<IiiHH", payload[14:30])
+    if hdr_sz < 40 or bpp != 24:
+        raise ValueError("only 24-bpp BITMAPINFOHEADER supported")
+    stride = (w * 3 + 3) // 4 * 4
+    rows = []
+    for r in range(abs(h)):
+        line = payload[off + r * stride : off + r * stride + w * 3]
+        rows.append(_np.frombuffer(line, dtype=_np.uint8)[::3])  # B channel
+    img = _np.stack(rows)
+    return img[::-1] if h > 0 else img  # positive height = bottom-up
+
+
+def multimodal_wav_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Real-codec audio path: synthesize int16 PCM from each document
+    (sample_i = (byte_i − 96)·256 — deterministic, so the oracle can
+    recompute it from text), write a genuine RIFF/WAVE file, then run
+    the DECODER on those bytes and extract (sample_rate, n_samples,
+    rms). The parser walks real chunk structure — any header-math bug
+    (alignment, field offsets) breaks the oracle match.
+
+    Scale shape: one mapInPandas over Arrow batches; encode+decode are
+    per-row CPU with zero shuffle — 100 TB of audio bytes moves zero
+    times."""
+
+    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                b = text.encode("utf-8")
+                samples = (_np.frombuffer(b, dtype=_np.uint8).astype(_np.int16) - 96) * 256
+                payload = wav_encode(samples)  # REAL encoder
+                rate, decoded = wav_decode(payload)  # REAL parser
+                if len(decoded) == 0:
+                    rows.append((int(doc_id), rate, 0, 0.0))
+                    continue
+                rms = float(_np.sqrt(_np.mean(decoded.astype(_np.float64) ** 2)))
+                rows.append((int(doc_id), rate, len(decoded), round(rms, 4)))
+            yield _pd.DataFrame(
+                rows, columns=["doc_id", "sample_rate", "n_samples", "rms"]
+            )
+
+    return (
+        _t(spark, sf, "documents")
+        .select("doc_id", "text")
+        .mapInPandas(
+            roundtrip,
+            schema="doc_id long, sample_rate int, n_samples long, rms double",
+        )
+    )
+
+
+def multimodal_bmp_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Real-codec image path: rasterize each document's bytes into a
+    16-wide grayscale image (last row zero-padded), write a genuine
+    24-bpp BMP (padded stride, bottom-up rows), decode it back with
+    the real parser, and emit (width, height, mean_px) from the
+    DECODED pixels. Stride padding and row order are where naive BMP
+    code breaks — the oracle recomputes mean_px from text, so a codec
+    bug cannot hash-match."""
+
+    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                b = text.encode("utf-8")
+                h = -(-len(b) // BMP_WIDTH)
+                if h == 0:
+                    rows.append((int(doc_id), BMP_WIDTH, 0, 0.0))
+                    continue
+                gray = _np.zeros((h, BMP_WIDTH), dtype=_np.uint8)
+                flat = _np.frombuffer(b, dtype=_np.uint8)
+                gray.ravel()[: len(flat)] = flat
+                img = bmp_decode(bmp_encode(gray))  # REAL encode → decode
+                mean_px = float(img.astype(_np.float64).mean())
+                rows.append((int(doc_id), img.shape[1], img.shape[0], round(mean_px, 4)))
+            yield _pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "mean_px"]
+            )
+
+    return (
+        _t(spark, sf, "documents")
+        .select("doc_id", "text")
+        .mapInPandas(
+            roundtrip,
+            schema="doc_id long, width int, height int, mean_px double",
+        )
+    )
+
+
 MM_QUERIES = {
     "multimodal_features": multimodal_features,
     "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_resize": multimodal_resize,
     "multimodal_audio_windows": multimodal_audio_windows,
+    "multimodal_wav_roundtrip": multimodal_wav_roundtrip,
+    "multimodal_bmp_roundtrip": multimodal_bmp_roundtrip,
 }
 
 MM_ORACLES = {
+    # the roundtrip oracles recompute the features straight from text
+    # (ASCII → bytes == codepoints), so they validate the ENTIRE
+    # encode→decode cycle: a header/stride/row-order bug in the codec
+    # changes the decoded samples/pixels and breaks the hash match.
+    "multimodal_wav_roundtrip": f"""
+SELECT doc_id, {WAV_RATE} AS sample_rate,
+       CAST(length(text) AS BIGINT) AS n_samples,
+       round(sqrt(list_aggregate(
+         list_transform(string_split(text, ''),
+                        c -> CAST((unicode(c) - 96) * 256 AS DOUBLE)
+                             * ((unicode(c) - 96) * 256)), 'avg')), 4) AS rms
+FROM documents
+""",
+    "multimodal_bmp_roundtrip": f"""
+SELECT doc_id, {BMP_WIDTH} AS width,
+       CAST(ceil(length(text) / {BMP_WIDTH}.0) AS INT) AS height,
+       round(CAST(list_sum(list_transform(string_split(text, ''),
+                                          c -> unicode(c))) AS DOUBLE)
+             / ({BMP_WIDTH} * ceil(length(text) / {BMP_WIDTH}.0)), 4) AS mean_px
+FROM documents
+""",
     # ASCII text → byte length == char length; strided slice keeps
     # ceil(n / stride) bytes
     "multimodal_resize": (

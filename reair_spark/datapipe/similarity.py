@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from reair_spark.datapipe.common import cosine, widen
+from reair_spark.datapipe.common import cosine, dot, widen
 from reair_spark.io import load_table as _t
 
 TOP_K = 10
@@ -106,6 +106,128 @@ def ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
         .where(F.col("rn") <= TOP_K)
         .select("query_id", "vec_id", "sim")
     )
+
+
+N_PLANES = 16
+N_BANDS = 2  # 2 bands x 8 bits -> 256 buckets per band
+
+
+def _lsh_planes() -> "list[list[float]]":
+    """16 fixed random hyperplanes (seeded, rounded to 4 decimals so
+    the identical literals appear in both engines). Module-level so
+    the Spark plan and the DuckDB oracle share one source of truth."""
+    import numpy as np
+
+    return [
+        [round(float(v), 4) for v in row]
+        for row in np.random.RandomState(7).randn(N_PLANES, 64)
+    ]
+
+
+def ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH-bucketed ANN: the hyperplane-signature scale path (the
+    alternative to IVF when no trained quantizer exists — e.g. a cold
+    pipeline's first pass). Each vector gets a 16-bit sign signature
+    against fixed random hyperplanes, split into 2 bands of 8 bits;
+    a corpus vector is a candidate iff it shares ≥1 band bucket with
+    the query (banding = the classic LSH OR-amplification).
+
+    Scale shape: signatures are a pure map (16 JVM-side fold dots per
+    row, no shuffle); the candidate step is an equi-join on
+    (band, 8-bit key) — per-band bucket population ≈ N/256, so
+    candidate volume is ~N·q/256 per band instead of N·q, and the
+    exact-cosine rerank touches only candidates. At 100 TB the corpus
+    is hashed ONCE and the per-query cost is independent of corpus
+    partitioning — same recall/cost dial (bands × bits) as minhash
+    LSH uses for text (`dedup.py`).
+    """
+    e = _emb(spark, sf)
+    planes = _lsh_planes()
+    from reair_spark.datapipe.common import dot as _dot
+
+    def bands(col):
+        bits = [
+            (_dot(col, F.array(*[F.lit(v) for v in p])) >= 0).cast("int")
+            for p in planes
+        ]
+        per = N_PLANES // N_BANDS
+        return [
+            sum(bits[b * per + i] * (1 << i) for i in range(per))
+            for b in range(N_BANDS)
+        ]
+
+    sig = e.select("vec_id", "emb", *[
+        bk.alias(f"band{b}") for b, bk in enumerate(bands(F.col("emb")))
+    ])
+    stacked = sig.select(
+        "vec_id",
+        "emb",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("key"))
+                for b in range(N_BANDS)
+            ])
+        ).alias("bk"),
+    ).select("vec_id", "emb", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    q = stacked.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb"), "band", "key"
+    )
+    cand = (
+        stacked.where(F.col("vec_id") >= N_QUERIES)
+        .join(F.broadcast(q), ["band", "key"])
+        .select("query_id", "vec_id", "qemb", "emb")
+        .distinct()
+    )
+    sim = cand.select(
+        "query_id", "vec_id", cosine(F.col("qemb"), F.col("emb")).alias("sim")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), "vec_id")
+    return (
+        sim.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TOP_K)
+        .select("query_id", "vec_id", "sim")
+    )
+
+
+def _lsh_oracle_sql() -> str:
+    """DuckDB mirror of ann_lsh_topk: identical plane literals,
+    identical band packing, identical rerank tie-breaks."""
+    planes = _lsh_planes()
+    per = N_PLANES // N_BANDS
+    bit_exprs = [
+        "CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+        f"[{', '.join(str(v) for v in p)}]) >= 0 THEN 1 ELSE 0 END AS bit{h}"
+        for h, p in enumerate(planes)
+    ]
+    band_exprs = [
+        " + ".join(f"bit{b * per + i} * {1 << i}" for i in range(per))
+        + f" AS band{b}"
+        for b in range(N_BANDS)
+    ]
+    band_rows = " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, band{b} AS key FROM sig" for b in range(N_BANDS)
+    )
+    return f"""
+WITH bits AS (SELECT vec_id, {', '.join(bit_exprs)} FROM embeddings),
+sig AS (SELECT vec_id, {', '.join(band_exprs)} FROM bits),
+stacked AS ({band_rows}),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id
+  FROM stacked q JOIN stacked c ON q.band = c.band AND q.key = c.key
+  WHERE q.vec_id < {N_QUERIES} AND c.vec_id >= {N_QUERIES}
+)
+SELECT query_id, vec_id, sim FROM (
+  SELECT cand.query_id, cand.vec_id,
+         {_COS_SQL.format(a='q.embedding', b='e.embedding')} AS sim,
+         row_number() OVER (PARTITION BY cand.query_id
+                            ORDER BY {_COS_SQL.format(a='q.embedding', b='e.embedding')} DESC,
+                                     e.vec_id) AS rn
+  FROM cand
+  JOIN embeddings q ON q.vec_id = cand.query_id
+  JOIN embeddings e ON e.vec_id = cand.vec_id
+) t WHERE rn <= {TOP_K}
+"""
 
 
 def embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
@@ -434,9 +556,153 @@ def _kmeans_cte_sql(corpus_sql: str, k: int, iters: int, dim: int = 64) -> str:
     return ",\n".join(parts)
 
 
+PCA_ITERS = 8
+
+
+def pca_fit_project(emb_df: DataFrame, iters: int = PCA_ITERS) -> DataFrame:
+    """PCA onto the top-2 principal components, Spark-first:
+
+    1. per-dim means — one 64-row aggregate (posexplode + avg);
+    2. **distributed Gramian**: `mapInPandas` accumulates a per-batch
+       XᵀX with one BLAS matmul per Arrow batch and emits 64×64
+       partial rows, so the shuffle carries `partitions × 4096` rows
+       *regardless of corpus size* — the canonical "wide-data,
+       short-model" reduction (same shape as MLlib's
+       RowMatrix.computeGramianMatrix);
+    3. fixed-count power iteration + one deflation on the collected
+       64×64 matrix (bounded driver work, k·d² per step);
+    4. projection is a map-only pass (two literal-vector dots/row).
+
+    Fixed iteration count + fixed start vector (1/√d) make steps 3-4 a
+    straight-line dataflow — the DuckDB gate unrolls the identical
+    computation in SQL (`_pca_cte_sql`), the same technique as the
+    kmeans oracle. Convergence is NOT required for the match: both
+    engines evaluate the same finite polynomial in the Gramian, and
+    4-decimal rounding absorbs summation-order noise.
+
+    Returns (vec_id, pc1, pc2)."""
+    d = 64
+    mean_rows = (
+        emb_df.select(F.posexplode("emb").alias("pos", "v"))
+        .groupBy("pos")
+        .agg(F.avg("v").alias("m"))
+        .collect()  # bounded: d rows
+    )
+    mean = [0.0] * d
+    for r in mean_rows:
+        mean[r["pos"]] = float(r["m"])
+    centered = emb_df.select(
+        "vec_id",
+        F.zip_with("emb", F.array(*[F.lit(m) for m in mean]), lambda x, mm: x - mm).alias(
+            "cemb"
+        ),
+    )
+
+    def gram_batches(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        acc = _np.zeros((d, d))
+        for pdf in batches:
+            if len(pdf):
+                x = _np.array(pdf["cemb"].tolist(), dtype=_np.float64)
+                acc += x.T @ x
+        ii, jj = _np.meshgrid(range(d), range(d), indexing="ij")
+        yield _pd.DataFrame({"i": ii.ravel(), "j": jj.ravel(), "g": acc.ravel()})
+
+    gram_rows = (
+        centered.select("cemb")
+        .mapInPandas(gram_batches, "i int, j int, g double")
+        .groupBy("i", "j")
+        .agg(F.sum("g").alias("g"))
+        .collect()  # bounded: d*d rows
+    )
+    import numpy as np
+
+    G = np.zeros((d, d))
+    for r in gram_rows:
+        G[r["i"], r["j"]] = r["g"]
+
+    def power(mat):
+        v = np.full(d, 1.0 / np.sqrt(d))
+        for _ in range(iters):
+            w = mat @ v
+            v = w / np.sqrt(float(w @ w))
+        lam = float(v @ mat @ v)
+        return v, lam
+
+    v1, lam1 = power(G)
+    v2, _ = power(G - lam1 * np.outer(v1, v1))
+    lit1 = F.array(*[F.lit(float(x)) for x in v1])
+    lit2 = F.array(*[F.lit(float(x)) for x in v2])
+    return centered.select(
+        "vec_id",
+        F.round(dot(F.col("cemb"), lit1), 4).alias("pc1"),
+        F.round(dot(F.col("cemb"), lit2), 4).alias("pc2"),
+    )
+
+
+def embedding_pca_project(spark: SparkSession, sf: str) -> DataFrame:
+    """Gate query: top-2 PCA projection of the embeddings corpus."""
+    e = _emb(spark, sf)
+    return pca_fit_project(e.select("vec_id", "emb"))
+
+
+def _pca_cte_sql(iters: int = PCA_ITERS) -> str:
+    """Unrolled PCA oracle: SQL Gramian + fixed-iteration power method
+    + one deflation + projection, mirroring pca_fit_project exactly."""
+    ctes = [
+        "e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)",
+        "dims AS MATERIALIZED (SELECT vec_id, i, emb[i] AS v FROM e, (SELECT unnest(range(1, 65)) AS i))",
+        "mu AS MATERIALIZED (SELECT i, avg(v) AS m FROM dims GROUP BY i)",
+        "cd AS MATERIALIZED (SELECT vec_id, d.i, d.v - mu.m AS cv FROM dims d JOIN mu ON d.i = mu.i)",
+        "gram AS MATERIALIZED (SELECT a.i AS gi, b.i AS gj, sum(a.cv * b.cv) AS g "
+        "FROM cd a JOIN cd b ON a.vec_id = b.vec_id GROUP BY 1, 2)",
+        "v0 AS MATERIALIZED (SELECT unnest(range(1, 65)) AS i, 1.0 / sqrt(64.0) AS x)",
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"w{t} AS MATERIALIZED (SELECT gi AS i, sum(g * x) AS wx "
+            f"FROM gram JOIN v{t-1} ON gj = v{t-1}.i GROUP BY gi)"
+        )
+        ctes.append(
+            f"v{t} AS MATERIALIZED (SELECT i, wx / sqrt((SELECT sum(wx * wx) FROM w{t})) AS x FROM w{t})"
+        )
+    ctes.append(
+        f"l1 AS MATERIALIZED (SELECT sum(a.x * g * b.x) AS lam FROM gram "
+        f"JOIN v{iters} a ON gi = a.i JOIN v{iters} b ON gj = b.i)"
+    )
+    ctes.append(
+        f"gram2 AS MATERIALIZED (SELECT gi, gj, g - (SELECT lam FROM l1) * a.x * b.x AS g "
+        f"FROM gram JOIN v{iters} a ON gi = a.i JOIN v{iters} b ON gj = b.i)"
+    )
+    ctes.append("u0 AS MATERIALIZED (SELECT unnest(range(1, 65)) AS i, 1.0 / sqrt(64.0) AS x)")
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"uw{t} AS MATERIALIZED (SELECT gi AS i, sum(g * x) AS wx "
+            f"FROM gram2 JOIN u{t-1} ON gj = u{t-1}.i GROUP BY gi)"
+        )
+        ctes.append(
+            f"u{t} AS MATERIALIZED (SELECT i, wx / sqrt((SELECT sum(wx * wx) FROM uw{t})) AS x FROM uw{t})"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT cd.vec_id,
+       round(sum(cd.cv * v{iters}.x), 4) AS pc1,
+       round(sum(cd.cv * u{iters}.x), 4) AS pc2
+FROM cd JOIN v{iters} ON cd.i = v{iters}.i JOIN u{iters} ON cd.i = u{iters}.i
+GROUP BY cd.vec_id
+"""
+    )
+
+
 SIM_QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_ivf_topk": ann_ivf_topk,
+    "ann_lsh_topk": ann_lsh_topk,
+    "embedding_pca_project": embedding_pca_project,
     "embedding_neardup": embedding_neardup,
     "embedding_kmeans": embedding_kmeans,
     "embedding_semdedup": embedding_semdedup,
@@ -454,6 +720,8 @@ FROM embeddings WHERE vec_id % 10 = 0
 """
 
 SIM_ORACLES = {
+    "ann_lsh_topk": _lsh_oracle_sql(),
+    "embedding_pca_project": _pca_cte_sql(),
     "embedding_quantize": """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
 m AS (SELECT vec_id, emb,

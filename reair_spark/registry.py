@@ -47,10 +47,12 @@ def all_queries() -> dict[str, QueryFn]:
     from reair_spark.datapipe.registry import DATAPIPE_QUERIES
     from reair_spark.engine_queries import ENGINE_QUERIES
     from reair_spark.extra_queries import EXTRA_QUERIES
+    from reair_spark.tpch_more import TPCH_MORE_QUERIES
 
     merged.update(DATAPIPE_QUERIES)
     merged.update(ENGINE_QUERIES)
     merged.update(EXTRA_QUERIES)
+    merged.update(TPCH_MORE_QUERIES)
 
     out: dict[str, QueryFn] = {}
     for name in _RECHECK_FIRST:
@@ -71,8 +73,10 @@ def all_oracles() -> dict[str, str]:
     from reair_spark.datapipe.registry import DATAPIPE_ORACLES
     from reair_spark.engine_queries import ENGINE_ORACLES
     from reair_spark.extra_queries import EXTRA_ORACLES
+    from reair_spark.tpch_more import TPCH_MORE_ORACLES
 
     out.update(DATAPIPE_ORACLES)
     out.update(ENGINE_ORACLES)
     out.update(EXTRA_ORACLES)
+    out.update(TPCH_MORE_ORACLES)
     return out

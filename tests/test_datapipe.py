@@ -251,3 +251,52 @@ def test_dedup_chunks_drops_planted_repeats(spark, sf_dir):
         assert len(r.text_deduped.split(" ")) == CHUNK_W
     natural = [r for r in rows if r.doc_id < 1_000_000]
     assert all(r.n_kept <= r.n_chunks for r in natural)
+
+
+def test_wav_codec_roundtrip_and_validation():
+    """The WAV writer/parser are REAL codecs: bytes survive a
+    roundtrip, chunk walking tolerates trailing chunks, and corrupt
+    magic / unsupported formats raise."""
+    import numpy as np
+    import pytest as _pytest
+
+    from reair_spark.datapipe.multimodal import WAV_RATE, wav_decode, wav_encode
+
+    samples = np.array([0, 1, -1, 32767, -32768, 1234], dtype=np.int16)
+    payload = wav_encode(samples)
+    rate, decoded = wav_decode(payload)
+    assert rate == WAV_RATE
+    assert np.array_equal(decoded, samples)
+    # odd-length extra chunk before data: word-alignment must hold
+    import struct
+
+    extra = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"
+    patched = payload[:12] + extra + payload[12:]
+    patched = b"RIFF" + struct.pack("<I", len(patched) - 8) + patched[8:]
+    rate2, decoded2 = wav_decode(patched)
+    assert np.array_equal(decoded2, samples)
+    with _pytest.raises(ValueError):
+        wav_decode(b"JUNK" + payload[4:])
+    bad_fmt = bytearray(payload)
+    bad_fmt[22] = 2  # channels=2
+    with _pytest.raises(ValueError):
+        wav_decode(bytes(bad_fmt))
+
+
+def test_bmp_codec_stride_and_row_order():
+    """BMP stride padding + bottom-up rows: a 5-wide image has a
+    16-byte stride (15 pixel bytes + 1 pad); the decoder must undo
+    the bottom-up order exactly."""
+    import numpy as np
+    import pytest as _pytest
+
+    from reair_spark.datapipe.multimodal import bmp_decode, bmp_encode
+
+    img = np.arange(15, dtype=np.uint8).reshape(3, 5)
+    payload = bmp_encode(img)
+    assert payload[:2] == b"BM"
+    stride = (5 * 3 + 3) // 4 * 4
+    assert stride == 16 and len(payload) == 54 + 3 * stride
+    assert np.array_equal(bmp_decode(payload), img)
+    with _pytest.raises(ValueError):
+        bmp_decode(b"XX" + payload[2:])
