@@ -340,7 +340,73 @@ def curate_shard_manifest(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# per-language epoch weights for the mixing step: >1 upsamples
+# (repeat the doc across epochs), <1 downsamples. Fractional parts
+# resolve per-document via the portable hash, so the realized mix
+# converges to the weights without any RNG.
+MIX_EPOCHS = {"en": 1.0, "de": 2.5, "es": 2.0, "fr": 0.5, "zh": 1.25}
+
+
+def curate_mix_epochs(spark: SparkSession, sf: str) -> DataFrame:
+    """Epoch-weighted corpus mixing (the standard LLM data-recipe step
+    that turns "web×1, books×2.5" weights into an actual replicated
+    document stream): each doc repeats floor(w) times, plus one more
+    epoch iff hash(doc_id) mod 100 < 100·frac(w) — deterministic
+    fractional upsampling, and w<1 becomes plain downsampling.
+
+    Scale shape: repeat-count is a map-side expression and the
+    replication is one `explode(sequence(...))` — no shuffle, no RNG,
+    and the output inherits the input's partitioning with a bounded
+    ≤⌈max(w)⌉× row amplification. Emits (doc_id, lang, epoch) with
+    epoch 1..n so downstream shuffles can salt on it."""
+    d = _t(spark, sf, "documents")
+    w = None
+    for lang, wt in MIX_EPOCHS.items():
+        w = F.when(F.col("lang") == lang, wt) if w is None else w.when(
+            F.col("lang") == lang, wt
+        )
+    w = w.otherwise(1.0)
+    frac_hash = portable_hash32(
+        F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))
+    ) % 100
+    n_rep = (
+        F.floor(w).cast("int")
+        + (frac_hash < F.round((w - F.floor(w)) * 100)).cast("int")
+    )
+    return (
+        d.select("doc_id", "lang", n_rep.alias("n_rep"))
+        .where(F.col("n_rep") > 0)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(F.sequence(F.lit(1), F.col("n_rep"))).alias("epoch"),
+        )
+    )
+
+
+def _mix_epochs_sql() -> str:
+    from reair_spark.datapipe.common import portable_hash32_sql
+
+    whens = " ".join(f"WHEN lang = '{k}' THEN {v}" for k, v in MIX_EPOCHS.items())
+    h = portable_hash32_sql("concat('mix:', CAST(doc_id AS VARCHAR))") + " % 100"
+    return f"""
+WITH w AS (
+  SELECT doc_id, lang, CASE {whens} ELSE 1.0 END AS wt FROM documents
+),
+r AS (
+  SELECT doc_id, lang,
+         CAST(floor(wt) AS INT)
+           + CASE WHEN {h} < round((wt - floor(wt)) * 100) THEN 1 ELSE 0 END
+           AS n_rep
+  FROM w
+)
+SELECT doc_id, lang, CAST(unnest(range(1, n_rep + 1)) AS INT) AS epoch
+FROM r WHERE n_rep > 0
+"""
+
+
 CURATE_QUERIES = {
+    "curate_mix_epochs": curate_mix_epochs,
     "curate_shard_manifest": curate_shard_manifest,
     "curate_pipeline": curate_pipeline,
     "curate_token_budget": curate_token_budget,
@@ -403,6 +469,7 @@ FROM binned GROUP BY lang
 
 
 CURATE_ORACLES = {
+    "curate_mix_epochs": _mix_epochs_sql(),
     "curate_shard_manifest": f"""
 SELECT {portable_hash32_sql("CAST(doc_id AS VARCHAR)")} % {N_SHARDS} AS shard,
        CAST(count(*) AS BIGINT) AS n_docs,

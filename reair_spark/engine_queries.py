@@ -179,6 +179,18 @@ def stream_enrich_q(spark: SparkSession, sf: str) -> DataFrame:
     return stream_enrich_events(spark, sf)
 
 
+def stream_sessionize_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Native streaming session windows through the gate. Spark's
+    session_window semantics: an event at t owns [t, t+gap); sessions
+    merge while windows overlap, so a new session starts when the
+    inter-event gap is ≥ the session gap — the oracle's
+    gaps-and-islands formulation encodes exactly that boundary
+    condition (a break at diff == gap, not just diff > gap)."""
+    from reair_spark.streaming import stream_sessionize
+
+    return stream_sessionize(spark, sf)
+
+
 ENGINE_QUERIES = {
     "stream_interval_join": stream_interval_join_q,
     "stream_dedup": stream_dedup_q,
@@ -188,6 +200,7 @@ ENGINE_QUERIES = {
     "replication_compact_plan": replication_compact_plan,
     "stream_hourly_counts": stream_hourly_counts_q,
     "stream_funnel": stream_funnel_q,
+    "stream_sessionize": stream_sessionize_q,
 }
 
 # independent SQL reimplementation of the decision table: src-only →
@@ -283,6 +296,30 @@ WHERE CASE WHEN d.ty IS NULL THEN 'ADDED'
         "SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) "
         "AS window_start, count(*) AS cnt FROM events GROUP BY 1"
     ),
+    # gaps-and-islands mirror of session_window(ts, '30 minutes'):
+    # break when diff >= gap (window end is exclusive), session_end =
+    # last event + gap
+    "stream_sessionize": """
+WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+d AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+g AS (
+  SELECT user_id, ts,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM d
+)
+SELECT user_id,
+       CAST(min(ts) AS TIMESTAMP) AS session_start,
+       CAST(max(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
+       count(*) AS n_events
+FROM g GROUP BY user_id, sid
+""",
     # first purchase preceded (strictly) by a click preceded by a view;
     # min over valid completions == the stateful operator's greedy chain
     "stream_funnel": """
