@@ -1,0 +1,232 @@
+"""S6 — the audit-log *producer* (the hook side of the change stream).
+
+Reference parity: `hive-hooks/.../CliAuditLogHook.java:95-117` runs
+after every Hive CLI command and writes one ``audit_log`` row
+(create_time, command_type, command) plus one ``audit_objects`` row
+per affected object (serialized table/partition, category
+OUTPUT/RENAME_FROM — `ObjectLogModule` in the same package); the
+consume side re-joins them by id (`AuditLogReader.java:239-254`).
+
+Spark-first shape: PySpark exposes no post-execution hook chain a
+library can install into the SQL gateway, so the producer is an
+explicit audited entry point — ``AuditLogHook.sql(...)`` executes the
+statement and appends rows in the exact pre-joined
+``(id, create_time, command_type, command, objects)`` schema the
+consume side already reads (`events.compile_jobs`,
+`auditlog.JdbcAuditLogSource`). That closes the S6→ST5 loop: a
+deployment can point `events.run_incremental` at the log this hook
+writes and replicate its own engine's DDL.
+
+Scale/durability notes:
+- rows buffer in the driver and flush as ONE parquet append per
+  flush (a row per command would be a small-file generator; the
+  reference amortizes the same way via MySQL batch inserts);
+- ids are monotonically increasing, seeded from the existing log's
+  max id (the MySQL AUTO_INCREMENT contract the consume side's
+  checkpoint arithmetic relies on, A4/A5);
+- command classification uses the same grammar the consume side
+  parses back (`EXCHANGE_RE` is shared verbatim), so
+  produce→compile roundtrips are lossless.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import json
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from reair_spark.events import EXCHANGE_RE
+
+AUDIT_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("create_time", T.TimestampType()),
+        T.StructField("command_type", T.StringType()),
+        T.StructField("command", T.StringType()),
+        T.StructField(
+            "objects",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("category", T.StringType()),
+                        T.StructField("obj_type", T.StringType()),
+                        T.StructField("name", T.StringType()),
+                        T.StructField("payload", T.StringType()),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+_IDENT = r"[\w.`]+"
+_CREATE_RE = re.compile(
+    rf"(?is)^\s*CREATE\s+(?:EXTERNAL\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?({_IDENT})(.*)$"
+)
+_DROP_RE = re.compile(rf"(?is)^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?({_IDENT})\s*$")
+_RENAME_RE = re.compile(
+    rf"(?is)^\s*ALTER\s+TABLE\s+({_IDENT})\s+RENAME\s+TO\s+({_IDENT})\s*$"
+)
+_ADD_PART_RE = re.compile(
+    rf"(?is)^\s*ALTER\s+TABLE\s+({_IDENT})\s+ADD\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+    r"PARTITION\s*\(([^)]*)\)"
+)
+_DROP_PART_RE = re.compile(
+    rf"(?is)^\s*ALTER\s+TABLE\s+({_IDENT})\s+DROP\s+(?:IF\s+EXISTS\s+)?"
+    r"PARTITION\s*\(([^)]*)\)"
+)
+_INSERT_RE = re.compile(
+    rf"(?is)^\s*INSERT\s+(?:OVERWRITE|INTO)\s+(?:TABLE\s+)?({_IDENT})"
+    r"(?:\s+PARTITION\s*\(([^)]*)\))?"
+)
+_EXCHANGE_CRE = re.compile(EXCHANGE_RE)
+_PARTED_BY_RE = re.compile(r"(?is)PARTITIONED\s+BY\s*\(([^)]*)\)")
+_SHOW_RE = re.compile(r"(?is)^\s*SHOW\s+(TABLES|PARTITIONS)")
+_USE_RE = re.compile(r"(?is)^\s*USE\s+\S+\s*$")
+
+
+def _clean(ident: str) -> str:
+    return ident.replace("`", "")
+
+
+def _spec_to_name(spec: str) -> str:
+    """``ds='1', hr = 2`` → ``ds=1/hr=2`` (the partition-name form
+    X4 / `catalog.partition_name_to_values` round-trips)."""
+    parts = []
+    for kv in spec.split(","):
+        if not kv.strip():
+            continue
+        k, v = kv.split("=", 1)
+        parts.append(f"{k.strip()}={v.strip().strip(chr(39)).strip(chr(34))}")
+    return "/".join(parts)
+
+
+@dataclass
+class AuditLogHook:
+    """Audited SQL entry point: execute (optionally) + record.
+
+    `sql()` returns whatever `spark.sql` returns, so a deployment can
+    swap `spark.sql` → `hook.sql` wholesale; `record()` classifies
+    without executing (the CLI-hook position: the reference hook also
+    observes commands Hive already ran)."""
+
+    spark: SparkSession
+    log_path: str
+    clock: object = None  # () -> datetime, injectable for tests
+    _buffer: list = field(default_factory=list)
+    _next_id: int | None = None
+
+    def _now(self) -> _dt.datetime:
+        return self.clock() if self.clock else _dt.datetime.now()
+
+    def _seed_id(self) -> int:
+        try:
+            mx = self.spark.read.parquet(self.log_path).agg(F.max("id")).collect()[0][0]
+            return int(mx or 0) + 1
+        except Exception:
+            return 1
+
+    def classify(self, command: str):
+        """(command_type, objects) for one statement — the producer's
+        mirror of the grammar `events.compile_jobs` parses back."""
+        m = _SHOW_RE.match(command)
+        if m:
+            return ("SHOW" + m.group(1).upper(), [])
+        if _USE_RE.match(command):
+            return ("SWITCHDATABASE", [])
+        m = _EXCHANGE_CRE.match(command.strip())
+        if m:
+            # HIVE-12865: the hook sees no OUTPUT objects for exchange;
+            # it records the INPUT table and compile_jobs re-parses the
+            # command text (EXCHANGE_RE, shared with this module)
+            return (
+                "EXCHANGEPARTITION",
+                [("INPUT", "TABLE", _clean(m.group(1)), "{}")],
+            )
+        m = _CREATE_RE.match(command)
+        if m:
+            name, rest = _clean(m.group(1)), m.group(2)
+            pm = _PARTED_BY_RE.search(rest or "")
+            payload = "{}"
+            if pm:
+                keys = [
+                    {"name": c.strip().split()[0]}
+                    for c in pm.group(1).split(",")
+                    if c.strip()
+                ]
+                payload = json.dumps({"partition_keys": keys})
+            return ("CREATETABLE", [("OUTPUT", "TABLE", name, payload)])
+        m = _DROP_RE.match(command)
+        if m:
+            return ("DROPTABLE", [("OUTPUT", "TABLE", _clean(m.group(1)), "{}")])
+        m = _RENAME_RE.match(command)
+        if m:
+            return (
+                "ALTERTABLE_RENAME",
+                [
+                    ("RENAME_FROM", "TABLE", _clean(m.group(1)), "{}"),
+                    ("OUTPUT", "TABLE", _clean(m.group(2)), "{}"),
+                ],
+            )
+        m = _ADD_PART_RE.match(command)
+        if m:
+            t = _clean(m.group(1))
+            return (
+                "ALTERTABLE_ADDPARTS",
+                [("OUTPUT", "PARTITION", f"{t}/{_spec_to_name(m.group(2))}", "{}")],
+            )
+        m = _DROP_PART_RE.match(command)
+        if m:
+            t = _clean(m.group(1))
+            return (
+                "DROPPARTITION",
+                [("OUTPUT", "PARTITION", f"{t}/{_spec_to_name(m.group(2))}", "{}")],
+            )
+        m = _INSERT_RE.match(command)
+        if m:
+            t = _clean(m.group(1))
+            if m.group(2):  # static partition insert
+                return (
+                    "QUERY",
+                    [("OUTPUT", "PARTITION", f"{t}/{_spec_to_name(m.group(2))}", "{}")],
+                )
+            return ("QUERY", [("OUTPUT", "TABLE", t, "{}")])
+        return ("QUERY", [])
+
+    def record(self, command: str) -> int:
+        """Append one audit entry (no execution); returns its id."""
+        if self._next_id is None:
+            self._next_id = self._seed_id()
+        ctype, objs = self.classify(command)
+        eid = self._next_id
+        self._next_id += 1
+        self._buffer.append((eid, self._now(), ctype, command, objs))
+        return eid
+
+    def sql(self, command: str) -> DataFrame:
+        """Execute AND record — the drop-in `spark.sql` replacement."""
+        out = self.spark.sql(command)
+        self.record(command)
+        return out
+
+    def flush(self) -> int:
+        """One parquet append for all buffered entries; returns the
+        number of rows written."""
+        if not self._buffer:
+            return 0
+        df = self.spark.createDataFrame(self._buffer, AUDIT_SCHEMA)
+        df.coalesce(1).write.mode("append").parquet(self.log_path)
+        n = len(self._buffer)
+        self._buffer.clear()
+        return n
+
+    def events_df(self) -> DataFrame:
+        """The persisted log in consume-side schema order."""
+        return self.spark.read.parquet(self.log_path).select(
+            "id", "create_time", "command_type", "command", "objects"
+        )

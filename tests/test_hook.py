@@ -1,0 +1,112 @@
+"""S6 producer → ST5 consumer loop: the audit rows the hook writes
+must compile into the same jobs the reference's factory derives
+(CliAuditLogHook.java:95-117 produce side,
+ReplicationJobFactory.java consume side)."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+from reair_spark.events import compile_jobs
+from reair_spark.hook import AuditLogHook
+
+
+@pytest.fixture()
+def hook(spark, tmp_path):
+    tick = {"n": 0}
+
+    def clock():
+        tick["n"] += 1
+        return datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=tick["n"])
+
+    return AuditLogHook(spark, str(tmp_path / "audit_log"), clock=clock)
+
+
+def test_classify_grammar(hook):
+    c = hook.classify
+    assert c("CREATE TABLE db1.t1 (a INT)") == (
+        "CREATETABLE",
+        [("OUTPUT", "TABLE", "db1.t1", "{}")],
+    )
+    ctype, objs = c("CREATE TABLE db1.t2 (a INT) PARTITIONED BY (ds STRING, hr INT)")
+    assert ctype == "CREATETABLE"
+    assert '"partition_keys"' in objs[0][3] and '"ds"' in objs[0][3]
+    assert c("DROP TABLE IF EXISTS db1.t1")[0] == "DROPTABLE"
+    assert c("ALTER TABLE db1.t1 RENAME TO db2.t9") == (
+        "ALTERTABLE_RENAME",
+        [
+            ("RENAME_FROM", "TABLE", "db1.t1", "{}"),
+            ("OUTPUT", "TABLE", "db2.t9", "{}"),
+        ],
+    )
+    assert c("ALTER TABLE db1.t1 ADD PARTITION (ds='2024-01-01', hr=3)") == (
+        "ALTERTABLE_ADDPARTS",
+        [("OUTPUT", "PARTITION", "db1.t1/ds=2024-01-01/hr=3", "{}")],
+    )
+    assert c("ALTER TABLE db1.t1 DROP PARTITION (ds='1')")[0] == "DROPPARTITION"
+    assert c("INSERT OVERWRITE TABLE db1.t1 PARTITION (ds='1') SELECT 1") == (
+        "QUERY",
+        [("OUTPUT", "PARTITION", "db1.t1/ds=1", "{}")],
+    )
+    assert c("SHOW TABLES") == ("SHOWTABLES", [])
+    assert c("USE db1") == ("SWITCHDATABASE", [])
+    ctype, objs = c(
+        "ALTER TABLE db1.s EXCHANGE PARTITION (ds='1') WITH TABLE db1.d"
+    )
+    assert ctype == "EXCHANGEPARTITION" and objs[0][0] == "INPUT"
+
+
+def test_produced_log_compiles_to_jobs(hook):
+    """End-to-end: record a DDL session, flush, read back, compile."""
+    for cmd in [
+        "CREATE TABLE db1.plain (a INT)",
+        "CREATE TABLE db1.parted (a INT) PARTITIONED BY (ds STRING)",
+        "INSERT OVERWRITE TABLE db1.parted PARTITION (ds='2024-01-01') SELECT 1",
+        "ALTER TABLE db1.plain RENAME TO db1.renamed",
+        "DROP TABLE db1.parted",
+        "SHOW TABLES",
+        "ALTER TABLE db1.s EXCHANGE PARTITION (ds='7') WITH TABLE db1.d",
+    ]:
+        hook.record(cmd)
+    assert hook.flush() == 7
+    assert hook.flush() == 0  # buffer drained
+
+    ev = hook.events_df()
+    assert ev.count() == 7
+    # monotonically increasing ids seeded at 1
+    ids = [r.id for r in ev.orderBy("id").collect()]
+    assert ids == list(range(1, 8))
+
+    jobs = {
+        (r.operation, r.db, r.table): r
+        for r in compile_jobs(ev).collect()
+    }
+    assert ("COPY_UNPARTITIONED_TABLE", "db1", "plain") in jobs
+    assert ("COPY_PARTITIONED_TABLE", "db1", "parted") in jobs
+    part_copy = jobs[("COPY_PARTITION", "db1", "parted")]
+    assert part_copy.partition_names == ["ds=2024-01-01"]
+    ren = jobs[("RENAME_TABLE", "db1", "plain")]
+    assert (ren.rename_to_db, ren.rename_to_table) == ("db1", "renamed")
+    assert ("DROP_TABLE", "db1", "parted") in jobs
+    exch = jobs[("COPY_PARTITION", "db1", "d")]
+    assert exch.partition_names == ["ds=7"]
+    # SHOW TABLES must not produce a job
+    assert not any(op == "QUERY" for op, _, _ in jobs)
+
+
+def test_id_seeding_across_hook_restarts(hook, spark):
+    hook.record("CREATE TABLE db1.a (x INT)")
+    hook.flush()
+    h2 = AuditLogHook(spark, hook.log_path, clock=hook.clock)
+    nid = h2.record("CREATE TABLE db1.b (x INT)")
+    assert nid == 2  # continues after the persisted max
+
+
+def test_sql_executes_and_records(hook, spark):
+    df = hook.sql("SELECT 1 AS one")
+    assert df.collect()[0].one == 1
+    hook.flush()
+    row = hook.events_df().collect()[0]
+    assert row.command_type == "QUERY" and row.objects == []
