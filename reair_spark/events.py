@@ -250,6 +250,12 @@ def run_incremental(
     last_id = int(kv.get(LAST_PERSISTED_ID, "0") or 0)
     batches = 0
     while max_batches is None or batches < max_batches:
+        # pause/resume parity (reair.thrift pause/resume, served by
+        # monitor.serve_monitor): the flag lives in the same KV file
+        # as the checkpoint, so an operator can pause a crashed-and-
+        # restarted loop before it resumes work
+        if (kv.get("paused", "") or "").lower() == "true":
+            break
         batch = (
             events.filter(F.col("id") > last_id).orderBy("id").limit(batch_size)
         )

@@ -1,0 +1,103 @@
+"""HTTP monitoring endpoint (S10 serving side): JSON parity with the
+reference's Thrift service + web UI, and REAL pause/resume semantics
+through the incremental loop."""
+
+from __future__ import annotations
+
+import json
+import urllib.request
+
+import pytest
+
+from reair_spark.monitor import serve_monitor
+from reair_spark.state import JobStore, KeyValueStore
+
+
+def _get(port, path):
+    with urllib.request.urlopen(f"http://127.0.0.1:{port}{path}") as r:
+        return r.status, json.loads(r.read())
+
+
+def _post(port, path):
+    req = urllib.request.Request(f"http://127.0.0.1:{port}{path}", method="POST")
+    with urllib.request.urlopen(req) as r:
+        return r.status, json.loads(r.read())
+
+
+@pytest.fixture()
+def seeded_state(spark, tmp_path):
+    state = str(tmp_path / "state")
+    store = JobStore(spark, f"{state}/replication_jobs")
+    jobs = spark.createDataFrame(
+        [(1, "COPY_UNPARTITIONED_TABLE", "PENDING", "db", "t1", [], None, None, 10),
+         (2, "COPY_PARTITION", "PENDING", "db", "t2", ["ds=1"], None, None, 11)],
+        "job_id long, operation string, status string, db string, table string, "
+        "partition_names array<string>, rename_to_db string, "
+        "rename_to_table string, src_event_id long",
+    )
+    store.append(jobs)
+    store.append(jobs.filter("job_id = 1").replace("PENDING", "SUCCESSFUL", "status"))
+    KeyValueStore(f"{state}/key_value.json").set("last_persisted_id", "11")
+    return state
+
+
+def test_endpoints(spark, seeded_state):
+    server = serve_monitor(spark, seeded_state)
+    port = server.server_address[1]
+    try:
+        code, snap = _get(port, "/status")
+        assert code == 200
+        assert snap["n_active"] == 1 and snap["n_retired"] == 1
+        assert snap["last_persisted_id"] == 11
+
+        _, active = _get(port, "/jobs/active")
+        assert [j["job_id"] for j in active["jobs"]] == [2]
+        _, retired = _get(port, "/jobs/retired")
+        assert [j["job_id"] for j in retired["jobs"]] == [1]
+
+        _, lag = _get(port, "/lag")
+        assert lag["lag_seconds"] >= 0
+
+        try:
+            _get(port, "/nope")
+            raise AssertionError("expected 404")
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        server.shutdown()
+
+
+def test_pause_resume_stops_incremental_loop(spark, seeded_state, tmp_path):
+    """POST /pause must stop run_incremental at the next batch
+    boundary — the Thrift pause semantics, not a stub."""
+    from reair_spark.events import run_incremental
+
+    server = serve_monitor(spark, seeded_state)
+    port = server.server_address[1]
+    try:
+        _, r = _post(port, "/pause")
+        assert r["paused"] is True
+
+        events = spark.createDataFrame(
+            [(20, None, "CREATETABLE", "CREATE TABLE db1.tx (a INT)",
+              [("OUTPUT", "TABLE", "db1.tx", "{}")])],
+            "id long, create_time timestamp, command_type string, command string, "
+            "objects array<struct<category:string, obj_type:string, "
+            "name:string, payload:string>>",
+        )
+        res = run_incremental(
+            spark, events, str(tmp_path / "s"), str(tmp_path / "d"),
+            seeded_state, max_batches=5,
+        )
+        assert res["batches"] == 0  # paused: no batch consumed
+        assert res["last_id"] == 11  # checkpoint untouched
+
+        _, r = _post(port, "/resume")
+        assert r["paused"] is False
+        res = run_incremental(
+            spark, events, str(tmp_path / "s"), str(tmp_path / "d"),
+            seeded_state, max_batches=5,
+        )
+        assert res["batches"] == 1 and res["last_id"] == 20
+    finally:
+        server.shutdown()
