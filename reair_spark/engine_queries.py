@@ -258,7 +258,8 @@ WITH files AS (
 ),
 binned AS (
   SELECT dir, rel_path, size,
-         floor((sum(size) OVER (PARTITION BY dir ORDER BY rel_path)
+         floor((sum(size) OVER (PARTITION BY dir ORDER BY rel_path, size
+                                ROWS UNBOUNDED PRECEDING)
                 - size) / 10000) AS bin
   FROM files WHERE size < 2500
 )

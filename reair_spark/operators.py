@@ -441,3 +441,55 @@ def deletion_neighborhood_join(
         .dropDuplicates([left_col, right_col])
     )
     return left.join(pairs, left_col).join(right, right_col)
+
+
+def chunked_running_sum(
+    df: DataFrame,
+    part_cols: list[str],
+    chunk_col,
+    order_cols: list,
+    value_col: str,
+    out_col: str,
+) -> DataFrame:
+    """Running sum over (part_cols, ordered by order_cols) WITHOUT a
+    per-stratum window: Spark window functions put an entire window
+    partition in ONE task, so partitioning by a handful of strata
+    (lang, source) caps parallelism at the stratum count — terabytes
+    through single tasks at warehouse scale.
+
+    Two-level decomposition instead: ``chunk_col`` must be monotone
+    non-decreasing along ``order_cols`` within each stratum (e.g. a
+    range bucket of the leading sort key). Level 1 windows over
+    (stratum, chunk) — cardinality strata × chunks, i.e. scales with
+    data. Level 2 computes each chunk's prefix offset on the per-chunk
+    totals table (rows = strata × chunks, metadata-sized) and
+    broadcast-joins it back. Integer sums are associative, so the
+    result is EXACTLY the single-window cumsum, same oracle hashes."""
+    from pyspark.sql import Window as W
+
+    df = df.withColumn("__chunk", chunk_col)
+    w1 = (
+        W.partitionBy(*part_cols, "__chunk")
+        .orderBy(*order_cols)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    local = df.withColumn("__local", F.sum(value_col).over(w1))
+    w2 = (
+        W.partitionBy(*part_cols)
+        .orderBy("__chunk")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offsets = (
+        df.groupBy(*part_cols, "__chunk")
+        .agg(F.sum(value_col).alias("__t"))
+        .select(
+            *part_cols,
+            "__chunk",
+            F.coalesce(F.sum("__t").over(w2), F.lit(0)).alias("__off"),
+        )
+    )
+    return (
+        local.join(F.broadcast(offsets), [*part_cols, "__chunk"])
+        .withColumn(out_col, (F.col("__local") + F.col("__off")))
+        .drop("__chunk", "__local", "__off")
+    )

@@ -164,20 +164,40 @@ def compact_plan(
 
     Small files are the canonical 100 TB warehouse disease (every
     dynamic-partition insert leaves a row-group-sized stripe per task);
-    the plan is pure window arithmetic — one shuffle on the directory
-    key, no driver loop — so planning over a billion-file inventory is
-    the same job as planning over a thousand. Deterministic ordering
-    makes the plan re-runnable and oracle-checkable."""
+    the plan is pure window arithmetic, no driver loop — so planning
+    over a billion-file inventory is the same job as planning over a
+    thousand. Deterministic ordering makes the plan re-runnable and
+    oracle-checkable.
+
+    The per-dir running sum uses `operators.chunked_running_sum`
+    (two-level cumsum over (dir, rel_path-prefix chunks)) instead of a
+    single window partitioned by dir: a warehouse has few huge dirs as
+    often as many small ones, and a dir-partitioned window puts each
+    ENTIRE directory through one task — the same stratum-serialization
+    fixed in the packing ops. Lexicographic prefixes are monotone
+    along the rel_path sort, so the decomposition is exact."""
     from pyspark.sql import Window as W
 
+    from reair_spark.operators import chunked_running_sum
+
     small = files.where(F.col("size") < small_bytes)
-    w = W.partitionBy(dir_col).orderBy("rel_path")
-    binned = small.select(
+    # order by (rel_path, size): rel_path alone is not guaranteed
+    # unique (inventory joins can emit the same path twice), and an
+    # ambiguous tie order makes the cumsum engine-dependent; with size
+    # in the key, tied rows are identical, so any tie permutation
+    # yields the same result multiset.
+    binned = chunked_running_sum(
+        small.select(dir_col, "rel_path", "size"),
+        [dir_col],
+        F.substring("rel_path", 1, 6),
+        ["rel_path", "size"],
+        "size",
+        "__cum",
+    ).select(
         dir_col,
         "rel_path",
         "size",
-        F.floor((F.sum("size").over(w) - F.col("size")) / target_bytes)
-        .alias("bin"),
+        F.floor((F.col("__cum") - F.col("size")) / target_bytes).alias("bin"),
     )
     # dense-rank the raw window index: a file bigger than the target
     # spans several windows and would skip ids, leaving "task count"
