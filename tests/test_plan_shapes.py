@@ -250,3 +250,63 @@ def test_zorder_layout_bounds_both_dimensions(spark, sf_dir, tmp_path):
     assert lex_ord > 900, lex_ord
     assert z_ord <= 0.75 * lex_ord, (z_ord, lex_ord)
     assert z_part <= 600, z_part
+
+
+def test_tpch_q6_is_pure_pushdown(spark, sf_dir):
+    """Q6's entire predicate set must reach the parquet scan, and the
+    read schema must be the 4 referenced columns — at 100 TB this
+    query IS pushdown + pruning."""
+    from reair_spark.tpch_more import tpch_q6_forecast_revenue
+
+    plan = _formatted(tpch_q6_forecast_revenue(spark, sf_dir))
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "GreaterThanOrEqual(l_discount,0.05)" in plan
+    assert "LessThan(l_quantity,24.0)" in plan
+    read = next(ln for ln in plan.splitlines() if "ReadSchema" in ln)
+    assert read.count(":") - 1 == 4  # 4 columns in the struct
+
+
+def test_tpch_q19_disjunction_splits_to_both_scans(spark, sf_dir):
+    """Catalyst must split the OR-of-ANDs: quantity bands push to the
+    lineitem scan, brand+size conjuncts push to the part scan."""
+    from reair_spark.tpch_more import tpch_q19_disjunctive
+
+    plan = _formatted(tpch_q19_disjunctive(spark, sf_dir))
+    assert "Or(Or(And(GreaterThanOrEqual(l_quantity" in plan
+    assert "EqualTo(p_brand,Brand#1)" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_round3_tpch_all_broadcast_no_python(spark, sf_dir):
+    """None of the nine round-3 TPC-H shapes may fall back to a
+    sort-merge join, cartesian product, or Python evaluation."""
+    from reair_spark.tpch_more import TPCH_MORE_QUERIES
+
+    for name, fn in TPCH_MORE_QUERIES.items():
+        plan = _formatted(fn(spark, sf_dir))
+        assert "SortMergeJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_lsh_signatures_stay_jvm_side(spark, sf_dir):
+    """ann_lsh_topk's 16 signature dots must compile to JVM folds —
+    zero Python nodes — and candidates must come from a broadcast
+    equi-join, never a cartesian."""
+    from reair_spark.datapipe.similarity import ann_lsh_topk
+
+    plan = _formatted(ann_lsh_topk(spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_compact_plan_parallelism_exceeds_dir_count(spark, sf_dir):
+    """The compaction cumsum must NOT hang the whole inventory off a
+    dir-partitioned window: the level-1 window key includes the
+    rel_path-prefix chunk, so distinct window partitions >> dirs."""
+    from reair_spark.engine_queries import replication_compact_plan
+
+    plan = _formatted(replication_compact_plan(spark, sf_dir))
+    # the level-1 sort must include the chunk column
+    assert "__chunk" in plan
