@@ -300,3 +300,19 @@ def test_bmp_codec_stride_and_row_order():
     assert np.array_equal(bmp_decode(payload), img)
     with _pytest.raises(ValueError):
         bmp_decode(b"XX" + payload[2:])
+
+
+def test_ann_pq_recall_against_exact(spark, sf_dir):
+    """PQ is lossy by design; with per-label codebooks the coarse
+    structure must still put a usable fraction of the true top-10 in
+    the PQ top-10 (sanity: the encode/ADC machinery ranks signal, not
+    noise)."""
+    from reair_spark.datapipe.similarity import ann_cosine_topk, ann_pq_topk
+
+    exact = {
+        (r.query_id, r.vec_id) for r in ann_cosine_topk(spark, sf_dir).collect()
+    }
+    pq = {(r.query_id, r.vec_id) for r in ann_pq_topk(spark, sf_dir).collect()}
+    # per-query top-10; 5 queries → 50 pairs each side
+    recall = len(exact & pq) / len(exact)
+    assert recall >= 0.4, f"PQ+refine recall collapsed: {recall}"
