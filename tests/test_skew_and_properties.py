@@ -135,3 +135,77 @@ def test_compact_plan_invariants(spark, sizes, target):
         for members in tasks.values():
             assert sum(members) <= target + max(members)
     assert sum(r.size for r in got) == sum(s for d, p, s in rows if s < small_bytes)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),          # stratum
+            st.integers(min_value=0, max_value=99),  # order key
+            st.integers(min_value=0, max_value=50),  # value
+        ),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: (t[0], t[1]),
+    ),
+    chunk=st.integers(min_value=1, max_value=25),
+)
+def test_chunked_running_sum_equals_single_window(spark, rows, chunk):
+    """For ANY data and ANY chunk granularity, the two-level cumsum
+    must equal the single-window running sum exactly (integer sums are
+    associative; the decomposition may not change a single value)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from reair_spark.operators import chunked_running_sum
+
+    df = spark.createDataFrame(rows, "g string, k int, v long")
+    got = {
+        (r.g, r.k): r.cum
+        for r in chunked_running_sum(
+            df, ["g"], F.floor(F.col("k") / chunk), ["k"], "v", "cum"
+        ).collect()
+    }
+    w = (
+        W.partitionBy("g").orderBy("k").rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    want = {
+        (r.g, r.k): r.cum
+        for r in df.withColumn("cum", F.sum("v").over(w)).collect()
+    }
+    assert got == want
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    samples=st.lists(
+        st.integers(min_value=-32768, max_value=32767), min_size=0, max_size=300
+    )
+)
+def test_wav_codec_roundtrip_property(samples):
+    """Any int16 sample stream survives encode→decode bit-exactly."""
+    import numpy as np
+
+    from reair_spark.datapipe.multimodal import wav_decode, wav_encode
+
+    arr = np.array(samples, dtype=np.int16)
+    rate, decoded = wav_decode(wav_encode(arr))
+    assert np.array_equal(decoded, arr)
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    w=st.integers(min_value=1, max_value=9),
+    h=st.integers(min_value=1, max_value=9),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+def test_bmp_codec_roundtrip_property(w, h, seed):
+    """Any grayscale image survives encode→decode bit-exactly across
+    every stride-padding case (w mod 4 ∈ {0,1,2,3})."""
+    import numpy as np
+
+    from reair_spark.datapipe.multimodal import bmp_decode, bmp_encode
+
+    img = np.random.RandomState(seed).randint(0, 256, (h, w), dtype=np.uint8)
+    assert np.array_equal(bmp_decode(bmp_encode(img)), img)
