@@ -395,7 +395,57 @@ def sketch_countmin_tokens(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+CHUNK_WIN = 64  # tokens per retrieval chunk
+CHUNK_STRIDE = 48  # 25% overlap between consecutive chunks
+
+
+def text_chunk_windows(spark: SparkSession, sf: str) -> DataFrame:
+    """RAG-style overlapping chunking: each document explodes into
+    CHUNK_WIN-token windows every CHUNK_STRIDE tokens (25% overlap so
+    a fact straddling a boundary lands whole in some chunk) — the
+    retrieval-index preprocessing step between "curated" and
+    "embedded".
+
+    Pure built-ins: split → sequence of starts → slice per start →
+    one explode. Map-only (no shuffle), ~n/stride row amplification,
+    and the chunk text itself stays inside codegen — only the digest
+    and token count leave the row, so 100 TB of text never moves."""
+    d = widen(_t(spark, sf, "documents"), spark)
+    toks = F.split("text", " ")
+    starts = F.sequence(F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(CHUNK_STRIDE))
+    chunks = F.transform(
+        starts, lambda st: F.struct(
+            (st / CHUNK_STRIDE).cast("long").alias("chunk_idx"),
+            F.slice(toks, st + 1, CHUNK_WIN).alias("ctoks"),
+        )
+    )
+    return d.select(
+        "doc_id", F.explode(chunks).alias("c")
+    ).select(
+        "doc_id",
+        F.col("c.chunk_idx").alias("chunk_idx"),
+        F.size("c.ctoks").cast("long").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", "c.ctoks")).alias("chunk_digest"),
+    )
+
+
+_CHUNK_SQL = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+s AS (
+  SELECT doc_id, toks,
+         unnest(range(0, greatest(len(toks) - 1, 0) + 1, {CHUNK_STRIDE})) AS st
+  FROM t
+)
+SELECT doc_id,
+       CAST(st // {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+       CAST(len(toks[st + 1 : st + {CHUNK_WIN}]) AS BIGINT) AS n_tokens,
+       md5(array_to_string(toks[st + 1 : st + {CHUNK_WIN}], ' ')) AS chunk_digest
+FROM s
+"""
+
+
 TEXT_QUERIES = {
+    "text_chunk_windows": text_chunk_windows,
     "text_token_count": text_token_count,
     "text_dedup_chunks": text_dedup_chunks,
     "text_line_dedup_corpus": text_line_dedup_corpus,
@@ -520,6 +570,7 @@ ORDER BY n DESC, token
 
 
 TEXT_ORACLES = {
+    "text_chunk_windows": _CHUNK_SQL,
     "text_dedup_chunks": _DEDUP_CHUNKS_SQL,
     "text_line_dedup_corpus": _LINE_DEDUP_CORPUS_SQL,
     "text_perplexity_unigram": _PPL_UNIGRAM_SQL,
