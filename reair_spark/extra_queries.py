@@ -749,7 +749,35 @@ def orders_price_deciles(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def orders_retention_cohorts(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohort retention: customers grouped by first-order month, then
+    counted by months-since-cohort for each later order month — the
+    classic retention triangle every warehouse ships.
+
+    Plan shape: the cohort table is one map-side-combined min() per
+    customer — |customers| rows — and joins BACK to orders broadcast
+    (at 100 TB, customers ≪ orders; the fact table shuffles once for
+    the final (cohort, age) count). months_between on truncated dates
+    is exact integer arithmetic, so both engines agree bit-for-bit."""
+    o = _t(spark, sf, "orders").select(
+        "o_custkey", F.date_trunc("month", "o_orderdate").alias("om")
+    )
+    cohort = o.groupBy("o_custkey").agg(F.min("om").alias("cm"))
+    return (
+        o.join(F.broadcast(cohort), "o_custkey")
+        .select(
+            F.col("cm").alias("cohort_month"),
+            F.months_between("om", "cm").cast("long").alias("months_since"),
+            "o_custkey",
+        )
+        .groupBy("cohort_month", "months_since")
+        .agg(F.count_distinct("o_custkey").cast("long").alias("n_customers"))
+        .orderBy("cohort_month", "months_since")
+    )
+
+
 EXTRA_QUERIES = {
+    "orders_retention_cohorts": orders_retention_cohorts,
     "sketch_hll_cardinality": sketch_hll_cardinality,
     "events_gap_fill": events_gap_fill,
     "events_median_by_type": events_median_by_type,
@@ -790,6 +818,17 @@ FROM events GROUP BY 1, 2
 """
 
 EXTRA_ORACLES = {
+    "orders_retention_cohorts": """
+WITH o AS (
+  SELECT o_custkey, date_trunc('month', o_orderdate) AS om FROM orders
+),
+cohort AS (SELECT o_custkey, min(om) AS cm FROM o GROUP BY 1)
+SELECT CAST(cm AS TIMESTAMP) AS cohort_month,
+       CAST(datediff('month', cm, om) AS BIGINT) AS months_since,
+       CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_customers
+FROM o JOIN cohort ON o.o_custkey = cohort.o_custkey
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
     "interval_overlap_balances": """
 SELECT s_suppkey, CAST(count(*) AS BIGINT) AS n_overlaps
 FROM supplier s JOIN part p
