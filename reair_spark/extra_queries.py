@@ -776,8 +776,37 @@ def orders_retention_cohorts(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+ZSCORE_CUT = 3.0
+
+
+def events_anomaly_zscore(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-type anomaly flags: events whose value sits more than 3
+    population standard deviations from their event_type's mean — the
+    cheap statistical outlier pass a monitoring pipeline runs before
+    alerting.
+
+    Plan shape: per-type (mean, stddev_pop) is one map-side-combined
+    aggregate — |types| rows — broadcast back over the stream; the
+    fact side never shuffles, so the pass costs one scan at any
+    volume. z rounds to 4 decimals so the flag threshold compares
+    identically across engines."""
+    e = _t(spark, sf, "events")
+    stats = e.groupBy("event_type").agg(
+        F.avg("value").alias("mu"),
+        F.stddev_pop("value").alias("sigma"),
+    )
+    z = F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 4)
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .select("event_id", "event_type", "value", z.alias("z"))
+        .where(F.abs(F.col("z")) > ZSCORE_CUT)
+        .orderBy("event_id")
+    )
+
+
 EXTRA_QUERIES = {
     "orders_retention_cohorts": orders_retention_cohorts,
+    "events_anomaly_zscore": events_anomaly_zscore,
     "sketch_hll_cardinality": sketch_hll_cardinality,
     "events_gap_fill": events_gap_fill,
     "events_median_by_type": events_median_by_type,
@@ -818,6 +847,17 @@ FROM events GROUP BY 1, 2
 """
 
 EXTRA_ORACLES = {
+    "events_anomaly_zscore": f"""
+WITH stats AS (
+  SELECT event_type, avg(value) AS mu, stddev_pop(value) AS sigma
+  FROM events GROUP BY 1
+)
+SELECT event_id, e.event_type, value,
+       round((value - mu) / sigma, 4) AS z
+FROM events e JOIN stats ON e.event_type = stats.event_type
+WHERE abs(round((value - mu) / sigma, 4)) > {ZSCORE_CUT}
+ORDER BY event_id
+""",
     "orders_retention_cohorts": """
 WITH o AS (
   SELECT o_custkey, date_trunc('month', o_orderdate) AS om FROM orders
