@@ -25,6 +25,7 @@ skew-join splitting.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from reair_spark.datapipe.common import (
@@ -383,6 +384,133 @@ WHERE round(len(list_intersect(a.grams, b.grams))
 """
 
 
+RARE_KEYS = 2  # rarest grams folded into the canopy signature
+BLOCK_CAP = 16  # canopy grams must have df <= cap: rare by construction
+
+
+def dedup_jaccard_rareblock(spark: SparkSession, sf: str) -> DataFrame:
+    """N-gram Jaccard with a rarest-gram CANOPY SIGNATURE — the
+    scale-bounded alternative to prefix blocking
+    (`dedup_ngram_jaccard`), whose blocks are populous on templated
+    corpora.
+
+    Candidate generator:
+    1. gram document-frequencies — one map-side-combined aggregate
+       (|gram vocab| rows);
+    2. canopy-eligible grams are those with df ≤ BLOCK_CAP (the
+       "stop blocking key" rule applied at the GRAM level: a gram
+       shared by many documents carries no discriminative signal, and
+       keeping it would regrow quadratic pairs — this synthetic
+       corpus has a 31-word vocabulary, so without the cap every
+       canopy saturates). The eligible set is broadcast, so the
+       explode → filter runs map-side with no shuffle;
+    3. each doc's canopy key = its 2 lowest-(df, gram) eligible
+       grams, concatenated. Every member of a signature block
+       contains the key's first gram, so block size ≤ cap BY
+       CONSTRUCTION — candidate volume is ≤ |keys|·C(cap,2) at any
+       corpus size, the property prefix blocking lacks. Documents
+       whose every gram is hot get no canopy key and fall through to
+       the other dedup ops (minhash LSH's banded AND-amplification
+       stays selective exactly where canopies saturate);
+    4. exact char-4-gram Jaccard ≥ 0.6 verifies candidates only.
+
+    Near-dup recall: copies share almost all grams, hence their rare
+    ones, hence their canopy key. NOTE the scale behavior on THIS
+    synthetic corpus: its generator draws from a 31-word vocabulary,
+    so the 980-gram space saturates as the corpus grows — at sf0.01
+    most docs still own a df≤cap gram (planted dups collide at
+    ~70-85%), while at sf0.1 almost no gram stays rare and the
+    operator correctly degrades to a handful of candidates rather
+    than regrowing quadratic pairs. On real text the gram space is
+    effectively unbounded and rarity persists at any scale — the
+    degradation is a property of bounded-vocabulary corpora, and
+    minhash LSH (banded AND-amplification) is the op that stays
+    selective there. The rare-gram window's input
+    is only the df≤cap rows (thousands, not the 22M exploded grams),
+    so the whole generator costs one scan + one tiny window."""
+    c = _corpus(spark, sf, exact=False)
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length("text") - 3, F.lit(1))),
+            lambda i: F.col("text").substr(i, F.lit(4)),
+        )
+    )
+    g = c.select("doc_id", grams.alias("grams"))
+    gx = g.select("doc_id", F.explode("grams").alias("gr"))
+    rare_grams = (
+        gx.groupBy("gr")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= BLOCK_CAP)
+    )
+    wr = W.partitionBy("doc_id").orderBy("df", "gr")
+    sigkey = (
+        gx.join(F.broadcast(rare_grams), "gr")
+        .withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") <= RARE_KEYS)
+        .groupBy("doc_id")
+        .agg(F.concat_ws("|", F.array_sort(F.collect_list(
+            F.concat_ws(":", F.lpad("rn", 2, "0"), "gr")))).alias("sig"))
+    )
+    cand = (
+        sigkey.alias("ka")
+        .join(sigkey.alias("kb"), "sig")
+        .where(F.col("ka.doc_id") < F.col("kb.doc_id"))
+        .select(
+            F.col("ka.doc_id").alias("id_a"), F.col("kb.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    jac = F.size(F.array_intersect("ga.grams", "gb.grams")).cast("double") / F.size(
+        F.array_union("ga.grams", "gb.grams")
+    ).cast("double")
+    return (
+        cand.join(g.alias("ga"), cand.id_a == F.col("ga.doc_id"))
+        .join(g.alias("gb"), cand.id_b == F.col("gb.doc_id"))
+        .select("id_a", "id_b", F.round(jac, 3).alias("jac"))
+        .where(F.col("jac") >= NGRAM_THRESHOLD)
+    )
+
+
+def _rareblock_sql() -> str:
+    grams = (
+        "list_distinct(list_transform(range(1, greatest(length(text) - 2, 2)), "
+        "i -> substr(text, i, 4)))"
+    )
+    return f"""
+WITH corpus AS MATERIALIZED ({_corpus_sql(exact=False)}),
+g AS MATERIALIZED (SELECT doc_id, {grams} AS grams FROM corpus),
+gx AS MATERIALIZED (SELECT doc_id, unnest(grams) AS gr FROM g),
+rare_grams AS MATERIALIZED (
+  SELECT gr, count(*) AS df FROM gx GROUP BY 1 HAVING count(*) <= {BLOCK_CAP}
+),
+sigkey AS MATERIALIZED (
+  SELECT doc_id,
+         array_to_string(list_sort(list(concat_ws(':', lpad(CAST(rn AS VARCHAR), 2, '0'), gr))), '|') AS sig
+  FROM (
+    SELECT gx.doc_id, gx.gr,
+           row_number() OVER (PARTITION BY gx.doc_id
+                              ORDER BY rg.df, gx.gr) AS rn
+    FROM gx JOIN rare_grams rg ON gx.gr = rg.gr) r
+  WHERE rn <= {RARE_KEYS}
+  GROUP BY doc_id
+),
+cand AS MATERIALIZED (
+  SELECT DISTINCT ka.doc_id AS id_a, kb.doc_id AS id_b
+  FROM sigkey ka JOIN sigkey kb ON ka.sig = kb.sig AND ka.doc_id < kb.doc_id
+)
+SELECT id_a, id_b,
+       round(len(list_intersect(ga.grams, gb.grams))
+             / CAST(len(list_distinct(list_concat(ga.grams, gb.grams))) AS DOUBLE), 3)
+         AS jac
+FROM cand
+JOIN g ga ON ga.doc_id = id_a
+JOIN g gb ON gb.doc_id = id_b
+WHERE round(len(list_intersect(ga.grams, gb.grams))
+            / CAST(len(list_distinct(list_concat(ga.grams, gb.grams))) AS DOUBLE), 3)
+      >= {NGRAM_THRESHOLD}
+"""
+
+
 DEDUP_CC_ITERS = 2
 
 
@@ -491,6 +619,7 @@ def dedup_against_corpus(spark: SparkSession, sf: str) -> DataFrame:
 
 
 DEDUP_QUERIES = {
+    "dedup_jaccard_rareblock": dedup_jaccard_rareblock,
     "dedup_exact": dedup_exact,
     "dedup_against_corpus": dedup_against_corpus,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -514,6 +643,7 @@ WHERE md5(text) NOT IN (SELECT fp FROM ref)
 """
 
 DEDUP_ORACLES = {
+    "dedup_jaccard_rareblock": _rareblock_sql(),
     "dedup_against_corpus": _AGAINST_CORPUS_SQL,
     "dedup_exact": (
         f"SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS n_copies "
