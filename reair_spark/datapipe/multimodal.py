@@ -324,6 +324,12 @@ def multimodal_wav_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     Scale shape: one mapInPandas over Arrow batches; encode+decode are
     per-row CPU with zero shuffle — 100 TB of audio bytes moves zero
     times."""
+    from reair_spark.shipping import ensure_shipped
+
+    # the closure references the module-level codecs (kept there so
+    # pytest/property tests hit the same bytes) — cloudpickle pickles
+    # module functions BY REFERENCE, so workers need the package
+    ensure_shipped(spark)
 
     def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as _np
@@ -363,6 +369,9 @@ def multimodal_bmp_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     DECODED pixels. Stride padding and row order are where naive BMP
     code breaks — the oracle recomputes mean_px from text, so a codec
     bug cannot hash-match."""
+    from reair_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)  # closure references module-level codecs
 
     def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as _np
