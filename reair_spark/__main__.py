@@ -13,7 +13,7 @@ three executables (SURVEY.md top table):
       small-file compaction (non-destructive rewrite under dest_root)
   python -m reair_spark convert <src> <dest> --from-serde csv --to-serde parquet
       serde migration for one location
-  python -m reair_spark status <state_dir>
+  python -m reair_spark status <state_dir>\n  python -m reair_spark monitor <state_dir> --port 8742
       monitoring snapshot over persisted job state (Thrift
       getActiveJobs/getRetiredJobs/getLag parity)
 """
@@ -74,6 +74,13 @@ def main(argv: list[str] | None = None) -> int:
     st = sub.add_parser("status", help="job-state monitoring snapshot")
     st.add_argument("state_dir")
     st.add_argument("--max-active", type=int, default=100)
+
+    mon = sub.add_parser("monitor", help="serve the monitoring HTTP endpoint")
+    mon.add_argument("state_dir")
+    mon.add_argument("--port", type=int, default=8742)
+    mon.add_argument("--once", action="store_true",
+                     help="start, print the bound port, and return "
+                          "immediately (testing) instead of serving forever")
 
     conv = sub.add_parser("convert", help="serde migration for one location")
     conv.add_argument("src")
@@ -198,6 +205,23 @@ def main(argv: list[str] | None = None) -> int:
 
         print(json.dumps(status_snapshot(
             spark, args.state_dir, max_active=args.max_active)))
+        return 0
+
+    if args.cmd == "monitor":
+        from reair_spark.monitor import serve_monitor
+
+        server = serve_monitor(spark, args.state_dir, port=args.port)
+        print(json.dumps({"port": server.server_address[1],
+                          "endpoints": ["/status", "/jobs/active",
+                                        "/jobs/retired", "/lag",
+                                        "POST /pause", "POST /resume"]}),
+              flush=True)
+        if args.once:
+            server.shutdown()
+            return 0
+        import threading
+
+        threading.Event().wait()  # serve until killed
         return 0
 
     if args.cmd == "convert":

@@ -101,3 +101,14 @@ def test_pause_resume_stops_incremental_loop(spark, seeded_state, tmp_path):
         assert res["batches"] == 1 and res["last_id"] == 20
     finally:
         server.shutdown()
+
+
+def test_monitor_cli_once(spark, seeded_state, capsys):
+    import json as _json
+
+    from reair_spark.__main__ import main
+
+    rc = main(["monitor", seeded_state, "--port", "0", "--once"])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["port"] > 0 and "/status" in out["endpoints"]
