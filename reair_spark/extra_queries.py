@@ -804,9 +804,83 @@ def events_anomaly_zscore(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def parts_abc_pareto(spark: SparkSession, sf: str) -> DataFrame:
+    """ABC/Pareto classification: parts ranked by revenue, classified
+    A/B/C at 70%/90% cumulative revenue share — the classic inventory
+    80/20 analysis.
+
+    Scale shape: the per-part revenue rollup is the only fact-side
+    shuffle (map-side combined, |parts| rows out); the cumulative
+    share runs on that METADATA-SCALE aggregate, so the unpartitioned
+    window is |parts| rows regardless of corpus size — same rationale
+    as the moving-average op. Decimal revenue end-to-end; the share
+    rounds before classification so the A/B/C boundary is
+    engine-identical."""
+    from pyspark.sql import Window as W
+
+    li = _t(spark, sf, "lineitem")
+    rev = li.groupBy("l_partkey").agg(_revenue().alias("rev_dec"))
+    total = rev.agg(F.sum("rev_dec").alias("tot"))
+    w = W.orderBy(F.desc("rev_dec"), "l_partkey").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    shared = (
+        rev.crossJoin(F.broadcast(total))
+        .withColumn(
+            # divide as double AFTER the exact decimal cumsum: decimal
+            # division scale/truncation rules differ across engines,
+            # IEEE double division does not
+            "cum_share",
+            F.round(
+                F.sum("rev_dec").over(w).cast("double") / F.col("tot").cast("double"),
+                6,
+            ),
+        )
+    )
+    cls = (
+        F.when(F.col("cum_share") <= 0.70, "A")
+        .when(F.col("cum_share") <= 0.90, "B")
+        .otherwise("C")
+    )
+    return shared.select(
+        F.col("l_partkey").cast("long").alias("l_partkey"),
+        # round the EXACT decimal, then cast: rounding the double
+        # instead hits half-cent ties differently per engine
+        F.round(F.col("rev_dec"), 2).cast("double").alias("revenue"),
+        "cum_share",
+        cls.alias("abc_class"),
+    )
+
+
+def orders_gap_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Inter-order gap distribution: per-customer day gaps between
+    consecutive orders, bucketed into a week-width histogram — the
+    purchase-cadence profile behind retention/LTV work.
+
+    Plan shape: one shuffle on o_custkey for the lag window
+    (parallelism = customer count, corpus-wide), then a
+    map-side-combined histogram over the gap rows. Integer day
+    arithmetic on date-level timestamps is exact on both engines."""
+    from pyspark.sql import Window as W
+
+    o = _t(spark, sf, "orders").select("o_custkey", "o_orderdate")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate")
+    gaps = o.select(
+        F.datediff("o_orderdate", F.lag("o_orderdate").over(w)).alias("gap_days")
+    ).where(F.col("gap_days").isNotNull())
+    return (
+        gaps.select((F.floor(F.col("gap_days") / 7)).alias("gap_weeks"))
+        .groupBy("gap_weeks")
+        .agg(F.count(F.lit(1)).alias("n_gaps"))
+        .orderBy("gap_weeks")
+    )
+
+
 EXTRA_QUERIES = {
     "orders_retention_cohorts": orders_retention_cohorts,
     "events_anomaly_zscore": events_anomaly_zscore,
+    "parts_abc_pareto": parts_abc_pareto,
+    "orders_gap_histogram": orders_gap_histogram,
     "sketch_hll_cardinality": sketch_hll_cardinality,
     "events_gap_fill": events_gap_fill,
     "events_median_by_type": events_median_by_type,
@@ -847,6 +921,39 @@ FROM events GROUP BY 1, 2
 """
 
 EXTRA_ORACLES = {
+    "parts_abc_pareto": f"""
+WITH rev AS (
+  SELECT l_partkey, {_REV_SQL} AS rev_dec FROM lineitem GROUP BY 1
+),
+tot AS (SELECT sum(rev_dec) AS tot FROM rev),
+shared AS (
+  SELECT l_partkey, rev_dec,
+         round(CAST(sum(rev_dec) OVER (ORDER BY rev_dec DESC, l_partkey
+                                       ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+               / CAST((SELECT tot FROM tot) AS DOUBLE), 6) AS cum_share
+  FROM rev
+)
+SELECT CAST(l_partkey AS BIGINT) AS l_partkey,
+       CAST(round(rev_dec, 2) AS DOUBLE) AS revenue,
+       cum_share,
+       CASE WHEN cum_share <= 0.70 THEN 'A'
+            WHEN cum_share <= 0.90 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM shared
+""",
+    "orders_gap_histogram": """
+WITH gaps AS (
+  SELECT datediff('day',
+                  lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate),
+                  o_orderdate) AS gap_days
+  FROM orders
+)
+SELECT CAST(floor(gap_days / 7) AS BIGINT) AS gap_weeks,
+       CAST(count(*) AS BIGINT) AS n_gaps
+FROM gaps WHERE gap_days IS NOT NULL
+GROUP BY 1 ORDER BY 1
+""",
     "events_anomaly_zscore": f"""
 WITH stats AS (
   SELECT event_type, avg(value) AS mu, stddev_pop(value) AS sigma
