@@ -35,6 +35,26 @@ _DRIVER_GREEN_R01_R02 = frozenset(
 # real oracles and they need a green row.
 _RECHECK_FIRST = ("embedding_kmeans", "embedding_semdedup")
 
+# Queries added in round 3 (oracle-green in local sweeps, never yet
+# sampled by the driver). The round-2 additions have been waiting TWO
+# rounds for a driver row, so the never-checked ordering puts the r02
+# backlog ahead of these.
+_ROUND3_ADDED = frozenset(
+    [
+        "tpch_q6_forecast_revenue", "tpch_q7_volume_shipping",
+        "tpch_q8_market_share", "tpch_q9_product_profit",
+        "tpch_q14_promo_revenue", "tpch_q15_top_supplier",
+        "tpch_q17_small_quantity", "tpch_q19_disjunctive",
+        "tpch_q21_waiting_supplier", "ann_lsh_topk", "ann_pq_topk",
+        "embedding_pca_project", "multimodal_wav_roundtrip",
+        "multimodal_bmp_roundtrip", "stream_sessionize",
+        "curate_mix_epochs", "text_chunk_windows",
+        "orders_retention_cohorts", "events_anomaly_zscore",
+        "dedup_jaccard_rareblock", "parts_abc_pareto",
+        "orders_gap_histogram",
+    ]
+)
+
 
 def _already_green(name: str) -> bool:
     prefix = name.split("_", 1)[0]
@@ -58,7 +78,10 @@ def all_queries() -> dict[str, QueryFn]:
     for name in _RECHECK_FIRST:
         if name in merged:
             out[name] = merged[name]
-    for name, fn in merged.items():  # never-driver-checked next
+    for name, fn in merged.items():  # r02 backlog: unchecked two rounds
+        if name not in out and not _already_green(name) and name not in _ROUND3_ADDED:
+            out[name] = fn
+    for name, fn in merged.items():  # round-3 additions next
         if name not in out and not _already_green(name):
             out[name] = fn
     for name, fn in merged.items():  # already-green keys last
