@@ -38,6 +38,19 @@ except ImportError:
     _HAVE_PIL = False
 
 
+def round_half_up4(x: float) -> float:
+    """Round a non-negative float to 4 decimals, half AWAY from zero —
+    the convention DuckDB's round() and Spark's F.round (HALF_UP) use.
+    Python's built-in round() is banker's (half-to-even), which differs
+    on exact dyadic halves (e.g. window energies k/64): engine 9611.6562
+    vs oracle 9611.6563 — the round-3 driver-red row. Verified equal to
+    DuckDB round(x, 4) over 50k samples of the three value classes
+    produced here (k/64 energies, s/(16h) pixel means, generic floats)."""
+    import math
+
+    return math.floor(x * 1e4 + 0.5) / 1e4
+
+
 def decode_image_real(payload: bytes) -> object:
     """Real image decode — requires an imaging library.
 
@@ -167,6 +180,8 @@ def multimodal_audio_windows(spark: SparkSession, sf: str) -> DataFrame:
     makes every number oracle-checkable."""
 
     def energy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math as _math
+
         import numpy as _np
         import pandas as _pd
 
@@ -191,7 +206,12 @@ def multimodal_audio_windows(spark: SparkSession, sf: str) -> DataFrame:
                     ]
                 )
                 peak = int(_np.argmax(e))  # first max — deterministic
-                rows.append((int(doc_id), n_w, peak, round(float(e[peak]), 4)))
+                # half-up (DuckDB/F.round convention), NOT Python round():
+                # energies are dyadic k/64 so exact 4th-decimal ties occur
+                rows.append(
+                    (int(doc_id), n_w, peak,
+                     _math.floor(float(e[peak]) * 1e4 + 0.5) / 1e4)
+                )
             yield _pd.DataFrame(
                 rows,
                 columns=["doc_id", "n_windows", "peak_window", "peak_energy"],
@@ -332,6 +352,8 @@ def multimodal_wav_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     ensure_shipped(spark)
 
     def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math as _math
+
         import numpy as _np
         import pandas as _pd
 
@@ -346,7 +368,11 @@ def multimodal_wav_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
                     rows.append((int(doc_id), rate, 0, 0.0))
                     continue
                 rms = float(_np.sqrt(_np.mean(decoded.astype(_np.float64) ** 2)))
-                rows.append((int(doc_id), rate, len(decoded), round(rms, 4)))
+                # half-up to match DuckDB round() (banker's-round hazard)
+                rows.append(
+                    (int(doc_id), rate, len(decoded),
+                     _math.floor(rms * 1e4 + 0.5) / 1e4)
+                )
             yield _pd.DataFrame(
                 rows, columns=["doc_id", "sample_rate", "n_samples", "rms"]
             )
@@ -374,6 +400,8 @@ def multimodal_bmp_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     ensure_shipped(spark)  # closure references module-level codecs
 
     def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math as _math
+
         import numpy as _np
         import pandas as _pd
 
@@ -390,7 +418,12 @@ def multimodal_bmp_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
                 gray.ravel()[: len(flat)] = flat
                 img = bmp_decode(bmp_encode(gray))  # REAL encode → decode
                 mean_px = float(img.astype(_np.float64).mean())
-                rows.append((int(doc_id), img.shape[1], img.shape[0], round(mean_px, 4)))
+                # half-up to match DuckDB round(): mean_px = s/(16h) has
+                # exact 4th-decimal ties when 16h is 2^a·5^b (ADVICE.md)
+                rows.append(
+                    (int(doc_id), img.shape[1], img.shape[0],
+                     _math.floor(mean_px * 1e4 + 0.5) / 1e4)
+                )
             yield _pd.DataFrame(
                 rows, columns=["doc_id", "width", "height", "mean_px"]
             )

@@ -11,13 +11,14 @@ from reair_spark.queries import DECLARED_ORACLES, DECLARED_QUERIES
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # Keys the driver's correctness gate has ALREADY verified green in
-# rounds 1-2 (frozen history: CORRECTNESS_r01.json ∪ CORRECTNESS_r02.json).
+# rounds 1-3 (frozen history: CORRECTNESS_r01 ∪ r02 ∪ r03 .json).
 # The driver samples the registry in insertion order (~50 rows/round), so
-# `all_queries` front-loads everything that has never had a driver row —
-# plus the two formerly-oracle-less iterative ops that must re-check now
-# that they carry oracles — and parks already-green keys at the back.
-# Every query keeps running locally via tests/run_oracle_sweep.py either
-# way; this ordering only steers the driver's per-round sample.
+# `all_queries` front-loads (a) the one driver-RED row (fixed this round,
+# must re-check), (b) everything that has never had a driver row, and
+# parks already-green keys at the back. Every query keeps running locally
+# via tests/run_oracle_sweep.py either way; this ordering only steers the
+# driver's per-round sample. (VERDICT r3 #3: the r2-era green-set starved
+# the sample of the 20 round-3 additions — refreshed here as asked.)
 _DRIVER_GREEN_R01_R02 = frozenset(
     [f"q{i:02d}" for i in range(1, 29)]  # matched by prefix below
     + [
@@ -31,34 +32,43 @@ _DRIVER_GREEN_R01_R02 = frozenset(
         "embedding_quantize", "multimodal_features", "multimodal_frame_sample",
     ]
 )
-# Re-check first: carried `err: no_oracle` in r01+r02; round 3 gives them
-# real oracles and they need a green row.
-_RECHECK_FIRST = ("embedding_kmeans", "embedding_semdedup")
-
-# Queries added in round 3 (oracle-green in local sweeps, never yet
-# sampled by the driver). The round-2 additions have been waiting TWO
-# rounds for a driver row, so the never-checked ordering puts the r02
-# backlog ahead of these.
-_ROUND3_ADDED = frozenset(
+# Green rows from CORRECTNESS_r03.json (hash_match=true).
+_DRIVER_GREEN_R03 = frozenset(
     [
-        "tpch_q6_forecast_revenue", "tpch_q7_volume_shipping",
-        "tpch_q8_market_share", "tpch_q9_product_profit",
-        "tpch_q14_promo_revenue", "tpch_q15_top_supplier",
-        "tpch_q17_small_quantity", "tpch_q19_disjunctive",
-        "tpch_q21_waiting_supplier", "ann_lsh_topk", "ann_pq_topk",
-        "embedding_pca_project", "multimodal_wav_roundtrip",
-        "multimodal_bmp_roundtrip", "stream_sessionize",
-        "curate_mix_epochs", "text_chunk_windows",
-        "orders_retention_cohorts", "events_anomaly_zscore",
-        "dedup_jaccard_rareblock", "parts_abc_pareto",
-        "orders_gap_histogram",
+        "embedding_kmeans", "embedding_semdedup", "multimodal_resize",
+        "curate_shard_manifest", "curate_pipeline", "curate_token_budget",
+        "curate_sample_stratified", "curate_decontaminate",
+        "curate_pack_sequences", "curate_pii_mask", "stream_interval_join",
+        "stream_dedup", "stream_enrich", "replication_table_diff",
+        "replication_schema_diff", "replication_compact_plan",
+        "stream_hourly_counts", "stream_funnel", "sketch_hll_cardinality",
+        "events_gap_fill", "events_median_by_type", "events_geomean_udaf",
+        "grouped_percentiles", "lineitem_zorder_stats",
+        "orders_metrics_unpivot", "interval_overlap_balances",
+        "tpch_q4_priority_semi", "tpch_q10_returned_revenue",
+        "tpch_q12_priority_buckets", "tpch_q13_order_histogram",
+        "tpch_q22_dormant_customers", "orders_price_deciles",
+        "json_props_stats", "tpch_q18_large_orders", "fuzzy_match_parts",
+        "rollup_status_priority", "skew_salted_stats",
+        "events_moving_average", "tpch_q3_shipping_priority",
+        "tpch_q5_local_supplier", "asof_orders_events", "sessionize_events",
+        "cube_counts", "pivot_status_priority", "range_join_prices",
+        "exact_stats", "exact_percentiles", "text_chunk_windows",
+        "dedup_jaccard_rareblock",
     ]
 )
+# Driver-red in r03 (rounding convention, fixed this round) — FIRST in
+# the sample so CORRECTNESS_r04 records the fix.
+_RECHECK_FIRST = ("multimodal_audio_windows",)
 
 
 def _already_green(name: str) -> bool:
     prefix = name.split("_", 1)[0]
-    return name in _DRIVER_GREEN_R01_R02 or prefix in _DRIVER_GREEN_R01_R02
+    return (
+        name in _DRIVER_GREEN_R01_R02
+        or prefix in _DRIVER_GREEN_R01_R02
+        or name in _DRIVER_GREEN_R03
+    )
 
 
 def all_queries() -> dict[str, QueryFn]:
@@ -78,10 +88,7 @@ def all_queries() -> dict[str, QueryFn]:
     for name in _RECHECK_FIRST:
         if name in merged:
             out[name] = merged[name]
-    for name, fn in merged.items():  # r02 backlog: unchecked two rounds
-        if name not in out and not _already_green(name) and name not in _ROUND3_ADDED:
-            out[name] = fn
-    for name, fn in merged.items():  # round-3 additions next
+    for name, fn in merged.items():  # never driver-checked: sample next
         if name not in out and not _already_green(name):
             out[name] = fn
     for name, fn in merged.items():  # already-green keys last

@@ -43,8 +43,11 @@ def _norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        r = round(v, 2)
-        return "0.0" if r == 0 else f"{r:.2f}"
+        # 4 decimals, stricter than FIXTURES.md's 2: the round-3 driver
+        # caught a 4th-decimal rounding-convention mismatch the 2-decimal
+        # local hash masked (VERDICT r3 #1) — never let that hide again.
+        r = round(v, 4)
+        return "0.0" if r == 0 else f"{r:.4f}"
     if isinstance(v, datetime.datetime):
         return v.replace(tzinfo=None).isoformat(sep=" ")
     if isinstance(v, datetime.date):
