@@ -58,6 +58,10 @@ def main(argv: list[str] | None = None) -> int:
     inc.add_argument("state_dir")
     inc.add_argument("--batch-size", type=int, default=32)
     inc.add_argument("--max-batches", type=int)
+    inc.add_argument("--start-after-id", type=int, default=None,
+                     help="operator override: abort persisted in-flight "
+                          "jobs and resume the audit tail after this id "
+                          "(ReplicationLauncher --start-after-id parity)")
     inc.add_argument("--jdbc-driver",
                      help="JDBC driver class when <events> is a jdbc: URL")
     inc.add_argument("--streaming", action="store_true",
@@ -150,6 +154,7 @@ def main(argv: list[str] | None = None) -> int:
             res = run_incremental_jdbc(
                 spark, source, args.src_root, args.dest_root, args.state_dir,
                 max_batches=args.max_batches,
+                start_after_id=args.start_after_id,
             )
             print(json.dumps({
                 "last_id": res["last_id"], "batches": res["batches"],
@@ -178,6 +183,7 @@ def main(argv: list[str] | None = None) -> int:
         res = run_incremental(
             spark, events, args.src_root, args.dest_root, args.state_dir,
             batch_size=args.batch_size, max_batches=args.max_batches,
+            start_after_id=args.start_after_id,
         )
         print(json.dumps({
             "last_id": res["last_id"], "batches": res["batches"],

@@ -227,25 +227,40 @@ def run_incremental_jdbc(
     dest_root: str,
     state_dir: str,
     max_batches: int | None = None,
+    start_after_id: int | None = None,
 ) -> dict:
     """The ReplicationServer.run loop (ST1-ST4) fed by the JDBC tail:
     resume from checkpoint, poll id-ordered batches, compile, persist
     job state, execute, advance checkpoint. Identical semantics to
     events.run_incremental over a static table — only the source
     differs, which is the reference's own layering
-    (AuditLogReader feeding ReplicationServer.java:348-506)."""
-    from reair_spark.events import LAST_PERSISTED_ID, _job_cols, compile_jobs, execute_jobs
+    (AuditLogReader feeding ReplicationServer.java:348-506).
+
+    ``start_after_id``: operator override after a bad deploy
+    (ReplicationLauncher.java:276-279) — abort persisted in-flight
+    jobs (ABORTED, never re-executed) and force the resume point."""
+    from reair_spark.events import (
+        LAST_PERSISTED_ID,
+        _job_cols,
+        abort_inflight,
+        compile_jobs,
+        execute_jobs,
+    )
     from reair_spark.state import JobStore, KeyValueStore
 
     kv = KeyValueStore(f"{state_dir}/key_value.json")
     job_store = JobStore(spark, f"{state_dir}/replication_jobs")
 
-    pending = job_store.incomplete()
-    if pending.count() > 0:
-        executed = execute_jobs(spark, pending, src_root, dest_root)
-        job_store.append(executed.select(*_job_cols()))
-
-    last_id = int(kv.get(LAST_PERSISTED_ID, "0") or 0)
+    if start_after_id is not None:
+        abort_inflight(job_store)
+        last_id = int(start_after_id)
+        kv.set(LAST_PERSISTED_ID, str(last_id))
+    else:
+        pending = job_store.incomplete()
+        if pending.count() > 0:
+            executed = execute_jobs(spark, pending, src_root, dest_root)
+            job_store.append(executed.select(*_job_cols()))
+        last_id = int(kv.get(LAST_PERSISTED_ID, "0") or 0)
     batches = 0
     while max_batches is None or batches < max_batches:
         batch = source.read_batch(spark, last_id)

@@ -234,20 +234,33 @@ def run_incremental(
     state_dir: str,
     batch_size: int = 32,
     max_batches: int | None = None,
+    start_after_id: int | None = None,
 ) -> dict:
     """The ReplicationServer.run loop over a static events table:
     resume from checkpoint, poll id-ordered batches, compile, persist
-    job state, execute, advance checkpoint (ST1-ST4)."""
+    job state, execute, advance checkpoint (ST1-ST4).
+
+    ``start_after_id`` is the operator override after a bad deploy
+    (ReplicationLauncher.java:276-279 ``--start-after-id`` sets
+    resetState): every persisted non-terminal job is marked ABORTED —
+    not re-executed (PersistedJobInfoStore.abortRunnableFromDb:107-117)
+    — and the loop resumes from the override instead of the persisted
+    checkpoint; the checkpoint is rewritten so a later un-overridden
+    restart stays at the forced position."""
     kv = KeyValueStore(f"{state_dir}/key_value.json")
     job_store = JobStore(spark, f"{state_dir}/replication_jobs")
 
-    # restart: re-queue persisted non-terminal jobs (ST4)
-    pending = job_store.incomplete()
-    if pending.count() > 0:
-        executed = execute_jobs(spark, pending, src_root, dest_root)
-        job_store.append(executed.select(*_job_cols()))
-
-    last_id = int(kv.get(LAST_PERSISTED_ID, "0") or 0)
+    if start_after_id is not None:
+        abort_inflight(job_store)
+        last_id = int(start_after_id)
+        kv.set(LAST_PERSISTED_ID, str(last_id))
+    else:
+        # restart: re-queue persisted non-terminal jobs (ST4)
+        pending = job_store.incomplete()
+        if pending.count() > 0:
+            executed = execute_jobs(spark, pending, src_root, dest_root)
+            job_store.append(executed.select(*_job_cols()))
+        last_id = int(kv.get(LAST_PERSISTED_ID, "0") or 0)
     batches = 0
     while max_batches is None or batches < max_batches:
         # pause/resume parity (reair.thrift pause/resume, served by
@@ -280,6 +293,20 @@ def run_incremental(
         "job_status_counts": status_counts,        # A6 counters
         "lag_seconds": job_store.lag_seconds(),    # A7 gauge
     }
+
+
+def abort_inflight(job_store) -> int:
+    """Mark every persisted non-terminal job ABORTED (terminal, never
+    re-executed) — the reset path `--start-after-id` triggers
+    (PersistedJobInfoStore.abortRunnableFromDb:107-117: one UPDATE over
+    status NOT IN terminal). Returns the number of jobs aborted."""
+    pending = job_store.incomplete()
+    n = pending.count()
+    if n > 0:
+        job_store.append(
+            pending.withColumn("status", F.lit("ABORTED")).select(*_job_cols())
+        )
+    return int(n)
 
 
 def _job_cols() -> list[str]:

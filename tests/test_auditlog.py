@@ -14,7 +14,7 @@ from reair_spark.auditlog import (
     write_events_to_jdbc,
 )
 from reair_spark.catalog import DirectoryCatalog
-from reair_spark.state import KeyValueStore
+from reair_spark.state import JobStore, KeyValueStore
 from tests.test_batch_replication import _make_unpartitioned
 
 EVENT_SCHEMA = (
@@ -119,3 +119,33 @@ def test_run_incremental_jdbc_end_to_end(spark, tmp_path, source_factory):
     r3 = run_incremental_jdbc(spark, src, src_root, dest_root, state_dir)
     assert r3["batches"] == 0                              # replay safety
     assert set(r3["job_status_counts"]) <= {"SUCCESSFUL", "NOT_COMPLETABLE"}
+
+
+def test_run_incremental_jdbc_start_after_id(spark, tmp_path, source_factory):
+    """--start-after-id parity on the JDBC loop: abort the persisted
+    in-flight job, skip ids at/below the override, replay the rest."""
+    from reair_spark.events import _job_cols, compile_jobs
+
+    url = _derby_url(tmp_path, "override")
+    src_root, dest_root = str(tmp_path / "src"), str(tmp_path / "dest")
+    state_dir = str(tmp_path / "state")
+    src_cat, dest_cat = DirectoryCatalog(src_root), DirectoryCatalog(dest_root)
+    for t in ("t1", "t2"):
+        _make_unpartitioned(src_cat, "db1", t)
+    _seed(spark, url, [
+        (1, _T0, "CREATETABLE", "c1", [("OUTPUT", "TABLE", "db1.t1", "{}")]),
+        (2, _T0, "CREATETABLE", "c2", [("OUTPUT", "TABLE", "db1.t2", "{}")]),
+    ])
+    src = source_factory(url)
+    # crash-persisted PENDING job for event 1
+    store = JobStore(spark, f"{state_dir}/replication_jobs")
+    first = src.read_batch(spark, 0).filter("id = 1")
+    store.append(compile_jobs(first).select(*_job_cols()))
+
+    res = run_incremental_jdbc(
+        spark, src, src_root, dest_root, state_dir, start_after_id=1
+    )
+    assert res["job_status_counts"].get("ABORTED") == 1
+    assert dest_cat.get_table("db1", "t1") is None        # aborted, not run
+    assert dest_cat.get_table("db1", "t2") is not None    # replayed
+    assert res["last_id"] == 2

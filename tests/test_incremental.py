@@ -182,6 +182,53 @@ def test_incremental_loop_with_checkpoint_restart(spark, events_df, tmp_path):
     assert r3["lag_seconds"] == 0.0
 
 
+def test_start_after_id_aborts_inflight_and_forces_resume(spark, events_df, tmp_path):
+    """Operator override after a bad deploy (ReplicationLauncher
+    --start-after-id, launch():134-136 → abortRunnableFromDb): the
+    crash-persisted in-flight job is marked ABORTED and never executed,
+    events at or below the override are skipped, later events replay."""
+    from reair_spark.events import _job_cols
+    from reair_spark.state import JobStore
+
+    src_root, dest_root = str(tmp_path / "src"), str(tmp_path / "dest")
+    state_dir = str(tmp_path / "state")
+    src_cat, dest_cat = DirectoryCatalog(src_root), DirectoryCatalog(dest_root)
+    for t in ("t1", "t2", "t3"):
+        _make_unpartitioned(src_cat, "db1", t)
+    events = events_df(
+        [
+            _ev(1, "CREATETABLE", objects=[_out("db1.t1")]),
+            _ev(2, "CREATETABLE", objects=[_out("db1.t2")]),
+            _ev(3, "CREATETABLE", objects=[_out("db1.t3")]),
+        ]
+    )
+    # simulate a crash mid-flight: event 1's job persisted PENDING,
+    # never executed, checkpoint never advanced
+    store = JobStore(spark, f"{state_dir}/replication_jobs")
+    store.append(compile_jobs(events.filter("id = 1")).select(*_job_cols()))
+    assert store.incomplete().count() == 1
+
+    res = run_incremental(
+        spark, events, src_root, dest_root, state_dir, start_after_id=2
+    )
+    # in-flight job aborted — terminal, NOT re-executed
+    assert res["job_status_counts"].get("ABORTED") == 1
+    assert dest_cat.get_table("db1", "t1") is None
+    # event 2 is at the override boundary: skipped
+    assert dest_cat.get_table("db1", "t2") is None
+    # event 3 is after the override: replayed
+    assert dest_cat.get_table("db1", "t3") is not None
+    assert res["last_id"] == 3
+    kv = KeyValueStore(f"{state_dir}/key_value.json")
+    assert kv.get("last_persisted_id") == "3"
+
+    # a later un-overridden restart stays at the forced position
+    r2 = run_incremental(spark, events, src_root, dest_root, state_dir)
+    assert r2["batches"] == 0
+    # aborted job stays terminal across restarts (never re-queued)
+    assert r2["job_status_counts"].get("ABORTED") == 1
+
+
 def test_rename_execution_moves_dest_table(spark, events_df, tmp_path):
     src_root, dest_root = str(tmp_path / "src"), str(tmp_path / "dest")
     src_cat, dest_cat = DirectoryCatalog(src_root), DirectoryCatalog(dest_root)
