@@ -7,6 +7,7 @@ web UI (`web-server/.../WebServer.java:97`). The engine's equivalent
 is a stdlib HTTP server over the persisted state dir — JSON instead
 of Thrift structs, same data:
 
+    GET  /             → human-readable HTML progress page (web UI parity)
     GET  /status        → state.status_snapshot (counts, lag, actives)
     GET  /jobs/active   → in-flight job rows
     GET  /jobs/retired  → terminal job rows
@@ -33,6 +34,49 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pyspark.sql import SparkSession
 
 from reair_spark.state import JobStore, KeyValueStore, status_snapshot
+
+
+def _html_escape(v) -> str:
+    return (
+        str(v)
+        .replace("&", "&amp;")
+        .replace("<", "&lt;")
+        .replace(">", "&gt;")
+    )
+
+
+def render_status_html(snap: dict) -> str:
+    """Render a status snapshot as the human-readable progress page —
+    parity with the reference's read-only web UI
+    (web-server/.../WebServer.java:97 serving the progress servlet).
+    Plain stdlib string assembly: the page is a table over the same
+    snapshot the JSON endpoint serves, nothing client-side."""
+    counts = "".join(
+        f"<tr><td>{_html_escape(k)}</td><td>{v}</td></tr>"
+        for k, v in sorted(snap["status_counts"].items())
+    )
+    jobs = "".join(
+        "<tr>" + "".join(
+            f"<td>{_html_escape(j[c])}</td>"
+            for c in ("job_id", "operation", "status", "db", "table", "src_event_id")
+        ) + "</tr>"
+        for j in snap["active_jobs"]
+    )
+    return f"""<!DOCTYPE html>
+<html><head><title>reair_spark replication status</title>
+<style>body{{font-family:sans-serif;margin:2em}}table{{border-collapse:collapse}}
+td,th{{border:1px solid #999;padding:4px 8px}}</style></head><body>
+<h1>Replication status</h1>
+<p>last_persisted_id: <b>{snap["last_persisted_id"]}</b> &middot;
+active jobs: <b>{snap["n_active"]}</b> &middot;
+retired jobs: <b>{snap["n_retired"]}</b> &middot;
+lag: <b>{snap["lag_seconds"]}s</b></p>
+<h2>Job counts by status</h2>
+<table><tr><th>status</th><th>count</th></tr>{counts}</table>
+<h2>Active jobs</h2>
+<table><tr><th>job_id</th><th>operation</th><th>status</th><th>db</th>
+<th>table</th><th>src_event_id</th></tr>{jobs}</table>
+</body></html>"""
 
 
 def _job_rows(df, limit: int) -> list[dict]:
@@ -66,7 +110,16 @@ def make_handler(spark: SparkSession, state_dir: str, max_rows: int = 100):
 
         def do_GET(self) -> None:
             try:
-                if self.path == "/status":
+                if self.path in ("/", "/index.html"):
+                    body = render_status_html(
+                        status_snapshot(spark, state_dir, max_rows)
+                    ).encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "text/html; charset=utf-8")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                elif self.path == "/status":
                     self._send(status_snapshot(spark, state_dir, max_rows))
                 elif self.path == "/jobs/active":
                     self._send({"jobs": _job_rows(store().incomplete(), max_rows)})

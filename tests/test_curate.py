@@ -99,6 +99,35 @@ def test_pipeline_yield_and_plan(spark):
     assert plan.count("Exchange") <= 4, plan
 
 
+def test_pipeline_work_dir_same_result_chunked_plan(spark, tmp_path):
+    """work_dir= is the production path: stage 3 materializes to
+    parquet and stage 4 packs via chunked_running_sum. Same rows as
+    the default plan; the pack window partitions on (lang, __chunk),
+    whose cardinality scales with the corpus instead of |languages|."""
+    base = sorted(map(tuple, curate_pipeline(spark, SF).collect()))
+    # pack_chunk=64: sf0.01's doc_id range must actually split into
+    # several chunks so the cardinality assertion below is meaningful
+    prod_df = curate_pipeline(spark, SF, work_dir=str(tmp_path), pack_chunk=64)
+    prod = sorted(map(tuple, prod_df.collect()))
+    assert base == prod
+    # the stage-3 survivor set was materialized
+    assert os.path.isdir(f"{tmp_path}/curate_stage3_survivors")
+    # plan check: the pack window keys on the chunk column, and the
+    # (lang, chunk) key cardinality strictly exceeds the language count
+    plan = prod_df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"))
+    assert "__chunk" in plan, plan
+    surv = spark.read.parquet(f"{tmp_path}/curate_stage3_survivors")
+    n_langs = surv.select("lang").distinct().count()
+    n_keys = (
+        surv.select("lang", F.floor(F.col("doc_id") / 64).alias("c"))
+        .distinct()
+        .count()
+    )
+    assert n_keys > n_langs
+
+
 def test_chunked_running_sum_equals_single_window(spark):
     """Two-level cumsum == the single stratum-wide window, while its
     level-1 window partitions on (stratum, chunk) — cardinality that

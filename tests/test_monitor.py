@@ -41,6 +41,26 @@ def seeded_state(spark, tmp_path):
     return state
 
 
+def test_html_progress_page(spark, seeded_state):
+    """GET / serves the human-readable progress page (web UI parity,
+    WebServer.java:97): 200, text/html, job counts and the active job
+    row present."""
+    server = serve_monitor(spark, seeded_state)
+    port = server.server_address[1]
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/") as r:
+            assert r.status == 200
+            assert r.headers["Content-Type"].startswith("text/html")
+            html = r.read().decode()
+        assert "Replication status" in html
+        assert "<b>1</b>" in html                 # active & retired counts
+        assert "PENDING" in html and "SUCCESSFUL" in html
+        assert "COPY_PARTITION" in html           # the active job row
+        assert "last_persisted_id: <b>11</b>" in html
+    finally:
+        server.shutdown()
+
+
 def test_endpoints(spark, seeded_state):
     server = serve_monitor(spark, seeded_state)
     port = server.server_address[1]

@@ -209,3 +209,39 @@ def test_bmp_codec_roundtrip_property(w, h, seed):
 
     img = np.random.RandomState(seed).randint(0, 256, (h, w), dtype=np.uint8)
     assert np.array_equal(bmp_decode(bmp_encode(img)), img)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    zero_at=st.integers(min_value=0, max_value=19),
+    seed=st.integers(min_value=0, max_value=1000),
+)
+def test_zero_vector_survives_unit_norm_and_kmeans(spark, zero_at, seed):
+    """ADVICE r3: an all-zero embedding must flow through unit_norm /
+    kmeans / semdedup-style dots as sim=0 — never as NaN poisoning
+    every downstream argmax. Property: any corpus with a zero vector
+    anywhere yields a complete, NaN-free assignment."""
+    import math
+    import random
+
+    from reair_spark.datapipe.common import cosine, unit_norm
+    from reair_spark.datapipe.similarity import kmeans_fit
+
+    rng = random.Random(seed)
+    rows = [
+        (i, [0.0] * 8 if i == zero_at else [rng.uniform(-1, 1) for _ in range(8)])
+        for i in range(20)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, emb array<double>")
+
+    normed = unit_norm(F.col("emb"))
+    vals = emb.select(F.explode(normed).alias("x")).collect()
+    assert all(not math.isnan(r.x) for r in vals)
+
+    assigned, centroids = kmeans_fit(emb, k=3, iters=2)
+    arows = assigned.collect()
+    assert len(arows) == 20                       # complete assignment
+    assert all(r.cluster is not None for r in arows)
+    crows = centroids.collect()
+    for c in crows:
+        assert all(not math.isnan(x) for x in c.cemb)
