@@ -789,7 +789,10 @@ def events_anomaly_zscore(spark: SparkSession, sf: str) -> DataFrame:
     aggregate — |types| rows — broadcast back over the stream; the
     fact side never shuffles, so the pass costs one scan at any
     volume. z rounds to 4 decimals so the flag threshold compares
-    identically across engines."""
+    identically across engines. Degenerate constant-valued types
+    (sigma = 0) are excluded in BOTH engines (ADVICE r3 #4: Spark's
+    0/0 double gives NULL → row filtered, DuckDB can give inf → row
+    kept — the guard makes the edge case engine-identical)."""
     e = _t(spark, sf, "events")
     stats = e.groupBy("event_type").agg(
         F.avg("value").alias("mu"),
@@ -798,6 +801,7 @@ def events_anomaly_zscore(spark: SparkSession, sf: str) -> DataFrame:
     z = F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 4)
     return (
         e.join(F.broadcast(stats), "event_type")
+        .where(F.col("sigma") > 0)
         .select("event_id", "event_type", "value", z.alias("z"))
         .where(F.abs(F.col("z")) > ZSCORE_CUT)
         .orderBy("event_id")
@@ -962,7 +966,7 @@ WITH stats AS (
 SELECT event_id, e.event_type, value,
        round((value - mu) / sigma, 4) AS z
 FROM events e JOIN stats ON e.event_type = stats.event_type
-WHERE abs(round((value - mu) / sigma, 4)) > {ZSCORE_CUT}
+WHERE sigma > 0 AND abs(round((value - mu) / sigma, 4)) > {ZSCORE_CUT}
 ORDER BY event_id
 """,
     "orders_retention_cohorts": """

@@ -96,14 +96,27 @@ def _clean(ident: str) -> str:
 
 def _spec_to_name(spec: str) -> str:
     """``ds='1', hr = 2`` → ``ds=1/hr=2`` (the partition-name form
-    X4 / `catalog.partition_name_to_values` round-trips)."""
+    X4 / `catalog.partition_name_to_values` round-trips). Dynamic
+    entries (bare ``hr`` with no ``=``) are skipped — callers that can
+    legally receive them (INSERT) check :func:`_spec_has_dynamic`
+    first and degrade to a TABLE-level object instead."""
     parts = []
     for kv in spec.split(","):
         if not kv.strip():
             continue
+        if "=" not in kv:  # dynamic partition key — value unknown here
+            continue
         k, v = kv.split("=", 1)
         parts.append(f"{k.strip()}={v.strip().strip(chr(39)).strip(chr(34))}")
     return "/".join(parts)
+
+
+def _spec_has_dynamic(spec: str) -> bool:
+    """True iff any comma-entry of the PARTITION spec lacks ``=`` —
+    a dynamic-partition INSERT (``PARTITION (ds)`` or mixed
+    ``(ds='1', hr)``), whose concrete values only exist after
+    execution."""
+    return any("=" not in kv for kv in spec.split(",") if kv.strip())
 
 
 @dataclass
@@ -125,10 +138,17 @@ class AuditLogHook:
         return self.clock() if self.clock else _dt.datetime.now()
 
     def _seed_id(self) -> int:
+        # Only a missing/empty log seeds at 1. A transient READ failure
+        # on an existing log must propagate: silently restarting at 1
+        # would reuse persisted ids and the consume side's
+        # last_persisted_id checkpoint would skip the new events as
+        # already-consumed (ADVICE r3 #3 — the AUTO_INCREMENT contract).
+        from pyspark.errors import AnalysisException
+
         try:
             mx = self.spark.read.parquet(self.log_path).agg(F.max("id")).collect()[0][0]
             return int(mx or 0) + 1
-        except Exception:
+        except AnalysisException:  # PATH_NOT_FOUND / UNABLE_TO_INFER_SCHEMA
             return 1
 
     def classify(self, command: str):
@@ -190,11 +210,21 @@ class AuditLogHook:
         m = _INSERT_RE.match(command)
         if m:
             t = _clean(m.group(1))
-            if m.group(2):  # static partition insert
+            if m.group(2) and not _spec_has_dynamic(m.group(2)):
+                # static partition insert: the exact partition is known
                 return (
                     "QUERY",
                     [("OUTPUT", "PARTITION", f"{t}/{_spec_to_name(m.group(2))}", "{}")],
                 )
+            # dynamic (or mixed) partition insert: the touched
+            # partitions only exist post-execution, so record a
+            # TABLE-level OUTPUT — compile_jobs turns that into a
+            # whole-table copy, which re-reads current src state and
+            # therefore covers whatever partitions the insert created
+            # (the reference hook's effective behavior when partition
+            # values are unknown at parse time). ADVICE r3 #1: the
+            # previous code raised ValueError here AFTER sql() had
+            # executed, dropping the replication event.
             return ("QUERY", [("OUTPUT", "TABLE", t, "{}")])
         return ("QUERY", [])
 

@@ -110,3 +110,45 @@ def test_sql_executes_and_records(hook, spark):
     hook.flush()
     row = hook.events_df().collect()[0]
     assert row.command_type == "QUERY" and row.objects == []
+
+
+def test_dynamic_partition_insert_records_table_level(hook):
+    """ADVICE r3 #1 repro: dynamic and mixed dynamic-partition INSERTs
+    must classify (previously ValueError AFTER execution — write
+    applied, event dropped) and degrade to a TABLE-level OUTPUT whose
+    whole-table copy covers whatever partitions the insert created."""
+    for cmd in (
+        "INSERT OVERWRITE TABLE db1.t PARTITION (ds) SELECT * FROM s",
+        "INSERT OVERWRITE TABLE db1.t PARTITION (ds='1', hr) SELECT * FROM s",
+        "INSERT INTO db1.t PARTITION (ds, hr) SELECT * FROM s",
+    ):
+        ctype, objs = hook.classify(cmd)
+        assert ctype == "QUERY"
+        assert objs == [("OUTPUT", "TABLE", "db1.t", "{}")], cmd
+    # fully static spec still records the exact partition
+    ctype, objs = hook.classify(
+        "INSERT OVERWRITE TABLE db1.t PARTITION (ds='1', hr=2) SELECT * FROM s"
+    )
+    assert objs == [("OUTPUT", "PARTITION", "db1.t/ds=1/hr=2", "{}")]
+
+
+def test_seed_id_propagates_read_errors_on_existing_log(hook, spark, tmp_path):
+    """ADVICE r3 #3: a corrupt/unreadable EXISTING log must raise, not
+    silently restart ids at 1 (id reuse would make the consume side
+    skip new events as already-consumed)."""
+    import pytest
+
+    from reair_spark.hook import AuditLogHook
+
+    bad = tmp_path / "badlog"
+    bad.mkdir()
+    (bad / "part-00000.parquet").write_bytes(b"not a parquet file")
+    h = AuditLogHook(spark, str(bad))
+    with pytest.raises(Exception) as ei:
+        h.record("CREATE TABLE db1.x (x INT)")
+    from pyspark.errors import AnalysisException
+
+    assert not isinstance(ei.value, AnalysisException) or "PATH_NOT_FOUND" not in str(ei.value)
+    # missing path still seeds at 1
+    h2 = AuditLogHook(spark, str(tmp_path / "nolog"))
+    assert h2.record("CREATE TABLE db1.y (x INT)") == 1
