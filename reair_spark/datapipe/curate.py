@@ -388,7 +388,74 @@ FROM r WHERE n_rep > 0
 """
 
 
+# integer ticket counts per language for weighted sampling: a doc with
+# w tickets competes w times in the uniform draw, so its min ticket key
+# is Beta(1, w)-distributed — smaller keys for heavier languages.
+WRS_TICKETS = {"en": 1, "de": 4, "es": 3, "fr": 2, "zh": 2}
+WRS_KEEP = 200
+
+
+def curate_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic weighted sampling via ticket replication: each
+    doc gets w integer tickets (per-language weight), its sort key is
+    the MIN of w portable hashes, and the global top-K by key is the
+    sample — upweighted languages win proportionally more slots. The
+    integer-hash formulation sidesteps the float-pow ranking of
+    classic A-Res (u^(1/w)), whose last-ulp differences across engines
+    would make the selected set nondeterministic at the boundary.
+
+    Scale shape: the w hashes are a map-side transform over a
+    sequence literal (no explode, no per-ticket rows through any
+    shuffle) and the global top-K is TakeOrderedAndProject — per-
+    partition partial top-K, then K rows to the driver; at 100 TB the
+    full sort never happens."""
+    d = _t(spark, sf, "documents")
+    w = None
+    for lang, t in WRS_TICKETS.items():
+        w = F.when(F.col("lang") == lang, t) if w is None else w.when(
+            F.col("lang") == lang, t
+        )
+    w = w.otherwise(1)
+    key = F.array_min(
+        F.transform(
+            F.sequence(F.lit(1), w),
+            lambda r: portable_hash32(
+                F.concat(
+                    F.lit("wrs:"),
+                    F.col("doc_id").cast("string"),
+                    F.lit(":"),
+                    r.cast("string"),
+                )
+            ),
+        )
+    )
+    return (
+        d.select("doc_id", "lang", key.alias("skey"))
+        .orderBy("skey", "doc_id")
+        .limit(WRS_KEEP)
+    )
+
+
+def _weighted_sample_sql() -> str:
+    from reair_spark.datapipe.common import portable_hash32_sql
+
+    whens = " ".join(f"WHEN lang = '{k}' THEN {v}" for k, v in WRS_TICKETS.items())
+    h = portable_hash32_sql(
+        "concat('wrs:', CAST(doc_id AS VARCHAR), ':', CAST(r AS VARCHAR))"
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang, CASE {whens} ELSE 1 END AS w FROM documents
+)
+SELECT doc_id, lang,
+       list_min(list_transform(range(1, w + 1), r -> {h})) AS skey
+FROM t
+ORDER BY skey, doc_id LIMIT {WRS_KEEP}
+"""
+
+
 CURATE_QUERIES = {
+    "curate_weighted_sample": curate_weighted_sample,
     "curate_mix_epochs": curate_mix_epochs,
     "curate_shard_manifest": curate_shard_manifest,
     "curate_pipeline": curate_pipeline,
@@ -452,6 +519,7 @@ FROM binned GROUP BY lang
 
 
 CURATE_ORACLES = {
+    "curate_weighted_sample": _weighted_sample_sql(),
     "curate_mix_epochs": _mix_epochs_sql(),
     "curate_shard_manifest": f"""
 SELECT {portable_hash32_sql("CAST(doc_id AS VARCHAR)")} % {N_SHARDS} AS shard,

@@ -618,7 +618,38 @@ def dedup_against_corpus(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+PREFIX_TOKENS = 16
+
+
+def dedup_prefix(spark: SparkSession, sf: str) -> DataFrame:
+    """Prefix dedup: documents sharing their first PREFIX_TOKENS words
+    collapse to one survivor — the boilerplate/template pass an LLM
+    corpus runs alongside full-content dedup (crawled pages and
+    generated text repeat openings verbatim while tails drift, so
+    exact dedup misses them and MinHash pays a full-document shingle
+    pass to find them).
+
+    Scale shape: identical to :func:`dedup_exact` — the only shuffle
+    moves a 32-byte prefix digest per doc (~0.03% of a 100 TB corpus),
+    map-side combined; the `n_docs > 1` filter emits only dup groups.
+    Runs over the near-dup corpus (tail-truncated plants), which full
+    exact dedup cannot collapse — the case this operator exists for."""
+    c = _corpus(spark, sf, exact=False)
+    tok = F.split("text", " ")
+    pfx = F.md5(F.concat_ws(" ", F.slice(tok, 1, PREFIX_TOKENS)))
+    return (
+        c.select("doc_id", pfx.alias("prefix_fp"))
+        .groupBy("prefix_fp")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count("*").cast("long").alias("n_docs"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+
+
 DEDUP_QUERIES = {
+    "dedup_prefix": dedup_prefix,
     "dedup_jaccard_rareblock": dedup_jaccard_rareblock,
     "dedup_exact": dedup_exact,
     "dedup_against_corpus": dedup_against_corpus,
@@ -648,6 +679,13 @@ DEDUP_ORACLES = {
     "dedup_exact": (
         f"SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS n_copies "
         f"FROM ({_corpus_sql(exact=True)}) corpus GROUP BY 1"
+    ),
+    "dedup_prefix": (
+        f"SELECT md5(array_to_string(t[1:{PREFIX_TOKENS}], ' ')) AS prefix_fp, "
+        "min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_docs "
+        f"FROM (SELECT doc_id, string_split(text, ' ') AS t "
+        f"FROM ({_corpus_sql(exact=False)}) corpus) s "
+        "GROUP BY 1 HAVING count(*) > 1"
     ),
     "dedup_minhash_lsh": _minhash_sql(),
     "dedup_components": _components_sql(),

@@ -438,7 +438,55 @@ def multimodal_bmp_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+SCENE_DELTA = 200  # abs frame-sum delta that counts as a scene cut
+
+
+def multimodal_scene_cuts(spark: SparkSession, sf: str) -> DataFrame:
+    """Scene-cut detection over the binary "video": per-frame byte
+    sums, a cut wherever adjacent frames differ by more than
+    SCENE_DELTA — the shot-boundary pass a video curation pipeline
+    runs before frame sampling (sample around cuts, not uniformly).
+
+    Entirely JVM-side higher-order functions — frame slicing is
+    substring arithmetic, the per-frame reduction is aggregate(), the
+    adjacent-delta scan is zip_with over two shifted slices; no
+    Python, no shuffle, no per-frame explode (the naive formulation
+    explodes |frames| rows per doc through a shuffle and re-groups —
+    this stays one map). A real deployment swaps the byte-sum line
+    for a decoded-luma sum; the boundary logic is unchanged."""
+    d = _t(spark, sf, "documents")
+    n = F.greatest(F.ceil(F.length("text") / FRAME_BYTES), F.lit(1)).cast("int")
+    frames = F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.col("text").substr(
+            (i * FRAME_BYTES + 1).cast("int"), F.lit(FRAME_BYTES)
+        ),
+    )
+    sums = F.transform(
+        frames,
+        lambda fr: F.aggregate(
+            F.split(fr, ""), F.lit(0), lambda acc, ch: acc + F.ascii(ch)
+        ),
+    )
+    d = d.select("doc_id", n.alias("n"), sums.alias("s"))
+    cuts = F.zip_with(
+        F.slice(F.col("s"), 2, F.size("s") - 1),
+        F.slice(F.col("s"), 1, F.size("s") - 1),
+        lambda a, b: F.abs(a - b) > SCENE_DELTA,
+    )
+    d = d.select("doc_id", "n", cuts.alias("cuts"))
+    return d.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_frames"),
+        F.size(F.filter("cuts", lambda x: x)).cast("long").alias("n_cuts"),
+        F.nullif(F.array_position("cuts", True), F.lit(0))
+        .cast("long")
+        .alias("first_cut"),
+    )
+
+
 MM_QUERIES = {
+    "multimodal_scene_cuts": multimodal_scene_cuts,
     "multimodal_features": multimodal_features,
     "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_resize": multimodal_resize,
@@ -448,6 +496,38 @@ MM_QUERIES = {
 }
 
 MM_ORACLES = {
+    # ASCII text → bytes == codepoints; frame sums over 32-char
+    # windows, cut where adjacent sums differ by > SCENE_DELTA.
+    # list_position returns NULL when absent (Spark side nullifs its 0).
+    "multimodal_scene_cuts": f"""
+WITH f AS (
+  SELECT doc_id,
+         greatest(CAST(ceil(length(text) / {FRAME_BYTES}.0) AS INT), 1) AS n,
+         text
+  FROM documents
+),
+s AS (
+  SELECT doc_id, n,
+         list_transform(range(0, n),
+           i -> list_aggregate(
+                  list_transform(
+                    string_split(substr(text, CAST(i * {FRAME_BYTES} + 1 AS INT),
+                                        {FRAME_BYTES}), ''),
+                    c -> unicode(c)),
+                  'sum')) AS su
+  FROM f
+),
+c AS (
+  SELECT doc_id, n,
+         list_transform(range(1, n),
+           i -> abs(su[i + 1] - su[i]) > {SCENE_DELTA}) AS cuts
+  FROM s
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_frames,
+       CAST(len(list_filter(cuts, x -> x)) AS BIGINT) AS n_cuts,
+       CAST(nullif(list_position(cuts, true), 0) AS BIGINT) AS first_cut
+FROM c
+""",
     # the roundtrip oracles recompute the features straight from text
     # (ASCII → bytes == codepoints), so they validate the ENTIRE
     # encode→decode cycle: a header/stride/row-order bug in the codec

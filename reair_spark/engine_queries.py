@@ -156,6 +156,15 @@ def stream_funnel_q(spark: SparkSession, sf: str) -> DataFrame:
     return stream_funnel(spark, sf)
 
 
+def stream_topk_trending_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Windowed top-k over the bounded stream (hourly per-type counts
+    as the stateful agg, rank as a metadata-sized finalize) — equals
+    the batch window + row_number the oracle computes."""
+    from reair_spark.streaming import stream_topk_trending
+
+    return stream_topk_trending(spark, sf)
+
+
 def stream_interval_join_q(spark: SparkSession, sf: str) -> DataFrame:
     """Stream-stream watermarked interval join through the correctness
     gate (drained bounded streams == batch interval join)."""
@@ -192,6 +201,7 @@ def stream_sessionize_q(spark: SparkSession, sf: str) -> DataFrame:
 
 
 ENGINE_QUERIES = {
+    "stream_topk_trending": stream_topk_trending_q,
     "stream_interval_join": stream_interval_join_q,
     "stream_dedup": stream_dedup_q,
     "stream_enrich": stream_enrich_q,
@@ -207,6 +217,20 @@ ENGINE_QUERIES = {
 # COPY(meta+data); dest-only → DROP; TLDT drift → COPY(meta only,
 # digests unknown ⇒ data treated equal); else NO_OP
 ENGINE_ORACLES = {
+    "stream_topk_trending": """
+WITH c AS (
+  SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+           AS window_start,
+         event_type, count(*) AS cnt
+  FROM events GROUP BY 1, 2
+)
+SELECT window_start, event_type, cnt, rk FROM (
+  SELECT window_start, event_type, cnt,
+         CAST(row_number() OVER (PARTITION BY window_start
+                                 ORDER BY cnt DESC, event_type) AS BIGINT) AS rk
+  FROM c) r
+WHERE rk <= 3
+""",
     "replication_table_diff": """
 WITH src AS (
   SELECT 'wh' AS db, lower(n_name) AS t, n_nationkey * 10 AS tldt FROM nation

@@ -128,6 +128,39 @@ def stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(agg, "complete")
 
 
+def stream_topk_trending(
+    spark: SparkSession, sf_dir: str, k: int = 3
+) -> DataFrame:
+    """Trending top-k per tumbling hour: windowed per-type counts run
+    as the stateful streaming agg (watermark + tumbling window, same
+    state shape as `stream_hourly_counts` but keyed on
+    (window, event_type)); the per-window rank is a finalize step over
+    the drained complete-mode state — |windows|×|types| rows, metadata-
+    sized at any stream volume, so ranking there instead of inside the
+    stream avoids a second stateful operator (flatMapGroupsWithState
+    top-k) whose per-batch state churn dwarfs the table it maintains."""
+    from pyspark.sql import Window as W
+
+    ev = stream_events(spark, sf_dir, max_files_per_trigger=1)
+    agg = (
+        ev.select("event_type", "ts")
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "cnt")
+    )
+    out = _run_to_memory(agg, "complete")
+    wk = W.partitionBy("window_start").orderBy(F.desc("cnt"), "event_type")
+    return (
+        out.withColumn("rk", F.row_number().over(wk))
+        .where(F.col("rk") <= k)
+        .select(
+            "window_start", "event_type", "cnt",
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )
+
+
 def stream_sessionize(
     spark: SparkSession, sf_dir: str, gap: str = "30 minutes"
 ) -> DataFrame:
