@@ -24,6 +24,7 @@ skew-join splitting.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -141,6 +142,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
             for s in range(N_MINHASH)
         ]
     )
+    # both sides of the band self-join derive from sig (16 longs/doc);
+    # eager persist stops the shingle-explode + 16-min shuffle running
+    # twice
+    sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
+    sig.count()
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -166,7 +172,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
         .distinct()
     )
 
-    sets = c.select("doc_id", word_shingles(tok).alias("shset"))
+    # the verify stage reads the shingle sets for BOTH pair members —
+    # persist so the corpus scan + shingle transform runs once
+    sets = c.select("doc_id", word_shingles(tok).alias("shset")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sets.count()
     a, b = sets.alias("a"), sets.alias("b")
     jac = F.size(F.array_intersect("a.shset", "b.shset")).cast("double") / F.size(
         F.array_union("a.shset", "b.shset")
@@ -262,6 +273,11 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
             F.lit(0),
         ).cast("long").alias("simhash"),
     )
+    # both sides of the band self-join derive from simhash; an eager
+    # persist of the (doc_id, signature) pairs — 16 bytes/doc — stops
+    # Spark recomputing the shingle-explode + 48-agg vote shuffle twice
+    simhash = simhash.persist(StorageLevel.MEMORY_AND_DISK)
+    simhash.count()
     bands = simhash.select(
         "doc_id",
         "simhash",
@@ -435,7 +451,15 @@ def dedup_jaccard_rareblock(spark: SparkSession, sf: str) -> DataFrame:
             lambda i: F.col("text").substr(i, F.lit(4)),
         )
     )
-    g = c.select("doc_id", grams.alias("grams"))
+    # g is consumed FOUR times (df aggregate, signature build, and both
+    # sides of the verify join); without materialization Spark re-runs
+    # the per-char gram transform once per consumer — measured 7.4 s →
+    # 3.0 s at sf0.1 with the eager persist. Materializing the gram
+    # signature set is the standard signature-store step; spill-safe.
+    g = c.select("doc_id", grams.alias("grams")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    g.count()
     gx = g.select("doc_id", F.explode("grams").alias("gr"))
     rare_grams = (
         gx.groupBy("gr")
@@ -451,6 +475,10 @@ def dedup_jaccard_rareblock(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.concat_ws("|", F.array_sort(F.collect_list(
             F.concat_ws(":", F.lpad("rn", 2, "0"), "gr")))).alias("sig"))
     )
+    # per-doc signature rows feed both sides of the self-join —
+    # materialize once instead of building the window+groupBy twice
+    sigkey = sigkey.persist(StorageLevel.MEMORY_AND_DISK)
+    sigkey.count()
     cand = (
         sigkey.alias("ka")
         .join(sigkey.alias("kb"), "sig")

@@ -575,14 +575,24 @@ def semdedup(
     duplicates."""
     from reair_spark.datapipe.common import dot, unit_norm
 
+    from pyspark import StorageLevel
+
     assignments, _ = kmeans_fit(emb, k=k, iters=iters)
-    cells = emb.join(assignments.select("vec_id", "cluster"), "vec_id")
-    # normalize each vector ONCE (cached: both sides of the self-join
-    # and the final anti-join read it) so the N²/k pair stage pays a
-    # single dot fold per pair instead of a full cosine (3 folds)
+    # cells feeds the normalized pair stage AND the final anti-join;
+    # eager persist so the join+assignment runs once, not per branch
+    cells = emb.join(assignments.select("vec_id", "cluster"), "vec_id").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    cells.count()
+    # normalize each vector ONCE (cached EAGERLY: both sides of the
+    # self-join read it, and a lazy cache lets the racing branch jobs
+    # each compute the uncached partitions) so the N²/k pair stage
+    # pays a single dot fold per pair instead of a full cosine (3
+    # folds). Measured 9.0 s → 5.0 s cold at sf0.1 for the gate query.
     nc = cells.select(
         "vec_id", "cluster", unit_norm(F.col("emb")).alias("ne")
     ).cache()
+    nc.count()
     a = nc.select(F.col("vec_id").alias("id_a"), F.col("ne").alias("ea"), "cluster")
     b = nc.select(F.col("vec_id").alias("id_b"), F.col("ne").alias("eb"), "cluster")
     dup_ids = (
@@ -608,9 +618,13 @@ def embedding_semdedup(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("emb"),
         "label",
     )
-    corpus = e.union(perturbed)
-    kept = semdedup(corpus.select("vec_id", "emb"), k=4, iters=2)
+    from pyspark import StorageLevel
+
+    # corpus feeds the count, the quantizer fit, and the cell join —
+    # persist before the fan-out, count() first to fill the cache
+    corpus = e.union(perturbed).persist(StorageLevel.MEMORY_AND_DISK)
     n_total = corpus.count()
+    kept = semdedup(corpus.select("vec_id", "emb"), k=4, iters=2)
     return (
         kept.groupBy("cluster")
         .agg(F.count(F.lit(1)).alias("n_kept"))
