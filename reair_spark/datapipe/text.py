@@ -444,7 +444,59 @@ FROM s
 """
 
 
+QL_DIM = 64          # hashed feature buckets
+QL_MIX = 2654435761  # Knuth multiplicative constant, derives w[j]
+
+
+def text_quality_linear(spark: SparkSession, sf: str) -> DataFrame:
+    """Model-based quality scoring with hashed features — the linear
+    (fasttext-style) classifier shape a production pipeline runs after
+    the rule-based gate: score = mean over tokens of w[h(token) mod D].
+    The weight table here is derived deterministically from the bucket
+    id (w[j] = (j·KNUTH mod 1000)/1000 − 0.5) so both engines compute
+    the identical model without shipping an artifact; a real deployment
+    swaps in trained weights as a broadcast map and nothing else
+    changes.
+
+    Scale shape: map-only — per-token hash + weight lookup fold
+    entirely inside JVM higher-order functions; no explode, no
+    shuffle, no UDF. 100 TB of text scores in one pass."""
+    d = widen(_t(spark, sf, "documents"), spark)
+    tok = F.split("text", " ")
+    wexpr = F.transform(
+        tok,
+        lambda t: (
+            ((portable_hash32(t) % QL_DIM) * QL_MIX % 1000) / 1000.0 - 0.5
+        ),
+    )
+    score = F.aggregate(wexpr, F.lit(0.0), lambda acc, x: acc + x) / F.size(
+        tok
+    ).cast("double")
+    return d.select(
+        "doc_id",
+        F.round(score, 4).alias("score"),
+        (score > 0).alias("keep"),
+    )
+
+
+def _quality_linear_sql() -> str:
+    h = portable_hash32_sql("t")
+    return f"""
+SELECT doc_id,
+       round(list_aggregate(
+         list_transform(string_split(text, ' '),
+           t -> (({h} % {QL_DIM}) * {QL_MIX} % 1000) / 1000.0 - 0.5),
+         'sum') / len(string_split(text, ' ')), 4) AS score,
+       list_aggregate(
+         list_transform(string_split(text, ' '),
+           t -> (({h} % {QL_DIM}) * {QL_MIX} % 1000) / 1000.0 - 0.5),
+         'sum') / len(string_split(text, ' ')) > 0 AS keep
+FROM documents
+"""
+
+
 TEXT_QUERIES = {
+    "text_quality_linear": text_quality_linear,
     "text_chunk_windows": text_chunk_windows,
     "text_token_count": text_token_count,
     "text_dedup_chunks": text_dedup_chunks,
@@ -570,6 +622,7 @@ ORDER BY n DESC, token
 
 
 TEXT_ORACLES = {
+    "text_quality_linear": _quality_linear_sql(),
     "text_chunk_windows": _CHUNK_SQL,
     "text_dedup_chunks": _DEDUP_CHUNKS_SQL,
     "text_line_dedup_corpus": _LINE_DEDUP_CORPUS_SQL,

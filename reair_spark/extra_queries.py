@@ -880,7 +880,113 @@ def orders_gap_histogram(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def orders_scd2_history(spark: SparkSession, sf: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) history build: collapse each
+    customer's order-status sequence into validity intervals — the
+    standard gaps-and-islands CDC shape every warehouse runs to turn an
+    event/change stream into a dimension table with
+    (valid_from, valid_to, is_current) rows.
+
+    Scale shape: one shuffle on custkey drives both the change-flag
+    window and the island rollup (same partitioning — Spark chains the
+    windows without a second exchange); parallelism scales with
+    customer count, and the interval close (lead over islands) runs on
+    the rolled-up |islands| rows, not the fact stream."""
+    from pyspark.sql import Window as W
+
+    o = _t(spark, sf, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    chg = (
+        F.when(
+            F.lag("o_orderstatus").over(w).isNull()
+            | (F.lag("o_orderstatus").over(w) != F.col("o_orderstatus")),
+            1,
+        ).otherwise(0)
+    )
+    islands = (
+        o.select(
+            "o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey"
+        )
+        .withColumn("sid", F.sum(chg).over(w))
+        .groupBy("o_custkey", "sid", "o_orderstatus")
+        .agg(
+            F.min("o_orderdate").alias("valid_from"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+        )
+    )
+    wl = W.partitionBy("o_custkey").orderBy("sid")
+    return islands.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderstatus").alias("status"),
+        "valid_from",
+        F.lead("valid_from").over(wl).alias("valid_to"),
+        F.lead("valid_from").over(wl).isNull().alias("is_current"),
+        "n_orders",
+    )
+
+
+BASKET_MIN_SUPPORT = 3
+
+
+def lineitem_market_basket(spark: SparkSession, sf: str) -> DataFrame:
+    """Market-basket pair mining: part pairs co-occurring within an
+    order, with support and lift — the co-occurrence analysis behind
+    recommendations ("bought together").
+
+    Scale shape: the pair generator is a self-join blocked on
+    l_orderkey — basket size is bounded (≤7 lineitems/order in TPC-H),
+    so candidate pairs are ≤ C(7,2) per order at ANY corpus size; the
+    per-part support table is a broadcast-sized aggregate joined back
+    twice for the lift denominator. No all-pairs stage anywhere."""
+    from pyspark import StorageLevel
+
+    # the distinct basket table feeds the support agg and BOTH sides
+    # of the pair self-join — materialize the (orderkey, partkey)
+    # pairs once instead of re-running the distinct per consumer
+    li = (
+        _t(spark, sf, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    li.count()
+    n_orders = li.select("l_orderkey").distinct().count()
+    part_n = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("pn"))
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    pairs = (
+        a.join(b, "ok")
+        .where(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .where(F.col("support") >= BASKET_MIN_SUPPORT)
+    )
+    lift = (
+        F.col("support").cast("double")
+        * F.lit(float(n_orders))
+        / (F.col("na").cast("double") * F.col("nb").cast("double"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(part_n.select(F.col("l_partkey").alias("pa"), F.col("pn").alias("na"))),
+            "pa",
+        )
+        .join(
+            F.broadcast(part_n.select(F.col("l_partkey").alias("pb"), F.col("pn").alias("nb"))),
+            "pb",
+        )
+        .select(
+            F.col("pa").alias("part_a"),
+            F.col("pb").alias("part_b"),
+            "support",
+            F.round(lift, 4).alias("lift"),
+        )
+    )
+
+
 EXTRA_QUERIES = {
+    "orders_scd2_history": orders_scd2_history,
+    "lineitem_market_basket": lineitem_market_basket,
     "orders_retention_cohorts": orders_retention_cohorts,
     "events_anomaly_zscore": events_anomaly_zscore,
     "parts_abc_pareto": parts_abc_pareto,
@@ -925,6 +1031,52 @@ FROM events GROUP BY 1, 2
 """
 
 EXTRA_ORACLES = {
+    "orders_scd2_history": """
+WITH c AS (
+  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+         CASE WHEN lag(o_orderstatus) OVER w IS NULL
+                OR lag(o_orderstatus) OVER w <> o_orderstatus
+              THEN 1 ELSE 0 END AS chg
+  FROM orders WINDOW w AS (PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderkey)
+),
+s AS (
+  SELECT o_custkey, o_orderstatus, o_orderdate,
+         sum(chg) OVER (PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM c
+),
+i AS (
+  SELECT o_custkey, sid, o_orderstatus,
+         min(o_orderdate) AS valid_from,
+         CAST(count(*) AS BIGINT) AS n_orders
+  FROM s GROUP BY 1, 2, 3
+)
+SELECT o_custkey AS custkey, o_orderstatus AS status, valid_from,
+       lead(valid_from) OVER w2 AS valid_to,
+       lead(valid_from) OVER w2 IS NULL AS is_current,
+       n_orders
+FROM i WINDOW w2 AS (PARTITION BY o_custkey ORDER BY sid)
+""",
+    "lineitem_market_basket": f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM lineitem),
+pn AS (SELECT l_partkey, count(*) AS pn FROM li GROUP BY 1),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         CAST(count(*) AS BIGINT) AS support
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                      AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= {BASKET_MIN_SUPPORT}
+)
+SELECT part_a, part_b, support,
+       round(support * (SELECT n_orders FROM n)
+             / (na.pn * CAST(nb.pn AS DOUBLE)), 4) AS lift
+FROM pairs
+JOIN pn na ON na.l_partkey = part_a
+JOIN pn nb ON nb.l_partkey = part_b
+""",
     "parts_abc_pareto": f"""
 WITH rev AS (
   SELECT l_partkey, {_REV_SQL} AS rev_dec FROM lineitem GROUP BY 1
