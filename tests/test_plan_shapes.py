@@ -310,3 +310,50 @@ def test_compact_plan_parallelism_exceeds_dir_count(spark, sf_dir):
     plan = _formatted(replication_compact_plan(spark, sf_dir))
     # the level-1 sort must include the chunk column
     assert "__chunk" in plan
+
+
+def test_round4_ops_no_python_no_cartesian(spark, sf_dir):
+    """Round-4 additions must stay JVM-side and blocked: no Python
+    eval nodes anywhere; no cartesian products; the pair generators
+    (market basket, prefix dedup) must join/aggregate on their block
+    keys, not cross-join."""
+    from reair_spark.datapipe.curate import curate_weighted_sample
+    from reair_spark.datapipe.dedup import dedup_prefix
+    from reair_spark.datapipe.multimodal import multimodal_scene_cuts
+    from reair_spark.datapipe.text import text_quality_linear
+    from reair_spark.extra_queries import (
+        lineitem_market_basket,
+        orders_scd2_history,
+    )
+
+    for fn in (
+        dedup_prefix,
+        multimodal_scene_cuts,
+        curate_weighted_sample,
+        text_quality_linear,
+        orders_scd2_history,
+        lineitem_market_basket,
+    ):
+        plan = _formatted(fn(spark, sf_dir))
+        assert "BatchEvalPython" not in plan, fn.__name__
+        assert "ArrowEvalPython" not in plan, fn.__name__
+        assert "CartesianProduct" not in plan, fn.__name__
+
+
+def test_weighted_sample_is_top_k_not_full_sort(spark, sf_dir):
+    """curate_weighted_sample's global pick must compile to
+    TakeOrderedAndProject (per-partition partial top-K), never a full
+    global Sort+Exchange of the corpus."""
+    from reair_spark.datapipe.curate import curate_weighted_sample
+
+    plan = _formatted(curate_weighted_sample(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_scene_cuts_is_map_only(spark, sf_dir):
+    """multimodal_scene_cuts must be a single map over the scan —
+    zero exchanges (no per-frame explode through a shuffle)."""
+    from reair_spark.datapipe.multimodal import multimodal_scene_cuts
+
+    plan = _formatted(multimodal_scene_cuts(spark, sf_dir))
+    assert "Exchange" not in plan
