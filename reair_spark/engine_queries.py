@@ -156,6 +156,22 @@ def stream_funnel_q(spark: SparkSession, sf: str) -> DataFrame:
     return stream_funnel(spark, sf)
 
 
+def stream_latest_state_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming materialized latest-per-key snapshot (max_by state,
+    one row per key) — equals the batch row_number()=1 pick."""
+    from reair_spark.streaming import stream_latest_state
+
+    return stream_latest_state(spark, sf)
+
+
+def stream_running_stats_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Custom stateful running stats (applyInPandasWithState with
+    (n, Σv, Σv²) accumulators) — final totals equal the batch agg."""
+    from reair_spark.streaming import stream_running_stats
+
+    return stream_running_stats(spark, sf)
+
+
 def stream_topk_trending_q(spark: SparkSession, sf: str) -> DataFrame:
     """Windowed top-k over the bounded stream (hourly per-type counts
     as the stateful agg, rank as a metadata-sized finalize) — equals
@@ -201,6 +217,8 @@ def stream_sessionize_q(spark: SparkSession, sf: str) -> DataFrame:
 
 
 ENGINE_QUERIES = {
+    "stream_latest_state": stream_latest_state_q,
+    "stream_running_stats": stream_running_stats_q,
     "stream_topk_trending": stream_topk_trending_q,
     "stream_interval_join": stream_interval_join_q,
     "stream_dedup": stream_dedup_q,
@@ -217,6 +235,22 @@ ENGINE_QUERIES = {
 # COPY(meta+data); dest-only → DROP; TLDT drift → COPY(meta only,
 # digests unknown ⇒ data treated equal); else NO_OP
 ENGINE_ORACLES = {
+    "stream_latest_state": """
+SELECT user_id, CAST(ts AS TIMESTAMP) AS last_ts,
+       event_id AS last_event_id, event_type AS last_type,
+       round(value, 4) AS last_value
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events) r
+WHERE rn = 1
+""",
+    "stream_running_stats": """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       round(avg(value), 4) AS mean,
+       round(var_pop(value), 4) AS var_pop
+FROM events GROUP BY 1 ORDER BY 1
+""",
     "stream_topk_trending": """
 WITH c AS (
   SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)

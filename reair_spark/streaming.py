@@ -128,6 +128,96 @@ def stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(agg, "complete")
 
 
+def stream_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized latest-per-key view maintained by the stream — the
+    CDC "current state" table (what a MERGE upsert produces) as a
+    streaming aggregation: per user, max_by over the (ts, event_id)
+    order keeps exactly the newest event's attributes, and complete
+    mode serves the whole snapshot each batch.
+
+    Scale shape: state is ONE row per key (not a buffer of events —
+    max_by folds incrementally), so the store size is the key
+    cardinality regardless of stream volume; ties on ts break on
+    event_id, making the snapshot engine-deterministic."""
+    ev = stream_events(spark, sf_dir, max_files_per_trigger=1)
+    last = F.max_by(
+        F.struct("ts", "event_id", "event_type", "value"),
+        F.struct("ts", "event_id"),
+    ).alias("lv")
+    agg = ev.groupBy("user_id").agg(last)
+    out = _run_to_memory(agg.select("user_id", "lv.*"), "complete")
+    return out.select(
+        "user_id",
+        F.col("ts").alias("last_ts"),
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_type"),
+        F.round("value", 4).alias("last_value"),
+    )
+
+
+def running_stats(events: DataFrame) -> DataFrame:
+    """Custom stateful running statistics per event_type via
+    ``applyInPandasWithState``: state carries (n, sum, sumsq) across
+    micro-batches — O(1) per key, never a buffer of events — and each
+    batch emits the type's totals-so-far (update mode, CDC-style).
+    The batch reduction is vectorized numpy; the merge is three adds.
+
+    This is the second custom stateful operator (funnel_detect is
+    CEP-shaped: per-key chain state; this one is aggregation-shaped:
+    per-key commutative accumulators) — together they cover the two
+    state disciplines applyInPandasWithState is for."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fn(key, pdf_iter, state):
+        import numpy as np
+        import pandas as pd
+
+        n, s, ss = state.get if state.exists else (0, 0.0, 0.0)
+        for pdf in pdf_iter:
+            v = pdf["value"].to_numpy(dtype="float64")
+            n += len(v)
+            s += float(v.sum())
+            ss += float((v * v).sum())
+        state.update((n, s, ss))
+        yield pd.DataFrame(
+            {"event_type": [key[0]], "n": [n], "s": [s], "ss": [ss]}
+        )
+
+    return (
+        events.select("event_type", "value")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            fn,
+            outputStructType="event_type string, n long, s double, ss double",
+            stateStructType="n long, s double, ss double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def stream_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-type (count, mean, population variance) over the
+    bounded stream; the final emitted totals per type equal the batch
+    aggregate. mean/var are derived OUTSIDE the stateful operator from
+    the exact (n, Σv, Σv²) sums, so the state stays 3 numbers."""
+    from pyspark.sql import Window as W
+
+    ev = stream_events(spark, sf_dir, max_files_per_trigger=1)
+    out = _run_to_memory(running_stats(ev), "update")
+    # last update per type = the row with the largest n
+    wl = W.partitionBy("event_type").orderBy(F.desc("n"))
+    final = out.withColumn("rn", F.row_number().over(wl)).where(F.col("rn") == 1)
+    mean = F.col("s") / F.col("n")
+    var = F.col("ss") / F.col("n") - mean * mean
+    return final.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round(mean, 4).alias("mean"),
+        F.round(var, 4).alias("var_pop"),
+    ).orderBy("event_type")
+
+
 def stream_topk_trending(
     spark: SparkSession, sf_dir: str, k: int = 3
 ) -> DataFrame:
