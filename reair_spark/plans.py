@@ -202,10 +202,18 @@ def compact_plan(
     # ambiguous tie order makes the cumsum engine-dependent; with size
     # in the key, tied rows are identical, so any tie permutation
     # yields the same result multiset.
+    # chunk = 8-char rel_path prefix: with 12-digit zero-padded names
+    # that is one chunk per 10^4 files per dir — window partitions stay
+    # ~10k rows however large the directory. The earlier 6-char prefix
+    # left whole sub-million-file dirs in ONE chunk (the decomposition
+    # silently degenerated back to per-dir serialization: 12 chunks vs
+    # 900 at sf0.1, 6.3 s vs 2.8 s measured). Any prefix length yields
+    # the SAME cumsum (lexicographic prefixes are monotone along the
+    # sort) — only the parallelism changes.
     binned = chunked_running_sum(
         small.select(dir_col, "rel_path", "size"),
         [dir_col],
-        F.substring("rel_path", 1, 6),
+        F.substring("rel_path", 1, 8),
         ["rel_path", "size"],
         "size",
         "__cum",
