@@ -39,6 +39,8 @@ cursors over id strides) — the standard Spark JDBC split.
 
 from __future__ import annotations
 
+import time
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -220,6 +222,15 @@ def write_events_to_jdbc(
     )
 
 
+class DbWatchdogExpired(RuntimeError):
+    """Raised when the audit-DB has been unreachable longer than the
+    watchdog limit — the loop gives up so a supervisor can restart the
+    process with a fresh driver/connection state (the reference's
+    DbConnectionWatchdog db/DbConnectionWatchdog.java:38-63 runs a
+    SELECT-1 probe thread and System.exit(-1)s on the same condition;
+    a raise is the library-shaped equivalent of killing the server)."""
+
+
 def run_incremental_jdbc(
     spark: SparkSession,
     source: JdbcAuditLogSource,
@@ -228,6 +239,8 @@ def run_incremental_jdbc(
     state_dir: str,
     max_batches: int | None = None,
     start_after_id: int | None = None,
+    watchdog_limit_s: float = 10.0,
+    watchdog_retry_s: float = 0.5,
 ) -> dict:
     """The ReplicationServer.run loop (ST1-ST4) fed by the JDBC tail:
     resume from checkpoint, poll id-ordered batches, compile, persist
@@ -262,8 +275,24 @@ def run_incremental_jdbc(
             job_store.append(executed.select(*_job_cols()))
         last_id = int(kv.get(LAST_PERSISTED_ID, "0") or 0)
     batches = 0
+    last_ok = time.monotonic()
     while max_batches is None or batches < max_batches:
-        batch = source.read_batch(spark, last_id)
+        # DB watchdog: transient tail-read failures retry with a short
+        # sleep; unreachable beyond watchdog_limit_s raises so the
+        # supervisor restarts the process (checkpointed state makes the
+        # restart a no-op replay). Job state writes are NOT guarded —
+        # losing the state store is a real failure, not a blip.
+        try:
+            batch = source.read_batch(spark, last_id)
+        except Exception as ex:  # noqa: BLE001 — any JDBC/driver error
+            if time.monotonic() - last_ok > watchdog_limit_s:
+                raise DbWatchdogExpired(
+                    f"audit DB unreachable for > {watchdog_limit_s}s "
+                    f"(last error: {type(ex).__name__}: {ex})"
+                ) from ex
+            time.sleep(watchdog_retry_s)
+            continue
+        last_ok = time.monotonic()
         if batch is None:
             break
         batch = batch.cache()

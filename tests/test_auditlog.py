@@ -149,3 +149,49 @@ def test_run_incremental_jdbc_start_after_id(spark, tmp_path, source_factory):
     assert dest_cat.get_table("db1", "t1") is None        # aborted, not run
     assert dest_cat.get_table("db1", "t2") is not None    # replayed
     assert res["last_id"] == 2
+
+
+def test_db_watchdog_recovers_then_expires(spark, tmp_path, source_factory):
+    """DbConnectionWatchdog parity: transient tail-read failures retry
+    quietly; a DB unreachable past the limit raises DbWatchdogExpired
+    so a supervisor can restart (checkpointed state replays cleanly)."""
+    from reair_spark.auditlog import DbWatchdogExpired
+
+    url = _derby_url(tmp_path, "wdog")
+    src_root, dest_root = str(tmp_path / "src"), str(tmp_path / "dest")
+    src_cat = DirectoryCatalog(src_root)
+    _make_unpartitioned(src_cat, "db1", "t1")
+    _seed(spark, url, [
+        (1, _T0, "CREATETABLE", "c1", [("OUTPUT", "TABLE", "db1.t1", "{}")]),
+    ])
+
+    class Flaky:
+        """Fails n times, then delegates to the real source."""
+
+        def __init__(self, inner, fail_times):
+            self.inner, self.left = inner, fail_times
+
+        def read_batch(self, spark, after_id):
+            if self.left > 0:
+                self.left -= 1
+                raise RuntimeError("connection refused")
+            return self.inner.read_batch(spark, after_id)
+
+    real = source_factory(url)
+    # two transient failures, generous limit: loop recovers and finishes
+    res = run_incremental_jdbc(
+        spark, Flaky(real, 2), src_root, dest_root, str(tmp_path / "s1"),
+        watchdog_limit_s=30.0, watchdog_retry_s=0.05,
+    )
+    assert res["last_id"] == 1
+    assert DirectoryCatalog(dest_root).get_table("db1", "t1") is not None
+
+    # permanently down: expires after the (tiny) limit
+    import pytest
+
+    with pytest.raises(DbWatchdogExpired):
+        run_incremental_jdbc(
+            spark, Flaky(real, 10**9), src_root, dest_root,
+            str(tmp_path / "s2"),
+            watchdog_limit_s=0.2, watchdog_retry_s=0.05,
+        )
