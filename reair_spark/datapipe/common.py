@@ -171,6 +171,21 @@ def word_bigrams(tok: Column) -> Column:
     return F.when(n >= 2, z).otherwise(F.slice(tok, 1, 1))
 
 
+def round_like_duckdb(c: Column, digits: int = 4) -> Column:
+    """Round a DOUBLE exactly the way DuckDB's round() does:
+    sign(x)·floor(|x|·10^d + 0.5)/10^d (float-multiply, half away from
+    zero). Spark's F.round goes through BigDecimal of the EXACT binary
+    double, so the two disagree on tie-prone rationals (e.g. weights
+    k/1000: F.round saw …249999… and emitted -0.0562 where DuckDB's
+    multiply landed on -562.5 → -0.0563 — a real engine mismatch at
+    sf0.001). Verified equal to DuckDB round over 21k signed samples
+    including the tie-prone classes. Use for oracle-compared DOUBLE
+    outputs whose values can sit on decimal ties; plain F.round is
+    fine for DECIMAL arithmetic and irrational-valued scores."""
+    p = 10.0 ** digits
+    return F.signum(c) * F.floor(F.abs(c) * p + F.lit(0.5)) / p
+
+
 def dot(x: Column, y: Column) -> Column:
     """Dot product of two array<double> columns, fully JVM-side
     (zip_with product + aggregate fold; sequential sum matches DuckDB's

@@ -472,9 +472,13 @@ def text_quality_linear(spark: SparkSession, sf: str) -> DataFrame:
     score = F.aggregate(wexpr, F.lit(0.0), lambda acc, x: acc + x) / F.size(
         tok
     ).cast("double")
+    from reair_spark.datapipe.common import round_like_duckdb
+
     return d.select(
         "doc_id",
-        F.round(score, 4).alias("score"),
+        # scores are sums of k/1000 rationals — decimal-tie-prone, so
+        # round with DuckDB's exact float-multiply convention
+        round_like_duckdb(score, 4).alias("score"),
         (score > 0).alias("keep"),
     )
 
