@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from reair_spark.datapipe.common import round_like_duckdb
 from reair_spark.io import load_table as _t
 from reair_spark.operators import (
     asof_join,
@@ -979,7 +980,9 @@ def lineitem_market_basket(spark: SparkSession, sf: str) -> DataFrame:
             F.col("pa").alias("part_a"),
             F.col("pb").alias("part_b"),
             "support",
-            F.round(lift, 4).alias("lift"),
+            # lift is a small-denominator rational — decimal-tie-prone,
+            # so round with DuckDB's exact float-multiply convention
+            round_like_duckdb(lift, 4).alias("lift"),
         )
     )
 

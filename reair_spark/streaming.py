@@ -208,13 +208,17 @@ def stream_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # last update per type = the row with the largest n
     wl = W.partitionBy("event_type").orderBy(F.desc("n"))
     final = out.withColumn("rn", F.row_number().over(wl)).where(F.col("rn") == 1)
+    from reair_spark.datapipe.common import round_like_duckdb
+
     mean = F.col("s") / F.col("n")
     var = F.col("ss") / F.col("n") - mean * mean
     return final.select(
         "event_type",
         F.col("n").cast("long").alias("n"),
-        F.round(mean, 4).alias("mean"),
-        F.round(var, 4).alias("var_pop"),
+        # Σv/n over few-decimal values is a rational that can sit on a
+        # decimal tie — round with DuckDB's exact convention
+        round_like_duckdb(mean, 4).alias("mean"),
+        round_like_duckdb(var, 4).alias("var_pop"),
     ).orderBy("event_type")
 
 
