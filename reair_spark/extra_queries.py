@@ -987,7 +987,57 @@ def lineitem_market_basket(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def events_incremental_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental view maintenance through the correctness gate:
+    yesterday's stored hourly rollup (the 90% "base" slice, standing
+    in for a persisted aggregate table) merges with today's delta
+    batch via `operators.merge_partial_aggs` — re-aggregating two
+    partial-state tables, never rescanning base facts. The oracle
+    computes the full-table rollup directly, so the gate proves the
+    merge algebra (Σ of partials == total) exactly.
+
+    Scale shape: in production the base side is a metadata-sized
+    aggregate table read from storage; the only fact-scan cost is the
+    delta. Mean is derived AFTER the merge from the exact (n, Σv)
+    state — never averaged across partials."""
+    from reair_spark.operators import merge_partial_aggs
+
+    e = _t(spark, sf, "events").select(
+        "event_id",
+        "event_type",
+        F.date_trunc("hour", "ts").alias("hour"),
+        "value",
+    )
+
+    def partial(df):
+        return df.groupBy("event_type", "hour").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("value").alias("total"),
+        )
+
+    base = partial(e.where(F.col("event_id") % 10 != 0))
+    delta = partial(e.where(F.col("event_id") % 10 == 0))
+    merged = merge_partial_aggs(
+        base, delta, keys=["event_type", "hour"], sums=["n", "total"]
+    )
+    # rounding precisions chosen OFF the decimal-tie classes: total is
+    # a sum of 2-decimal values (exact at 2 decimals — no 3rd-decimal
+    # 5 to tie on); mean = (2-decimal total)/n terminates in < 7
+    # decimals for small 2^a5^b group sizes and never terminates for
+    # other n, so 6-decimal rounding cannot land on an exact half.
+    # (Rounding mean at 4 DID tie: 415.25/8 = 51.90625 exactly, and
+    # cross-engine sum order broke the hash — measured at sf0.01.)
+    return merged.select(
+        "event_type",
+        "hour",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("total"), 2).alias("total"),
+        F.round(F.col("total") / F.col("n"), 6).alias("mean"),
+    )
+
+
 EXTRA_QUERIES = {
+    "events_incremental_rollup": events_incremental_rollup,
     "orders_scd2_history": orders_scd2_history,
     "lineitem_market_basket": lineitem_market_basket,
     "orders_retention_cohorts": orders_retention_cohorts,
@@ -1034,6 +1084,15 @@ FROM events GROUP BY 1, 2
 """
 
 EXTRA_ORACLES = {
+    # full-table recompute: proves the partial-merge algebra exactly
+    "events_incremental_rollup": """
+SELECT event_type,
+       CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS hour,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 2) AS total,
+       round(sum(value) / count(*), 6) AS mean
+FROM events GROUP BY 1, 2
+""",
     "orders_scd2_history": """
 WITH c AS (
   SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,

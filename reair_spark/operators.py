@@ -521,3 +521,26 @@ def chunked_running_sum(
         .withColumn(out_col, (F.col("__local") + F.col("__off")))
         .drop("__chunk", "__local", "__off")
     )
+
+
+def merge_partial_aggs(
+    base: DataFrame, delta: DataFrame, keys: list[str], sums: list[str]
+) -> DataFrame:
+    """Incremental view maintenance for distributive aggregates: merge
+    a stored partial-aggregate table with a new delta batch's partials
+    by re-aggregating the UNION of the two — the pattern that lets a
+    100 TB pipeline maintain its rollups by touching only the new data
+    (the base FACTS are never rescanned; only the metadata-sized
+    aggregate table re-enters the plan).
+
+    Correct exactly for distributive/algebraic aggregates carried as
+    sums and counts (sum, count, mean=sum/count, min/max fold the same
+    way); NOT for holistic ones (median, distinct) — those need
+    sketches (see sketch_hll_cardinality) or a recompute.
+
+    Both inputs must already carry the same ``keys`` + ``sums``
+    columns (partial state), e.g. n/total per (type, hour)."""
+    merged = base.select(*keys, *sums).unionByName(delta.select(*keys, *sums))
+    return merged.groupBy(*keys).agg(
+        *[F.sum(c).alias(c) for c in sums]
+    )
