@@ -178,3 +178,32 @@ def test_interval_overlap_join_exact_no_duplicates(spark):
     # known overlaps: touching endpoint (1,10) at -30, wide spans
     assert (1, 10) in got and (3, 11) in got and (1, 12) in got
     assert len(got) == len(set(got))  # no duplicate emissions
+
+
+def test_merge_partial_aggs_equals_full_aggregate(spark):
+    """IVM algebra: for ANY split of the facts into base/delta, merging
+    the two partial-aggregate tables equals the full aggregate."""
+    from reair_spark.operators import merge_partial_aggs
+
+    rows = [(i % 7, (i * 13) % 5, float((i * 31) % 97)) for i in range(500)]
+    df = spark.createDataFrame(rows, "k int, g int, v double")
+
+    def partial(d):
+        return d.groupBy("k").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")
+        )
+
+    full = {r.k: (r.n, r.s) for r in partial(df).collect()}
+    for mod in (2, 3, 10):  # several asymmetric splits
+        base = partial(df.where(F.col("g") % mod != 0))
+        delta = partial(df.where(F.col("g") % mod == 0))
+        merged = {
+            r.k: (r.n, r.s)
+            for r in merge_partial_aggs(
+                base, delta, keys=["k"], sums=["n", "s"]
+            ).collect()
+        }
+        assert set(merged) == set(full)
+        for k in full:
+            assert merged[k][0] == full[k][0]
+            assert abs(merged[k][1] - full[k][1]) < 1e-9
