@@ -1036,7 +1036,113 @@ def events_incremental_rollup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+PR_ITERS = 2
+PR_DAMP = 0.85
+
+
+def nations_trade_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Bounded-iteration PageRank over the nation trade graph — the
+    iterative-algorithm family's graph member (alongside k-means, label
+    propagation, and PCA power iteration): who sits central in the
+    buyer→supplier flow.
+
+    Scale shape — the one that matters: the FACTS collapse to the
+    nation-granularity edge list FIRST (one fact shuffle; ≤ N² = 625
+    weighted edges), and every iteration runs on that metadata-sized
+    graph via broadcast joins — the same "aggregate, then iterate on
+    the small state" discipline kmeans_fit uses. Iterating on the raw
+    order/lineitem edges would shuffle the corpus once per hop.
+    Fixed iterations + deterministic arithmetic = the DuckDB oracle
+    unrolls the identical straight-line dataflow."""
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    from pyspark import StorageLevel
+
+    # ≤ N² rows after the single fact shuffle; every hop reads this
+    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    edges.count()
+    outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
+    e = edges.join(F.broadcast(outw), "src").select(
+        "src", "dst", (F.col("w") / F.col("ow").cast("double")).alias("p")
+    )
+    nodes = _t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("node"), "n_name"
+    )
+    n_nodes = nodes.count()
+    rank = nodes.select("node", F.lit(1.0 / n_nodes).alias("r"))
+    for _ in range(PR_ITERS):
+        contrib = (
+            e.join(F.broadcast(rank), e.src == rank.node)
+            .groupBy("dst")
+            .agg(F.sum(F.col("r") * F.col("p")).alias("cin"))
+        )
+        rank = nodes.join(
+            F.broadcast(contrib), nodes.node == contrib.dst, "left"
+        ).select(
+            "node",
+            (
+                F.lit((1.0 - PR_DAMP) / n_nodes)
+                + F.lit(PR_DAMP) * F.coalesce("cin", F.lit(0.0))
+            ).alias("r"),
+        )
+    return (
+        nodes.join(F.broadcast(rank), "node")
+        .select(F.col("n_name").alias("nation"), F.round("r", 6).alias("rank"))
+        .orderBy(F.desc("rank"), "nation")
+    )
+
+
+def _pagerank_sql() -> str:
+    iters = []
+    prev = "r0"
+    for i in range(1, PR_ITERS + 1):
+        iters.append(f"""
+r{i} AS (
+  SELECT n.node,
+         0.15 / (SELECT cnt FROM nn)
+           + 0.85 * coalesce(sum({prev}.r * e.p), 0) AS r
+  FROM n
+  LEFT JOIN e ON e.dst = n.node
+  LEFT JOIN {prev} ON {prev}.node = e.src
+  GROUP BY n.node
+)""")
+        prev = f"r{i}"
+    chain = ",".join(iters)
+    return f"""
+WITH edges AS (
+  SELECT c_nationkey AS src, s_nationkey AS dst, count(*) AS w
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  GROUP BY 1, 2
+),
+outw AS (SELECT src, sum(w) AS ow FROM edges GROUP BY 1),
+e AS (SELECT src, dst, w / CAST(ow AS DOUBLE) AS p
+      FROM edges JOIN outw USING (src)),
+n AS (SELECT n_nationkey AS node, n_name FROM nation),
+nn AS (SELECT count(*) AS cnt FROM n),
+r0 AS (SELECT node, 1.0 / (SELECT cnt FROM nn) AS r FROM n),
+{chain}
+SELECT n_name AS nation, round({prev}.r, 6) AS rank
+FROM n JOIN {prev} ON n.node = {prev}.node
+ORDER BY rank DESC, nation
+"""
+
+
 EXTRA_QUERIES = {
+    "nations_trade_pagerank": nations_trade_pagerank,
     "events_incremental_rollup": events_incremental_rollup,
     "orders_scd2_history": orders_scd2_history,
     "lineitem_market_basket": lineitem_market_basket,
@@ -1084,6 +1190,7 @@ FROM events GROUP BY 1, 2
 """
 
 EXTRA_ORACLES = {
+    "nations_trade_pagerank": _pagerank_sql(),
     # full-table recompute: proves the partial-merge algebra exactly
     "events_incremental_rollup": """
 SELECT event_type,
