@@ -571,6 +571,7 @@ def dedup_components(spark: SparkSession, sf: str) -> DataFrame:
             )
         ).alias("e")
     ).select("e.src", "e.dst").cache()
+    edges.count()  # eager: the hops' branch jobs must not race the fill
     labels = c.select("doc_id", F.col("doc_id").alias("comp"))
     for _ in range(DEDUP_CC_ITERS):
         nb = (
