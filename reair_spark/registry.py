@@ -10,65 +10,50 @@ from reair_spark.queries import DECLARED_ORACLES, DECLARED_QUERIES
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-# Keys the driver's correctness gate has ALREADY verified green in
-# rounds 1-3 (frozen history: CORRECTNESS_r01 ∪ r02 ∪ r03 .json).
-# The driver samples the registry in insertion order (~50 rows/round), so
-# `all_queries` front-loads (a) the one driver-RED row (fixed this round,
-# must re-check), (b) everything that has never had a driver row, and
-# parks already-green keys at the back. Every query keeps running locally
-# via tests/run_oracle_sweep.py either way; this ordering only steers the
-# driver's per-round sample. (VERDICT r3 #3: the r2-era green-set starved
-# the sample of the 20 round-3 additions — refreshed here as asked.)
-_DRIVER_GREEN_R01_R02 = frozenset(
-    [f"q{i:02d}" for i in range(1, 29)]  # matched by prefix below
-    + [
-        "text_token_count", "text_dedup_chunks", "text_line_dedup_corpus",
-        "text_perplexity_unigram", "sketch_countmin_tokens",
-        "text_quality_score", "text_lang_id", "text_fingerprint",
-        "text_heavy_hitters", "text_tfidf_top_terms", "text_quality_filter",
-        "dedup_exact", "dedup_against_corpus", "dedup_minhash_lsh",
-        "dedup_components", "dedup_simhash", "dedup_ngram_jaccard",
-        "ann_cosine_topk", "ann_ivf_topk", "embedding_neardup",
-        "embedding_quantize", "multimodal_features", "multimodal_frame_sample",
-    ]
-)
-# Green rows from CORRECTNESS_r03.json (hash_match=true).
-_DRIVER_GREEN_R03 = frozenset(
-    [
-        "embedding_kmeans", "embedding_semdedup", "multimodal_resize",
-        "curate_shard_manifest", "curate_pipeline", "curate_token_budget",
-        "curate_sample_stratified", "curate_decontaminate",
-        "curate_pack_sequences", "curate_pii_mask", "stream_interval_join",
-        "stream_dedup", "stream_enrich", "replication_table_diff",
-        "replication_schema_diff", "replication_compact_plan",
-        "stream_hourly_counts", "stream_funnel", "sketch_hll_cardinality",
-        "events_gap_fill", "events_median_by_type", "events_geomean_udaf",
-        "grouped_percentiles", "lineitem_zorder_stats",
-        "orders_metrics_unpivot", "interval_overlap_balances",
-        "tpch_q4_priority_semi", "tpch_q10_returned_revenue",
-        "tpch_q12_priority_buckets", "tpch_q13_order_histogram",
-        "tpch_q22_dormant_customers", "orders_price_deciles",
-        "json_props_stats", "tpch_q18_large_orders", "fuzzy_match_parts",
-        "rollup_status_priority", "skew_salted_stats",
-        "events_moving_average", "tpch_q3_shipping_priority",
-        "tpch_q5_local_supplier", "asof_orders_events", "sessionize_events",
-        "cube_counts", "pivot_status_priority", "range_join_prices",
-        "exact_stats", "exact_percentiles", "text_chunk_windows",
-        "dedup_jaccard_rareblock",
-    ]
-)
-# Driver-red in r03 (rounding convention, fixed this round) — FIRST in
-# the sample so CORRECTNESS_r04 records the fix.
-_RECHECK_FIRST = ("multimodal_audio_windows",)
 
+def _driver_history() -> tuple[frozenset, frozenset]:
+    """(ever_green, latest_red) straight from the driver's own
+    ``CORRECTNESS_r*.json`` artifacts at the repo root.
 
-def _already_green(name: str) -> bool:
-    prefix = name.split("_", 1)[0]
-    return (
-        name in _DRIVER_GREEN_R01_R02
-        or prefix in _DRIVER_GREEN_R01_R02
-        or name in _DRIVER_GREEN_R03
-    )
+    The driver samples the registry in insertion order (~50 rows per
+    round), so ``all_queries`` front-loads (a) rows that were RED in
+    the most recent round (they carry a fix that must re-check),
+    (b) rows that have never had a driver verdict, and parks
+    already-green keys at the back. Earlier rounds maintained the
+    green set BY HAND, and a stale set starved the sample of every
+    new addition for a full round (VERDICT r3 #3) — reading the
+    artifacts makes the rotation automatic: the moment the driver
+    records a green row, the next round's sample stops re-spending
+    budget on it. With no artifacts present (fresh clone) everything
+    counts as never-checked, which is the right cold-start order.
+    """
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    files = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
+    green: set[str] = set()
+    rounds: list[dict] = []
+    for path in files:
+        try:
+            with open(path) as fh:
+                data = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        rounds.append(data)
+        for name, row in data.items():
+            if isinstance(row, dict) and row.get("hash_match") and not row.get("err"):
+                green.add(name)
+    latest_red: set[str] = set()
+    if rounds:
+        latest_red = {
+            name
+            for name, row in rounds[-1].items()
+            if isinstance(row, dict)
+            and not (row.get("hash_match") and not row.get("err"))
+        } - green
+    return frozenset(green), frozenset(latest_red)
 
 
 def all_queries() -> dict[str, QueryFn]:
@@ -84,12 +69,13 @@ def all_queries() -> dict[str, QueryFn]:
     merged.update(EXTRA_QUERIES)
     merged.update(TPCH_MORE_QUERIES)
 
+    green, latest_red = _driver_history()
     out: dict[str, QueryFn] = {}
-    for name in _RECHECK_FIRST:
-        if name in merged:
-            out[name] = merged[name]
+    for name, fn in merged.items():  # last round's red rows re-check first
+        if name in latest_red:
+            out[name] = fn
     for name, fn in merged.items():  # never driver-checked: sample next
-        if name not in out and not _already_green(name):
+        if name not in out and name not in green:
             out[name] = fn
     for name, fn in merged.items():  # already-green keys last
         if name not in out:
