@@ -166,7 +166,18 @@ def main(argv: list[str] | None = None) -> int:
         if args.streaming:
             from reair_spark.streaming import stream_replicate
 
-            schema = spark.read.parquet(args.events_parquet).schema
+            if args.start_after_id is not None:
+                # The streaming source tracks position via the Structured
+                # Streaming checkpoint, not LAST_PERSISTED_ID — silently
+                # ignoring the override would defeat the bad-deploy
+                # recovery the flag exists for (ReplicationLauncher's
+                # override is a batch-loop concept).
+                p.error(
+                    "--start-after-id is not supported with --streaming: "
+                    "the streaming position lives in the checkpoint dir; "
+                    "delete/point --state-dir elsewhere or use the batch "
+                    "incremental mode for an id override"
+                )
             stream = (
                 spark.readStream.schema(schema)
                 .option("maxFilesPerTrigger", args.batch_size)

@@ -275,24 +275,33 @@ def run_incremental_jdbc(
             job_store.append(executed.select(*_job_cols()))
         last_id = int(kv.get(LAST_PERSISTED_ID, "0") or 0)
     batches = 0
-    last_ok = time.monotonic()
+    first_fail: float | None = None  # start of current failure streak
     while max_batches is None or batches < max_batches:
         # DB watchdog: transient tail-read failures retry with a short
-        # sleep; unreachable beyond watchdog_limit_s raises so the
-        # supervisor restarts the process (checkpointed state makes the
-        # restart a no-op replay). Job state writes are NOT guarded —
-        # losing the state store is a real failure, not a blip.
+        # sleep; a CONSECUTIVE failure streak longer than
+        # watchdog_limit_s raises so the supervisor restarts the
+        # process (checkpointed state makes the restart a no-op
+        # replay). The clock starts at the first failure of the
+        # streak — not at the last success — so a batch whose
+        # compile/execute takes longer than the limit doesn't turn a
+        # single transient error into an instant kill (the reference
+        # DbConnectionWatchdog times consecutive probe failures the
+        # same way). Job state writes are NOT guarded — losing the
+        # state store is a real failure, not a blip.
         try:
             batch = source.read_batch(spark, last_id)
         except Exception as ex:  # noqa: BLE001 — any JDBC/driver error
-            if time.monotonic() - last_ok > watchdog_limit_s:
+            now = time.monotonic()
+            if first_fail is None:
+                first_fail = now
+            if now - first_fail > watchdog_limit_s:
                 raise DbWatchdogExpired(
                     f"audit DB unreachable for > {watchdog_limit_s}s "
                     f"(last error: {type(ex).__name__}: {ex})"
                 ) from ex
             time.sleep(watchdog_retry_s)
             continue
-        last_ok = time.monotonic()
+        first_fail = None
         if batch is None:
             break
         batch = batch.cache()

@@ -533,9 +533,10 @@ def merge_partial_aggs(
     (the base FACTS are never rescanned; only the metadata-sized
     aggregate table re-enters the plan).
 
-    Correct exactly for distributive/algebraic aggregates carried as
-    sums and counts (sum, count, mean=sum/count, min/max fold the same
-    way); NOT for holistic ones (median, distinct) — those need
+    Correct exactly for SUM/COUNT-carried state (sum, count,
+    mean=sum/count): every column in ``sums`` is merged with F.sum.
+    Min/max partials would need F.min/F.max per column and are NOT
+    supported here; holistic aggregates (median, distinct) need
     sketches (see sketch_hll_cardinality) or a recompute.
 
     Both inputs must already carry the same ``keys`` + ``sums``

@@ -11,49 +11,50 @@ from reair_spark.queries import DECLARED_ORACLES, DECLARED_QUERIES
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
-def _driver_history() -> tuple[frozenset, frozenset]:
-    """(ever_green, latest_red) straight from the driver's own
+def _driver_history() -> tuple[frozenset, dict[str, int]]:
+    """(latest_red, last_green_round) from the driver's own
     ``CORRECTNESS_r*.json`` artifacts at the repo root.
 
     The driver samples the registry in insertion order (~50 rows per
-    round), so ``all_queries`` front-loads (a) rows that were RED in
-    the most recent round (they carry a fix that must re-check),
-    (b) rows that have never had a driver verdict, and parks
-    already-green keys at the back. Earlier rounds maintained the
-    green set BY HAND, and a stale set starved the sample of every
-    new addition for a full round (VERDICT r3 #3) — reading the
-    artifacts makes the rotation automatic: the moment the driver
-    records a green row, the next round's sample stops re-spending
-    budget on it. With no artifacts present (fresh clone) everything
-    counts as never-checked, which is the right cold-start order.
+    round), so ``all_queries`` front-loads (a) rows whose LATEST
+    driver verdict is red (a regression or a fix that must re-check
+    — the latest verdict wins, so a query green in r02 but red in
+    r04 re-enters the front), (b) rows that have never had a driver
+    verdict, then (c) green rows ordered oldest-verified-round first
+    so long-green rows (e.g. q01–q28, last checked r01) rotate back
+    through the sample before recently-verified ones instead of
+    going permanently stale. With no artifacts present (fresh clone)
+    everything counts as never-checked, which is the right
+    cold-start order.
     """
     import glob
     import json
     import os
+    import re
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     files = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
-    green: set[str] = set()
-    rounds: list[dict] = []
+    # latest verdict per query wins; remember the round of the last
+    # GREEN verdict for staleness ordering.
+    latest_verdict: dict[str, bool] = {}
+    last_green_round: dict[str, int] = {}
     for path in files:
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as fh:
                 data = json.load(fh)
         except (OSError, ValueError):
             continue
-        rounds.append(data)
         for name, row in data.items():
-            if isinstance(row, dict) and row.get("hash_match") and not row.get("err"):
-                green.add(name)
-    latest_red: set[str] = set()
-    if rounds:
-        latest_red = {
-            name
-            for name, row in rounds[-1].items()
-            if isinstance(row, dict)
-            and not (row.get("hash_match") and not row.get("err"))
-        } - green
-    return frozenset(green), frozenset(latest_red)
+            if not isinstance(row, dict):
+                continue
+            ok = bool(row.get("hash_match")) and not row.get("err")
+            latest_verdict[name] = ok
+            if ok:
+                last_green_round[name] = max(last_green_round.get(name, 0), rnd)
+    latest_red = {n for n, ok in latest_verdict.items() if not ok}
+    return frozenset(latest_red), last_green_round
 
 
 def all_queries() -> dict[str, QueryFn]:
@@ -69,17 +70,23 @@ def all_queries() -> dict[str, QueryFn]:
     merged.update(EXTRA_QUERIES)
     merged.update(TPCH_MORE_QUERIES)
 
-    green, latest_red = _driver_history()
+    latest_red, last_green_round = _driver_history()
     out: dict[str, QueryFn] = {}
-    for name, fn in merged.items():  # last round's red rows re-check first
+    for name, fn in merged.items():  # latest-verdict-red rows re-check first
         if name in latest_red:
             out[name] = fn
     for name, fn in merged.items():  # never driver-checked: sample next
-        if name not in out and name not in green:
+        if name not in out and name not in last_green_round:
             out[name] = fn
-    for name, fn in merged.items():  # already-green keys last
-        if name not in out:
-            out[name] = fn
+    # green rows: least-recently-verified first, registry order as
+    # tie-break within a round, so every green row cycles through the
+    # driver's 50-row window across rounds.
+    order = list(merged)
+    for name in sorted(
+        (n for n in merged if n not in out),
+        key=lambda n: (last_green_round.get(n, 0), order.index(n)),
+    ):
+        out[name] = merged[name]
     return out
 
 

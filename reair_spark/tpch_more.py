@@ -591,7 +591,7 @@ JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_2'
 WHERE s_suppkey IN (
   SELECT l_suppkey FROM sp
   WHERE qty > {Q20_QTY_CAP}
-    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'part_1%')
+    AND l_partkey IN (SELECT p_partkey FROM part WHERE starts_with(p_name, 'part_1'))
 )
 ORDER BY s_name
 """,
