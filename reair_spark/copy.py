@@ -72,11 +72,11 @@ def plan_copy_tasks(plan: DataFrame, src_files: DataFrame) -> DataFrame:
     )
 
 
-def _md5_of(path: str) -> str:
+def _md5_of(fs, path: str) -> str:
     import hashlib
 
     h = hashlib.md5()
-    with open(path, "rb") as fh:
+    with fs.open_read(path) as fh:
         while True:
             chunk = fh.read(1 << 20)
             if not chunk:
@@ -91,9 +91,16 @@ def _copy_one(
     size: int,
     mtime: int,
     verify_checksum: bool = False,
+    fs_registry: dict | None = None,
 ) -> tuple:
     """BatchUtils.doCopyFileAction semantics: skip same-size, tmp +
     fsync + atomic rename, preserve mtime, bounded retries.
+
+    All file touches go through the pluggable FS seam
+    (reair_spark.fs) resolved per-path, so cross-scheme copies
+    (e.g. a registered remote scheme → local warehouse) are the same
+    code path — the interface-level parity with FsUtils.java/
+    DistCpWrapper.java the reference gets from Hadoop FileSystem.
 
     ``verify_checksum`` is the reference's config-gated checksum check
     (BatchUtils.java:105-117 / FsUtils.checksumsMatch:530-544): the
@@ -105,10 +112,15 @@ def _copy_one(
     more, the same cost trade the reference gates behind config."""
     import hashlib
 
+    from reair_spark.fs import fs_for
+
+    src_fs = fs_for(src_file, fs_registry)
+    dst_fs = fs_for(dest_file, fs_registry)
     try:
-        st = os.stat(dest_file)
-        if st.st_size == size and (
-            not verify_checksum or _md5_of(dest_file) == _md5_of(src_file)
+        st = dst_fs.stat(dest_file)
+        if st.size == size and (
+            not verify_checksum
+            or _md5_of(dst_fs, dest_file) == _md5_of(src_fs, src_file)
         ):
             return (src_file, dest_file, "SKIPPED", 0, None)
     except FileNotFoundError:
@@ -116,11 +128,10 @@ def _copy_one(
     err = None
     for attempt in range(COPY_ATTEMPTS):
         try:
-            os.makedirs(os.path.dirname(dest_file), exist_ok=True)
             tmp = f"{dest_file}.__copying_{os.getpid()}"
             n = 0
             src_md5 = hashlib.md5()
-            with open(src_file, "rb") as src, open(tmp, "wb") as dst:
+            with src_fs.open_read(src_file) as src, dst_fs.create(tmp) as dst:
                 while True:
                     chunk = src.read(1 << 20)
                     if not chunk:
@@ -129,13 +140,12 @@ def _copy_one(
                         src_md5.update(chunk)
                     dst.write(chunk)
                     n += len(chunk)
-                dst.flush()
-                os.fsync(dst.fileno())
-            if verify_checksum and _md5_of(tmp) != src_md5.hexdigest():
-                os.unlink(tmp)
+                dst_fs.flush_and_sync(dst)
+            if verify_checksum and _md5_of(dst_fs, tmp) != src_md5.hexdigest():
+                dst_fs.unlink(tmp)
                 raise OSError("checksum mismatch after copy")
-            os.utime(tmp, (mtime / 1000, mtime / 1000))
-            os.replace(tmp, dest_file)  # atomic publish
+            dst_fs.set_mtime(tmp, mtime)
+            dst_fs.rename(tmp, dest_file)  # atomic publish
             return (src_file, dest_file, "COPIED", n, None)
         except OSError as exc:  # pragma: no cover - exercised via FAILED test
             err = f"{type(exc).__name__}: {exc}"
@@ -156,6 +166,7 @@ def execute_copies(
     DistCpWrapperOptions.java:34-37) instead of a flat cluster constant.
     ``verify_checksum`` gates the per-file digest verification
     (BatchUtils.java:105-117)."""
+    from reair_spark.fs import fs_registry
     from reair_spark.plans import size_copy_parallelism
     from reair_spark.shipping import ensure_shipped
 
@@ -164,12 +175,13 @@ def execute_copies(
     balanced = tasks.repartition(
         parallelism, F.xxhash64("src_file", "size", "mtime")
     )
+    fses = fs_registry()  # driver registry snapshot rides the closure
 
     def run(rows: Iterator) -> Iterator[tuple]:
         for r in rows:
             yield _copy_one(
                 r.src_file, r.dest_file, r.size, r.mtime,
-                verify_checksum=verify_checksum,
+                verify_checksum=verify_checksum, fs_registry=fses,
             )
 
     return spark.createDataFrame(balanced.rdd.mapPartitions(run), COPY_RESULT_SCHEMA)

@@ -1,0 +1,249 @@
+"""Pluggable filesystem seam for the copy/inventory layer.
+
+The reference copies between arbitrary Hadoop filesystems — every
+file touch goes through the `FileSystem` abstraction
+(utils/src/main/java/com/airbnb/reair/common/FsUtils.java,
+batch/src/main/java/com/airbnb/reair/batch/hdfs/DistCpWrapper.java:41-220)
+so `hdfs://` vs `s3a://` is a URI scheme, not a code path. This module
+is the same seam for the PySpark engine: `inventory.list_files` and
+`copy._copy_one` route all open/list/stat/rename/mkdir calls through a
+small FS protocol, with a local implementation as the default and the
+scheme registry deciding which implementation owns a path.
+
+Executor model (the part Hadoop gets from the JVM classpath and we
+must do by hand): FS implementations are small PICKLABLE objects, and
+the call sites capture a snapshot of the scheme registry
+(``fs_registry()``) inside the task closure — so a scheme registered
+on the driver travels to every Python worker with the task, no
+worker-side import-time registration needed. Adding a real
+`hdfs://`/`s3a://` backend is therefore: implement the 9 primitives
+below (e.g. over pyarrow.fs), `register_fs(...)` it, done — no change
+to the listing or copy code.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import posixpath
+import re
+import time
+from dataclasses import dataclass, field
+
+_SCHEME_RE = re.compile(r"^([a-zA-Z][a-zA-Z0-9+.-]*)://")
+
+
+@dataclass(frozen=True)
+class FsEntry:
+    name: str
+    path: str
+    is_dir: bool
+    size: int
+    mtime_ms: int
+
+
+@dataclass(frozen=True)
+class FsStat:
+    size: int
+    mtime_ms: int
+
+
+class LocalFs:
+    """Default backend: plain POSIX calls. Atomic publish = same-dir
+    os.replace, durability = fsync before rename — the semantics
+    BatchUtils.doCopyFileAction gets from HDFS create+rename."""
+
+    scheme = "file"
+
+    def _resolve(self, path: str) -> str:
+        return path[len("file://"):] if path.startswith("file://") else path
+
+    def scandir(self, path: str) -> list[FsEntry]:
+        # raises FileNotFoundError / NotADirectoryError like os.scandir
+        out = []
+        base = self._resolve(path)
+        for e in os.scandir(base):
+            if e.is_dir(follow_symlinks=False):
+                out.append(FsEntry(e.name, f"{path.rstrip('/')}/{e.name}", True, 0, 0))
+            else:
+                st = e.stat()
+                out.append(
+                    FsEntry(e.name, f"{path.rstrip('/')}/{e.name}", False,
+                            st.st_size, int(st.st_mtime * 1000))
+                )
+        return out
+
+    def stat(self, path: str) -> FsStat:
+        st = os.stat(self._resolve(path))
+        return FsStat(st.st_size, int(st.st_mtime * 1000))
+
+    def isdir(self, path: str) -> bool:
+        return os.path.isdir(self._resolve(path))
+
+    def open_read(self, path: str):
+        return open(self._resolve(path), "rb")
+
+    def create(self, path: str):
+        """Writable binary stream; parent dirs created."""
+        p = self._resolve(path)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        return open(p, "wb")
+
+    def flush_and_sync(self, fileobj) -> None:
+        fileobj.flush()
+        os.fsync(fileobj.fileno())
+
+    def set_mtime(self, path: str, mtime_ms: int) -> None:
+        os.utime(self._resolve(path), (mtime_ms / 1000, mtime_ms / 1000))
+
+    def rename(self, src: str, dst: str) -> None:
+        os.replace(self._resolve(src), self._resolve(dst))
+
+    def unlink(self, path: str) -> None:
+        os.unlink(self._resolve(path))
+
+
+class MappedFs(LocalFs):
+    """A non-local scheme backed by a local root: ``mock://a/b`` →
+    ``<root>/a/b``. The test double for a remote warehouse — it proves
+    the listing/copy layer never bypasses the seam (an os.* call on the
+    raw ``mock://…`` string would ENOENT immediately), while remaining
+    picklable so executors resolve the same mapping."""
+
+    def __init__(self, scheme: str, root: str):
+        self.scheme = scheme
+        self.root = root
+
+    def _resolve(self, path: str) -> str:
+        prefix = f"{self.scheme}://"
+        if not path.startswith(prefix):
+            raise ValueError(f"{path!r} is not a {prefix} path")
+        return os.path.join(self.root, path[len(prefix):].lstrip("/"))
+
+    def scandir(self, path: str) -> list[FsEntry]:
+        out = []
+        for e in os.scandir(self._resolve(path)):  # raises like LocalFs
+            if e.is_dir(follow_symlinks=False):
+                out.append(FsEntry(e.name, f"{path.rstrip('/')}/{e.name}", True, 0, 0))
+            else:
+                st = e.stat()
+                out.append(
+                    FsEntry(e.name, f"{path.rstrip('/')}/{e.name}", False,
+                            st.st_size, int(st.st_mtime * 1000))
+                )
+        return out
+
+
+class MemFs:
+    """True in-memory FS (dict of path → (bytes, mtime_ms)). Picklable;
+    state lives in the owning process, so it unit-tests the copy
+    PROTOCOL (skip-same-size, tmp + publish rename, checksum retry)
+    without touching a disk — the distributed e2e uses MappedFs, whose
+    state survives the driver↔executor process boundary."""
+
+    def __init__(self, scheme: str = "mem"):
+        self.scheme = scheme
+        self.files: dict[str, tuple[bytes, int]] = {}
+
+    def _key(self, path: str) -> str:
+        return posixpath.normpath(path[len(f"{self.scheme}://"):].lstrip("/"))
+
+    def scandir(self, path: str) -> list[FsEntry]:
+        prefix = self._key(path)
+        names: dict[str, FsEntry] = {}
+        found = False
+        for k, (data, mt) in self.files.items():
+            if not k.startswith(prefix + "/"):
+                continue
+            found = True
+            rest = k[len(prefix) + 1:]
+            head, _, tail = rest.partition("/")
+            full = f"{path.rstrip('/')}/{head}"
+            if tail:
+                names.setdefault(head, FsEntry(head, full, True, 0, 0))
+            else:
+                names[head] = FsEntry(head, full, False, len(data), mt)
+        if not found:
+            if prefix in self.files:
+                raise NotADirectoryError(path)
+            raise FileNotFoundError(path)
+        return list(names.values())
+
+    def stat(self, path: str) -> FsStat:
+        k = self._key(path)
+        if k not in self.files:
+            raise FileNotFoundError(path)
+        data, mt = self.files[k]
+        return FsStat(len(data), mt)
+
+    def isdir(self, path: str) -> bool:
+        prefix = self._key(path) + "/"
+        return any(k.startswith(prefix) for k in self.files)
+
+    def open_read(self, path: str):
+        k = self._key(path)
+        if k not in self.files:
+            raise FileNotFoundError(path)
+        return io.BytesIO(self.files[k][0])
+
+    def create(self, path: str):
+        fs, key = self, self._key(path)
+
+        class _W(io.BytesIO):
+            def close(inner):  # publish on close
+                fs.files[key] = (inner.getvalue(), int(time.time() * 1000))
+                super().close()
+
+        return _W()
+
+    def flush_and_sync(self, fileobj) -> None:
+        pass  # no durability boundary in memory
+
+    def set_mtime(self, path: str, mtime_ms: int) -> None:
+        k = self._key(path)
+        self.files[k] = (self.files[k][0], mtime_ms)
+
+    def rename(self, src: str, dst: str) -> None:
+        self.files[self._key(dst)] = self.files.pop(self._key(src))
+
+    def unlink(self, path: str) -> None:
+        del self.files[self._key(path)]
+
+
+_LOCAL = LocalFs()
+_REGISTRY: dict[str, object] = {}
+
+
+def register_fs(fs) -> None:
+    """Driver-side scheme registration. Call sites snapshot the
+    registry into task closures via ``fs_registry()``."""
+    _REGISTRY[fs.scheme] = fs
+
+
+def unregister_fs(scheme: str) -> None:
+    _REGISTRY.pop(scheme, None)
+
+
+def fs_registry() -> dict[str, object]:
+    return dict(_REGISTRY)
+
+
+def scheme_of(path: str) -> str | None:
+    m = _SCHEME_RE.match(path)
+    return m.group(1) if m else None
+
+
+def fs_for(path: str, registry: dict[str, object] | None = None):
+    """Resolve the FS owning ``path``. Scheme-less and ``file://``
+    paths → LocalFs; unknown schemes fail loudly (a silent local
+    fallback would read garbage paths)."""
+    scheme = scheme_of(path)
+    if scheme is None or scheme == "file":
+        return _LOCAL
+    reg = _REGISTRY if registry is None else registry
+    if scheme in reg:
+        return reg[scheme]
+    raise ValueError(
+        f"no filesystem registered for scheme {scheme!r} (path {path!r}); "
+        f"register_fs() an implementation of the fs protocol"
+    )

