@@ -11,6 +11,8 @@ independently. A planner bug breaks the hash match.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -138,6 +140,86 @@ def replication_table_diff(spark: SparkSession, sf: str) -> DataFrame:
     return plan.select("db", "table", "action", "update_metadata", "update_data")
 
 
+def _materialized_warehouses(spark: SparkSession, sf: str) -> tuple[str, str]:
+    """nation → two REAL on-disk warehouses (DirectoryCatalog + data
+    files) with the same drift pattern as ``_derived_catalogs``:
+    dest misses k%3==0 tables (→ copy data + commit), carries a
+    drifted TLDT for k%4==0 (→ metadata-only commit; contents equal so
+    digests match and no bytes move), plus one stale table per region
+    (→ CAS-guarded DROP_TABLE). File sizes are deterministic (10+k
+    bytes), so the whole copy/commit outcome is computable from nation
+    alone — which is what the DuckDB oracle does. Table counts are
+    nation-sized (25), so the driver-side file seeding is
+    metadata-scale at any sf."""
+    import tempfile
+
+    from reair_spark.catalog import DirectoryCatalog
+
+    base = tempfile.mkdtemp(prefix="reair_e2e_")
+    src_root = os.path.join(base, "src")
+    dest_root = os.path.join(base, "dest")
+    src_cat = DirectoryCatalog(src_root)
+    dest_cat = DirectoryCatalog(dest_root)
+
+    def mk(cat: DirectoryCatalog, table: str, content: bytes, tldt: str) -> None:
+        loc = cat.table_location("wh", table)
+        os.makedirs(loc, exist_ok=True)
+        with open(os.path.join(loc, "part-0"), "wb") as fh:
+            fh.write(content)
+        cat.create_table({
+            "db": "wh", "table": table, "table_type": "MANAGED_TABLE",
+            "cols": [{"name": "c1", "type": "string", "comment": None}],
+            "partition_keys": [], "location": loc, "serde": "text",
+            "parameters": {"transient_lastDdlTime": tldt},
+        })
+
+    rows = (
+        _t(spark, sf, "nation")
+        .select("n_nationkey", F.lower("n_name").alias("t"), "n_regionkey")
+        .collect()
+    )
+    for r in rows:
+        k, content = int(r.n_nationkey), b"x" * (10 + int(r.n_nationkey))
+        mk(src_cat, r.t, content, str(k * 10))
+        if k % 3 != 0:
+            tldt = str(k * 10 + 1) if k % 4 == 0 else str(k * 10)
+            mk(dest_cat, r.t, content, tldt)
+    for rk in sorted({int(r.n_regionkey) for r in rows}):
+        mk(dest_cat, f"stale_{rk}", b"s", "1")
+    return src_root, dest_root
+
+
+def replication_e2e_digest(spark: SparkSession, sf: str) -> DataFrame:
+    """The FULL batch-replication engine — plan, executor-side copy,
+    executor-side commit — between two materialized temp warehouses,
+    digested to deterministic (component, action, status, n,
+    total_bytes) rows the DuckDB oracle derives independently from
+    nation (VERDICT r4 ask #3: copy results and commit statuses were
+    pytest-only before this gate entry)."""
+    from reair_spark.replicate import replicate_warehouse
+
+    src_root, dest_root = _materialized_warehouses(spark, sf)
+    out = replicate_warehouse(spark, src_root, dest_root)
+    copies = (
+        out["copy_results"].groupBy("status").agg(
+            F.count("*").alias("n"),
+            F.sum("bytes_copied").cast("long").alias("total_bytes"),
+        ).select(
+            F.lit("copy").alias("component"), F.lit("FILE").alias("action"),
+            "status", "n", "total_bytes",
+        )
+    )
+    commits = (
+        out["commit_results"].groupBy("action", "status").agg(
+            F.count("*").alias("n"),
+        ).select(
+            F.lit("commit").alias("component"), "action", "status", "n",
+            F.lit(0).cast("long").alias("total_bytes"),
+        )
+    )
+    return commits.unionByName(copies)
+
+
 def stream_hourly_counts_q(spark: SparkSession, sf: str) -> DataFrame:
     """Structured Streaming windowed agg, bounded run (ST8 through the
     correctness gate — final complete-mode state equals batch groupBy)."""
@@ -226,6 +308,7 @@ ENGINE_QUERIES = {
     "replication_table_diff": replication_table_diff,
     "replication_schema_diff": replication_schema_diff,
     "replication_compact_plan": replication_compact_plan,
+    "replication_e2e_digest": replication_e2e_digest,
     "stream_hourly_counts": stream_hourly_counts_q,
     "stream_funnel": stream_funnel_q,
     "stream_sessionize": stream_sessionize_q,
@@ -288,6 +371,32 @@ SELECT coalesce(s.db, d.db) AS db, coalesce(s.t, d.t) AS "table",
 FROM src s FULL OUTER JOIN dest d ON s.t = d.t
 """,
     "stream_dedup": "SELECT event_id, user_id FROM events",
+    # the e2e outcome, derived from nation alone: dest misses k%3==0
+    # (1 file of 10+k bytes copied + metadata committed), k%4==0
+    # survivors drift TLDT (metadata-only commit, digests equal so no
+    # bytes), one stale table per region is CAS-dropped, the rest NO_OP
+    "replication_e2e_digest": """
+WITH n AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation),
+copied AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(10 + k) AS BIGINT) AS b
+  FROM n WHERE k % 3 = 0
+),
+meta AS (SELECT CAST(count(*) AS BIGINT) AS n FROM n
+         WHERE k % 3 <> 0 AND k % 4 = 0),
+noop AS (SELECT CAST(count(*) AS BIGINT) AS n FROM n
+         WHERE k % 3 <> 0 AND k % 4 <> 0),
+drops AS (SELECT CAST(count(DISTINCT n_regionkey) AS BIGINT) AS n FROM nation)
+SELECT 'commit' AS component, 'COPY_UNPARTITIONED_TABLE' AS action,
+       'SUCCESSFUL' AS status,
+       (SELECT n FROM copied) + (SELECT n FROM meta) AS n,
+       CAST(0 AS BIGINT) AS total_bytes
+UNION ALL SELECT 'commit', 'DROP_TABLE', 'SUCCESSFUL',
+       (SELECT n FROM drops), CAST(0 AS BIGINT)
+UNION ALL SELECT 'commit', 'NO_OP', 'SUCCESSFUL',
+       (SELECT n FROM noop), CAST(0 AS BIGINT)
+UNION ALL SELECT 'copy', 'FILE', 'COPIED',
+       (SELECT n FROM copied), (SELECT b FROM copied)
+""",
     "stream_enrich": (
         "SELECT c_mktsegment, count(*) AS n_events "
         "FROM events e JOIN customer c ON e.user_id = c.c_custkey "

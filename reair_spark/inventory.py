@@ -124,8 +124,18 @@ def list_files(
         dirs = spark.createDataFrame([(r, r) for r in roots], _DIR_SCHEMA)
     scan_level = _make_scan_level(fs_registry())
     files: DataFrame | None = None
+    first = True
     while True:
-        listed = dirs.repartition(min(parallelism, 64)).rdd.mapPartitions(scan_level)
+        # level 0 DataFrame roots arrive pre-spread (distinct/shuffle
+        # output) — re-shuffling them buys nothing; deeper levels are
+        # repartitioned because one parent's children land in one
+        # partition (the skew the reference's level-split also fights)
+        if first and isinstance(roots, DataFrame):
+            balanced = dirs
+        else:
+            balanced = dirs.repartition(min(parallelism, 64))
+        first = False
+        listed = balanced.rdd.mapPartitions(scan_level)
         level = spark.createDataFrame(listed, _SCAN_SCHEMA).cache()
         level_files = level.filter(F.col("kind") == "f").select(
             "root",

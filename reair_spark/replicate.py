@@ -37,7 +37,7 @@ from reair_spark.inventory import dir_digest, list_files
 from reair_spark.metrics import JobMetrics
 
 
-def _digests(spark: SparkSession, tables: DataFrame, parts: DataFrame) -> DataFrame:
+def _digests(spark: SparkSession, *snapshots: DataFrame) -> DataFrame:
     """Per-location content digests with the location set kept as a
     DataFrame end-to-end: existence/type checking happens inside
     list_files' executor fan-out, never as a driver collect + isdir
@@ -48,10 +48,17 @@ def _digests(spark: SparkSession, tables: DataFrame, parts: DataFrame) -> DataFr
     schemes with no registered fs) are excluded by predicate, same as
     before; missing dirs simply produce no digest row, which
     diff._with_digest treats as unknown (null) — identical plan
-    semantics to the old None path."""
-    locs = (
-        tables.select("location").union(parts.select("location")).distinct()
-        .where(F.col("location").isNotNull() & ~F.col("location").startswith("s3"))
+    semantics to the old None path.
+
+    All snapshots (src + dest, tables + partitions) digest in ONE
+    listing pass: digests key on location and src/dest location sets
+    are disjoint, so a single digest DataFrame serves both sides of
+    the diff — half the listing jobs of a per-side pass."""
+    locs = snapshots[0].select("location")
+    for s in snapshots[1:]:
+        locs = locs.union(s.select("location"))
+    locs = locs.distinct().where(
+        F.col("location").isNotNull() & ~F.col("location").startswith("s3")
     )
     return dir_digest(list_files(spark, locs))
 
@@ -84,12 +91,9 @@ def replicate_warehouse(
     src_p = apply_regex_filters(snapshot_partitions(spark, src_cat), blacklist, whitelist)
     dest_p = apply_regex_filters(snapshot_partitions(spark, dest_cat), blacklist, whitelist)
 
-    src_dg = _digests(spark, src_t, src_p)
-    dest_dg = _digests(spark, dest_t, dest_p)
+    dg = _digests(spark, src_t, src_p, dest_t, dest_p)
 
-    plan = warehouse_plan(
-        src_t, dest_t, src_p, dest_p, src_dg, dest_dg, overwrite_newer
-    )
+    plan = warehouse_plan(src_t, dest_t, src_p, dest_p, dg, dg, overwrite_newer)
     plan = rewrite_locations(plan, src_root, dest_root)
 
     # serialized src payloads + dest TLDT (CAS guard) ride with the plan
@@ -128,6 +132,15 @@ def replicate_warehouse(
         step1 = os.path.join(work_dir, "step1_plan.parquet")
         plan.write.mode("overwrite").parquet(step1)
         plan = spark.read.parquet(step1)
+    else:
+        # the plan is metadata-scale (changed objects, not files) and
+        # feeds THREE consumers (copy-root scan, copy-task join, commit
+        # stage); without the parquet roundtrip it must persist or each
+        # consumer re-runs snapshots + digest listing + the diff joins.
+        # Lazy persist is safe here: the consumers run strictly
+        # sequentially (sizing agg → copies → commits), so the first
+        # job fills the cache with no AQE branch race.
+        plan = plan.persist()
 
     # ---- stage 2: data movement ---------------------------------------
     # copy-root discovery stays distributed: the COPY rows' src_paths
