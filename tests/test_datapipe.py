@@ -337,3 +337,67 @@ def test_ann_pq_recall_against_exact(spark, sf_dir):
     # per-query top-10; 5 queries → 50 pairs each side
     recall = len(exact & pq) / len(exact)
     assert recall >= 0.4, f"PQ+refine recall collapsed: {recall}"
+
+
+def test_kmeans_large_k_matrix_path(spark):
+    """VERDICT r4 ask #4: above literal_k_max the assignment switches
+    to the broadcast-matrix mapInPandas path — fit k=256 on synthetic
+    vectors, identical assignments to the literal path at small k, and
+    a plan with no giant literal."""
+    from pyspark.sql import functions as F
+
+    from reair_spark.datapipe.similarity import kmeans_fit
+
+    # deterministic synthetic corpus: 400 vectors, dim 16
+    e = spark.range(400).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(15)),
+            lambda i: F.sin(F.col("id") * 0.37 + i.cast("double") * 1.13),
+        ).alias("emb"),
+    )
+
+    # --- k=256 through the matrix path ------------------------------
+    assignments, centroids = kmeans_fit(e, k=256, iters=2)
+    plan = assignments._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    # no k×dim literal array in the plan (the literal path embeds
+    # thousands of float literals; the matrix path embeds none)
+    assert len(plan) < 20_000
+    assert assignments.count() == 400
+    assert centroids.count() == 256
+    assert assignments.where(
+        (F.col("cluster") < 0) | (F.col("cluster") >= 256)
+    ).count() == 0
+
+    # --- same k, both paths: identical assignments ------------------
+    lit_assign, lit_cent = kmeans_fit(e, k=8, iters=2)
+    mat_assign, mat_cent = kmeans_fit(e, k=8, iters=2, literal_k_max=0)
+    lit_plan = lit_assign._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in lit_plan  # small k stays codegen-literal
+    a_lit = sorted((r.vec_id, r.cluster) for r in lit_assign.collect())
+    a_mat = sorted((r.vec_id, r.cluster) for r in mat_assign.collect())
+    assert a_lit == a_mat
+    c_lit = {r.cluster: list(r.cemb) for r in lit_cent.collect()}
+    c_mat = {r.cluster: list(r.cemb) for r in mat_cent.collect()}
+    assert c_lit.keys() == c_mat.keys()
+    for c in c_lit:
+        assert c_lit[c] == pytest.approx(c_mat[c], abs=1e-12)
+
+
+def test_semdedup_cell_target_sizing(spark, sf_dir):
+    """cell_target derives k from the data; result must equal the
+    explicit-k run it resolves to."""
+    from reair_spark.datapipe.similarity import _emb, semdedup
+
+    e = _emb(spark, sf_dir)
+    n = e.count()
+    target = max(1, n // 3)  # → k = ceil(n / target) = 3 or 4
+    import math
+
+    k = max(1, math.ceil(n / target))
+    via_target = sorted(
+        r.vec_id for r in semdedup(e, cell_target=target, iters=2).collect()
+    )
+    via_k = sorted(r.vec_id for r in semdedup(e, k=k, iters=2).collect())
+    assert via_target == via_k
