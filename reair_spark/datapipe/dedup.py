@@ -677,7 +677,137 @@ def dedup_prefix(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+SPAN_K = 8  # minimum verbatim span length, in tokens
+
+
+def dedup_span_kgram(spark: SparkSession, sf: str) -> DataFrame:
+    """Substring-level (span) dedup — the Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499) pass: find verbatim runs of ≥ SPAN_K tokens that
+    appear in MORE THAN ONE document, merge overlapping/contiguous
+    runs into maximal spans per document, and report per-doc span
+    coverage — the actionable signal for span-trimming or dropping
+    high-boilerplate docs that document-level dedup cannot see
+    (VERDICT r4 ask #9; approximated until now by
+    text_line_dedup_corpus's fixed chunks).
+
+    Spark-first shape (suffix arrays are the paper's single-machine
+    construction; the distributed equivalent is a k-gram table):
+      1. per doc, build all SPAN_K-grams JVM-side (transform+slice
+         over the token array — zero shuffle, whole-stage codegen),
+         keyed by a 60-bit portable hash so the shuffle moves 8-byte
+         keys, never gram text;
+      2. grams held by ≥2 distinct docs are found with ONE
+         hash-keyed groupBy (distinct-gram level, linear — no doc-pair
+         join anywhere, so boilerplate grams shared by thousands of
+         docs cost their row count, not its square: the same
+         saturation discipline as dedup_jaccard_rareblock);
+      3. per doc, duplicated gram start positions merge into maximal
+         spans with a gaps-and-islands window (break when the next
+         start clears the running max end by >1).
+
+    Output: (doc_id, n_tok, n_spans, dup_tokens) for every corpus doc
+    — ints only, hash-stable. The planted tail-truncated near-dups
+    share their whole prefix with their source doc, so both sides of
+    each plant must show dup_tokens ≥ n_tok - 3 (pytest-asserted)."""
+    c = _corpus(spark, sf, exact=False)
+    h60 = lambda col: F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")  # noqa: E731
+    d = c.select("doc_id", F.split("text", " ").alias("t"))
+    grams_arr = F.when(
+        F.size("t") >= SPAN_K,
+        F.transform(
+            F.sequence(F.lit(1), F.size("t") - SPAN_K + 1),
+            lambda i: F.concat_ws(" ", F.slice(F.col("t"), i, SPAN_K)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = (
+        d.select("doc_id", F.posexplode(grams_arr).alias("p0", "gram"))
+        .select("doc_id", (F.col("p0") + 1).alias("pos"), h60(F.col("gram")).alias("h"))
+    )
+    shared = (
+        g.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("h")
+    )
+    dup = g.join(shared, "h").select(
+        "doc_id", "pos", (F.col("pos") + SPAN_K - 1).alias("fin")
+    )
+    w = W.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max("fin").over(
+        w.rowsBetween(W.unboundedPreceding, -1)
+    )
+    marked = dup.withColumn(
+        "brk",
+        F.when(prev_end.isNull() | (F.col("pos") > prev_end + 1), 1).otherwise(0),
+    )
+    isl = marked.withColumn("grp", F.sum("brk").over(w))
+    spans = isl.groupBy("doc_id", "grp").agg(
+        F.min("pos").alias("s"), F.max("fin").alias("e")
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("dup_tokens"),
+    )
+    return (
+        d.select("doc_id", F.size("t").cast("long").alias("n_tok"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tok",
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+        )
+    )
+
+
+def _span_sql() -> str:
+    k = SPAN_K
+    return f"""
+WITH c AS ({_corpus_sql(exact=False)}),
+tt AS (SELECT doc_id, string_split(text, ' ') AS t FROM c),
+g AS (
+  SELECT doc_id, s.pos AS pos, s.pos + {k} - 1 AS fin,
+         CAST(concat('0x', substr(md5(
+             array_to_string(t[s.pos:s.pos + {k} - 1], ' ')), 1, 15))
+           AS BIGINT) AS h
+  FROM tt, unnest(generate_series(1, greatest(len(t) - {k} + 1, 0))) AS s(pos)
+),
+shared AS (SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+dup AS (SELECT doc_id, pos, fin FROM g WHERE h IN (SELECT h FROM shared)),
+marked AS (
+  SELECT doc_id, pos, fin,
+         CASE WHEN max(fin) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) IS NULL
+                OR pos > max(fin) OVER (PARTITION BY doc_id ORDER BY pos
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING) + 1
+              THEN 1 ELSE 0 END AS brk
+  FROM dup
+),
+isl AS (
+  SELECT doc_id, pos, fin,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS grp
+  FROM marked
+),
+spans AS (SELECT doc_id, grp, min(pos) AS s, max(fin) AS e
+          FROM isl GROUP BY doc_id, grp),
+per_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens
+  FROM spans GROUP BY doc_id
+)
+SELECT tt.doc_id, CAST(len(t) AS BIGINT) AS n_tok,
+       CAST(coalesce(n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(coalesce(dup_tokens, 0) AS BIGINT) AS dup_tokens
+FROM tt LEFT JOIN per_doc ON tt.doc_id = per_doc.doc_id
+"""
+
+
 DEDUP_QUERIES = {
+    "dedup_span_kgram": dedup_span_kgram,
     "dedup_prefix": dedup_prefix,
     "dedup_jaccard_rareblock": dedup_jaccard_rareblock,
     "dedup_exact": dedup_exact,
@@ -703,6 +833,7 @@ WHERE md5(text) NOT IN (SELECT fp FROM ref)
 """
 
 DEDUP_ORACLES = {
+    "dedup_span_kgram": _span_sql(),
     "dedup_jaccard_rareblock": _rareblock_sql(),
     "dedup_against_corpus": _AGAINST_CORPUS_SQL,
     "dedup_exact": (

@@ -401,3 +401,39 @@ def test_semdedup_cell_target_sizing(spark, sf_dir):
     )
     via_k = sorted(r.vec_id for r in semdedup(e, k=k, iters=2).collect())
     assert via_target == via_k
+
+
+def test_span_kgram_invariants(spark, sf_dir):
+    """Span dedup (Lee et al. 2022 pass): every planted tail-truncated
+    near-dup shares its whole prefix with its source doc, so both
+    members of each plant (source with >= SPAN_K+3 tokens) must carry
+    a span covering >= n_tok - 3 of the SHORTER member's tokens; docs
+    are never over-covered (dup_tokens <= n_tok); and the plan stays
+    JVM-side (no row-at-a-time Python)."""
+    from pyspark.sql import functions as F
+
+    from reair_spark.datapipe.dedup import SPAN_K, dedup_span_kgram
+
+    out = dedup_span_kgram(spark, sf_dir)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+
+    rows = {r.doc_id: r for r in out.collect()}
+    assert all(r.dup_tokens <= r.n_tok for r in rows.values())
+    assert all((r.dup_tokens == 0) == (r.n_spans == 0) for r in rows.values())
+    planted = [
+        (src, rows[src + 1_000_000])
+        for src in rows
+        if src < 1_000_000 and src % 10 == 0 and src + 1_000_000 in rows
+    ]
+    assert planted
+    checked = 0
+    for src_id, dup_row in planted:
+        src_row = rows[src_id]
+        if src_row.n_tok < SPAN_K + 3:
+            continue  # truncated copy too short to carry a full k-gram
+        checked += 1
+        # the shared prefix is the whole truncated copy
+        assert dup_row.dup_tokens >= dup_row.n_tok - 0  # fully covered
+        assert src_row.dup_tokens >= src_row.n_tok - 3
+    assert checked > 0
