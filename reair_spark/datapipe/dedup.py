@@ -678,6 +678,102 @@ def dedup_prefix(spark: SparkSession, sf: str) -> DataFrame:
 
 
 SPAN_K = 8  # minimum verbatim span length, in tokens
+DECON_K = 8          # contamination n-gram length, in tokens
+DECON_THRESHOLD = 4  # eval-gram hits at/above which a train doc is contaminated
+
+
+def _gram_table(c: DataFrame, k: int) -> DataFrame:
+    """(doc_id, pos, h) for every k-token gram of every doc — built
+    JVM-side (transform+slice over the token array, zero shuffle),
+    keyed by a 60-bit portable hash so downstream shuffles move 8-byte
+    keys, never gram text."""
+    d = c.select("doc_id", F.split("text", " ").alias("t"))
+    grams_arr = F.when(
+        F.size("t") >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size("t") - k + 1),
+            lambda i: F.concat_ws(" ", F.slice(F.col("t"), i, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    h60 = F.conv(F.substring(F.md5(F.col("gram")), 1, 15), 16, 10).cast("long")
+    return (
+        d.select("doc_id", F.posexplode(grams_arr).alias("p0", "gram"))
+        .select("doc_id", (F.col("p0") + 1).alias("pos"), h60.alias("h"))
+    )
+
+
+def _gram_table_sql(src: str, k: int) -> str:
+    """DuckDB rendering of :func:`_gram_table` over subquery ``src``."""
+    return f"""
+SELECT doc_id, s.pos AS pos,
+       CAST(concat('0x', substr(md5(
+           array_to_string(t[s.pos:s.pos + {k} - 1], ' ')), 1, 15))
+         AS BIGINT) AS h
+FROM (SELECT doc_id, string_split(text, ' ') AS t FROM ({src}) src_q) tt,
+     unnest(generate_series(1, greatest(len(t) - {k} + 1, 0))) AS s(pos)
+"""
+
+
+def dedup_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Train/eval decontamination — the benchmark-leakage pass every
+    LLM training pipeline runs before training (GPT-3 appendix C /
+    The Pile §6: drop or flag training docs sharing verbatim n-grams
+    with evaluation sets). Eval set = doc_id % 17 == 0 (a held-out
+    slice standing in for the benchmark suite); train = the rest ∪ the
+    planted near-dups (which contaminate whenever their source doc is
+    an eval member — real positives at any sf).
+
+    Scale shape: the eval side collapses to DISTINCT gram hashes
+    BEFORE the join (an eval suite is MBs against a 100 TB corpus, so
+    the distinct set broadcasts; AQE picks that automatically), and
+    the train side aggregates per doc AFTER a semi-join-shaped inner
+    join on the 8-byte hash — train text never shuffles, only (doc_id,
+    hash) pairs for matched grams. Output per train doc: distinct
+    eval-gram hits and the contamination flag at DECON_THRESHOLD.
+    Ints only, hash-stable."""
+    c = _corpus(spark, sf, exact=False)
+    is_eval = (F.col("doc_id") % 17 == 0) & (F.col("doc_id") < 1_000_000)
+    ev = c.where(is_eval)
+    tr = c.where(~is_eval)
+    eval_grams = _gram_table(ev, DECON_K).select("h").distinct()
+    hits = (
+        _gram_table(tr, DECON_K)
+        .join(eval_grams, "h")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("h").cast("long").alias("n_eval_grams"))
+    )
+    return (
+        tr.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_eval_grams", F.lit(0)).cast("long").alias("n_eval_grams"),
+            (F.coalesce("n_eval_grams", F.lit(0)) >= DECON_THRESHOLD).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
+def _decontaminate_sql() -> str:
+    k, thr = DECON_K, DECON_THRESHOLD
+    corpus = _corpus_sql(exact=False)
+    return f"""
+WITH c AS ({corpus}),
+ev AS (SELECT * FROM c WHERE doc_id % 17 = 0 AND doc_id < 1000000),
+tr AS (SELECT * FROM c WHERE NOT (doc_id % 17 = 0 AND doc_id < 1000000)),
+eg AS (SELECT DISTINCT h FROM ({_gram_table_sql('SELECT * FROM ev', k)}) g),
+hits AS (
+  SELECT doc_id, CAST(count(DISTINCT h) AS BIGINT) AS n_eval_grams
+  FROM ({_gram_table_sql('SELECT * FROM tr', k)}) g
+  WHERE h IN (SELECT h FROM eg)
+  GROUP BY doc_id
+)
+SELECT tr.doc_id,
+       CAST(coalesce(hits.n_eval_grams, 0) AS BIGINT) AS n_eval_grams,
+       coalesce(hits.n_eval_grams, 0) >= {thr} AS contaminated
+FROM tr LEFT JOIN hits ON tr.doc_id = hits.doc_id
+"""
 
 
 def dedup_span_kgram(spark: SparkSession, sf: str) -> DataFrame:
@@ -711,19 +807,8 @@ def dedup_span_kgram(spark: SparkSession, sf: str) -> DataFrame:
     share their whole prefix with their source doc, so both sides of
     each plant must show dup_tokens ≥ n_tok - 3 (pytest-asserted)."""
     c = _corpus(spark, sf, exact=False)
-    h60 = lambda col: F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")  # noqa: E731
     d = c.select("doc_id", F.split("text", " ").alias("t"))
-    grams_arr = F.when(
-        F.size("t") >= SPAN_K,
-        F.transform(
-            F.sequence(F.lit(1), F.size("t") - SPAN_K + 1),
-            lambda i: F.concat_ws(" ", F.slice(F.col("t"), i, SPAN_K)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    g = (
-        d.select("doc_id", F.posexplode(grams_arr).alias("p0", "gram"))
-        .select("doc_id", (F.col("p0") + 1).alias("pos"), h60(F.col("gram")).alias("h"))
-    )
+    g = _gram_table(c, SPAN_K)
     shared = (
         g.groupBy("h")
         .agg(F.count_distinct("doc_id").alias("nd"))
@@ -808,6 +893,7 @@ FROM tt LEFT JOIN per_doc ON tt.doc_id = per_doc.doc_id
 
 DEDUP_QUERIES = {
     "dedup_span_kgram": dedup_span_kgram,
+    "dedup_decontaminate": dedup_decontaminate,
     "dedup_prefix": dedup_prefix,
     "dedup_jaccard_rareblock": dedup_jaccard_rareblock,
     "dedup_exact": dedup_exact,
@@ -834,6 +920,7 @@ WHERE md5(text) NOT IN (SELECT fp FROM ref)
 
 DEDUP_ORACLES = {
     "dedup_span_kgram": _span_sql(),
+    "dedup_decontaminate": _decontaminate_sql(),
     "dedup_jaccard_rareblock": _rareblock_sql(),
     "dedup_against_corpus": _AGAINST_CORPUS_SQL,
     "dedup_exact": (

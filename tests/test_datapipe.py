@@ -437,3 +437,43 @@ def test_span_kgram_invariants(spark, sf_dir):
         assert dup_row.dup_tokens >= dup_row.n_tok - 0  # fully covered
         assert src_row.dup_tokens >= src_row.n_tok - 3
     assert checked > 0
+
+
+def test_decontaminate_invariants(spark, sf_dir):
+    """Planted near-dups of EVAL docs are contaminated by construction
+    (they share their whole prefix with an eval member); train docs
+    shorter than DECON_K can never be flagged; the eval slice itself
+    is excluded from the output."""
+    from pyspark.sql import functions as F
+
+    from reair_spark.datapipe.dedup import (
+        DECON_K,
+        DECON_THRESHOLD,
+        dedup_decontaminate,
+    )
+
+    out = dedup_decontaminate(spark, sf_dir)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    rows = {r.doc_id: r for r in out.collect()}
+    # eval slice excluded from output
+    assert not any(d % 17 == 0 for d in rows if d < 1_000_000)
+    # every planted dup of an eval doc with enough tokens is flagged
+    from reair_spark.io import load_table
+
+    docs = {
+        r.doc_id: len(r.text.split(" "))
+        for r in load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    }
+    checked = 0
+    for src, n_tok in docs.items():
+        if src % 10 == 0 and src % 17 == 0 and src + 1_000_000 in rows:
+            # truncated copy keeps n_tok-3 tokens -> n_tok-3-K+1 grams
+            if n_tok - 3 - DECON_K + 1 >= DECON_THRESHOLD:
+                assert rows[src + 1_000_000].contaminated, src
+                checked += 1
+    assert checked > 0
+    assert all(r.n_eval_grams >= 0 for r in rows.values())
+    assert all(
+        r.contaminated == (r.n_eval_grams >= DECON_THRESHOLD) for r in rows.values()
+    )
