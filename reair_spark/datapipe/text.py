@@ -499,7 +499,57 @@ FROM documents
 """
 
 
+def text_bpe_pair_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-wide adjacent-symbol pair statistics — the inner loop of
+    BPE tokenizer training (Sennrich et al. 2016, arXiv:1508.07909):
+    the merge chosen at each step is the argmax of exactly this table.
+    One iteration is the expensive, corpus-shaped part (later
+    iterations operate on the collapsed vocab), so this is the
+    operator a distributed tokenizer-training pipeline needs.
+
+    Scale shape — the word-frequency collapse IS the algorithm's
+    distributed trick: corpus tokens groupBy-collapse to (word, freq)
+    first (shuffle carries |vocab| keys with map-side combine, not
+    corpus tokens), then char pairs explode over the VOCAB (metadata-
+    scale) weighted by freq, and a second tiny agg sums pair counts.
+    100 TB of text costs one token-level map + combine; everything
+    after is vocabulary-sized."""
+    d = widen(_t(spark, sf, "documents"), spark)
+    words = d.select(F.explode(F.split("text", " ")).alias("w"))
+    freq = words.groupBy("w").agg(F.count("*").alias("f"))
+    pairs_arr = F.when(
+        F.length("w") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.length("w") - 1),
+            lambda i: F.struct(
+                F.col("w").substr(i, F.lit(1)).alias("l"),
+                F.col("w").substr(i + 1, F.lit(1)).alias("r"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+    return (
+        freq.select("f", F.explode(pairs_arr).alias("p"))
+        .groupBy(F.col("p.l").alias("left_sym"), F.col("p.r").alias("right_sym"))
+        .agg(F.sum("f").cast("long").alias("cnt"))
+    )
+
+
+_BPE_PAIRS_SQL = """
+WITH words AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+),
+freq AS (SELECT w, count(*) AS f FROM words GROUP BY w),
+pairs AS (
+  SELECT substr(w, s.i, 1) AS left_sym, substr(w, s.i + 1, 1) AS right_sym, f
+  FROM freq, unnest(generate_series(1, greatest(len(w) - 1, 0))) AS s(i)
+)
+SELECT left_sym, right_sym, CAST(sum(f) AS BIGINT) AS cnt
+FROM pairs GROUP BY 1, 2
+"""
+
+
 TEXT_QUERIES = {
+    "text_bpe_pair_counts": text_bpe_pair_counts,
     "text_quality_linear": text_quality_linear,
     "text_chunk_windows": text_chunk_windows,
     "text_token_count": text_token_count,
@@ -626,6 +676,7 @@ ORDER BY n DESC, token
 
 
 TEXT_ORACLES = {
+    "text_bpe_pair_counts": _BPE_PAIRS_SQL,
     "text_quality_linear": _quality_linear_sql(),
     "text_chunk_windows": _CHUNK_SQL,
     "text_dedup_chunks": _DEDUP_CHUNKS_SQL,
