@@ -93,7 +93,30 @@ def main(argv: list[str] | None = None) -> int:
     conv.add_argument("--to-serde", required=True)
     conv.add_argument("--partition-by", nargs="*", default=[])
 
+    qry = sub.add_parser(
+        "query", help="run a registered analytics/pipeline query by name"
+    )
+    qry.add_argument("name", nargs="?",
+                     help="registry key (omit with --list to enumerate)")
+    qry.add_argument("--sf-dir", default="/root/testdata/sf0.01",
+                     help="table directory (…/sf0.01 style)")
+    qry.add_argument("--limit", type=int, default=20,
+                     help="max rows to print (0 = all)")
+    qry.add_argument("--output", help="write the full result as parquet here "
+                                      "instead of printing rows")
+    qry.add_argument("--list", action="store_true",
+                     help="print all registry keys and exit")
+
     args = p.parse_args(argv)
+
+    if args.cmd == "query" and args.list:
+        from reair_spark.registry import all_queries
+
+        for name in sorted(all_queries()):
+            print(name)
+        return 0
+    if args.cmd == "query" and not args.name:
+        p.error("query: name required (or --list)")
 
     from reair_spark.session import get_spark
 
@@ -249,6 +272,28 @@ def main(argv: list[str] | None = None) -> int:
             partition_by=args.partition_by or None,
         )
         print(json.dumps({"converted": args.dest, "serde": args.to_serde}))
+        return 0
+
+    if args.cmd == "query":
+        from reair_spark.registry import all_queries
+
+        registry = all_queries()
+        if args.name not in registry:
+            import difflib
+
+            close = difflib.get_close_matches(args.name, registry, n=5)
+            p.error(f"unknown query {args.name!r}; close matches: {close} "
+                    f"(use --list for all {len(registry)})")
+        df = registry[args.name](spark, args.sf_dir)
+        if args.output:
+            df.write.mode("overwrite").parquet(args.output)
+            print(json.dumps({"query": args.name, "rows": spark.read.parquet(
+                args.output).count(), "output": args.output}))
+        else:
+            rows = df.limit(args.limit).collect() if args.limit else df.collect()
+            print(json.dumps({"query": args.name, "n_printed": len(rows),
+                              "rows": [r.asDict(recursive=True) for r in rows]},
+                             default=str))
         return 0
 
     return 2

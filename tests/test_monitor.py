@@ -132,3 +132,28 @@ def test_monitor_cli_once(spark, seeded_state, capsys):
     assert rc == 0
     out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["port"] > 0 and "/status" in out["endpoints"]
+
+
+def test_cli_query_runs_registered_query(spark, capsys):
+    """`reair_spark query <name>` runs any registry entry and prints
+    JSON rows; --list enumerates without starting work; unknown names
+    error with close matches."""
+    import json
+
+    import pytest
+
+    from reair_spark.__main__ import main
+
+    rc = main(["query", "--list"])
+    assert rc == 0
+    names = capsys.readouterr().out.split()
+    assert "q01_scan_project" in names and len(names) >= 130
+
+    rc = main(["query", "q01_scan_project",
+               "--sf-dir", "/root/testdata/sf0.001", "--limit", "2"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["query"] == "q01_scan_project" and out["n_printed"] == 2
+
+    with pytest.raises(SystemExit):
+        main(["query", "definitely_not_a_query"])
