@@ -730,7 +730,14 @@ def dedup_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     join on the 8-byte hash — train text never shuffles, only (doc_id,
     hash) pairs for matched grams. Output per train doc: distinct
     eval-gram hits and the contamination flag at DECON_THRESHOLD.
-    Ints only, hash-stable."""
+    Ints only, hash-stable.
+
+    Sibling of :func:`curate.curate_decontaminate` (gram-STRING
+    broadcast join, hits-only output): this variant is the audit form
+    — hashed 8-byte keys instead of gram text on the wire, a verdict
+    row for EVERY train doc (clean docs included, so downstream
+    filters are one join), and planted positives (near-dups of eval
+    members) proving the detection path at every sf."""
     c = _corpus(spark, sf, exact=False)
     is_eval = (F.col("doc_id") % 17 == 0) & (F.col("doc_id") < 1_000_000)
     ev = c.where(is_eval)

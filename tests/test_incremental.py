@@ -259,3 +259,75 @@ def test_rename_execution_moves_dest_table(spark, events_df, tmp_path):
     run_incremental(spark, ev, src_root, dest_root, str(tmp_path / "s2"))
     assert dest_cat.get_table("db1", "old") is None
     assert dest_cat.get_table("db1", "new") is not None
+
+
+def test_direct_api_mutations_replicate_end_to_end(spark, tmp_path):
+    """The full metastore-listener loop (VERDICT r4 missing #1,
+    producer side landed as AuditingCatalog): mutate the SOURCE
+    warehouse only through the direct catalog API — zero SQL — and
+    verify the audit rows it emits drive run_incremental to converge
+    the destination (copy the created tables' data, then drop on a
+    second pass)."""
+    import os
+
+    from reair_spark.catalog import DirectoryCatalog
+    from reair_spark.events import run_incremental
+    from reair_spark.hook import AuditLogHook, AuditingCatalog
+
+    src_root = str(tmp_path / "src_wh")
+    dest_root = str(tmp_path / "dest_wh")
+    hook = AuditLogHook(spark, str(tmp_path / "audit_log"))
+    cat = AuditingCatalog(DirectoryCatalog(src_root), hook)
+
+    def seed(loc, files):
+        for name, content in files.items():
+            os.makedirs(loc, exist_ok=True)
+            with open(os.path.join(loc, name), "w") as fh:
+                fh.write(content)
+
+    loc = cat.table_location("db1", "t1")
+    seed(loc, {"f1.txt": "alpha", "f2.txt": "beta"})
+    cat.create_table({
+        "db": "db1", "table": "t1", "table_type": "MANAGED_TABLE",
+        "cols": [{"name": "c1", "type": "string", "comment": None}],
+        "partition_keys": [], "location": loc, "serde": "text",
+        "parameters": {"transient_lastDdlTime": "100"},
+    })
+    ploc = cat.table_location("db1", "p1")
+    cat.create_table({
+        "db": "db1", "table": "p1", "table_type": "MANAGED_TABLE",
+        "cols": [{"name": "c1", "type": "string", "comment": None}],
+        "partition_keys": [{"name": "ds", "type": "string", "comment": None}],
+        "location": ploc, "serde": "text",
+        "parameters": {"transient_lastDdlTime": "100"},
+    })
+    seed(os.path.join(ploc, "ds=1"), {"part.txt": "gamma"})
+    cat.add_partition("db1", "p1", {
+        "partition_name": "ds=1", "values": ["1"],
+        "location": os.path.join(ploc, "ds=1"),
+        "parameters": {"transient_lastDdlTime": "100"},
+    })
+    assert hook.flush() == 3
+
+    res = run_incremental(
+        spark, hook.events_df(), src_root, dest_root,
+        str(tmp_path / "state1"),
+    )
+    assert res["job_status_counts"].get("FAILED") is None
+    dest_cat = DirectoryCatalog(dest_root)
+    assert dest_cat.get_table("db1", "t1") is not None
+    assert dest_cat.get_table("db1", "p1") is not None
+    with open(os.path.join(dest_root, "db1", "t1", "f1.txt")) as fh:
+        assert fh.read() == "alpha"
+    with open(os.path.join(dest_root, "db1", "p1", "ds=1", "part.txt")) as fh:
+        assert fh.read() == "gamma"
+
+    # second wave: a drop through the API propagates too
+    cat.drop_table("db1", "t1")
+    assert hook.flush() == 1
+    run_incremental(
+        spark, hook.events_df(), src_root, dest_root,
+        str(tmp_path / "state1"),
+    )
+    assert dest_cat.get_table("db1", "t1") is None
+    assert dest_cat.get_table("db1", "p1") is not None
