@@ -46,12 +46,11 @@ def sync_plan(
             F.col("mtime").alias("src_mtime"),
         )
     )
-    dest = (
-        list_files(spark, [dest_root])
-        if os.path.isdir(dest_root)
-        else spark.createDataFrame([], "root string, rel_path string, size long, "
-                                       "mtime long, is_hidden boolean")
-    ).select("rel_path", F.col("size").alias("dest_size"), F.col("mtime").alias("dest_mtime"))
+    # a missing dest root simply lists empty — the executor-side scan
+    # drops nonexistent roots, so no driver isdir probe is needed
+    dest = list_files(spark, [dest_root]).select(
+        "rel_path", F.col("size").alias("dest_size"), F.col("mtime").alias("dest_mtime")
+    )
 
     joined = src_latest.join(dest, "rel_path", "full_outer")
     same = (F.col("src_size") == F.col("dest_size")) & (
@@ -97,22 +96,31 @@ def execute_sync(
     results = execute_copies(spark, tasks, verify_checksum=verify_checksum)
 
     if delete_extraneous:
+        from reair_spark.fs import fs_registry
         from reair_spark.shipping import ensure_shipped
 
         ensure_shipped(spark)
         deletes = plan.filter(F.col("action") == "DELETE").select("rel_path")
+        fses = fs_registry()  # driver registry snapshot rides the closure
 
         def run(rows: Iterator) -> Iterator[tuple]:
+            import posixpath
+
+            from reair_spark.fs import fs_for
+
             for r in rows:
-                path = os.path.join(dest_root, r.rel_path)
+                path = f"{dest_root.rstrip('/')}/{r.rel_path}"
+                fs = fs_for(path, fses)
                 try:
                     if trash_dir is not None:
-                        target = os.path.join(trash_dir, r.rel_path)
-                        os.makedirs(os.path.dirname(target), exist_ok=True)
-                        os.replace(path, target)
+                        # trash move stays within the dest scheme
+                        # (rename is O(1) only same-FS)
+                        target = f"{trash_dir.rstrip('/')}/{r.rel_path}"
+                        fs.mkdirs(posixpath.dirname(target))
+                        fs.rename(path, target)
                         yield (path, target, "TRASHED", 0, None)
                     else:
-                        os.remove(path)
+                        fs.unlink(path)
                         yield (path, path, "DELETED", 0, None)
                 except OSError as exc:
                     yield (path, path, "FAILED", 0, str(exc))

@@ -96,6 +96,9 @@ class LocalFs:
     def set_mtime(self, path: str, mtime_ms: int) -> None:
         os.utime(self._resolve(path), (mtime_ms / 1000, mtime_ms / 1000))
 
+    def mkdirs(self, path: str) -> None:
+        os.makedirs(self._resolve(path), exist_ok=True)
+
     def rename(self, src: str, dst: str) -> None:
         os.replace(self._resolve(src), self._resolve(dst))
 
@@ -202,6 +205,9 @@ class MemFs:
     def set_mtime(self, path: str, mtime_ms: int) -> None:
         k = self._key(path)
         self.files[k] = (self.files[k][0], mtime_ms)
+
+    def mkdirs(self, path: str) -> None:
+        pass  # directories are implicit in the key space
 
     def rename(self, src: str, dst: str) -> None:
         self.files[self._key(dst)] = self.files.pop(self._key(src))

@@ -197,3 +197,33 @@ def test_replicate_planning_no_driver_fs_loop(spark, tmp_path, monkeypatch):
         assert fh.read() == b"222"
     # the planner itself never isdir'ed locations on the driver
     assert hits == [], f"driver-side isdir loop still present: {hits[:5]}"
+
+
+def test_dirsync_over_mock_scheme(spark, mock_scheme, tmp_path):
+    """Full sync (ADD/UPDATE/DELETE with trash) where the DEST is a
+    non-local scheme — exercises listing, copy, and the delete/trash
+    executor loop entirely through the seam."""
+    from reair_spark.dirsync import sync_directories
+
+    src = str(tmp_path / "src")
+    _seed(src, "a.txt", b"alpha")
+    _seed(src, "sub/b.txt", b"beta")
+    # dest pre-holds a stale extra + an outdated copy of a.txt
+    _seed(mock_scheme.root, "dst/a.txt", b"OLD")  # size differs → UPDATE
+    _seed(mock_scheme.root, "dst/stale.txt", b"gone")
+    trash = "mock://trash"
+    out = sync_directories(
+        spark, [src], "mock://dst",
+        delete_extraneous=True, trash_dir=trash,
+    )
+    got = {(r.status, r.src_file.split("/")[-1]) for r in out["results"].collect()}
+    assert ("COPIED", "a.txt") in got and ("COPIED", "b.txt") in got
+    assert any(s == "TRASHED" for s, _ in got)
+    with open(os.path.join(mock_scheme.root, "dst/a.txt"), "rb") as fh:
+        assert fh.read() == b"alpha"
+    with open(os.path.join(mock_scheme.root, "dst/sub/b.txt"), "rb") as fh:
+        assert fh.read() == b"beta"
+    # stale file moved to trash, preserving rel path
+    assert not os.path.exists(os.path.join(mock_scheme.root, "dst/stale.txt"))
+    with open(os.path.join(mock_scheme.root, "trash/stale.txt"), "rb") as fh:
+        assert fh.read() == b"gone"
