@@ -245,3 +245,58 @@ def test_zero_vector_survives_unit_norm_and_kmeans(spark, zero_at, seed):
     crows = centroids.collect()
     for c in crows:
         assert all(not math.isnan(x) for x in c.cemb)
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.integers(0, 6), min_size=1, max_size=30),
+        min_size=2, max_size=8,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_span_islands_match_bruteforce(docs):
+    """Property: the gaps-and-islands span merge in the dedup_span
+    oracle equals a brute-force interval union, for arbitrary corpora.
+    Runs the SHARED oracle SQL through DuckDB directly (the Spark side
+    is hash-gated against this exact SQL by the driver, so this
+    transitively covers both engines) against a per-doc brute force:
+    mark every k-gram shared with another doc, union the covered
+    token intervals, count maximal runs."""
+    import duckdb
+
+    from reair_spark.datapipe.dedup import SPAN_K, _span_sql
+
+    # map tokens to strings; planted corpus machinery expects doc_id/text
+    corpus = [(i, " ".join(f"w{t}" for t in toks)) for i, toks in enumerate(docs)]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents AS SELECT * FROM (VALUES "
+                + ",".join(f"({i}, '{t}')" for i, t in corpus)
+                + ") AS v(doc_id, text)")
+    got = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(_span_sql()).fetchall()
+    }
+
+    # brute force over the SAME derived corpus (plants included)
+    full = {i: t.split(" ") for i, t in corpus}
+    for i, t in corpus:
+        if i % 10 == 0:
+            toks = t.split(" ")
+            full[i + 1_000_000] = toks[: max(len(toks) - 3, 1)]
+    grams: dict[tuple, set] = {}
+    for d, toks in full.items():
+        for p in range(len(toks) - SPAN_K + 1):
+            grams.setdefault(tuple(toks[p:p + SPAN_K]), set()).add(d)
+    for d, toks in full.items():
+        covered = set()
+        for p in range(len(toks) - SPAN_K + 1):
+            if len(grams[tuple(toks[p:p + SPAN_K])]) >= 2:
+                covered.update(range(p, p + SPAN_K))
+        # maximal runs of covered positions
+        runs = 0
+        prev = None
+        for pos in sorted(covered):
+            if prev is None or pos > prev + 1:
+                runs += 1
+            prev = pos
+        assert got[d] == (len(toks), runs, len(covered)), (d, toks)
