@@ -357,3 +357,43 @@ def test_scene_cuts_is_map_only(spark, sf_dir):
 
     plan = _formatted(multimodal_scene_cuts(spark, sf_dir))
     assert "Exchange" not in plan
+
+
+def test_round5_ops_no_python_no_cartesian(spark, sf_dir):
+    """Round-5 additions stay JVM-side and blocked: no Python eval
+    nodes, no cartesian products; the gram generators aggregate on
+    hash keys, never doc-pair cross joins."""
+    from reair_spark.datapipe.dedup import (
+        dedup_decontaminate,
+        dedup_span_kgram,
+    )
+    from reair_spark.datapipe.text import text_bpe_pair_counts
+
+    for fn in (dedup_span_kgram, dedup_decontaminate, text_bpe_pair_counts):
+        plan = _formatted(fn(spark, sf_dir))
+        assert "BatchEvalPython" not in plan, fn.__name__
+        assert "ArrowEvalPython" not in plan, fn.__name__
+        assert "CartesianProduct" not in plan, fn.__name__
+
+
+def test_bpe_pairs_vocab_collapse_before_explode(spark, sf_dir):
+    """text_bpe_pair_counts must aggregate tokens to (word, freq)
+    BEFORE the char-pair explode — the explode operates on the
+    post-aggregation (vocabulary-sized) side of the first exchange,
+    so corpus bytes cross one map-side-combined shuffle only."""
+    from reair_spark.datapipe.text import text_bpe_pair_counts
+
+    import re
+
+    df = text_bpe_pair_counts(spark, sf_dir)
+    plan = _formatted(df)
+    # exactly two exchanges: the (word) count and the (pair) sum —
+    # count NODE headers, not every mention in the detail sections
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_exchanges == 2, plan
+    # the explode consumes the word-aggregate's output (vocab-sized),
+    # not the raw scan: in detail order, the first HashAggregate node
+    # precedes the Generate node
+    nodes = re.findall(r"^\(\d+\) (\w+)", plan, re.M)
+    assert "Generate" in nodes and "HashAggregate" in nodes
+    assert nodes.index("HashAggregate") < nodes.index("Generate")
