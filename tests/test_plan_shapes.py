@@ -387,13 +387,16 @@ def test_bpe_pairs_vocab_collapse_before_explode(spark, sf_dir):
 
     df = text_bpe_pair_counts(spark, sf_dir)
     plan = _formatted(df)
-    # exactly two exchanges: the (word) count and the (pair) sum —
-    # count NODE headers, not every mention in the detail sections
+    # at most three exchanges: widen's repartition of the tiny test
+    # scan, the (word) count, and the (pair) sum — count NODE headers,
+    # not every mention in the detail sections
     n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
-    assert n_exchanges == 2, plan
-    # the explode consumes the word-aggregate's output (vocab-sized),
-    # not the raw scan: in detail order, the first HashAggregate node
-    # precedes the Generate node
+    assert n_exchanges <= 3, plan
+    # the pair explode (LAST Generate) consumes the word-aggregate's
+    # output (vocab-sized), not the raw scan: in leaf-to-root detail
+    # order the first HashAggregate precedes it (the FIRST Generate is
+    # the token explode and legitimately comes before the agg)
     nodes = re.findall(r"^\(\d+\) (\w+)", plan, re.M)
-    assert "Generate" in nodes and "HashAggregate" in nodes
-    assert nodes.index("HashAggregate") < nodes.index("Generate")
+    first_agg = nodes.index("HashAggregate")
+    last_gen = len(nodes) - 1 - nodes[::-1].index("Generate")
+    assert first_agg < last_gen, nodes
