@@ -582,10 +582,19 @@ def ann_ivf_fitted_topk(
     e = _emb(spark, sf)
     assignments, centroids = kmeans_fit(e, k=k_cells, iters=iters)
     cells = e.join(assignments.select("vec_id", "cluster"), "vec_id")
-
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
     )
+    return _ivf_search(q, centroids, cells, n_probe)
+
+
+def _ivf_search(
+    q: DataFrame, centroids: DataFrame, cells: DataFrame, n_probe: int
+) -> DataFrame:
+    """The IVF serving path, shared by the in-memory and persisted
+    index variants: each query ranks the (broadcast) centroids,
+    brute-forces only its n_probe nearest cells, and takes the
+    per-query top-k with a deterministic tie-break."""
     qc = q.crossJoin(F.broadcast(centroids)).select(
         "query_id", "cluster", cosine(F.col("qemb"), F.col("cemb")).alias("csim")
     )
@@ -607,6 +616,45 @@ def ann_ivf_fitted_topk(
         .where(F.col("rn") <= TOP_K)
         .select("query_id", "vec_id", "sim")
     )
+
+
+def ann_ivf_persisted_topk(
+    spark: SparkSession, sf: str, k_cells: int = 4, iters: int = 2,
+    n_probe: int = N_PROBE, index_dir: str | None = None,
+) -> DataFrame:
+    """Build-once / search-many IVF: fit the quantizer, PERSIST the
+    index (centroids + cell assignments, each with the raw vectors)
+    as parquet, then answer queries from the RELOADED index — the
+    production lifecycle where index build and query serving are
+    separate jobs (FAISS write_index/read_index in DataFrame form;
+    the reference's own S7 plan-sink/re-source pattern applied to an
+    ANN index). ``index_dir`` defaults to a fresh temp dir; a real
+    deployment points it at the warehouse and runs the build on a
+    schedule.
+
+    Parquet round-trips IEEE-754 doubles exactly, so serving from the
+    reloaded index returns bit-identical rows to
+    :func:`ann_ivf_fitted_topk` (pytest-asserted), and both share the
+    unrolled-quantizer DuckDB oracle. Serving-side plan: two parquet
+    scans (centroids broadcast, cells pruned to probed clusters) — no
+    k-means jobs, which is the point."""
+    import tempfile
+
+    e = _emb(spark, sf)
+    assignments, centroids = kmeans_fit(e, k=k_cells, iters=iters)
+    idx = index_dir or tempfile.mkdtemp(prefix="reair_ivf_index_")
+    centroids.write.mode("overwrite").parquet(f"{idx}/centroids.parquet")
+    e.join(assignments.select("vec_id", "cluster"), "vec_id").write.mode(
+        "overwrite"
+    ).parquet(f"{idx}/cells.parquet")
+
+    # ---- serving side: ONLY the persisted index + the query set ----
+    cent = spark.read.parquet(f"{idx}/centroids.parquet")
+    cells = spark.read.parquet(f"{idx}/cells.parquet")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
+    return _ivf_search(q, cent, cells, n_probe)
 
 
 def embedding_kmeans(spark: SparkSession, sf: str) -> DataFrame:
@@ -942,6 +990,8 @@ GROUP BY cd.vec_id
 SIM_QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_ivf_topk": ann_ivf_topk,
+    "ann_ivf_fitted_topk": ann_ivf_fitted_topk,
+    "ann_ivf_persisted_topk": ann_ivf_persisted_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_pq_topk": ann_pq_topk,
     "embedding_pca_project": embedding_pca_project,
@@ -961,7 +1011,46 @@ SELECT vec_id + 1000000 AS vec_id,
 FROM embeddings WHERE vec_id % 10 = 0
 """
 
+def _ivf_fitted_search_sql(iters: int = 2, n_probe: int = N_PROBE) -> str:
+    """Unrolled-quantizer IVF search: the kmeans CTE chain feeds the
+    same probe/top-k SQL for both the in-memory and persisted engine
+    variants (parquet round-trips doubles exactly, so one oracle
+    serves both)."""
+    corpus = "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings"
+    return f"""
+WITH {_kmeans_cte_sql(corpus, k=4, iters=iters)},
+q AS (SELECT vec_id AS query_id, emb AS qemb FROM corpus
+      WHERE vec_id < {N_QUERIES}),
+qc AS (SELECT q.query_id, ct.cluster,
+              list_cosine_similarity(q.qemb, ct.cemb) AS csim
+       FROM q, cent{iters} ct),
+probed AS (
+  SELECT query_id, cluster FROM (
+    SELECT query_id, cluster,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY csim DESC, cluster) AS pr
+    FROM qc) p
+  WHERE pr <= {n_probe}
+),
+cells AS (SELECT a.vec_id, a.cluster, c.emb
+          FROM assign{iters} a JOIN corpus c ON a.vec_id = c.vec_id),
+cand AS (SELECT probed.query_id, cells.vec_id, cells.emb
+         FROM cells JOIN probed ON cells.cluster = probed.cluster
+         WHERE cells.vec_id >= {N_QUERIES}),
+scored AS (
+  SELECT cand.query_id, cand.vec_id,
+         list_cosine_similarity(q2.qemb, cand.emb) AS sim,
+         row_number() OVER (PARTITION BY cand.query_id
+                            ORDER BY list_cosine_similarity(q2.qemb, cand.emb)
+                                     DESC, cand.vec_id) AS rn
+  FROM cand JOIN q q2 ON cand.query_id = q2.query_id)
+SELECT query_id, vec_id, sim FROM scored WHERE rn <= {TOP_K}
+"""
+
+
 SIM_ORACLES = {
+    "ann_ivf_fitted_topk": _ivf_fitted_search_sql(),
+    "ann_ivf_persisted_topk": _ivf_fitted_search_sql(),
     "ann_lsh_topk": _lsh_oracle_sql(),
     "ann_pq_topk": _PQ_ORACLE,
     "embedding_pca_project": _pca_cte_sql(),

@@ -477,3 +477,24 @@ def test_decontaminate_invariants(spark, sf_dir):
     assert all(
         r.contaminated == (r.n_eval_grams >= DECON_THRESHOLD) for r in rows.values()
     )
+
+
+def test_ivf_persisted_equals_fitted_and_skips_rebuild(spark, sf_dir, tmp_path):
+    """The persisted-index serving path returns bit-identical rows to
+    the in-memory fit, and its serving plan reads the index parquet
+    (no k-means in the serving query)."""
+    from reair_spark.datapipe.similarity import (
+        ann_ivf_fitted_topk,
+        ann_ivf_persisted_topk,
+    )
+
+    fitted = sorted(
+        map(tuple, ann_ivf_fitted_topk(spark, sf_dir).collect())
+    )
+    out = ann_ivf_persisted_topk(spark, sf_dir, index_dir=str(tmp_path / "idx"))
+    persisted = sorted(map(tuple, out.collect()))
+    assert fitted == persisted
+    # the serving plan scans the persisted index files
+    files = out.inputFiles()
+    assert any("centroids.parquet" in f for f in files)
+    assert any("cells.parquet" in f for f in files)
