@@ -574,8 +574,14 @@ def chunked_running_sum(
     )
 
 
+_MERGE_FNS = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+
+
 def merge_partial_aggs(
-    base: DataFrame, delta: DataFrame, keys: list[str], sums: list[str]
+    base: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+    sums: list[str] | dict[str, str],
 ) -> DataFrame:
     """Incremental view maintenance for distributive aggregates: merge
     a stored partial-aggregate table with a new delta batch's partials
@@ -584,15 +590,27 @@ def merge_partial_aggs(
     (the base FACTS are never rescanned; only the metadata-sized
     aggregate table re-enters the plan).
 
-    Correct exactly for SUM/COUNT-carried state (sum, count,
-    mean=sum/count): every column in ``sums`` is merged with F.sum.
-    Min/max partials would need F.min/F.max per column and are NOT
-    supported here; holistic aggregates (median, distinct) need
+    ``sums`` as a list merges every column with F.sum (sum/count-
+    carried state; mean = sum/count downstream). As a dict it maps
+    column → merge function name ('sum', 'count', 'min', 'max'), so
+    min/max partials fold with their own combiner — summing min/max
+    state is wrong, and the typed mapping makes the distinction
+    explicit (ADVICE r4). Holistic aggregates (median, distinct) need
     sketches (see sketch_hll_cardinality) or a recompute.
 
-    Both inputs must already carry the same ``keys`` + ``sums``
-    columns (partial state), e.g. n/total per (type, hour)."""
-    merged = base.select(*keys, *sums).unionByName(delta.select(*keys, *sums))
+    Both inputs must already carry the same ``keys`` + state columns,
+    e.g. n/total/lo/hi per (type, hour)."""
+    if isinstance(sums, dict):
+        bad = {c: f for c, f in sums.items() if f not in _MERGE_FNS}
+        if bad:
+            raise ValueError(
+                f"unsupported merge fns {bad}; supported: {sorted(_MERGE_FNS)}"
+            )
+        fns = {c: _MERGE_FNS[f] for c, f in sums.items()}
+    else:
+        fns = {c: F.sum for c in sums}
+    cols = list(fns)
+    merged = base.select(*keys, *cols).unionByName(delta.select(*keys, *cols))
     return merged.groupBy(*keys).agg(
-        *[F.sum(c).alias(c) for c in sums]
+        *[fn(c).alias(c) for c, fn in fns.items()]
     )

@@ -267,3 +267,33 @@ def test_exact_percentiles_skew_guard_spread_hot_bucket(spark):
     assert got == pytest.approx(list(ref), rel=0, abs=1e-9)
     assert stats.get("recursions", 0) >= 1
     assert stats.get("collected", 0) <= 10 * 500
+
+
+def test_merge_partial_aggs_typed_state(spark):
+    """Dict-form merges min/max partials with their own combiners;
+    result equals recomputing the aggregate over the union of facts."""
+    from reair_spark.operators import merge_partial_aggs
+
+    facts1 = spark.createDataFrame(
+        [("a", 1.0), ("a", 5.0), ("b", 2.0)], "k string, v double"
+    )
+    facts2 = spark.createDataFrame(
+        [("a", -3.0), ("b", 9.0), ("c", 4.0)], "k string, v double"
+    )
+    state = lambda df: df.groupBy("k").agg(  # noqa: E731
+        F.sum("v").alias("total"), F.count("*").alias("n"),
+        F.min("v").alias("lo"), F.max("v").alias("hi"),
+    )
+    merged = merge_partial_aggs(
+        state(facts1), state(facts2), ["k"],
+        {"total": "sum", "n": "count", "lo": "min", "hi": "max"},
+    )
+    expect = {r.k: (r.total, r.n, r.lo, r.hi)
+              for r in state(facts1.union(facts2)).collect()}
+    got = {r.k: (r.total, r.n, r.lo, r.hi) for r in merged.collect()}
+    assert got == expect
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="unsupported merge fns"):
+        merge_partial_aggs(state(facts1), state(facts2), ["k"], {"lo": "avg"})
