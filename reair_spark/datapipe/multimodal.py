@@ -485,7 +485,90 @@ def multimodal_scene_cuts(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def multimodal_image_phash(spark: SparkSession, sf: str) -> DataFrame:
+    """Image near-dup via a perceptual column-profile hash — the
+    image-dedup pass a multimodal training pipeline runs (crawled
+    image sets repeat logos/thumbnails byte-inexactly, so digest
+    dedup misses them): rasterize each doc to the 16-wide grayscale
+    image, run it through the REAL BMP encode→decode cycle, compute
+    per-column pixel sums on the DECODED matrix, and hash the
+    15 adjacent-column gradient bits (dHash family — stable under the
+    row-local perturbations the planted tail-truncated variants
+    introduce, so plants usually collide with their sources). Groups
+    by hash with the keep-lowest-id rule, like dedup_prefix.
+
+    All-integer signature (column SUMS compared, never means), so the
+    oracle recomputes the identical bits straight from text with zero
+    FP risk — and a codec stride/row-order bug changes the decoded
+    sums and breaks the hash match. Scale: map-only Arrow batches +
+    one 8-byte-key groupBy."""
+    from reair_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)
+
+    from reair_spark.datapipe.dedup import _corpus
+
+    c = _corpus(spark, sf, exact=False)
+
+    def phash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                b = text.encode("utf-8")
+                h = -(-len(b) // BMP_WIDTH)
+                if h == 0:
+                    rows.append((int(doc_id), 0))
+                    continue
+                gray = _np.zeros((h, BMP_WIDTH), dtype=_np.uint8)
+                flat = _np.frombuffer(b, dtype=_np.uint8)
+                gray.ravel()[: len(flat)] = flat
+                img = bmp_decode(bmp_encode(gray))  # REAL encode → decode
+                cs = img.astype(_np.int64).sum(axis=0)  # 16 column sums
+                bits = 0
+                for j in range(BMP_WIDTH - 1):
+                    if cs[j + 1] > cs[j]:
+                        bits |= 1 << j
+                rows.append((int(doc_id), bits))
+            yield _pd.DataFrame(rows, columns=["doc_id", "phash"])
+
+    per_doc = c.select("doc_id", "text").mapInPandas(
+        phash, schema="doc_id long, phash long"
+    )
+    return per_doc.groupBy("phash").agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count("*").cast("long").alias("n_docs"),
+    )
+
+
+def _image_phash_sql() -> str:
+    from reair_spark.datapipe.dedup import _corpus_sql
+
+    w = BMP_WIDTH
+    col_sums = ", ".join(
+        "list_aggregate(list_transform(range(0, length(text)), "
+        f"i -> CASE WHEN i % {w} = {j} THEN unicode(text[i + 1]) ELSE 0 END), "
+        f"'sum') AS c{j}"
+        for j in range(w)
+    )
+    bits = " + ".join(
+        f"(CASE WHEN coalesce(c{j + 1}, 0) > coalesce(c{j}, 0) "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j in range(w - 1)
+    )
+    return f"""
+WITH corpus AS ({_corpus_sql(exact=False)}),
+cs AS (SELECT doc_id, {col_sums} FROM corpus)
+SELECT CAST({bits} AS BIGINT) AS phash,
+       min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_docs
+FROM cs GROUP BY 1
+"""
+
+
 MM_QUERIES = {
+    "multimodal_image_phash": multimodal_image_phash,
     "multimodal_scene_cuts": multimodal_scene_cuts,
     "multimodal_features": multimodal_features,
     "multimodal_frame_sample": multimodal_frame_sample,
@@ -496,6 +579,7 @@ MM_QUERIES = {
 }
 
 MM_ORACLES = {
+    "multimodal_image_phash": _image_phash_sql(),
     # ASCII text → bytes == codepoints; frame sums over 32-char
     # windows, cut where adjacent sums differ by > SCENE_DELTA.
     # list_position returns NULL when absent (Spark side nullifs its 0).

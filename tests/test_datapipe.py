@@ -498,3 +498,22 @@ def test_ivf_persisted_equals_fitted_and_skips_rebuild(spark, sf_dir, tmp_path):
     files = out.inputFiles()
     assert any("centroids.parquet" in f for f in files)
     assert any("cells.parquet" in f for f in files)
+
+
+def test_image_phash_dedup_signal(spark, sf_dir):
+    """The perceptual hash must (a) be JVM/Arrow-batched only, (b)
+    collide a planted tail-truncated near-dup with its source for
+    MOST plants (the dHash robustness claim), and (c) never collide
+    more docs than exist."""
+    from reair_spark.datapipe.dedup import _corpus
+    from reair_spark.datapipe.multimodal import multimodal_image_phash
+
+    out = multimodal_image_phash(spark, sf_dir)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    rows = out.collect()
+    n_docs_total = _corpus(spark, sf_dir, exact=False).count()
+    assert sum(r.n_docs for r in rows) == n_docs_total  # partition of corpus
+    # at least some planted near-dups must perceptually collide with
+    # their sources (dup groups exist)
+    assert any(r.n_docs >= 2 for r in rows), "no perceptual collisions"
