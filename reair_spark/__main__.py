@@ -104,6 +104,8 @@ def main(argv: list[str] | None = None) -> int:
                      help="max rows to print (0 = all)")
     qry.add_argument("--output", help="write the full result as parquet here "
                                       "instead of printing rows")
+    qry.add_argument("--explain", action="store_true",
+                     help="print the formatted physical plan instead of rows")
     qry.add_argument("--list", action="store_true",
                      help="print all registry keys and exit")
 
@@ -285,6 +287,9 @@ def main(argv: list[str] | None = None) -> int:
             p.error(f"unknown query {args.name!r}; close matches: {close} "
                     f"(use --list for all {len(registry)})")
         df = registry[args.name](spark, args.sf_dir)
+        if args.explain:
+            df.explain("formatted")
+            return 0
         if args.output:
             df.write.mode("overwrite").parquet(args.output)
             print(json.dumps({"query": args.name, "rows": spark.read.parquet(
