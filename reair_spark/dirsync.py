@@ -122,7 +122,10 @@ def execute_sync(
                     else:
                         fs.unlink(path)
                         yield (path, path, "DELETED", 0, None)
-                except OSError as exc:
+                except (OSError, ValueError) as exc:
+                    # ValueError: e.g. a trash_dir on a different
+                    # scheme than dest — a per-row FAILED record, not
+                    # a task crash
                     yield (path, path, "FAILED", 0, str(exc))
 
         del_results = spark.createDataFrame(
