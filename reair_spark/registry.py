@@ -11,7 +11,7 @@ from reair_spark.queries import DECLARED_ORACLES, DECLARED_QUERIES
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
-def _driver_history() -> tuple[frozenset, dict[str, int]]:
+def _driver_history(root: str | None = None) -> tuple[frozenset, dict[str, int]]:
     """(latest_red, last_green_round) from the driver's own
     ``CORRECTNESS_r*.json`` artifacts at the repo root.
 
@@ -32,7 +32,8 @@ def _driver_history() -> tuple[frozenset, dict[str, int]]:
     import os
     import re
 
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if root is None:
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     files = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
     # latest verdict per query wins; remember the round of the last
     # GREEN verdict for staleness ordering.
