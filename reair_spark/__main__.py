@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -98,8 +99,11 @@ def main(argv: list[str] | None = None) -> int:
     )
     qry.add_argument("name", nargs="?",
                      help="registry key (omit with --list to enumerate)")
-    qry.add_argument("--sf-dir", default="/root/testdata/sf0.01",
-                     help="table directory (…/sf0.01 style)")
+    qry.add_argument("--sf-dir",
+                     default=os.environ.get("SPARK_GRAFT_SF_DIR",
+                                            "/root/testdata/sf0.01"),
+                     help="table directory (…/sf0.01 style; defaults to "
+                          "$SPARK_GRAFT_SF_DIR like bench.py)")
     qry.add_argument("--limit", type=int, default=20,
                      help="max rows to print (0 = all)")
     qry.add_argument("--output", help="write the full result as parquet here "
