@@ -400,3 +400,28 @@ def test_bpe_pairs_vocab_collapse_before_explode(spark, sf_dir):
     first_agg = nodes.index("HashAggregate")
     last_gen = len(nodes) - 1 - nodes[::-1].index("Generate")
     assert first_agg < last_gen, nodes
+
+
+def test_registry_wide_no_row_python_no_cartesian(spark, sf_dir):
+    """Mechanical enforcement of the engine-wide claims: NO query in
+    the registry plans a row-at-a-time Python eval (BatchEvalPython)
+    or a CartesianProduct. Arrow-batched Python (ArrowEvalPython /
+    MapInPandas / FlatMapGroupsInPandas) is the sanctioned slow path
+    and is allowed. Queries with driver-side precompute (k-means fits,
+    streaming drains, the replication e2e) execute that part while
+    building their DataFrame — the audit still covers the full final
+    plan of all of them."""
+    from reair_spark.registry import all_queries
+
+    failures = []
+    for name, fn in sorted(all_queries().items()):
+        try:
+            plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        except Exception as exc:  # noqa: BLE001 — surface as audit failure
+            failures.append(f"{name}: plan build failed: {exc}")
+            continue
+        if "BatchEvalPython" in plan:
+            failures.append(f"{name}: row-at-a-time Python in plan")
+        if "CartesianProduct" in plan:
+            failures.append(f"{name}: cartesian product in plan")
+    assert not failures, "\n".join(failures)
