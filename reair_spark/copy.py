@@ -114,8 +114,13 @@ def _copy_one(
 
     from reair_spark.fs import fs_for
 
-    src_fs = fs_for(src_file, fs_registry)
-    dst_fs = fs_for(dest_file, fs_registry)
+    try:
+        src_fs = fs_for(src_file, fs_registry)
+        dst_fs = fs_for(dest_file, fs_registry)
+    except ValueError as exc:
+        # unregistered scheme in the plan: a per-file FAILED record the
+        # summary surfaces, not a task crash that kills the whole stage
+        return (src_file, dest_file, "FAILED", 0, f"ValueError: {exc}")
     try:
         st = dst_fs.stat(dest_file)
         if st.size == size and (

@@ -227,3 +227,10 @@ def test_dirsync_over_mock_scheme(spark, mock_scheme, tmp_path):
     assert not os.path.exists(os.path.join(mock_scheme.root, "dst/stale.txt"))
     with open(os.path.join(mock_scheme.root, "trash/stale.txt"), "rb") as fh:
         assert fh.read() == b"gone"
+
+
+def test_copy_unregistered_scheme_fails_per_row():
+    """A plan row naming a scheme with no registered FS must come back
+    as a FAILED result row, never crash the task."""
+    out = _copy_one("s3a://bucket/key", "/tmp/never", 1, 0, fs_registry={})
+    assert out[2] == "FAILED" and "no filesystem registered" in out[4]
