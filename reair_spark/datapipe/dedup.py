@@ -898,8 +898,66 @@ FROM tt LEFT JOIN per_doc ON tt.doc_id = per_doc.doc_id
 """
 
 
+def dedup_gram_novelty(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document n-gram NOVELTY: the fraction of a doc's distinct
+    k-grams whose FIRST corpus occurrence (lowest doc_id) is this doc
+    — the contribution-scoring signal curation uses to order or
+    down-weight late near-copies (a doc that introduces nothing new
+    scores 0 even when no single neighbor crosses a dedup threshold;
+    the additive complement of the pairwise dedup family).
+
+    Scale shape: one distinct-gram table (8-byte hashes), one groupBy
+    h → min(doc_id) (map-side combined, |distinct grams| keys), one
+    join back, one per-doc agg — all linear, no doc pairs. Output is
+    integer counts (novel, total) so the gate compares exact ints;
+    novelty = novel/total is one map away for consumers."""
+    c = _corpus(spark, sf, exact=False)
+    g = _gram_table(c, SPAN_K).select("doc_id", "h").distinct()
+    first = g.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        g.join(first, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum((F.col("doc_id") == F.col("first_doc")).cast("long"))
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    return (
+        c.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
+        )
+    )
+
+
+def _gram_novelty_sql() -> str:
+    return f"""
+WITH c AS ({_corpus_sql(exact=False)}),
+g AS (SELECT DISTINCT doc_id, h
+      FROM ({_gram_table_sql('SELECT * FROM c', SPAN_K)}) t),
+first AS (SELECT h, min(doc_id) AS first_doc FROM g GROUP BY h),
+per_doc AS (
+  SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(sum(CASE WHEN g.doc_id = first.first_doc THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_novel
+  FROM g JOIN first ON g.h = first.h
+  GROUP BY g.doc_id
+)
+SELECT c.doc_id,
+       CAST(coalesce(per_doc.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(per_doc.n_novel, 0) AS BIGINT) AS n_novel
+FROM c LEFT JOIN per_doc ON c.doc_id = per_doc.doc_id
+"""
+
+
 DEDUP_QUERIES = {
     "dedup_span_kgram": dedup_span_kgram,
+    "dedup_gram_novelty": dedup_gram_novelty,
     "dedup_decontaminate": dedup_decontaminate,
     "dedup_prefix": dedup_prefix,
     "dedup_jaccard_rareblock": dedup_jaccard_rareblock,
@@ -927,6 +985,7 @@ WHERE md5(text) NOT IN (SELECT fp FROM ref)
 
 DEDUP_ORACLES = {
     "dedup_span_kgram": _span_sql(),
+    "dedup_gram_novelty": _gram_novelty_sql(),
     "dedup_decontaminate": _decontaminate_sql(),
     "dedup_jaccard_rareblock": _rareblock_sql(),
     "dedup_against_corpus": _AGAINST_CORPUS_SQL,

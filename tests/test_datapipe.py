@@ -517,3 +517,33 @@ def test_image_phash_dedup_signal(spark, sf_dir):
     # at least some planted near-dups must perceptually collide with
     # their sources (dup groups exist)
     assert any(r.n_docs >= 2 for r in rows), "no perceptual collisions"
+
+
+def test_gram_novelty_invariants(spark, sf_dir):
+    """Novelty algebra: 0 <= n_novel <= n_grams; planted near-dups
+    (doc_id + 1M, higher than every original) introduce at most the
+    boundary grams their truncation creates — their novelty is (near)
+    zero; and every distinct gram in the corpus is novel in exactly
+    one doc (sum of n_novel == count of distinct grams)."""
+    from pyspark.sql import functions as F
+
+    from reair_spark.datapipe.dedup import (
+        SPAN_K,
+        _corpus,
+        _gram_table,
+        dedup_gram_novelty,
+    )
+
+    out = dedup_gram_novelty(spark, sf_dir)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert all(0 <= r.n_novel <= r.n_grams for r in rows.values())
+    plants = [r for d, r in rows.items() if d >= 1_000_000]
+    assert plants
+    # the plant repeats its source's prefix verbatim: zero novel grams
+    assert all(r.n_novel == 0 for r in plants)
+    total_novel = sum(r.n_novel for r in rows.values())
+    distinct_grams = (
+        _gram_table(_corpus(spark, sf_dir, exact=False), SPAN_K)
+        .select("h").distinct().count()
+    )
+    assert total_novel == distinct_grams
