@@ -207,6 +207,7 @@ def main(argv: list[str] | None = None) -> int:
                     "delete/point --state-dir elsewhere or use the batch "
                     "incremental mode for an id override"
                 )
+            schema = spark.read.parquet(args.events_parquet).schema
             stream = (
                 spark.readStream.schema(schema)
                 .option("maxFilesPerTrigger", args.batch_size)

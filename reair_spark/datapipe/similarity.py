@@ -638,11 +638,20 @@ def ann_ivf_persisted_topk(
     unrolled-quantizer DuckDB oracle. Serving-side plan: two parquet
     scans (centroids broadcast, cells pruned to probed clusters) — no
     k-means jobs, which is the point."""
+    import atexit
+    import shutil
     import tempfile
 
     e = _emb(spark, sf)
     assignments, centroids = kmeans_fit(e, k=k_cells, iters=iters)
-    idx = index_dir or tempfile.mkdtemp(prefix="reair_ivf_index_")
+    if index_dir is None:
+        # The serving DataFrame reads the index lazily, so the dir
+        # must outlive this call — clean it at process exit instead
+        # of leaking a corpus copy into /tmp per bench/gate run.
+        idx = tempfile.mkdtemp(prefix="reair_ivf_index_")
+        atexit.register(shutil.rmtree, idx, ignore_errors=True)
+    else:
+        idx = index_dir
     centroids.write.mode("overwrite").parquet(f"{idx}/centroids.parquet")
     e.join(assignments.select("vec_id", "cluster"), "vec_id").write.mode(
         "overwrite"

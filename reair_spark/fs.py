@@ -204,16 +204,28 @@ class MemFs:
 
     def set_mtime(self, path: str, mtime_ms: int) -> None:
         k = self._key(path)
+        if k not in self.files:
+            raise FileNotFoundError(path)
         self.files[k] = (self.files[k][0], mtime_ms)
 
     def mkdirs(self, path: str) -> None:
         pass  # directories are implicit in the key space
 
     def rename(self, src: str, dst: str) -> None:
-        self.files[self._key(dst)] = self.files.pop(self._key(src))
+        # FS protocol error contract: missing paths raise OSError
+        # subclasses so _copy_one's retry/FAILED handling catches
+        # them, matching LocalFs — a bare KeyError would crash the
+        # task instead of producing a per-row FAILED record.
+        k = self._key(src)
+        if k not in self.files:
+            raise FileNotFoundError(src)
+        self.files[self._key(dst)] = self.files.pop(k)
 
     def unlink(self, path: str) -> None:
-        del self.files[self._key(path)]
+        k = self._key(path)
+        if k not in self.files:
+            raise FileNotFoundError(path)
+        del self.files[k]
 
 
 _LOCAL = LocalFs()

@@ -66,6 +66,13 @@ def _make_scan_level(fs_registry: dict) -> callable:
                 entries = fs_for(d, fs_registry).scandir(d)
             except (FileNotFoundError, NotADirectoryError):
                 continue
+            except ValueError:
+                # fs_for raises ValueError for unregistered schemes
+                # (e.g. an hdfs:// table location when only local/mock
+                # schemes are registered). The old driver isdir loop
+                # silently skipped those; one stray location must not
+                # crash the whole listing job.
+                continue
             for e in entries:
                 hidden = e.name.startswith(("_", "."))
                 if e.is_dir:

@@ -37,7 +37,9 @@ from reair_spark.inventory import dir_digest, list_files
 from reair_spark.metrics import JobMetrics
 
 
-def _digests(spark: SparkSession, *snapshots: DataFrame) -> DataFrame:
+def _digests(
+    spark: SparkSession, *snapshots: DataFrame
+) -> tuple[DataFrame, DataFrame]:
     """Per-location content digests with the location set kept as a
     DataFrame end-to-end: existence/type checking happens inside
     list_files' executor fan-out, never as a driver collect + isdir

@@ -3,8 +3,10 @@ parquet, checkpointed foreachBatch compile, session windows."""
 
 from __future__ import annotations
 
+import json
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from reair_spark.io import load_table
@@ -267,3 +269,41 @@ def test_stream_interval_join_matches_batch(spark, sf_dir):
     ).select("o_orderkey", "event_id")
     assert sorted((r.o_orderkey, r.event_id) for r in got.collect()) == \
         sorted((r.o_orderkey, r.event_id) for r in batch.collect())
+
+
+def test_cli_incremental_streaming_smoke(spark, tmp_path, capsys):
+    """CLI smoke for `incremental --streaming` — regression for the
+    r5 bug where the `schema` read was dropped while adding the
+    --start-after-id guard and every streaming invocation raised
+    NameError (no test covered the CLI path; only an AST check saw
+    it)."""
+    from reair_spark.__main__ import main
+    from reair_spark.catalog import DirectoryCatalog
+    from tests.test_batch_replication import _make_unpartitioned
+
+    src_root, dest_root = str(tmp_path / "src"), str(tmp_path / "dest")
+    state = str(tmp_path / "state")
+    src_cat, dest_cat = DirectoryCatalog(src_root), DirectoryCatalog(dest_root)
+    _make_unpartitioned(src_cat, "db1", "t1")
+
+    schema = (
+        "id long, create_time timestamp, command_type string, command string, "
+        "objects array<struct<category:string, obj_type:string, name:string, "
+        "payload:string>>"
+    )
+    ev_dir = str(tmp_path / "events_src")
+    spark.createDataFrame(
+        [(1, None, "CREATETABLE", "", [("OUTPUT", "TABLE", "db1.t1", "{}")])],
+        schema,
+    ).repartition(1).write.parquet(ev_dir)
+
+    rc = main(["incremental", ev_dir, src_root, dest_root, state, "--streaming"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out == {"mode": "streaming", "status": "drained"}
+    assert dest_cat.get_table("db1", "t1") is not None
+
+    # the conflict guard still errors loudly
+    with pytest.raises(SystemExit):
+        main(["incremental", ev_dir, src_root, dest_root, state,
+              "--streaming", "--start-after-id", "1"])
