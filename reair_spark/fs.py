@@ -228,6 +228,76 @@ class MemFs:
         del self.files[k]
 
 
+_TMP_SUFFIX_RE = re.compile(r"\.__copying_\d+$")
+
+
+class FailingFs(MappedFs):
+    """Deterministic fault-injection wrapper over the FS seam — the
+    harness that turns the copy/commit protocol's "exactly-once-ish"
+    claims (ST4/ST6) into enforced properties, mirroring what the
+    reference gets from HDFS fault semantics at
+    DistCpWrapper.java:94-98,203-213 (tmp + atomic publish) and
+    BatchUtils.doCopyFileAction:39-132 (verify + bounded retry).
+
+    Faults are scheduled on a local "board" directory that crosses the
+    driver↔Python-worker process boundary: a marker file
+    ``<board>/<op>__<final-basename>`` holds a remaining-failure count;
+    each matching primitive call consumes one count and raises OSError.
+    Matching is by the FINAL file name (the per-pid ``.__copying_*``
+    staging suffix is stripped), and each copy task owns exactly one
+    file, so concurrent tasks never race on a marker — schedules are
+    deterministic under any parallelism."""
+
+    def __init__(self, scheme: str, root: str, board: str):
+        super().__init__(scheme, root)
+        self.board = board
+
+    @staticmethod
+    def schedule(board: str, op: str, final_name: str, n_failures: int) -> None:
+        """Arm ``op`` on ``final_name`` to fail ``n_failures`` times."""
+        os.makedirs(board, exist_ok=True)
+        with open(os.path.join(board, f"{op}__{final_name}"), "w") as fh:
+            fh.write(str(n_failures))
+
+    def _maybe_fail(self, op: str, path: str) -> None:
+        name = _TMP_SUFFIX_RE.sub("", os.path.basename(str(path).rstrip("/")))
+        marker = os.path.join(self.board, f"{op}__{name}")
+        try:
+            with open(marker) as fh:
+                n = int(fh.read().strip() or 0)
+        except (FileNotFoundError, ValueError):
+            return
+        if n <= 0:
+            return
+        with open(marker, "w") as fh:
+            fh.write(str(n - 1))
+        raise OSError(f"injected {op} failure on {name} ({n - 1} left)")
+
+    def open_read(self, path: str):
+        self._maybe_fail("open_read", path)
+        return super().open_read(path)
+
+    def create(self, path: str):
+        self._maybe_fail("create", path)
+        return super().create(path)
+
+    def flush_and_sync(self, fileobj) -> None:
+        self._maybe_fail("flush_and_sync", getattr(fileobj, "name", ""))
+        super().flush_and_sync(fileobj)
+
+    def set_mtime(self, path: str, mtime_ms: int) -> None:
+        self._maybe_fail("set_mtime", path)
+        super().set_mtime(path, mtime_ms)
+
+    def rename(self, src: str, dst: str) -> None:
+        self._maybe_fail("rename", dst)
+        super().rename(src, dst)
+
+    def unlink(self, path: str) -> None:
+        self._maybe_fail("unlink", path)
+        super().unlink(path)
+
+
 _LOCAL = LocalFs()
 _REGISTRY: dict[str, object] = {}
 
