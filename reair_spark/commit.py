@@ -46,12 +46,32 @@ COMMIT_RESULT_SCHEMA = T.StructType(
 
 
 def rewrite_locations(plan: DataFrame, src_root: str, dest_root: str) -> DataFrame:
-    """F8 location rewrite: same relative path under the dest root."""
+    """F8 location rewrite: same relative path under the dest root.
+
+    A src location OUTSIDE the src warehouse root — the reference's
+    cross-warehouse case (e.g. table data rooted on ``s3://``/
+    ``hdfs://`` while the warehouse root is elsewhere;
+    ReplicationUtils' destination = dest root + db/table layout) can't
+    prefix-rewrite; it lands at ``dest_root/db/table[/partition]``.
+    Without this branch dest_path would equal src_path, the copy would
+    self-skip, and the dest catalog would point at SOURCE data."""
+    import re as _re
+
+    derived = F.concat_ws(
+        "/", F.lit(dest_root), F.col("db"), F.col("table")
+    )
+    derived = F.when(
+        F.col("partition_name").isNotNull(),
+        F.concat_ws("/", derived, F.col("partition_name")),
+    ).otherwise(derived)
     return plan.withColumn(
         "dest_path",
         F.when(
             F.col("dest_path").isNull() & F.col("src_path").isNotNull(),
-            F.regexp_replace("src_path", f"^{src_root}", dest_root),
+            F.when(
+                F.col("src_path").startswith(src_root),
+                F.regexp_replace("src_path", f"^{_re.escape(src_root)}", dest_root),
+            ).otherwise(derived),
         ).otherwise(F.col("dest_path")),
     )
 
