@@ -547,3 +547,48 @@ def test_gram_novelty_invariants(spark, sf_dir):
         .select("h").distinct().count()
     )
     assert total_novel == distinct_grams
+
+
+def test_png_codec_roundtrip_filters_and_crc():
+    """The pure-python PNG codec (RFC 2083): exact roundtrip on images
+    whose structure forces every scanline filter type (None/Sub/Up/
+    Average/Paeth) through the encoder's min-sum heuristic, and CRC
+    validation rejects a tampered chunk."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from reair_spark.datapipe.multimodal import png_decode, png_encode
+
+    rng = np.random.RandomState(7)
+    cases = [
+        rng.randint(0, 256, (5, 16)).astype(np.uint8),
+        np.tile(np.arange(16, dtype=np.uint8), (9, 1)),  # Sub wins
+        np.repeat(np.arange(9, dtype=np.uint8)[:, None], 16, 1),  # Up wins
+        np.zeros((3, 16), dtype=np.uint8),
+        np.cumsum(
+            np.cumsum(rng.randint(0, 3, (20, 16)), 0), 1
+        ).astype(np.uint8),  # smooth gradient → Average/Paeth
+    ]
+    used = set()
+    for img in cases:
+        enc = png_encode(img)
+        assert enc[:8] == b"\x89PNG\r\n\x1a\n"
+        dec = png_decode(enc)
+        assert dec.dtype == np.uint8 and (dec == img).all()
+        pos, idat = 8, b""
+        while pos + 8 <= len(enc):
+            (clen,) = struct.unpack(">I", enc[pos:pos + 4])
+            if enc[pos + 4:pos + 8] == b"IDAT":
+                idat += enc[pos + 8:pos + 8 + clen]
+            pos += 12 + clen
+        raw = zlib.decompress(idat)
+        w = img.shape[1]
+        used |= {raw[r * (w + 1)] for r in range(img.shape[0])}
+    assert used == {0, 1, 2, 3, 4}, f"filter coverage incomplete: {used}"
+
+    tampered = bytearray(png_encode(cases[0]))
+    tampered[40] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        png_decode(bytes(tampered))
