@@ -592,3 +592,50 @@ def test_png_codec_roundtrip_filters_and_crc():
     tampered[40] ^= 0xFF
     with pytest.raises(ValueError, match="CRC"):
         png_decode(bytes(tampered))
+
+
+def test_span_trim_removes_exactly_the_shared_prefix(spark):
+    """Planted near-dup = a shared prefix of its source: span_trim
+    must remove from the LATER doc exactly the prefix tokens (every
+    position covered by a ≥k-gram that first occurred in the source)
+    and keep the unique tail verbatim; the source doc — the corpus-
+    first occurrence — keeps everything."""
+    import hashlib
+
+    from reair_spark.datapipe.dedup import span_trim
+
+    k = 8
+    src_toks = [f"w{i}" for i in range(20)]          # unique words
+    shared = src_toks[:15]                           # the shared prefix
+    tail = [f"u{i}" for i in range(5)]               # unique tail
+    c = spark.createDataFrame(
+        [(1, " ".join(src_toks)), (2, " ".join(shared + tail))],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in span_trim(c, k).collect()}
+
+    # source doc: first occurrence of everything → untouched
+    assert rows[1].kept_tokens == 20
+    assert rows[1].trimmed_md5 == hashlib.md5(
+        " ".join(src_toks).encode()
+    ).hexdigest()
+
+    # later doc: duplicated grams cover exactly positions 1..15 (the
+    # shared prefix); the unique tail survives verbatim
+    assert rows[2].n_tok == 20
+    assert rows[2].kept_tokens == 5
+    assert rows[2].trimmed_md5 == hashlib.md5(
+        " ".join(tail).encode()
+    ).hexdigest()
+
+    # within-doc repetition trims too (occurrence-level first-keeper):
+    # one doc holding the same k-gram twice keeps only the first
+    rep = spark.createDataFrame(
+        [(7, " ".join([f"r{i}" for i in range(k)]
+                      + ["x", "y"]
+                      + [f"r{i}" for i in range(k)]))],
+        "doc_id long, text string",
+    )
+    r7 = span_trim(rep, k).collect()[0]
+    assert r7.n_tok == 2 * k + 2
+    assert r7.kept_tokens == k + 2  # first gram + x y survive
