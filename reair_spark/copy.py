@@ -21,10 +21,17 @@ tasks; the reference insists too — MetastoreReplicationJob.java:251-258);
 the session factory pins spark.speculation=false.
 
 At 100 TB: tasks stream bytes file-by-file with O(buffer) memory;
-task count scales with files; AQE coalesces small outputs. Directory-
-level strategy selection (coalesced common-dir copy when cheap —
-CopyPartitionsTask.java:163-235's optimistic copy) is a plan rewrite
-in plan_copy_tasks, not a runtime special case.
+task count scales with files; AQE coalesces small outputs.
+
+Deliberate non-port (SURVEY.md §2.2): the reference's optimistic
+common-dir copy coalescing (CopyPartitionsTask.java:163-235 — copy a
+partitioned table's common ancestor once when its size ≤ 2× the
+wanted partitions, then move partitions into place) exists to
+amortize per-partition DistCp JOB LAUNCHES. Here the whole copy set
+is per-file rows in ONE Spark job, so there is no launch to
+amortize; coalescing would only add its own cost (copying up to 2×
+the wanted bytes). plan_copy_tasks therefore stays a pure F6
+projection + per-file expansion.
 """
 
 from __future__ import annotations

@@ -682,11 +682,28 @@ DECON_K = 8          # contamination n-gram length, in tokens
 DECON_THRESHOLD = 4  # eval-gram hits at/above which a train doc is contaminated
 
 
-def _gram_table(c: DataFrame, k: int) -> DataFrame:
-    """(doc_id, pos, h) for every k-token gram of every doc — built
-    JVM-side (transform+slice over the token array, zero shuffle),
-    keyed by a 60-bit portable hash so downstream shuffles move 8-byte
-    keys, never gram text."""
+def _gram_table(
+    c: DataFrame, k: int, hash_chars: int = 15, confirm: bool = False
+) -> DataFrame:
+    """(doc_id, pos, h[, h2]) for every k-token gram of every doc —
+    built JVM-side (transform+slice over the token array, zero
+    shuffle), keyed by a 60-bit portable hash so downstream shuffles
+    move 8-byte keys, never gram text.
+
+    Collision math (birthday bound): among N distinct grams the
+    expected number of falsely-equal pairs is ≈ N²/2^61 — negligible
+    at gate scale (N=10^9 → 0.4 expected pairs) but routine at
+    extreme scale (N=10^12 → ~4×10^5), where span-merging dilutes but
+    does not remove false "shared gram" positives. ``confirm=True``
+    adds ``h2``, an INDEPENDENT second 60-bit key from the other half
+    of the same md5 (hex chars 17-31 vs 1-15 — one digest, no extra
+    hashing cost); keying on (h, h2) is a 120-bit key with expected
+    false pairs ≈ N²/2^121 (N=10^12 → 4×10^-13, i.e. never). The
+    confirm column stays OFF the oracle path — DuckDB BIGINT
+    portability fixes the gate key at 60 bits — and is the documented
+    production remedy (PLANS.md round-6). ``hash_chars`` narrows the
+    primary key (test hook: forcing collisions demonstrably removed
+    by confirm)."""
     d = c.select("doc_id", F.split("text", " ").alias("t"))
     grams_arr = F.when(
         F.size("t") >= k,
@@ -695,10 +712,15 @@ def _gram_table(c: DataFrame, k: int) -> DataFrame:
             lambda i: F.concat_ws(" ", F.slice(F.col("t"), i, k)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    h60 = F.conv(F.substring(F.md5(F.col("gram")), 1, 15), 16, 10).cast("long")
-    return (
-        d.select("doc_id", F.posexplode(grams_arr).alias("p0", "gram"))
-        .select("doc_id", (F.col("p0") + 1).alias("pos"), h60.alias("h"))
+    md5 = F.md5(F.col("gram"))
+    h = F.conv(F.substring(md5, 1, hash_chars), 16, 10).cast("long")
+    cols = [F.col("doc_id"), (F.col("p0") + 1).alias("pos"), h.alias("h")]
+    if confirm:
+        cols.append(
+            F.conv(F.substring(md5, 17, 15), 16, 10).cast("long").alias("h2")
+        )
+    return d.select("doc_id", F.posexplode(grams_arr).alias("p0", "gram")).select(
+        *cols
     )
 
 
@@ -714,7 +736,9 @@ FROM (SELECT doc_id, string_split(text, ' ') AS t FROM ({src}) src_q) tt,
 """
 
 
-def dedup_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+def dedup_decontaminate(
+    spark: SparkSession, sf: str, hash_chars: int = 15, confirm: bool = False
+) -> DataFrame:
     """Train/eval decontamination — the benchmark-leakage pass every
     LLM training pipeline runs before training (GPT-3 appendix C /
     The Pile §6: drop or flag training docs sharing verbatim n-grams
@@ -742,12 +766,20 @@ def dedup_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     is_eval = (F.col("doc_id") % 17 == 0) & (F.col("doc_id") < 1_000_000)
     ev = c.where(is_eval)
     tr = c.where(~is_eval)
-    eval_grams = _gram_table(ev, DECON_K).select("h").distinct()
+    # confirm=True: 120-bit (h, h2) join key — the anti-collision
+    # production remedy (birthday math in _gram_table's docstring);
+    # off the oracle path, which stays at the 60-bit portable key
+    key = ["h", "h2"] if confirm else ["h"]
+    eval_grams = (
+        _gram_table(ev, DECON_K, hash_chars=hash_chars, confirm=confirm)
+        .select(*key)
+        .distinct()
+    )
     hits = (
-        _gram_table(tr, DECON_K)
-        .join(eval_grams, "h")
+        _gram_table(tr, DECON_K, hash_chars=hash_chars, confirm=confirm)
+        .join(eval_grams, key)
         .groupBy("doc_id")
-        .agg(F.count_distinct("h").cast("long").alias("n_eval_grams"))
+        .agg(F.count_distinct(*key).cast("long").alias("n_eval_grams"))
     )
     return (
         tr.select("doc_id")
@@ -783,7 +815,9 @@ FROM tr LEFT JOIN hits ON tr.doc_id = hits.doc_id
 """
 
 
-def dedup_span_kgram(spark: SparkSession, sf: str) -> DataFrame:
+def dedup_span_kgram(
+    spark: SparkSession, sf: str, hash_chars: int = 15, confirm: bool = False
+) -> DataFrame:
     """Substring-level (span) dedup — the Lee et al. 2022
     ("Deduplicating Training Data Makes Language Models Better",
     arXiv:2107.06499) pass: find verbatim runs of ≥ SPAN_K tokens that
@@ -815,14 +849,17 @@ def dedup_span_kgram(spark: SparkSession, sf: str) -> DataFrame:
     each plant must show dup_tokens ≥ n_tok - 3 (pytest-asserted)."""
     c = _corpus(spark, sf, exact=False)
     d = c.select("doc_id", F.split("text", " ").alias("t"))
-    g = _gram_table(c, SPAN_K)
+    # confirm=True keys gram identity on the 120-bit (h, h2) pair —
+    # see _gram_table's birthday-bound docstring; off the oracle path
+    key = ["h", "h2"] if confirm else ["h"]
+    g = _gram_table(c, SPAN_K, hash_chars=hash_chars, confirm=confirm)
     shared = (
-        g.groupBy("h")
+        g.groupBy(*key)
         .agg(F.count_distinct("doc_id").alias("nd"))
         .where(F.col("nd") >= 2)
-        .select("h")
+        .select(*key)
     )
-    dup = g.join(shared, "h").select(
+    dup = g.join(shared, key).select(
         "doc_id", "pos", (F.col("pos") + SPAN_K - 1).alias("fin")
     )
     w = W.partitionBy("doc_id").orderBy("pos")
@@ -898,7 +935,9 @@ FROM tt LEFT JOIN per_doc ON tt.doc_id = per_doc.doc_id
 """
 
 
-def span_trim(c: DataFrame, k: int = SPAN_K) -> DataFrame:
+def span_trim(
+    c: DataFrame, k: int = SPAN_K, hash_chars: int = 15, confirm: bool = False
+) -> DataFrame:
     """Span TRIMMING — the actionable Lee et al. 2022 pass (VERDICT r5
     ask #5): every verbatim ≥ k-token run that repeats anywhere in the
     corpus keeps only its FIRST occurrence (ordered by doc_id, then
@@ -916,10 +955,16 @@ def span_trim(c: DataFrame, k: int = SPAN_K) -> DataFrame:
 
     Output: (doc_id, n_tok, kept_tokens, trimmed_md5) where
     trimmed_md5 hashes the space-joined surviving tokens — the gate
-    therefore verifies the reconstructed TEXT, not just counts."""
+    therefore verifies the reconstructed TEXT, not just counts.
+
+    ``confirm=True`` keys occurrence identity on the 120-bit (h, h2)
+    pair instead of the 60-bit h — the production anti-collision
+    remedy documented in :func:`_gram_table` (off the oracle path;
+    ``hash_chars`` is the test hook that forces collisions)."""
     d = c.select("doc_id", F.split("text", " ").alias("t"))
-    g = _gram_table(c, k)
-    w_h = W.partitionBy("h").orderBy("doc_id", "pos")
+    g = _gram_table(c, k, hash_chars=hash_chars, confirm=confirm)
+    key = ["h", "h2"] if confirm else ["h"]
+    w_h = W.partitionBy(*key).orderBy("doc_id", "pos")
     dup = (
         g.withColumn("rn", F.row_number().over(w_h))
         .where(F.col("rn") >= 2)

@@ -639,3 +639,37 @@ def test_span_trim_removes_exactly_the_shared_prefix(spark):
     r7 = span_trim(rep, k).collect()[0]
     assert r7.n_tok == 2 * k + 2
     assert r7.kept_tokens == k + 2  # first gram + x y survive
+
+
+def test_confirm_column_removes_forced_gram_collisions(spark):
+    """Collision hardening (PLANS.md round-6 FP table): narrow the
+    primary gram hash to 4 bits (hash_chars=1) so two documents with
+    ZERO shared text produce forced hash collisions — span_trim then
+    falsely trims — and show confirm=True (the independent second
+    60-bit key) removes every false positive, matching the full-width
+    baseline exactly."""
+    from reair_spark.datapipe.dedup import span_trim
+
+    k = 8
+    c = spark.createDataFrame(
+        [
+            (1, " ".join(f"alpha{i}" for i in range(40))),
+            (2, " ".join(f"beta{i}" for i in range(40))),
+        ],
+        "doc_id long, text string",
+    )
+    baseline = {r.doc_id: r for r in span_trim(c, k).collect()}
+    assert all(r.kept_tokens == 40 for r in baseline.values())  # no real dups
+
+    forced = {r.doc_id: r for r in span_trim(c, k, hash_chars=1).collect()}
+    # 4-bit keys over 2x33 grams: collisions are certain → false trims
+    assert any(r.kept_tokens < 40 for r in forced.values())
+
+    confirmed = {
+        r.doc_id: r
+        for r in span_trim(c, k, hash_chars=1, confirm=True).collect()
+    }
+    assert {d: (r.n_tok, r.kept_tokens, r.trimmed_md5)
+            for d, r in confirmed.items()} == \
+           {d: (r.n_tok, r.kept_tokens, r.trimmed_md5)
+            for d, r in baseline.items()}
