@@ -1088,15 +1088,16 @@ def dedup_gram_novelty(spark: SparkSession, sf: str) -> DataFrame:
     novelty = novel/total is one map away for consumers."""
     c = _corpus(spark, sf, exact=False)
     g = _gram_table(c, SPAN_K).select("doc_id", "h").distinct()
-    first = g.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    # first-occurrence attribution as a window min over h: one shuffle
+    # replaces the former groupBy(h) + join-back pair (VERDICT r5 ask
+    # #8 — two fewer jobs, same linear |distinct grams| key space)
+    first_doc = F.min("doc_id").over(W.partitionBy("h"))
     per_doc = (
-        g.join(first, "h")
+        g.withColumn("is_novel", (F.col("doc_id") == first_doc).cast("long"))
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("long").alias("n_grams"),
-            F.sum((F.col("doc_id") == F.col("first_doc")).cast("long"))
-            .cast("long")
-            .alias("n_novel"),
+            F.sum("is_novel").cast("long").alias("n_novel"),
         )
     )
     return (

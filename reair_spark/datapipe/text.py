@@ -118,16 +118,23 @@ def text_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     d = widen(_t(spark, sf, "documents"), spark)
-    n_docs = d.count()
+    # N rides the plan as a broadcast 1-row scalar instead of a
+    # separate d.count() driver action (VERDICT r5 ask #8: one fewer
+    # Spark job + one fewer corpus scan per run)
+    nd = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    scored = tf.join(F.broadcast(df_), "token").select(
-        "doc_id",
-        "token",
-        F.round(
-            F.col("tf") * F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)), 4
-        ).alias("tfidf"),
+    scored = (
+        tf.join(F.broadcast(df_), "token")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)), 4
+            ).alias("tfidf"),
+        )
     )
     w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), "token")
     return (
