@@ -555,7 +555,137 @@ FROM pairs GROUP BY 1, 2
 """
 
 
+BPE_ROUNDS = 3
+
+
+def _bpe_vocab(spark: SparkSession, sf: str) -> DataFrame:
+    """(word, freq, s) with s the sentinel-wrapped symbol string
+    ('small' → '<s><m><a><l><l>'). The wrapping makes greedy leftmost
+    BPE merging EXPRESSIBLE as plain string replace(): the pattern
+    '<l><r>' can only match whole adjacent symbols (mid-symbol
+    alignment would need a '<' inside a symbol, and corpus words are
+    plain lowercase), and replace()'s leftmost non-overlapping scan IS
+    the BPE greedy rule — verified identical in Spark and DuckDB
+    including the '<a><a><a><a>' → '<aa><aa>' repeat case."""
+    d = widen(_t(spark, sf, "documents"), spark)
+    words = d.select(F.explode(F.split("text", " ")).alias("w"))
+    return words.groupBy("w").agg(F.count("*").alias("f")).select(
+        "w", "f", F.expr("regexp_replace(w, '(.)', '<$1>')").alias("s")
+    )
+
+
+def _bpe_round(vocab: DataFrame) -> DataFrame:
+    """One BPE training round, fully declarative: adjacent-pair counts
+    over the (vocab-sized) symbol strings → 1-row argmax merge →
+    broadcast-applied replace. No driver collect; the argmax rides the
+    plan as a broadcast scalar."""
+    syms = F.split(F.expr("trim(BOTH '<>' FROM s)"), "><")
+    pairs_arr = F.when(
+        F.size(syms) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(syms) - 1),
+            lambda i: F.struct(
+                F.element_at(syms, i).alias("l"),
+                F.element_at(syms, i + 1).alias("r"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+    best = (
+        vocab.select("f", F.explode(pairs_arr).alias("p"))
+        .groupBy(F.col("p.l").alias("ml"), F.col("p.r").alias("mr"))
+        .agg(F.sum("f").alias("cnt"))
+        .orderBy(F.desc("cnt"), "ml", "mr")
+        .limit(1)
+    )
+    return vocab.crossJoin(F.broadcast(best)).select(
+        "w",
+        "f",
+        F.expr(
+            "replace(s, concat('<', ml, '><', mr, '>'), "
+            "concat('<', ml, mr, '>'))"
+        ).alias("s"),
+    )
+
+
+def text_bpe_apply(spark: SparkSession, sf: str) -> DataFrame:
+    """Full BPE tokenizer TRAIN + APPLY (Sennrich et al. 2016,
+    arXiv:1508.07909), fixed BPE_ROUNDS merges, end to end in ONE
+    declarative plan — the step beyond text_bpe_pair_counts' single
+    pair table.
+
+    Scale shape: the corpus collapses to (word, freq) first (the one
+    token-level shuffle, map-side combined), so every training round —
+    pair explode, argmax, merge-apply — runs at VOCABULARY scale, and
+    each round's chosen merge rides the plan as a broadcast 1-row
+    scalar (no driver collect, no Python in the loop; the greedy merge
+    application is a JVM string replace thanks to the sentinel
+    wrapping, see _bpe_vocab). The apply stage is a broadcast
+    vocab-map join onto the exploded corpus, aggregated per doc.
+
+    Output: (doc_id, n_words, n_bpe_tokens) — token counts under the
+    trained tokenizer; the DuckDB oracle re-trains with 3 unrolled
+    materialized CTE rounds and must pick the same merges."""
+    vocab = _bpe_vocab(spark, sf)
+    for _ in range(BPE_ROUNDS):
+        vocab = _bpe_round(vocab)
+    # symbols per word = count of '<' openers in the merged string
+    vmap = vocab.select(
+        "w",
+        ((F.length("s") - F.length(F.expr("replace(s, '<', '')"))))
+        .cast("long")
+        .alias("n_sym"),
+    )
+    d = widen(_t(spark, sf, "documents"), spark)
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    return (
+        tok.join(F.broadcast(vmap), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("n_sym").cast("long").alias("n_bpe_tokens"),
+        )
+    )
+
+
+def _bpe_apply_sql() -> str:
+    rounds = []
+    prev = "v0"
+    for i in range(1, BPE_ROUNDS + 1):
+        rounds.append(f"""
+p{i} AS MATERIALIZED (
+  SELECT sy[s.i] AS ml, sy[s.i + 1] AS mr, sum(f) AS cnt
+  FROM (SELECT f, string_split(trim(s, '<>'), '><') AS sy FROM {prev}) t,
+       unnest(generate_series(1, greatest(len(sy) - 1, 0))) AS s(i)
+  GROUP BY 1, 2 ORDER BY cnt DESC, ml, mr LIMIT 1
+),
+v{i} AS MATERIALIZED (
+  SELECT w, f, replace(s, '<' || ml || '><' || mr || '>',
+                       '<' || ml || mr || '>') AS s
+  FROM {prev}, p{i}
+)""")
+        prev = f"v{i}"
+    return f"""
+WITH words AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+),
+v0 AS MATERIALIZED (
+  SELECT w, count(*) AS f, regexp_replace(w, '(.)', '<\\1>', 'g') AS s
+  FROM words GROUP BY w
+),{','.join(rounds)},
+vmap AS (
+  SELECT w, CAST(length(s) - length(replace(s, '<', '')) AS BIGINT) AS n_sym
+  FROM {prev}
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(n_sym) AS BIGINT) AS n_bpe_tokens
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) dw
+JOIN vmap USING (w)
+GROUP BY doc_id
+"""
+
+
 TEXT_QUERIES = {
+    "text_bpe_apply": text_bpe_apply,
     "text_bpe_pair_counts": text_bpe_pair_counts,
     "text_quality_linear": text_quality_linear,
     "text_chunk_windows": text_chunk_windows,
@@ -683,6 +813,7 @@ ORDER BY n DESC, token
 
 
 TEXT_ORACLES = {
+    "text_bpe_apply": _bpe_apply_sql(),
     "text_bpe_pair_counts": _BPE_PAIRS_SQL,
     "text_quality_linear": _quality_linear_sql(),
     "text_chunk_windows": _CHUNK_SQL,

@@ -2,10 +2,13 @@
 mismatches in one pass (faster feedback than pytest -x).
 
 Usage: python tests/run_oracle_sweep.py [sf_dir] [name_filter...]
+       --json PATH  write a machine-readable per-query result map
+                    (the SWEEP_r{N}.json artifact, VERDICT r5 ask #9)
 """
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 import time
@@ -18,8 +21,14 @@ from tests.oracle_check import compare, duck_con  # noqa: E402
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    filters = sys.argv[2:]
+    args = sys.argv[1:]
+    json_path = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_path = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    filters = args[1:]
     import __spark_entry__ as entrymod
 
     queries = entrymod.queries()
@@ -27,6 +36,7 @@ def main() -> int:
     spark = get_spark("oracle_sweep")
     con = duck_con(sf_dir)
     failures = 0
+    results: dict[str, dict] = {}
     for name in sorted(queries):
         if filters and not any(f in name for f in filters):
             continue
@@ -36,19 +46,45 @@ def main() -> int:
             if name not in oracles:
                 n = df.count()
                 print(f"  {name}: rows-only ({n} rows) [{time.time()-t0:.1f}s]")
+                results[name] = {
+                    "status": "rows_only", "rows": n,
+                    "sec": round(time.time() - t0, 2),
+                }
                 continue
             r = compare(df, con, oracles[name])
             ok = r["rows_match"] and r["cols_match"] and r["hash_match"]
             flag = "OK " if ok else "FAIL"
             print(f"  {name}: {flag} [{time.time()-t0:.1f}s]")
+            results[name] = {
+                "status": "ok" if ok else "fail",
+                "sec": round(time.time() - t0, 2),
+            }
             if not ok:
                 failures += 1
+                results[name]["spark"] = str(r["spark"])
+                results[name]["duckdb"] = str(r["duckdb"])
                 print(f"    spark : {r['spark']}")
                 print(f"    duckdb: {r['duckdb']}")
         except Exception as e:  # noqa: BLE001
             failures += 1
+            results[name] = {
+                "status": "error",
+                "err": f"{type(e).__name__}: {str(e)[:300]}",
+            }
             print(f"  {name}: ERROR {type(e).__name__}: {str(e)[:300]}")
     print(f"done: {failures} failures")
+    if json_path:
+        n_ok = sum(1 for v in results.values() if v["status"] == "ok")
+        payload = {
+            "sf_dir": sf_dir,
+            "n_queries": len(results),
+            "n_ok": n_ok,
+            "n_failures": failures,
+            "results": results,
+        }
+        with open(json_path, "w") as fh:
+            json.dump(payload, fh, indent=1, sort_keys=True)
+        print(f"wrote {json_path}")
     return 1 if failures else 0
 
 

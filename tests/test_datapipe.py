@@ -673,3 +673,30 @@ def test_confirm_column_removes_forced_gram_collisions(spark):
             for d, r in confirmed.items()} == \
            {d: (r.n_tok, r.kept_tokens, r.trimmed_md5)
             for d, r in baseline.items()}
+
+
+def test_bpe_train_apply_merges_greedily(spark):
+    """The declarative BPE trainer: round argmax picks the true
+    most-frequent adjacent pair, the sentinel replace applies the
+    merge with greedy-leftmost semantics (repeat runs included), and
+    merged symbols participate in later rounds."""
+    from pyspark.sql import functions as F
+
+    from reair_spark.datapipe.text import _bpe_round
+
+    vocab = spark.createDataFrame(
+        [("aaab", 10), ("ab", 5), ("ba", 1)], "w string, f long"
+    ).select("w", "f", F.expr("regexp_replace(w, '(.)', '<$1>')").alias("s"))
+    # pair counts: (a,a): 2*10=20  (a,b): 10+5=15  (b,a): 1 → merge (a,a)
+    r1 = _bpe_round(vocab)
+    got1 = {r.w: r.s for r in r1.collect()}
+    # greedy leftmost on 'aaa' run: <aa><a>, not <a><aa>
+    assert got1["aaab"] == "<aa><a><b>"
+    assert got1["ab"] == "<a><b>"
+    # round 2: pairs now (aa,a):10 (a,b):15 (b,a):1 → merge (a,b)
+    got2 = {r.w: r.s for r in _bpe_round(r1).collect()}
+    assert got2["aaab"] == "<aa><ab>"
+    assert got2["ab"] == "<ab>"
+    # round 3: (aa,ab):10 wins → whole word fuses
+    got3 = {r.w: r.s for r in _bpe_round(_bpe_round(r1)).collect()}
+    assert got3["aaab"] == "<aaab>"
