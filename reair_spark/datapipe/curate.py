@@ -454,7 +454,106 @@ ORDER BY skey, doc_id LIMIT {WRS_KEEP}
 """
 
 
+TEMP_SCALE = 1000       # fixed-point scale for sqrt(n_tokens)
+TEMP_BUDGET = 1_000_000  # tokens per training epoch to allocate
+
+
+def curate_temperature_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-scaled source mixing (the multilingual-LLM recipe:
+    XLM-R / mT5 sample sources ∝ p^(1/τ) so head sources shrink and
+    tail sources grow; τ=2 → weights ∝ √p, and since
+    √(n/T)/Σ√(m/T) = √n/Σ√m the corpus total cancels — weights come
+    straight from per-source token counts).
+
+    Cross-engine determinism by INTEGER arithmetic end to end: the
+    weight numerator is q = floor(√n_tokens · 1000) (identical IEEE
+    sqrt+multiply in both engines, then floored to an exact BIGINT),
+    Σq is an integer sum (order-free, unlike float sums whose
+    partial-aggregation order differs between engines), and the token
+    allocation is integer division q·budget / Σq. No float ever
+    crosses the comparison boundary.
+
+    Scale: one map-side-combined per-source aggregate (|sources|
+    keys) + a broadcast 1-row Σ — nothing else touches the corpus."""
+    d = _t(spark, sf, "documents")
+    per = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tokens"),
+    )
+    q = F.floor(F.sqrt(F.col("n_tokens").cast("double")) * TEMP_SCALE).cast(
+        "long"
+    )
+    per = per.select("source", "n_docs", "n_tokens", q.alias("q"))
+    tot = per.agg(F.sum("q").alias("q_sum"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "q",
+        F.floor(F.col("q") * F.lit(TEMP_BUDGET) / F.col("q_sum"))
+        .cast("long")
+        .alias("alloc_tokens"),
+    )
+
+
+def _temperature_mix_sql() -> str:
+    return f"""
+WITH per AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+q AS (
+  SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * {TEMP_SCALE})
+                 AS BIGINT) AS q
+  FROM per
+),
+tot AS (SELECT sum(q) AS q_sum FROM q)
+SELECT source, n_docs, n_tokens, q,
+       CAST(floor(q * {TEMP_BUDGET} / q_sum) AS BIGINT) AS alloc_tokens
+FROM q, tot
+"""
+
+
+DOMAIN_CAP = 30  # max docs kept per source
+
+
+def curate_domain_cap(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source frequency capping — the head-domain guard every web
+    corpus applies (C4/RefinedWeb cap documents per registered domain
+    so a few crawl-heavy sites can't dominate training): keep the
+    first DOMAIN_CAP docs per source in deterministic doc_id order,
+    emit every doc with its rank and verdict so the drop set is
+    auditable.
+
+    Scale: one rank window per source (single shuffle on the source
+    key; skewed head domains are exactly what AQE skew splitting
+    handles) — no sampling RNG, rerun-stable."""
+    from pyspark.sql import Window as W
+
+    d = _t(spark, sf, "documents")
+    w = W.partitionBy("source").orderBy("doc_id")
+    return d.select(
+        "doc_id",
+        "source",
+        F.row_number().over(w).cast("long").alias("rk"),
+    ).withColumn("kept", F.col("rk") <= DOMAIN_CAP)
+
+
+def _domain_cap_sql() -> str:
+    return f"""
+SELECT doc_id, source,
+       CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id)
+            AS BIGINT) AS rk,
+       row_number() OVER (PARTITION BY source ORDER BY doc_id)
+         <= {DOMAIN_CAP} AS kept
+FROM documents
+"""
+
+
 CURATE_QUERIES = {
+    "curate_temperature_mix": curate_temperature_mix,
+    "curate_domain_cap": curate_domain_cap,
     "curate_weighted_sample": curate_weighted_sample,
     "curate_mix_epochs": curate_mix_epochs,
     "curate_shard_manifest": curate_shard_manifest,
@@ -519,6 +618,8 @@ FROM binned GROUP BY lang
 
 
 CURATE_ORACLES = {
+    "curate_temperature_mix": _temperature_mix_sql(),
+    "curate_domain_cap": _domain_cap_sql(),
     "curate_weighted_sample": _weighted_sample_sql(),
     "curate_mix_epochs": _mix_epochs_sql(),
     "curate_shard_manifest": f"""

@@ -1131,9 +1131,130 @@ FROM c LEFT JOIN per_doc ON c.doc_id = per_doc.doc_id
 """
 
 
+CONTAIN_CAP = 16  # blocking shingles must have df <= cap (rareblock rule)
+
+
+def dedup_containment(spark: SparkSession, sf: str) -> DataFrame:
+    """CONTAINMENT detection — doc-in-doc near-dups (quote expansions,
+    prefix copies, boilerplate wrappers) that Jaccard-based dedup
+    structurally misses: a small doc fully embedded in a big one has
+    |A∩B|/|A∪B| ≈ |A|/|B| (arbitrarily low) while containment
+    |A∩B|/|A| = 1. Jaccard-LSH is therefore the WRONG candidate
+    generator here; this uses rare-shingle blocking instead — if
+    A ⊆ B then A's rarest shingle is in B BY DEFINITION, so probing
+    each doc's rarest df≤cap shingle against the full inverted index
+    has perfect recall for true containments whose anchor shingle
+    stays rare. Block size ≤ cap by construction (the
+    dedup_jaccard_rareblock saturation discipline: hot-shingle docs
+    fall through rather than regrowing quadratic pairs — on this
+    31-word synthetic corpus that happens at high sf; on real text
+    rarity persists).
+
+    Integer-only output — (id_contained, id_container, n_shared,
+    n_contained_sh) with the ≥0.9 threshold as 10·n_shared ≥ 9·n_a —
+    no float rounding anywhere, so cross-engine ties are impossible.
+
+    Scale: one shingle-df aggregate (|shingle vocab| keys, map-side
+    combined), one rarest-per-doc window over the df≤cap subset only,
+    one bounded probe join, exact verification on candidates only."""
+    c = _corpus(spark, sf, exact=False)
+    sets = c.select(
+        "doc_id", word_shingles(F.split("text", " ")).alias("sh")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    sets.count()  # materialize-at-fork: df agg + probe + both verify sides
+    inv = sets.select("doc_id", F.explode("sh").alias("g"))
+    rare = (
+        inv.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= CONTAIN_CAP)
+    )
+    ri = inv.join(F.broadcast(rare), "g")
+    w = W.partitionBy("doc_id").orderBy("df", "g")
+    key = (
+        ri.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "g")
+    )
+    cand = (
+        key.alias("a")
+        .join(inv.alias("b"), "g")
+        .where(F.col("a.doc_id") != F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    sa, sb = sets.alias("sa"), sets.alias("sb")
+    n_shared = F.size(F.array_intersect("sa.sh", "sb.sh"))
+    return (
+        cand.join(sa, cand.id_a == F.col("sa.doc_id"))
+        .join(sb, cand.id_b == F.col("sb.doc_id"))
+        .select(
+            "id_a",
+            "id_b",
+            n_shared.cast("long").alias("n_shared"),
+            F.size("sa.sh").cast("long").alias("na"),
+            F.size("sb.sh").cast("long").alias("nb"),
+        )
+        .where(10 * F.col("n_shared") >= 9 * F.col("na"))
+        .where(
+            (F.col("na") < F.col("nb"))
+            | ((F.col("na") == F.col("nb")) & (F.col("id_a") > F.col("id_b")))
+        )
+        .select(
+            F.col("id_a").alias("id_contained"),
+            F.col("id_b").alias("id_container"),
+            "n_shared",
+            F.col("na").alias("n_contained_sh"),
+        )
+    )
+
+
+def _containment_sql() -> str:
+    sh = word_shingles_sql("t")
+    return f"""
+WITH c AS ({_corpus_sql(exact=False)}),
+sets AS (
+  SELECT doc_id, {sh} AS sh
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM c) q
+),
+inv AS (SELECT doc_id, unnest(sh) AS g FROM sets),
+dfr AS (SELECT g, count(*) AS df FROM inv GROUP BY g
+        HAVING count(*) <= {CONTAIN_CAP}),
+ri AS (SELECT inv.doc_id, inv.g, dfr.df FROM inv JOIN dfr USING (g)),
+k AS (
+  SELECT doc_id, g FROM (
+    SELECT doc_id, g,
+           row_number() OVER (PARTITION BY doc_id ORDER BY df, g) AS rn
+    FROM ri) r
+  WHERE rn = 1
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM k a JOIN inv b USING (g)
+  WHERE a.doc_id <> b.doc_id
+),
+v AS (
+  SELECT id_a, id_b,
+         len(list_intersect(sa.sh, sb.sh)) AS n_shared,
+         len(sa.sh) AS na, len(sb.sh) AS nb
+  FROM cand
+  JOIN sets sa ON sa.doc_id = cand.id_a
+  JOIN sets sb ON sb.doc_id = cand.id_b
+)
+SELECT id_a AS id_contained, id_b AS id_container,
+       CAST(n_shared AS BIGINT) AS n_shared,
+       CAST(na AS BIGINT) AS n_contained_sh
+FROM v
+WHERE 10 * n_shared >= 9 * na
+  AND (na < nb OR (na = nb AND id_a > id_b))
+"""
+
+
 DEDUP_QUERIES = {
     "dedup_span_kgram": dedup_span_kgram,
     "dedup_span_trim": dedup_span_trim,
+    "dedup_containment": dedup_containment,
     "dedup_gram_novelty": dedup_gram_novelty,
     "dedup_decontaminate": dedup_decontaminate,
     "dedup_prefix": dedup_prefix,
@@ -1163,6 +1284,7 @@ WHERE md5(text) NOT IN (SELECT fp FROM ref)
 DEDUP_ORACLES = {
     "dedup_span_kgram": _span_sql(),
     "dedup_span_trim": _span_trim_sql(),
+    "dedup_containment": _containment_sql(),
     "dedup_gram_novelty": _gram_novelty_sql(),
     "dedup_decontaminate": _decontaminate_sql(),
     "dedup_jaccard_rareblock": _rareblock_sql(),

@@ -700,3 +700,25 @@ def test_bpe_train_apply_merges_greedily(spark):
     # round 3: (aa,ab):10 wins → whole word fuses
     got3 = {r.w: r.s for r in _bpe_round(_bpe_round(r1)).collect()}
     assert got3["aaab"] == "<aaab>"
+
+
+def test_containment_detects_doc_in_doc(spark, monkeypatch):
+    """Rare-shingle containment blocking: a document fully embedded in
+    a larger one (low Jaccard — the case Jaccard-LSH misses) is found
+    with containment 1.0, and unrelated docs produce no pair."""
+    import reair_spark.datapipe.dedup as dd
+
+    big = [f"w{i}" for i in range(40)]
+    contained = big[:20]               # Jaccard = 20/40 shingle-ish, containment = 1
+    other = [f"z{i}" for i in range(30)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(big)), (2, " ".join(contained)), (3, " ".join(other))],
+        "doc_id long, text string",
+    )
+    monkeypatch.setattr(dd, "_corpus", lambda spark_, sf_, exact: docs)
+    rows = dd.dedup_containment(spark, "unused").collect()
+    pairs = {(r.id_contained, r.id_container): (r.n_shared, r.n_contained_sh)
+             for r in rows}
+    assert set(pairs) == {(2, 1)}
+    n_shared, na = pairs[(2, 1)]
+    assert n_shared == na  # full containment: every shingle of 2 is in 1
