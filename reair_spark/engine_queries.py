@@ -372,6 +372,73 @@ def incremental_e2e_digest(spark: SparkSession, sf: str) -> DataFrame:
     return jobs.unionByName(dest_state)
 
 
+def serde_roundtrip_digest(spark: SparkSession, sf: str) -> DataFrame:
+    """The serde-migration path (X1-X3 / `convert` CLI) through the
+    correctness gate: nation is written as CSV, converted CSV→JSON and
+    JSON→parquet with the REAL `sources.convert_location`, and every
+    stage (src, csv, json, parquet) is read back through
+    `sources.read_location` and digested to identical rows — count,
+    key sum, and an order-insensitive 60-bit content digest over all
+    columns, so a quoting bug, a
+    type coercion, or a dropped row at ANY hop breaks the hash match.
+    The DuckDB oracle derives the one true digest straight from
+    nation; previously this execution path was pytest-only
+    (test_sources)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from reair_spark.sources import convert_location, read_location
+
+    base = tempfile.mkdtemp(prefix="reair_serde_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    schema = "n_nationkey long, n_name string, n_regionkey long"
+    src = _t(spark, sf, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    # headerless csv: the schema is passed explicitly at every hop
+    # (the at-scale rule read_location documents), so no header row
+    # can leak into the converted data
+    src.write.format("csv").mode("overwrite").save(f"{base}/csv")
+    convert_location(spark, f"{base}/csv", f"{base}/json", "csv", "json",
+                     schema=schema)
+    convert_location(spark, f"{base}/json", f"{base}/parquet", "json",
+                     "parquet", schema=schema)
+
+    def digest(df: DataFrame, stage: str) -> DataFrame:
+        row_h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.col("n_nationkey").cast("string"),
+                        "n_name",
+                        F.col("n_regionkey").cast("string"),
+                    )
+                ),
+                1,
+                13,  # 52-bit rows: a 25-row sum stays far from int64
+            ),
+            16,
+            10,
+        ).cast("long")
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("n_nationkey").cast("long").alias("key_sum"),
+            F.sum(row_h).alias("content_digest"),
+        ).select(F.lit(stage).alias("stage"), "n_rows", "key_sum",
+                 "content_digest")
+
+    stages = digest(src, "src")
+    for stage, serde in (("csv", "csv"), ("json", "json"),
+                         ("parquet", "parquet")):
+        back = read_location(
+            spark, f"{base}/{stage}", serde, schema=schema
+        ).select("n_nationkey", "n_name", "n_regionkey")
+        stages = stages.unionByName(digest(back, stage))
+    return stages
+
+
 def stream_hourly_counts_q(spark: SparkSession, sf: str) -> DataFrame:
     """Structured Streaming windowed agg, bounded run (ST8 through the
     correctness gate — final complete-mode state equals batch groupBy)."""
@@ -462,6 +529,7 @@ ENGINE_QUERIES = {
     "replication_compact_plan": replication_compact_plan,
     "replication_e2e_digest": replication_e2e_digest,
     "incremental_e2e_digest": incremental_e2e_digest,
+    "serde_roundtrip_digest": serde_roundtrip_digest,
     "stream_hourly_counts": stream_hourly_counts_q,
     "stream_funnel": stream_funnel_q,
     "stream_sessionize": stream_sessionize_q,
@@ -574,6 +642,21 @@ SELECT 'dest', 'TABLE',
        CASE WHEN k % 6 IN (4, 5) THEN t || '_r' ELSE t END,
        CAST(1 AS BIGINT), CAST(10 + k AS BIGINT)
 FROM n WHERE k % 6 IN (0, 1, 4, 5)
+""",
+    # every serde hop must reproduce the same digest nation itself
+    # yields — the oracle derives the one truth and expects it 4×
+    "serde_roundtrip_digest": """
+WITH d AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
+         CAST(sum(CAST(concat('0x', substr(md5(
+             concat_ws('|', CAST(n_nationkey AS VARCHAR), n_name,
+                       CAST(n_regionkey AS VARCHAR))),
+             1, 13)) AS BIGINT)) AS BIGINT) AS content_digest
+  FROM nation
+)
+SELECT s.stage, d.n_rows, d.key_sum, d.content_digest
+FROM d, (SELECT unnest(['src', 'csv', 'json', 'parquet']) AS stage) s
 """,
     "stream_enrich": (
         "SELECT c_mktsegment, count(*) AS n_events "
