@@ -363,29 +363,34 @@ def png_encode(gray) -> bytes:
 
     h, w = gray.shape
     img = gray.astype(_np.int16)  # headroom for filter arithmetic
-    prev = _np.zeros(w, dtype=_np.int16)
-    out = bytearray()
-    for r in range(h):
-        row = img[r]
-        left = _np.concatenate(([0], row[:-1]))
-        ul = _np.concatenate(([0], prev[:-1]))
-        # Paeth predictor (RFC 2083 §6.6), vectorized
-        p = left + prev - ul
-        pa, pb, pc = _np.abs(p - left), _np.abs(p - prev), _np.abs(p - ul)
-        paeth = _np.where((pa <= pb) & (pa <= pc), left,
-                          _np.where(pb <= pc, prev, ul))
-        cands = [
-            (0, row), (1, row - left), (2, row - prev),
-            (3, row - (left + prev) // 2), (4, row - paeth),
-        ]
-        filtered = [(t, (c & 0xFF).astype(_np.uint8)) for t, c in cands]
-        # min-sum heuristic: bytes treated as signed deltas
-        t, best = min(
-            filtered,
-            key=lambda tc: int(_np.abs(tc[1].astype(_np.int8).astype(_np.int16)).sum()),
-        )
-        out += bytes([t]) + best.tobytes()
-        prev = row
+    # filtering reads only the RAW image, so unlike decoding there is
+    # no sequential dependency: every predictor is a whole-image
+    # shifted view and all five candidates vectorize across h×w at
+    # once (the per-row formulation spent its time in tiny-array
+    # numpy overhead at w=16)
+    left = _np.zeros_like(img)
+    left[:, 1:] = img[:, :-1]
+    up = _np.zeros_like(img)
+    up[1:, :] = img[:-1, :]
+    ul = _np.zeros_like(img)
+    ul[1:, 1:] = img[:-1, :-1]
+    p = left + up - ul  # Paeth predictor (RFC 2083 §6.6)
+    pa, pb, pc = _np.abs(p - left), _np.abs(p - up), _np.abs(p - ul)
+    paeth = _np.where((pa <= pb) & (pa <= pc), left,
+                      _np.where(pb <= pc, up, ul))
+    cands = _np.stack([
+        img, img - left, img - up, img - (left + up) // 2, img - paeth,
+    ]) & 0xFF  # (5, h, w) filtered bytes
+    # min-sum heuristic: bytes treated as signed deltas, per row
+    cost = _np.abs(
+        cands.astype(_np.uint8).astype(_np.int8).astype(_np.int16)
+    ).sum(axis=2)  # (5, h)
+    types = cost.argmin(axis=0).astype(_np.uint8)  # first min == tie rule
+    out = _np.empty((h, w + 1), dtype=_np.uint8)
+    out[:, 0] = types
+    out[:, 1:] = _np.take_along_axis(
+        cands.astype(_np.uint8), types[None, :, None].astype(_np.intp), 0
+    )[0]
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
     return (
         _PNG_SIG
@@ -435,35 +440,46 @@ def png_decode(payload: bytes):
     raw = _zlib.decompress(bytes(idat))
     if len(raw) != h * (w + 1):
         raise ValueError("IDAT length mismatch")
-    img = _np.zeros((h, w), dtype=_np.int16)
-    prev = _np.zeros(w, dtype=_np.int16)
+    arr = _np.frombuffer(raw, dtype=_np.uint8).reshape(h, w + 1)
+    ftypes, data = arr[:, 0], arr[:, 1:]
+    img = _np.zeros((h, w), dtype=_np.uint8)
+    prev = _np.zeros(w, dtype=_np.int64)
     for r in range(h):
-        line = raw[r * (w + 1) : (r + 1) * (w + 1)]
-        ftype, data = line[0], _np.frombuffer(line[1:], dtype=_np.uint8).astype(_np.int16)
-        row = _np.zeros(w, dtype=_np.int16)
-        for x in range(w):  # Sub/Average/Paeth recur on the left pixel
-            left = row[x - 1] if x else 0
-            up = prev[x]
-            ul = prev[x - 1] if x else 0
-            if ftype == 0:
-                v = data[x]
-            elif ftype == 1:
-                v = data[x] + left
-            elif ftype == 2:
-                v = data[x] + up
-            elif ftype == 3:
-                v = data[x] + (left + up) // 2
-            elif ftype == 4:
-                p = left + up - ul
-                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
-                pred = left if pa <= pb and pa <= pc else (up if pb <= pc else ul)
-                v = data[x] + pred
-            else:
-                raise ValueError(f"unknown filter type {ftype}")
-            row[x] = v & 0xFF
+        ftype = ftypes[r]
+        # None/Sub/Up invert in closed form (Sub is a mod-256 prefix
+        # sum) — these dominate real data, so the per-pixel recurrence
+        # below only runs for Average/Paeth rows
+        if ftype == 0:
+            row = data[r].astype(_np.int64)
+        elif ftype == 1:
+            row = _np.cumsum(data[r], dtype=_np.int64) & 0xFF
+        elif ftype == 2:
+            row = (data[r] + prev) & 0xFF
+        elif ftype in (3, 4):
+            d = data[r].tolist()
+            p_list = prev.tolist()
+            out = [0] * w
+            for x in range(w):  # left-pixel recurrence is sequential
+                left = out[x - 1] if x else 0
+                up = p_list[x]
+                if ftype == 3:
+                    v = d[x] + (left + up) // 2
+                else:
+                    ul = p_list[x - 1] if x else 0
+                    p = left + up - ul
+                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                    pred = (
+                        left if pa <= pb and pa <= pc
+                        else (up if pb <= pc else ul)
+                    )
+                    v = d[x] + pred
+                out[x] = v & 0xFF
+            row = _np.asarray(out, dtype=_np.int64)
+        else:
+            raise ValueError(f"unknown filter type {ftype}")
         img[r] = row
         prev = row
-    return img.astype(_np.uint8)
+    return img
 
 
 def multimodal_wav_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
