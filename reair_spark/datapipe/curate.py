@@ -484,13 +484,19 @@ def curate_temperature_mix(spark: SparkSession, sf: str) -> DataFrame:
         "long"
     )
     per = per.select("source", "n_docs", "n_tokens", q.alias("q"))
-    tot = per.agg(F.sum("q").alias("q_sum"))
-    return per.crossJoin(F.broadcast(tot)).select(
+    # Σq as a global window over the |sources|-row aggregate — a
+    # broadcast scalar here would FORK the plan and re-scan the whole
+    # corpus for the second agg (plan-shape test asserts one scan);
+    # the single-partition window is metadata-sized by construction
+    from pyspark.sql import Window as W
+
+    q_sum = F.sum("q").over(W.partitionBy())
+    return per.select(
         "source",
         "n_docs",
         "n_tokens",
         "q",
-        F.floor(F.col("q") * F.lit(TEMP_BUDGET) / F.col("q_sum"))
+        F.floor(F.col("q") * F.lit(TEMP_BUDGET) / q_sum)
         .cast("long")
         .alias("alloc_tokens"),
     )

@@ -425,3 +425,56 @@ def test_registry_wide_no_row_python_no_cartesian(spark, sf_dir):
         if "CartesianProduct" in plan:
             failures.append(f"{name}: cartesian product in plan")
     assert not failures, "\n".join(failures)
+
+
+def test_bpe_apply_stays_jvm_side_with_broadcast_scalars(spark, sf_dir):
+    """The whole BPE train+apply plan is JVM built-ins: no Python
+    eval anywhere, each round's argmax merge attaches as a broadcast
+    (1-row nested-loop is the scalar-attach pattern), and the final
+    vocab map joins broadcast — the corpus side never shuffles for
+    the apply."""
+    from reair_spark.datapipe.text import text_bpe_apply
+
+    plan = _formatted(text_bpe_apply(spark, sf_dir))
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row merge scalars
+    assert "BroadcastHashJoin" in plan        # vocab-map apply join
+
+
+def test_containment_blocks_without_cartesian(spark, sf_dir):
+    """Rare-shingle containment: the df≤cap table broadcasts into the
+    eligibility join and no stage degenerates to a cartesian pair
+    explosion."""
+    from reair_spark.datapipe.dedup import dedup_containment
+
+    plan = _formatted(dedup_containment(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_temperature_mix_is_one_aggregate_plus_scalar(spark, sf_dir):
+    """Temperature mixing touches the corpus once: a single per-source
+    aggregate, then only the broadcast 1-row Σq — no second corpus
+    scan, no Python."""
+    from reair_spark.datapipe.curate import curate_temperature_mix
+
+    plan = _formatted(curate_temperature_mix(spark, sf_dir))
+    assert "BatchEvalPython" not in plan
+    # formatted output lists each node once in the tree and once in the
+    # numbered details — one scan NODE means exactly one "(n) Scan" header
+    import re
+
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_span_trim_no_python_no_pairs(spark, sf_dir):
+    """span_trim: gram windowing, span merge, and text reconstruction
+    are all JVM (window + higher-order functions) — no Python eval,
+    no doc-pair join shape."""
+    from reair_spark.datapipe.dedup import span_trim, _corpus
+
+    plan = _formatted(span_trim(_corpus(spark, sf_dir, exact=False)))
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
