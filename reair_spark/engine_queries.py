@@ -372,6 +372,76 @@ def incremental_e2e_digest(spark: SparkSession, sf: str) -> DataFrame:
     return jobs.unionByName(dest_state)
 
 
+def dirsync_e2e_digest(spark: SparkSession, sf: str) -> DataFrame:
+    """The FULL directory-sync engine (batch/hdfs ReplicationJob
+    parity: list → plan → copy/trash execution) between two
+    materialized temp trees, digested to rows a DuckDB oracle derives
+    from nation alone — sync EXECUTION was pytest-only before this
+    gate (the plan side is q11).
+
+    Scenario (k = n_nationkey, deterministic): src holds one
+    ``f_<name>`` file of 10+k bytes per nation; dest pre-holds
+    k%3!=0 files, with the WRONG size (1 byte) for k%4==0 (→ UPDATE),
+    plus one ``stale_<r>`` file per region (→ DELETE, routed to
+    trash). Digest: per-status result counts+bytes AND the converged
+    dest/trash listings (count + total bytes)."""
+    import tempfile
+
+    from reair_spark.dirsync import sync_directories
+    from reair_spark.inventory import list_files
+
+    base = tempfile.mkdtemp(prefix="reair_dirsync_")
+    src_root = os.path.join(base, "src")
+    dest_root = os.path.join(base, "dest")
+    trash = os.path.join(base, "trash")
+    os.makedirs(src_root)
+    os.makedirs(dest_root)
+    rows = (
+        _t(spark, sf, "nation")
+        .select("n_nationkey", F.lower("n_name").alias("t"), "n_regionkey")
+        .collect()  # 25 rows at every sf — metadata-scale
+    )
+    for r in rows:
+        k = int(r.n_nationkey)
+        with open(os.path.join(src_root, f"f_{r.t}"), "wb") as fh:
+            fh.write(b"x" * (10 + k))
+        if k % 3 != 0:
+            content = b"y" if k % 4 == 0 else b"x" * (10 + k)
+            with open(os.path.join(dest_root, f"f_{r.t}"), "wb") as fh:
+                fh.write(content)
+    for rk in sorted({int(r.n_regionkey) for r in rows}):
+        with open(os.path.join(dest_root, f"stale_{rk}"), "wb") as fh:
+            fh.write(b"s")
+
+    out = sync_directories(
+        spark, [src_root], dest_root,
+        delete_extraneous=True, trash_dir=trash,
+    )
+    res = out["results"].groupBy("status").agg(
+        F.count("*").alias("n"),
+        F.sum("bytes_copied").cast("long").alias("total_bytes"),
+    ).select(F.lit("result").alias("component"), "status", "n", "total_bytes")
+
+    def listing(root: str, label: str) -> DataFrame:
+        return (
+            list_files(spark, [root])
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("size").cast("long").alias("total_bytes"),
+            )
+            .select(
+                F.lit("tree").alias("component"),
+                F.lit(label).alias("status"),
+                "n",
+                "total_bytes",
+            )
+        )
+
+    return res.unionByName(listing(dest_root, "dest")).unionByName(
+        listing(trash, "trash")
+    )
+
+
 def serde_roundtrip_digest(spark: SparkSession, sf: str) -> DataFrame:
     """The serde-migration path (X1-X3 / `convert` CLI) through the
     correctness gate: nation is written as CSV, converted CSV→JSON and
@@ -530,6 +600,7 @@ ENGINE_QUERIES = {
     "replication_e2e_digest": replication_e2e_digest,
     "incremental_e2e_digest": incremental_e2e_digest,
     "serde_roundtrip_digest": serde_roundtrip_digest,
+    "dirsync_e2e_digest": dirsync_e2e_digest,
     "stream_hourly_counts": stream_hourly_counts_q,
     "stream_funnel": stream_funnel_q,
     "stream_sessionize": stream_sessionize_q,
@@ -642,6 +713,25 @@ SELECT 'dest', 'TABLE',
        CASE WHEN k % 6 IN (4, 5) THEN t || '_r' ELSE t END,
        CAST(1 AS BIGINT), CAST(10 + k AS BIGINT)
 FROM n WHERE k % 6 IN (0, 1, 4, 5)
+""",
+    # sync outcome from nation alone: ADD for k%3==0 (missing),
+    # UPDATE for surviving k%4==0 (wrong size) — both COPIED; one
+    # stale file per region TRASHED; dest converges to all 25 files
+    "dirsync_e2e_digest": """
+WITH n AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation),
+cop AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(10 + k) AS BIGINT) AS b
+  FROM n WHERE k % 3 = 0 OR k % 4 = 0
+),
+tr AS (SELECT CAST(count(DISTINCT n_regionkey) AS BIGINT) AS n FROM nation),
+alln AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(10 + k) AS BIGINT) AS b FROM n)
+SELECT 'result' AS component, 'COPIED' AS status,
+       (SELECT n FROM cop) AS n, (SELECT b FROM cop) AS total_bytes
+UNION ALL SELECT 'result', 'TRASHED', (SELECT n FROM tr), CAST(0 AS BIGINT)
+UNION ALL SELECT 'tree', 'dest', (SELECT n FROM alln), (SELECT b FROM alln)
+UNION ALL SELECT 'tree', 'trash', (SELECT n FROM tr),
+       CAST((SELECT n FROM tr) AS BIGINT)
 """,
     # every serde hop must reproduce the same digest nation itself
     # yields — the oracle derives the one truth and expects it 4×
