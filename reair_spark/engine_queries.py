@@ -237,6 +237,13 @@ def _incremental_scenario(spark: SparkSession, sf: str):
       3 → DROP  via the direct API (THRIFT_DROP_TABLE)
       4 → RENAME t→t_r via the SQL-hook position (ALTERTABLE_RENAME)
       5 → RENAME t→t_r via the direct API (THRIFT_RENAME_TABLE)
+
+    wave 3 — partition ops (ReplicationServerTest's partition matrix):
+    every k % 6 == 0 table gains partition ds=1 (data file of 100+k
+    bytes), audited as THRIFT_ADD_PARTITION (k % 12 == 0, direct API)
+    or ALTERTABLE_ADDPARTS (SQL-hook position) — compiling to
+    COPY_PARTITION jobs and converging the dest to 2 files per such
+    table.
     Renames move the data dir and fix the location through the inner
     (non-audited) catalog — one statement, one audit row, matching the
     reference hook seeing one ALTER ... RENAME.
@@ -307,6 +314,23 @@ def _incremental_scenario(spark: SparkSession, sf: str):
             r2 = src_cat.get_table("wh", new)
             r2["location"] = new_loc
             src_cat.alter_table(r2)  # inner: location fixup rides the rename
+
+    for k, t in rows:  # wave 3: partition adds, both positions
+        if k % 6 != 0:
+            continue
+        ploc = os.path.join(src_cat.table_location("wh", t), "ds=1")
+        os.makedirs(ploc, exist_ok=True)
+        with open(os.path.join(ploc, "part-0"), "wb") as fh:
+            fh.write(b"p" * (100 + k))
+        part = {
+            "partition_name": "ds=1", "values": ["1"], "location": ploc,
+            "parameters": {"transient_lastDdlTime": str(k * 10 + 5)},
+        }
+        if k % 12 == 0:
+            acat.add_partition("wh", t, part)
+        else:
+            src_cat.add_partition("wh", t, part)
+            hook.record(f"ALTER TABLE wh.{t} ADD PARTITION (ds='1')")
     hook.flush()
     return hook, src_root, dest_root, state_dir
 
@@ -358,7 +382,7 @@ def incremental_e2e_digest(spark: SparkSession, sf: str) -> DataFrame:
 
     inv = list_files(spark, spark.createDataFrame(locs, "location string"))
     dest_state = (
-        inv.filter(F.col("kind") == "f")
+        inv  # list_files returns file rows only (dirs drive recursion)
         .groupBy("root")
         .agg(F.count("*").alias("n"), F.sum("size").alias("total_bytes"))
         .select(
@@ -709,9 +733,15 @@ SELECT 'job', 'RENAME_TABLE', 'SUCCESSFUL', CAST(count(*) AS BIGINT),
        CAST(0 AS BIGINT)
 FROM n WHERE k % 6 IN (4, 5)
 UNION ALL
+SELECT 'job', 'COPY_PARTITION', 'SUCCESSFUL', CAST(count(*) AS BIGINT),
+       CAST(0 AS BIGINT)
+FROM n WHERE k % 6 = 0
+UNION ALL
 SELECT 'dest', 'TABLE',
        CASE WHEN k % 6 IN (4, 5) THEN t || '_r' ELSE t END,
-       CAST(1 AS BIGINT), CAST(10 + k AS BIGINT)
+       CASE WHEN k % 6 = 0 THEN CAST(2 AS BIGINT) ELSE CAST(1 AS BIGINT) END,
+       CASE WHEN k % 6 = 0 THEN CAST(110 + 2 * k AS BIGINT)
+            ELSE CAST(10 + k AS BIGINT) END
 FROM n WHERE k % 6 IN (0, 1, 4, 5)
 """,
     # sync outcome from nation alone: ADD for k%3==0 (missing),

@@ -377,7 +377,7 @@ def test_incremental_e2e_digest_multibatch_equivalence(spark, tmp_path):
     ]
     inv = list_files(spark, spark.createDataFrame(locs, "location string"))
     dest_state = (
-        inv.filter(F.col("kind") == "f")
+        inv  # list_files returns file rows only (dirs drive recursion)
         .groupBy("root")
         .agg(F.count("*").alias("n"), F.sum("size").alias("total_bytes"))
         .select(
