@@ -314,14 +314,11 @@ def run_incremental_jdbc(
         last_id = hi
         kv.set(LAST_PERSISTED_ID, str(last_id))
         batches += 1
-    status_counts = {
-        r["status"]: r["count"]
-        for r in job_store.current().groupBy("status").count().collect()
-    }
+    status_counts, lag = job_store.status_summary()  # one log pass
     return {
         "last_id": last_id,
         "batches": batches,
         "job_store": job_store,
         "job_status_counts": status_counts,
-        "lag_seconds": job_store.lag_seconds(),
+        "lag_seconds": lag,
     }

@@ -282,16 +282,15 @@ def run_incremental(
         last_id = int(rows_max)
         kv.set(LAST_PERSISTED_ID, str(last_id))
         batches += 1
-    status_counts = {
-        r["status"]: r["count"]
-        for r in job_store.current().groupBy("status").count().collect()
-    }
+    # A6 counters + A7 lag gauge in one log pass (ask-#8 discipline:
+    # the old current→counts + current→join→lag exit cost four jobs)
+    status_counts, lag = job_store.status_summary()
     return {
         "last_id": last_id,
         "batches": batches,
         "job_store": job_store,
-        "job_status_counts": status_counts,        # A6 counters
-        "lag_seconds": job_store.lag_seconds(),    # A7 gauge
+        "job_status_counts": status_counts,
+        "lag_seconds": lag,
     }
 
 

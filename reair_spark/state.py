@@ -102,6 +102,46 @@ class JobStore:
         """Terminal jobs (getRetiredJobs parity)."""
         return self.current().filter(F.col("status").isin(*TERMINAL_STATES))
 
+    def status_summary(
+        self, now_ts: float | None = None
+    ) -> tuple[dict[str, int], float]:
+        """(status_counts, lag_seconds) in ONE log pass — the loop's
+        exit bookkeeping previously cost four jobs (current → counts,
+        then a second current + first-seen join for lag); one
+        per-job aggregate (latest status via max_by(seq), first
+        transition via min(create_time)) collapsed to ≤ |statuses|
+        rows serves both. Same semantics as
+        ``current().groupBy(status).count()`` + :meth:`lag_seconds`
+        (lag = age of the oldest in-flight job's FIRST transition;
+        0.0 when everything is terminal)."""
+        import time as _time
+
+        if not os.path.exists(self.path):
+            return {}, 0.0
+        log = self.spark.read.parquet(self.path)
+        rows = (
+            log.groupBy("job_id")
+            .agg(
+                F.expr("max_by(status, seq)").alias("status"),
+                F.min("create_time").alias("first_seen"),
+            )
+            .groupBy("status")
+            .agg(F.count("*").alias("n"), F.min("first_seen").alias("oldest"))
+            .collect()
+        )
+        counts = {r["status"]: r["n"] for r in rows}
+        oldest = [
+            r["oldest"]
+            for r in rows
+            if r["status"] not in TERMINAL_STATES and r["oldest"] is not None
+        ]
+        if not oldest:
+            return counts, 0.0
+        now = _time.time() if now_ts is None else now_ts
+        o = min(oldest)
+        o_s = o.timestamp() if hasattr(o, "timestamp") else float(o)
+        return counts, max(0.0, now - o_s)
+
     def lag_seconds(self, now_ts: float | None = None) -> float:
         """A7 lag gauge (StatsTracker.java:35-57): age of the oldest
         in-flight job, measured from its FIRST persisted transition
