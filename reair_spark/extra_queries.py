@@ -1141,7 +1141,103 @@ ORDER BY rank DESC, nation
 """
 
 
+def customer_cdc_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """MERGE INTO / CDC-apply semantics as one declarative plan: the
+    events table is treated as a changelog against the customer base
+    table (key = user_id/c_custkey; 'purchase' = DELETE, every other
+    event = UPSERT carrying its value), the LATEST change per key wins
+    (max_by over the (ts, event_id) total order — the same
+    deterministic tiebreak stream_latest_state uses), and a full-outer
+    join applies it: delete drops the row, upsert overwrites or
+    inserts, untouched base rows pass through. The outcome column
+    makes the merge auditable (MATCHED_UPDATE / MATCHED_DELETE /
+    NOT_MATCHED_INSERT / UNTOUCHED).
+
+    Scale shape: the changelog collapses to one row per key BEFORE
+    the merge join (map-side-combined max_by — changelog volume never
+    reaches the join), and the join itself is the one shuffle, exactly
+    the physical plan Delta/Iceberg MERGE INTO executes."""
+    base = _t(spark, sf, "customer").select(
+        F.col("c_custkey").alias("key"),
+        F.col("c_acctbal").cast("double").alias("base_val"),
+    )
+    ev = _t(spark, sf, "events")
+    latest = (
+        ev.groupBy(F.col("user_id").alias("key"))
+        .agg(
+            F.max_by(
+                F.struct(
+                    "event_type", F.col("value").cast("double").alias("value")
+                ),
+                F.struct("ts", "event_id"),
+            ).alias("ch")
+        )
+        .select(
+            "key",
+            F.when(F.col("ch.event_type") == "purchase", "D")
+            .otherwise("U")
+            .alias("op"),
+            F.col("ch.value").alias("new_val"),
+        )
+    )
+    merged = base.join(latest, "key", "full_outer")
+    outcome = (
+        F.when(F.col("op").isNull(), "UNTOUCHED")
+        .when(F.col("op") == "D", "MATCHED_DELETE")
+        .when(F.col("base_val").isNull(), "NOT_MATCHED_INSERT")
+        .otherwise("MATCHED_UPDATE")
+    )
+    return (
+        merged.select(
+            "key",
+            outcome.alias("outcome"),
+            F.round(
+                F.when(F.col("op") == "U", F.col("new_val")).otherwise(
+                    F.col("base_val")
+                ),
+                4,
+            ).alias("val"),
+        )
+        .where(F.col("outcome") != "MATCHED_DELETE")
+    )
+
+
+_CDC_MERGE_SQL = """
+WITH base AS (
+  SELECT c_custkey AS key, CAST(c_acctbal AS DOUBLE) AS base_val
+  FROM customer
+),
+latest AS (
+  SELECT key,
+         CASE WHEN event_type = 'purchase' THEN 'D' ELSE 'U' END AS op,
+         new_val
+  FROM (
+    SELECT user_id AS key, event_type, CAST(value AS DOUBLE) AS new_val,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events) r
+  WHERE rn = 1
+),
+merged AS (
+  SELECT coalesce(b.key, l.key) AS key, b.base_val, l.op, l.new_val
+  FROM base b FULL OUTER JOIN latest l ON b.key = l.key
+)
+SELECT key,
+       CASE WHEN op IS NULL THEN 'UNTOUCHED'
+            WHEN op = 'D' THEN 'MATCHED_DELETE'
+            WHEN base_val IS NULL THEN 'NOT_MATCHED_INSERT'
+            ELSE 'MATCHED_UPDATE' END AS outcome,
+       round(CASE WHEN op = 'U' THEN new_val ELSE base_val END, 4) AS val
+FROM merged
+WHERE (CASE WHEN op IS NULL THEN 'UNTOUCHED'
+            WHEN op = 'D' THEN 'MATCHED_DELETE'
+            WHEN base_val IS NULL THEN 'NOT_MATCHED_INSERT'
+            ELSE 'MATCHED_UPDATE' END) <> 'MATCHED_DELETE'
+"""
+
+
 EXTRA_QUERIES = {
+    "customer_cdc_merge": customer_cdc_merge,
     "nations_trade_pagerank": nations_trade_pagerank,
     "events_incremental_rollup": events_incremental_rollup,
     "orders_scd2_history": orders_scd2_history,
@@ -1190,6 +1286,7 @@ FROM events GROUP BY 1, 2
 """
 
 EXTRA_ORACLES = {
+    "customer_cdc_merge": _CDC_MERGE_SQL,
     "nations_trade_pagerank": _pagerank_sql(),
     # full-table recompute: proves the partial-merge algebra exactly
     "events_incremental_rollup": """
