@@ -996,7 +996,60 @@ GROUP BY cd.vec_id
     )
 
 
+
+
+def ann_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """Recall@k evaluation harness for the ANN family — the
+    measurement step any production vector pipeline runs before
+    swapping an index in: per query, how many of the exact cosine
+    top-k (over the SAME candidate corpus the index serves,
+    vec_id >= N_QUERIES) does the PQ+refine index return?
+
+    Integer output (query_id, n_hits, k) — recall = n_hits/k is one
+    map away; keeping the gate integer-only avoids any cross-engine
+    float boundary. Plan shape: the PQ pipeline runs as-is; the exact
+    side is one broadcast-query scan + per-query top-k
+    (TakeOrdered-style window), and the comparison is an equi-join on
+    (query_id, vec_id) of two k-row-per-query sets — metadata-sized.
+    A recall regression in ANY stage of the index (codebook, encode,
+    ADC, shortlist, rerank) moves n_hits and breaks the hash."""
+    approx = ann_pq_topk(spark, sf).select("query_id", "vec_id")
+    e = _emb(spark, sf)
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
+    sim = (
+        e.where(F.col("vec_id") >= N_QUERIES)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "query_id", "vec_id",
+            cosine(F.col("qemb"), F.col("emb")).alias("sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), "vec_id")
+    exact = (
+        sim.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TOP_K)
+        .select("query_id", "vec_id")
+    )
+    hits = (
+        exact.join(approx, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").cast("long").alias("n_hits"))
+    )
+    return (
+        exact.select("query_id").distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.lit(TOP_K).cast("long").alias("k"),
+        )
+    )
+
+
 SIM_QUERIES = {
+    "ann_recall_eval": ann_recall_eval,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_ivf_fitted_topk": ann_ivf_fitted_topk,
@@ -1058,6 +1111,29 @@ SELECT query_id, vec_id, sim FROM scored WHERE rn <= {TOP_K}
 
 
 SIM_ORACLES = {
+    "ann_recall_eval": f"""
+WITH approx AS ({_PQ_ORACLE}),
+exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {_COS_SQL.format(a='q.embedding', b='e.embedding')} DESC,
+                                       e.vec_id) AS rn
+    FROM embeddings q JOIN embeddings e ON e.vec_id >= {N_QUERIES}
+    WHERE q.vec_id < {N_QUERIES}
+  ) t WHERE rn <= {TOP_K}
+),
+hits AS (
+  SELECT exact.query_id, CAST(count(*) AS BIGINT) AS n_hits
+  FROM exact JOIN approx
+    ON approx.query_id = exact.query_id AND approx.vec_id = exact.vec_id
+  GROUP BY exact.query_id
+)
+SELECT q.query_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST({TOP_K} AS BIGINT) AS k
+FROM (SELECT DISTINCT query_id FROM exact) q
+LEFT JOIN hits h ON h.query_id = q.query_id
+""",
     "ann_ivf_fitted_topk": _ivf_fitted_search_sql(),
     "ann_ivf_persisted_topk": _ivf_fitted_search_sql(),
     "ann_lsh_topk": _lsh_oracle_sql(),

@@ -187,3 +187,38 @@ def test_crash_between_copy_and_commit_heals_on_rerun(spark, tmp_path):
         assert dest_cat.get_table("db1", t) is not None
         with open(os.path.join(dest_root, "db1", t, "part-0"), "rb") as fh:
             assert fh.read() == payload
+
+
+def test_trash_move_fault_yields_failed_row_then_rerun_trashes(
+    spark, failfs, tmp_path
+):
+    """Schedule 10: the DELETE-to-trash path faults on the trash
+    rename — the row comes back FAILED (never a task crash), the stale
+    file survives at the dest (nothing half-deleted), and the next
+    sync completes the trash move."""
+    from reair_spark.dirsync import sync_directories
+
+    src = str(tmp_path / "src")
+    _seed(src, "keep.txt", b"keep")
+    _seed(failfs.root, "dst/keep.txt", b"keep")
+    _seed(failfs.root, "dst/stale.txt", b"gone")
+    FailingFs.schedule(failfs.board, "rename", "stale.txt", 1)
+
+    out = sync_directories(
+        spark, [src], "failfs://dst",
+        delete_extraneous=True, trash_dir="failfs://trash",
+    )
+    rows = {r.src_file.split("/")[-1]: r.status for r in out["results"].collect()}
+    assert rows["stale.txt"] == "FAILED"
+    # nothing half-deleted: the stale file is still at the dest
+    assert os.path.exists(os.path.join(failfs.root, "dst/stale.txt"))
+
+    out2 = sync_directories(
+        spark, [src], "failfs://dst",
+        delete_extraneous=True, trash_dir="failfs://trash",
+    )
+    rows2 = {r.src_file.split("/")[-1]: r.status for r in out2["results"].collect()}
+    assert rows2["stale.txt"] == "TRASHED"
+    assert not os.path.exists(os.path.join(failfs.root, "dst/stale.txt"))
+    with open(os.path.join(failfs.root, "trash/stale.txt"), "rb") as fh:
+        assert fh.read() == b"gone"
