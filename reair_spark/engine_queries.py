@@ -361,8 +361,18 @@ def incremental_e2e_digest(spark: SparkSession, sf: str) -> DataFrame:
     res = run_incremental(
         spark, hook.events_df(), src_root, dest_root, state_dir, batch_size=64
     )
+    return _incremental_outcome_digest(spark, res["job_store"], dest_root)
+
+
+def _incremental_outcome_digest(spark: SparkSession, job_store, dest_root: str) -> DataFrame:
+    """Shared digest for the batch and streaming incremental gates:
+    per-(operation, status) job counts + converged dest catalog state
+    (per-table file count and byte total, catalog-location driven)."""
+    from reair_spark.catalog import DirectoryCatalog
+    from reair_spark.inventory import list_files
+
     jobs = (
-        res["job_store"].current()
+        job_store.current()
         .groupBy("operation", "status")
         .agg(F.count("*").alias("n"))
         .select(
@@ -378,8 +388,6 @@ def incremental_e2e_digest(spark: SparkSession, sf: str) -> DataFrame:
         (dest_cat.get_table("wh", t)["location"],)
         for t in dest_cat.tables("wh")
     ]  # catalog read: metadata-scale (≤ 25 tables) by construction
-    from reair_spark.inventory import list_files
-
     inv = list_files(spark, spark.createDataFrame(locs, "location string"))
     dest_state = (
         inv  # list_files returns file rows only (dirs drive recursion)
@@ -394,6 +402,31 @@ def incremental_e2e_digest(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     return jobs.unionByName(dest_state)
+
+
+def incremental_streaming_digest(spark: SparkSession, sf: str) -> DataFrame:
+    """The SAME audited scenario driven through the Structured
+    Streaming position of the engine (`streaming.stream_replicate`:
+    foreachBatch compile→persist→execute with an availableNow
+    checkpointed trigger) — ST1-ST4's streaming delivery semantics
+    were pytest-only before this gate. The outcome digest and its
+    nation-derived oracle are IDENTICAL to `incremental_e2e_digest`
+    by design: batch-loop and stream positions must converge the
+    destination to the same bytes and compile the same jobs, whatever
+    the micro-batch boundaries — the engine's strongest
+    path-equivalence statement."""
+    from reair_spark.state import JobStore
+    from reair_spark.streaming import stream_replicate
+
+    hook, src_root, dest_root, state_dir = _incremental_scenario(spark, sf)
+    schema = spark.read.parquet(hook.log_path).schema
+    stream = spark.readStream.schema(schema).parquet(hook.log_path)
+    stream_replicate(
+        spark, stream, src_root, dest_root,
+        state_dir, f"{state_dir}/_checkpoint",
+    )
+    job_store = JobStore(spark, f"{state_dir}/replication_jobs")
+    return _incremental_outcome_digest(spark, job_store, dest_root)
 
 
 def dirsync_e2e_digest(spark: SparkSession, sf: str) -> DataFrame:
@@ -624,6 +657,7 @@ ENGINE_QUERIES = {
     "replication_e2e_digest": replication_e2e_digest,
     "incremental_e2e_digest": incremental_e2e_digest,
     "serde_roundtrip_digest": serde_roundtrip_digest,
+    "incremental_streaming_digest": incremental_streaming_digest,
     "dirsync_e2e_digest": dirsync_e2e_digest,
     "stream_hourly_counts": stream_hourly_counts_q,
     "stream_funnel": stream_funnel_q,
@@ -880,3 +914,9 @@ WHERE p.event_type = 'purchase'
 GROUP BY p.user_id
 """,
 }
+
+# the streaming position must converge to the SAME outcome as the
+# batch loop — one oracle serves both gates (path equivalence)
+ENGINE_ORACLES["incremental_streaming_digest"] = ENGINE_ORACLES[
+    "incremental_e2e_digest"
+]
