@@ -926,6 +926,25 @@ def orders_scd2_history(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+TIME_TRAVEL_AS_OF = "1995-06-30"
+
+
+def orders_time_travel(spark: SparkSession, sf: str) -> DataFrame:
+    """Time travel over the SCD2 dimension: reconstruct every
+    customer's status AS OF a fixed date from the validity intervals —
+    the read side of slowly-changing dimensions (the query a
+    Delta/Iceberg `VERSION AS OF` serves from snapshots, answered here
+    from interval algebra: the row with valid_from <= T < valid_to,
+    open intervals current). One predicate over the history build —
+    no extra shuffle beyond orders_scd2_history's own."""
+    h = orders_scd2_history(spark, sf)
+    t = F.lit(TIME_TRAVEL_AS_OF).cast("date")
+    return h.where(
+        (F.col("valid_from") <= t)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
+    ).select("custkey", "status", "valid_from", "n_orders")
+
+
 BASKET_MIN_SUPPORT = 3
 
 
@@ -1238,6 +1257,7 @@ WHERE (CASE WHEN op IS NULL THEN 'UNTOUCHED'
 
 EXTRA_QUERIES = {
     "customer_cdc_merge": customer_cdc_merge,
+    "orders_time_travel": orders_time_travel,
     "nations_trade_pagerank": nations_trade_pagerank,
     "events_incremental_rollup": events_incremental_rollup,
     "orders_scd2_history": orders_scd2_history,
@@ -1296,6 +1316,38 @@ SELECT event_type,
        round(sum(value), 2) AS total,
        round(sum(value) / count(*), 6) AS mean
 FROM events GROUP BY 1, 2
+""",
+    "orders_time_travel": """
+WITH c AS (
+  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+         CASE WHEN lag(o_orderstatus) OVER w IS NULL
+                OR lag(o_orderstatus) OVER w <> o_orderstatus
+              THEN 1 ELSE 0 END AS chg
+  FROM orders WINDOW w AS (PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderkey)
+),
+s AS (
+  SELECT o_custkey, o_orderstatus, o_orderdate,
+         sum(chg) OVER (PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM c
+),
+i AS (
+  SELECT o_custkey, sid, o_orderstatus,
+         min(o_orderdate) AS valid_from,
+         CAST(count(*) AS BIGINT) AS n_orders
+  FROM s GROUP BY 1, 2, 3
+),
+h AS (
+  SELECT o_custkey AS custkey, o_orderstatus AS status, valid_from,
+         lead(valid_from) OVER w2 AS valid_to, n_orders
+  FROM i WINDOW w2 AS (PARTITION BY o_custkey ORDER BY sid)
+)
+SELECT custkey, status, valid_from, n_orders
+FROM h
+WHERE valid_from <= DATE '1995-06-30'
+  AND (valid_to IS NULL OR valid_to > DATE '1995-06-30')
 """,
     "orders_scd2_history": """
 WITH c AS (
