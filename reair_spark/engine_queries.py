@@ -155,7 +155,11 @@ def _materialized_warehouses(spark: SparkSession, sf: str) -> tuple[str, str]:
 
     from reair_spark.catalog import DirectoryCatalog
 
+    import atexit
+    import shutil as _sh
+
     base = tempfile.mkdtemp(prefix="reair_e2e_")
+    atexit.register(_sh.rmtree, base, ignore_errors=True)
     src_root = os.path.join(base, "src")
     dest_root = os.path.join(base, "dest")
     src_cat = DirectoryCatalog(src_root)
@@ -258,7 +262,13 @@ def _incremental_scenario(spark: SparkSession, sf: str):
     from reair_spark.catalog import DirectoryCatalog
     from reair_spark.hook import AuditLogHook, AuditingCatalog
 
+    import atexit
+    import shutil as _sh
+
     base = tempfile.mkdtemp(prefix="reair_inc_e2e_")
+    # gate DataFrames read these trees lazily — clean at process exit
+    # (same remedy as ann_ivf_persisted_topk's index dir, ADVICE r5)
+    atexit.register(_sh.rmtree, base, ignore_errors=True)
     src_root = os.path.join(base, "src")
     dest_root = os.path.join(base, "dest")
     state_dir = os.path.join(base, "state")
@@ -447,7 +457,11 @@ def dirsync_e2e_digest(spark: SparkSession, sf: str) -> DataFrame:
     from reair_spark.dirsync import sync_directories
     from reair_spark.inventory import list_files
 
+    import atexit
+    import shutil as _sh
+
     base = tempfile.mkdtemp(prefix="reair_dirsync_")
+    atexit.register(_sh.rmtree, base, ignore_errors=True)
     src_root = os.path.join(base, "src")
     dest_root = os.path.join(base, "dest")
     trash = os.path.join(base, "trash")
