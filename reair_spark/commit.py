@@ -54,8 +54,18 @@ def rewrite_locations(plan: DataFrame, src_root: str, dest_root: str) -> DataFra
     ReplicationUtils' destination = dest root + db/table layout) can't
     prefix-rewrite; it lands at ``dest_root/db/table[/partition]``.
     Without this branch dest_path would equal src_path, the copy would
-    self-skip, and the dest catalog would point at SOURCE data."""
-    import re as _re
+    self-skip, and the dest catalog would point at SOURCE data.
+
+    In-root means a TRUE DESCENDANT of ``src_root`` (or the root
+    itself): the test matches on ``src_root.rstrip('/') + '/'`` so a
+    sibling-prefixed path (src_root=/data/wh vs /data/wh_archive/…)
+    routes through the derived branch instead of being prefix-mangled
+    to ``dest_root + '_archive/…'``.  The rewrite itself is built with
+    ``concat`` + ``substring`` — NOT ``regexp_replace`` — so a
+    dest_root containing ``$`` or ``\\`` is copied literally rather
+    than being interpreted as a Java-regex group reference."""
+    root = src_root.rstrip("/")
+    child_prefix = root + "/"
 
     derived = F.concat_ws(
         "/", F.lit(dest_root), F.col("db"), F.col("table")
@@ -64,14 +74,20 @@ def rewrite_locations(plan: DataFrame, src_root: str, dest_root: str) -> DataFra
         F.col("partition_name").isNotNull(),
         F.concat_ws("/", derived, F.col("partition_name")),
     ).otherwise(derived)
+    # dest_root + the suffix of src_path after the root — pure string
+    # concat, no regex replacement semantics anywhere.
+    prefix_rewritten = F.concat(
+        F.lit(dest_root),
+        F.substring(F.col("src_path"), len(root) + 1, 2_147_483_647),
+    )
+    in_root = F.col("src_path").startswith(child_prefix) | (
+        F.col("src_path") == F.lit(root)
+    )
     return plan.withColumn(
         "dest_path",
         F.when(
             F.col("dest_path").isNull() & F.col("src_path").isNotNull(),
-            F.when(
-                F.col("src_path").startswith(src_root),
-                F.regexp_replace("src_path", f"^{_re.escape(src_root)}", dest_root),
-            ).otherwise(derived),
+            F.when(in_root, prefix_rewritten).otherwise(derived),
         ).otherwise(F.col("dest_path")),
     )
 

@@ -470,8 +470,11 @@ def curate_temperature_mix(spark: SparkSession, sf: str) -> DataFrame:
     sqrt+multiply in both engines, then floored to an exact BIGINT),
     Σq is an integer sum (order-free, unlike float sums whose
     partial-aggregation order differs between engines), and the token
-    allocation is integer division q·budget / Σq. No float ever
-    crosses the comparison boundary.
+    allocation is TRUE integer division — Spark's ``div`` / DuckDB's
+    ``//`` on BIGINTs — so no float ever crosses the comparison
+    boundary and exactness does not depend on q·budget staying under
+    2^53 (q·TEMP_BUDGET does stay far inside int64: q ≤ √n·1000 ≤
+    ~3·10^10 even at a 10^15-token source, ·10^6 ≈ 3·10^16 < 2^63).
 
     Scale: one map-side-combined per-source aggregate (|sources|
     keys) + a broadcast 1-row Σ — nothing else touches the corpus."""
@@ -492,11 +495,14 @@ def curate_temperature_mix(spark: SparkSession, sf: str) -> DataFrame:
 
     q_sum = F.sum("q").over(W.partitionBy())
     return per.select(
+        "source", "n_docs", "n_tokens", "q", q_sum.alias("q_sum")
+    ).select(
         "source",
         "n_docs",
         "n_tokens",
         "q",
-        F.floor(F.col("q") * F.lit(TEMP_BUDGET) / q_sum)
+        # BIGINT `div` BIGINT — exact integer division, no IEEE double
+        F.expr(f"(q * CAST({TEMP_BUDGET} AS BIGINT)) div q_sum")
         .cast("long")
         .alias("alloc_tokens"),
     )
@@ -516,7 +522,8 @@ q AS (
 ),
 tot AS (SELECT sum(q) AS q_sum FROM q)
 SELECT source, n_docs, n_tokens, q,
-       CAST(floor(q * {TEMP_BUDGET} / q_sum) AS BIGINT) AS alloc_tokens
+       CAST((q * CAST({TEMP_BUDGET} AS BIGINT)) // q_sum AS BIGINT)
+         AS alloc_tokens
 FROM q, tot
 """
 

@@ -33,7 +33,25 @@ def sync_plan(
 ) -> DataFrame:
     """One full-outer join replaces the reference's shuffle-on-relpath
     MR reducer (DirectoryCompareReducer:215-319). Multiple src roots →
-    latest mtime wins per rel_path (findSrcFileStatus:222-230)."""
+    latest mtime wins per rel_path (findSrcFileStatus:222-230).
+
+    ``compare_mtime=True`` requires a destination FS that persists
+    mtimes (``preserves_mtime``); on an object-store-style backend
+    (ArrowFs: set_mtime is a validated no-op) dest mtime would never
+    equal src mtime and every sync would re-copy the full tree, so
+    the combination is rejected loudly instead."""
+    if compare_mtime:
+        from reair_spark.fs import fs_for
+
+        dest_fs = fs_for(dest_root)
+        if not getattr(dest_fs, "preserves_mtime", True):
+            raise ValueError(
+                f"compare_mtime=True is incompatible with dest scheme "
+                f"{dest_fs.scheme!r}: its filesystem cannot persist "
+                f"mtimes (set_mtime is a no-op), so mtime equality "
+                f"would never hold and every sync would re-copy the "
+                f"full tree. Use the default size-keyed comparison."
+            )
     src = list_files(spark, src_roots)
     w = W.partitionBy("rel_path").orderBy(F.desc("mtime"), "root")
     src_latest = (

@@ -54,6 +54,9 @@ class LocalFs:
     BatchUtils.doCopyFileAction gets from HDFS create+rename."""
 
     scheme = "file"
+    # True ⇒ set_mtime persists and mtime-keyed comparisons
+    # (dirsync compare_mtime=True) are meaningful on this backend.
+    preserves_mtime = True
 
     def _resolve(self, path: str) -> str:
         return path[len("file://"):] if path.startswith("file://") else path
@@ -248,7 +251,14 @@ class ArrowFs:
     (S3/GCS cannot write mtimes; every default consumer — skip-same-
     size, dir digests, sync equality — keys on size, not mtime), and
     ``flush_and_sync`` flushes without fsync (close durability is the
-    backend's contract, e.g. S3 PUT-on-close)."""
+    backend's contract, e.g. S3 PUT-on-close).
+
+    Because ``set_mtime`` cannot persist, ``preserves_mtime`` is
+    False and dirsync's ``compare_mtime=True`` REJECTS an ArrowFs
+    destination up front — otherwise dest mtime would never equal
+    src mtime and every sync would re-copy the full tree forever."""
+
+    preserves_mtime = False
 
     def __init__(self, scheme: str, arrow_fs, root: str = ""):
         self.scheme = scheme
@@ -421,6 +431,13 @@ def scheme_of(path: str) -> str | None:
     return m.group(1) if m else None
 
 
+class UnregisteredSchemeError(ValueError):
+    """Raised by fs_for for a scheme with no registered FS — a distinct
+    type so listing-tolerance code can skip exactly this case without
+    also swallowing ValueErrors raised from inside an FS
+    implementation (which indicate real bugs)."""
+
+
 def fs_for(path: str, registry: dict[str, object] | None = None):
     """Resolve the FS owning ``path``. Scheme-less and ``file://``
     paths → LocalFs; unknown schemes fail loudly (a silent local
@@ -431,7 +448,7 @@ def fs_for(path: str, registry: dict[str, object] | None = None):
     reg = _REGISTRY if registry is None else registry
     if scheme in reg:
         return reg[scheme]
-    raise ValueError(
+    raise UnregisteredSchemeError(
         f"no filesystem registered for scheme {scheme!r} (path {path!r}); "
         f"register_fs() an implementation of the fs protocol"
     )

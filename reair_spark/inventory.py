@@ -58,20 +58,22 @@ def _make_scan_level(fs_registry: dict) -> callable:
     do these tasks."""
 
     def _scan_level(rows: Iterator) -> Iterator[tuple]:
-        from reair_spark.fs import fs_for
+        from reair_spark.fs import UnregisteredSchemeError, fs_for
 
         for row in rows:
             root, d = row.root, row.dir
             try:
-                entries = fs_for(d, fs_registry).scandir(d)
-            except (FileNotFoundError, NotADirectoryError):
+                fs = fs_for(d, fs_registry)
+            except UnregisteredSchemeError:
+                # Only the scheme-lookup failure is tolerated (e.g. an
+                # hdfs:// table location when only local/mock schemes
+                # are registered) — one stray location must not crash
+                # the whole listing job. A ValueError raised from
+                # INSIDE an FS's scandir is a bug and propagates.
                 continue
-            except ValueError:
-                # fs_for raises ValueError for unregistered schemes
-                # (e.g. an hdfs:// table location when only local/mock
-                # schemes are registered). The old driver isdir loop
-                # silently skipped those; one stray location must not
-                # crash the whole listing job.
+            try:
+                entries = fs.scandir(d)
+            except (FileNotFoundError, NotADirectoryError):
                 continue
             for e in entries:
                 hidden = e.name.startswith(("_", "."))
