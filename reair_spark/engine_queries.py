@@ -678,6 +678,15 @@ ENGINE_QUERIES = {
     "stream_sessionize": stream_sessionize_q,
 }
 
+
+def _partition_scale_q(spark: SparkSession, sf: str) -> DataFrame:
+    from reair_spark.scalebench import partition_scale_digest
+
+    return partition_scale_digest(spark, sf)
+
+
+ENGINE_QUERIES["partition_scale_digest"] = _partition_scale_q
+
 # independent SQL reimplementation of the decision table: src-only →
 # COPY(meta+data); dest-only → DROP; TLDT drift → COPY(meta only,
 # digests unknown ⇒ data treated equal); else NO_OP
@@ -934,3 +943,11 @@ GROUP BY p.user_id
 ENGINE_ORACLES["incremental_streaming_digest"] = ENGINE_ORACLES[
     "incremental_e2e_digest"
 ]
+
+# closed-form re-derivation of the 50k-partition scenario (see
+# reair_spark/scalebench.py) — an arithmetic statement over
+# generate_series of what the diff planner must produce at the
+# reference's design scale; no diff or join runs on the oracle side
+from reair_spark.scalebench import partition_scale_oracle_sql as _psos
+
+ENGINE_ORACLES["partition_scale_digest"] = _psos()

@@ -1,0 +1,228 @@
+"""Partition-scale harness for the replication metadata path.
+
+The reference's stated design point is tables with "a large number of
+partitions (more than 1M)" where every partition check costs ~100 ms
+of metastore RPC, hidden behind a 150-way MR shuffle
+(batch/.../TableCompareWorker.java:43-48, MetastoreReplicationJob.java
+parallelism knobs). This engine's claim is stronger: the whole diff is
+ONE declarative full-outer join over two metadata-sized snapshots, so
+partition count scales executor-side only. This module makes that
+claim measurable and gateable:
+
+- ``synthetic_partition_snapshots`` builds src/dest partition
+  snapshots of ANY size entirely from ``spark.range`` — zero driver
+  rows, zero files; the skew/drift scenario is deterministic integer
+  arithmetic so an oracle can re-derive every expected count in
+  closed form without running a diff.
+- ``partition_scale_digest`` drives the REAL engine path
+  (partition_diff → rewrite_locations → plan_copy_tasks) at the
+  reference's design scale and reduces it to per-action counts +
+  copy-task bytes; the DuckDB oracle recomputes the same rows from
+  ``generate_series`` + the scenario rules — a planner bug at scale
+  breaks the hash match.
+- ``measure_scale`` times the same pipeline at two partition counts
+  and reports wall + Spark job counts, the 1×/10× evidence table for
+  PLANS.md.
+
+Scenario rules (all integer, mirrored verbatim in the oracle SQL):
+  table skew      tbl = 0 if id%2==0 else id%N_TABLES   (one mega-table
+                  holding ~half of all partitions + a uniform tail —
+                  the "few huge tables" shape the reference calls out)
+  id % 10 == 0    partition missing from dest        → COPY (meta+data)
+  id % 10 == 1    dest metadata drifted (older TLDT) → COPY (meta only)
+  id % 10 == 2    dest NEWER (TLDT+5); run with overwrite_newer=False
+                  → NO_OP via the DEST_IS_NEWER guard
+  otherwise       identical                          → NO_OP
+  extras          n//20 ids exist only in dest       → DROP_PARTITION
+  inventory       each missing-dest partition root holds two files of
+                  sizes 100+id%50 and 200+id%50
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+N_TABLES = 40
+SRC_ROOT = "/wh"
+DEST_ROOT = "/dest-wh"
+
+
+def _base(spark: SparkSession, ids) -> DataFrame:
+    """Shared partition-row shape from an id column — everything is a
+    JVM expression over ``spark.range``; nothing materializes on the
+    driver at any partition count."""
+    tbl = F.when(F.col("id") % 2 == 0, F.lit(0)).otherwise(
+        F.col("id") % N_TABLES
+    )
+    return ids.select(
+        F.lit("db1").alias("db"),
+        F.concat(F.lit("t"), tbl.cast("string")).alias("table"),
+        F.concat(F.lit("ds="), F.col("id").cast("string")).alias(
+            "partition_name"
+        ),
+        F.array(F.col("id").cast("string")).alias("values"),
+        F.concat(
+            F.lit(f"{SRC_ROOT}/db1/t"), tbl.cast("string"),
+            F.lit("/ds="), F.col("id").cast("string"),
+        ).alias("location"),
+        F.col("id"),
+    )
+
+
+def synthetic_partition_snapshots(
+    spark: SparkSession, n: int
+) -> tuple[DataFrame, DataFrame]:
+    """(src, dest) partition snapshots of the scenario above, each in
+    PARTITION_SCHEMA shape. ``n`` src partitions; dest misses n/10,
+    drifts n/10, is-newer n/10, and carries n/20 extras."""
+    params = lambda tldt: F.create_map(  # noqa: E731
+        F.lit("transient_lastDdlTime"), tldt.cast("string")
+    )
+    src_tldt = F.lit(1000) + (F.col("id") % 7)
+
+    src = _base(spark, spark.range(n)).select(
+        "db", "table", "partition_name", "values", "location",
+        params(src_tldt).alias("parameters"),
+    )
+
+    kept = _base(spark, spark.range(n)).filter(F.col("id") % 10 != 0)
+    dest_tldt = (
+        F.when(F.col("id") % 10 == 1, src_tldt - 1)
+        .when(F.col("id") % 10 == 2, src_tldt + 5)
+        .otherwise(src_tldt)
+    )
+    dest_main = kept.select(
+        "db", "table", "partition_name", "values", "location",
+        params(dest_tldt).alias("parameters"),
+    )
+    extras = _base(
+        spark, spark.range(n, n + n // 20)
+    ).select(
+        "db", "table", "partition_name", "values",
+        # extras live under the DEST warehouse (they were dropped at
+        # the source); location root differs accordingly
+        F.regexp_replace("location", f"^{SRC_ROOT}/", f"{DEST_ROOT}/").alias(
+            "location"
+        ),
+        params(F.lit(1)).alias("parameters"),
+    )
+    return src, dest_main.unionByName(extras)
+
+
+def synthetic_inventory(spark: SparkSession, n: int) -> DataFrame:
+    """File inventory for every missing-dest partition root (the only
+    roots the copy planner consults): two files per root, sizes
+    100+id%50 and 200+id%50 — the (root, rel_path, size, mtime) shape
+    inventory.list_files produces, generated distributedly."""
+    roots = _base(spark, spark.range(n)).filter(F.col("id") % 10 == 0)
+    return roots.select(
+        F.col("location").alias("root"),
+        F.explode(F.array(F.lit(0), F.lit(1))).alias("j"),
+        F.col("id"),
+    ).select(
+        "root",
+        F.concat(F.lit("part-"), F.col("j").cast("string")).alias("rel_path"),
+        ((F.col("j") + 1) * 100 + F.col("id") % 50).cast("long").alias("size"),
+        F.lit(0).cast("long").alias("mtime"),
+    )
+
+
+def scale_pipeline(spark: SparkSession, n: int) -> DataFrame:
+    """The real engine path at ``n`` partitions: partition_diff (with
+    the DEST_IS_NEWER guard armed) → rewrite_locations →
+    plan_copy_tasks, reduced to a digest of per-action counts plus the
+    copy-task count and byte total."""
+    from reair_spark.commit import rewrite_locations
+    from reair_spark.copy import plan_copy_tasks
+    from reair_spark.diff import partition_diff
+
+    src, dest = synthetic_partition_snapshots(spark, n)
+    plan = partition_diff(src, dest, overwrite_newer=False)
+    plan = rewrite_locations(plan, SRC_ROOT, DEST_ROOT)
+    tasks = plan_copy_tasks(plan, synthetic_inventory(spark, n))
+
+    diff_digest = plan.groupBy("action", "update_metadata", "update_data").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.lit(0).cast("long").alias("bytes"),
+    ).select(
+        F.lit("diff").alias("stage"),
+        "action", "update_metadata", "update_data", "n", "bytes",
+    )
+    task_digest = tasks.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.coalesce(F.sum("size"), F.lit(0)).cast("long").alias("bytes"),
+    ).select(
+        F.lit("tasks").alias("stage"),
+        F.lit("FILE_COPY").alias("action"),
+        F.lit(True).alias("update_metadata"),
+        F.lit(True).alias("update_data"),
+        "n", "bytes",
+    )
+    return diff_digest.unionByName(task_digest)
+
+
+GATE_N = 50_000
+
+
+def partition_scale_digest(spark: SparkSession, sf: str) -> DataFrame:
+    """Gate query: the scenario at the reference's ~50k-partition
+    design scale. ``sf`` is unused — the input is synthetic metadata,
+    identical at every scale factor, which is the point: partition
+    METADATA volume is independent of data volume."""
+    return scale_pipeline(spark, GATE_N)
+
+
+def partition_scale_oracle_sql(n: int = GATE_N) -> str:
+    """Closed-form re-derivation of the digest from the scenario rules
+    over ``generate_series`` — no diff, no join: an independent
+    statement of what the planner MUST produce at this scale."""
+    return f"""
+WITH ids AS (SELECT unnest(generate_series(0, {n} - 1)) AS id)
+SELECT 'diff' AS stage, 'COPY_PARTITION' AS action,
+       TRUE AS update_metadata, TRUE AS update_data,
+       count(*)::BIGINT AS n, 0::BIGINT AS bytes
+FROM ids WHERE id % 10 = 0
+UNION ALL
+SELECT 'diff', 'COPY_PARTITION', TRUE, FALSE, count(*)::BIGINT, 0::BIGINT
+FROM ids WHERE id % 10 = 1
+UNION ALL
+SELECT 'diff', 'NO_OP', FALSE, FALSE, count(*)::BIGINT, 0::BIGINT
+FROM ids WHERE id % 10 NOT IN (0, 1)
+UNION ALL
+SELECT 'diff', 'DROP_PARTITION', FALSE, FALSE, {n} // 20, 0::BIGINT
+UNION ALL
+SELECT 'tasks', 'FILE_COPY', TRUE, TRUE,
+       2 * count(*)::BIGINT,
+       sum(300 + 2 * (id % 50))::BIGINT
+FROM ids WHERE id % 10 = 0
+"""
+
+
+def measure_scale(
+    spark: SparkSession, sizes: tuple[int, ...] = (50_000, 500_000)
+) -> list[dict]:
+    """Wall + Spark-job counts for the full pipeline at each size —
+    the PLANS.md evidence table. Jobs are counted via
+    setJobGroup/getJobIdsForGroup (includes AQE sub-jobs, same method
+    as the round-6 job audit, comparable across sizes)."""
+    sc = spark.sparkContext
+    out = []
+    for n in sizes:
+        group = f"scalebench-{n}"
+        sc.setJobGroup(group, f"partition scale study n={n}")
+        t0 = time.time()
+        rows = scale_pipeline(spark, n).collect()
+        wall = time.time() - t0
+        sc.setJobGroup("", "")
+        jobs = len(sc.statusTracker().getJobIdsForGroup(group))
+        out.append({
+            "n_partitions": n,
+            "wall_s": round(wall, 2),
+            "spark_jobs": jobs,
+            "digest_rows": len(rows),
+            "plan_rows": sum(r.n for r in rows if r.stage == "diff"),
+        })
+    return out

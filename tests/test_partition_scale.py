@@ -1,0 +1,102 @@
+"""Partition-scale study (VERDICT r6 ask #1): the replication metadata
+path at the reference's "millions of partitions" design point
+(TableCompareWorker.java:43-48, MetastoreReplicationJob.java 150-way
+parallelism knobs).
+
+Three properties are enforced, not just measured:
+  1. correctness at scale — the digest of diff actions + copy tasks
+     over a 50k-partition synthetic warehouse equals the closed-form
+     derivation (the DuckDB gate re-checks this every round);
+  2. zero driver-side rows — the whole pipeline compiles to a plan fed
+     by Range (spark.range), with no LocalTableScan/ExistingRDD (a
+     driver-materialized snapshot would show up as one) and no Python;
+  3. driver work flat in partition count — the Spark JOB count at 10×
+     the partitions is the same (jobs are driver actions; a per-
+     partition driver loop would multiply them).
+"""
+
+from __future__ import annotations
+
+import duckdb
+from pyspark.sql import functions as F
+
+from reair_spark.scalebench import (
+    partition_scale_oracle_sql,
+    scale_pipeline,
+    synthetic_partition_snapshots,
+)
+
+
+def _canon(rows):
+    return sorted(tuple(r) for r in rows)
+
+
+def test_digest_matches_closed_form_small(spark):
+    got = _canon(
+        (r.stage, r.action, r.update_metadata, r.update_data, r.n, r.bytes)
+        for r in scale_pipeline(spark, 2000).collect()
+    )
+    want = _canon(duckdb.connect().execute(
+        partition_scale_oracle_sql(2000)).fetchall())
+    assert got == want
+
+
+def test_scenario_composition(spark):
+    """The synthetic snapshots have the advertised shape: skewed table
+    sizes (t0 holds ~half), dest missing/drifted/newer thirds."""
+    src, dest = synthetic_partition_snapshots(spark, 2000)
+    by_tbl = {r.table: r.n for r in
+              src.groupBy("table").agg(F.count("*").alias("n")).collect()}
+    # mega-table skew: t0 holds half the corpus, ~20× the tail tables
+    assert by_tbl["t0"] == 1000
+    assert max(v for t, v in by_tbl.items() if t != "t0") <= 60
+    assert src.count() == 2000
+    assert dest.count() == 2000 - 200 + 100  # minus missing, plus extras
+
+
+def test_pipeline_is_range_fed_no_driver_rows_no_python(spark):
+    """Plan shape: every leaf is Range; nothing was parallelized from
+    driver memory and no Python executes anywhere in the path."""
+    plan = scale_pipeline(spark, 50_000)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted")
+    )
+    assert "Range" in plan
+    assert "LocalTableScan" not in plan
+    assert "Scan ExistingRDD" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_driver_job_count_flat_at_10x(spark):
+    """Driver actions must not scale with partition count: same job
+    count at 5k and 50k partitions (AQE may add sub-jobs; allow +2
+    jitter, never proportional growth)."""
+    sc = spark.sparkContext
+
+    def jobs_at(n: int) -> int:
+        group = f"pscale-test-{n}"
+        sc.setJobGroup(group, "scale study")
+        scale_pipeline(spark, n).collect()
+        sc.setJobGroup("", "")
+        return len(sc.statusTracker().getJobIdsForGroup(group))
+
+    j1, j10 = jobs_at(5_000), jobs_at(50_000)
+    assert j10 <= j1 + 2, f"jobs scaled with partitions: {j1} -> {j10}"
+
+
+def test_no_createDataFrame_in_pipeline(spark, monkeypatch):
+    """Belt-and-braces for property 2: SparkSession.createDataFrame
+    (the driver-rows entry point) is never called while building and
+    running the pipeline."""
+    calls = []
+    orig = type(spark).createDataFrame
+
+    def counting(self, *a, **kw):
+        calls.append(1)
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(type(spark), "createDataFrame", counting)
+    scale_pipeline(spark, 20_000).collect()
+    assert calls == []
