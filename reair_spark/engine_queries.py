@@ -254,7 +254,37 @@ def _incremental_scenario(spark: SparkSession, sf: str):
 
     Everything (job counts per operation, final dest tables and their
     byte totals) is computable from nation alone, which is what the
-    DuckDB oracle does."""
+    DuckDB oracle does.
+
+    The audited SOURCE warehouse (src tree + audit log) is immutable
+    once built and is consumed read-only by every consumer, so it is
+    memoized per (session, sf) — the batch gate, the streaming gate,
+    and bench re-runs share ONE build (VERDICT r6 ask #4); each call
+    still gets a FRESH dest/state dir, so replication outcomes never
+    leak between runs."""
+    import tempfile
+
+    import atexit
+    import shutil as _sh
+
+    key = (spark.sparkContext.applicationId, sf)
+    if key not in _INC_SCENARIO_CACHE:
+        _INC_SCENARIO_CACHE[key] = _build_incremental_scenario(spark, sf)
+    hook, src_root = _INC_SCENARIO_CACHE[key]
+    run_dir = tempfile.mkdtemp(prefix="reair_inc_run_")
+    atexit.register(_sh.rmtree, run_dir, ignore_errors=True)
+    return (
+        hook, src_root,
+        os.path.join(run_dir, "dest"), os.path.join(run_dir, "state"),
+    )
+
+
+_INC_SCENARIO_CACHE: dict = {}
+
+
+def _build_incremental_scenario(spark: SparkSession, sf: str):
+    """One-time build of the audited source warehouse (see
+    _incremental_scenario's docstring for the scenario spec)."""
     import datetime as _dt
     import shutil
     import tempfile
@@ -270,8 +300,6 @@ def _incremental_scenario(spark: SparkSession, sf: str):
     # (same remedy as ann_ivf_persisted_topk's index dir, ADVICE r5)
     atexit.register(_sh.rmtree, base, ignore_errors=True)
     src_root = os.path.join(base, "src")
-    dest_root = os.path.join(base, "dest")
-    state_dir = os.path.join(base, "state")
     src_cat = DirectoryCatalog(src_root)
     hook = AuditLogHook(
         spark, os.path.join(base, "audit_log"),
@@ -342,7 +370,7 @@ def _incremental_scenario(spark: SparkSession, sf: str):
             src_cat.add_partition("wh", t, part)
             hook.record(f"ALTER TABLE wh.{t} ADD PARTITION (ds='1')")
     hook.flush()
-    return hook, src_root, dest_root, state_dir
+    return hook, src_root
 
 
 def incremental_e2e_digest(spark: SparkSession, sf: str) -> DataFrame:

@@ -341,6 +341,14 @@ class ArrowFs:
 _TMP_SUFFIX_RE = re.compile(r"\.__copying_\d+$")
 
 
+class InjectedCrash(RuntimeError):
+    """A scheduled fault that must NOT be absorbed by any retry/
+    per-row-FAILED layer (deliberately not an OSError): it kills the
+    Spark task to simulate a process crash mid-operation, so recovery
+    tests exercise the checkpoint/restart path rather than the
+    in-task retry path."""
+
+
 class FailingFs(MappedFs):
     """Deterministic fault-injection wrapper over the FS seam — the
     harness that turns the copy/commit protocol's "exactly-once-ish"
@@ -363,24 +371,61 @@ class FailingFs(MappedFs):
         self.board = board
 
     @staticmethod
-    def schedule(board: str, op: str, final_name: str, n_failures: int) -> None:
-        """Arm ``op`` on ``final_name`` to fail ``n_failures`` times."""
+    def schedule(
+        board: str, op: str, final_name: str, n_failures: int,
+        kind: str = "oserror",
+    ) -> None:
+        """Arm ``op`` on ``final_name`` to fail ``n_failures`` times.
+
+        ``kind='oserror'`` (default) raises OSError — absorbed by the
+        copy layer's bounded in-task retry, surfacing as FAILED rows
+        at worst. ``kind='crash'`` raises :class:`InjectedCrash`
+        (NOT an OSError): nothing in the engine catches it, so the
+        Spark task — and with it the whole replication job / streaming
+        micro-batch — dies, simulating a process crash mid-flight for
+        checkpoint-recovery schedules."""
         os.makedirs(board, exist_ok=True)
         with open(os.path.join(board, f"{op}__{final_name}"), "w") as fh:
-            fh.write(str(n_failures))
+            fh.write(f"{n_failures} {kind}")
+
+    @staticmethod
+    def op_count(board: str, op: str, final_name: str) -> int:
+        """How many times ``op`` was invoked on ``final_name`` (every
+        call counts, armed or not) — lets recovery tests assert
+        zero-rework properties like 'this landed file was never
+        re-copied' (create count stays 1 across crash + restart)."""
+        try:
+            with open(os.path.join(board, f"count__{op}__{final_name}")) as fh:
+                return sum(1 for _ in fh)
+        except FileNotFoundError:
+            return 0
+
+    def _bump(self, op: str, name: str) -> None:
+        # O_APPEND one-line-per-call; each copy task owns exactly one
+        # final name, so per-name counters never race across tasks
+        os.makedirs(self.board, exist_ok=True)
+        with open(os.path.join(self.board, f"count__{op}__{name}"), "a") as fh:
+            fh.write("1\n")
 
     def _maybe_fail(self, op: str, path: str) -> None:
         name = _TMP_SUFFIX_RE.sub("", os.path.basename(str(path).rstrip("/")))
+        self._bump(op, name)
         marker = os.path.join(self.board, f"{op}__{name}")
         try:
             with open(marker) as fh:
-                n = int(fh.read().strip() or 0)
+                parts = fh.read().split()
+                n = int(parts[0] or 0) if parts else 0
+                kind = parts[1] if len(parts) > 1 else "oserror"
         except (FileNotFoundError, ValueError):
             return
         if n <= 0:
             return
         with open(marker, "w") as fh:
-            fh.write(str(n - 1))
+            fh.write(f"{n - 1} {kind}")
+        if kind == "crash":
+            raise InjectedCrash(
+                f"injected {op} crash on {name} ({n - 1} left)"
+            )
         raise OSError(f"injected {op} failure on {name} ({n - 1} left)")
 
     def open_read(self, path: str):

@@ -222,3 +222,156 @@ def test_trash_move_fault_yields_failed_row_then_rerun_trashes(
     assert not os.path.exists(os.path.join(failfs.root, "dst/stale.txt"))
     with open(os.path.join(failfs.root, "trash/stale.txt"), "rb") as fh:
         assert fh.read() == b"gone"
+
+
+# ---------- streaming replication loop under injected faults ---------
+# (VERDICT r6 ask #2; reference analog: requeue of persisted-but-
+# unfinished jobs on server restart, ReplicationServer.java:384-390 /
+# PersistedJobInfoStore.java:107-135)
+
+
+def _stream_warehouse(spark, tmp_path, failfs):
+    """Three tables created across three audit-log flushes (one parquet
+    file each, so maxFilesPerTrigger=1 yields one micro-batch per
+    table). Source DATA lives on the FailingFs scheme (catalog metadata
+    stays local); every src read crosses the injectable seam."""
+    import datetime as _dt
+
+    from reair_spark.catalog import DirectoryCatalog
+    from reair_spark.hook import AuditLogHook
+
+    src_root = str(tmp_path / "src_wh")
+    dest_root = str(tmp_path / "dest_wh")
+    src_cat = DirectoryCatalog(src_root)
+    hook = AuditLogHook(
+        spark, str(tmp_path / "audit"),
+        clock=lambda: _dt.datetime(2020, 1, 1),
+    )
+    for i, t in enumerate(["t1", "t2", "t3"]):
+        _seed(failfs.root, f"wh-src/{t}/{t}.bin", bytes([65 + i]) * (10 + i))
+        src_cat.create_table({
+            "db": "wh", "table": t, "table_type": "MANAGED_TABLE",
+            "cols": [{"name": "c1", "type": "string", "comment": None}],
+            "partition_keys": [], "location": f"failfs://wh-src/{t}",
+            "serde": "text", "parameters": {"transient_lastDdlTime": "100"},
+        })
+        hook.record(f"CREATE TABLE wh.{t} (c1 string)")
+        hook.flush()  # one parquet file per event → one micro-batch each
+    return hook, src_root, dest_root, str(tmp_path / "state")
+
+
+def _run_stream(spark, hook, src_root, dest_root, state_dir):
+    from reair_spark.streaming import stream_replicate
+
+    schema = spark.read.parquet(hook.log_path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(hook.log_path)
+    )
+    stream_replicate(
+        spark, stream, src_root, dest_root,
+        state_dir, f"{state_dir}/_checkpoint",
+    )
+
+
+def _dest_files(dest_root):
+    out = {}
+    for dirpath, _dirs, files in os.walk(dest_root):
+        for f in files:
+            if "_catalog" in dirpath or f.startswith("."):
+                continue
+            p = os.path.join(dirpath, f)
+            with open(p, "rb") as fh:
+                out[f] = fh.read()
+    return out
+
+
+def _assert_converged(spark, failfs, dest_root, state_dir):
+    from reair_spark.state import JobStore
+
+    got = _dest_files(dest_root)
+    assert got == {
+        "t1.bin": b"A" * 10, "t2.bin": b"B" * 11, "t3.bin": b"C" * 12,
+    }
+    store = JobStore(spark, f"{state_dir}/replication_jobs")
+    cur = store.current().collect()
+    # one latest row per job, all terminal SUCCESSFUL, no duplicates
+    assert len(cur) == len({r.job_id for r in cur}) == 3
+    assert {r.status for r in cur} == {"SUCCESSFUL"}
+
+
+def test_stream_crash_mid_batch_recovers_from_checkpoint(
+    spark, failfs, tmp_path
+):
+    """Schedule S1 (crash-in-batch): the SECOND micro-batch dies
+    mid-copy on an InjectedCrash (not an OSError — nothing absorbs
+    it). Restarting the stream from its checkpoint replays exactly the
+    dead batch and converges; the batch that had already COMMITTED is
+    never re-read (zero re-copied bytes: its src open_read count stays
+    at 1 across crash + recovery)."""
+    import pyspark.errors
+
+    hook, src_root, dest_root, state_dir = _stream_warehouse(
+        spark, tmp_path, failfs
+    )
+    FailingFs.schedule(failfs.board, "open_read", "t2.bin", 1, kind="crash")
+
+    with pytest.raises(pyspark.errors.exceptions.base.PySparkException,
+                       match="injected open_read crash"):
+        _run_stream(spark, hook, src_root, dest_root, state_dir)
+    # batch 0 (t1) committed before the crash; t2 never published
+    assert _dest_files(dest_root).get("t1.bin") == b"A" * 10
+    assert "t2.bin" not in _dest_files(dest_root)
+    reads_t1_after_crash = FailingFs.op_count(
+        failfs.board, "open_read", "t1.bin"
+    )
+
+    _run_stream(spark, hook, src_root, dest_root, state_dir)  # recovery
+    _assert_converged(spark, failfs, dest_root, state_dir)
+    # committed batch was not replayed: t1 bytes moved exactly once
+    assert FailingFs.op_count(failfs.board, "open_read", "t1.bin") \
+        == reads_t1_after_crash == 1
+
+
+def test_stream_crash_between_batches_replays_only_tail(
+    spark, failfs, tmp_path
+):
+    """Schedule S2 (crash-between-batches): batches 0 and 1 commit,
+    the LAST batch dies. Restart replays only the tail batch — both
+    earlier tables keep open_read count 1 (no re-copied bytes, no
+    duplicate job rows)."""
+    import pyspark.errors
+
+    hook, src_root, dest_root, state_dir = _stream_warehouse(
+        spark, tmp_path, failfs
+    )
+    FailingFs.schedule(failfs.board, "open_read", "t3.bin", 1, kind="crash")
+
+    with pytest.raises(pyspark.errors.exceptions.base.PySparkException,
+                       match="injected open_read crash"):
+        _run_stream(spark, hook, src_root, dest_root, state_dir)
+    assert set(_dest_files(dest_root)) == {"t1.bin", "t2.bin"}
+
+    _run_stream(spark, hook, src_root, dest_root, state_dir)
+    _assert_converged(spark, failfs, dest_root, state_dir)
+    for name in ("t1.bin", "t2.bin"):
+        assert FailingFs.op_count(failfs.board, "open_read", name) == 1
+
+
+def test_stream_transient_fault_absorbed_without_restart(
+    spark, failfs, tmp_path
+):
+    """Schedule S3 (transient inside a micro-batch): a one-shot OSError
+    on a src read is absorbed by the copy layer's bounded in-task
+    retry — the streaming query completes on the FIRST run, converged,
+    with the retried file read exactly twice (failed attempt +
+    success) and no FAILED job row."""
+    hook, src_root, dest_root, state_dir = _stream_warehouse(
+        spark, tmp_path, failfs
+    )
+    FailingFs.schedule(failfs.board, "open_read", "t2.bin", 1)  # oserror
+
+    _run_stream(spark, hook, src_root, dest_root, state_dir)
+    _assert_converged(spark, failfs, dest_root, state_dir)
+    assert FailingFs.op_count(failfs.board, "open_read", "t2.bin") == 2
