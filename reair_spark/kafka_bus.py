@@ -26,6 +26,16 @@ container, so the module splits at the wire:
   call the real ``format("kafka")`` and raise an actionable error when
   the connector is absent (``--packages org.apache.spark:
   spark-sql-kafka-0-10_2.13:<spark version>``).
+- The COMPOSITION after the socket — records → decode →
+  ``stream_replicate`` — is `replicate_from_records`, which
+  `kafka_stream_replicate` calls with the raw kafka stream and the
+  tests call with a file-stream stand-in of the identical
+  KAFKA_RECORD_DDL shape, driving the full audited scenario through it
+  (tests/test_kafka_bus.py). Coverage statement: the ONLY lines of
+  this module not executed by the test suite are the literal
+  ``format("kafka")`` reader/writer builders inside
+  ``_raw_kafka_stream`` / ``publish_audit_events`` — everything they
+  feed or are fed by is proven broker-free.
 
 Timestamps ride the JSON envelope as unix MICROS (integer), not a
 formatted string: exact roundtrip, timezone-proof — same reasoning as
@@ -125,6 +135,30 @@ def _kafka_unavailable(exc: Exception) -> RuntimeError:
     )
 
 
+def _raw_kafka_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
+) -> DataFrame:
+    """The socket: a raw KAFKA_RECORD_DDL-shaped stream off the real
+    connector. The single untestable-in-this-container seam."""
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .option("failOnDataLoss", "false")
+    )
+    if max_offsets_per_trigger is not None:
+        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
+    try:
+        return reader.load()
+    except Exception as exc:  # connector jar absent in this container
+        raise _kafka_unavailable(exc) from exc
+
+
 def audit_stream(
     spark: SparkSession,
     bootstrap_servers: str,
@@ -138,20 +172,33 @@ def audit_stream(
     (reference default 32 entries/poll, ConfigurationKeys.java:21-23) —
     but enforced by the source against its own lag, not by a
     hand-rolled LIMIT query."""
-    reader = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("subscribe", topic)
-        .option("startingOffsets", starting_offsets)
-        .option("failOnDataLoss", "false")
+    raw = _raw_kafka_stream(
+        spark, bootstrap_servers, topic, starting_offsets,
+        max_offsets_per_trigger,
     )
-    if max_offsets_per_trigger is not None:
-        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
-    try:
-        raw = reader.load()
-    except Exception as exc:  # connector jar absent in this container
-        raise _kafka_unavailable(exc) from exc
     return decode_audit_events(raw)
+
+
+def replicate_from_records(
+    spark: SparkSession,
+    records: DataFrame,
+    src_root: str,
+    dest_root: str,
+    state_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Everything `kafka_stream_replicate` does EXCEPT the socket:
+    ``records`` is any streaming DataFrame with the KAFKA_RECORD_DDL
+    shape (the real connector's output, or a file-source stand-in);
+    decode → compile → persist → execute per micro-batch, offsets in
+    the checkpoint, idempotent sink. The broker-free composition
+    proof drives the full audited scenario through this function."""
+    from reair_spark.streaming import stream_replicate
+
+    stream_replicate(
+        spark, decode_audit_events(records),
+        src_root, dest_root, state_dir, checkpoint_dir,
+    )
 
 
 def publish_audit_events(
@@ -187,14 +234,10 @@ def kafka_stream_replicate(
     execute per micro-batch). Offsets live in the checkpoint; the sink
     is idempotent — the same exactly-once-ish contract as the file
     source, with the transport swapped and zero sink changes."""
-    from reair_spark.streaming import stream_replicate
-
-    events = audit_stream(
-        spark,
-        bootstrap_servers,
-        topic,
+    records = _raw_kafka_stream(
+        spark, bootstrap_servers, topic,
         max_offsets_per_trigger=max_offsets_per_trigger,
     )
-    stream_replicate(
-        spark, events, src_root, dest_root, state_dir, checkpoint_dir
+    replicate_from_records(
+        spark, records, src_root, dest_root, state_dir, checkpoint_dir
     )
