@@ -453,6 +453,115 @@ class FailingFs(MappedFs):
         super().unlink(path)
 
 
+#: OSError subclasses that signal CONTRACT conditions, not transient
+#: infrastructure faults — a retry wrapper must re-raise these
+#: immediately (the copy layer's skip-if-exists probe depends on
+#: FileNotFoundError surfacing on the first call).
+NON_TRANSIENT = (
+    FileNotFoundError,
+    NotADirectoryError,
+    IsADirectoryError,
+    FileExistsError,
+)
+
+
+class RetryingFs:
+    """Bounded-retry decorator at the FS seam for transient remote
+    errors — the throttling/5xx semantics of real object stores, where
+    a failed call usually succeeds moments later. Reference parity:
+    RetryingTaskRunner.java:27-56 (fixed attempts, exponential
+    backoff around every metastore/FS action).
+
+    Wraps ANY seam backend: each primitive is re-tried up to
+    ``attempts`` times on OSError (minus the NON_TRANSIENT contract
+    errors, which re-raise immediately) with exponential backoff
+    starting at ``backoff_s``. Non-OSError exceptions — including the
+    fault suite's InjectedCrash — always propagate on first raise.
+
+    ``rename`` gets one extra convergence rule: if a retry finds the
+    source gone AND the destination present, the previous attempt
+    actually landed server-side (report-lost-success is the classic
+    object-store failure) and the call returns success instead of
+    FileNotFoundError.
+
+    Picklable iff the inner FS is (all seam backends are), so wrapped
+    schemes ride task closures like any other."""
+
+    def __init__(self, inner, attempts: int = 3, backoff_s: float = 0.05):
+        self.inner = inner
+        self.attempts = max(1, int(attempts))
+        self.backoff_s = backoff_s
+
+    @property
+    def scheme(self) -> str:
+        return self.inner.scheme
+
+    @property
+    def preserves_mtime(self) -> bool:
+        return getattr(self.inner, "preserves_mtime", True)
+
+    def _retry(self, fn, *args):
+        err = None
+        for attempt in range(self.attempts):
+            try:
+                return fn(*args)
+            except NON_TRANSIENT:
+                raise
+            except OSError as exc:
+                err = exc
+                time.sleep(self.backoff_s * (2 ** attempt))
+        raise err
+
+    def scandir(self, path: str):
+        return self._retry(self.inner.scandir, path)
+
+    def stat(self, path: str):
+        return self._retry(self.inner.stat, path)
+
+    def isdir(self, path: str) -> bool:
+        return self._retry(self.inner.isdir, path)
+
+    def open_read(self, path: str):
+        return self._retry(self.inner.open_read, path)
+
+    def create(self, path: str):
+        return self._retry(self.inner.create, path)
+
+    def flush_and_sync(self, fileobj) -> None:
+        return self._retry(self.inner.flush_and_sync, fileobj)
+
+    def set_mtime(self, path: str, mtime_ms: int) -> None:
+        return self._retry(self.inner.set_mtime, path, mtime_ms)
+
+    def mkdirs(self, path: str) -> None:
+        return self._retry(self.inner.mkdirs, path)
+
+    def unlink(self, path: str) -> None:
+        return self._retry(self.inner.unlink, path)
+
+    def rename(self, src: str, dst: str) -> None:
+        err = None
+        for attempt in range(self.attempts):
+            try:
+                return self.inner.rename(src, dst)
+            except FileNotFoundError:
+                if attempt > 0:
+                    # a previous attempt may have landed server-side:
+                    # src gone + dst present ⇒ converged, not lost
+                    try:
+                        self.inner.stat(dst)
+                        return None
+                    except FileNotFoundError:
+                        pass
+                raise
+            except NON_TRANSIENT:
+                raise
+            except OSError as exc:
+                err = exc
+                time.sleep(self.backoff_s * (2 ** attempt))
+        raise err
+
+
 _LOCAL = LocalFs()
 _REGISTRY: dict[str, object] = {}
 

@@ -375,3 +375,104 @@ def test_stream_transient_fault_absorbed_without_restart(
     _run_stream(spark, hook, src_root, dest_root, state_dir)
     _assert_converged(spark, failfs, dest_root, state_dir)
     assert FailingFs.op_count(failfs.board, "open_read", "t2.bin") == 2
+
+
+# ---------- RetryingFs: bounded retry at the seam (VERDICT r6 #7) ----
+
+
+def test_retrying_fs_absorbs_two_failure_transient_schedule(
+    spark, tmp_path
+):
+    """A 2-failure transient schedule on the destination create is
+    absorbed entirely INSIDE the seam by RetryingFs — the copy round
+    reports COPIED with no FAILED row, and the inner FS saw exactly
+    3 create calls (2 faulted + 1 success)."""
+    from reair_spark.fs import RetryingFs
+
+    inner = FailingFs(
+        "retryfs", str(tmp_path / "root"), str(tmp_path / "board")
+    )
+    register_fs(RetryingFs(inner, attempts=3))
+    try:
+        src_dir = str(tmp_path / "src" / "t1")
+        _seed(src_dir, "a.bin", b"payload")
+        FailingFs.schedule(inner.board, "create", "a.bin", 2)
+
+        res = _copy_round(spark, src_dir, "retryfs://wh/t1")
+        assert [r.status for r in res] == ["COPIED"]
+        assert FailingFs.op_count(inner.board, "create", "a.bin") == 3
+        with open(os.path.join(inner.root, "wh/t1/a.bin"), "rb") as fh:
+            assert fh.read() == b"payload"
+    finally:
+        unregister_fs("retryfs")
+
+
+def test_retrying_fs_extends_copy_retry_depth(spark, tmp_path):
+    """A 4-failure schedule exhausts the copy layer's own 3 attempts
+    (unwrapped → FAILED row) but is absorbed when the seam retries
+    inside each attempt (wrapped → COPIED) — the two retry layers
+    compose multiplicatively, the property a throttling object store
+    needs."""
+    from reair_spark.fs import RetryingFs
+
+    inner = FailingFs(
+        "deepfs", str(tmp_path / "root"), str(tmp_path / "board")
+    )
+
+    register_fs(inner)  # unwrapped first
+    try:
+        src_dir = str(tmp_path / "src" / "t2")
+        _seed(src_dir, "b.bin", b"x" * 64)
+        FailingFs.schedule(inner.board, "create", "b.bin", 4)
+        res = _copy_round(spark, src_dir, "deepfs://wh/t2")
+        assert [r.status for r in res] == ["FAILED"]
+    finally:
+        unregister_fs("deepfs")
+
+    register_fs(RetryingFs(inner, attempts=3))  # 1 fault left; absorbed
+    try:
+        res = _copy_round(spark, src_dir, "deepfs://wh/t2")
+        assert [r.status for r in res] == ["COPIED"]
+    finally:
+        unregister_fs("deepfs")
+
+
+def test_retrying_fs_does_not_retry_contract_errors(tmp_path):
+    """FileNotFoundError must surface on the FIRST call (the copy
+    layer's skip-if-exists probe depends on it): no sleeps, no
+    attempts burned."""
+    import time as _time
+
+    from reair_spark.fs import LocalFs, RetryingFs
+
+    fs = RetryingFs(LocalFs(), attempts=5, backoff_s=10.0)
+    t0 = _time.time()
+    with pytest.raises(FileNotFoundError):
+        fs.stat(str(tmp_path / "nope.bin"))
+    assert _time.time() - t0 < 1.0  # would be ≥150s if retried
+
+
+def test_retrying_fs_over_arrowfs_scheme_end_to_end(spark, tmp_path):
+    """The wrapper is transparent over an ArrowFs-backed scheme: a
+    full dirsync onto retry-wrapped pyarrow LocalFileSystem converges
+    byte-identically (reference parity: RetryingTaskRunner wrapping
+    every FsUtils action)."""
+    import pyarrow.fs as pa_fs
+
+    from reair_spark.dirsync import sync_directories
+    from reair_spark.fs import ArrowFs, RetryingFs
+
+    register_fs(RetryingFs(
+        ArrowFs("rarrow", pa_fs.LocalFileSystem(), str(tmp_path / "paroot"))
+    ))
+    try:
+        src = str(tmp_path / "src")
+        _seed(src, "a.txt", b"alpha")
+        _seed(src, "sub/b.txt", b"beta")
+        r = sync_directories(spark, [src], "rarrow://dest")
+        assert sorted(x.status for x in r["results"].collect()) \
+            == ["COPIED", "COPIED"]
+        with open(tmp_path / "paroot" / "dest" / "sub" / "b.txt", "rb") as fh:
+            assert fh.read() == b"beta"
+    finally:
+        unregister_fs("rarrow")
