@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -51,22 +52,35 @@ def round_half_up4(x: float) -> float:
     return math.floor(x * 1e4 + 0.5) / 1e4
 
 
-def decode_image_real(payload: bytes) -> object:
-    """Real image decode — requires an imaging library.
+def decode_image_real(payload: bytes):
+    """Real image decode, magic-sniffed.
 
-    STUB: raises in this environment; `multimodal_features` uses the
-    deterministic byte-statistics fake instead.
-    """
+    PNG, BMP and baseline JPEG decode through this repo's own codecs
+    (datapipe/jpeg.py and the RFC 2083 / BITMAPINFOHEADER
+    implementations below) — no imaging library needed; the result is
+    a numpy uint8 array ((h, w) gray or (h, w, 3) RGB). Other formats
+    (GIF/TIFF/WebP/…) fall back to PIL when present and raise
+    NotImplementedError otherwise — that fallback is the engine's one
+    remaining image-capability gate."""
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return png_decode(payload)
+    if payload[:2] == b"BM":
+        return bmp_decode(payload)
+    if payload[:2] == b"\xff\xd8":
+        from reair_spark.datapipe.jpeg import jpeg_decode
+
+        return jpeg_decode(payload)
     if not _HAVE_PIL:
         raise NotImplementedError(
-            "image decode requires an imaging library (PIL/opencv) not "
-            "present in this container; use the deterministic fake path"
+            "only PNG/BMP/baseline-JPEG decode natively; other formats "
+            "need an imaging library (PIL/opencv) not present in this "
+            "container"
         )
     import io
 
     import PIL.Image
 
-    return PIL.Image.open(io.BytesIO(payload))
+    return np.asarray(PIL.Image.open(io.BytesIO(payload)))
 
 
 def with_media_column(df: DataFrame) -> DataFrame:
@@ -232,9 +246,10 @@ def multimodal_audio_windows(spark: SparkSession, sf: str) -> DataFrame:
 # row order, CRC-checked chunks, adaptive scanline filters) — not
 # stubs. They exist so the multimodal path exercises a REAL encode →
 # bytes → decode cycle through mapInPandas without any external
-# imaging/audio library. Only JPEG/FLAC stay behind the
-# `decode_image_real` gate (they need PIL/soundfile); the WAV/BMP/PNG
-# pipeline below is the production plumbing running for real.
+# imaging/audio library. With baseline JPEG implemented in
+# datapipe/jpeg.py (round 7), only FLAC remains behind an
+# external-library gate (it needs soundfile); the WAV/BMP/PNG/JPEG
+# pipeline is the production plumbing running for real.
 # ---------------------------------------------------------------------------
 
 WAV_RATE = 8000
@@ -639,6 +654,86 @@ def multimodal_png_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+JPEG_GRID_W = 16  # blocks per row in the jpeg gate's rasterization
+
+
+def multimodal_jpeg_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Real-codec baseline JPEG path (VERDICT r6 ask #5 — the last
+    image codec out from behind the external-library gate): rasterize
+    each document byte into an 8×8 CONSTANT block on a 16-block-wide
+    grid, encode a genuine ITU-T T.81 baseline JPEG (forward DCT,
+    quantization, zigzag, DC prediction, Huffman entropy coding, byte
+    stuffing, JFIF/DQT/SOF0/DHT/SOS framing), decode it back through
+    the full parser (marker walk, canonical Huffman reconstruction,
+    dequantize, IDCT), and emit stats from the DECODED pixels.
+
+    JPEG is lossy in general; this input class is lossless BY
+    CONSTRUCTION (constant blocks have zero AC energy and the DC=8
+    quantizer divides the level-shifted DC exactly — see
+    datapipe/jpeg.py), so the oracle can recompute the stats straight
+    from text: sum_px = 64·Σ codepoints over a 128-wide image. Every
+    wire stage still runs for real — a bug anywhere in DCT scaling,
+    zigzag order, DC prediction, Huffman tables, stuffing, or the
+    parser changes the decoded pixels and breaks the hash. Lossy-path
+    fidelity (AC coefficients, PSNR, color, restarts) is enforced by
+    tests/test_jpeg.py."""
+    from reair_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)  # closure references module-level codec
+
+    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math as _math
+
+        import numpy as _np
+        import pandas as _pd
+
+        from reair_spark.datapipe.jpeg import (
+            QTABLE_DC_EXACT,
+            jpeg_decode,
+            jpeg_encode_gray,
+        )
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                b = text.encode("utf-8")
+                hb = -(-len(b) // JPEG_GRID_W)
+                if hb == 0:
+                    rows.append((int(doc_id), 8 * JPEG_GRID_W, 0, 0, 0.0))
+                    continue
+                vals = _np.zeros(hb * JPEG_GRID_W, dtype=_np.uint8)
+                vals[: len(b)] = _np.frombuffer(b, dtype=_np.uint8)
+                gray = _np.repeat(
+                    _np.repeat(vals.reshape(hb, JPEG_GRID_W), 8, axis=0),
+                    8, axis=1,
+                )
+                img = jpeg_decode(jpeg_encode_gray(gray, QTABLE_DC_EXACT))
+                sum_px = int(img.astype(_np.int64).sum())
+                mean_px = sum_px / img.size
+                rows.append(
+                    (int(doc_id), img.shape[1], img.shape[0], sum_px,
+                     _math.floor(mean_px * 1e4 + 0.5) / 1e4)
+                )
+            yield _pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "sum_px", "mean_px"]
+            )
+
+    return (
+        _t(spark, sf, "documents")
+        .select("doc_id", "text")
+        # the codec is a CPU-bound Python stage; documents.parquet is
+        # a single row-group at these sfs (1 scan partition), so fan
+        # the tiny (doc_id, text) rows across the cores first — at
+        # cluster scale the scan itself is many-partition and this
+        # becomes a cheap no-op-ish rebalance
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(
+            roundtrip,
+            schema="doc_id long, width int, height int, sum_px long, mean_px double",
+        )
+    )
+
+
 SCENE_DELTA = 200  # abs frame-sum delta that counts as a scene cut
 
 
@@ -778,6 +873,7 @@ MM_QUERIES = {
     "multimodal_wav_roundtrip": multimodal_wav_roundtrip,
     "multimodal_bmp_roundtrip": multimodal_bmp_roundtrip,
     "multimodal_png_roundtrip": multimodal_png_roundtrip,
+    "multimodal_jpeg_roundtrip": multimodal_jpeg_roundtrip,
 }
 
 MM_ORACLES = {
@@ -843,6 +939,20 @@ SELECT doc_id, {BMP_WIDTH} AS width,
        round(CAST(list_sum(list_transform(string_split(text, ''),
                                           c -> unicode(c))) AS DOUBLE)
              / ({BMP_WIDTH} * ceil(length(text) / {BMP_WIDTH}.0)), 4) AS mean_px
+FROM documents
+""",
+    # one byte per 8×8 block on a 16-block grid: decoded image is
+    # 128 wide, 8·ceil(n/16) tall, sum_px = 64·Σ codepoints (the
+    # lossless-by-construction input class; see datapipe/jpeg.py)
+    "multimodal_jpeg_roundtrip": f"""
+SELECT doc_id, {8 * JPEG_GRID_W} AS width,
+       CAST(8 * ceil(length(text) / {JPEG_GRID_W}.0) AS INT) AS height,
+       CAST(64 * list_sum(list_transform(string_split(text, ''),
+                                         c -> unicode(c))) AS BIGINT) AS sum_px,
+       round(CAST(64 * list_sum(list_transform(string_split(text, ''),
+                                               c -> unicode(c))) AS DOUBLE)
+             / ({64 * JPEG_GRID_W} * ceil(length(text) / {JPEG_GRID_W}.0)),
+             4) AS mean_px
 FROM documents
 """,
     # ASCII text → byte length == char length; strided slice keeps
