@@ -684,7 +684,145 @@ GROUP BY doc_id
 """
 
 
+# BM25 retrieval constants (Robertson/Okapi defaults)
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 5
+# fixed query set: one rare term (high idf: "dup" appears in ~0.5% of
+# docs) + common terms, so scores spread across idf regimes
+BM25_QUERIES = [("q_dup_hash", ["dup", "hash"]),
+                ("q_spark_fast", ["spark", "query", "fast"])]
+
+
+def text_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Okapi BM25 top-k retrieval over the corpus for a fixed query
+    set — the IR scoring half of a retrieval/RAG data pipeline.
+
+    Plan shape for scale: ONE (doc, term) aggregation builds tf, the
+    |vocab|-row df/idf table and the 1-row avgdl both ride as
+    broadcasts, and only rows matching query terms (an isin filter on
+    the broadcast-small term list) reach the scoring join — the corpus
+    shuffles once, by (doc_id, token), nothing else is corpus-sized.
+    idf = ln(1 + (N − df + 0.5)/(df + 0.5)) (always-positive variant);
+    ranks order by the ROUNDED score + doc_id so ranking is
+    reproducible cross-engine (same discipline as tfidf)."""
+    from pyspark.sql import Window as W
+
+    d = widen(_t(spark, sf, "documents"), spark)
+    stats = d.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg(F.size(F.split("text", " "))).alias("avgdl"),
+    )
+    tok = d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("double").alias("dl"),
+        F.explode(F.split("text", " ")).alias("token"),
+    )
+    all_terms = sorted({t for _, terms in BM25_QUERIES for t in terms})
+    tf = (
+        tok.where(F.col("token").isin(all_terms))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"),
+             F.first("dl").alias("dl"))
+    )
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    qdf = spark.createDataFrame(
+        [(qid, t) for qid, terms in BM25_QUERIES for t in terms],
+        "query_id string, token string",
+    )  # |queries|×|terms| rows — broadcast metadata, not data
+    idf = F.log(
+        1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    score_term = idf * F.col("tf") * (BM25_K1 + 1.0) / (
+        F.col("tf")
+        + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(df_), "token")
+        .join(F.broadcast(qdf), "token")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum(score_term), 4).alias("score"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), "doc_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= BM25_TOPK)
+        .select("query_id", "doc_id", "score",
+                F.col("rank").cast("long").alias("rank"))
+    )
+
+
+# Gopher-style repetition thresholds (Rae et al. 2021, Table A1 —
+# adapted to token granularity for this whitespace corpus)
+REP_TOP_WORD_MAX = 0.20
+REP_TOP_BIGRAM_MAX = 0.18
+REP_DUP_TRIGRAM_MAX = 0.60
+
+
+def text_repetition_signals(spark: SparkSession, sf: str) -> DataFrame:
+    """Within-document repetition signals — the Gopher/MassiveText
+    repetition rules (fraction of content in the most common word /
+    2-gram, fraction of tokens inside duplicated 3-grams) that every
+    large-scale corpus pass runs to drop degenerate generations and
+    boilerplate.
+
+    Scale shape: ENTIRELY row-local higher-order-function arithmetic
+    (array_distinct + filter counts over ≤|vocab| distinct terms per
+    doc) — one scan, zero shuffles, pipelines with any downstream
+    filter; contrast with the explode+groupBy formulation whose
+    (doc, gram) shuffle is corpus-sized. Fractions are exact integer
+    ratios, so the doubles agree bit-for-bit cross-engine before the
+    round."""
+    from reair_spark.datapipe.common import word_bigrams
+
+    d = widen(_t(spark, sf, "documents"), spark)
+    tok = F.split("text", " ")
+    n = F.size(tok)
+
+    def counts_of(arr):
+        return F.transform(
+            F.array_distinct(arr),
+            lambda x: F.size(F.filter(arr, lambda y: y == x)),
+        )
+
+    g2 = word_bigrams(tok)
+    g3 = F.when(
+        n >= 3,
+        F.zip_with(
+            F.slice(tok, 1, n - 2),  # all three slices length n-2:
+            F.zip_with(              # zip_with null-pads mismatches
+                F.slice(tok, 2, n - 2),
+                F.slice(tok, 3, n - 2),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            ),
+            lambda a, bc: F.concat(a, F.lit(" "), bc),
+        ),
+    ).otherwise(F.slice(tok, 1, 1))
+
+    top_word = F.array_max(counts_of(tok)) / n.cast("double")
+    top_bigram = F.array_max(counts_of(g2)) / F.size(g2).cast("double")
+    c3 = counts_of(g3)
+    dup_tri = F.aggregate(
+        F.filter(c3, lambda c: c >= 2), F.lit(0), lambda acc, c: acc + c
+    ) / F.size(g3).cast("double")
+
+    return d.select(
+        "doc_id",
+        F.round(top_word, 4).alias("top_word_frac"),
+        F.round(top_bigram, 4).alias("top_bigram_frac"),
+        F.round(dup_tri, 4).alias("dup_trigram_frac"),
+        (
+            (top_word <= REP_TOP_WORD_MAX)
+            & (top_bigram <= REP_TOP_BIGRAM_MAX)
+            & (dup_tri <= REP_DUP_TRIGRAM_MAX)
+        ).alias("keep"),
+    )
+
+
 TEXT_QUERIES = {
+    "text_bm25_topk": text_bm25_topk,
+    "text_repetition_signals": text_repetition_signals,
     "text_bpe_apply": text_bpe_apply,
     "text_bpe_pair_counts": text_bpe_pair_counts,
     "text_quality_linear": text_quality_linear,
@@ -812,7 +950,79 @@ ORDER BY n DESC, token
 """
 
 
+def _bm25_sql() -> str:
+    terms = sorted({t for _, ts in BM25_QUERIES for t in ts})
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    q_rows = ", ".join(
+        f"('{qid}', '{t}')" for qid, ts in BM25_QUERIES for t in ts
+    )
+    return f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                 avg(len(t)) AS avgdl FROM d),
+tok AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl,
+               unnest(t) AS token FROM d),
+tf AS (SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf,
+              any_value(dl) AS dl
+       FROM tok WHERE token IN ({in_list}) GROUP BY 1, 2),
+dfreq AS (SELECT token, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+q(query_id, token) AS (VALUES {q_rows}),
+scored AS (
+  SELECT query_id, doc_id,
+         round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * tf
+                   * ({BM25_K1} + 1.0)
+                   / (tf + {BM25_K1} * (1.0 - {BM25_B}
+                                        + {BM25_B} * dl / avgdl))), 4)
+           AS score
+  FROM tf JOIN dfreq USING (token) JOIN q USING (token), stats
+  GROUP BY 1, 2)
+SELECT query_id, doc_id, score, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, doc_id) AS rank
+  FROM scored) WHERE rank <= {BM25_TOPK}
+"""
+
+
+def _repetition_sql() -> str:
+    # counts-per-distinct mirrors the Spark higher-order formulation;
+    # fractions are exact integer ratios so the doubles agree exactly
+    return f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+g AS (
+  SELECT doc_id, t,
+         CASE WHEN len(t) >= 2 THEN list_transform(
+             range(1, len(t)), i -> t[i] || ' ' || t[i + 1])
+           ELSE t[1:1] END AS g2,
+         CASE WHEN len(t) >= 3 THEN list_transform(
+             range(1, len(t) - 1),
+             i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])
+           ELSE t[1:1] END AS g3
+  FROM d),
+c AS (
+  SELECT doc_id,
+         list_max(list_transform(list_distinct(t),
+             x -> len(list_filter(t, y -> y = x))))
+           / CAST(len(t) AS DOUBLE) AS twf,
+         list_max(list_transform(list_distinct(g2),
+             x -> len(list_filter(g2, y -> y = x))))
+           / CAST(len(g2) AS DOUBLE) AS tbf,
+         coalesce(list_sum(list_filter(list_transform(list_distinct(g3),
+             x -> len(list_filter(g3, y -> y = x))), c -> c >= 2)), 0)
+           / CAST(len(g3) AS DOUBLE) AS dtf
+  FROM g)
+SELECT doc_id,
+       round(twf, 4) AS top_word_frac,
+       round(tbf, 4) AS top_bigram_frac,
+       round(dtf, 4) AS dup_trigram_frac,
+       twf <= {REP_TOP_WORD_MAX} AND tbf <= {REP_TOP_BIGRAM_MAX}
+         AND dtf <= {REP_DUP_TRIGRAM_MAX} AS keep
+FROM c
+"""
+
+
 TEXT_ORACLES = {
+    "text_bm25_topk": _bm25_sql(),
+    "text_repetition_signals": _repetition_sql(),
     "text_bpe_apply": _bpe_apply_sql(),
     "text_bpe_pair_counts": _BPE_PAIRS_SQL,
     "text_quality_linear": _quality_linear_sql(),

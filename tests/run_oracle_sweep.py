@@ -74,12 +74,35 @@ def main() -> int:
             print(f"  {name}: ERROR {type(e).__name__}: {str(e)[:300]}")
     print(f"done: {failures} failures")
     if json_path:
+        # rotation-staleness metadata (VERDICT r6 ask #8): with ~160
+        # queries and a 50-row driver sample, each green row is driver-
+        # re-checked every ~3 rounds; record each query's last green
+        # driver round + the sample order so nobody's check ages
+        # silently (all_queries front-loads oldest-verified-first).
+        from reair_spark.registry import _driver_history, all_queries
+
+        latest_red, last_green = _driver_history()
+        sample_order = {n: i for i, n in enumerate(all_queries())}
+        for name, row in results.items():
+            row["last_driver_green_round"] = last_green.get(name)
+            row["driver_red_latest"] = name in latest_red
+            row["next_sample_rank"] = sample_order.get(name)
         n_ok = sum(1 for v in results.values() if v["status"] == "ok")
         payload = {
             "sf_dir": sf_dir,
             "n_queries": len(results),
             "n_ok": n_ok,
             "n_failures": failures,
+            "rotation": {
+                "driver_sample_size": 50,
+                "oldest_green_round": min(
+                    (v for v in last_green.values()), default=None
+                ),
+                "never_driver_checked": sorted(
+                    n for n in results
+                    if n not in last_green and n not in latest_red
+                ),
+            },
             "results": results,
         }
         with open(json_path, "w") as fh:

@@ -478,3 +478,35 @@ def test_span_trim_no_python_no_pairs(spark, sf_dir):
     plan = _formatted(span_trim(_corpus(spark, sf_dir, exact=False)))
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_repetition_signals_is_scan_only(spark, sf_dir):
+    """Gopher repetition signals are row-local higher-order-function
+    arithmetic: one scan, NO exchange (widen's repartition aside), no
+    Python — the whole operator pipelines at scan speed."""
+    import re
+
+    from reair_spark.datapipe.text import text_repetition_signals
+
+    plan = _formatted(text_repetition_signals(spark, sf_dir))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    # no shuffle beyond widen's round-robin repartition
+    import re as _re
+
+    exchanges = _re.findall(r"\(\d+\) Exchange", plan)
+    assert len(exchanges) <= 1
+
+
+def test_bm25_single_corpus_shuffle_broadcast_sides(spark, sf_dir):
+    """BM25: the corpus shuffles once on (doc_id, token); df/idf,
+    query terms, and the avgdl scalar all join as broadcasts; the
+    query-term filter lands before the aggregation so only matching
+    tokens shuffle."""
+    from reair_spark.datapipe.text import text_bm25_topk
+
+    plan = _formatted(text_bm25_topk(spark, sf_dir))
+    assert "BatchEvalPython" not in plan
+    assert plan.count("BroadcastExchange") >= 3
+    assert "CartesianProduct" not in plan
