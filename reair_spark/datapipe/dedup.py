@@ -1251,7 +1251,69 @@ WHERE 10 * n_shared >= 9 * na
 """
 
 
+def dedup_canonical_best(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-aware canonical selection: within each near-dup
+    component, keep the HIGHEST-QUALITY copy instead of the min-id
+    copy — the policy real pipelines want (the near-dup cluster of a
+    page usually contains one clean extraction and several truncated
+    or boilerplate-wrapped ones; min-id keeps an arbitrary one).
+
+    Composition of two already-gated stages: the label-propagation
+    components over the MinHash pair graph (dedup_components) and the
+    row-local quality score (text_quality_score's formula, computed
+    over the SAME planted corpus). Ranking orders by the ROUNDED
+    quality then doc_id, so the keeper choice is reproducible
+    cross-engine. Scale shape: components add edge-sized joins, the
+    quality score is scan-local, and the final window partitions by
+    component — dup clusters are tiny by nature, so no skewed key."""
+    from pyspark.sql import Window as W
+
+    labels = dedup_components(spark, sf).select("doc_id", "component")
+    c = _corpus(spark, sf, exact=False)
+    n = F.length("text").cast("double")
+    words = F.size(F.split("text", " ")).cast("double")
+    alpha_ratio = F.regexp_count(F.col("text"), F.lit(r"[a-zA-Z]")) / n
+    avg_word_len = (n - (words - 1)) / words
+    quality = F.round(
+        alpha_ratio * 0.7 + F.least(avg_word_len / 10.0, F.lit(1.0)) * 0.3, 4
+    )
+    q = c.select("doc_id", quality.alias("quality"))
+    w = W.partitionBy("component").orderBy(F.desc("quality"), "doc_id")
+    return (
+        labels.join(q, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .select(
+            "doc_id",
+            F.col("component").cast("long").alias("component"),
+            "quality",
+            (F.col("rn") == 1).alias("keep_best"),
+        )
+    )
+
+
+def _canonical_best_sql() -> str:
+    quality = (
+        "round(len(regexp_extract_all(text, '[a-zA-Z]'))"
+        " / CAST(length(text) AS DOUBLE) * 0.7"
+        " + least((length(text) - (len(string_split(text, ' ')) - 1))"
+        "   / CAST(len(string_split(text, ' ')) AS DOUBLE) / 10.0, 1.0)"
+        " * 0.3, 4)"
+    )
+    return f"""
+WITH comp AS ({_components_sql()}),
+q AS (SELECT doc_id, {quality} AS quality
+      FROM ({_corpus_sql(exact=False)})),
+ranked AS (
+  SELECT comp.doc_id, comp.component, q.quality,
+         row_number() OVER (PARTITION BY comp.component
+                            ORDER BY q.quality DESC, comp.doc_id) AS rn
+  FROM comp JOIN q ON q.doc_id = comp.doc_id)
+SELECT doc_id, component, quality, rn = 1 AS keep_best FROM ranked
+"""
+
+
 DEDUP_QUERIES = {
+    "dedup_canonical_best": dedup_canonical_best,
     "dedup_span_kgram": dedup_span_kgram,
     "dedup_span_trim": dedup_span_trim,
     "dedup_containment": dedup_containment,
@@ -1282,6 +1344,7 @@ WHERE md5(text) NOT IN (SELECT fp FROM ref)
 """
 
 DEDUP_ORACLES = {
+    "dedup_canonical_best": _canonical_best_sql(),
     "dedup_span_kgram": _span_sql(),
     "dedup_span_trim": _span_trim_sql(),
     "dedup_containment": _containment_sql(),
