@@ -564,7 +564,67 @@ FROM documents
 """
 
 
+QUANTILE_KEEP = 0.30  # keep the top 30% by quality within each source
+
+
+def curate_quality_percentile(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source quality-percentile cut: keep each source's top
+    QUANTILE_KEEP fraction by quality score — the adaptive sibling of
+    the fixed-count domain cap (a uniform global threshold
+    over-prunes clean sources and under-prunes noisy ones; a
+    per-source percentile prunes each distribution at the same
+    relative depth, the CCNet/RefinedWeb bucketing idea).
+
+    Determinism: percent_rank over (rounded quality DESC, doc_id) is
+    an exact integer ratio (rank-1)/(n-1) — no float boundary beyond
+    the already-gated quality rounding. One corpus-wide window per
+    source; sources are the partition key, so parallelism tracks
+    |sources| — at 100 TB you'd pre-aggregate per-source quality
+    histograms instead, but the per-row verdict output here is the
+    auditable form."""
+    from pyspark.sql import Window as W
+
+    d = _t(spark, sf, "documents")
+    n = F.length("text").cast("double")
+    words = F.size(F.split("text", " ")).cast("double")
+    alpha_ratio = F.regexp_count(F.col("text"), F.lit(r"[a-zA-Z]")) / n
+    avg_word_len = (n - (words - 1)) / words
+    quality = F.round(
+        alpha_ratio * 0.7 + F.least(avg_word_len / 10.0, F.lit(1.0)) * 0.3, 4
+    )
+    w = W.partitionBy("source").orderBy(F.desc("quality"), "doc_id")
+    return (
+        d.select("doc_id", "source", quality.alias("quality"))
+        .withColumn("pr", F.percent_rank().over(w))
+        .select(
+            "doc_id", "source", "quality",
+            F.round("pr", 4).alias("pctile"),
+            (F.col("pr") <= QUANTILE_KEEP).alias("keep"),
+        )
+    )
+
+
+def _quality_percentile_sql() -> str:
+    quality = (
+        "round(len(regexp_extract_all(text, '[a-zA-Z]'))"
+        " / CAST(length(text) AS DOUBLE) * 0.7"
+        " + least((length(text) - (len(string_split(text, ' ')) - 1))"
+        "   / CAST(len(string_split(text, ' ')) AS DOUBLE) / 10.0, 1.0)"
+        " * 0.3, 4)"
+    )
+    return f"""
+WITH q AS (SELECT doc_id, source, {quality} AS quality FROM documents),
+r AS (SELECT *, percent_rank() OVER (PARTITION BY source
+                                     ORDER BY quality DESC, doc_id) AS pr
+      FROM q)
+SELECT doc_id, source, quality, round(pr, 4) AS pctile,
+       pr <= {QUANTILE_KEEP} AS keep
+FROM r
+"""
+
+
 CURATE_QUERIES = {
+    "curate_quality_percentile": curate_quality_percentile,
     "curate_temperature_mix": curate_temperature_mix,
     "curate_domain_cap": curate_domain_cap,
     "curate_weighted_sample": curate_weighted_sample,
@@ -631,6 +691,7 @@ FROM binned GROUP BY lang
 
 
 CURATE_ORACLES = {
+    "curate_quality_percentile": _quality_percentile_sql(),
     "curate_temperature_mix": _temperature_mix_sql(),
     "curate_domain_cap": _domain_cap_sql(),
     "curate_weighted_sample": _weighted_sample_sql(),
