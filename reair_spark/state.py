@@ -142,6 +142,55 @@ class JobStore:
         o_s = o.timestamp() if hasattr(o, "timestamp") else float(o)
         return counts, max(0.0, now - o_s)
 
+    def compact(self, keep_terminal: bool = True) -> int:
+        """Rewrite the transition log down to ONE row per job (its
+        latest state) — the retention story an append-only log needs
+        at production scale: a long-lived loop appends two transitions
+        per job per batch forever, and every current()/summary pass
+        re-windows the whole history. The reference's MySQL store
+        rewrites rows in place (UPDATE) and never grows per retry;
+        this is the parquet equivalent, run at operator cadence (e.g.
+        after each loop exit or N batches).
+
+        ``keep_terminal=False`` additionally drops retired jobs —
+        the aggressive form, keeping only in-flight state needed for
+        restart re-queueing (ST4).
+
+        Crash-safe: the snapshot is written BESIDE the log and swapped
+        in with two renames (log → .old, snapshot → log); a crash
+        between the renames leaves either the intact old log or the
+        intact snapshot — never a half state. The max seq is
+        preserved, so post-compaction appends keep winning
+        last-writer-wins races. Returns rows in the compacted log.
+
+        Single-writer, like every state mutation here (the driver owns
+        the state dir; a cluster deployment swaps JobStore for a
+        JDBC-backed twin with the same methods)."""
+        import shutil
+
+        if not os.path.exists(self.path):
+            return 0
+        snap = self.current()
+        if not keep_terminal:
+            snap = snap.filter(~F.col("status").isin(*TERMINAL_STATES))
+        snap = snap.cache()
+        n = snap.count()
+        if n == 0:
+            # nothing to keep: an absent log IS the empty store
+            snap.unpersist()
+            shutil.rmtree(self.path, ignore_errors=True)
+            return 0
+        tmp = f"{self.path}.__compacting"
+        old = f"{self.path}.__old"
+        shutil.rmtree(tmp, ignore_errors=True)
+        snap.write.mode("overwrite").parquet(tmp)
+        snap.unpersist()
+        shutil.rmtree(old, ignore_errors=True)
+        os.replace(self.path, old)
+        os.replace(tmp, self.path)
+        shutil.rmtree(old, ignore_errors=True)
+        return int(n)
+
     def lag_seconds(self, now_ts: float | None = None) -> float:
         """A7 lag gauge (StatsTracker.java:35-57): age of the oldest
         in-flight job, measured from its FIRST persisted transition

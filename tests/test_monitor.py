@@ -157,3 +157,73 @@ def test_cli_query_runs_registered_query(spark, capsys):
 
     with pytest.raises(SystemExit):
         main(["query", "definitely_not_a_query"])
+
+
+def _mk_jobs(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "job_id long, operation string, status string, db string, "
+        "table string, partition_names array<string>, rename_to_db string, "
+        "rename_to_table string, src_event_id long",
+    )
+
+
+def test_jobstore_compact_preserves_current_state(spark, tmp_path):
+    """compact() rewrites the transition log to one row per job with
+    identical current() output, preserves max seq (post-compaction
+    appends keep winning last-writer-wins), and removes the retry
+    history (row count drops to |jobs|)."""
+    store = JobStore(spark, str(tmp_path / "jobs"))
+    # 3 jobs × several transitions each
+    store.append(_mk_jobs(spark, [
+        (1, "COPY_UNPARTITIONED_TABLE", "PENDING", "db", "t1", [], None, None, 10),
+        (2, "COPY_PARTITION", "PENDING", "db", "t2", ["ds=1"], None, None, 11),
+        (3, "DROP_TABLE", "PENDING", "db", "t3", [], None, None, 12),
+    ]))
+    store.append(_mk_jobs(spark, [
+        (1, "COPY_UNPARTITIONED_TABLE", "RUNNING", "db", "t1", [], None, None, 10),
+        (2, "COPY_PARTITION", "SUCCESSFUL", "db", "t2", ["ds=1"], None, None, 11),
+    ]))
+    store.append(_mk_jobs(spark, [
+        (1, "COPY_UNPARTITIONED_TABLE", "FAILED", "db", "t1", [], None, None, 10),
+    ]))
+    before = {(r.job_id, r.status) for r in store.current().collect()}
+    assert before == {(1, "FAILED"), (2, "SUCCESSFUL"), (3, "PENDING")}
+    raw_before = spark.read.parquet(store.path).count()
+    assert raw_before == 6
+
+    n = store.compact()
+    assert n == 3
+    assert spark.read.parquet(store.path).count() == 3
+    after_store = JobStore(spark, store.path)  # fresh instance re-reads seq
+    assert {(r.job_id, r.status) for r in after_store.current().collect()} \
+        == before
+    assert after_store._seq >= 3  # max seq survived the rewrite
+
+    # post-compaction append still wins for job 3
+    after_store.append(_mk_jobs(spark, [
+        (3, "DROP_TABLE", "SUCCESSFUL", "db", "t3", [], None, None, 12),
+    ]))
+    assert {(r.job_id, r.status) for r in after_store.current().collect()} \
+        == {(1, "FAILED"), (2, "SUCCESSFUL"), (3, "SUCCESSFUL")}
+
+
+def test_jobstore_compact_drop_terminal_keeps_only_inflight(spark, tmp_path):
+    store = JobStore(spark, str(tmp_path / "jobs"))
+    store.append(_mk_jobs(spark, [
+        (1, "COPY_PARTITION", "SUCCESSFUL", "db", "t1", [], None, None, 1),
+        (2, "COPY_PARTITION", "PENDING", "db", "t2", [], None, None, 2),
+    ]))
+    assert store.compact(keep_terminal=False) == 1
+    cur = store.current().collect()
+    assert [(r.job_id, r.status) for r in cur] == [(2, "PENDING")]
+
+    # all-terminal → compact removes the log; store reads as empty
+    store.append(_mk_jobs(spark, [
+        (2, "COPY_PARTITION", "SUCCESSFUL", "db", "t2", [], None, None, 2),
+    ]))
+    assert store.compact(keep_terminal=False) == 0
+    import os
+
+    assert not os.path.exists(store.path)
+    assert store.current().count() == 0
