@@ -767,24 +767,23 @@ def text_repetition_signals(spark: SparkSession, sf: str) -> DataFrame:
     large-scale corpus pass runs to drop degenerate generations and
     boilerplate.
 
-    Scale shape: ENTIRELY row-local higher-order-function arithmetic
-    (array_distinct + filter counts over ≤|vocab| distinct terms per
-    doc) — one scan, zero shuffles, pipelines with any downstream
-    filter; contrast with the explode+groupBy formulation whose
-    (doc, gram) shuffle is corpus-sized. Fractions are exact integer
-    ratios, so the doubles agree bit-for-bit cross-engine before the
-    round."""
+    Scale shape: ENTIRELY row-local — one scan, zero shuffles,
+    pipelines with any downstream filter (contrast with the
+    explode+groupBy formulation whose (doc, gram) shuffle is
+    corpus-sized). Per-row cost is O(m log m): each gram array is
+    SORTED once, group sizes fall out of the boundary-index
+    differences (runs), and every signal is an arithmetic over the
+    runs array — max run for the top-fractions, Σ(runs ≥ 2) for the
+    duplicated-trigram tokens. The naive count-per-distinct form is
+    O(m·|distinct|) per row, quadratic on long documents whose grams
+    are mostly unique — exactly the 100 TB input. Fractions are exact
+    integer ratios, so the doubles agree bit-for-bit cross-engine
+    before the round."""
     from reair_spark.datapipe.common import word_bigrams
 
     d = widen(_t(spark, sf, "documents"), spark)
     tok = F.split("text", " ")
     n = F.size(tok)
-
-    def counts_of(arr):
-        return F.transform(
-            F.array_distinct(arr),
-            lambda x: F.size(F.filter(arr, lambda y: y == x)),
-        )
 
     g2 = word_bigrams(tok)
     g3 = F.when(
@@ -800,14 +799,50 @@ def text_repetition_signals(spark: SparkSession, sf: str) -> DataFrame:
         ),
     ).otherwise(F.slice(tok, 1, 1))
 
-    top_word = F.array_max(counts_of(tok)) / n.cast("double")
-    top_bigram = F.array_max(counts_of(g2)) / F.size(g2).cast("double")
-    c3 = counts_of(g3)
-    dup_tri = F.aggregate(
-        F.filter(c3, lambda c: c >= 2), F.lit(0), lambda acc, c: acc + c
-    ) / F.size(g3).cast("double")
+    # group sizes of a sorted array via boundary indices: runs =
+    # diffs of [0, {i | s[i] != s[i+1]}, m] — O(m log m), no pairwise
+    # counting. Sorted arrays land in their own projection so the
+    # lambdas' element_at references a materialized column, not a
+    # re-evaluated sort.
+    base = d.select(
+        "doc_id",
+        F.array_sort(tok).alias("st"),
+        F.array_sort(g2).alias("s2"),
+        F.array_sort(g3).alias("s3"),
+    )
 
-    return d.select(
+    def runs_of(col: str):
+        s = F.col(col)
+        m = F.size(s)
+        # guard: Spark's sequence(1, 0) DESCENDS instead of returning
+        # empty, so single-element arrays need the explicit branch
+        idx = F.when(m >= 2, F.sequence(F.lit(1), m - 1)).otherwise(
+            F.array().cast("array<int>")
+        )
+        bounds = F.filter(
+            F.transform(
+                idx,
+                lambda i: F.when(
+                    F.element_at(s, i) != F.element_at(s, i + 1), i
+                ),
+            ),
+            lambda x: x.isNotNull(),
+        )
+        full = F.concat(F.array(F.lit(0)), bounds, F.array(m))
+        return F.zip_with(
+            F.slice(full, 1, F.size(full) - 1),
+            F.slice(full, 2, F.size(full) - 1),
+            lambda a, b: b - a,
+        )
+
+    r_t, r_2, r_3 = runs_of("st"), runs_of("s2"), runs_of("s3")
+    top_word = F.array_max(r_t) / F.size("st").cast("double")
+    top_bigram = F.array_max(r_2) / F.size("s2").cast("double")
+    dup_tri = F.aggregate(
+        F.filter(r_3, lambda c: c >= 2), F.lit(0), lambda acc, c: acc + c
+    ) / F.size("s3").cast("double")
+
+    return base.select(
         "doc_id",
         F.round(top_word, 4).alias("top_word_frac"),
         F.round(top_bigram, 4).alias("top_bigram_frac"),
@@ -984,31 +1019,39 @@ SELECT query_id, doc_id, score, rank FROM (
 
 
 def _repetition_sql() -> str:
-    # counts-per-distinct mirrors the Spark higher-order formulation;
-    # fractions are exact integer ratios so the doubles agree exactly
+    # sorted-array boundary runs mirror the Spark formulation: group
+    # sizes = diffs of [0, {i | s[i] != s[i+1]}, len]; fractions are
+    # exact integer ratios so the doubles agree exactly
+
+    def runs_for(col: str) -> str:
+        full = (
+            f"(([0::BIGINT] || "
+            f"list_filter(range(1, len({col})), "
+            f"i -> {col}[i] != {col}[i + 1])) || [len({col})::BIGINT])"
+        )
+        return (
+            f"list_transform(range(1, len({full})), "
+            f"i -> ({full})[i + 1] - ({full})[i])"
+        )
+
     return f"""
 WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 g AS (
-  SELECT doc_id, t,
-         CASE WHEN len(t) >= 2 THEN list_transform(
+  SELECT doc_id, list_sort(t) AS st,
+         list_sort(CASE WHEN len(t) >= 2 THEN list_transform(
              range(1, len(t)), i -> t[i] || ' ' || t[i + 1])
-           ELSE t[1:1] END AS g2,
-         CASE WHEN len(t) >= 3 THEN list_transform(
+           ELSE t[1:1] END) AS s2,
+         list_sort(CASE WHEN len(t) >= 3 THEN list_transform(
              range(1, len(t) - 1),
              i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])
-           ELSE t[1:1] END AS g3
+           ELSE t[1:1] END) AS s3
   FROM d),
 c AS (
   SELECT doc_id,
-         list_max(list_transform(list_distinct(t),
-             x -> len(list_filter(t, y -> y = x))))
-           / CAST(len(t) AS DOUBLE) AS twf,
-         list_max(list_transform(list_distinct(g2),
-             x -> len(list_filter(g2, y -> y = x))))
-           / CAST(len(g2) AS DOUBLE) AS tbf,
-         coalesce(list_sum(list_filter(list_transform(list_distinct(g3),
-             x -> len(list_filter(g3, y -> y = x))), c -> c >= 2)), 0)
-           / CAST(len(g3) AS DOUBLE) AS dtf
+         list_max({runs_for('st')}) / CAST(len(st) AS DOUBLE) AS twf,
+         list_max({runs_for('s2')}) / CAST(len(s2) AS DOUBLE) AS tbf,
+         coalesce(list_sum(list_filter({runs_for('s3')}, c -> c >= 2)), 0)
+           / CAST(len(s3) AS DOUBLE) AS dtf
   FROM g)
 SELECT doc_id,
        round(twf, 4) AS top_word_frac,
