@@ -979,3 +979,15 @@ ENGINE_ORACLES["incremental_streaming_digest"] = ENGINE_ORACLES[
 from reair_spark.scalebench import partition_scale_oracle_sql as _psos
 
 ENGINE_ORACLES["partition_scale_digest"] = _psos()
+
+
+def _compile_scale_q(spark: SparkSession, sf: str) -> DataFrame:
+    from reair_spark.scalebench import compile_scale_digest
+
+    return compile_scale_digest(spark, sf)
+
+
+from reair_spark.scalebench import compile_scale_oracle_sql as _csos  # noqa: E402
+
+ENGINE_QUERIES["compile_scale_digest"] = _compile_scale_q
+ENGINE_ORACLES["compile_scale_digest"] = _csos()

@@ -226,3 +226,134 @@ def measure_scale(
             "plan_rows": sum(r.n for r in rows if r.stage == "diff"),
         })
     return out
+
+
+# ---------------------------------------------------------------------------
+# audit-event compile path at scale (the incremental engine's front
+# half: the reference's ReplicationServer consumes an audit log that
+# can carry millions of entries per day; compile_jobs must stay a
+# declarative plan whose driver cost is independent of event count)
+# ---------------------------------------------------------------------------
+
+N_EVENT_TABLES = 40
+COMPILE_GATE_N = 100_000
+
+
+def synthetic_audit_events(spark: SparkSession, n: int) -> DataFrame:
+    """Audit-log rows of every compile class from ``spark.range`` —
+    zero driver rows. Per id % 10 (tbl skewed like the partition
+    scenario: half the events hit one mega-table):
+
+      0 THRIFT_CREATE_TABLE   → COPY_UNPARTITIONED_TABLE
+      1 CREATETABLE (parted)  → COPY_PARTITIONED_TABLE
+      2 DROPTABLE             → DROP_TABLE
+      3 ALTERTABLE_RENAME     → RENAME_TABLE
+      4 ALTERTABLE_ADDPARTS×2 → COPY_PARTITIONS (dyn-part batch of 2)
+      5 THRIFT_ADD_PARTITION  → COPY_PARTITION
+      6 THRIFT_DROP_PARTITION → DROP_PARTITION
+      7 EXCHANGEPARTITION     → COPY_PARTITION via the X7 regex path
+      8 SHOWTABLES            → filtered (non-replicating type)
+      9 QUERY, no outputs     → filtered (no outputs)
+    """
+    tbl = F.when(F.col("id") % 2 == 0, F.lit(0)).otherwise(
+        F.col("id") % N_EVENT_TABLES
+    )
+    name = F.concat(F.lit("db1.t"), tbl.cast("string"))
+    m = F.col("id") % 10
+
+    def obj(category, obj_type, nm, payload="{}"):
+        return F.struct(
+            F.lit(category).alias("category"),
+            F.lit(obj_type).alias("obj_type"),
+            nm.alias("name"),
+            F.lit(payload).alias("payload"),
+        )
+
+    empty = F.array().cast(
+        "array<struct<category:string,obj_type:string,"
+        "name:string,payload:string>>"
+    )
+    objects = (
+        F.when(m == 0, F.array(obj("OUTPUT", "TABLE", name)))
+        .when(m == 1, F.array(obj(
+            "OUTPUT", "TABLE", name,
+            '{"partition_keys": [{"name": "ds"}]}')))
+        .when(m == 2, F.array(obj("OUTPUT", "TABLE", name)))
+        .when(m == 3, F.array(
+            obj("OUTPUT", "TABLE", F.concat(name, F.lit("_r"))),
+            obj("RENAME_FROM", "TABLE", name),
+        ))
+        .when(m == 4, F.array(
+            obj("OUTPUT", "PARTITION", F.concat(name, F.lit("/ds=1"))),
+            obj("OUTPUT", "PARTITION", F.concat(name, F.lit("/ds=2"))),
+        ))
+        .when(m == 5, F.array(obj("OUTPUT", "PARTITION",
+                                  F.concat(name, F.lit("/ds=1")))))
+        .when(m == 6, F.array(obj("OUTPUT", "PARTITION",
+                                  F.concat(name, F.lit("/ds=1")))))
+        .when(m == 7, F.array(obj("INPUT", "TABLE", name)))
+        .otherwise(empty)
+    )
+    command_type = (
+        F.when(m == 0, F.lit("THRIFT_CREATE_TABLE"))
+        .when(m == 1, F.lit("CREATETABLE"))
+        .when(m == 2, F.lit("DROPTABLE"))
+        .when(m == 3, F.lit("ALTERTABLE_RENAME"))
+        .when(m == 4, F.lit("ALTERTABLE_ADDPARTS"))
+        .when(m == 5, F.lit("THRIFT_ADD_PARTITION"))
+        .when(m == 6, F.lit("THRIFT_DROP_PARTITION"))
+        .when(m == 7, F.lit("EXCHANGEPARTITION"))
+        .when(m == 8, F.lit("SHOWTABLES"))
+        .otherwise(F.lit("QUERY"))
+    )
+    command = F.when(
+        m == 7,
+        F.concat(
+            F.lit("ALTER TABLE db1.src EXCHANGE PARTITION (ds='1') "
+                  "WITH TABLE "),
+            name,
+        ),
+    ).otherwise(F.lit(""))
+    return spark.range(n).select(
+        (F.col("id") + 1).alias("id"),
+        F.lit("2020-01-01 00:00:00").cast("timestamp").alias("create_time"),
+        command_type.alias("command_type"),
+        command.alias("command"),
+        objects.alias("objects"),
+    )
+
+
+def compile_scale_pipeline(spark: SparkSession, n: int) -> DataFrame:
+    """synthetic events → the REAL compile_jobs → per-operation digest
+    (job count + Σ partition_names sizes)."""
+    from reair_spark.events import compile_jobs
+
+    jobs = compile_jobs(synthetic_audit_events(spark, n))
+    return jobs.groupBy("operation").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.size("partition_names")).cast("long").alias("n_partitions"),
+    )
+
+
+def compile_scale_digest(spark: SparkSession, sf: str) -> DataFrame:
+    """Gate: 100k audit events of every compile class through the
+    real event→job compiler. ``sf`` unused — audit metadata volume is
+    independent of data volume, which is the point."""
+    return compile_scale_pipeline(spark, COMPILE_GATE_N)
+
+
+def compile_scale_oracle_sql(n: int = COMPILE_GATE_N) -> str:
+    """Closed form: each id class is n/10 events; COPY_PARTITION gets
+    two classes (direct add + exchange); the ADDPARTS batch carries
+    two partitions per job."""
+    c = n // 10
+    return f"""
+SELECT 'COPY_UNPARTITIONED_TABLE' AS operation,
+       {c}::BIGINT AS n, 0::BIGINT AS n_partitions
+UNION ALL SELECT 'COPY_PARTITIONED_TABLE', {c}, 0
+UNION ALL SELECT 'DROP_TABLE', {c}, 0
+UNION ALL SELECT 'RENAME_TABLE', {c}, 0
+UNION ALL SELECT 'COPY_PARTITIONS', {c}, {2 * c}
+UNION ALL SELECT 'COPY_PARTITION', {2 * c}, {2 * c}
+UNION ALL SELECT 'DROP_PARTITION', {c}, {c}
+"""

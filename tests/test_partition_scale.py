@@ -100,3 +100,52 @@ def test_no_createDataFrame_in_pipeline(spark, monkeypatch):
     monkeypatch.setattr(type(spark), "createDataFrame", counting)
     scale_pipeline(spark, 20_000).collect()
     assert calls == []
+
+
+# ---- audit-event compile path at scale (same discipline) -----------
+
+
+def test_compile_digest_matches_closed_form_small(spark):
+    import duckdb
+
+    from reair_spark.scalebench import (
+        compile_scale_oracle_sql,
+        compile_scale_pipeline,
+    )
+
+    got = _canon(
+        (r.operation, r.n, r.n_partitions)
+        for r in compile_scale_pipeline(spark, 5000).collect()
+    )
+    want = _canon(duckdb.connect().execute(
+        compile_scale_oracle_sql(5000)).fetchall())
+    assert got == want
+
+
+def test_compile_pipeline_range_fed_no_python(spark):
+    from reair_spark.scalebench import compile_scale_pipeline
+
+    plan = compile_scale_pipeline(spark, 50_000)._jdf.queryExecution() \
+        .explainString(spark._jvm.org.apache.spark.sql.execution
+                       .ExplainMode.fromString("formatted"))
+    assert "Range" in plan
+    assert "LocalTableScan" not in plan
+    assert "Scan ExistingRDD" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_compile_job_count_flat_at_10x(spark):
+    from reair_spark.scalebench import compile_scale_pipeline
+
+    sc = spark.sparkContext
+
+    def jobs_at(n: int) -> int:
+        group = f"cscale-test-{n}"
+        sc.setJobGroup(group, "compile scale study")
+        compile_scale_pipeline(spark, n).collect()
+        sc.setJobGroup("", "")
+        return len(sc.statusTracker().getJobIdsForGroup(group))
+
+    j1, j10 = jobs_at(10_000), jobs_at(100_000)
+    assert j10 <= j1 + 2, f"jobs scaled with events: {j1} -> {j10}"
