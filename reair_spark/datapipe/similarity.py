@@ -1048,7 +1048,163 @@ def ann_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+RRF_K = 60          # Cormack et al. 2009's smoothing constant
+RRF_TOPK = 10
+HYBRID_QUERY_DOC = 0  # doc 0 plays "the query": its embedding is the
+                      # semantic side; fixed terms are the lexical side
+HYBRID_TERMS = ["spark", "query", "fast"]
+
+
+def hybrid_rrf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion — the standard way
+    a RAG pipeline combines a lexical retriever (BM25) with a
+    semantic one (embedding cosine) without score calibration:
+    rrf = Σ 1/(k + rank_i) over the retrievers that returned the doc.
+
+    The corpus's vec_id space aligns with doc_id, so both retrievers
+    rank the same ids: lexical = single-query Okapi BM25 over the
+    documents table (same constants/discipline as text_bm25_topk),
+    semantic = exact cosine against doc 0's embedding. Ranks are
+    integers, 1/(k+rank) is the same IEEE double in both engines, and
+    the fusion is a two-operand sum — no float-order hazard anywhere.
+
+    Scale shape: each retriever is the already-audited shape (one
+    corpus shuffle for BM25; broadcast query vector + scan for
+    cosine); the fusion is a full-outer join of two rank lists, each
+    at most corpus-sized and typically top-k-truncated upstream in a
+    production serve path."""
+    from pyspark.sql import Window as W
+
+    from reair_spark.datapipe.common import cosine
+    from reair_spark.datapipe.text import BM25_B, BM25_K1
+
+    d = widen(_t(spark, sf, "documents"), spark)
+    stats = d.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg(F.size(F.split("text", " "))).alias("avgdl"),
+    )
+    tok = d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("double").alias("dl"),
+        F.explode(F.split("text", " ")).alias("token"),
+    )
+    tf = (
+        tok.where(F.col("token").isin(HYBRID_TERMS)
+                  & (F.col("doc_id") != HYBRID_QUERY_DOC))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"),
+             F.first("dl").alias("dl"))
+    )
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    idf = F.log(
+        1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    score_term = idf * F.col("tf") * (BM25_K1 + 1.0) / (
+        F.col("tf")
+        + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    lex = (
+        tf.join(F.broadcast(df_), "token")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(score_term), 4).alias("bm25"))
+        .withColumn(
+            "rank_lex",
+            F.row_number().over(
+                W.orderBy(F.desc("bm25"), "doc_id")
+            ).cast("long"),
+        )
+        .select("doc_id", "rank_lex")
+    )
+
+    e = _emb(spark, sf)
+    qv = e.filter(F.col("vec_id") == HYBRID_QUERY_DOC).select(
+        F.col("emb").alias("qemb")
+    )
+    sem = (
+        e.filter(F.col("vec_id") != HYBRID_QUERY_DOC)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            cosine(F.col("qemb"), F.col("emb")).alias("sim"),
+        )
+        .withColumn(
+            "rank_sem",
+            F.row_number().over(
+                W.orderBy(F.desc("sim"), "doc_id")
+            ).cast("long"),
+        )
+        .select("doc_id", "rank_sem")
+    )
+
+    fused = lex.join(sem, "doc_id", "full_outer").select(
+        "doc_id",
+        "rank_lex",
+        "rank_sem",
+        (
+            F.coalesce(1.0 / (F.lit(RRF_K) + F.col("rank_lex")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(RRF_K) + F.col("rank_sem")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    w = W.orderBy(F.desc("rrf"), "doc_id")
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= RRF_TOPK)
+        .select("doc_id", "rank_lex", "rank_sem",
+                F.round("rrf", 6).alias("rrf"), "rank")
+    )
+
+
+def _hybrid_rrf_sql() -> str:
+    from reair_spark.datapipe.text import BM25_B, BM25_K1
+
+    terms = ", ".join(f"'{t}'" for t in HYBRID_TERMS)
+    return f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                 avg(len(t)) AS avgdl FROM d),
+tok AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl,
+               unnest(t) AS token FROM d),
+tf AS (SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf,
+              any_value(dl) AS dl
+       FROM tok WHERE token IN ({terms})
+         AND doc_id <> {HYBRID_QUERY_DOC} GROUP BY 1, 2),
+dfreq AS (SELECT token, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+lex AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank_lex
+  FROM (
+    SELECT doc_id,
+           round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * tf
+                     * ({BM25_K1} + 1.0)
+                     / (tf + {BM25_K1} * (1.0 - {BM25_B}
+                                          + {BM25_B} * dl / avgdl))), 4)
+             AS bm25
+    FROM tf JOIN dfreq USING (token), stats GROUP BY doc_id)),
+sem AS (
+  SELECT e.vec_id AS doc_id,
+         row_number() OVER (
+           ORDER BY {_COS_SQL.format(a='q.embedding', b='e.embedding')}
+                      DESC, e.vec_id) AS rank_sem
+  FROM embeddings e,
+       (SELECT embedding FROM embeddings
+        WHERE vec_id = {HYBRID_QUERY_DOC}) q
+  WHERE e.vec_id <> {HYBRID_QUERY_DOC}),
+fused AS (
+  SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+         rank_lex, rank_sem,
+         coalesce(1.0 / ({RRF_K} + rank_lex), 0)
+           + coalesce(1.0 / ({RRF_K} + rank_sem), 0) AS rrf
+  FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id)
+SELECT doc_id, rank_lex, rank_sem, round(rrf, 6) AS rrf, rank
+FROM (SELECT *, row_number() OVER (ORDER BY rrf DESC, doc_id) AS rank
+      FROM fused)
+WHERE rank <= {RRF_TOPK}
+"""
+
+
 SIM_QUERIES = {
+    "hybrid_rrf_topk": hybrid_rrf_topk,
     "ann_recall_eval": ann_recall_eval,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_ivf_topk": ann_ivf_topk,
@@ -1111,6 +1267,7 @@ SELECT query_id, vec_id, sim FROM scored WHERE rn <= {TOP_K}
 
 
 SIM_ORACLES = {
+    "hybrid_rrf_topk": _hybrid_rrf_sql(),
     "ann_recall_eval": f"""
 WITH approx AS ({_PQ_ORACLE}),
 exact AS (
