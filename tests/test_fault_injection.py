@@ -476,3 +476,63 @@ def test_retrying_fs_over_arrowfs_scheme_end_to_end(spark, tmp_path):
             assert fh.read() == b"beta"
     finally:
         unregister_fs("rarrow")
+
+
+# ---------- dirsync delete/trash path under injected faults ----------
+
+
+def test_sync_trash_rename_fault_fails_row_then_rerun_trashes(
+    spark, failfs, tmp_path
+):
+    """Schedule D1: the trash MOVE (rename) faults — the row reports
+    FAILED (not a task crash), the extra file stays where it was
+    (nothing half-moved), and the next sync retries and trashes it."""
+    from reair_spark.dirsync import sync_directories
+
+    src = str(tmp_path / "src")
+    _seed(src, "keep.txt", b"keep")
+    _seed(failfs.root, "dest/keep.txt", b"keep")
+    _seed(failfs.root, "dest/stale.txt", b"old")
+    FailingFs.schedule(failfs.board, "rename", "stale.txt", 1)
+
+    r = sync_directories(
+        spark, [src], "failfs://dest",
+        delete_extraneous=True, trash_dir="failfs://trash",
+    )
+    by_status = {x.status for x in r["results"].collect()}
+    assert "FAILED" in by_status
+    assert os.path.exists(os.path.join(failfs.root, "dest/stale.txt"))
+    assert not os.path.exists(os.path.join(failfs.root, "trash/stale.txt"))
+
+    r2 = sync_directories(
+        spark, [src], "failfs://dest",
+        delete_extraneous=True, trash_dir="failfs://trash",
+    )
+    assert {x.status for x in r2["results"].collect()} == {"TRASHED"}
+    assert not os.path.exists(os.path.join(failfs.root, "dest/stale.txt"))
+    with open(os.path.join(failfs.root, "trash/stale.txt"), "rb") as fh:
+        assert fh.read() == b"old"
+
+
+def test_sync_unlink_fault_fails_row_then_rerun_deletes(
+    spark, failfs, tmp_path
+):
+    """Schedule D2: plain delete mode, unlink faults once — FAILED
+    row, file survives, rerun deletes it."""
+    from reair_spark.dirsync import sync_directories
+
+    src = str(tmp_path / "src")
+    _seed(src, "keep.txt", b"keep")
+    _seed(failfs.root, "dest/keep.txt", b"keep")
+    _seed(failfs.root, "dest/gone.txt", b"x")
+    FailingFs.schedule(failfs.board, "unlink", "gone.txt", 1)
+
+    r = sync_directories(spark, [src], "failfs://dest",
+                         delete_extraneous=True)
+    assert {x.status for x in r["results"].collect()} == {"FAILED"}
+    assert os.path.exists(os.path.join(failfs.root, "dest/gone.txt"))
+
+    r2 = sync_directories(spark, [src], "failfs://dest",
+                          delete_extraneous=True)
+    assert {x.status for x in r2["results"].collect()} == {"DELETED"}
+    assert not os.path.exists(os.path.join(failfs.root, "dest/gone.txt"))
