@@ -647,6 +647,10 @@ def multimodal_png_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     return (
         _t(spark, sf, "documents")
         .select("doc_id", "text")
+        # CPU-bound Python codec + single-row-group scan (1 partition
+        # at these sfs) would run serial — fan out first, same as the
+        # JPEG gate; a no-op-ish rebalance on a naturally wide scan
+        .repartition(spark.sparkContext.defaultParallelism)
         .mapInPandas(
             roundtrip,
             schema="doc_id long, width int, height int, sum_px long, mean_px double",
