@@ -991,3 +991,15 @@ from reair_spark.scalebench import compile_scale_oracle_sql as _csos  # noqa: E4
 
 ENGINE_QUERIES["compile_scale_digest"] = _compile_scale_q
 ENGINE_ORACLES["compile_scale_digest"] = _csos()
+
+
+def _partition_discovery_q(spark: SparkSession, sf: str) -> DataFrame:
+    from reair_spark.msck import partition_discovery_q
+
+    return partition_discovery_q(spark, sf)
+
+
+from reair_spark.msck import PARTITION_DISCOVERY_SQL as _PD_SQL  # noqa: E402
+
+ENGINE_QUERIES["partition_discovery"] = _partition_discovery_q
+ENGINE_ORACLES["partition_discovery"] = _PD_SQL
