@@ -208,6 +208,36 @@ def skew_salted_stats(spark: SparkSession, sf: str) -> DataFrame:
     return salted_agg(e, "event_type", "v", salts=16)
 
 
+def skew_join_salted(spark: SparkSession, sf: str) -> DataFrame:
+    """The skew.salted_join replicated-build equi-join through the
+    gate: events with a MANUFACTURED hot key (two-thirds of all rows
+    collapse onto user 1 — the one-customer-dominates shape AQE's
+    skew split handles at runtime and salting handles by
+    construction) joined to the customer dimension. The salted side
+    spreads each hot key over 8 tasks; the build side replicates via
+    an explode — and because the salt only re-partitions work, the
+    JOIN RESULT is salt-invariant, which is exactly what the oracle's
+    plain join checks. Digest keeps to integers (counts, distinct
+    users, id extrema) so no float crosses the boundary."""
+    from reair_spark.skew import salted_join
+
+    e = _t(spark, sf, "events").select(
+        F.when(F.col("user_id") % 3 != 0, F.lit(1))
+        .otherwise(F.col("user_id"))
+        .cast("long")
+        .alias("c_custkey"),
+        "event_id",
+    )
+    c = _t(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    joined = salted_join(e, c, "c_custkey", salts=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("c_custkey").cast("long").alias("n_users"),
+        F.min("event_id").cast("long").alias("min_event"),
+        F.max("event_id").cast("long").alias("max_event"),
+    )
+
+
 def events_moving_average(spark: SparkSession, sf: str) -> DataFrame:
     """7-row moving average over the daily event rollup — window-FRAME
     coverage (ROWS BETWEEN), which the rest of the surface's windows
@@ -1285,6 +1315,7 @@ EXTRA_QUERIES = {
     "fuzzy_match_parts": fuzzy_match_parts,
     "rollup_status_priority": rollup_status_priority,
     "skew_salted_stats": skew_salted_stats,
+    "skew_join_salted": skew_join_salted,
     "events_moving_average": events_moving_average,
     "tpch_q3_shipping_priority": tpch_q3_shipping_priority,
     "tpch_q5_local_supplier": tpch_q5_local_supplier,
@@ -1667,6 +1698,19 @@ FROM k GROUP BY event_type
         "CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid "
         "FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)"
     ),
+    "skew_join_salted": """
+WITH e AS (
+  SELECT CASE WHEN user_id % 3 <> 0 THEN 1 ELSE user_id END AS c_custkey,
+         event_id
+  FROM events)
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT e.c_custkey) AS BIGINT) AS n_users,
+       CAST(min(event_id) AS BIGINT) AS min_event,
+       CAST(max(event_id) AS BIGINT) AS max_event
+FROM e JOIN customer c ON c.c_custkey = e.c_custkey
+GROUP BY c_mktsegment
+""",
     "skew_salted_stats": """
 WITH v AS (SELECT event_type, CAST(floor(value) AS BIGINT) AS v FROM events)
 SELECT event_type, CAST(sum(v) AS BIGINT) AS sum_val,

@@ -510,3 +510,16 @@ def test_bm25_single_corpus_shuffle_broadcast_sides(spark, sf_dir):
     assert "BatchEvalPython" not in plan
     assert plan.count("BroadcastExchange") >= 3
     assert "CartesianProduct" not in plan
+
+
+def test_salted_join_replicates_build_and_spreads_hot_key(spark, sf_dir):
+    """skew_join_salted: the build side carries an explode (salt
+    replication), the join key is (key, salt) so each hot key's rows
+    spread across salt tasks, and no Python/cartesian appears."""
+    from reair_spark.extra_queries import skew_join_salted
+
+    plan = _formatted(skew_join_salted(spark, sf_dir))
+    assert "Generate" in plan and "explode(" in plan
+    assert "__salt" in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
