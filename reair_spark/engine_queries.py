@@ -1003,3 +1003,15 @@ from reair_spark.msck import PARTITION_DISCOVERY_SQL as _PD_SQL  # noqa: E402
 
 ENGINE_QUERIES["partition_discovery"] = _partition_discovery_q
 ENGINE_ORACLES["partition_discovery"] = _PD_SQL
+
+
+def _compile_scale_stream_q(spark: SparkSession, sf: str) -> DataFrame:
+    from reair_spark.scalebench import compile_scale_stream_digest
+
+    return compile_scale_stream_digest(spark, sf)
+
+
+ENGINE_QUERIES["compile_scale_stream_digest"] = _compile_scale_stream_q
+# the streaming position must compile the SAME jobs as the batch
+# position — one closed-form oracle serves both (path equivalence)
+ENGINE_ORACLES["compile_scale_stream_digest"] = _csos()

@@ -357,3 +357,61 @@ UNION ALL SELECT 'COPY_PARTITIONS', {c}, {2 * c}
 UNION ALL SELECT 'COPY_PARTITION', {2 * c}, {2 * c}
 UNION ALL SELECT 'DROP_PARTITION', {c}, {c}
 """
+
+
+_COMPILE_EVENTS_CACHE: dict = {}
+
+
+def compile_scale_stream(
+    spark: SparkSession, n: int = COMPILE_GATE_N, files_per_trigger: int = 0
+) -> DataFrame:
+    """The compile scenario through the STREAMING position: events
+    persisted once per session (memoized), consumed with an
+    availableNow checkpointed reader, compiled per micro-batch by the
+    real foreachBatch sink (stream_compile_jobs_foreachbatch — ST4's
+    idempotent per-batch overwrite), and the union of all batch
+    outputs digested per operation. ``files_per_trigger`` > 0 splits
+    the run into multiple micro-batches."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from reair_spark.streaming import stream_compile_jobs_foreachbatch
+
+    key = (spark.sparkContext.applicationId, "compile_events", n)
+    if key not in _COMPILE_EVENTS_CACHE:
+        base = tempfile.mkdtemp(prefix="reair_cstream_")
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
+        path = f"{base}/events"
+        synthetic_audit_events(spark, n).repartition(4).write.parquet(path)
+        _COMPILE_EVENTS_CACHE[key] = (base, path)
+    base, path = _COMPILE_EVENTS_CACHE[key]
+
+    run = tempfile.mkdtemp(prefix="reair_cstream_run_")
+    atexit.register(shutil.rmtree, run, ignore_errors=True)
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema)
+    if files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", files_per_trigger)
+    stream = reader.parquet(path)
+    stream_compile_jobs_foreachbatch(
+        spark, stream, f"{run}/jobs", f"{run}/_ckpt"
+    )
+    jobs = spark.read.parquet(f"{run}/jobs")
+    return jobs.groupBy("operation").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.size("partition_names")).cast("long").alias("n_partitions"),
+    )
+
+
+def compile_scale_stream_digest(spark: SparkSession, sf: str) -> DataFrame:
+    """Gate: the streaming compile position at 100k events against the
+    SAME closed-form oracle as `compile_scale_digest` — batch and
+    stream positions must compile identical jobs (path equivalence;
+    the compile twin of the incremental loop's statement). The gate
+    runs availableNow single-batch for its fixed-floor cost; the
+    multi-micro-batch boundary invariance is enforced by pytest
+    (test_partition_scale: 4-batch run == this digest), the same
+    single-batch-gate + equivalence-pytest discipline as the
+    incremental gates."""
+    return compile_scale_stream(spark, COMPILE_GATE_N)

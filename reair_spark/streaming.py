@@ -530,9 +530,11 @@ def stream_compile_jobs_foreachbatch(
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         jobs = compile_jobs(batch_df)
+        # the hive-style directory name IS the batch_id column on
+        # read-back (partition discovery); writing it as a data column
+        # too would shadow-duplicate it
         (
-            jobs.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
+            jobs.write.mode("overwrite")
             .parquet(os.path.join(out_dir, f"batch_id={batch_id}"))
         )
 

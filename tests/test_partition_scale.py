@@ -149,3 +149,24 @@ def test_compile_job_count_flat_at_10x(spark):
 
     j1, j10 = jobs_at(10_000), jobs_at(100_000)
     assert j10 <= j1 + 2, f"jobs scaled with events: {j1} -> {j10}"
+
+
+def test_compile_stream_batch_boundary_invariance(spark):
+    """Micro-batch boundaries must not change the compiled jobs: the
+    4-batch streaming run digests identically to the single-batch
+    gate form AND to the batch-mode pipeline (three-way path
+    equivalence at 20k events)."""
+    from reair_spark.scalebench import (
+        compile_scale_pipeline,
+        compile_scale_stream,
+    )
+
+    def canon(df):
+        return _canon(
+            (r.operation, r.n, r.n_partitions) for r in df.collect()
+        )
+
+    one = canon(compile_scale_stream(spark, 20_000))
+    multi = canon(compile_scale_stream(spark, 20_000, files_per_trigger=1))
+    batch = canon(compile_scale_pipeline(spark, 20_000))
+    assert one == multi == batch
