@@ -80,6 +80,25 @@ def main(argv: list[str] | None = None) -> int:
     st.add_argument("state_dir")
     st.add_argument("--max-active", type=int, default=100)
 
+    cst = sub.add_parser(
+        "compact-state",
+        help="rewrite the job transition log to one row per job "
+             "(crash-safe retention; --drop-terminal keeps only "
+             "in-flight jobs)",
+    )
+    cst.add_argument("state_dir")
+    cst.add_argument("--drop-terminal", action="store_true")
+
+    msck = sub.add_parser(
+        "msck", help="partition discovery / repair for one table "
+                     "(MSCK REPAIR TABLE semantics)")
+    msck.add_argument("warehouse_root")
+    msck.add_argument("db")
+    msck.add_argument("table")
+    msck.add_argument("--sync", action="store_true",
+                      help="also drop catalog partitions whose "
+                           "directories are gone (SYNC PARTITIONS)")
+
     mon = sub.add_parser("monitor", help="serve the monitoring HTTP endpoint")
     mon.add_argument("state_dir")
     mon.add_argument("--port", type=int, default=8742)
@@ -252,6 +271,31 @@ def main(argv: list[str] | None = None) -> int:
 
         print(json.dumps(status_snapshot(
             spark, args.state_dir, max_active=args.max_active)))
+        return 0
+
+    if args.cmd == "compact-state":
+        from reair_spark.state import JobStore
+
+        store = JobStore(spark, f"{args.state_dir}/replication_jobs")
+        n = store.compact(keep_terminal=not args.drop_terminal)
+        print(json.dumps({"rows_kept": n,
+                          "drop_terminal": args.drop_terminal}))
+        return 0
+
+    if args.cmd == "msck":
+        from reair_spark.catalog import DirectoryCatalog
+        from reair_spark.msck import msck_repair
+
+        plan = msck_repair(
+            spark, DirectoryCatalog(args.warehouse_root),
+            args.db, args.table, drop_orphans=args.sync,
+        )
+        out = {}
+        for r in plan.collect():
+            out.setdefault(r.state, []).append(r.partition_name)
+        print(json.dumps({"applied": sorted(out.get("ADD", [])),
+                          "orphans": sorted(out.get("ORPHAN", [])),
+                          "ok": len(out.get("OK", []))}))
         return 0
 
     if args.cmd == "monitor":
