@@ -165,7 +165,8 @@ class JobStore:
 
         Single-writer, like every state mutation here (the driver owns
         the state dir; a cluster deployment swaps JobStore for a
-        JDBC-backed twin with the same methods)."""
+        JDBC-backed twin with the same methods). The ``compact-state``
+        CLI command is the operator entry point."""
         import shutil
 
         if not os.path.exists(self.path):
