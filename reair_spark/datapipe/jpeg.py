@@ -4,7 +4,8 @@ numpy + stdlib — no imaging library.
 This closes the engine's last environment-blocked image codec
 (VERDICT r6 ask #5; PNG landed in round 6 the same way): the
 multimodal pipeline can now encode AND decode real JPEG files without
-PIL, leaving only FLAC behind the external-library capability gate.
+PIL; datapipe/flac.py closes the audio side the same way, leaving
+only GIF/TIFF/WebP behind the external-library capability gate.
 
 What is implemented, per the spec:
 

@@ -83,6 +83,27 @@ def decode_image_real(payload: bytes):
     return np.asarray(PIL.Image.open(io.BytesIO(payload)))
 
 
+def decode_audio_real(payload: bytes):
+    """Real audio decode, magic-sniffed — the audio twin of
+    decode_image_real. RIFF/WAVE and FLAC decode through this repo's
+    own codecs (wav_decode below; datapipe/flac.py), returning
+    (sample_rate, int16 samples). Other formats (MP3/OGG/AAC/…) raise
+    NotImplementedError — no audio library ships in this container,
+    and unlike FLAC those codecs are lossy/patent-encumbered enough
+    that a from-spec implementation is out of scope."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return wav_decode(payload)
+    if payload[:4] == b"fLaC":
+        from reair_spark.datapipe.flac import flac_decode
+
+        return flac_decode(payload)
+    raise NotImplementedError(
+        "only RIFF/WAVE and FLAC decode natively; other audio formats "
+        "need an audio library (soundfile/librosa) not present in this "
+        "container"
+    )
+
+
 def with_media_column(df: DataFrame) -> DataFrame:
     """Attach the opaque binary payload + typed metadata struct."""
     return df.select(
@@ -246,10 +267,11 @@ def multimodal_audio_windows(spark: SparkSession, sf: str) -> DataFrame:
 # row order, CRC-checked chunks, adaptive scanline filters) — not
 # stubs. They exist so the multimodal path exercises a REAL encode →
 # bytes → decode cycle through mapInPandas without any external
-# imaging/audio library. With baseline JPEG implemented in
-# datapipe/jpeg.py (round 7), only FLAC remains behind an
-# external-library gate (it needs soundfile); the WAV/BMP/PNG/JPEG
-# pipeline is the production plumbing running for real.
+# imaging/audio library. With baseline JPEG (datapipe/jpeg.py) and
+# FLAC (datapipe/flac.py, RFC 9639 subset) both implemented in round
+# 7, the external-library capability gate covers only GIF/TIFF/WebP;
+# the WAV/BMP/PNG/JPEG/FLAC pipeline is production plumbing running
+# for real.
 # ---------------------------------------------------------------------------
 
 WAV_RATE = 8000
@@ -547,6 +569,82 @@ def multimodal_wav_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         .mapInPandas(
             roundtrip,
             schema="doc_id long, sample_rate int, n_samples long, rms double",
+        )
+    )
+
+
+FLAC_BLOCK = 256  # small block size so every doc spans several frames
+
+
+def multimodal_flac_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Real-codec FLAC path (closes the audio half of the external-
+    library gate the way JPEG closed the image half): synthesize the
+    same deterministic int16 PCM as the WAV gate, encode a genuine
+    FLAC stream (STREAMINFO with real PCM MD5, CRC-8 frame headers,
+    fixed-predictor subframes, wasted-bits, partitioned Rice coding,
+    CRC-16 trailers — datapipe/flac.py), decode it back through the
+    full parser with ``verify=True`` (every CRC checked + MD5 over
+    the reassembled PCM), and emit stats from the DECODED samples.
+
+    FLAC is lossless, so the oracle recomputes (rate, n_samples,
+    n_frames, rms) straight from text — a bug anywhere in predictor
+    order selection, Rice parameter math, bit packing, or frame
+    sequencing changes the decoded samples or trips a CRC and breaks
+    the match. The 256-sample block size forces multi-frame streams
+    on typical documents (frame-number coding + last-short-block
+    paths run for real). Compression honesty: tests/test_flac.py
+    asserts the smooth-signal streams are genuinely smaller than raw.
+
+    Scale shape: one mapInPandas over Arrow batches after a
+    defaultParallelism repartition (the codec is the CPU stage; the
+    sf-scale scan is a single row-group) — per-row CPU, zero shuffle,
+    100 TB of audio bytes moves zero times."""
+    from reair_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)
+
+    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math as _math
+
+        import numpy as _np
+        import pandas as _pd
+
+        from reair_spark.datapipe.flac import flac_decode, flac_encode
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                b = text.encode("utf-8")
+                samples = (_np.frombuffer(b, dtype=_np.uint8).astype(_np.int16) - 96) * 256
+                payload = flac_encode(
+                    samples, block_size=FLAC_BLOCK, partition_order=2
+                )  # REAL encoder
+                rate, decoded = flac_decode(payload)  # REAL parser, CRC+MD5 verified
+                n = len(decoded)
+                n_frames = -(-n // FLAC_BLOCK)
+                if n == 0:
+                    rows.append((int(doc_id), rate, 0, 0, 0.0))
+                    continue
+                rms = float(_np.sqrt(_np.mean(decoded.astype(_np.float64) ** 2)))
+                rows.append(
+                    (int(doc_id), rate, n, n_frames,
+                     _math.floor(rms * 1e4 + 0.5) / 1e4)
+                )
+            yield _pd.DataFrame(
+                rows,
+                columns=["doc_id", "sample_rate", "n_samples", "n_frames", "rms"],
+            )
+
+    return (
+        _t(spark, sf, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(
+            roundtrip,
+            schema=(
+                "doc_id long, sample_rate int, n_samples long, "
+                "n_frames int, rms double"
+            ),
         )
     )
 
@@ -875,6 +973,7 @@ MM_QUERIES = {
     "multimodal_resize": multimodal_resize,
     "multimodal_audio_windows": multimodal_audio_windows,
     "multimodal_wav_roundtrip": multimodal_wav_roundtrip,
+    "multimodal_flac_roundtrip": multimodal_flac_roundtrip,
     "multimodal_bmp_roundtrip": multimodal_bmp_roundtrip,
     "multimodal_png_roundtrip": multimodal_png_roundtrip,
     "multimodal_jpeg_roundtrip": multimodal_jpeg_roundtrip,
@@ -921,6 +1020,18 @@ FROM c
     "multimodal_wav_roundtrip": f"""
 SELECT doc_id, {WAV_RATE} AS sample_rate,
        CAST(length(text) AS BIGINT) AS n_samples,
+       round(sqrt(list_aggregate(
+         list_transform(string_split(text, ''),
+                        c -> CAST((unicode(c) - 96) * 256 AS DOUBLE)
+                             * ((unicode(c) - 96) * 256)), 'avg')), 4) AS rms
+FROM documents
+""",
+    # FLAC is lossless: decoded PCM == the text-derived synth exactly,
+    # and n_frames is the 256-sample block count
+    "multimodal_flac_roundtrip": f"""
+SELECT doc_id, {WAV_RATE} AS sample_rate,
+       CAST(length(text) AS BIGINT) AS n_samples,
+       CAST(ceil(length(text) / {FLAC_BLOCK}.0) AS INT) AS n_frames,
        round(sqrt(list_aggregate(
          list_transform(string_split(text, ''),
                         c -> CAST((unicode(c) - 96) * 256 AS DOUBLE)
