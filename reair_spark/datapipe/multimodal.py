@@ -55,13 +55,14 @@ def round_half_up4(x: float) -> float:
 def decode_image_real(payload: bytes):
     """Real image decode, magic-sniffed.
 
-    PNG, BMP and baseline JPEG decode through this repo's own codecs
-    (datapipe/jpeg.py and the RFC 2083 / BITMAPINFOHEADER
+    PNG, BMP, baseline JPEG, GIF and baseline TIFF decode through
+    this repo's own codecs (datapipe/jpeg.py, datapipe/gif.py,
+    datapipe/tiff.py, and the RFC 2083 / BITMAPINFOHEADER
     implementations below) — no imaging library needed; the result is
-    a numpy uint8 array ((h, w) gray or (h, w, 3) RGB). Other formats
-    (GIF/TIFF/WebP/…) fall back to PIL when present and raise
-    NotImplementedError otherwise — that fallback is the engine's one
-    remaining image-capability gate."""
+    a numpy uint8 array ((h, w) gray or (h, w, 3) RGB). WebP — the
+    one format left, a genuine VP8 codec — falls back to PIL when
+    present and raises NotImplementedError otherwise: the engine's
+    one remaining image-capability gate."""
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return png_decode(payload)
     if payload[:2] == b"BM":
@@ -70,11 +71,19 @@ def decode_image_real(payload: bytes):
         from reair_spark.datapipe.jpeg import jpeg_decode
 
         return jpeg_decode(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from reair_spark.datapipe.gif import gif_decode
+
+        return gif_decode(payload)
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        from reair_spark.datapipe.tiff import tiff_decode
+
+        return tiff_decode(payload)
     if not _HAVE_PIL:
         raise NotImplementedError(
-            "only PNG/BMP/baseline-JPEG decode natively; other formats "
-            "need an imaging library (PIL/opencv) not present in this "
-            "container"
+            "only PNG/BMP/baseline-JPEG/GIF/baseline-TIFF decode "
+            "natively; WebP needs an imaging library (PIL/opencv) not "
+            "present in this container"
         )
     import io
 
@@ -267,11 +276,13 @@ def multimodal_audio_windows(spark: SparkSession, sf: str) -> DataFrame:
 # row order, CRC-checked chunks, adaptive scanline filters) — not
 # stubs. They exist so the multimodal path exercises a REAL encode →
 # bytes → decode cycle through mapInPandas without any external
-# imaging/audio library. With baseline JPEG (datapipe/jpeg.py) and
-# FLAC (datapipe/flac.py, RFC 9639 subset) both implemented in round
-# 7, the external-library capability gate covers only GIF/TIFF/WebP;
-# the WAV/BMP/PNG/JPEG/FLAC pipeline is production plumbing running
-# for real.
+# imaging/audio library. With baseline JPEG (datapipe/jpeg.py), FLAC
+# (datapipe/flac.py, RFC 9639 subset), GIF (datapipe/gif.py,
+# variable-width LZW) and baseline TIFF (datapipe/tiff.py, TIFF-LZW
+# + predictor) all implemented in round 7, the external-library
+# capability gate covers WebP alone (a genuine VP8 codec — the
+# defensible boundary of from-spec work); the WAV/BMP/PNG/JPEG/GIF/
+# TIFF/FLAC pipeline is production plumbing running for real.
 # ---------------------------------------------------------------------------
 
 WAV_RATE = 8000
@@ -569,6 +580,125 @@ def multimodal_wav_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         .mapInPandas(
             roundtrip,
             schema="doc_id long, sample_rate int, n_samples long, rms double",
+        )
+    )
+
+
+def multimodal_gif_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Real-codec GIF path: rasterize each document's bytes into the
+    same 16-wide grayscale grid as the BMP/PNG gates, encode an
+    INTERLACED single-frame GIF89a (gray-ramp palette, variable-width
+    LZW per the giflib late-change convention, sub-block framing —
+    datapipe/gif.py), decode it back through the full parser (header/
+    LSD/extension walk, LZW with CLEAR/EOI + the self-referential
+    code case, four-pass de-interlace, palette application), and emit
+    stats from the DECODED pixels. LZW is lossless, so the oracle
+    recomputes sum_px/mean_px straight from text; interlacing makes
+    row-order bugs break the hash too. Cross-implementation fidelity
+    is pinned by tests/test_gif.py decoding real giflib-era files.
+
+    Scale shape: identical to the other codec gates — repartition
+    then one mapInPandas; per-row CPU, zero shuffle."""
+    from reair_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)
+
+    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math as _math
+
+        import numpy as _np
+        import pandas as _pd
+
+        from reair_spark.datapipe.gif import gif_decode, gif_encode
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                b = text.encode("utf-8")
+                h = -(-len(b) // BMP_WIDTH)
+                if h == 0:
+                    rows.append((int(doc_id), BMP_WIDTH, 0, 0, 0.0))
+                    continue
+                vals = _np.zeros(h * BMP_WIDTH, dtype=_np.uint8)
+                vals[: len(b)] = _np.frombuffer(b, dtype=_np.uint8)
+                img = gif_decode(
+                    gif_encode(vals.reshape(h, BMP_WIDTH), interlace=True)
+                )
+                sum_px = int(img.astype(_np.int64).sum())
+                # padding zeros count toward the mean, like the PNG gate
+                mean_px = sum_px / img.size
+                rows.append(
+                    (int(doc_id), img.shape[1], img.shape[0], sum_px,
+                     _math.floor(mean_px * 1e4 + 0.5) / 1e4)
+                )
+            yield _pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "sum_px", "mean_px"]
+            )
+
+    return (
+        _t(spark, sf, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(
+            roundtrip,
+            schema="doc_id long, width int, height int, sum_px long, mean_px double",
+        )
+    )
+
+
+def multimodal_tiff_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Real-codec baseline-TIFF path: same 16-wide rasterization as
+    the BMP/PNG/GIF gates, encoded with TIFF-flavor LZW (MSB-first,
+    EARLY width change — the documented opposite of GIF's convention)
+    plus the horizontal-differencing predictor, decoded through the
+    full IFD walk. Lossless → oracle recomputes the stats from text;
+    the predictor makes any row-stride or cumsum-undo bug move the
+    pixels and break the hash. tests/test_tiff.py pins both LZW
+    conventions against each other (GIF's late vs TIFF's early).
+
+    Scale shape: identical to the other codec gates."""
+    from reair_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)
+
+    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math as _math
+
+        import numpy as _np
+        import pandas as _pd
+
+        from reair_spark.datapipe.tiff import tiff_decode, tiff_encode
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                b = text.encode("utf-8")
+                h = -(-len(b) // BMP_WIDTH)
+                if h == 0:
+                    rows.append((int(doc_id), BMP_WIDTH, 0, 0, 0.0))
+                    continue
+                vals = _np.zeros(h * BMP_WIDTH, dtype=_np.uint8)
+                vals[: len(b)] = _np.frombuffer(b, dtype=_np.uint8)
+                img = tiff_decode(tiff_encode(
+                    vals.reshape(h, BMP_WIDTH), compression=5, predictor=True
+                ))
+                sum_px = int(img.astype(_np.int64).sum())
+                mean_px = sum_px / img.size
+                rows.append(
+                    (int(doc_id), img.shape[1], img.shape[0], sum_px,
+                     _math.floor(mean_px * 1e4 + 0.5) / 1e4)
+                )
+            yield _pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "sum_px", "mean_px"]
+            )
+
+    return (
+        _t(spark, sf, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(
+            roundtrip,
+            schema="doc_id long, width int, height int, sum_px long, mean_px double",
         )
     )
 
@@ -974,6 +1104,8 @@ MM_QUERIES = {
     "multimodal_audio_windows": multimodal_audio_windows,
     "multimodal_wav_roundtrip": multimodal_wav_roundtrip,
     "multimodal_flac_roundtrip": multimodal_flac_roundtrip,
+    "multimodal_gif_roundtrip": multimodal_gif_roundtrip,
+    "multimodal_tiff_roundtrip": multimodal_tiff_roundtrip,
     "multimodal_bmp_roundtrip": multimodal_bmp_roundtrip,
     "multimodal_png_roundtrip": multimodal_png_roundtrip,
     "multimodal_jpeg_roundtrip": multimodal_jpeg_roundtrip,
@@ -1024,6 +1156,30 @@ SELECT doc_id, {WAV_RATE} AS sample_rate,
          list_transform(string_split(text, ''),
                         c -> CAST((unicode(c) - 96) * 256 AS DOUBLE)
                              * ((unicode(c) - 96) * 256)), 'avg')), 4) AS rms
+FROM documents
+""",
+    # TIFF LZW+predictor is lossless: decoded pixels == the rasterized
+    # text exactly (same grid as the PNG gate)
+    "multimodal_tiff_roundtrip": f"""
+SELECT doc_id, {BMP_WIDTH} AS width,
+       CAST(ceil(length(text) / {BMP_WIDTH}.0) AS INT) AS height,
+       CAST(list_sum(list_transform(string_split(text, ''),
+                                    c -> unicode(c))) AS BIGINT) AS sum_px,
+       round(CAST(list_sum(list_transform(string_split(text, ''),
+                                          c -> unicode(c))) AS DOUBLE)
+             / ({BMP_WIDTH} * ceil(length(text) / {BMP_WIDTH}.0)), 4) AS mean_px
+FROM documents
+""",
+    # GIF LZW is lossless: decoded pixels == the rasterized text
+    # exactly (same grid as the PNG gate)
+    "multimodal_gif_roundtrip": f"""
+SELECT doc_id, {BMP_WIDTH} AS width,
+       CAST(ceil(length(text) / {BMP_WIDTH}.0) AS INT) AS height,
+       CAST(list_sum(list_transform(string_split(text, ''),
+                                    c -> unicode(c))) AS BIGINT) AS sum_px,
+       round(CAST(list_sum(list_transform(string_split(text, ''),
+                                          c -> unicode(c))) AS DOUBLE)
+             / ({BMP_WIDTH} * ceil(length(text) / {BMP_WIDTH}.0)), 4) AS mean_px
 FROM documents
 """,
     # FLAC is lossless: decoded PCM == the text-derived synth exactly,

@@ -62,14 +62,15 @@ def test_multimodal_binary_roundtrip(spark, sf_dir):
 
 
 def test_multimodal_real_decoder_gate_narrowed_to_non_native():
-    """PNG/BMP/baseline-JPEG decode natively (no PIL); only OTHER
-    formats stay behind the imaging-library gate. This used to be
-    the suite's skip — the round-7 JPEG codec cleared it."""
+    """PNG/BMP/baseline-JPEG/GIF decode natively (no PIL); only OTHER
+    formats (TIFF/WebP) stay behind the imaging-library gate. This
+    used to be the suite's skip — the round-7 JPEG and GIF codecs
+    cleared it."""
     from reair_spark.datapipe.multimodal import _HAVE_PIL, decode_image_real
 
     if not _HAVE_PIL:
         with pytest.raises(NotImplementedError):
-            decode_image_real(b"GIF89a...")  # genuinely non-native
+            decode_image_real(b"RIFF....WEBPVP8 ")  # genuinely non-native
 
 
 def test_multimodal_real_decode_roundtrip_all_native_codecs():
@@ -86,10 +87,13 @@ def test_multimodal_real_decode_roundtrip_all_native_codecs():
         png_encode,
     )
 
+    from reair_spark.datapipe.gif import gif_encode
+
     img = np.arange(64, dtype=np.uint8).reshape(8, 8)
     assert np.array_equal(decode_image_real(png_encode(img)), img)
     bmp = decode_image_real(bmp_encode(img))
     assert np.array_equal(bmp, img)
+    assert np.array_equal(decode_image_real(gif_encode(img)), img)
     # one byte per 8×8 block is the JPEG lossless class
     jimg = np.repeat(np.repeat(img, 8, 0), 8, 1)
     assert np.array_equal(
