@@ -1015,3 +1015,76 @@ ENGINE_QUERIES["compile_scale_stream_digest"] = _compile_scale_stream_q
 # the streaming position must compile the SAME jobs as the batch
 # position — one closed-form oracle serves both (path equivalence)
 ENGINE_ORACLES["compile_scale_stream_digest"] = _csos()
+
+
+def _orphan_gc_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Snapshot-retention GC over a lineitem-derived warehouse: the
+    snapshot log assigns each file a live interval (added at
+    orderkey%12, deleted 1+linenumber%4 snapshots later unless
+    linenumber%3==0 keeps it live), the disk listing carries every
+    referenced file plus failed-write orphan twins for partkey%40==0,
+    retention keeps snapshots 12..15. One path-keyed left join +
+    row-local interval arithmetic + one agg (plans.orphan_gc_plan)."""
+    from reair_spark.plans import orphan_gc_plan
+
+    li = _t(spark, sf, "lineitem")
+    path = F.lpad(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("string"),
+        12, "0",
+    )
+    added = (F.col("l_orderkey") % 12).cast("int")
+    deleted = (
+        F.when((F.col("l_linenumber") % 3) == 0, F.lit(None))
+        .otherwise(added + 1 + (F.col("l_linenumber") % 4))
+        .cast("int")
+    )
+    referenced = li.select(
+        path.alias("path"), added.alias("added_snap"),
+        deleted.alias("deleted_snap"),
+    )
+    disk = li.select(
+        path.alias("path"),
+        (F.col("l_quantity").cast("long") * 100).alias("size"),
+    ).unionByName(
+        li.where((F.col("l_partkey") % 40) == 0).select(
+            F.concat(path, F.lit(".orphan.tmp")).alias("path"),
+            (F.col("l_suppkey") + 1000).cast("long").alias("size"),
+        )
+    )
+    return orphan_gc_plan(
+        disk, referenced, keep_snapshots_after=11, latest_snapshot=15
+    )
+
+
+ENGINE_QUERIES["replication_orphan_gc"] = _orphan_gc_q
+ENGINE_ORACLES["replication_orphan_gc"] = """
+WITH base AS (
+  SELECT lpad(CAST(l_orderkey * 10 + l_linenumber AS VARCHAR), 12, '0') AS path,
+         CAST(l_orderkey % 12 AS INT) AS added_snap,
+         CASE WHEN l_linenumber % 3 = 0 THEN NULL
+              ELSE CAST(l_orderkey % 12 + 1 + (l_linenumber % 4) AS INT)
+         END AS deleted_snap,
+         CAST(l_quantity AS BIGINT) * 100 AS size,
+         l_partkey, l_suppkey
+  FROM lineitem),
+disk AS (
+  SELECT path, size FROM base
+  UNION ALL
+  SELECT path || '.orphan.tmp', CAST(l_suppkey + 1000 AS BIGINT)
+  FROM base WHERE l_partkey % 40 = 0),
+j AS (
+  SELECT d.path, d.size, r.added_snap,
+         coalesce(r.deleted_snap, 2147483647) AS deleted_eff
+  FROM disk d LEFT JOIN (SELECT path, added_snap, deleted_snap FROM base) r
+    USING (path)),
+v AS (
+  SELECT path, size,
+         CASE WHEN added_snap IS NULL THEN 'ORPHAN'
+              WHEN added_snap <= 15 AND deleted_eff > 12 THEN 'RETAINED'
+              ELSE 'EXPIRABLE' END AS verdict
+  FROM j)
+SELECT verdict, CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(size) AS BIGINT) AS total_bytes,
+       min(path) AS first_path, max(path) AS last_path
+FROM v GROUP BY verdict
+"""

@@ -382,3 +382,63 @@ def execute_compaction(
             F.coalesce("n_files_out", F.lit(0)).cast("long").alias("n_files_out"),
         )
     )
+
+
+def orphan_gc_plan(
+    disk: DataFrame,
+    referenced: DataFrame,
+    keep_snapshots_after: int,
+    latest_snapshot: int,
+) -> DataFrame:
+    """Snapshot-retention GC plan (the Iceberg expireSnapshots +
+    removeOrphanFiles maintenance pair, and the reference's
+    directory-sync ORPHAN branch generalized to versioned metadata:
+    HiveDifferenceOptimizedDirectoryCopy deletes dest files absent
+    from src — here "src" is the union of RETAINED snapshot
+    manifests).
+
+    Inputs: ``disk`` is a file listing (path, size); ``referenced``
+    is the snapshot log flattened to per-file live intervals
+    (path, added_snap, deleted_snap — deleted_snap NULL while live).
+    A snapshot is RETAINED if its id is > ``keep_snapshots_after`` or
+    it IS ``latest_snapshot`` (the current snapshot always survives).
+
+    Verdicts per disk file:
+      RETAINED  — referenced by ≥1 retained snapshot (interval
+                  [added, deleted) covers a retained id): must stay.
+      EXPIRABLE — referenced only by expired snapshots: deletable
+                  once those snapshots are expired.
+      ORPHAN    — on disk but in NO snapshot manifest (failed-write
+                  leftovers): deletable after the grace window.
+
+    Scale shape: ONE left join of the disk listing against the
+    per-file interval table (both sides path-keyed — at warehouse
+    scale the natural layout is both sides bucketed by path, making
+    this a co-located join), then row-local interval arithmetic and
+    one aggregation. The referenced side arrives pre-collapsed to one
+    row per (path, interval) — manifests at 100 TB are file-count
+    sized, NOT byte sized, and nothing here touches file contents."""
+    j = disk.join(referenced, "path", "left")
+    # retained snapshot ids are {keep_snapshots_after+1 .. latest};
+    # a file with live interval [added, deleted) is referenced by one
+    # iff the integer ranges overlap: added ≤ latest AND
+    # deleted − 1 ≥ keep_snapshots_after + 1
+    deleted = F.coalesce(F.col("deleted_snap"), F.lit(2**31 - 1))
+    retained = (F.col("added_snap") <= F.lit(latest_snapshot)) & (
+        deleted > F.lit(keep_snapshots_after + 1)
+    )
+    verdict = (
+        F.when(F.col("added_snap").isNull(), F.lit("ORPHAN"))
+        .when(retained, F.lit("RETAINED"))
+        .otherwise(F.lit("EXPIRABLE"))
+    )
+    return (
+        j.select("path", "size", verdict.alias("verdict"))
+        .groupBy("verdict")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum("size").cast("long").alias("total_bytes"),
+            F.min("path").alias("first_path"),
+            F.max("path").alias("last_path"),
+        )
+    )

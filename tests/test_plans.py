@@ -91,3 +91,37 @@ def test_size_copy_parallelism(spark):
         "src_file string, size long, mtime long",
     )
     assert size_copy_parallelism(big) == 3  # ceil(600MB/256MB)
+
+
+def test_orphan_gc_plan_interval_boundaries(spark):
+    """Snapshot-retention verdicts at the exact watermark boundaries:
+    retention keeps snapshots {4, 5} (keep_after=3, latest=5)."""
+    from reair_spark.plans import orphan_gc_plan
+
+    referenced = spark.createDataFrame(
+        [
+            ("live_forever", 0, None),     # NULL deleted → RETAINED
+            ("dies_at_4", 0, 4),           # [0,4): max snap 3 → EXPIRABLE
+            ("dies_at_5", 0, 5),           # [0,5): covers 4 → RETAINED
+            ("born_retained", 4, None),    # [4,∞) → RETAINED
+            ("short_old", 1, 2),           # [1,2) → EXPIRABLE
+        ],
+        "path string, added_snap int, deleted_snap int",
+    )
+    disk = spark.createDataFrame(
+        [("live_forever", 10), ("dies_at_4", 20), ("dies_at_5", 30),
+         ("born_retained", 40), ("short_old", 50), ("never_seen.tmp", 60)],
+        "path string, size long",
+    )
+    out = {
+        r.verdict: r
+        for r in orphan_gc_plan(
+            disk, referenced, keep_snapshots_after=3, latest_snapshot=5
+        ).collect()
+    }
+    assert out["RETAINED"].n_files == 3
+    assert out["RETAINED"].total_bytes == 10 + 30 + 40
+    assert out["EXPIRABLE"].n_files == 2
+    assert out["EXPIRABLE"].total_bytes == 20 + 50
+    assert out["ORPHAN"].n_files == 1
+    assert out["ORPHAN"].first_path == "never_seen.tmp"
