@@ -623,7 +623,119 @@ FROM r
 """
 
 
+DSIR_TARGET_SOURCES = ("src0", "src1", "src2", "src3")  # "wiki-like" proxy
+DSIR_KEEP_QUARTILE = 1  # ntile(4) == 1 → keep the top 25 % of the pool
+
+
+def curate_importance_resample(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, Data Selection via
+    Importance Resampling): fit unigram LMs on a target domain (the
+    DSIR paper uses hashed n-gram features; the engine's synthetic
+    corpus has a closed vocabulary, so plain unigrams ARE the feature
+    space) and on the raw pool, score each pool document by its mean
+    token log-likelihood ratio ln p_target(w) − ln p_pool(w), and keep
+    the top quartile — documents that "read like" the target domain.
+
+    Scale shape: ONE conditional-aggregation pass builds both LMs
+    (groupBy(token) with filtered sums — no second corpus scan for the
+    target side), the add-1-smoothed per-token score table is
+    vocabulary-sized (broadcast join; at web-scale vocab it becomes an
+    ordinary shuffle join on token), scoring is one join + one
+    groupBy(doc), and the quartile cut is a global running RANK via
+    chunked_running_sum over score-range chunks (no unpartitioned
+    window — the same no-global-sort discipline as
+    curate_token_budget) compared against ceil(n/4), which equals
+    ntile(4)==1 exactly (the first tile takes the ceiling share).
+    Nothing is ever pairwise; the corpus moves through exactly two
+    shuffles (token agg, doc agg) plus the metadata-sized chunk-offset
+    pass. Rounding at 4 decimals makes the cross-engine float sums
+    exact (same discipline as text_perplexity_unigram)."""
+    d = widen(_t(spark, sf, "documents"), spark)
+    is_target = F.col("source").isin(*DSIR_TARGET_SOURCES)
+    tok = d.select(
+        "doc_id", is_target.alias("is_target"),
+        F.explode(F.split("text", " ")).alias("token"),
+    )
+    counts = tok.groupBy("token").agg(
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(~F.col("is_target"), 1).otherwise(0)).alias("cp"),
+    )
+    totals = counts.agg(
+        F.sum("ct").alias("nt"), F.sum("cp").alias("np"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    scores = counts.crossJoin(F.broadcast(totals)).select(
+        "token",
+        (
+            F.log((F.col("ct") + 1) / (F.col("nt") + F.col("v")))
+            - F.log((F.col("cp") + 1) / (F.col("np") + F.col("v")))
+        ).alias("s"),
+    )
+    pool_scored = (
+        tok.where(~F.col("is_target"))
+        .join(F.broadcast(scores), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(F.avg("s"), 4).alias("log_ratio"),
+        )
+    )
+    # top-quartile cut WITHOUT a global window (an unpartitioned
+    # ntile puts the whole pool through one task): global running
+    # RANK via chunked_running_sum — chunk key floor(−score·16) is
+    # monotone along the descending score order — then rank ≤
+    # ceil(n/4), which equals ntile(4) == 1 exactly (the first tile
+    # takes the ceiling share)
+    from reair_spark.operators import chunked_running_sum
+
+    n_pool = pool_scored.agg(F.count(F.lit(1)).alias("n_pool"))
+    ranked = chunked_running_sum(
+        pool_scored.withColumn("one", F.lit(1)),
+        [],
+        F.floor(-F.col("log_ratio") * 16),
+        [F.desc("log_ratio"), "doc_id"],
+        "one",
+        "rk",
+    )
+    return ranked.crossJoin(F.broadcast(n_pool)).select(
+        "doc_id", "n_tokens", "log_ratio",
+        (F.col("rk") <= F.ceil(F.col("n_pool") / 4)).alias("keep"),
+    )
+
+
+def _importance_resample_sql() -> str:
+    targets = ", ".join(f"'{s}'" for s in DSIR_TARGET_SOURCES)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, source IN ({targets}) AS is_target,
+         unnest(string_split(text, ' ')) AS token
+  FROM documents),
+counts AS (
+  SELECT token,
+         SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS ct,
+         SUM(CASE WHEN NOT is_target THEN 1 ELSE 0 END) AS cp
+  FROM tok GROUP BY token),
+totals AS (SELECT SUM(ct) AS nt, SUM(cp) AS np, COUNT(*) AS v FROM counts),
+scores AS (
+  SELECT token,
+         ln((ct + 1) / CAST(nt + v AS DOUBLE))
+         - ln((cp + 1) / CAST(np + v AS DOUBLE)) AS s
+  FROM counts, totals),
+pool AS (
+  SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         round(AVG(s.s), 4) AS log_ratio
+  FROM tok t JOIN scores s USING (token)
+  WHERE NOT t.is_target
+  GROUP BY t.doc_id)
+SELECT doc_id, n_tokens, log_ratio,
+       ntile(4) OVER (ORDER BY log_ratio DESC, doc_id)
+         <= {DSIR_KEEP_QUARTILE} AS keep
+FROM pool
+"""
+
+
 CURATE_QUERIES = {
+    "curate_importance_resample": curate_importance_resample,
     "curate_quality_percentile": curate_quality_percentile,
     "curate_temperature_mix": curate_temperature_mix,
     "curate_domain_cap": curate_domain_cap,
@@ -691,6 +803,7 @@ FROM binned GROUP BY lang
 
 
 CURATE_ORACLES = {
+    "curate_importance_resample": _importance_resample_sql(),
     "curate_quality_percentile": _quality_percentile_sql(),
     "curate_temperature_mix": _temperature_mix_sql(),
     "curate_domain_cap": _domain_cap_sql(),
