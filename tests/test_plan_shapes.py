@@ -523,3 +523,30 @@ def test_salted_join_replicates_build_and_spreads_hot_key(spark, sf_dir):
     assert "__salt" in plan
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_orphan_gc_shape(spark, sf_dir):
+    """replication_orphan_gc: everything JVM-side (no Python eval),
+    the path join is a real equi-join (no cartesian), and the scans
+    read only the referenced lineitem columns."""
+    from reair_spark.engine_queries import ENGINE_QUERIES
+
+    plan = _formatted(ENGINE_QUERIES["replication_orphan_gc"](spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "l_comment" not in plan  # projection pruned to the used columns
+
+
+def test_importance_resample_shape(spark, sf_dir):
+    """curate_importance_resample: JVM-only, score table joins as the
+    BROADCAST side, no cartesian beyond the 1-row scalar attach
+    (BroadcastNestedLoopJoin), and — the no-global-sort discipline —
+    no unpartitioned ntile/row_number window over the whole pool
+    (the rank comes from chunked_running_sum)."""
+    from reair_spark.datapipe.curate import curate_importance_resample
+
+    plan = _formatted(curate_importance_resample(spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan  # vocabulary-sized score table
+    assert "ntile" not in plan.lower()
