@@ -537,7 +537,26 @@ class RetryingFs:
         return self._retry(self.inner.mkdirs, path)
 
     def unlink(self, path: str) -> None:
-        return self._retry(self.inner.unlink, path)
+        # same lost-success convergence rule as rename: attempt 1 can
+        # delete server-side yet report a transient error; the retry
+        # then sees FileNotFoundError, which here means CONVERGED (the
+        # file is gone — the goal state), not a contract violation.
+        # Only attempt 0 propagates it, preserving unlink-of-missing
+        # semantics for callers.
+        err = None
+        for attempt in range(self.attempts):
+            try:
+                return self.inner.unlink(path)
+            except FileNotFoundError:
+                if attempt > 0:
+                    return None
+                raise
+            except NON_TRANSIENT:
+                raise
+            except OSError as exc:
+                err = exc
+                time.sleep(self.backoff_s * (2 ** attempt))
+        raise err
 
     def rename(self, src: str, dst: str) -> None:
         err = None

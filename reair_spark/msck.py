@@ -86,7 +86,15 @@ def msck_repair(
     rec = catalog.get_table(db, table)
     if rec is None:
         raise KeyError(f"{db}.{table} does not exist")
-    depth = max(len(rec.get("partition_keys") or []), 1)
+    keys = rec.get("partition_keys") or []
+    if not keys:
+        # Hive's MSCK is a no-op on unpartitioned tables; defaulting to
+        # depth-1 discovery would register any k=v-named subdirectory
+        # as a phantom partition
+        return spark.createDataFrame(
+            [], "partition_name string, state string, applied boolean"
+        )
+    depth = len(keys)
     loc = rec["location"]
     listing = list_files(spark, [loc])
     parts = [(p["partition_name"],) for p in catalog.get_partitions(db, table)]

@@ -67,6 +67,7 @@ class JobStore:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = path
+        self._recover_compaction()
         # resume seq after the persisted log's max: a fresh store writing
         # seq=1 over a log whose rows reach seq=N would lose every
         # latest-transition race, leaving requeued jobs PENDING forever
@@ -74,6 +75,30 @@ class JobStore:
         if os.path.exists(path):
             row = spark.read.parquet(path).agg(F.max("seq")).first()
             self._seq = int(row[0] or 0)
+
+    def _recover_compaction(self) -> None:
+        """Finish an interrupted compact(). The two-rename swap has a
+        window — after ``log → .__old`` and before
+        ``.__compacting → log`` — where the canonical path is ABSENT;
+        since an absent log otherwise reads as an empty store, a crash
+        there would silently drop every job (including non-terminal
+        ones ST4 must re-queue) and reset max seq. Recovery rule: if
+        the canonical path is missing, promote the complete snapshot
+        (``.__compacting``, fully written before either rename) when
+        present, else fall back to the untouched old log; only then
+        delete leftovers. If the canonical path exists, the leftovers
+        are stale (crash after the second rename) and are removed."""
+        import shutil
+
+        tmp = f"{self.path}.__compacting"
+        old = f"{self.path}.__old"
+        if not os.path.exists(self.path):
+            if os.path.exists(tmp):
+                os.replace(tmp, self.path)
+            elif os.path.exists(old):
+                os.replace(old, self.path)
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
 
     def append(self, jobs: DataFrame) -> None:
         self._seq += 1
@@ -169,6 +194,7 @@ class JobStore:
         CLI command is the operator entry point."""
         import shutil
 
+        self._recover_compaction()
         if not os.path.exists(self.path):
             return 0
         snap = self.current()
