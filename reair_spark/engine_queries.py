@@ -1021,10 +1021,13 @@ def _orphan_gc_q(spark: SparkSession, sf: str) -> DataFrame:
     """Snapshot-retention GC over a lineitem-derived warehouse: the
     snapshot log assigns each file a live interval (added at
     orderkey%12, deleted 1+linenumber%4 snapshots later unless
-    linenumber%3==0 keeps it live), the disk listing carries every
-    referenced file plus failed-write orphan twins for partkey%40==0,
-    retention keeps snapshots 12..15. One path-keyed left join +
-    row-local interval arithmetic + one agg (plans.orphan_gc_plan)."""
+    linenumber%3==0 keeps it live), orderkey%7==0 files are
+    deleted-then-RE-ADDED (a second interval at linenumber%12, living
+    forever when suppkey%2==1) so the per-path any-retained collapse
+    is exercised, the disk listing carries every referenced file plus
+    failed-write orphan twins for partkey%40==0, retention keeps
+    snapshots 12..15. One path-keyed left join + per-path collapse +
+    one agg (plans.orphan_gc_plan)."""
     from reair_spark.plans import orphan_gc_plan
 
     li = _t(spark, sf, "lineitem")
@@ -1038,10 +1041,17 @@ def _orphan_gc_q(spark: SparkSession, sf: str) -> DataFrame:
         .otherwise(added + 1 + (F.col("l_linenumber") % 4))
         .cast("int")
     )
+    readd = li.where((F.col("l_orderkey") % 7) == 0).select(
+        path.alias("path"),
+        (F.col("l_linenumber") % 12).cast("int").alias("added_snap"),
+        F.when((F.col("l_suppkey") % 2) == 0,
+               (F.col("l_linenumber") % 12) + 1)
+        .cast("int").alias("deleted_snap"),
+    )
     referenced = li.select(
         path.alias("path"), added.alias("added_snap"),
         deleted.alias("deleted_snap"),
-    )
+    ).unionByName(readd)
     disk = li.select(
         path.alias("path"),
         (F.col("l_quantity").cast("long") * 100).alias("size"),
@@ -1065,24 +1075,31 @@ WITH base AS (
               ELSE CAST(l_orderkey % 12 + 1 + (l_linenumber % 4) AS INT)
          END AS deleted_snap,
          CAST(l_quantity AS BIGINT) * 100 AS size,
-         l_partkey, l_suppkey
+         l_partkey, l_suppkey, l_orderkey, l_linenumber
   FROM lineitem),
 disk AS (
   SELECT path, size FROM base
   UNION ALL
   SELECT path || '.orphan.tmp', CAST(l_suppkey + 1000 AS BIGINT)
   FROM base WHERE l_partkey % 40 = 0),
+referenced AS (
+  SELECT path, added_snap, deleted_snap FROM base
+  UNION ALL
+  SELECT path, CAST(l_linenumber % 12 AS INT),
+         CASE WHEN l_suppkey % 2 = 0
+              THEN CAST(l_linenumber % 12 + 1 AS INT) END
+  FROM base WHERE l_orderkey % 7 = 0),
 j AS (
   SELECT d.path, d.size, r.added_snap,
          coalesce(r.deleted_snap, 2147483647) AS deleted_eff
-  FROM disk d LEFT JOIN (SELECT path, added_snap, deleted_snap FROM base) r
-    USING (path)),
+  FROM disk d LEFT JOIN referenced r USING (path)),
 v AS (
-  SELECT path, size,
-         CASE WHEN added_snap IS NULL THEN 'ORPHAN'
-              WHEN added_snap <= 15 AND deleted_eff > 12 THEN 'RETAINED'
+  SELECT path, max(size) AS size,
+         CASE WHEN max(added_snap) IS NULL THEN 'ORPHAN'
+              WHEN max(CASE WHEN added_snap <= 15 AND deleted_eff > 12
+                            THEN 1 ELSE 0 END) = 1 THEN 'RETAINED'
               ELSE 'EXPIRABLE' END AS verdict
-  FROM j)
+  FROM j GROUP BY path)
 SELECT verdict, CAST(COUNT(*) AS BIGINT) AS n_files,
        CAST(SUM(size) AS BIGINT) AS total_bytes,
        min(path) AS first_path, max(path) AS last_path

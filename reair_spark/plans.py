@@ -411,12 +411,22 @@ def orphan_gc_plan(
       ORPHAN    — on disk but in NO snapshot manifest (failed-write
                   leftovers): deletable after the grace window.
 
+    A path may carry SEVERAL live intervals (added, deleted, re-added
+    across snapshots); GC verdicts are per FILE, so the joined rows
+    are collapsed per path before the verdict: RETAINED if ANY
+    interval covers a retained snapshot (any-retained wins — deleting
+    a file one snapshot still references corrupts that snapshot),
+    ORPHAN iff NO interval exists, EXPIRABLE otherwise. Without the
+    collapse a re-added file would land in both the RETAINED and
+    EXPIRABLE buckets and inflate n_files/bytes.
+
     Scale shape: ONE left join of the disk listing against the
     per-file interval table (both sides path-keyed — at warehouse
     scale the natural layout is both sides bucketed by path, making
-    this a co-located join), then row-local interval arithmetic and
-    one aggregation. The referenced side arrives pre-collapsed to one
-    row per (path, interval) — manifests at 100 TB are file-count
+    this a co-located join), then a per-path collapse that REUSES the
+    join's hash partitioning (groupBy on the join key adds no second
+    shuffle), row-local interval arithmetic, and one final
+    verdict-level aggregation. Manifests at 100 TB are file-count
     sized, NOT byte sized, and nothing here touches file contents."""
     j = disk.join(referenced, "path", "left")
     # retained snapshot ids are {keep_snapshots_after+1 .. latest};
@@ -427,13 +437,19 @@ def orphan_gc_plan(
     retained = (F.col("added_snap") <= F.lit(latest_snapshot)) & (
         deleted > F.lit(keep_snapshots_after + 1)
     )
+    per_path = j.groupBy("path").agg(
+        # size is disk-side (constant across a path's joined rows)
+        F.max("size").alias("size"),
+        F.max(F.col("added_snap").isNotNull()).alias("has_interval"),
+        F.max(F.coalesce(retained, F.lit(False))).alias("any_retained"),
+    )
     verdict = (
-        F.when(F.col("added_snap").isNull(), F.lit("ORPHAN"))
-        .when(retained, F.lit("RETAINED"))
+        F.when(~F.col("has_interval"), F.lit("ORPHAN"))
+        .when(F.col("any_retained"), F.lit("RETAINED"))
         .otherwise(F.lit("EXPIRABLE"))
     )
     return (
-        j.select("path", "size", verdict.alias("verdict"))
+        per_path.select("path", "size", verdict.alias("verdict"))
         .groupBy("verdict")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_files"),

@@ -105,12 +105,19 @@ def test_orphan_gc_plan_interval_boundaries(spark):
             ("dies_at_5", 0, 5),           # [0,5): covers 4 → RETAINED
             ("born_retained", 4, None),    # [4,∞) → RETAINED
             ("short_old", 1, 2),           # [1,2) → EXPIRABLE
+            # multi-interval paths: verdicts are per FILE, any-retained
+            # wins, and a re-added file must be counted exactly ONCE
+            ("readded_live", 0, 2),        # expired interval ...
+            ("readded_live", 4, None),     # ... re-added into retention
+            ("readded_dead", 0, 2),        # two intervals, both expired
+            ("readded_dead", 2, 3),
         ],
         "path string, added_snap int, deleted_snap int",
     )
     disk = spark.createDataFrame(
         [("live_forever", 10), ("dies_at_4", 20), ("dies_at_5", 30),
-         ("born_retained", 40), ("short_old", 50), ("never_seen.tmp", 60)],
+         ("born_retained", 40), ("short_old", 50), ("never_seen.tmp", 60),
+         ("readded_live", 70), ("readded_dead", 80)],
         "path string, size long",
     )
     out = {
@@ -119,9 +126,11 @@ def test_orphan_gc_plan_interval_boundaries(spark):
             disk, referenced, keep_snapshots_after=3, latest_snapshot=5
         ).collect()
     }
-    assert out["RETAINED"].n_files == 3
-    assert out["RETAINED"].total_bytes == 10 + 30 + 40
-    assert out["EXPIRABLE"].n_files == 2
-    assert out["EXPIRABLE"].total_bytes == 20 + 50
+    assert out["RETAINED"].n_files == 4
+    assert out["RETAINED"].total_bytes == 10 + 30 + 40 + 70
+    assert out["EXPIRABLE"].n_files == 3
+    assert out["EXPIRABLE"].total_bytes == 20 + 50 + 80
     assert out["ORPHAN"].n_files == 1
     assert out["ORPHAN"].first_path == "never_seen.tmp"
+    # totals across verdicts == |disk| exactly: no double counting
+    assert sum(r.n_files for r in out.values()) == 8
