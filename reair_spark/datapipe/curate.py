@@ -575,14 +575,28 @@ def curate_quality_percentile(spark: SparkSession, sf: str) -> DataFrame:
     per-source percentile prunes each distribution at the same
     relative depth, the CCNet/RefinedWeb bucketing idea).
 
-    Determinism: percent_rank over (rounded quality DESC, doc_id) is
-    an exact integer ratio (rank-1)/(n-1) — no float boundary beyond
-    the already-gated quality rounding. One corpus-wide window per
-    source; sources are the partition key, so parallelism tracks
-    |sources| — at 100 TB you'd pre-aggregate per-source quality
-    histograms instead, but the per-row verdict output here is the
-    auditable form."""
-    from pyspark.sql import Window as W
+    Determinism: the percentile is the exact integer ratio
+    (rank−1)/(n−1) over (rounded quality DESC, doc_id) — no float
+    boundary beyond the already-gated quality rounding. doc_id makes
+    the order total, so rank == row_number and the running count of
+    ones IS percent_rank's rank.
+
+    Scale shape (the DSIR discipline — no within-source window): a
+    naive ``percent_rank() OVER (PARTITION BY source)`` puts each
+    source through ONE task, so a 100 TB corpus with a handful of
+    sources serializes on the window sort. Instead the per-source rank
+    is a chunked running sum (level-1 windows over (source,
+    quality-range chunk) — cardinality tracks data; level-2 prefix
+    offsets on the strata×chunks totals table — metadata-sized,
+    broadcast back), and n−1 arrives from a per-source count joined as
+    a broadcast. (rank−1)/(n−1) then reproduces percent_rank EXACTLY —
+    same division, same keep boundary — with parallelism bounded by
+    |sources × chunks|, not |sources|. The scored projection is
+    persisted eagerly: three consumers (local ranks, chunk offsets,
+    per-source counts), one tokenize/regexp pass."""
+    from pyspark import StorageLevel
+
+    from reair_spark.operators import chunked_running_sum
 
     d = _t(spark, sf, "documents")
     n = F.length("text").cast("double")
@@ -592,14 +606,35 @@ def curate_quality_percentile(spark: SparkSession, sf: str) -> DataFrame:
     quality = F.round(
         alpha_ratio * 0.7 + F.least(avg_word_len / 10.0, F.lit(1.0)) * 0.3, 4
     )
-    w = W.partitionBy("source").orderBy(F.desc("quality"), "doc_id")
-    return (
+    scored = (
         d.select("doc_id", "source", quality.alias("quality"))
-        .withColumn("pr", F.percent_rank().over(w))
+        .withColumn("one", F.lit(1))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    scored.count()  # eager: one regexp pass feeds all three branches
+    ranked = chunked_running_sum(
+        scored,
+        ["source"],
+        # monotone non-decreasing along quality DESC within a source;
+        # quality is 4-decimal rounded so ×1000 buckets are stable
+        F.floor(-F.col("quality") * 1000),
+        [F.desc("quality"), "doc_id"],
+        "one",
+        "rk",
+        materialize=False,  # scored is already persisted above
+    )
+    counts = scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_src")
+    )
+    pr = F.when(F.col("n_src") == 1, F.lit(0.0)).otherwise(
+        (F.col("rk") - 1).cast("double") / (F.col("n_src") - 1)
+    )
+    return (
+        ranked.join(F.broadcast(counts), "source")
         .select(
             "doc_id", "source", "quality",
-            F.round("pr", 4).alias("pctile"),
-            (F.col("pr") <= QUANTILE_KEEP).alias("keep"),
+            F.round(pr, 4).alias("pctile"),
+            (pr <= QUANTILE_KEEP).alias("keep"),
         )
     )
 

@@ -550,3 +550,21 @@ def test_importance_resample_shape(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastExchange" in plan  # vocabulary-sized score table
     assert "ntile" not in plan.lower()
+
+
+def test_quality_percentile_shape(spark, sf_dir):
+    """curate_quality_percentile: the per-source percentile cut must
+    NOT sort each source in one task — no percent_rank (or any
+    unpartitioned-within-source rank) over the full corpus; the rank
+    comes from chunked_running_sum, so every corpus-sized window spec
+    partitions by (source, __chunk). JVM-only, per-source counts join
+    as the broadcast side."""
+    from reair_spark.datapipe.curate import curate_quality_percentile
+
+    plan = _formatted(curate_quality_percentile(spark, sf_dir))
+    assert "percent_rank" not in plan
+    assert "ntile" not in plan.lower()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "__chunk" in plan  # the chunked-rank path, not a window sort
+    assert "BroadcastExchange" in plan  # per-source counts + offsets
