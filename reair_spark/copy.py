@@ -165,6 +165,21 @@ def _copy_one(
     return (src_file, dest_file, "FAILED", 0, err)
 
 
+def rebalance_tasks(tasks: DataFrame, parallelism: int | None = None) -> DataFrame:
+    """The skew-busting second shuffle (X8): re-key copy tasks by a
+    hash of (path, size, mtime) — the murmur3 re-key of
+    Stage2DirectoryCopyMapper.java:116-125 — with task count sized by
+    data volume (A8) unless given. Exposed as its own seam so the
+    file-inventory scale gate drives the SAME rebalance
+    execute_copies runs, with the byte-moving tail trimmed."""
+    from reair_spark.plans import size_copy_parallelism
+
+    parallelism = parallelism or size_copy_parallelism(tasks)
+    return tasks.repartition(
+        parallelism, F.xxhash64("src_file", "size", "mtime")
+    )
+
+
 def execute_copies(
     spark: SparkSession,
     tasks: DataFrame,
@@ -179,14 +194,10 @@ def execute_copies(
     ``verify_checksum`` gates the per-file digest verification
     (BatchUtils.java:105-117)."""
     from reair_spark.fs import fs_registry
-    from reair_spark.plans import size_copy_parallelism
     from reair_spark.shipping import ensure_shipped
 
     ensure_shipped(spark)
-    parallelism = parallelism or size_copy_parallelism(tasks)
-    balanced = tasks.repartition(
-        parallelism, F.xxhash64("src_file", "size", "mtime")
-    )
+    balanced = rebalance_tasks(tasks, parallelism)
     fses = fs_registry()  # driver registry snapshot rides the closure
 
     def run(rows: Iterator) -> Iterator[tuple]:

@@ -52,7 +52,25 @@ def sync_plan(
                 f"would never hold and every sync would re-copy the "
                 f"full tree. Use the default size-keyed comparison."
             )
-    src = list_files(spark, src_roots)
+    # a missing dest root simply lists empty — the executor-side scan
+    # drops nonexistent roots, so no driver isdir probe is needed
+    return sync_plan_from_listings(
+        list_files(spark, src_roots),
+        list_files(spark, [dest_root]),
+        compare_mtime=compare_mtime,
+    )
+
+
+def sync_plan_from_listings(
+    src: DataFrame, dest: DataFrame, compare_mtime: bool = False
+) -> DataFrame:
+    """The diff core of :func:`sync_plan` over PRE-BUILT listings in
+    ``list_files`` shape (root, rel_path, size, mtime) — the seam the
+    file-inventory scale harness drives with range-generated
+    million-file listings (scalebench.file_scale_digest), so the gate
+    exercises the SAME join/window/action code the real tree sync
+    runs. Reference design point: file-granular diff in
+    ReplicationJob.DirectoryCompareReducer:215-319."""
     w = W.partitionBy("rel_path").orderBy(F.desc("mtime"), "root")
     src_latest = (
         src.withColumn("rn", F.row_number().over(w))
@@ -64,9 +82,7 @@ def sync_plan(
             F.col("mtime").alias("src_mtime"),
         )
     )
-    # a missing dest root simply lists empty — the executor-side scan
-    # drops nonexistent roots, so no driver isdir probe is needed
-    dest = list_files(spark, [dest_root]).select(
+    dest = dest.select(
         "rel_path", F.col("size").alias("dest_size"), F.col("mtime").alias("dest_mtime")
     )
 
@@ -89,6 +105,19 @@ def sync_plan(
     )
 
 
+def sync_copy_tasks(plan: DataFrame, dest_root: str) -> DataFrame:
+    """ADD/UPDATE plan rows → per-file copy-task rows (src_file,
+    dest_file, size, mtime) — the stage-2 mapper emit
+    (Stage2DirectoryCopyMapper.java:55-66). Shared by the real
+    execute_sync and the file-inventory scale gate."""
+    return plan.filter(F.col("action").isin("ADD", "UPDATE")).select(
+        F.concat_ws("/", "src_root", "rel_path").alias("src_file"),
+        F.concat_ws("/", F.lit(dest_root), "rel_path").alias("dest_file"),
+        "size",
+        "mtime",
+    )
+
+
 def execute_sync(
     spark: SparkSession,
     plan: DataFrame,
@@ -105,12 +134,7 @@ def execute_sync(
     instead of unlinked. At 100 TB a bad src listing turns DELETE into
     a mass-wipe; trash keeps it recoverable and the rename is O(1)
     metadata per file either way."""
-    tasks = plan.filter(F.col("action").isin("ADD", "UPDATE")).select(
-        F.concat_ws("/", "src_root", "rel_path").alias("src_file"),
-        F.concat_ws("/", F.lit(dest_root), "rel_path").alias("dest_file"),
-        "size",
-        "mtime",
-    )
+    tasks = sync_copy_tasks(plan, dest_root)
     results = execute_copies(spark, tasks, verify_checksum=verify_checksum)
 
     if delete_extraneous:

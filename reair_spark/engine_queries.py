@@ -993,6 +993,21 @@ ENGINE_QUERIES["compile_scale_digest"] = _compile_scale_q
 ENGINE_ORACLES["compile_scale_digest"] = _csos()
 
 
+def _file_scale_q(spark: SparkSession, sf: str) -> DataFrame:
+    from reair_spark.scalebench import file_scale_digest
+
+    return file_scale_digest(spark, sf)
+
+
+# stage-2 twin of partition_scale_digest: the file-granular dirsync
+# diff + A8-sized xxhash64 rebalance at ~1M files, vs the closed-form
+# re-derivation of the scenario (reair_spark/scalebench.py)
+from reair_spark.scalebench import file_scale_oracle_sql as _fsos  # noqa: E402
+
+ENGINE_QUERIES["file_scale_digest"] = _file_scale_q
+ENGINE_ORACLES["file_scale_digest"] = _fsos()
+
+
 def _partition_discovery_q(spark: SparkSession, sf: str) -> DataFrame:
     from reair_spark.msck import partition_discovery_q
 

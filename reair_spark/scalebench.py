@@ -415,3 +415,180 @@ def compile_scale_stream_digest(spark: SparkSession, sf: str) -> DataFrame:
     single-batch-gate + equivalence-pytest discipline as the
     incremental gates."""
     return compile_scale_stream(spark, COMPILE_GATE_N)
+
+
+# ---------------------------------------------------------------------------
+# file-inventory scale (stage 2): the reference's SECOND design point
+# after "millions of partitions" is millions of FILES per copy job —
+# Stage2DirectoryCopyMapper.java:116-125 re-keys per-file on
+# murmur3(size, mtime) and ReplicationJob.DirectoryCompareReducer:
+# 215-319 diffs at file granularity. This section drives the REAL
+# dirsync diff (sync_plan_from_listings — the same code sync_plan
+# runs on listed trees) and the REAL task projection + xxhash64
+# rebalance (sync_copy_tasks → copy.rebalance_tasks, the byte-moving
+# tail trimmed) over range-generated listings: zero driver rows at
+# any file count.
+#
+# Scenario rules (integer arithmetic, mirrored in the oracle):
+#   rel_path = dir{id % 997}/f{id}   (~1k dirs; one dir never owns
+#                                     the corpus — the fan the hash
+#                                     rebalance must still flatten)
+#   size     = 1000 + id % 500, mtime = 1_000_000 + id % 100
+#   id % 10 == 0   missing from dest                → ADD
+#   id % 10 == 1   dest size drifted (+1)           → UPDATE
+#   id % 10 == 2   dest mtime drifted (+3), size ok → UPDATE
+#                  (the run is compare_mtime=True)
+#   id % 10 == 3   the file ALSO exists under a second src root with
+#                  mtime+50/size+7, and dest matches THAT version →
+#                  NO_OP iff the W1 latest-mtime-wins window picked
+#                  the newer root (a wrong winner breaks the hash)
+#   otherwise      identical                        → NO_OP
+#   extras         n//20 dest-only ids              → DELETE
+# ---------------------------------------------------------------------------
+
+FILE_SRC_A = "/src-a"
+FILE_SRC_B = "/src-b"
+FILE_DEST = "/dest-files"
+FILE_GATE_N = 1_000_000
+
+
+def _file_cols():
+    rel = F.concat(
+        F.lit("dir"), (F.col("id") % 997).cast("string"),
+        F.lit("/f"), F.col("id").cast("string"),
+    )
+    size = (F.lit(1000) + F.col("id") % 500).cast("long")
+    mtime = (F.lit(1_000_000) + F.col("id") % 100).cast("long")
+    return rel, size, mtime
+
+
+def synthetic_file_listings(
+    spark: SparkSession, n: int
+) -> tuple[DataFrame, DataFrame]:
+    """(src, dest) file listings in list_files shape (root, rel_path,
+    size, mtime), entirely from ``spark.range``."""
+    rel, size, mtime = _file_cols()
+    src_a = spark.range(n).select(
+        F.lit(FILE_SRC_A).alias("root"), rel.alias("rel_path"),
+        size.alias("size"), mtime.alias("mtime"),
+    )
+    src_b = spark.range(n).filter(F.col("id") % 10 == 3).select(
+        F.lit(FILE_SRC_B).alias("root"), rel.alias("rel_path"),
+        (size + 7).cast("long").alias("size"),
+        (mtime + 50).cast("long").alias("mtime"),
+    )
+    m = F.col("id") % 10
+    dest_main = spark.range(n).filter(m != 0).select(
+        F.lit(FILE_DEST).alias("root"), rel.alias("rel_path"),
+        (size
+         + F.when(m == 1, 1).when(m == 3, 7).otherwise(0)
+         ).cast("long").alias("size"),
+        (mtime
+         + F.when(m == 2, 3).when(m == 3, 50).otherwise(0)
+         ).cast("long").alias("mtime"),
+    )
+    extras = spark.range(n, n + n // 20).select(
+        F.lit(FILE_DEST).alias("root"), rel.alias("rel_path"),
+        size.alias("size"), mtime.alias("mtime"),
+    )
+    return src_a.unionByName(src_b), dest_main.unionByName(extras)
+
+
+def file_scale_pipeline(spark: SparkSession, n: int) -> DataFrame:
+    """The real file path at ``n`` src files: sync_plan_from_listings
+    (W1 latest-per-key + J3 full-outer diff, compare_mtime armed) →
+    sync_copy_tasks → rebalance_tasks (the A8-sized xxhash64 shuffle
+    of execute_copies, copies trimmed), reduced to per-action counts +
+    bytes plus the post-rebalance task count + byte total. The plan is
+    persisted eagerly — two consumers (action digest, task branch),
+    one diff."""
+    from pyspark import StorageLevel
+
+    from reair_spark.copy import rebalance_tasks
+    from reair_spark.dirsync import sync_copy_tasks, sync_plan_from_listings
+    from reair_spark.plans import size_copy_parallelism
+
+    src, dest = synthetic_file_listings(spark, n)
+    plan = sync_plan_from_listings(src, dest, compare_mtime=True).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    plan.count()  # eager: one diff feeds both branches
+    plan_digest = plan.groupBy("action").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.coalesce(F.sum("size"), F.lit(0)).cast("long").alias("bytes"),
+    ).select(F.lit("plan").alias("stage"), "action", "n", "bytes")
+    tasks = sync_copy_tasks(plan, FILE_DEST)
+    # the REAL A8 sizing fn, capped so the digest-only gate doesn't
+    # spawn 100-file micro-tasks (real copies want them; an agg
+    # doesn't) — the cap argument is part of size_copy_parallelism's
+    # public contract
+    balanced = rebalance_tasks(
+        tasks, size_copy_parallelism(tasks, max_tasks=256)
+    )
+    task_digest = balanced.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.coalesce(F.sum("size"), F.lit(0)).cast("long").alias("bytes"),
+    ).select(
+        F.lit("tasks").alias("stage"), F.lit("FILE_COPY").alias("action"),
+        "n", "bytes",
+    )
+    return plan_digest.unionByName(task_digest)
+
+
+def file_scale_digest(spark: SparkSession, sf: str) -> DataFrame:
+    """Gate: the file scenario at the reference's ~1M-file design
+    scale. ``sf`` unused — file-inventory METADATA volume is
+    independent of data volume, which is the point."""
+    return file_scale_pipeline(spark, FILE_GATE_N)
+
+
+def file_scale_oracle_sql(n: int = FILE_GATE_N) -> str:
+    """Closed-form re-derivation of the file digest from the scenario
+    rules over ``generate_series`` — no join, no window: an
+    independent statement of what the file planner MUST produce."""
+    return f"""
+WITH ids AS (SELECT unnest(generate_series(0, {n} - 1)) AS id)
+SELECT 'plan' AS stage, 'ADD' AS action, count(*)::BIGINT AS n,
+       sum(1000 + id % 500)::BIGINT AS bytes
+FROM ids WHERE id % 10 = 0
+UNION ALL
+SELECT 'plan', 'UPDATE', count(*)::BIGINT, sum(1000 + id % 500)::BIGINT
+FROM ids WHERE id % 10 IN (1, 2)
+UNION ALL
+SELECT 'plan', 'NO_OP', count(*)::BIGINT,
+       sum(1000 + id % 500
+           + CASE WHEN id % 10 = 3 THEN 7 ELSE 0 END)::BIGINT
+FROM ids WHERE id % 10 NOT IN (0, 1, 2)
+UNION ALL
+SELECT 'plan', 'DELETE', CAST({n // 20} AS BIGINT), 0::BIGINT
+UNION ALL
+SELECT 'tasks', 'FILE_COPY', count(*)::BIGINT,
+       sum(1000 + id % 500)::BIGINT
+FROM ids WHERE id % 10 IN (0, 1, 2)
+"""
+
+
+def measure_file_scale(
+    spark: SparkSession, sizes: tuple[int, ...] = (1_000_000, 10_000_000)
+) -> list[dict]:
+    """Wall + Spark-job counts for the file pipeline at each size —
+    the PLANS.md 1×/10×/100× evidence table (same jobs-per-group
+    method as measure_scale)."""
+    sc = spark.sparkContext
+    out = []
+    for n in sizes:
+        group = f"filescale-{n}"
+        sc.setJobGroup(group, f"file scale study n={n}")
+        t0 = time.time()
+        rows = file_scale_pipeline(spark, n).collect()
+        wall = time.time() - t0
+        sc.setJobGroup("", "")
+        jobs = len(sc.statusTracker().getJobIdsForGroup(group))
+        out.append({
+            "n_files": n,
+            "wall_s": round(wall, 2),
+            "spark_jobs": jobs,
+            "digest_rows": len(rows),
+            "plan_rows": sum(r.n for r in rows if r.stage == "plan"),
+        })
+    return out

@@ -170,3 +170,91 @@ def test_compile_stream_batch_boundary_invariance(spark):
     multi = canon(compile_scale_stream(spark, 20_000, files_per_trigger=1))
     batch = canon(compile_scale_pipeline(spark, 20_000))
     assert one == multi == batch
+
+
+# ---- file-inventory path at scale (stage-2 twin, same discipline) --
+
+
+def test_file_digest_matches_closed_form_small(spark):
+    from reair_spark.scalebench import (
+        file_scale_oracle_sql,
+        file_scale_pipeline,
+    )
+
+    got = _canon(
+        (r.stage, r.action, r.n, r.bytes)
+        for r in file_scale_pipeline(spark, 3000).collect()
+    )
+    want = _canon(duckdb.connect().execute(
+        file_scale_oracle_sql(3000)).fetchall())
+    assert got == want
+
+
+def test_file_scenario_latest_root_wins(spark):
+    """The id%10==3 class exists under BOTH src roots; the dest copy
+    matches the NEWER root's (size, mtime), so those rel_paths are
+    NO_OP iff the W1 latest-mtime window picked /src-b — a wrong
+    winner would surface them as UPDATE."""
+    from reair_spark.dirsync import sync_plan_from_listings
+    from reair_spark.scalebench import synthetic_file_listings
+
+    src, dest = synthetic_file_listings(spark, 1000)
+    plan = sync_plan_from_listings(src, dest, compare_mtime=True)
+    fid = F.expr("CAST(regexp_extract(rel_path, 'f(\\\\d+)$', 1) AS BIGINT)")
+    # fid < 1000 excludes the dest-only DELETE extras (ids 1000..1049)
+    rows = plan.filter((fid % 10 == 3) & (fid < 1000)).collect()
+    assert len(rows) == 100
+    assert all(r.action == "NO_OP" for r in rows)
+    assert all(r.src_root == "/src-b" for r in rows)
+
+
+def test_file_pipeline_is_range_fed_no_driver_rows_no_python(spark):
+    from reair_spark.scalebench import file_scale_pipeline
+
+    plan = file_scale_pipeline(
+        spark, 50_000
+    )._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted")
+    )
+    assert "Range" in plan
+    assert "LocalTableScan" not in plan
+    assert "Scan ExistingRDD" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_file_driver_job_count_flat_at_100x(spark):
+    """Driver actions must not scale with FILE count: same job count
+    at 20k and 2M files (100×). Jobs are driver-side loops in
+    disguise; a per-file or per-dir driver iteration would multiply
+    them."""
+    from reair_spark.scalebench import file_scale_pipeline
+
+    sc = spark.sparkContext
+
+    def jobs_at(n: int) -> int:
+        group = f"fscale-test-{n}"
+        sc.setJobGroup(group, "file scale study")
+        file_scale_pipeline(spark, n).collect()
+        sc.setJobGroup("", "")
+        return len(sc.statusTracker().getJobIdsForGroup(group))
+
+    j1, j100 = jobs_at(20_000), jobs_at(2_000_000)
+    assert j100 <= j1 + 2, f"jobs scaled with files: {j1} -> {j100}"
+
+
+def test_file_no_createDataFrame_in_pipeline(spark, monkeypatch):
+    from reair_spark.scalebench import file_scale_pipeline
+
+    calls = []
+    orig = type(spark).createDataFrame
+
+    def counting(self, *a, **kw):
+        calls.append(1)
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(type(spark), "createDataFrame", counting)
+    file_scale_pipeline(spark, 20_000).collect()
+    assert calls == []
