@@ -1008,6 +1008,97 @@ ENGINE_QUERIES["file_scale_digest"] = _file_scale_q
 ENGINE_ORACLES["file_scale_digest"] = _fsos()
 
 
+_DEDUP_STREAM_CANDS: dict = {}
+
+
+def _dedup_corpus_scenario(spark: SparkSession, sf: str):
+    """(reference, candidates) for the streaming cross-corpus dedup —
+    the dedup_against_corpus scenario plus candidate-vs-candidate
+    plants: reference = even doc_ids; candidates = odd doc_ids ∪ exact
+    copies of reference docs at +1_000_001 (must drop against the
+    SEED) ∪ exact copies of odd docs at +2_000_001 for doc_id%10==1
+    (must collapse to the lower doc_id — the within/cross-batch
+    first-wins path)."""
+    d = _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    ref = d.where(F.col("doc_id") % 2 == 0)
+    cand = (
+        d.where(F.col("doc_id") % 2 == 1)
+        .unionByName(
+            ref.where(F.col("doc_id") % 10 == 0).select(
+                (F.col("doc_id") + 1_000_001).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            d.where(
+                (F.col("doc_id") % 2 == 1) & (F.col("doc_id") % 10 == 1)
+            ).select((F.col("doc_id") + 2_000_001).alias("doc_id"), "text")
+        )
+    )
+    return ref, cand
+
+
+def _stream_dedup_corpus_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming cross-corpus dedup gate: candidates arrive as a
+    checkpointed file stream, each micro-batch anti-joins the
+    persisted digest corpus (seeded from the reference) and appends
+    its accepted digests; survivors must equal the BATCH
+    dedup-against-corpus semantics (first candidate per digest wins).
+    The candidate parquet is written partitioned by digest hash, so
+    copies of the same content share a file — first-wins is then
+    batch-boundary-invariant (the multi-batch equivalence is
+    pytest-enforced, same discipline as the compile twin)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from reair_spark.streaming import (
+        accepted_candidates,
+        seed_digest_corpus,
+        stream_dedup_against_corpus,
+    )
+
+    ref, cand = _dedup_corpus_scenario(spark, sf)
+    key = (spark.sparkContext.applicationId, "dedup_stream_cands", sf)
+    if key not in _DEDUP_STREAM_CANDS:
+        base = tempfile.mkdtemp(prefix="reair_dstream_")
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
+        path = f"{base}/candidates"
+        cand.repartition(4, F.md5("text")).write.parquet(path)
+        _DEDUP_STREAM_CANDS[key] = path
+    path = _DEDUP_STREAM_CANDS[key]
+
+    run = tempfile.mkdtemp(prefix="reair_dstream_run_")
+    atexit.register(shutil.rmtree, run, ignore_errors=True)
+    corpus = f"{run}/corpus"
+    seed_digest_corpus(spark, ref, corpus)
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(path)
+    stream_dedup_against_corpus(spark, stream, corpus, f"{run}/_ckpt")
+    return accepted_candidates(spark, corpus)
+
+
+ENGINE_QUERIES["stream_dedup_corpus"] = _stream_dedup_corpus_q
+ENGINE_ORACLES["stream_dedup_corpus"] = """
+WITH ref AS (
+  SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 2 = 0),
+cand AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+  UNION ALL
+  SELECT doc_id + 1000001, text FROM documents
+  WHERE doc_id % 2 = 0 AND doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 2000001, text FROM documents
+  WHERE doc_id % 2 = 1 AND doc_id % 10 = 1),
+g AS (
+  SELECT md5(text) AS fp, CAST(min(doc_id) AS BIGINT) AS doc_id
+  FROM cand GROUP BY md5(text))
+SELECT g.doc_id, g.fp FROM g
+WHERE NOT EXISTS (SELECT 1 FROM ref WHERE ref.fp = g.fp)
+"""
+
+
 def _partition_discovery_q(spark: SparkSession, sf: str) -> DataFrame:
     from reair_spark.msck import partition_discovery_q
 

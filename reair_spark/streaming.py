@@ -545,3 +545,96 @@ def stream_compile_jobs_foreachbatch(
         .start()
     )
     q.awaitTermination()
+
+
+# ---------------------------------------------------------------------------
+# streaming cross-corpus dedup: the production shape of continuous
+# crawl ingestion — micro-batches of new documents deduped against a
+# PERSISTED digest corpus the stream itself maintains across batches
+# (the streaming twin of datapipe.dedup.dedup_against_corpus)
+# ---------------------------------------------------------------------------
+
+
+def seed_digest_corpus(
+    spark: SparkSession, reference: DataFrame, corpus_dir: str
+) -> None:
+    """Write the reference corpus's digest table as the initial state
+    of a streaming dedup corpus: one (fp, doc_id) row per DISTINCT
+    content digest, under the ``batch_id=-1`` partition (candidate
+    batches land at batch_id ≥ 0, so seed rows are filterable on
+    read). Digests are 0.03% of corpus bytes — the persisted state is
+    file-count-sized, never content-sized."""
+    (
+        reference.select(F.md5("text").alias("fp"),
+                         F.col("doc_id").cast("long").alias("doc_id"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .write.mode("overwrite")
+        .parquet(os.path.join(corpus_dir, "batch_id=-1"))
+    )
+
+
+def dedup_corpus_sink(spark: SparkSession, corpus_dir: str):
+    """foreachBatch body: anti-join the micro-batch against EVERY
+    digest the corpus already holds (seed + all previously accepted
+    batches), then append the batch's accepted digests so they
+    suppress later batches. Per-batch work is digest-sized: the batch
+    collapses to (fp, min doc_id) before the join, and the corpus side
+    is a digest column scan. Idempotent under ST4 batch replay: the
+    corpus read EXCLUDES the batch's own ``batch_id=N`` partition —
+    without that filter a crash-replayed batch would anti-join against
+    its own previous output, accept nothing, and overwrite the
+    partition with empty rows; with it the replay recomputes exactly
+    the original accepted set and the overwrite is a no-op. The
+    partition-column predicate prunes at the directory level."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        known = (
+            spark.read.parquet(corpus_dir)
+            .where(F.col("batch_id") != batch_id)
+            .select("fp")
+        )
+        batch = (
+            batch_df.select(
+                F.md5("text").alias("fp"),
+                F.col("doc_id").cast("long").alias("doc_id"),
+            )
+            .groupBy("fp")
+            .agg(F.min("doc_id").alias("doc_id"))
+        )
+        accepted = batch.join(known, "fp", "left_anti")
+        (
+            accepted.write.mode("overwrite")
+            .parquet(os.path.join(corpus_dir, f"batch_id={batch_id}"))
+        )
+
+    return sink
+
+
+def stream_dedup_against_corpus(
+    spark: SparkSession,
+    candidates: DataFrame,
+    corpus_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Run the checkpointed dedup stream to exhaustion (availableNow;
+    on a real bus: format('kafka') + processingTime trigger, no sink
+    change). ``corpus_dir`` must be seeded first."""
+    q = (
+        candidates.writeStream
+        .foreachBatch(dedup_corpus_sink(spark, corpus_dir))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def accepted_candidates(spark: SparkSession, corpus_dir: str) -> DataFrame:
+    """The stream's survivors: every candidate digest accepted by some
+    batch (batch_id ≥ 0 — the seed partition is the reference)."""
+    return (
+        spark.read.parquet(corpus_dir)
+        .where(F.col("batch_id") >= 0)
+        .select("doc_id", "fp")
+    )
