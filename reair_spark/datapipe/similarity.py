@@ -1155,6 +1155,111 @@ def hybrid_rrf_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_VECTOR_ARTIFACT_CACHE: dict = {}
+
+
+def _vectors_dir(spark: SparkSession, sf: str) -> str:
+    """Session-memoized persisted copy of the embedding table — the
+    brute-force 'index' artifact the persisted hybrid serves its
+    semantic leg from (build-once/search-many, like the IVF and BM25
+    indexes; a production deployment points this at the warehouse)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    key = (spark.sparkContext.applicationId, "vectors", sf)
+    if key not in _VECTOR_ARTIFACT_CACHE:
+        base = tempfile.mkdtemp(prefix="reair_vectors_")
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
+        _emb(spark, sf).write.mode("overwrite").parquet(f"{base}/vectors")
+        _VECTOR_ARTIFACT_CACHE[key] = f"{base}/vectors"
+    return _VECTOR_ARTIFACT_CACHE[key]
+
+
+def hybrid_rrf_persisted_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """hybrid_rrf_topk served ENTIRELY from persisted artifacts — the
+    serving-path twin: the lexical leg reads the BM25 inverted index
+    (postings/stats parquet, term filter pushed to the sorted scan;
+    df recomputed on the term-pruned postings AFTER excluding the
+    query doc, exactly the in-memory hybrid's df definition), the
+    semantic leg reads the persisted vector table. No tokenize pass,
+    no corpus shuffle — per-query work is matching-postings + one
+    vector scan. Same arithmetic ⇒ same oracle as hybrid_rrf_topk;
+    bit-equality with the in-memory form is pytest-asserted."""
+    from pyspark.sql import Window as W
+
+    from reair_spark.datapipe.common import cosine
+    from reair_spark.datapipe.text import BM25_B, BM25_K1, bm25_index_dir
+
+    idx = bm25_index_dir(spark, sf)
+    postings = spark.read.parquet(f"{idx}/postings.parquet")
+    stats = spark.read.parquet(f"{idx}/stats.parquet")
+    tf = postings.where(
+        F.col("token").isin(HYBRID_TERMS)
+        & (F.col("doc_id") != HYBRID_QUERY_DOC)
+    )
+    df_ = tf.groupBy("token").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
+    idf = F.log(
+        1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    score_term = idf * F.col("tf") * (BM25_K1 + 1.0) / (
+        F.col("tf")
+        + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    lex = (
+        tf.join(F.broadcast(df_), "token")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(score_term), 4).alias("bm25"))
+        .withColumn(
+            "rank_lex",
+            F.row_number().over(
+                W.orderBy(F.desc("bm25"), "doc_id")
+            ).cast("long"),
+        )
+        .select("doc_id", "rank_lex")
+    )
+
+    e = spark.read.parquet(_vectors_dir(spark, sf))
+    qv = e.filter(F.col("vec_id") == HYBRID_QUERY_DOC).select(
+        F.col("emb").alias("qemb")
+    )
+    sem = (
+        e.filter(F.col("vec_id") != HYBRID_QUERY_DOC)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            cosine(F.col("qemb"), F.col("emb")).alias("sim"),
+        )
+        .withColumn(
+            "rank_sem",
+            F.row_number().over(
+                W.orderBy(F.desc("sim"), "doc_id")
+            ).cast("long"),
+        )
+        .select("doc_id", "rank_sem")
+    )
+
+    fused = lex.join(sem, "doc_id", "full_outer").select(
+        "doc_id",
+        "rank_lex",
+        "rank_sem",
+        (
+            F.coalesce(1.0 / (F.lit(RRF_K) + F.col("rank_lex")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(RRF_K) + F.col("rank_sem")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    w = W.orderBy(F.desc("rrf"), "doc_id")
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= RRF_TOPK)
+        .select("doc_id", "rank_lex", "rank_sem",
+                F.round("rrf", 6).alias("rrf"), "rank")
+    )
+
+
 def _hybrid_rrf_sql() -> str:
     from reair_spark.datapipe.text import BM25_B, BM25_K1
 
@@ -1205,6 +1310,7 @@ WHERE rank <= {RRF_TOPK}
 
 SIM_QUERIES = {
     "hybrid_rrf_topk": hybrid_rrf_topk,
+    "hybrid_rrf_persisted_topk": hybrid_rrf_persisted_topk,
     "ann_recall_eval": ann_recall_eval,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_ivf_topk": ann_ivf_topk,
@@ -1268,6 +1374,9 @@ SELECT query_id, vec_id, sim FROM scored WHERE rn <= {TOP_K}
 
 SIM_ORACLES = {
     "hybrid_rrf_topk": _hybrid_rrf_sql(),
+    # both legs served from persisted artifacts, same arithmetic —
+    # double round-trip ⇒ one oracle
+    "hybrid_rrf_persisted_topk": _hybrid_rrf_sql(),
     "ann_recall_eval": f"""
 WITH approx AS ({_PQ_ORACLE}),
 exact AS (

@@ -753,6 +753,135 @@ def text_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+BM25_INDEX_SHARDS = 8  # token-range shards; a knob at warehouse scale
+
+
+def build_bm25_index(
+    spark: SparkSession, docs: DataFrame, index_dir: str,
+    n_shards: int = BM25_INDEX_SHARDS,
+) -> None:
+    """Build and PERSIST the BM25 inverted index — the build half of
+    the build-once/search-many lifecycle (the ann_ivf_persisted_topk
+    shape applied to lexical retrieval; the reference's S7
+    plan-sink/re-source pattern). One (doc, token) aggregation over
+    the FULL vocabulary, written as:
+
+      postings.parquet  (token, doc_id, tf, dl) — range-sharded AND
+                        sorted by token, so a serve-time term filter
+                        prunes at the row-group level (parquet min/max
+                        on the sort key) instead of scanning the
+                        corpus-sized postings list;
+      df.parquet        (token, df) — vocabulary-sized;
+      stats.parquet     one row (n_docs, avgdl).
+
+    At 100 TB the postings build is the one corpus shuffle; serving
+    never touches the corpus again — the index-free text_bm25_topk
+    re-pays that shuffle per query batch, which is the gap this
+    closes."""
+    tok = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("double").alias("dl"),
+        F.explode(F.split("text", " ")).alias("token"),
+    )
+    postings = tok.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("double").alias("tf"),
+        F.first("dl").alias("dl"),
+    )
+    (
+        postings.repartitionByRange(n_shards, "token")
+        .sortWithinPartitions("token")
+        .write.mode("overwrite")
+        .parquet(f"{index_dir}/postings.parquet")
+    )
+    # df/stats from the PERSISTED postings: one cheap scan of the
+    # already-shuffled table, and the artifacts are self-consistent
+    # even if docs changes under a rebuild race
+    p = spark.read.parquet(f"{index_dir}/postings.parquet")
+    p.groupBy("token").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    ).write.mode("overwrite").parquet(f"{index_dir}/df.parquet")
+    docs.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg(F.size(F.split("text", " "))).alias("avgdl"),
+    ).write.mode("overwrite").parquet(f"{index_dir}/stats.parquet")
+
+
+def bm25_search(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[str, list[str]]],
+    topk: int = BM25_TOPK,
+) -> DataFrame:
+    """Serve BM25 top-k from a persisted index: the only inputs are
+    the index artifacts and the (broadcast-small) query set. The term
+    filter reaches the postings parquet scan as a pushed predicate
+    over the sort key — per-query work is bounded by matching
+    postings, not corpus size. Identical scoring arithmetic to
+    text_bm25_topk, so both paths share one oracle."""
+    from pyspark.sql import Window as W
+
+    postings = spark.read.parquet(f"{index_dir}/postings.parquet")
+    df_ = spark.read.parquet(f"{index_dir}/df.parquet")
+    stats = spark.read.parquet(f"{index_dir}/stats.parquet")
+    all_terms = sorted({t for _, terms in queries for t in terms})
+    tf = postings.where(F.col("token").isin(all_terms))
+    qdf = spark.createDataFrame(
+        [(qid, t) for qid, terms in queries for t in terms],
+        "query_id string, token string",
+    )
+    idf = F.log(
+        1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    score_term = idf * F.col("tf") * (BM25_K1 + 1.0) / (
+        F.col("tf")
+        + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(df_.where(F.col("token").isin(all_terms))), "token")
+        .join(F.broadcast(qdf), "token")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum(score_term), 4).alias("score"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), "doc_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= topk)
+        .select("query_id", "doc_id", "score",
+                F.col("rank").cast("long").alias("rank"))
+    )
+
+
+_BM25_INDEX_CACHE: dict = {}
+
+
+def bm25_index_dir(spark: SparkSession, sf: str) -> str:
+    """Session-memoized index build per (app, sf) — build once, serve
+    every gate/bench call from the reloaded artifacts (the lifecycle
+    under test; also what keeps the gate's cost serving-sized)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    key = (spark.sparkContext.applicationId, "bm25_index", sf)
+    if key not in _BM25_INDEX_CACHE:
+        idx = tempfile.mkdtemp(prefix="reair_bm25_index_")
+        atexit.register(shutil.rmtree, idx, ignore_errors=True)
+        build_bm25_index(
+            spark, widen(_t(spark, sf, "documents"), spark), idx
+        )
+        _BM25_INDEX_CACHE[key] = idx
+    return _BM25_INDEX_CACHE[key]
+
+
+def text_bm25_persisted_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Gate: the SAME fixed query set as text_bm25_topk answered from
+    the persisted inverted index. Parquet round-trips doubles exactly,
+    so the result is bit-identical to the index-free form
+    (pytest-asserted) and both share _bm25_sql()'s oracle."""
+    return bm25_search(spark, bm25_index_dir(spark, sf), BM25_QUERIES)
+
+
 # Gopher-style repetition thresholds (Rae et al. 2021, Table A1 —
 # adapted to token granularity for this whitespace corpus)
 REP_TOP_WORD_MAX = 0.20
@@ -857,6 +986,7 @@ def text_repetition_signals(spark: SparkSession, sf: str) -> DataFrame:
 
 TEXT_QUERIES = {
     "text_bm25_topk": text_bm25_topk,
+    "text_bm25_persisted_topk": text_bm25_persisted_topk,
     "text_repetition_signals": text_repetition_signals,
     "text_bpe_apply": text_bpe_apply,
     "text_bpe_pair_counts": text_bpe_pair_counts,
@@ -1065,6 +1195,9 @@ FROM c
 
 TEXT_ORACLES = {
     "text_bm25_topk": _bm25_sql(),
+    # the persisted index serves the same query set with the same
+    # arithmetic — double round-trip ⇒ one oracle for both paths
+    "text_bm25_persisted_topk": _bm25_sql(),
     "text_repetition_signals": _repetition_sql(),
     "text_bpe_apply": _bpe_apply_sql(),
     "text_bpe_pair_counts": _BPE_PAIRS_SQL,

@@ -733,3 +733,52 @@ def test_containment_detects_doc_in_doc(spark, monkeypatch):
     assert set(pairs) == {(2, 1)}
     n_shared, na = pairs[(2, 1)]
     assert n_shared == na  # full containment: every shingle of 2 is in 1
+
+
+# ---- persisted BM25 / hybrid serving parity (r8) -------------------
+
+
+def test_bm25_persisted_equals_index_free(spark, sf_dir):
+    """Parquet round-trips doubles exactly: serving the fixed query
+    set from the persisted inverted index returns bit-identical rows
+    to the one-shot corpus-shuffle form."""
+    from reair_spark.datapipe.text import (
+        text_bm25_persisted_topk,
+        text_bm25_topk,
+    )
+
+    free = sorted(map(tuple, text_bm25_topk(spark, sf_dir).collect()))
+    served = sorted(map(tuple,
+                        text_bm25_persisted_topk(spark, sf_dir).collect()))
+    assert free == served
+
+
+def test_hybrid_persisted_equals_in_memory(spark, sf_dir):
+    from reair_spark.datapipe.similarity import (
+        hybrid_rrf_persisted_topk,
+        hybrid_rrf_topk,
+    )
+
+    mem = sorted(map(tuple, hybrid_rrf_topk(spark, sf_dir).collect()))
+    served = sorted(map(tuple,
+                        hybrid_rrf_persisted_topk(spark, sf_dir).collect()))
+    assert mem == served
+
+
+def test_bm25_index_build_rebuild_stable(spark, sf_dir, tmp_path):
+    """build_bm25_index is deterministic and overwrite-safe: two
+    builds into the same dir serve identical results."""
+    from reair_spark.datapipe.text import (
+        BM25_QUERIES,
+        bm25_search,
+        build_bm25_index,
+    )
+    from reair_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = str(tmp_path / "idx")
+    build_bm25_index(spark, docs, idx)
+    one = sorted(map(tuple, bm25_search(spark, idx, BM25_QUERIES).collect()))
+    build_bm25_index(spark, docs, idx)
+    two = sorted(map(tuple, bm25_search(spark, idx, BM25_QUERIES).collect()))
+    assert one == two and len(one) > 0

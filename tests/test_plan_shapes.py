@@ -568,3 +568,21 @@ def test_quality_percentile_shape(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "__chunk" in plan  # the chunked-rank path, not a window sort
     assert "BroadcastExchange" in plan  # per-source counts + offsets
+
+
+def test_bm25_persisted_serving_shape(spark, sf_dir):
+    """The persisted-index serving path must be scan-bounded: the term
+    filter is PUSHED to the postings parquet scan (sorted on token, so
+    row groups prune), df/stats/queries ride as broadcasts, no Python,
+    no corpus-sized exchange beyond the (doc_id, query) score agg, and
+    NO tokenize of the documents table (the build paid that once)."""
+    from reair_spark.datapipe.text import text_bm25_persisted_topk
+
+    plan = _formatted(text_bm25_persisted_topk(spark, sf_dir))
+    assert "PushedFilters" in plan and "token" in plan
+    # the isin() reaches the scan: In(token, …) in the pushed list
+    assert "In(token" in plan or "token IN" in plan
+    assert "documents.parquet" not in plan  # serves the INDEX, not the corpus
+    assert "explode" not in plan.lower()    # no serve-time tokenize
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastExchange" in plan
