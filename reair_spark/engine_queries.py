@@ -150,7 +150,40 @@ def _materialized_warehouses(spark: SparkSession, sf: str) -> tuple[str, str]:
     bytes), so the whole copy/commit outcome is computable from nation
     alone — which is what the DuckDB oracle does. Table counts are
     nation-sized (25), so the driver-side file seeding is
-    metadata-scale at any sf."""
+    metadata-scale at any sf.
+
+    Memoized per (session, sf) like the incremental scenario (VERDICT
+    r7 ask #7): the src warehouse is immutable and shared; the DEST is
+    mutated by replication, so each call clones the pristine dest
+    TEMPLATE into a fresh run dir (25 tiny files — milliseconds) —
+    outcomes never leak between runs, and repeat gate/bench calls skip
+    the nation collect + warehouse seeding."""
+    import tempfile
+
+    import atexit
+    import shutil as _sh
+
+    key = (spark.sparkContext.applicationId, "batch_repl", sf)
+    if key not in _BATCH_WAREHOUSE_CACHE:
+        _BATCH_WAREHOUSE_CACHE[key] = _build_materialized_warehouses(
+            spark, sf
+        )
+    src_root, dest_template = _BATCH_WAREHOUSE_CACHE[key]
+    run = tempfile.mkdtemp(prefix="reair_e2e_run_")
+    atexit.register(_sh.rmtree, run, ignore_errors=True)
+    dest_root = os.path.join(run, "dest")
+    _sh.copytree(dest_template, dest_root)
+    return src_root, dest_root
+
+
+_BATCH_WAREHOUSE_CACHE: dict = {}
+
+
+def _build_materialized_warehouses(
+    spark: SparkSession, sf: str
+) -> tuple[str, str]:
+    """One-time build of the (src, dest-template) warehouse pair (see
+    _materialized_warehouses's docstring for the scenario spec)."""
     import tempfile
 
     from reair_spark.catalog import DirectoryCatalog
@@ -479,7 +512,11 @@ def dirsync_e2e_digest(spark: SparkSession, sf: str) -> DataFrame:
     k%3!=0 files, with the WRONG size (1 byte) for k%4==0 (→ UPDATE),
     plus one ``stale_<r>`` file per region (→ DELETE, routed to
     trash). Digest: per-status result counts+bytes AND the converged
-    dest/trash listings (count + total bytes)."""
+    dest/trash listings (count + total bytes).
+
+    Memoized per (session, sf) like the batch-replication gate: src is
+    immutable and shared, the mutated dest is cloned fresh from the
+    pristine template per call, and the trash dir is fresh per run."""
     import tempfile
 
     from reair_spark.dirsync import sync_directories
@@ -488,29 +525,15 @@ def dirsync_e2e_digest(spark: SparkSession, sf: str) -> DataFrame:
     import atexit
     import shutil as _sh
 
-    base = tempfile.mkdtemp(prefix="reair_dirsync_")
-    atexit.register(_sh.rmtree, base, ignore_errors=True)
-    src_root = os.path.join(base, "src")
-    dest_root = os.path.join(base, "dest")
-    trash = os.path.join(base, "trash")
-    os.makedirs(src_root)
-    os.makedirs(dest_root)
-    rows = (
-        _t(spark, sf, "nation")
-        .select("n_nationkey", F.lower("n_name").alias("t"), "n_regionkey")
-        .collect()  # 25 rows at every sf — metadata-scale
-    )
-    for r in rows:
-        k = int(r.n_nationkey)
-        with open(os.path.join(src_root, f"f_{r.t}"), "wb") as fh:
-            fh.write(b"x" * (10 + k))
-        if k % 3 != 0:
-            content = b"y" if k % 4 == 0 else b"x" * (10 + k)
-            with open(os.path.join(dest_root, f"f_{r.t}"), "wb") as fh:
-                fh.write(content)
-    for rk in sorted({int(r.n_regionkey) for r in rows}):
-        with open(os.path.join(dest_root, f"stale_{rk}"), "wb") as fh:
-            fh.write(b"s")
+    key = (spark.sparkContext.applicationId, "dirsync", sf)
+    if key not in _DIRSYNC_TREE_CACHE:
+        _DIRSYNC_TREE_CACHE[key] = _build_dirsync_trees(spark, sf)
+    src_root, dest_template = _DIRSYNC_TREE_CACHE[key]
+    run = tempfile.mkdtemp(prefix="reair_dirsync_run_")
+    atexit.register(_sh.rmtree, run, ignore_errors=True)
+    dest_root = os.path.join(run, "dest")
+    trash = os.path.join(run, "trash")
+    _sh.copytree(dest_template, dest_root)
 
     out = sync_directories(
         spark, [src_root], dest_root,
@@ -539,6 +562,42 @@ def dirsync_e2e_digest(spark: SparkSession, sf: str) -> DataFrame:
     return res.unionByName(listing(dest_root, "dest")).unionByName(
         listing(trash, "trash")
     )
+
+
+_DIRSYNC_TREE_CACHE: dict = {}
+
+
+def _build_dirsync_trees(spark: SparkSession, sf: str) -> tuple[str, str]:
+    """One-time build of the (src, dest-template) tree pair (see
+    dirsync_e2e_digest's docstring for the scenario spec)."""
+    import tempfile
+
+    import atexit
+    import shutil as _sh
+
+    base = tempfile.mkdtemp(prefix="reair_dirsync_")
+    atexit.register(_sh.rmtree, base, ignore_errors=True)
+    src_root = os.path.join(base, "src")
+    dest_root = os.path.join(base, "dest")
+    os.makedirs(src_root)
+    os.makedirs(dest_root)
+    rows = (
+        _t(spark, sf, "nation")
+        .select("n_nationkey", F.lower("n_name").alias("t"), "n_regionkey")
+        .collect()  # 25 rows at every sf — metadata-scale
+    )
+    for r in rows:
+        k = int(r.n_nationkey)
+        with open(os.path.join(src_root, f"f_{r.t}"), "wb") as fh:
+            fh.write(b"x" * (10 + k))
+        if k % 3 != 0:
+            content = b"y" if k % 4 == 0 else b"x" * (10 + k)
+            with open(os.path.join(dest_root, f"f_{r.t}"), "wb") as fh:
+                fh.write(content)
+    for rk in sorted({int(r.n_regionkey) for r in rows}):
+        with open(os.path.join(dest_root, f"stale_{rk}"), "wb") as fh:
+            fh.write(b"s")
+    return src_root, dest_root
 
 
 def serde_roundtrip_digest(spark: SparkSession, sf: str) -> DataFrame:
