@@ -55,14 +55,15 @@ def round_half_up4(x: float) -> float:
 def decode_image_real(payload: bytes):
     """Real image decode, magic-sniffed.
 
-    PNG, BMP, baseline JPEG, GIF and baseline TIFF decode through
-    this repo's own codecs (datapipe/jpeg.py, datapipe/gif.py,
-    datapipe/tiff.py, and the RFC 2083 / BITMAPINFOHEADER
-    implementations below) — no imaging library needed; the result is
-    a numpy uint8 array ((h, w) gray or (h, w, 3) RGB). WebP — the
-    one format left, a genuine VP8 codec — falls back to PIL when
-    present and raises NotImplementedError otherwise: the engine's
-    one remaining image-capability gate."""
+    PNG, BMP, baseline JPEG, GIF, baseline TIFF and lossless WebP
+    (VP8L) decode through this repo's own codecs (datapipe/jpeg.py,
+    datapipe/gif.py, datapipe/tiff.py, datapipe/webp.py, and the
+    RFC 2083 / BITMAPINFOHEADER implementations below) — no imaging
+    library needed; the result is a numpy uint8 array ((h, w) gray,
+    (h, w, 3) RGB or (h, w, 4) RGBA). The former image-capability
+    gate is CLOSED: the one remaining documented boundary is lossy
+    VP8 inside WebP (a DCT codec with its own arithmetic coder),
+    which raises NotImplementedError unless PIL is present."""
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return png_decode(payload)
     if payload[:2] == b"BM":
@@ -79,11 +80,24 @@ def decode_image_real(payload: bytes):
         from reair_spark.datapipe.tiff import tiff_decode
 
         return tiff_decode(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from reair_spark.datapipe.webp import webp_decode
+
+        # lossless (VP8L) decodes natively; lossy VP8 raises
+        # NotImplementedError from webp_decode (DCT + arithmetic
+        # coder — the documented scope boundary), with a PIL escape
+        # hatch when an imaging library happens to be present
+        if not _HAVE_PIL:
+            return webp_decode(payload)
+        try:
+            return webp_decode(payload)
+        except NotImplementedError:
+            pass
     if not _HAVE_PIL:
-        raise NotImplementedError(
-            "only PNG/BMP/baseline-JPEG/GIF/baseline-TIFF decode "
-            "natively; WebP needs an imaging library (PIL/opencv) not "
-            "present in this container"
+        raise ValueError(
+            "unrecognized image format (native codecs: PNG/BMP/"
+            "baseline-JPEG/GIF/baseline-TIFF/lossless-WebP) and no "
+            "imaging library is present for anything else"
         )
     import io
 
@@ -646,6 +660,72 @@ def multimodal_gif_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def multimodal_webp_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Real-codec lossless-WebP (VP8L) path: rasterize each document's
+    bytes as an RGB image (16 px wide, 3 consecutive bytes per pixel —
+    the COLOR twin of the grayscale gates, so subtract-green actually
+    moves data), encode through the full VP8L encoder (per-channel
+    Huffman with the complete code-length coding, distance-1 LZ77
+    backrefs through the close-neighborhood map, SUBTRACT_GREEN
+    transform, RIFF container), decode through the full parser
+    (container walk, canonical prefix codes, transform inversion), and
+    emit stats from the DECODED pixels. VP8L is lossless, so the
+    oracle recomputes sum_px/mean_px straight from text; the
+    subtract-green inverse makes any channel-order or wraparound bug
+    break the hash. datapipe/webp.py closes the engine's LAST
+    image-capability gate; tests/test_webp.py pins the decoder-only
+    features (color cache, entropy image, distance map, max_symbol)
+    with handcrafted bitstreams.
+
+    Scale shape: identical to the other codec gates — repartition
+    then one mapInPandas; per-row CPU, zero shuffle."""
+    from reair_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)
+
+    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math as _math
+
+        import numpy as _np
+        import pandas as _pd
+
+        from reair_spark.datapipe.webp import webp_decode, webp_encode
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                b = text.encode("utf-8")
+                h = -(-len(b) // (BMP_WIDTH * 3))
+                if h == 0:
+                    rows.append((int(doc_id), BMP_WIDTH, 0, 0, 0.0))
+                    continue
+                vals = _np.zeros(h * BMP_WIDTH * 3, dtype=_np.uint8)
+                vals[: len(b)] = _np.frombuffer(b, dtype=_np.uint8)
+                img = webp_decode(
+                    webp_encode(vals.reshape(h, BMP_WIDTH, 3))
+                )
+                sum_px = int(img.astype(_np.int64).sum())
+                # padding zeros count toward the mean, like the PNG gate
+                mean_px = sum_px / img.size
+                rows.append(
+                    (int(doc_id), img.shape[1], img.shape[0], sum_px,
+                     _math.floor(mean_px * 1e4 + 0.5) / 1e4)
+                )
+            yield _pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "sum_px", "mean_px"]
+            )
+
+    return (
+        _t(spark, sf, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(
+            roundtrip,
+            schema="doc_id long, width int, height int, sum_px long, mean_px double",
+        )
+    )
+
+
 def multimodal_tiff_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     """Real-codec baseline-TIFF path: same 16-wide rasterization as
     the BMP/PNG/GIF gates, encoded with TIFF-flavor LZW (MSB-first,
@@ -1106,6 +1186,7 @@ MM_QUERIES = {
     "multimodal_flac_roundtrip": multimodal_flac_roundtrip,
     "multimodal_gif_roundtrip": multimodal_gif_roundtrip,
     "multimodal_tiff_roundtrip": multimodal_tiff_roundtrip,
+    "multimodal_webp_roundtrip": multimodal_webp_roundtrip,
     "multimodal_bmp_roundtrip": multimodal_bmp_roundtrip,
     "multimodal_png_roundtrip": multimodal_png_roundtrip,
     "multimodal_jpeg_roundtrip": multimodal_jpeg_roundtrip,
@@ -1168,6 +1249,19 @@ SELECT doc_id, {BMP_WIDTH} AS width,
        round(CAST(list_sum(list_transform(string_split(text, ''),
                                           c -> unicode(c))) AS DOUBLE)
              / ({BMP_WIDTH} * ceil(length(text) / {BMP_WIDTH}.0)), 4) AS mean_px
+FROM documents
+""",
+    # VP8L is lossless: decoded pixels == the rasterized text exactly
+    # (RGB grid: 3 bytes per pixel, width 16 → 48 bytes per row)
+    "multimodal_webp_roundtrip": f"""
+SELECT doc_id, {BMP_WIDTH} AS width,
+       CAST(ceil(length(text) / {BMP_WIDTH * 3}.0) AS INT) AS height,
+       CAST(list_sum(list_transform(string_split(text, ''),
+                                    c -> unicode(c))) AS BIGINT) AS sum_px,
+       round(CAST(list_sum(list_transform(string_split(text, ''),
+                                          c -> unicode(c))) AS DOUBLE)
+             / ({BMP_WIDTH * 3} * ceil(length(text) / {BMP_WIDTH * 3}.0)),
+             4) AS mean_px
 FROM documents
 """,
     # GIF LZW is lossless: decoded pixels == the rasterized text

@@ -61,16 +61,26 @@ def test_multimodal_binary_roundtrip(spark, sf_dir):
     assert bytes(row.media).decode("utf-8") == doc.text
 
 
-def test_multimodal_real_decoder_gate_narrowed_to_non_native():
-    """PNG/BMP/baseline-JPEG/GIF decode natively (no PIL); only OTHER
-    formats (TIFF/WebP) stay behind the imaging-library gate. This
-    used to be the suite's skip — the round-7 JPEG and GIF codecs
-    cleared it."""
-    from reair_spark.datapipe.multimodal import _HAVE_PIL, decode_image_real
+def test_multimodal_real_decoder_gate_closed():
+    """The image-capability gate is CLOSED (r8): PNG/BMP/baseline-
+    JPEG/GIF/baseline-TIFF/lossless-WebP all decode natively. The one
+    remaining documented boundary is lossy VP8 inside a WebP container
+    (DCT + arithmetic coder), which still raises without PIL; unknown
+    magic is a plain ValueError."""
+    import numpy as np
 
+    from reair_spark.datapipe.multimodal import _HAVE_PIL, decode_image_real
+    from reair_spark.datapipe.webp import webp_encode
+
+    img = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    assert np.array_equal(decode_image_real(webp_encode(img)), img)
     if not _HAVE_PIL:
+        lossy_body = b"WEBP" + b"VP8 " + (4).to_bytes(4, "little") + bytes(4)
+        lossy = b"RIFF" + len(lossy_body).to_bytes(4, "little") + lossy_body
         with pytest.raises(NotImplementedError):
-            decode_image_real(b"RIFF....WEBPVP8 ")  # genuinely non-native
+            decode_image_real(lossy)
+        with pytest.raises(ValueError):
+            decode_image_real(b"\x00\x01unknown-magic")
 
 
 def test_multimodal_real_decode_roundtrip_all_native_codecs():
