@@ -1312,7 +1312,298 @@ SELECT doc_id, component, quality, rn = 1 AS keep_best FROM ranked
 """
 
 
+BLOOM_M = 2048  # bloom bits (gate-sized; production: 2^30+ — see docstring)
+BLOOM_K = 3     # hash functions per key
+
+
+def dedup_bloom_prefilter(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-filter dedup prefilter — the two-stage membership check a
+    100 TB ingestion pipeline runs BEFORE the exact anti-join: a fixed
+    m-bit Bloom filter built from the reference corpus's digests
+    answers "definitely novel" locally (no false negatives), so only
+    the bloom-positive sliver — true duplicates plus an
+    (m,k)-controlled false-positive fraction — ever reaches the exact
+    digest join. Same scenario as dedup_against_corpus (reference =
+    even doc_ids, candidates = odds ∪ planted exact copies), emitting
+    per candidate (bloom_positive, is_dup) so false positives are
+    visible and countable.
+
+    Representation: the filter is the DISTINCT-set-bits table
+    (≤ min(k·|ref|, m) rows, bounded by the CONSTANT m) broadcast to
+    the candidate side; a serving deployment would collect it into a
+    real bitset broadcast variable, but the distinct-bit relational
+    form keeps the whole thing declarative and oracle-checkable. Bit
+    positions come from the one-md5 derived hash family ((a + s·b)
+    mod P32 mod m over the digest's own hex words — no extra hash per
+    k). m here is gate-sized so the arithmetic is visible at sf
+    scales; production sizes m ≈ 10·|ref| bits (2^30 bits = 128 MB
+    broadcast for 10^8 reference docs, fp ≈ 1%% at k=3).
+
+    Scale shape: candidates shuffle NOTHING for the negative majority
+    — the bloom probe is a broadcast join + per-doc bool_and; the
+    exact confirmation join's build side is the reference digest set
+    and its probe side only bloom-positives."""
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    ref = d.where(F.col("doc_id") % 2 == 0)
+    planted = ref.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_001).alias("doc_id"), "text"
+    )
+    cand = d.where(F.col("doc_id") % 2 == 1).unionByName(planted)
+
+    ref_fp = ref.select(F.md5("text").alias("fp")).distinct()
+    a, b = hash_family_ab(F.col("fp"))
+    hashes = [
+        (derived_hash(a, b, s) % BLOOM_M).cast("long")
+        for s in range(1, BLOOM_K + 1)
+    ]
+    bits = (
+        ref_fp.select(F.explode(F.array(*hashes)).alias("bit"))
+        .distinct()
+        .withColumn("present", F.lit(True))
+    )
+    cand_fp = widen(cand, spark).select("doc_id", F.md5("text").alias("fp"))
+    cand_bits = cand_fp.select(
+        "doc_id", "fp",
+        F.explode(F.array_distinct(F.array(*hashes))).alias("bit"),
+    )
+    flags = (
+        cand_bits.join(F.broadcast(bits), "bit", "left")
+        .groupBy("doc_id", "fp")
+        .agg(F.min(F.coalesce("present", F.lit(False))).alias(
+            "bloom_positive"
+        ))
+    )
+    pos = (
+        flags.where(F.col("bloom_positive"))
+        .join(F.broadcast(ref_fp.withColumn("dup", F.lit(True))), "fp", "left")
+        .select(
+            "doc_id", "bloom_positive",
+            F.coalesce("dup", F.lit(False)).alias("is_dup"),
+        )
+    )
+    neg = flags.where(~F.col("bloom_positive")).select(
+        "doc_id", "bloom_positive", F.lit(False).alias("is_dup")
+    )
+    return pos.unionByName(neg)
+
+
+def _bloom_sql() -> str:
+    a_sql, b_sql = hash_family_ab_sql("fp")
+    seeds = ", ".join(f"({s})" for s in range(1, BLOOM_K + 1))
+    return f"""
+WITH ref AS (
+  SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 2 = 0),
+cand AS (
+  SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 2 = 1
+  UNION ALL
+  SELECT doc_id + 1000001, md5(text) FROM documents
+  WHERE doc_id % 2 = 0 AND doc_id % 10 = 0),
+refbits AS (
+  SELECT DISTINCT {derived_hash_sql(a_sql, b_sql, 's')} % {BLOOM_M} AS bit
+  FROM ref, (VALUES {seeds}) seeds(s)),
+candbits AS (
+  SELECT DISTINCT doc_id, fp,
+         {derived_hash_sql(a_sql, b_sql, 's')} % {BLOOM_M} AS bit
+  FROM cand, (VALUES {seeds}) seeds(s)),
+flags AS (
+  SELECT doc_id, fp,
+         bool_and(bit IN (SELECT bit FROM refbits)) AS bloom_positive
+  FROM candbits GROUP BY 1, 2)
+SELECT doc_id, bloom_positive,
+       bloom_positive AND fp IN (SELECT fp FROM ref) AS is_dup
+FROM flags
+"""
+
+
+_LSH_INDEX_CACHE: dict = {}
+
+
+def _signatures(df: DataFrame):
+    """(bands, sets) for a (doc_id, text) frame: 16 portable minhashes
+    → 4 banded signature strings per doc, plus the shingle sets the
+    exact-verify stage needs. The same pipeline as dedup_minhash_lsh's
+    front half, reused by the index build AND the query side."""
+    tok = F.split("text", " ")
+    hx = df.select(
+        "doc_id", F.explode(word_shingles(tok)).alias("sh")
+    ).select("doc_id", F.md5("sh").alias("m"))
+    a, b = hash_family_ab(F.col("m"))
+    sig = hx.select("doc_id", a.alias("a"), b.alias("b")).groupBy(
+        "doc_id"
+    ).agg(
+        *[
+            F.min(derived_hash(F.col("a"), F.col("b"), s)).alias(f"mh{s}")
+            for s in range(N_MINHASH)
+        ]
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bb).alias("band"),
+                        _band_sig([
+                            F.col(f"mh{bb * ROWS_PER_BAND + j}")
+                            for j in range(ROWS_PER_BAND)
+                        ]).alias("sig"),
+                    )
+                    for bb in range(N_BANDS)
+                ]
+            )
+        ).alias("bs"),
+    ).select(
+        "doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+    )
+    sets = df.select("doc_id", word_shingles(tok).alias("shset"))
+    return bands, sets
+
+
+def _lsh_index_dir(spark: SparkSession, sf: str) -> str:
+    """Session-memoized persisted LSH index over the documents table:
+    band-bucket rows (range-sharded and sorted by sig — serve-time
+    bucket joins co-locate) + the shingle sets for exact verification.
+    Build-once/search-many, the near-dup sibling of the persisted IVF
+    and BM25 indexes."""
+    import atexit
+    import shutil
+    import tempfile
+
+    key = (spark.sparkContext.applicationId, "lsh_index", sf)
+    if key not in _LSH_INDEX_CACHE:
+        base = tempfile.mkdtemp(prefix="reair_lsh_index_")
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
+        docs = widen(_t(spark, sf, "documents").select("doc_id", "text"))
+        bands, sets = _signatures(docs)
+        (
+            bands.repartitionByRange(8, "sig")
+            .sortWithinPartitions("sig")
+            .write.mode("overwrite")
+            .parquet(f"{base}/bands.parquet")
+        )
+        sets.write.mode("overwrite").parquet(f"{base}/sets.parquet")
+        _LSH_INDEX_CACHE[key] = base
+    return _LSH_INDEX_CACHE[key]
+
+
+def dedup_minhash_persisted(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup lookup against a PERSISTED MinHash-LSH index — the
+    continuous-ingestion serving shape: the corpus's band-bucket index
+    and shingle sets are built once and written to parquet
+    (_lsh_index_dir); each incoming batch computes ONLY ITS OWN
+    signatures, probes the index by (band, sig) equi-join, and
+    exact-Jaccard-verifies the candidates against the persisted
+    shingle sets. Queries: planted tail-truncated near-dups of
+    doc_id%10==0 (+1_000_000 — must match their base) and planted
+    word-REVERSED texts of doc_id%10==5 (+2_000_000 — 3-gram shingles
+    break, must NOT match), so both hit and miss paths pin the hash.
+
+    Scale shape: per-batch work ∝ batch size — the query side's
+    signature pass is batch-sized and broadcast into the index join;
+    the index side is touched only via the (band, sig) join (sorted,
+    range-sharded buckets) and the candidate-keyed sets lookup. The
+    corpus-sized shingle shuffle is paid ONCE at build, exactly like
+    ann_ivf_persisted_topk / text_bm25_persisted_topk."""
+    idx = _lsh_index_dir(spark, sf)
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    tok = F.split("text", " ")
+    near = d.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat_ws(
+            " ", F.slice(tok, F.lit(1), F.greatest(F.size(tok) - 3, F.lit(1)))
+        ).alias("text"),
+    )
+    miss = d.where(F.col("doc_id") % 10 == 5).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat_ws(" ", F.reverse(tok)).alias("text"),
+    )
+    q_bands, q_sets = _signatures(widen(near.unionByName(miss), spark))
+
+    bands_idx = spark.read.parquet(f"{idx}/bands.parquet")
+    sets_idx = spark.read.parquet(f"{idx}/sets.parquet")
+    cand = (
+        bands_idx.join(
+            F.broadcast(
+                q_bands.select(
+                    F.col("doc_id").alias("query_id"), "band", "sig"
+                )
+            ),
+            ["band", "sig"],
+        )
+        .select("query_id", F.col("doc_id").alias("match_id"))
+        .distinct()
+    )
+    jac = F.size(F.array_intersect("q.shset", "i.shset")).cast(
+        "double"
+    ) / F.size(F.array_union("q.shset", "i.shset")).cast("double")
+    return (
+        cand.join(
+            F.broadcast(q_sets.alias("q")),
+            cand.query_id == F.col("q.doc_id"),
+        )
+        .join(sets_idx.alias("i"), cand.match_id == F.col("i.doc_id"))
+        .select("query_id", "match_id", F.round(jac, 3).alias("jac"))
+        .where(F.col("jac") >= JACCARD_THRESHOLD)
+    )
+
+
+def _minhash_persisted_sql() -> str:
+    shingles = word_shingles_sql("t")
+    a_sql, b_sql = hash_family_ab_sql("m")
+    mins = ", ".join(
+        f"min({derived_hash_sql('a', 'b', s)}) AS mh{s}"
+        for s in range(N_MINHASH)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, concat_ws('_', {cols}) AS sig"
+        " FROM sig".format(
+            b=b,
+            cols=", ".join(
+                f"CAST(mh{b * ROWS_PER_BAND + j} AS VARCHAR)"
+                for j in range(ROWS_PER_BAND)
+            ),
+        )
+        for b in range(N_BANDS)
+    )
+    return f"""
+WITH queries AS (
+  SELECT doc_id + 1000000 AS doc_id,
+         array_to_string(t[1:greatest(len(t)-3, 1)], ' ') AS text
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+  WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 2000000, array_to_string(list_reverse(t), ' ')
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+  WHERE doc_id % 10 = 5),
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id, text FROM queries),
+tokd AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+shd AS (SELECT doc_id, unnest({shingles}) AS sh FROM tokd),
+hx AS (SELECT doc_id, md5(sh) AS m FROM shd),
+ab AS (SELECT doc_id, {a_sql} AS a, {b_sql} AS b FROM hx),
+sig AS (SELECT doc_id, {mins} FROM ab GROUP BY doc_id),
+bands AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT q.doc_id AS query_id, i.doc_id AS match_id
+  FROM bands q JOIN bands i ON q.band = i.band AND q.sig = i.sig
+  WHERE q.doc_id >= 1000000 AND i.doc_id < 1000000),
+sets AS (SELECT doc_id, {shingles} AS shset FROM tokd)
+SELECT query_id, match_id,
+       round(len(list_intersect(q.shset, i.shset))
+             / CAST(len(list_distinct(list_concat(q.shset, i.shset)))
+                    AS DOUBLE), 3) AS jac
+FROM cand JOIN sets q ON cand.query_id = q.doc_id
+          JOIN sets i ON cand.match_id = i.doc_id
+WHERE round(len(list_intersect(q.shset, i.shset))
+            / CAST(len(list_distinct(list_concat(q.shset, i.shset)))
+                   AS DOUBLE), 3) >= {JACCARD_THRESHOLD}
+"""
+
+
 DEDUP_QUERIES = {
+    "dedup_minhash_persisted": dedup_minhash_persisted,
+    "dedup_bloom_prefilter": dedup_bloom_prefilter,
     "dedup_canonical_best": dedup_canonical_best,
     "dedup_span_kgram": dedup_span_kgram,
     "dedup_span_trim": dedup_span_trim,
@@ -1344,6 +1635,8 @@ WHERE md5(text) NOT IN (SELECT fp FROM ref)
 """
 
 DEDUP_ORACLES = {
+    "dedup_minhash_persisted": _minhash_persisted_sql(),
+    "dedup_bloom_prefilter": _bloom_sql(),
     "dedup_canonical_best": _canonical_best_sql(),
     "dedup_span_kgram": _span_sql(),
     "dedup_span_trim": _span_trim_sql(),

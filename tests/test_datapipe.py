@@ -792,3 +792,53 @@ def test_bm25_index_build_rebuild_stable(spark, sf_dir, tmp_path):
     build_bm25_index(spark, docs, idx)
     two = sorted(map(tuple, bm25_search(spark, idx, BM25_QUERIES).collect()))
     assert one == two and len(one) > 0
+
+
+# ---- bloom prefilter + persisted LSH index (r8) ---------------------
+
+
+def test_bloom_prefilter_semantics(spark, sf_dir):
+    """No false negatives (every planted exact dup is bloom-positive
+    AND confirmed), definite negatives skip confirmation, and the
+    false-positive class (positive but NOT a dup) exists at the
+    gate-sized m — the row class that proves the prefilter is a real
+    bloom, not a hidden exact join."""
+    from reair_spark.datapipe.dedup import dedup_bloom_prefilter
+
+    rows = dedup_bloom_prefilter(spark, sf_dir).collect()
+    planted = [r for r in rows if r.doc_id >= 1_000_001]
+    assert planted and all(
+        r.bloom_positive and r.is_dup for r in planted
+    )
+    assert all(not r.is_dup for r in rows if not r.bloom_positive)
+    assert any(r.bloom_positive and not r.is_dup for r in rows)
+
+
+def test_minhash_persisted_hit_and_miss_paths(spark, sf_dir):
+    """Tail-truncated near-dup queries must match their base doc
+    through the persisted band index; word-reversed queries (3-gram
+    shingles broken) must match nothing."""
+    from reair_spark.datapipe.dedup import dedup_minhash_persisted
+
+    rows = dedup_minhash_persisted(spark, sf_dir).collect()
+    near = [r for r in rows if 1_000_000 <= r.query_id < 2_000_000]
+    self_hits = {r.query_id for r in near
+                 if r.match_id == r.query_id - 1_000_000}
+    assert len(self_hits) >= len({r.query_id for r in near}) * 0.9
+    assert not [r for r in rows if r.query_id >= 2_000_000]
+    assert all(r.jac >= 0.5 for r in rows)
+
+
+def test_minhash_persisted_index_memoized(spark, sf_dir):
+    """Second call serves from the SAME persisted index dir (build
+    once per session) and returns identical rows."""
+    from reair_spark.datapipe.dedup import (
+        _lsh_index_dir,
+        dedup_minhash_persisted,
+    )
+
+    d1 = _lsh_index_dir(spark, sf_dir)
+    one = sorted(map(tuple, dedup_minhash_persisted(spark, sf_dir).collect()))
+    d2 = _lsh_index_dir(spark, sf_dir)
+    two = sorted(map(tuple, dedup_minhash_persisted(spark, sf_dir).collect()))
+    assert d1 == d2 and one == two and len(one) > 0
