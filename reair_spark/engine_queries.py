@@ -1138,6 +1138,61 @@ def _stream_dedup_corpus_q(spark: SparkSession, sf: str) -> DataFrame:
     return accepted_candidates(spark, corpus)
 
 
+_CDC_SCD2_CANDS: dict = {}
+
+
+def _stream_cdc_scd2_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming CDC → SCD2 gate: the events changelog (key = user_id,
+    seq = event_id, val = value) flows through the checkpointed
+    foreachBatch SCD2 sink (streaming.stream_cdc_scd2 — one
+    copy-on-write snapshot per micro-batch), and the final snapshot
+    must equal the batch lead()-window history. The change parquet is
+    written repartitioned BY KEY, so each key's changes share a file —
+    per-key cross-batch ordering holds under ANY file order, and the
+    multi-batch == single-batch == batch-window equivalence is
+    pytest-enforced (test_streaming)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from reair_spark.streaming import scd2_state, stream_cdc_scd2
+
+    key = (spark.sparkContext.applicationId, "cdc_scd2", sf)
+    if key not in _CDC_SCD2_CANDS:
+        base = tempfile.mkdtemp(prefix="reair_scd2_")
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
+        path = f"{base}/changes"
+        _t(spark, sf, "events").select(
+            F.col("user_id").alias("key"),
+            F.col("ts").cast("timestamp_ntz").alias("ts"),
+            F.col("event_id").alias("seq"),
+            F.round(F.col("value").cast("double"), 4).alias("val"),
+        ).repartition(4, "key").write.parquet(path)
+        _CDC_SCD2_CANDS[key] = path
+    path = _CDC_SCD2_CANDS[key]
+
+    run = tempfile.mkdtemp(prefix="reair_scd2_run_")
+    atexit.register(shutil.rmtree, run, ignore_errors=True)
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(path)
+    stream_cdc_scd2(spark, stream, f"{run}/table", f"{run}/_ckpt")
+    return scd2_state(spark, f"{run}/table")
+
+
+ENGINE_QUERIES["stream_cdc_scd2"] = _stream_cdc_scd2_q
+ENGINE_ORACLES["stream_cdc_scd2"] = """
+WITH ch AS (
+  SELECT user_id AS key, round(CAST(value AS DOUBLE), 4) AS val,
+         CAST(ts AS TIMESTAMP) AS valid_from, event_id AS from_seq
+  FROM events)
+SELECT key, val, valid_from, from_seq,
+       lead(valid_from) OVER w AS valid_to,
+       lead(valid_from) OVER w IS NULL AS is_current
+FROM ch
+WINDOW w AS (PARTITION BY key ORDER BY valid_from, from_seq)
+"""
+
+
 ENGINE_QUERIES["stream_dedup_corpus"] = _stream_dedup_corpus_q
 ENGINE_ORACLES["stream_dedup_corpus"] = """
 WITH ref AS (

@@ -638,3 +638,135 @@ def accepted_candidates(spark: SparkSession, corpus_dir: str) -> DataFrame:
         .where(F.col("batch_id") >= 0)
         .select("doc_id", "fp")
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming CDC → SCD2: maintain a slowly-changing-dimension type-2
+# history table from a change stream, as a VERSIONED copy-on-write
+# parquet table (Delta-style: one full snapshot per micro-batch →
+# replay idempotency and batch-level time travel for free)
+# ---------------------------------------------------------------------------
+
+SCD2_SCHEMA = (
+    "key long, val double, valid_from timestamp_ntz, from_seq long, "
+    "valid_to timestamp_ntz, is_current boolean"
+)
+
+
+def scd2_apply_batch(
+    spark: SparkSession, state: DataFrame, changes: DataFrame
+) -> DataFrame:
+    """Pure SCD2 merge: current history + a batch of changes
+    (key, ts, seq, val) → new history. Each change opens a version
+    row valid [its ts, next change's ts); the key's previously-open
+    row closes at the batch's first change. Ties on ts break by seq —
+    the (ts, event_id) total order every stateful op here uses.
+
+    Contract: per-key IN-ORDER delivery across batches (each change's
+    ts ≥ the key's open valid_from) — the guarantee a keyed CDC bus
+    provides per partition; within a batch any order is fine (the
+    window sorts). Scale: one window over the BATCH (batch-sized),
+    one join against current rows keyed by key; untouched history
+    passes through untouched."""
+    from pyspark.sql import Window as W
+
+    ch = changes.select(
+        F.col("key").cast("long").alias("key"),
+        F.col("val").cast("double").alias("val"),
+        F.col("ts").alias("valid_from"),
+        F.col("seq").cast("long").alias("from_seq"),
+    )
+    w = W.partitionBy("key").orderBy("valid_from", "from_seq")
+    new_rows = ch.select(
+        "key", "val", "valid_from", "from_seq",
+        F.lead("valid_from").over(w).alias("valid_to"),
+        F.lead("valid_from").over(w).isNull().alias("is_current"),
+    )
+    first_change = ch.groupBy("key").agg(
+        F.min(F.struct("valid_from", "from_seq")).alias("fc")
+    ).select("key", F.col("fc.valid_from").alias("close_at"))
+    closed = (
+        state.where(F.col("is_current"))
+        .join(first_change, "key")
+        .select(
+            "key", "val", "valid_from", "from_seq",
+            F.col("close_at").alias("valid_to"),
+            F.lit(False).alias("is_current"),
+        )
+    )
+    untouched = state.join(
+        first_change.select("key"), "key", "left_anti"
+    ).unionByName(state.where(~F.col("is_current")).join(
+        first_change.select("key"), "key", "left_semi"
+    ))
+    return untouched.unionByName(closed).unionByName(new_rows)
+
+
+def _scd2_versions(table_dir: str) -> list[int]:
+    import os as _os
+
+    try:
+        return sorted(
+            int(d[1:]) for d in _os.listdir(table_dir)
+            if d.startswith("v") and d[1:].isdigit()
+        )
+    except FileNotFoundError:
+        return []
+
+
+def scd2_state(
+    spark: SparkSession, table_dir: str, before: int | None = None
+) -> DataFrame:
+    """The table at its latest committed version (or the latest
+    version < ``before`` — what a replaying batch must read). Absent
+    table = empty history."""
+    versions = [
+        v for v in _scd2_versions(table_dir)
+        if before is None or v < before
+    ]
+    if not versions:
+        return spark.createDataFrame([], SCD2_SCHEMA)
+    return spark.read.parquet(f"{table_dir}/v{versions[-1]:09d}")
+
+
+def scd2_as_of(spark: SparkSession, table_dir: str, ts) -> DataFrame:
+    """Validity-time AS OF read over the latest snapshot: the row
+    version live at ``ts`` per key ([valid_from, valid_to) interval
+    containment — the read side of SCD2)."""
+    s = scd2_state(spark, table_dir)
+    return s.where(
+        (F.col("valid_from") <= F.lit(ts))
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > F.lit(ts)))
+    )
+
+
+def stream_cdc_scd2(
+    spark: SparkSession,
+    changes: DataFrame,
+    table_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Run the CDC stream to exhaustion, committing one copy-on-write
+    snapshot per micro-batch (``v{batch_id}``). Replays read the same
+    predecessor version and overwrite their own — idempotent under
+    ST4 at-least-once batch delivery — and the version chain is
+    batch-level time travel. COW rewrites the whole dimension per
+    batch: right-sized for dimension tables (small relative to facts
+    — the reason SCD2 applies at all); a 100 TB-fact deployment
+    partitions the snapshot by key bucket and rewrites only touched
+    buckets, same protocol."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        state = scd2_state(spark, table_dir, before=batch_id)
+        out = scd2_apply_batch(spark, state, batch_df)
+        out.write.mode("overwrite").parquet(
+            f"{table_dir}/v{batch_id:09d}"
+        )
+
+    q = (
+        changes.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

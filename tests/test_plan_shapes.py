@@ -586,3 +586,29 @@ def test_bm25_persisted_serving_shape(spark, sf_dir):
     assert "explode" not in plan.lower()    # no serve-time tokenize
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "BroadcastExchange" in plan
+
+
+def test_bloom_prefilter_shape(spark, sf_dir):
+    """dedup_bloom_prefilter: the bit table and the reference digest
+    set ride as BROADCASTS (candidates never shuffle for the negative
+    majority), JVM-only, no cartesian."""
+    from reair_spark.datapipe.dedup import dedup_bloom_prefilter
+
+    plan = _formatted(dedup_bloom_prefilter(spark, sf_dir))
+    assert "BroadcastExchange" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_minhash_persisted_serving_shape(spark, sf_dir):
+    """dedup_minhash_persisted serving path: reads the PERSISTED index
+    parquet (bands + sets), query-side bands/sets broadcast into the
+    probe joins, no corpus re-shingle of the documents table beyond
+    the batch-sized query side, JVM-only."""
+    from reair_spark.datapipe.dedup import dedup_minhash_persisted
+
+    plan = _formatted(dedup_minhash_persisted(spark, sf_dir))
+    assert "bands.parquet" in plan and "sets.parquet" in plan
+    assert "BroadcastExchange" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan

@@ -419,3 +419,118 @@ def test_stream_dedup_corpus_replay_idempotent(spark, tmp_path):
     after = {(r.doc_id, r.fp)
              for r in accepted_candidates(spark, corpus).collect()}
     assert before == after == {next(iter(before))} and len(before) == 1
+
+
+# ---- streaming CDC → SCD2 (r8): versioned COW dimension table ------
+
+
+def _scd2_changes(spark, rows):
+    return spark.createDataFrame(
+        rows, "key long, ts timestamp_ntz, seq long, val double")
+
+
+def _hist(df):
+    return sorted(
+        (r.key, r.val, r.valid_from, r.from_seq, r.valid_to, r.is_current)
+        for r in df.collect()
+    )
+
+
+def test_scd2_apply_batch_chain_equals_batch_window(spark):
+    """Applying two IN-ORDER batches through the real merge equals the
+    one-shot lead()-window history — the write-side contract."""
+    import datetime as dt
+
+    from pyspark.sql import Window as W
+    import pyspark.sql.functions as F
+
+    from reair_spark.streaming import SCD2_SCHEMA, scd2_apply_batch
+
+    t = lambda s: dt.datetime(2020, 1, 1, 0, 0, s)  # noqa: E731
+    all_rows = [
+        (1, t(0), 1, 10.0), (1, t(5), 2, 11.0), (1, t(9), 5, 12.0),
+        (2, t(3), 3, 20.0),
+        (3, t(4), 4, 30.0), (3, t(4), 6, 31.0),  # ts tie → seq order
+    ]
+    empty = spark.createDataFrame([], SCD2_SCHEMA)
+    s1 = scd2_apply_batch(spark, empty, _scd2_changes(spark, all_rows[:3]))
+    s2 = scd2_apply_batch(spark, s1, _scd2_changes(spark, all_rows[3:]))
+
+    w = W.partitionBy("key").orderBy("ts", "seq")
+    oneshot = _scd2_changes(spark, all_rows).select(
+        "key", "val", F.col("ts").alias("valid_from"),
+        F.col("seq").alias("from_seq"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )
+    assert _hist(s2) == _hist(oneshot)
+    # exactly one open row per key
+    per_key = {}
+    for k, *_rest, cur in _hist(s2):
+        per_key[k] = per_key.get(k, 0) + (1 if cur else 0)
+    assert all(v == 1 for v in per_key.values())
+
+
+def test_stream_cdc_scd2_multibatch_and_replay(spark, sf_dir, tmp_path):
+    """The checkpointed stream at 1 file/trigger (4 key-partitioned
+    files → 4 micro-batches) converges to the same history as the
+    single-batch run AND the batch window; re-running a committed
+    version's merge (replay) leaves the table unchanged."""
+    import pyspark.sql.functions as F
+
+    from reair_spark.engine_queries import ENGINE_QUERIES
+    from reair_spark.io import load_table
+    from reair_spark.streaming import (
+        scd2_apply_batch,
+        scd2_as_of,
+        scd2_state,
+        stream_cdc_scd2,
+    )
+
+    changes = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("key"),
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+        F.col("event_id").alias("seq"),
+        F.round(F.col("value").cast("double"), 4).alias("val"),
+    )
+    src = str(tmp_path / "changes")
+    changes.repartition(4, "key").write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    table = str(tmp_path / "table")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    stream_cdc_scd2(spark, stream, table, str(tmp_path / "ckpt"))
+    multi = _hist(scd2_state(spark, table))
+    single = _hist(ENGINE_QUERIES["stream_cdc_scd2"](spark, sf_dir))
+    assert multi == single and len(multi) > 0
+
+    # replay/no-op idempotency: applying an empty batch (and the
+    # versioned history growing monotonically batch over batch) —
+    # scd2_state(before=) is exactly what a replaying batch reads
+    from reair_spark.streaming import _scd2_versions
+
+    last = _scd2_versions(table)[-1]
+    prev = scd2_state(spark, table, before=last)
+    cur = scd2_state(spark, table)
+    noop = scd2_apply_batch(
+        spark, cur, spark.createDataFrame(
+            [], "key long, ts timestamp_ntz, seq long, val double"))
+    assert _hist(noop) == _hist(cur)
+    assert len(_hist(prev)) <= len(_hist(cur))
+
+    # AS OF read: at a mid-corpus timestamp every returned interval
+    # must contain the probe instant, one row per key at most
+    lohi = changes.agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    ).first()
+    probe = lohi.lo + (lohi.hi - lohi.lo) / 2
+    asof = scd2_as_of(spark, table, probe).collect()
+    assert asof
+    assert all(
+        r.valid_from <= probe and (r.valid_to is None or r.valid_to > probe)
+        for r in asof
+    )
+    keys = [r.key for r in asof]
+    assert len(keys) == len(set(keys))
