@@ -1547,6 +1547,251 @@ def dedup_minhash_persisted(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def seed_lsh_stream_index(
+    spark: SparkSession, reference: DataFrame, index_dir: str
+) -> None:
+    """Initial state of a STREAMING near-dup index: the reference
+    corpus's band rows + shingle sets under ``batch_id=-1`` (candidate
+    batches land at batch_id ≥ 0). The LSH twin of
+    streaming.seed_digest_corpus."""
+    bands, sets = _signatures(reference)
+    bands.write.mode("overwrite").parquet(
+        f"{index_dir}/bands/batch_id=-1"
+    )
+    sets.write.mode("overwrite").parquet(f"{index_dir}/sets/batch_id=-1")
+
+
+def lsh_dedup_sink(
+    spark: SparkSession, index_dir: str,
+    threshold: float = JACCARD_THRESHOLD,
+):
+    """foreachBatch body for streaming NEAR-dup dedup: each
+    micro-batch computes its own signatures, probes every band row the
+    index already holds (seed + previously accepted batches), verifies
+    candidates by exact Jaccard against the persisted shingle sets,
+    and appends the ACCEPTED documents' bands + sets so they suppress
+    later batches.
+
+    Semantics are first-arrival-wins ACROSS batches (the online-dedup
+    contract: an accepted document immediately joins the corpus);
+    batch-mates do NOT suppress each other — near-duplicate
+    canonicalization inside one batch is a batch-local concern the
+    caller can run first (dedup_canonical_best) if wanted, and unlike
+    exact dedup there is no order-free min-id canonicalization for
+    near-dups, so the cross-batch outcome for candidate-vs-candidate
+    near-dups legitimately depends on arrival order. Replay-safe the
+    same way as the digest corpus sink: the index read EXCLUDES the
+    batch's own partitions.
+
+    Scale shape: per-batch work is batch-sized (signatures) + the
+    (band, sig) probe join + candidate-keyed set lookups; the index
+    grows by accepted rows only and is never rescanned beyond the
+    bucket join."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        q_bands, q_sets = _signatures(batch_df)
+        q_bands = q_bands.persist(StorageLevel.MEMORY_AND_DISK)
+        q_sets = q_sets.persist(StorageLevel.MEMORY_AND_DISK)
+        q_sets.count()
+        idx_bands = spark.read.parquet(f"{index_dir}/bands").where(
+            F.col("batch_id") != batch_id
+        )
+        idx_sets = spark.read.parquet(f"{index_dir}/sets").where(
+            F.col("batch_id") != batch_id
+        )
+        cand = (
+            idx_bands.join(
+                F.broadcast(
+                    q_bands.select(
+                        F.col("doc_id").alias("query_id"), "band", "sig"
+                    )
+                ),
+                ["band", "sig"],
+            )
+            .select("query_id", F.col("doc_id").alias("match_id"))
+            .distinct()
+        )
+        jac = F.size(F.array_intersect("q.shset", "i.shset")).cast(
+            "double"
+        ) / F.size(F.array_union("q.shset", "i.shset")).cast("double")
+        dup_ids = (
+            cand.join(
+                F.broadcast(q_sets.alias("q")),
+                cand.query_id == F.col("q.doc_id"),
+            )
+            .join(idx_sets.alias("i"), cand.match_id == F.col("i.doc_id"))
+            .where(F.round(jac, 3) >= threshold)
+            .select(F.col("query_id").alias("doc_id"))
+            .distinct()
+        )
+        accepted = q_sets.join(dup_ids, "doc_id", "left_anti").select(
+            "doc_id"
+        )
+        q_bands.join(accepted, "doc_id", "left_semi").write.mode(
+            "overwrite"
+        ).parquet(f"{index_dir}/bands/batch_id={batch_id}")
+        q_sets.join(accepted, "doc_id", "left_semi").write.mode(
+            "overwrite"
+        ).parquet(f"{index_dir}/sets/batch_id={batch_id}")
+        q_bands.unpersist()
+        q_sets.unpersist()
+
+    return sink
+
+
+def stream_dedup_neardup(
+    spark: SparkSession,
+    candidates: DataFrame,
+    index_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Run the checkpointed near-dup dedup stream to exhaustion
+    (availableNow; a real bus swaps the reader, not the sink)."""
+    q = (
+        candidates.writeStream.foreachBatch(
+            lsh_dedup_sink(spark, index_dir)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def accepted_neardup(spark: SparkSession, index_dir: str) -> DataFrame:
+    """The stream's survivors with their shingle-set sizes (batch_id ≥
+    0 — the seed partition is the reference corpus)."""
+    return (
+        spark.read.parquet(f"{index_dir}/sets")
+        .where(F.col("batch_id") >= 0)
+        .select(
+            "doc_id",
+            F.size("shset").cast("long").alias("n_shingles"),
+        )
+    )
+
+
+def _stream_neardup_queries(spark: SparkSession, sf: str) -> DataFrame:
+    """The dedup_minhash_persisted query set (tail-truncated plants of
+    doc_id%10==0 at +1M — near-dups that must be DROPPED; word-reversed
+    plants of doc_id%10==5 at +2M — novel, must be ACCEPTED)."""
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    tok = F.split("text", " ")
+    near = d.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat_ws(
+            " ", F.slice(tok, F.lit(1), F.greatest(F.size(tok) - 3, F.lit(1)))
+        ).alias("text"),
+    )
+    miss = d.where(F.col("doc_id") % 10 == 5).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat_ws(" ", F.reverse(tok)).alias("text"),
+    )
+    return near.unionByName(miss)
+
+
+_NEARDUP_STREAM_CANDS: dict = {}
+
+
+def stream_dedup_neardup_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Gate: the near-dup query set through the checkpointed stream
+    against an index seeded from the documents table; survivors must
+    equal the batch probe-and-filter semantics (single availableNow
+    batch — candidates are checked against the SEED; the cross-batch
+    suppression path is pytest-pinned in controlled order, and the
+    first-arrival-wins contract is documented on the sink)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    key = (spark.sparkContext.applicationId, "neardup_stream", sf)
+    if key not in _NEARDUP_STREAM_CANDS:
+        base = tempfile.mkdtemp(prefix="reair_ndstream_")
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
+        path = f"{base}/candidates"
+        _stream_neardup_queries(spark, sf).repartition(4).write.parquet(path)
+        _NEARDUP_STREAM_CANDS[key] = path
+    path = _NEARDUP_STREAM_CANDS[key]
+
+    # the seed index is immutable per (session, sf); the STREAM mutates
+    # its copy (appends accepted batches), so each run clones the
+    # memoized seed template — same discipline as the e2e dest templates
+    seed_key = (spark.sparkContext.applicationId, "neardup_seed", sf)
+    if seed_key not in _NEARDUP_STREAM_CANDS:
+        tmpl = tempfile.mkdtemp(prefix="reair_ndstream_seed_")
+        atexit.register(shutil.rmtree, tmpl, ignore_errors=True)
+        seed_lsh_stream_index(
+            spark,
+            widen(_t(spark, sf, "documents").select("doc_id", "text")),
+            tmpl,
+        )
+        _NEARDUP_STREAM_CANDS[seed_key] = tmpl
+    run = tempfile.mkdtemp(prefix="reair_ndstream_run_")
+    atexit.register(shutil.rmtree, run, ignore_errors=True)
+    idx = f"{run}/index"
+    shutil.copytree(_NEARDUP_STREAM_CANDS[seed_key], idx)
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(path)
+    stream_dedup_neardup(spark, stream, idx, f"{run}/_ckpt")
+    return accepted_neardup(spark, idx)
+
+
+def _stream_neardup_sql() -> str:
+    shingles = word_shingles_sql("t")
+    a_sql, b_sql = hash_family_ab_sql("m")
+    mins = ", ".join(
+        f"min({derived_hash_sql('a', 'b', s)}) AS mh{s}"
+        for s in range(N_MINHASH)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, concat_ws('_', {cols}) AS sig"
+        " FROM sig".format(
+            b=b,
+            cols=", ".join(
+                f"CAST(mh{b * ROWS_PER_BAND + j} AS VARCHAR)"
+                for j in range(ROWS_PER_BAND)
+            ),
+        )
+        for b in range(N_BANDS)
+    )
+    return f"""
+WITH queries AS (
+  SELECT doc_id + 1000000 AS doc_id,
+         array_to_string(t[1:greatest(len(t)-3, 1)], ' ') AS text
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+  WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 2000000, array_to_string(list_reverse(t), ' ')
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+  WHERE doc_id % 10 = 5),
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id, text FROM queries),
+tokd AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+shd AS (SELECT doc_id, unnest({shingles}) AS sh FROM tokd),
+hx AS (SELECT doc_id, md5(sh) AS m FROM shd),
+ab AS (SELECT doc_id, {a_sql} AS a, {b_sql} AS b FROM hx),
+sig AS (SELECT doc_id, {mins} FROM ab GROUP BY doc_id),
+bands AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT q.doc_id AS query_id, i.doc_id AS match_id
+  FROM bands q JOIN bands i ON q.band = i.band AND q.sig = i.sig
+  WHERE q.doc_id >= 1000000 AND i.doc_id < 1000000),
+sets AS (SELECT doc_id, {shingles} AS shset FROM tokd),
+dups AS (
+  SELECT DISTINCT query_id
+  FROM cand JOIN sets q ON cand.query_id = q.doc_id
+            JOIN sets i ON cand.match_id = i.doc_id
+  WHERE round(len(list_intersect(q.shset, i.shset))
+              / CAST(len(list_distinct(list_concat(q.shset, i.shset)))
+                     AS DOUBLE), 3) >= {JACCARD_THRESHOLD})
+SELECT doc_id, CAST(len(shset) AS BIGINT) AS n_shingles
+FROM sets
+WHERE doc_id >= 1000000
+  AND doc_id NOT IN (SELECT query_id FROM dups)
+"""
+
+
 def _minhash_persisted_sql() -> str:
     shingles = word_shingles_sql("t")
     a_sql, b_sql = hash_family_ab_sql("m")
@@ -1602,6 +1847,7 @@ WHERE round(len(list_intersect(q.shset, i.shset))
 
 
 DEDUP_QUERIES = {
+    "stream_dedup_neardup": stream_dedup_neardup_q,
     "dedup_minhash_persisted": dedup_minhash_persisted,
     "dedup_bloom_prefilter": dedup_bloom_prefilter,
     "dedup_canonical_best": dedup_canonical_best,
@@ -1635,6 +1881,7 @@ WHERE md5(text) NOT IN (SELECT fp FROM ref)
 """
 
 DEDUP_ORACLES = {
+    "stream_dedup_neardup": _stream_neardup_sql(),
     "dedup_minhash_persisted": _minhash_persisted_sql(),
     "dedup_bloom_prefilter": _bloom_sql(),
     "dedup_canonical_best": _canonical_best_sql(),

@@ -842,3 +842,46 @@ def test_minhash_persisted_index_memoized(spark, sf_dir):
     d2 = _lsh_index_dir(spark, sf_dir)
     two = sorted(map(tuple, dedup_minhash_persisted(spark, sf_dir).collect()))
     assert d1 == d2 and one == two and len(one) > 0
+
+
+def test_stream_neardup_cross_batch_suppression(spark, tmp_path):
+    """Controlled-order proof of the online near-dup contract: a
+    document accepted in batch 0 suppresses a NEAR-duplicate arriving
+    in batch 1 (first-arrival-wins), seed near-dups suppress in every
+    batch, novel documents pass, and a replayed batch leaves the
+    index unchanged."""
+    from reair_spark.datapipe.dedup import (
+        accepted_neardup,
+        lsh_dedup_sink,
+        seed_lsh_stream_index,
+    )
+
+    words = [f"w{i}" for i in range(40)]
+    base = " ".join(words)
+    near_of_base = " ".join(words[:-3])       # tail-truncated → near-dup
+    novel = " ".join(f"x{i}" for i in range(40))
+    near_of_novel = " ".join(f"x{i}" for i in range(37))
+
+    idx = str(tmp_path / "index")
+    seed_lsh_stream_index(
+        spark,
+        spark.createDataFrame([(1, base)], "doc_id long, text string"),
+        idx,
+    )
+    sink = lsh_dedup_sink(spark, idx)
+    sink(spark.createDataFrame(
+        [(11, near_of_base), (12, novel)], "doc_id long, text string"), 0)
+    sink(spark.createDataFrame(
+        [(21, near_of_novel),
+         (22, " ".join(f"y{i}" for i in range(40)))],
+        "doc_id long, text string"), 1)
+    got = {r.doc_id for r in accepted_neardup(spark, idx).collect()}
+    # 11 dropped by the SEED; 21 dropped by batch 0's accepted doc 12
+    assert got == {12, 22}
+    # replay batch 1: index unchanged (own partitions excluded on read)
+    sink(spark.createDataFrame(
+        [(21, near_of_novel),
+         (22, " ".join(f"y{i}" for i in range(40)))],
+        "doc_id long, text string"), 1)
+    assert {r.doc_id for r in accepted_neardup(spark, idx).collect()} == {
+        12, 22}
