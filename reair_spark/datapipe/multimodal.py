@@ -2,14 +2,19 @@
 
 Images/audio/video ride through the engine as ``binary`` columns with a
 metadata struct (format, width, height, n_frames). Decode / feature
-extraction runs as Arrow-batched ``mapInPandas`` — the Spark-side
-contract (schema, batch iteration, binary in/out) is real and tested;
-the actual codec is stubbed because no image/audio libs exist in this
-container (see :func:`decode_image_real`, gated NotImplementedError).
+extraction runs as Arrow-batched ``mapInPandas``. The codecs are REAL
+and library-free: PNG/BMP here, JPEG/GIF/TIFF/WebP-lossless and
+WAV/FLAC in their sibling modules — :func:`decode_image_real` and
+:func:`decode_audio_real` magic-sniff all of them natively. The only
+remaining boundaries are lossy VP8 inside WebP and lossy audio
+(MP3/OGG/AAC), documented NotImplementedError unless an external
+library is present.
 
-The deterministic fake payload is ``encode(text)`` from the documents
-table, so every feature the stub extracts is reproducible in the
-DuckDB oracle (byte statistics over the UTF-8 bytes).
+The feature/resize/frame-sample operators additionally run over a
+deterministic fake payload — ``encode(text)`` from the documents
+table — so every extracted statistic is reproducible in the DuckDB
+oracle (byte statistics over the UTF-8 bytes), while the *_roundtrip
+gates drive the real codecs end-to-end.
 
 Scale notes: mapInPandas streams Arrow batches — constant memory per
 task regardless of corpus size; binary payloads never pass through a
