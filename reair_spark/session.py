@@ -12,7 +12,11 @@ import os
 from pyspark.sql import SparkSession
 
 
-def get_spark(app_name: str = "reair_spark", cpus: int | None = None) -> SparkSession:
+def get_spark(
+    app_name: str = "reair_spark",
+    cpus: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
     """Build (or reuse) the engine SparkSession.
 
     AQE is on so runtime statistics re-plan joins (broadcast demotion/
@@ -48,6 +52,10 @@ def get_spark(app_name: str = "reair_spark", cpus: int | None = None) -> SparkSe
         # (reference: MetastoreReplicationJob.java:251-258)
         .config("spark.speculation", "false")
     )
+    # measurement harnesses (shufflemeasure.py) flip UI/retention knobs
+    # without forking the engine config block above
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
