@@ -144,6 +144,101 @@ def write_bucketed(
     w.mode("overwrite").saveAsTable(table)
 
 
+def write_zonemapped(
+    df: DataFrame,
+    location: str,
+    bucket_col: str,
+    stat_cols: list[str],
+    serde: str = "parquet",
+) -> None:
+    """Clustered layout + file-level statistics manifest — the
+    Iceberg/Delta scan-planning shape, expressed with plain datasource
+    writes: data lands partitioned by ``bucket_col`` (the clustering
+    key: rows that are close in the predicate dimension land in the
+    same directory) and a MANIFEST table records per-bucket min/max
+    zones for every ``stat_cols`` entry plus the row count.
+
+    The manifest is the scale story: at 100 TB a scan planner must
+    decide which files to open WITHOUT listing or touching the data —
+    the manifest is metadata-sized (one row per bucket, ~thousands of
+    rows for a petabyte table), so :func:`zonemap_scan` can evaluate
+    the predicate against it driver-side, exactly as Iceberg evaluates
+    manifests at plan time, and build a reader over only the
+    qualifying directories. Parquet row-group stats give the same
+    pruning WITHIN a file; the manifest gives it ACROSS files without
+    opening any footer.
+
+    The manifest is derived from ``df`` in the same job that writes
+    the data — one extra metadata-sized aggregate, no re-read."""
+    from pyspark.sql import functions as F
+
+    fmt = SERDE_FORMATS.get(serde, serde)
+    df.write.format(fmt).partitionBy(bucket_col).mode("overwrite").save(
+        f"{location.rstrip('/')}/data"
+    )
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+    for c in stat_cols:
+        aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+    (
+        df.groupBy(bucket_col)
+        .agg(*aggs)
+        .write.format(fmt)
+        .mode("overwrite")
+        .save(f"{location.rstrip('/')}/manifest")
+    )
+
+
+def zonemap_scan(
+    spark: SparkSession,
+    location: str,
+    predicates: list[tuple[str, object, object]],
+    serde: str = "parquet",
+) -> tuple[DataFrame, dict]:
+    """Manifest-pruned scan over a :func:`write_zonemapped` layout.
+
+    ``predicates`` is a list of (col, lo, hi) closed ranges (either
+    bound may be None). A bucket is read iff EVERY predicate's range
+    overlaps the bucket's [min_col, max_col] zone — the standard
+    zone-map test: overlap can be a false positive (a zone may span a
+    gap), never a false negative, so pruning is lossless and the
+    residual filter still applies on the rows read.
+
+    Returns (DataFrame over only the qualifying bucket directories —
+    WITHOUT the residual filter, the caller owns predicate semantics —
+    and a stats dict: n_buckets_total / n_buckets_read /
+    n_rows_scanned). The manifest evaluation collects the manifest to
+    the driver: that is by design, not a shortcut — scan planning over
+    metadata-sized state is driver work in every table format (Iceberg
+    manifest evaluation, Delta log replay)."""
+    from pyspark.sql import functions as F
+
+    fmt = SERDE_FORMATS.get(serde, serde)
+    man = spark.read.format(fmt).load(f"{location.rstrip('/')}/manifest")
+    bucket_col = man.columns[0]
+    keep = F.lit(True)
+    for col, lo, hi in predicates:
+        if lo is not None:
+            keep = keep & (F.col(f"max_{col}") >= F.lit(lo))
+        if hi is not None:
+            keep = keep & (F.col(f"min_{col}") <= F.lit(hi))
+    rows = man.select(bucket_col, "n_rows", keep.alias("keep")).collect()
+    kept = [r for r in rows if r["keep"]]
+    stats = {
+        "n_buckets_total": len(rows),
+        "n_buckets_read": len(kept),
+        "n_rows_scanned": int(sum(r["n_rows"] for r in kept)),
+    }
+    if not kept:
+        # preserve the data schema for empty results
+        empty = spark.read.format(fmt).load(f"{location.rstrip('/')}/data")
+        return empty.where(F.lit(False)), stats
+    paths = [
+        f"{location.rstrip('/')}/data/{bucket_col}={r[bucket_col]}"
+        for r in kept
+    ]
+    return spark.read.format(fmt).load(paths), stats
+
+
 def atomic_overwrite(df: DataFrame, location: str, serde: str = "parquet") -> None:
     """Whole-location overwrite via write-to-temp + directory swap —
     readers of ``location`` never observe a half-written table even on

@@ -89,3 +89,64 @@ def test_atomic_overwrite_swaps(spark, tmp_path):
     assert spark.read.parquet(loc).count() == 20
     # no tmp/old debris left behind
     assert [p for p in os.listdir(str(tmp_path)) if "_.tmp_" in p or "_.old_" in p] == []
+
+
+def test_zonemap_scan_prunes_and_is_lossless(spark, tmp_path):
+    """Manifest pruning opens ONLY qualifying bucket dirs (checked via
+    the scan's actual inputFiles), never drops a matching row, and the
+    empty-overlap case returns a schema-preserving empty frame."""
+    from reair_spark.sources import write_zonemapped, zonemap_scan
+
+    df = spark.range(1000).select(
+        "id",
+        (F.col("id") % 10).cast("string").alias("b"),
+        (F.col("id") % 10).alias("v"),
+        (F.col("id") * 3 % 97).alias("w"),
+    )
+    loc = str(tmp_path / "zm")
+    write_zonemapped(df, loc, "b", stat_cols=["v", "w"])
+
+    pruned, stats = zonemap_scan(spark, loc, [("v", 3, 4)])
+    assert stats == {
+        "n_buckets_total": 10,
+        "n_buckets_read": 2,
+        "n_rows_scanned": 200,
+    }
+    # physical evidence: every file the scan would open lives under a
+    # kept bucket directory — no listing of the other 8
+    opened = {f.split("/b=")[1].split("/")[0] for f in pruned.inputFiles()}
+    assert opened == {"3", "4"}
+    # lossless: pruned + residual filter == full-table filter
+    full = df.filter((F.col("v") >= 3) & (F.col("v") <= 4))
+    got = pruned.filter((F.col("v") >= 3) & (F.col("v") <= 4))
+    assert sorted(r.id for r in got.collect()) == sorted(
+        r.id for r in full.collect()
+    )
+    # multi-predicate AND: w zones span [0,96] in every bucket, so a
+    # w-range prunes nothing extra but must not drop buckets either
+    _, stats2 = zonemap_scan(spark, loc, [("v", 3, 4), ("w", 0, 96)])
+    assert stats2["n_buckets_read"] == 2
+
+    empty, stats3 = zonemap_scan(spark, loc, [("v", 99, 100)])
+    assert stats3["n_buckets_read"] == 0
+    assert empty.count() == 0
+    assert set(empty.columns) >= {"id", "v", "w"}
+
+
+def test_zonemap_false_positive_reads_but_filters(spark, tmp_path):
+    """A zone spanning a value gap is a false POSITIVE (bucket read,
+    rows filtered) — the allowed direction; false negatives are not."""
+    from reair_spark.sources import write_zonemapped, zonemap_scan
+
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {"b": ["a"] * 2 + ["c"] * 2, "v": [0, 100, 40, 60]}
+    )
+    loc = str(tmp_path / "gap")
+    write_zonemapped(spark.createDataFrame(pdf), loc, "b", stat_cols=["v"])
+    pruned, stats = zonemap_scan(spark, loc, [("v", 10, 20)])
+    # bucket 'a' zone [0,100] overlaps [10,20] despite holding no
+    # matching row; bucket 'c' zone [40,60] does not overlap
+    assert stats["n_buckets_read"] == 1
+    assert pruned.filter("v >= 10 and v <= 20").count() == 0
