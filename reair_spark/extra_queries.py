@@ -1811,3 +1811,140 @@ FROM orders GROUP BY 1
         "quantile_cont(l_extendedprice, 0.99) AS p99 FROM lineitem"
     ),
 }
+
+
+KMV_K = 256
+_KMV_SCALE = (KMV_K - 1) * 4294967296  # (k-1) * 2^32, exact in int64
+
+
+def sketch_kmv_intersection(spark: SparkSession, sf: str) -> DataFrame:
+    """K-minimum-values sketch with SET-OPERATION estimates — the
+    sketch family member HLL can't provide: two sets (urgent-order
+    customers; positive-balance customers) are summarized by their k
+    smallest portable-hash values, the union sketch is the k smallest
+    of the merged signatures, |A∪B| ≈ (k-1)·2³²/h_(k), and the
+    intersection estimate is the shared fraction of the union
+    signature scaled by the union estimate (Beyer et al., SIGMOD'07).
+
+    Distributed shape: each side collapses to ≤k rows via per-
+    partition top-k + driver merge (TakeOrderedAndProject — the ONLY
+    cross-partition traffic is k rows per side regardless of input
+    size, which is why KMV signatures are the canonical mergeable
+    distinct sketch); everything after is arithmetic on ≤2k rows.
+
+    Determinism: the estimator is kept in INTEGER arithmetic
+    ((k-1)·2³² div h_k — no float rounding seam), and the md5-derived
+    hash makes DuckDB compute the IDENTICAL sketch, so the gate
+    hash-checks estimates AND signature internals against the exact
+    counts. Below k distinct values the sketch IS the set (exact
+    regime — exercised at sf0.001, estimate regime at sf0.01+)."""
+    from reair_spark.datapipe.common import portable_hash32
+
+    o = (
+        _t(spark, sf, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("key"))
+        .distinct()
+    )
+    c = (
+        _t(spark, sf, "customer")
+        .filter(F.col("c_acctbal") > 1000)
+        .select(F.col("c_custkey").alias("key"))
+        .distinct()
+    )
+
+    def sig(df: DataFrame, side: str) -> DataFrame:
+        h = portable_hash32(
+            F.concat(F.lit("kmv:"), F.col("key").cast("string"))
+        )
+        return (
+            df.select(h.alias("h"))
+            .distinct()
+            .orderBy("h")
+            .limit(KMV_K)
+            .select("h", F.lit(side).alias("side"))
+        )
+
+    union_sig = (
+        sig(o, "a")
+        .union(sig(c, "b"))
+        .groupBy("h")
+        .agg(F.count_distinct("side").alias("nsides"))
+        .orderBy("h")
+        .limit(KMV_K)
+    )
+    agg = union_sig.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sig"),
+        F.max("h").alias("hk"),
+        F.sum(F.when(F.col("nsides") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n_shared"),
+    )
+    est_u = F.when(F.col("n_sig") < KMV_K, F.col("n_sig")).otherwise(
+        F.expr(f"{_KMV_SCALE}L div hk")
+    )
+    with_u = agg.select(
+        "n_sig", "n_shared", est_u.cast("long").alias("union_est")
+    )
+    est_i = F.when(F.col("n_sig") < KMV_K, F.col("n_shared")).otherwise(
+        F.expr(f"(n_shared * union_est) div {KMV_K}L")
+    )
+    exact_u = (
+        o.unionByName(c)
+        .agg(F.count_distinct("key").cast("long").alias("exact_union"))
+    )
+    exact_i = o.join(c, "key").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_inter")
+    )
+    return (
+        with_u.crossJoin(exact_u)  # 1-row scalar attaches
+        .crossJoin(exact_i)
+        .select(
+            F.lit(KMV_K).cast("long").alias("k"),
+            "n_sig",
+            "n_shared",
+            "union_est",
+            est_i.cast("long").alias("inter_est"),
+            "exact_union",
+            "exact_inter",
+        )
+    )
+
+
+EXTRA_QUERIES["sketch_kmv_intersection"] = sketch_kmv_intersection
+EXTRA_ORACLES["sketch_kmv_intersection"] = f"""
+WITH a AS (SELECT DISTINCT o_custkey AS key FROM orders
+           WHERE o_orderpriority = '1-URGENT'),
+b AS (SELECT DISTINCT c_custkey AS key FROM customer
+      WHERE c_acctbal > 1000),
+ha AS (SELECT DISTINCT CAST(concat('0x',
+         substr(md5(concat('kmv:', CAST(key AS VARCHAR))), 1, 8))
+         AS BIGINT) AS h
+       FROM a ORDER BY h LIMIT {KMV_K}),
+hb AS (SELECT DISTINCT CAST(concat('0x',
+         substr(md5(concat('kmv:', CAST(key AS VARCHAR))), 1, 8))
+         AS BIGINT) AS h
+       FROM b ORDER BY h LIMIT {KMV_K}),
+sig AS (SELECT h, count(DISTINCT side) AS nsides
+        FROM (SELECT h, 'a' AS side FROM ha
+              UNION ALL SELECT h, 'b' FROM hb)
+        GROUP BY h ORDER BY h LIMIT {KMV_K}),
+agg AS (SELECT CAST(count(*) AS BIGINT) AS n_sig, max(h) AS hk,
+               CAST(coalesce(sum(CASE WHEN nsides = 2 THEN 1 ELSE 0 END),
+                             0) AS BIGINT) AS n_shared
+        FROM sig),
+u AS (SELECT n_sig, n_shared,
+             CAST(CASE WHEN n_sig < {KMV_K} THEN n_sig
+                  ELSE {_KMV_SCALE} // hk END AS BIGINT) AS union_est
+      FROM agg),
+ex AS (SELECT CAST(count(DISTINCT key) AS BIGINT) AS exact_union
+       FROM (SELECT key FROM a UNION ALL SELECT key FROM b)),
+ei AS (SELECT CAST(count(*) AS BIGINT) AS exact_inter
+       FROM a JOIN b USING (key))
+SELECT CAST({KMV_K} AS BIGINT) AS k, n_sig, n_shared, union_est,
+       CAST(CASE WHEN n_sig < {KMV_K} THEN n_shared
+            ELSE (n_shared * union_est) // {KMV_K} END AS BIGINT)
+         AS inter_est,
+       exact_union, exact_inter
+FROM u, ex, ei
+"""

@@ -297,3 +297,48 @@ def test_merge_partial_aggs_typed_state(spark):
 
     with _pt.raises(ValueError, match="unsupported merge fns"):
         merge_partial_aggs(state(facts1), state(facts2), ["k"], {"lo": "avg"})
+
+
+def test_kmv_regimes_and_mergeability(spark):
+    """KMV: below-k inputs are EXACT; above-k estimates land within
+    4/sqrt(k) of truth on uniform synthetic sets; and the union
+    signature equals the k-min of the merged per-side signatures
+    (mergeability — the property that makes KMV distributable)."""
+    import pyspark.sql.functions as F
+
+    from reair_spark.datapipe.common import portable_hash32
+    from reair_spark.extra_queries import KMV_K
+
+    def signature(df):
+        return (
+            df.select(
+                portable_hash32(
+                    F.concat(F.lit("kmv:"), F.col("key").cast("string"))
+                ).alias("h")
+            )
+            .distinct()
+            .orderBy("h")
+            .limit(KMV_K)
+        )
+
+    # exact regime: 100 < k values
+    small = spark.range(100).select(F.col("id").alias("key"))
+    hk = [r.h for r in signature(small).collect()]
+    assert len(hk) == 100  # sketch IS the set
+
+    # estimate regime: 20k values, estimate within 4/sqrt(k)
+    big = spark.range(20000).select(F.col("id").alias("key"))
+    hs = [r.h for r in signature(big).collect()]
+    assert len(hs) == KMV_K
+    est = (KMV_K - 1) * 4294967296 // max(hs)
+    assert abs(est - 20000) / 20000 < 4 / KMV_K**0.5
+
+    # mergeability: sig(A ∪ B) == k-min(sig(A) ∪ sig(B))
+    a = spark.range(0, 15000).select(F.col("id").alias("key"))
+    b = spark.range(10000, 25000).select(F.col("id").alias("key"))
+    direct = [r.h for r in signature(a.unionByName(b)).collect()]
+    merged = sorted(
+        {r.h for r in signature(a).collect()}
+        | {r.h for r in signature(b).collect()}
+    )[:KMV_K]
+    assert direct == merged
