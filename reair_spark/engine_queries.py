@@ -1438,3 +1438,149 @@ WHERE l_shipdate >= TIMESTAMP '1996-03-15 00:00:00'
   AND l_shipdate <= TIMESTAMP '1996-07-20 00:00:00'
   AND l_extendedprice >= 900.0
 """
+
+
+def serde_orc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """ORC + compressed-CSV legs of the serde-migration surface
+    (X1-X3), same digest discipline as `serde_roundtrip_digest`:
+    nation → ORC (the second pushdown-capable columnar serde the
+    catalog records can declare) → gzip CSV via the REAL
+    `convert_location` with writer options, every hop read back and
+    digested to identical rows. Covers what the csv/json gate cannot:
+    the ORC datasource round-trip and codec-compressed text (at scale,
+    text interchange is always compressed; a codec mismatch or a
+    splittability assumption shows up here as a digest break)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from reair_spark.sources import convert_location, read_location
+
+    base = tempfile.mkdtemp(prefix="reair_orc_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    schema = "n_nationkey long, n_name string, n_regionkey long"
+    src = _t(spark, sf, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    src.write.format("orc").mode("overwrite").save(f"{base}/orc")
+    convert_location(spark, f"{base}/orc", f"{base}/csv_gz", "orc", "csv",
+                     schema=schema, options={"compression": "gzip"})
+
+    def digest(df: DataFrame, stage: str) -> DataFrame:
+        row_h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.col("n_nationkey").cast("string"),
+                        "n_name",
+                        F.col("n_regionkey").cast("string"),
+                    )
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("long")
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("n_nationkey").cast("long").alias("key_sum"),
+            F.sum(row_h).alias("content_digest"),
+        ).select(F.lit(stage).alias("stage"), "n_rows", "key_sum",
+                 "content_digest")
+
+    stages = digest(src, "src")
+    for stage, serde in (("orc", "orc"), ("csv_gz", "csv")):
+        back = read_location(
+            spark, f"{base}/{stage}", serde, schema=schema
+        ).select("n_nationkey", "n_name", "n_regionkey")
+        stages = stages.unionByName(digest(back, stage))
+    return stages
+
+
+ENGINE_QUERIES["serde_orc_roundtrip"] = serde_orc_roundtrip
+ENGINE_ORACLES["serde_orc_roundtrip"] = """
+WITH d AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
+         CAST(sum(CAST(concat('0x', substr(md5(
+             concat_ws('|', CAST(n_nationkey AS VARCHAR), n_name,
+                       CAST(n_regionkey AS VARCHAR))),
+             1, 13)) AS BIGINT)) AS BIGINT) AS content_digest
+  FROM nation
+)
+SELECT s.stage, d.n_rows, d.key_sum, d.content_digest
+FROM d, (SELECT unnest(['src', 'orc', 'csv_gz']) AS stage) s
+"""
+
+
+_BUCKETED_CACHE: dict = {}
+
+
+def _build_bucketed_tables(spark: SparkSession, sf: str) -> tuple[str, str]:
+    """orders + customer written ONCE per (session, sf) as bucketed
+    catalog tables on the same key with the same bucket count — the
+    co-location contract that lets every later join skip its
+    exchange."""
+    import atexit
+    import re
+    import shutil
+    import tempfile
+
+    from reair_spark.sources import write_bucketed
+
+    base = tempfile.mkdtemp(prefix="reair_bkt_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    tag = re.sub(r"\W", "_", sf.rstrip("/").rsplit("/", 1)[-1])
+    to, tc = f"bkt_orders_{tag}", f"bkt_customer_{tag}"
+    write_bucketed(
+        _t(spark, sf, "orders").select("o_custkey", "o_totalprice"),
+        to, ["o_custkey"], 8, path=f"{base}/o",
+    )
+    write_bucketed(
+        _t(spark, sf, "customer").select("c_custkey", "c_mktsegment"),
+        tc, ["c_custkey"], 8, path=f"{base}/c",
+    )
+    return to, tc
+
+
+def bucketed_join_digest(spark: SparkSession, sf: str) -> DataFrame:
+    """Bucket-co-located join through the correctness gate: orders and
+    customer are bucketed by the join key at WRITE time (8 buckets,
+    `sources.write_bucketed`), so the fact-dimension join reads
+    bucket-aligned splits with ZERO join-side exchange — the write
+    pays the shuffle once, every subsequent join on that key skips it
+    (the 100 TB answer for a fact table joined on the same key daily;
+    plan shape pinned in test_plan_shapes.py::
+    test_bucketed_join_is_shuffle_free). The only shuffle left in this
+    query is the metadata-sized segment rollup after the join. Oracle
+    = the plain join + rollup from the raw tables, so a bucket-
+    misalignment bug (rows hashed to different buckets on each side)
+    surfaces as missing join matches, not just a slow plan."""
+    key = (id(spark), sf)
+    if key not in _BUCKETED_CACHE:
+        _BUCKETED_CACHE[key] = _build_bucketed_tables(spark, sf)
+    to, tc = _BUCKETED_CACHE[key]
+    o = spark.table(to)
+    c = spark.table(tc)
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+ENGINE_QUERIES["bucketed_join_digest"] = bucketed_join_digest
+ENGINE_ORACLES["bucketed_join_digest"] = """
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""

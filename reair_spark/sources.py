@@ -104,15 +104,19 @@ def convert_location(
     dest_serde: str,
     schema=None,
     partition_by: list[str] | None = None,
+    options: dict | None = None,
 ) -> None:
     """Serde migration for one location (e.g. csv → parquet as part of
     a warehouse modernization): one declarative read → write, so the
     whole conversion is a single distributed job with no driver-side
-    row handling."""
+    row handling. ``options`` go to the writer (e.g. a compression
+    codec for text interchange)."""
     df = read_location(spark, src_location, src_serde, schema=schema)
     writer = df.write.format(SERDE_FORMATS.get(dest_serde, dest_serde)).mode(
         "overwrite"
     )
+    if options:
+        writer = writer.options(**options)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.save(dest_location)
