@@ -1379,3 +1379,123 @@ FROM (
   FROM documents) s
 """,
 }
+
+
+WHT_N = 64      # transform length (samples); 6 butterfly stages
+WHT_BANDS = 4   # energy bands of WHT_N / WHT_BANDS coefficients each
+
+
+def multimodal_audio_wht(spark: SparkSession, sf: str) -> DataFrame:
+    """Spectral-domain audio feature with an EXACT cross-engine
+    oracle: a length-64 Walsh–Hadamard transform over the first
+    analysis window of each payload, reduced to 4 band energies + the
+    dominant band — the integer cousin of the DFT spectrogram
+    (sequency analysis; used in low-power audio fingerprinting
+    precisely because it needs no floats). A float DFT here would put
+    numpy-FFT-vs-SQL-trig summation-order noise inside the gate hash;
+    the WHT's ±1 coefficient matrix keeps every intermediate in int64,
+    so Spark's vectorized butterfly and DuckDB's list-rewrite butterfly
+    agree BIT-FOR-BIT — codec-class math gated as hard as the codecs.
+
+    Spark shape: mapInPandas, one Arrow batch per task, the butterfly
+    vectorized across the batch in numpy (6 reshape/add passes —
+    O(N log N) per window, linear in corpus bytes, embarrassingly
+    parallel; the production form applies the same kernel to every
+    window, this gate transforms window 0 so the oracle's 6-stage SQL
+    butterfly stays metadata-cheap)."""
+
+    def wht(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            n_docs = len(pdf)
+            if n_docs == 0:
+                yield _pd.DataFrame(
+                    columns=["doc_id", "n_samples", "e0", "e1", "e2",
+                             "e3", "dom_band"]
+                )
+                continue
+            # batch-vectorized: (n_docs, 64) int64 matrix, padded with
+            # zeros AFTER centering so short payloads contribute silence
+            mat = _np.zeros((n_docs, WHT_N), dtype=_np.int64)
+            lens = []
+            for r, payload in enumerate(pdf["media"]):
+                data = _np.frombuffer(bytes(payload), dtype=_np.uint8)[
+                    :WHT_N
+                ].astype(_np.int64)
+                mat[r, : len(data)] = data - 128
+                lens.append(len(data))
+            h = 1
+            while h < WHT_N:  # exact-integer fast WHT, natural order
+                m = mat.reshape(n_docs, -1, 2 * h)
+                a = m[:, :, :h].copy()
+                b = m[:, :, h : 2 * h].copy()
+                m[:, :, :h] = a + b
+                m[:, :, h : 2 * h] = a - b
+                h *= 2
+            e = (mat * mat).reshape(n_docs, WHT_BANDS, -1).sum(axis=2)
+            dom = e.argmax(axis=1)  # numpy argmax = FIRST max
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "n_samples": _np.array(lens, dtype=_np.int64),
+                    "e0": e[:, 0],
+                    "e1": e[:, 1],
+                    "e2": e[:, 2],
+                    "e3": e[:, 3],
+                    "dom_band": dom.astype(_np.int64),
+                }
+            )
+
+    media = with_media_column(_t(spark, sf, "documents"))
+    return media.mapInPandas(
+        wht,
+        schema=(
+            "doc_id long, n_samples long, e0 long, e1 long, e2 long, "
+            "e3 long, dom_band long"
+        ),
+    )
+
+
+def _wht_sql() -> str:
+    """DuckDB mirror of the 6-stage integer butterfly: each stage
+    rewrites the 64-element list in place (1-based indices; position p
+    within a 2h block takes a+b in the low half, a-b in the high)."""
+    stages = []
+    prev = "s0"
+    for si, h in enumerate((1, 2, 4, 8, 16, 32), start=1):
+        stages.append(
+            f"s{si} AS (SELECT doc_id, n_samples, list_transform("
+            f"range(1, {WHT_N + 1}), i -> CASE WHEN ((i - 1) % {2 * h})"
+            f" < {h} THEN xs[i] + xs[i + {h}]"
+            f" ELSE xs[i - {h}] - xs[i] END) AS xs FROM {prev})"
+        )
+        prev = f"s{si}"
+    w = WHT_N // WHT_BANDS
+    bands = ", ".join(
+        f"CAST(list_aggregate(list_transform(range({b * w + 1}, "
+        f"{(b + 1) * w + 1}), i -> xs[i] * xs[i]), 'sum') AS BIGINT) "
+        f"AS e{b}"
+        for b in range(WHT_BANDS)
+    )
+    return f"""
+WITH s0 AS (
+  SELECT doc_id,
+         CAST(least(length(text), {WHT_N}) AS BIGINT) AS n_samples,
+         list_transform(range(1, {WHT_N + 1}),
+           i -> CASE WHEN i <= length(text)
+                     THEN unicode(text[i]) - 128 ELSE 0 END) AS xs
+  FROM documents),
+{", ".join(stages)},
+e AS (SELECT doc_id, n_samples, {bands} FROM {prev})
+SELECT doc_id, n_samples, e0, e1, e2, e3,
+       CAST(list_position([e0, e1, e2, e3],
+                          list_aggregate([e0, e1, e2, e3], 'max')) - 1
+            AS BIGINT) AS dom_band
+FROM e
+"""
+
+
+MM_QUERIES["multimodal_audio_wht"] = multimodal_audio_wht
+MM_ORACLES["multimodal_audio_wht"] = _wht_sql()

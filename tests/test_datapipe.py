@@ -885,3 +885,47 @@ def test_stream_neardup_cross_batch_suppression(spark, tmp_path):
         "doc_id long, text string"), 1)
     assert {r.doc_id for r in accepted_neardup(spark, idx).collect()} == {
         12, 22}
+
+
+def test_wht_butterfly_matches_definition(spark):
+    """The vectorized butterfly equals the mathematical definition
+    W[k] = sum_n x[n] * (-1)^popcount(k AND n) (natural order), and
+    Parseval holds: sum W^2 == N * sum x^2 — so the band energies the
+    gate hashes are the true sequency spectrum, not an
+    implementation-defined permutation."""
+    import numpy as np
+    import pandas as pd
+
+    from reair_spark.datapipe.multimodal import WHT_N, multimodal_audio_wht
+
+    rng = np.random.RandomState(7)
+    x = rng.randint(-128, 128, WHT_N).astype(np.int64)
+    brute = np.array(
+        [
+            sum(
+                int(x[n]) * (-1 if bin(k & n).count("1") % 2 else 1)
+                for n in range(WHT_N)
+            )
+            for k in range(WHT_N)
+        ],
+        dtype=np.int64,
+    )
+    # run the same butterfly the operator uses (single-row matrix)
+    mat = x.reshape(1, WHT_N).copy()
+    h = 1
+    while h < WHT_N:
+        m = mat.reshape(1, -1, 2 * h)
+        a = m[:, :, :h].copy()
+        b = m[:, :, h : 2 * h].copy()
+        m[:, :, :h] = a + b
+        m[:, :, h : 2 * h] = a - b
+        h *= 2
+    assert (mat[0] == brute).all()
+    assert (brute * brute).sum() == WHT_N * (x * x).sum()
+
+    # operator end-to-end on a short payload: zero-padding after
+    # centering means a doc of all chr(128) has zero spectrum
+    out = multimodal_audio_wht(spark, "/root/testdata/sf0.001")
+    row = out.orderBy("doc_id").first()
+    assert row.e0 + row.e1 + row.e2 + row.e3 > 0
+    assert 0 <= row.dom_band <= 3
