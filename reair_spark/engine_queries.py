@@ -1342,11 +1342,15 @@ def _build_zonemap_layout(spark: SparkSession, sf: str) -> str:
     atexit.register(shutil.rmtree, base, ignore_errors=True)
     li = (
         _t(spark, sf, "lineitem")
-        .select("l_orderkey", "l_shipdate", "l_extendedprice")
+        .select("l_orderkey", "l_shipdate", "l_extendedprice", "l_quantity")
         .withColumn("bucket", F.date_format("l_shipdate", "yyyy-MM"))
     )
     write_zonemapped(
-        li, base, "bucket", stat_cols=["l_shipdate", "l_extendedprice"]
+        li,
+        base,
+        "bucket",
+        stat_cols=["l_shipdate", "l_extendedprice", "l_orderkey"],
+        bloom_cols=["l_orderkey"],
     )
     return base
 
@@ -1583,4 +1587,125 @@ SELECT c_mktsegment,
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
 ORDER BY c_mktsegment
+"""
+
+
+def scan_bloom_pruning(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-manifest point-predicate pruning — the pruning zone maps
+    CANNOT do: the layout is clustered by shipdate month, the probe is
+    one l_orderkey, and since orderkeys are uncorrelated with months
+    every bucket's [min,max] orderkey zone contains the probe — range
+    pruning keeps all ~83 buckets. The per-bucket Bloom filters
+    (BLOOM_K md5-derived positions per value, recorded at write time)
+    prune to the buckets that might hold the key; false positives are
+    possible and DETERMINISTIC (same hash family both engines), false
+    negatives impossible. The gate-sized BLOOM_M=1024 saturates as
+    per-bucket key counts grow (83→4 kept at sf0.001, 83→45 at sf0.01
+    — the same visible-saturation design as dedup_bloom_prefilter);
+    production sizes m ≈ 10 bits per expected key per bucket, which
+    keeps the false-positive rate ~1% at any scale. Output contrasts the two
+    prune counts (minmax vs bloom) and carries the query answer, so
+    the oracle catches a membership bug (dropped bucket → missing
+    rows) and a family mismatch (different false-positive set →
+    different n_buckets_read_bloom).
+
+    The probe is data-derived (smallest orderkey in the upper half of
+    the key range) so the gate is deterministic at every sf without a
+    magic constant. 100 TB story: point lookups on a non-clustering
+    column become |bloom-positive buckets| directory reads instead of
+    a full scan — the Parquet column-index / Iceberg bloom pairing,
+    done at manifest granularity."""
+    from reair_spark.sources import zonemap_scan
+
+    key = (id(spark), sf)
+    if key not in _ZONEMAP_CACHE:
+        _ZONEMAP_CACHE[key] = _build_zonemap_layout(spark, sf)
+    base = _ZONEMAP_CACHE[key]
+
+    li = _t(spark, sf, "lineitem")
+    half = li.agg(
+        F.floor(F.max("l_orderkey") / 2).cast("long").alias("half")
+    ).collect()[0]["half"]
+    probe = (
+        li.filter(F.col("l_orderkey") >= half)
+        .agg(F.min("l_orderkey").alias("p"))
+        .collect()[0]["p"]
+    )
+
+    # minmax-only planning (kept for contrast — zones can't prune a
+    # point on an uncorrelated column)
+    _, mm_stats = zonemap_scan(
+        spark, base, predicates=[("l_orderkey", probe, probe)]
+    )
+    df, bl_stats = zonemap_scan(
+        spark, base, point_predicates=[("l_orderkey", probe)]
+    )
+    res = df.filter(F.col("l_orderkey") == F.lit(probe)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows_matched"),
+        F.round(F.sum("l_quantity"), 2).alias("qty_sum"),
+    )
+    return res.select(
+        F.lit(probe).cast("long").alias("probe_orderkey"),
+        F.lit(bl_stats["n_buckets_total"]).cast("long").alias(
+            "n_buckets_total"
+        ),
+        F.lit(mm_stats["n_buckets_read"]).cast("long").alias(
+            "n_buckets_read_minmax"
+        ),
+        F.lit(bl_stats["n_buckets_read"]).cast("long").alias(
+            "n_buckets_read_bloom"
+        ),
+        "n_rows_matched",
+        "qty_sum",
+    )
+
+
+ENGINE_QUERIES["scan_bloom_pruning"] = scan_bloom_pruning
+ENGINE_ORACLES["scan_bloom_pruning"] = """
+WITH pr AS (
+  SELECT min(l_orderkey) AS p FROM lineitem
+  WHERE l_orderkey >= (SELECT CAST(floor(max(l_orderkey) / 2) AS BIGINT)
+                       FROM lineitem)),
+li AS (
+  SELECT l_orderkey, l_quantity,
+         strftime(l_shipdate, '%Y-%m') AS bucket,
+         md5(CAST(l_orderkey AS VARCHAR)) AS m
+  FROM lineitem),
+pp AS (
+  SELECT p,
+         (CAST(concat('0x', substr(md5(CAST(p AS VARCHAR)), 1, 8)) AS BIGINT)
+          + 1 * CAST(concat('0x', substr(md5(CAST(p AS VARCHAR)), 9, 8)) AS BIGINT))
+           % 4294967291 % 1024 AS pos1,
+         (CAST(concat('0x', substr(md5(CAST(p AS VARCHAR)), 1, 8)) AS BIGINT)
+          + 2 * CAST(concat('0x', substr(md5(CAST(p AS VARCHAR)), 9, 8)) AS BIGINT))
+           % 4294967291 % 1024 AS pos2
+  FROM pr),
+b AS (
+  SELECT bucket,
+         min(l_orderkey) AS mn, max(l_orderkey) AS mx,
+         bool_or((CAST(concat('0x', substr(m, 1, 8)) AS BIGINT)
+                  + 1 * CAST(concat('0x', substr(m, 9, 8)) AS BIGINT))
+                   % 4294967291 % 1024 = (SELECT pos1 FROM pp)
+              OR (CAST(concat('0x', substr(m, 1, 8)) AS BIGINT)
+                  + 2 * CAST(concat('0x', substr(m, 9, 8)) AS BIGINT))
+                   % 4294967291 % 1024 = (SELECT pos1 FROM pp))
+           AS has_p1,
+         bool_or((CAST(concat('0x', substr(m, 1, 8)) AS BIGINT)
+                  + 1 * CAST(concat('0x', substr(m, 9, 8)) AS BIGINT))
+                   % 4294967291 % 1024 = (SELECT pos2 FROM pp)
+              OR (CAST(concat('0x', substr(m, 1, 8)) AS BIGINT)
+                  + 2 * CAST(concat('0x', substr(m, 9, 8)) AS BIGINT))
+                   % 4294967291 % 1024 = (SELECT pos2 FROM pp))
+           AS has_p2
+  FROM li GROUP BY bucket)
+SELECT (SELECT p FROM pr) AS probe_orderkey,
+       (SELECT CAST(count(*) AS BIGINT) FROM b) AS n_buckets_total,
+       (SELECT CAST(count(*) AS BIGINT) FROM b, pr
+        WHERE mn <= p AND mx >= p) AS n_buckets_read_minmax,
+       (SELECT CAST(count(*) AS BIGINT) FROM b
+        WHERE has_p1 AND has_p2) AS n_buckets_read_bloom,
+       CAST(count(*) AS BIGINT) AS n_rows_matched,
+       round(sum(l_quantity), 2) AS qty_sum
+FROM lineitem, pr
+WHERE l_orderkey = p
 """

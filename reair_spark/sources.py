@@ -148,12 +148,30 @@ def write_bucketed(
     w.mode("overwrite").saveAsTable(table)
 
 
+BLOOM_M = 1024  # bit positions per bucket-level bloom
+BLOOM_K = 2     # derived-family members per value
+
+
+def _bloom_positions(value) -> list[int]:
+    """Driver-side probe positions — the SAME md5-derived family the
+    manifest build computes per row (datapipe.common.derived_hash), so
+    scan planning needs no Spark job to test membership."""
+    import hashlib
+
+    from reair_spark.datapipe.common import P32
+
+    h = hashlib.md5(str(value).encode()).hexdigest()
+    a, b = int(h[:8], 16), int(h[8:16], 16)
+    return [(a + s * b) % P32 % BLOOM_M for s in range(1, BLOOM_K + 1)]
+
+
 def write_zonemapped(
     df: DataFrame,
     location: str,
     bucket_col: str,
     stat_cols: list[str],
     serde: str = "parquet",
+    bloom_cols: list[str] | None = None,
 ) -> None:
     """Clustered layout + file-level statistics manifest — the
     Iceberg/Delta scan-planning shape, expressed with plain datasource
@@ -173,8 +191,27 @@ def write_zonemapped(
     opening any footer.
 
     The manifest is derived from ``df`` in the same job that writes
-    the data — one extra metadata-sized aggregate, no re-read."""
+    the data — one extra metadata-sized aggregate, no re-read.
+
+    ``bloom_cols`` adds a per-bucket Bloom filter (BLOOM_M positions,
+    BLOOM_K md5-derived hashes per value) for POINT predicates — the
+    pruning min/max zones cannot give when the column is uncorrelated
+    with the clustering key (Parquet column indexes and Iceberg carry
+    the same pairing: zones for ranges, blooms for equality). Stored
+    as a sorted distinct-position array — ≤ BLOOM_M ints per bucket,
+    still metadata-sized. Build cost is one md5 per row per bloom
+    column plus a distinct on (bucket, position) — linear, paid once
+    at write.
+
+    The manifest is published LAST via tmp+swap (atomic_overwrite), so
+    a crash mid-write leaves the previous manifest intact and scan
+    planning never sees a half-written one. (Full transactional
+    data+manifest replace needs a snapshot log — the orphan-GC /
+    time-travel ops model that lifecycle; out of scope for this
+    layout helper.)"""
     from pyspark.sql import functions as F
+
+    from reair_spark.datapipe.common import derived_hash, hash_family_ab
 
     fmt = SERDE_FORMATS.get(serde, serde)
     df.write.format(fmt).partitionBy(bucket_col).mode("overwrite").save(
@@ -183,20 +220,31 @@ def write_zonemapped(
     aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
     for c in stat_cols:
         aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
-    (
-        df.groupBy(bucket_col)
-        .agg(*aggs)
-        .write.format(fmt)
-        .mode("overwrite")
-        .save(f"{location.rstrip('/')}/manifest")
-    )
+    manifest = df.groupBy(bucket_col).agg(*aggs)
+    for c in bloom_cols or []:
+        a, b = hash_family_ab(F.md5(F.col(c).cast("string")))
+        pos = F.array(
+            *[
+                (derived_hash(a, b, s) % BLOOM_M).cast("int")
+                for s in range(1, BLOOM_K + 1)
+            ]
+        )
+        bl = (
+            df.select(F.col(bucket_col), F.explode(pos).alias("pos"))
+            .distinct()
+            .groupBy(bucket_col)
+            .agg(F.sort_array(F.collect_set("pos")).alias(f"bloom_{c}"))
+        )
+        manifest = manifest.join(bl, bucket_col, "left")
+    atomic_overwrite(manifest, f"{location.rstrip('/')}/manifest", serde)
 
 
 def zonemap_scan(
     spark: SparkSession,
     location: str,
-    predicates: list[tuple[str, object, object]],
+    predicates: list[tuple[str, object, object]] | None = None,
     serde: str = "parquet",
+    point_predicates: list[tuple[str, object]] | None = None,
 ) -> tuple[DataFrame, dict]:
     """Manifest-pruned scan over a :func:`write_zonemapped` layout.
 
@@ -206,6 +254,11 @@ def zonemap_scan(
     zone-map test: overlap can be a false positive (a zone may span a
     gap), never a false negative, so pruning is lossless and the
     residual filter still applies on the rows read.
+    ``point_predicates`` is a list of (col, value) equality probes
+    tested against the per-bucket Bloom filters the layout recorded
+    for ``bloom_cols`` — the pruning path for columns UNCORRELATED
+    with the clustering key, where every bucket's min/max zone spans
+    the probe and range pruning keeps everything.
 
     Returns (DataFrame over only the qualifying bucket directories —
     WITHOUT the residual filter, the caller owns predicate semantics —
@@ -220,12 +273,28 @@ def zonemap_scan(
     man = spark.read.format(fmt).load(f"{location.rstrip('/')}/manifest")
     bucket_col = man.columns[0]
     keep = F.lit(True)
-    for col, lo, hi in predicates:
+    for col, lo, hi in predicates or []:
         if lo is not None:
             keep = keep & (F.col(f"max_{col}") >= F.lit(lo))
         if hi is not None:
             keep = keep & (F.col(f"min_{col}") <= F.lit(hi))
-    rows = man.select(bucket_col, "n_rows", keep.alias("keep")).collect()
+    bloom_needed = [f"bloom_{col}" for col, _ in point_predicates or []]
+    collected = man.select(
+        bucket_col, "n_rows", keep.alias("keep"), *bloom_needed
+    ).collect()
+    # bloom membership test, driver-side like the zone test: a bucket
+    # survives a point predicate iff EVERY probe position is set in
+    # its filter (can false-positive, never false-negative)
+    rows = []
+    for r in collected:
+        ok = bool(r["keep"])
+        for col, value in point_predicates or []:
+            ok = ok and all(
+                p in (r[f"bloom_{col}"] or [])
+                for p in _bloom_positions(value)
+            )
+        rows.append({bucket_col: r[bucket_col], "n_rows": r["n_rows"],
+                     "keep": ok})
     kept = [r for r in rows if r["keep"]]
     stats = {
         "n_buckets_total": len(rows),

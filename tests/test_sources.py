@@ -150,3 +150,44 @@ def test_zonemap_false_positive_reads_but_filters(spark, tmp_path):
     # matching row; bucket 'c' zone [40,60] does not overlap
     assert stats["n_buckets_read"] == 1
     assert pruned.filter("v >= 10 and v <= 20").count() == 0
+
+
+def test_zonemap_bloom_point_pruning(spark, tmp_path):
+    """Bloom manifests prune point predicates zones can't: values are
+    spread so every bucket's min/max zone spans every probe, yet the
+    bloom keeps only buckets that (maybe) hold the key. Present keys
+    are NEVER pruned away (no false negatives); range + point
+    predicates compose with AND."""
+    from pyspark.sql import functions as F2
+
+    from reair_spark.sources import write_zonemapped, zonemap_scan
+
+    # 8 buckets, v = id spread round-robin: every bucket's v-zone is
+    # [bucket, 9992+bucket] — min/max can't isolate any single v
+    df = spark.range(10000).select(
+        "id",
+        (F2.col("id") % 8).cast("string").alias("b"),
+        F2.col("id").alias("v"),
+    )
+    loc = str(tmp_path / "zb")
+    write_zonemapped(df, loc, "b", stat_cols=["v"], bloom_cols=["v"])
+
+    # probes inside [7, 9992] sit within EVERY bucket's v-zone
+    for probe in (7, 4242, 9991):
+        pruned, stats = zonemap_scan(
+            spark, loc, point_predicates=[("v", probe)]
+        )
+        assert 1 <= stats["n_buckets_read"] <= 8
+        # the true bucket always survives, and the row is found
+        assert pruned.filter(F2.col("v") == probe).count() == 1
+        # minmax-only planning keeps everything (the contrast)
+        _, mm = zonemap_scan(spark, loc, predicates=[("v", probe, probe)])
+        assert mm["n_buckets_read"] == 8
+
+    # composition: a range that kills all buckets wins over the bloom
+    _, both = zonemap_scan(
+        spark, loc,
+        predicates=[("v", 20000, 30000)],
+        point_predicates=[("v", 4242)],
+    )
+    assert both["n_buckets_read"] == 0
