@@ -1381,14 +1381,19 @@ def scan_zonemap_pruning(spark: SparkSession, sf: str) -> DataFrame:
     reference has no zone maps — this is engine-native table-format
     capability; cf. HiveDifferenceChecker's full-listing diff,
     ReplicationJob.java:215-319, which is the pre-manifest world.)"""
-    from reair_spark.sources import zonemap_scan
-
     key = (id(spark), sf)
     if key not in _ZONEMAP_CACHE:
         _ZONEMAP_CACHE[key] = _build_zonemap_layout(spark, sf)
-    base = _ZONEMAP_CACHE[key]
+    return _zonemap_answer(spark, _ZONEMAP_CACHE[key])
 
+
+def _zonemap_answer(spark: SparkSession, base: str) -> DataFrame:
+    """The gate's manifest-planned query (shipdate range + price
+    floor), shared by the batch-built and stream-built layouts — both
+    hold the same rows, so one oracle covers both paths."""
     import datetime as _dt
+
+    from reair_spark.sources import zonemap_scan
 
     lo = _dt.datetime(1996, 3, 15)
     hi = _dt.datetime(1996, 7, 20)
@@ -1709,3 +1714,68 @@ SELECT (SELECT p FROM pr) AS probe_orderkey,
 FROM lineitem, pr
 WHERE l_orderkey = p
 """
+
+
+_ZONEMAP_STREAM_SRC: dict = {}
+
+
+def stream_zonemap_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming clustered ingestion + incremental manifest maintenance
+    — the streaming twin of scan_zonemap_pruning: lineitem arrives as
+    a checkpointed file stream (4 key-ranged chunks, one per
+    micro-batch), each batch lands under its own ingest partition and
+    publishes a manifest DELTA (streaming.stream_zonemap_ingest —
+    replay-idempotent by construction), and the SAME manifest-planned
+    query then runs over the stream-built layout. Because every
+    per-bucket statistic is a monoid, the merged manifest is invariant
+    to batching — so this gate shares scan_zonemap_pruning's oracle
+    verbatim, and the 1-batch == 4-batch == one-shot-write equivalence
+    is pytest-enforced (test_streaming). This is the production shape
+    of continuous crawl ingestion into a scan-optimized table: the
+    table stays queryable (and PRUNABLE) while it grows, no rewrite."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from reair_spark.streaming import stream_zonemap_ingest
+
+    key = (spark.sparkContext.applicationId, "zonemap_stream_src", sf)
+    if key not in _ZONEMAP_STREAM_SRC:
+        base = tempfile.mkdtemp(prefix="reair_zstream_")
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
+        li = (
+            _t(spark, sf, "lineitem")
+            .select("l_orderkey", "l_shipdate", "l_extendedprice",
+                    "l_quantity")
+            .withColumn("bucket", F.date_format("l_shipdate", "yyyy-MM"))
+        )
+        li.repartitionByRange(4, "l_orderkey").write.parquet(
+            f"{base}/chunks"
+        )
+        _ZONEMAP_STREAM_SRC[key] = f"{base}/chunks"
+    src = _ZONEMAP_STREAM_SRC[key]
+
+    run = tempfile.mkdtemp(prefix="reair_zstream_run_")
+    atexit.register(shutil.rmtree, run, ignore_errors=True)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    stream_zonemap_ingest(
+        spark,
+        stream,
+        f"{run}/layout",
+        "bucket",
+        ["l_shipdate", "l_extendedprice", "l_orderkey"],
+        f"{run}/_ckpt",
+        bloom_cols=["l_orderkey"],
+    )
+    return _zonemap_answer(spark, f"{run}/layout")
+
+
+ENGINE_QUERIES["stream_zonemap_scan"] = stream_zonemap_scan
+ENGINE_ORACLES["stream_zonemap_scan"] = ENGINE_ORACLES[
+    "scan_zonemap_pruning"
+]

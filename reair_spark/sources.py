@@ -203,19 +203,52 @@ def write_zonemapped(
     column plus a distinct on (bucket, position) — linear, paid once
     at write.
 
-    The manifest is published LAST via tmp+swap (atomic_overwrite), so
-    a crash mid-write leaves the previous manifest intact and scan
-    planning never sees a half-written one. (Full transactional
-    data+manifest replace needs a snapshot log — the orphan-GC /
-    time-travel ops model that lifecycle; out of scope for this
-    layout helper.)"""
+    The layout is APPEND-STRUCTURED like an Iceberg manifest list:
+    data lives under ``data/ingest=<i>/<bucket>=<v>/`` and each ingest
+    publishes one metadata-sized manifest DELTA under
+    ``manifest/ingest=<i>/`` (tmp+swap, so planning never reads a
+    half-written delta). :func:`zonemap_scan` merges deltas at plan
+    time — every per-bucket statistic is a monoid (min of mins, max of
+    maxs, sum of counts, union of bloom positions), which is exactly
+    what makes the layout STREAM-ABLE: micro-batches append deltas
+    (:func:`append_zonemapped` keyed by batch id, replay-idempotent
+    via dynamic partition overwrite) and the merged view is invariant
+    to how the data was batched. This one-shot builder is ingest 0 of
+    a fresh location."""
+    append_zonemapped(
+        df, location, bucket_col, stat_cols, serde=serde,
+        bloom_cols=bloom_cols, ingest_id=0,
+    )
+
+
+def append_zonemapped(
+    df: DataFrame,
+    location: str,
+    bucket_col: str,
+    stat_cols: list[str],
+    serde: str = "parquet",
+    bloom_cols: list[str] | None = None,
+    ingest_id: int = 0,
+) -> None:
+    """One ingest (micro-batch) into a zone-mapped layout: data lands
+    under its own ``ingest=<id>`` partition via DYNAMIC partition
+    overwrite — a replayed batch (foreachBatch crash recovery)
+    replaces exactly its own directories, never duplicating rows — and
+    the batch's manifest delta is published atomically under
+    ``manifest/ingest=<id>`` (same id ⇒ same dir ⇒ replay overwrites
+    the same delta). Exactly-once lands on idempotence, the same
+    discipline as the replication sink (ST4)."""
     from pyspark.sql import functions as F
 
     from reair_spark.datapipe.common import derived_hash, hash_family_ab
 
-    fmt = SERDE_FORMATS.get(serde, serde)
-    df.write.format(fmt).partitionBy(bucket_col).mode("overwrite").save(
-        f"{location.rstrip('/')}/data"
+    loc = location.rstrip("/")
+    write_partitioned(
+        df.withColumn("ingest", F.lit(int(ingest_id))),
+        f"{loc}/data",
+        ["ingest", bucket_col],
+        serde=serde,
+        dynamic=True,
     )
     aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
     for c in stat_cols:
@@ -236,7 +269,9 @@ def write_zonemapped(
             .agg(F.sort_array(F.collect_set("pos")).alias(f"bloom_{c}"))
         )
         manifest = manifest.join(bl, bucket_col, "left")
-    atomic_overwrite(manifest, f"{location.rstrip('/')}/manifest", serde)
+    atomic_overwrite(
+        manifest, f"{loc}/manifest/ingest={int(ingest_id)}", serde
+    )
 
 
 def zonemap_scan(
@@ -270,8 +305,27 @@ def zonemap_scan(
     from pyspark.sql import functions as F
 
     fmt = SERDE_FORMATS.get(serde, serde)
-    man = spark.read.format(fmt).load(f"{location.rstrip('/')}/manifest")
-    bucket_col = man.columns[0]
+    raw = spark.read.format(fmt).load(f"{location.rstrip('/')}/manifest")
+    bucket_col = raw.columns[0]
+    # merge manifest deltas at plan time: every statistic is a monoid,
+    # so the merged view is invariant to how ingests were batched
+    merge_aggs = []
+    for c in raw.columns:
+        if c in (bucket_col, "ingest"):
+            continue
+        if c == "n_rows":
+            merge_aggs.append(F.sum("n_rows").cast("long").alias("n_rows"))
+        elif c.startswith("min_"):
+            merge_aggs.append(F.min(c).alias(c))
+        elif c.startswith("max_"):
+            merge_aggs.append(F.max(c).alias(c))
+        elif c.startswith("bloom_"):
+            merge_aggs.append(
+                F.sort_array(
+                    F.array_distinct(F.flatten(F.collect_list(c)))
+                ).alias(c)
+            )
+    man = raw.groupBy(bucket_col).agg(*merge_aggs)
     keep = F.lit(True)
     for col, lo, hi in predicates or []:
         if lo is not None:
@@ -306,7 +360,7 @@ def zonemap_scan(
         empty = spark.read.format(fmt).load(f"{location.rstrip('/')}/data")
         return empty.where(F.lit(False)), stats
     paths = [
-        f"{location.rstrip('/')}/data/{bucket_col}={r[bucket_col]}"
+        f"{location.rstrip('/')}/data/ingest=*/{bucket_col}={r[bucket_col]}"
         for r in kept
     ]
     return spark.read.format(fmt).load(paths), stats

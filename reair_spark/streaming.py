@@ -770,3 +770,52 @@ def stream_cdc_scd2(
         .start()
     )
     q.awaitTermination()
+
+
+# ---------------------------------------------------------------------------
+# streaming zone-map ingestion: continuous clustered ingestion with
+# incremental manifest maintenance — the streaming twin of
+# sources.write_zonemapped. Each micro-batch appends its data under
+# ingest=<batch_id> (dynamic partition overwrite ⇒ replay-idempotent)
+# and publishes one metadata-sized manifest delta; zonemap_scan merges
+# deltas at plan time, and because every per-bucket statistic is a
+# monoid the merged view is batch-boundary-INVARIANT (pytest-enforced:
+# 1-batch == N-batch == one-shot write_zonemapped).
+# ---------------------------------------------------------------------------
+
+
+def stream_zonemap_ingest(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    location: str,
+    bucket_col: str,
+    stat_cols: list,
+    checkpoint_dir: str,
+    bloom_cols: list | None = None,
+) -> None:
+    """Run the clustered-ingestion stream to exhaustion (availableNow;
+    on a real bus: format('kafka') + processingTime trigger, no sink
+    change). Exactly-once lands on idempotence: a replayed batch
+    rewrites its OWN ingest partition and its OWN manifest delta."""
+    from reair_spark.sources import append_zonemapped
+
+    def feed(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        append_zonemapped(
+            batch_df,
+            location,
+            bucket_col,
+            stat_cols,
+            bloom_cols=bloom_cols,
+            ingest_id=int(batch_id),
+        )
+
+    q = (
+        stream_df.writeStream
+        .foreachBatch(feed)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

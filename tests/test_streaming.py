@@ -534,3 +534,71 @@ def test_stream_cdc_scd2_multibatch_and_replay(spark, sf_dir, tmp_path):
     )
     keys = [r.key for r in asof]
     assert len(keys) == len(set(keys))
+
+
+def test_stream_zonemap_batch_boundary_invariance(spark, tmp_path):
+    """Stream-built zone-mapped layouts are invariant to batching:
+    4-micro-batch == 1-batch == one-shot write_zonemapped (merged
+    manifest AND scan answer), and replaying an ingest (foreachBatch
+    crash recovery) changes nothing (idempotence)."""
+    from pyspark.sql import functions as F
+
+    from reair_spark.sources import (
+        append_zonemapped,
+        write_zonemapped,
+        zonemap_scan,
+    )
+    from reair_spark.streaming import stream_zonemap_ingest
+
+    df = spark.range(2000).select(
+        "id",
+        (F.col("id") % 7).cast("string").alias("b"),
+        (F.col("id") % 100).alias("v"),
+    )
+    src = str(tmp_path / "chunks")
+    df.repartitionByRange(4, "id").write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def run_stream(tag, max_files):
+        loc = str(tmp_path / tag)
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", max_files)
+            .parquet(src)
+        )
+        stream_zonemap_ingest(
+            spark, stream, loc, "b", ["v"],
+            str(tmp_path / f"{tag}_ckpt"), bloom_cols=["v"],
+        )
+        return loc
+
+    multi = run_stream("multi", 1)
+    single = run_stream("single", 99)
+    oneshot = str(tmp_path / "oneshot")
+    write_zonemapped(df, oneshot, "b", ["v"], bloom_cols=["v"])
+
+    def fingerprint(loc):
+        pruned, stats = zonemap_scan(
+            spark, loc, predicates=[("v", 40, 60)],
+            point_predicates=[("v", 42)],
+        )
+        rows = sorted(
+            (r.id, r.v) for r in pruned.filter("v = 42").collect()
+        )
+        return stats, rows
+
+    fm, fs, fo = fingerprint(multi), fingerprint(single), fingerprint(oneshot)
+    assert fm == fs == fo
+    assert fm[0]["n_buckets_total"] == 7
+
+    # replay idempotence: re-append one batch's worth under the same
+    # ingest id — data and manifest delta are REPLACED, not duplicated
+    batch0 = spark.read.parquet(src).limit(0).unionByName(
+        df.filter(F.col("id") < 500)
+    )
+    append_zonemapped(batch0, multi, "b", ["v"], bloom_cols=["v"],
+                      ingest_id=0)
+    before = zonemap_scan(spark, multi)[1]
+    append_zonemapped(batch0, multi, "b", ["v"], bloom_cols=["v"],
+                      ingest_id=0)
+    assert zonemap_scan(spark, multi)[1] == before
