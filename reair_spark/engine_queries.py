@@ -1779,3 +1779,95 @@ ENGINE_QUERIES["stream_zonemap_scan"] = stream_zonemap_scan
 ENGINE_ORACLES["stream_zonemap_scan"] = ENGINE_ORACLES[
     "scan_zonemap_pruning"
 ]
+
+
+_ZONEMAP_COMPACT_TEMPLATE: dict = {}
+
+
+def zonemap_compact_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """Layout-maintenance gate (Delta OPTIMIZE / Iceberg
+    rewrite_data_files shape): a 3-ingest appended layout (lineitem in
+    orderkey thirds — the state streaming ingestion accumulates) is
+    COMPACTED back to one ingest and one manifest delta, then answers
+    the same manifest-planned query as scan_zonemap_pruning — so one
+    oracle (plus the closed-form 3→1 delta contract) checks that the
+    rewrite lost nothing, re-clustered correctly, and rebuilt zones +
+    blooms identical to a from-scratch build. The pre-compact template
+    is built once per (session, sf) and cloned per call, so the gate
+    times the COMPACTION, not the scenario build."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from reair_spark.sources import append_zonemapped, zonemap_compact
+
+    key = (spark.sparkContext.applicationId, "zonemap_compact", sf)
+    if key not in _ZONEMAP_COMPACT_TEMPLATE:
+        base = tempfile.mkdtemp(prefix="reair_zcompact_")
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
+        li = (
+            _t(spark, sf, "lineitem")
+            .select("l_orderkey", "l_shipdate", "l_extendedprice",
+                    "l_quantity")
+            .withColumn("bucket", F.date_format("l_shipdate", "yyyy-MM"))
+        )
+        for i in range(3):
+            append_zonemapped(
+                li.filter(F.pmod("l_orderkey", F.lit(3)) == i),
+                f"{base}/template",
+                "bucket",
+                ["l_shipdate", "l_extendedprice", "l_orderkey"],
+                bloom_cols=["l_orderkey"],
+                ingest_id=i,
+            )
+        _ZONEMAP_COMPACT_TEMPLATE[key] = f"{base}/template"
+    template = _ZONEMAP_COMPACT_TEMPLATE[key]
+
+    run = tempfile.mkdtemp(prefix="reair_zcompact_run_")
+    atexit.register(shutil.rmtree, run, ignore_errors=True)
+    layout = f"{run}/layout"
+    shutil.copytree(template, layout)
+    stats = zonemap_compact(
+        spark,
+        layout,
+        "bucket",
+        ["l_shipdate", "l_extendedprice", "l_orderkey"],
+        bloom_cols=["l_orderkey"],
+    )
+    ans = _zonemap_answer(spark, layout)
+    return ans.select(
+        F.lit(stats["deltas_before"]).cast("long").alias("n_deltas_before"),
+        F.lit(stats["deltas_after"]).cast("long").alias("n_deltas_after"),
+        *ans.columns,
+    )
+
+
+ENGINE_QUERIES["zonemap_compact_scan"] = zonemap_compact_scan
+ENGINE_ORACLES["zonemap_compact_scan"] = """
+WITH li AS (
+  SELECT l_shipdate, l_extendedprice,
+         strftime(l_shipdate, '%Y-%m') AS bucket
+  FROM lineitem),
+m AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+         min(l_shipdate) AS mn_s, max(l_shipdate) AS mx_s,
+         max(l_extendedprice) AS mx_p
+  FROM li GROUP BY bucket),
+k AS (
+  SELECT * FROM m
+  WHERE mx_s >= TIMESTAMP '1996-03-15 00:00:00'
+    AND mn_s <= TIMESTAMP '1996-07-20 00:00:00'
+    AND mx_p >= 900.0)
+SELECT CAST(3 AS BIGINT) AS n_deltas_before,
+       CAST(1 AS BIGINT) AS n_deltas_after,
+       (SELECT CAST(count(*) AS BIGINT) FROM m) AS n_buckets_total,
+       (SELECT CAST(count(*) AS BIGINT) FROM k) AS n_buckets_read,
+       (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) FROM k)
+         AS n_rows_scanned,
+       CAST(count(*) AS BIGINT) AS n_rows_matched,
+       round(sum(l_extendedprice), 2) AS revenue
+FROM li
+WHERE l_shipdate >= TIMESTAMP '1996-03-15 00:00:00'
+  AND l_shipdate <= TIMESTAMP '1996-07-20 00:00:00'
+  AND l_extendedprice >= 900.0
+"""

@@ -274,6 +274,49 @@ def append_zonemapped(
     )
 
 
+def zonemap_compact(
+    spark: SparkSession,
+    location: str,
+    bucket_col: str,
+    stat_cols: list[str],
+    serde: str = "parquet",
+    bloom_cols: list[str] | None = None,
+) -> dict:
+    """Compact a multi-ingest zone-mapped layout back to ONE ingest —
+    the Delta OPTIMIZE / Iceberg rewrite_data_files maintenance step:
+    streaming appends accumulate small files and manifest deltas
+    (plan-time merge keeps queries correct but per-bucket file counts
+    and delta counts grow without bound), so periodic compaction
+    rewrites the data in one clustering pass and collapses the
+    manifest to a single delta. Readers never see a half-compacted
+    layout: the new layout is built COMPLETE in a sibling tmp dir and
+    swapped in with two renames (the DistCpWrapper.java:94-98
+    publish discipline, applied to the whole layout root).
+
+    Returns {"deltas_before", "deltas_after"} for the caller's
+    bookkeeping; the scan answer before and after is identical by
+    construction (pytest-pinned)."""
+    import os
+    import shutil
+    import uuid
+
+    loc = location.rstrip("/")
+    deltas_before = len(
+        [p for p in os.listdir(f"{loc}/manifest") if p.startswith("ingest=")]
+    )
+    fmt = SERDE_FORMATS.get(serde, serde)
+    df = spark.read.format(fmt).load(f"{loc}/data").drop("ingest")
+    tmp = f"{loc}_.compact_{uuid.uuid4().hex[:8]}"
+    write_zonemapped(
+        df, tmp, bucket_col, stat_cols, serde=serde, bloom_cols=bloom_cols
+    )
+    old = f"{loc}_.old_{uuid.uuid4().hex[:8]}"
+    os.replace(loc, old)
+    os.replace(tmp, loc)
+    shutil.rmtree(old)
+    return {"deltas_before": deltas_before, "deltas_after": 1}
+
+
 def zonemap_scan(
     spark: SparkSession,
     location: str,

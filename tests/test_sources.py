@@ -191,3 +191,47 @@ def test_zonemap_bloom_point_pruning(spark, tmp_path):
         point_predicates=[("v", 4242)],
     )
     assert both["n_buckets_read"] == 0
+
+
+def test_zonemap_compact_preserves_answers(spark, tmp_path):
+    """Compaction (multi-ingest → 1) preserves every scan answer —
+    range pruning, bloom point pruning, and row content — and
+    collapses the manifest to one delta."""
+    from pyspark.sql import functions as F2
+
+    from reair_spark.sources import (
+        append_zonemapped,
+        zonemap_compact,
+        zonemap_scan,
+    )
+
+    df = spark.range(3000).select(
+        "id",
+        (F2.col("id") % 6).cast("string").alias("b"),
+        (F2.col("id") % 50).alias("v"),
+    )
+    loc = str(tmp_path / "zc")
+    for i in range(4):
+        append_zonemapped(
+            df.filter(F2.col("id") % 4 == i), loc, "b", ["v"],
+            bloom_cols=["v"], ingest_id=i,
+        )
+
+    def fingerprint():
+        pruned, stats = zonemap_scan(
+            spark, loc, predicates=[("v", 10, 20)],
+            point_predicates=[("v", 13)],
+        )
+        rows = sorted(r.id for r in pruned.filter("v = 13").collect())
+        return stats, rows
+
+    before = fingerprint()
+    stats = zonemap_compact(spark, loc, "b", ["v"], bloom_cols=["v"])
+    assert stats == {"deltas_before": 4, "deltas_after": 1}
+    assert fingerprint() == before
+    # physically one ingest left
+    import os
+
+    assert os.listdir(f"{loc}/manifest") == ["ingest=0"]
+    assert {d for d in os.listdir(f"{loc}/data")
+            if d.startswith("ingest=")} == {"ingest=0"}
