@@ -1871,3 +1871,78 @@ WHERE l_shipdate >= TIMESTAMP '1996-03-15 00:00:00'
   AND l_shipdate <= TIMESTAMP '1996-07-20 00:00:00'
   AND l_extendedprice >= 900.0
 """
+
+
+def zonemap_time_travel(spark: SparkSession, sf: str) -> DataFrame:
+    """AS-OF read of the appended layout: the same manifest-planned
+    query evaluated at ingest 1 of the 3-ingest template — deltas and
+    data partitions above the bound are never touched (exact
+    per-(ingest, bucket) path construction, no globs), so batch-level
+    time travel costs nothing beyond the append-only layout itself
+    (appends never rewrite earlier ingests — the property the CDC-SCD2
+    snapshots exploit; compaction is the expire-snapshots analogue).
+    The oracle recomputes the answer over exactly the first two
+    orderkey thirds, so reading one row of ingest-2 data breaks the
+    hash."""
+    import datetime as _dt
+
+    from reair_spark.sources import zonemap_scan
+
+    key = (spark.sparkContext.applicationId, "zonemap_compact", sf)
+    if key not in _ZONEMAP_COMPACT_TEMPLATE:
+        zonemap_compact_scan(spark, sf).collect()  # builds the template
+    template = _ZONEMAP_COMPACT_TEMPLATE[key]
+
+    lo = _dt.datetime(1996, 3, 15)
+    hi = _dt.datetime(1996, 7, 20)
+    pmin = 900.0
+    df, stats = zonemap_scan(
+        spark,
+        template,
+        predicates=[("l_shipdate", lo, hi), ("l_extendedprice", pmin, None)],
+        max_ingest=1,
+    )
+    res = df.filter(
+        (F.col("l_shipdate") >= F.lit(lo))
+        & (F.col("l_shipdate") <= F.lit(hi))
+        & (F.col("l_extendedprice") >= F.lit(pmin))
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows_matched"),
+        F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+    )
+    return res.select(
+        F.lit(stats["n_buckets_total"]).cast("long").alias("n_buckets_total"),
+        F.lit(stats["n_buckets_read"]).cast("long").alias("n_buckets_read"),
+        F.lit(stats["n_rows_scanned"]).cast("long").alias("n_rows_scanned"),
+        "n_rows_matched",
+        "revenue",
+    )
+
+
+ENGINE_QUERIES["zonemap_time_travel"] = zonemap_time_travel
+ENGINE_ORACLES["zonemap_time_travel"] = """
+WITH li AS (
+  SELECT l_shipdate, l_extendedprice,
+         strftime(l_shipdate, '%Y-%m') AS bucket
+  FROM lineitem WHERE l_orderkey % 3 <= 1),
+m AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+         min(l_shipdate) AS mn_s, max(l_shipdate) AS mx_s,
+         max(l_extendedprice) AS mx_p
+  FROM li GROUP BY bucket),
+k AS (
+  SELECT * FROM m
+  WHERE mx_s >= TIMESTAMP '1996-03-15 00:00:00'
+    AND mn_s <= TIMESTAMP '1996-07-20 00:00:00'
+    AND mx_p >= 900.0)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM m) AS n_buckets_total,
+       (SELECT CAST(count(*) AS BIGINT) FROM k) AS n_buckets_read,
+       (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) FROM k)
+         AS n_rows_scanned,
+       CAST(count(*) AS BIGINT) AS n_rows_matched,
+       round(sum(l_extendedprice), 2) AS revenue
+FROM li
+WHERE l_shipdate >= TIMESTAMP '1996-03-15 00:00:00'
+  AND l_shipdate <= TIMESTAMP '1996-07-20 00:00:00'
+  AND l_extendedprice >= 900.0
+"""

@@ -323,6 +323,7 @@ def zonemap_scan(
     predicates: list[tuple[str, object, object]] | None = None,
     serde: str = "parquet",
     point_predicates: list[tuple[str, object]] | None = None,
+    max_ingest: int | None = None,
 ) -> tuple[DataFrame, dict]:
     """Manifest-pruned scan over a :func:`write_zonemapped` layout.
 
@@ -337,6 +338,11 @@ def zonemap_scan(
     for ``bloom_cols`` — the pruning path for columns UNCORRELATED
     with the clustering key, where every bucket's min/max zone spans
     the probe and range pruning keeps everything.
+    ``max_ingest`` reads the table AS OF that ingest: deltas and data
+    partitions above it are ignored entirely — batch-level time travel
+    for free, because appends never rewrite earlier ingests (the same
+    property the CDC-SCD2 snapshots exploit). Compaction collapses
+    history to ingest 0 (like expiring snapshots).
 
     Returns (DataFrame over only the qualifying bucket directories —
     WITHOUT the residual filter, the caller owns predicate semantics —
@@ -349,10 +355,18 @@ def zonemap_scan(
 
     fmt = SERDE_FORMATS.get(serde, serde)
     raw = spark.read.format(fmt).load(f"{location.rstrip('/')}/manifest")
+    if max_ingest is not None:
+        raw = raw.where(F.col("ingest") <= int(max_ingest))
     bucket_col = raw.columns[0]
     # merge manifest deltas at plan time: every statistic is a monoid,
     # so the merged view is invariant to how ingests were batched
-    merge_aggs = []
+    merge_aggs = [
+        # exact data-path construction: each (ingest, bucket) delta row
+        # implies that data partition exists (append contract), so the
+        # reader opens precisely these directories — no globs, no
+        # listing, and as-of reads never touch future ingests
+        F.sort_array(F.collect_set("ingest")).alias("__ingests")
+    ]
     for c in raw.columns:
         if c in (bucket_col, "ingest"):
             continue
@@ -377,7 +391,7 @@ def zonemap_scan(
             keep = keep & (F.col(f"min_{col}") <= F.lit(hi))
     bloom_needed = [f"bloom_{col}" for col, _ in point_predicates or []]
     collected = man.select(
-        bucket_col, "n_rows", keep.alias("keep"), *bloom_needed
+        bucket_col, "n_rows", "__ingests", keep.alias("keep"), *bloom_needed
     ).collect()
     # bloom membership test, driver-side like the zone test: a bucket
     # survives a point predicate iff EVERY probe position is set in
@@ -391,7 +405,7 @@ def zonemap_scan(
                 for p in _bloom_positions(value)
             )
         rows.append({bucket_col: r[bucket_col], "n_rows": r["n_rows"],
-                     "keep": ok})
+                     "__ingests": list(r["__ingests"]), "keep": ok})
     kept = [r for r in rows if r["keep"]]
     stats = {
         "n_buckets_total": len(rows),
@@ -403,8 +417,9 @@ def zonemap_scan(
         empty = spark.read.format(fmt).load(f"{location.rstrip('/')}/data")
         return empty.where(F.lit(False)), stats
     paths = [
-        f"{location.rstrip('/')}/data/ingest=*/{bucket_col}={r[bucket_col]}"
+        f"{location.rstrip('/')}/data/ingest={i}/{bucket_col}={r[bucket_col]}"
         for r in kept
+        for i in r["__ingests"]
     ]
     return spark.read.format(fmt).load(paths), stats
 

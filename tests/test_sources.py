@@ -235,3 +235,33 @@ def test_zonemap_compact_preserves_answers(spark, tmp_path):
     assert os.listdir(f"{loc}/manifest") == ["ingest=0"]
     assert {d for d in os.listdir(f"{loc}/data")
             if d.startswith("ingest=")} == {"ingest=0"}
+
+
+def test_zonemap_as_of_reads_only_bounded_ingests(spark, tmp_path):
+    """max_ingest bounds BOTH the manifest merge and the physical data
+    paths — later ingests are invisible (Iceberg-snapshot semantics
+    for the append-only layout)."""
+    from pyspark.sql import functions as F2
+
+    from reair_spark.sources import append_zonemapped, zonemap_scan
+
+    df = spark.range(900).select(
+        "id", (F2.col("id") % 3).cast("string").alias("b"),
+        F2.col("id").alias("v"),
+    )
+    loc = str(tmp_path / "tt")
+    for i in range(3):
+        append_zonemapped(
+            df.filter(F2.col("id") % 3 == i), loc, "b", ["v"],
+            ingest_id=i,
+        )
+    full, fstats = zonemap_scan(spark, loc)
+    assert fstats["n_rows_scanned"] == 900
+    asof, astats = zonemap_scan(spark, loc, max_ingest=1)
+    assert astats["n_rows_scanned"] == 600
+    got = sorted(r.id for r in asof.collect())
+    assert got == sorted(
+        r.id for r in df.filter(F2.col("id") % 3 <= 1).collect()
+    )
+    # physical: no ingest=2 path is ever opened
+    assert all("ingest=2" not in f for f in asof.inputFiles())
