@@ -1722,17 +1722,19 @@ _ZONEMAP_STREAM_SRC: dict = {}
 def stream_zonemap_scan(spark: SparkSession, sf: str) -> DataFrame:
     """Streaming clustered ingestion + incremental manifest maintenance
     — the streaming twin of scan_zonemap_pruning: lineitem arrives as
-    a checkpointed file stream (4 key-ranged chunks, one per
-    micro-batch), each batch lands under its own ingest partition and
-    publishes a manifest DELTA (streaming.stream_zonemap_ingest —
+    a checkpointed file stream (2 key-ranged chunks, one per
+    micro-batch — multi-batch for the cross-batch merge, small because
+    each batch costs a fixed ~3-job floor on this VM; the 4-batch and
+    bloom-maintaining forms are pytest-enforced in test_streaming),
+    each batch lands under its own ingest partition and publishes a
+    manifest DELTA (streaming.stream_zonemap_ingest —
     replay-idempotent by construction), and the SAME manifest-planned
     query then runs over the stream-built layout. Because every
     per-bucket statistic is a monoid, the merged manifest is invariant
     to batching — so this gate shares scan_zonemap_pruning's oracle
-    verbatim, and the 1-batch == 4-batch == one-shot-write equivalence
-    is pytest-enforced (test_streaming). This is the production shape
-    of continuous crawl ingestion into a scan-optimized table: the
-    table stays queryable (and PRUNABLE) while it grows, no rewrite."""
+    verbatim. This is the production shape of continuous crawl
+    ingestion into a scan-optimized table: the table stays queryable
+    (and PRUNABLE) while it grows, no rewrite."""
     import atexit
     import shutil
     import tempfile
@@ -1749,7 +1751,7 @@ def stream_zonemap_scan(spark: SparkSession, sf: str) -> DataFrame:
                     "l_quantity")
             .withColumn("bucket", F.date_format("l_shipdate", "yyyy-MM"))
         )
-        li.repartitionByRange(4, "l_orderkey").write.parquet(
+        li.repartitionByRange(2, "l_orderkey").write.parquet(
             f"{base}/chunks"
         )
         _ZONEMAP_STREAM_SRC[key] = f"{base}/chunks"
@@ -1768,9 +1770,8 @@ def stream_zonemap_scan(spark: SparkSession, sf: str) -> DataFrame:
         stream,
         f"{run}/layout",
         "bucket",
-        ["l_shipdate", "l_extendedprice", "l_orderkey"],
+        ["l_shipdate", "l_extendedprice"],
         f"{run}/_ckpt",
-        bloom_cols=["l_orderkey"],
     )
     return _zonemap_answer(spark, f"{run}/layout")
 
