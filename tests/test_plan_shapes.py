@@ -612,3 +612,33 @@ def test_minhash_persisted_serving_shape(spark, sf_dir):
     assert "BroadcastExchange" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_zonemap_residual_filter_is_pushed(spark, tmp_path):
+    """The manifest prunes ACROSS files; the residual predicate must
+    still reach the parquet scan of the kept directories (PushedFilters)
+    so row-group stats prune WITHIN them — the two layers compose."""
+    from reair_spark.sources import write_zonemapped, zonemap_scan
+
+    df = spark.range(10000).select(
+        "id",
+        (F.col("id") % 10).cast("string").alias("b"),
+        (F.col("id") % 1000).alias("v"),
+    )
+    loc = str(tmp_path / "zmp")
+    write_zonemapped(df, loc, "b", stat_cols=["v"])
+    pruned, stats = zonemap_scan(spark, loc, [("v", 100, 200)])
+    residual = pruned.filter((F.col("v") >= 100) & (F.col("v") <= 200))
+    plan = _formatted(residual)
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(v,100)" in plan
+    assert "LessThanOrEqual(v,200)" in plan
+    # and the scan relation reads only the kept dirs (no full listing)
+    assert stats["n_buckets_read"] == 10  # v spans all buckets here
+    # column pruning: a projection must shrink ReadSchema to v alone
+    narrow = residual.select("v")
+    nplan = _formatted(narrow)
+    schema_lines = [ln for ln in nplan.splitlines() if "ReadSchema" in ln]
+    assert schema_lines and all(
+        "struct<v:bigint>" in ln for ln in schema_lines
+    )
