@@ -1278,3 +1278,107 @@ WHERE rnk <= 3
         f"{portable_hash32_sql(_CANON_SQL)} AS shard_hash FROM documents"
     ),
 }
+
+
+KN_D = 0.75  # absolute discount (exact in binary: 3/4 — no float seam)
+
+
+def text_perplexity_kn(spark: SparkSession, sf: str) -> DataFrame:
+    """Interpolated Kneser–Ney BIGRAM perplexity — the canonical
+    n-gram quality score (what KenLM computes for CCNet-style
+    filtering), upgrading the unigram gate: P(w|v) =
+    max(c(v,w)−D,0)/c(v) + D·N1+(v,·)/c(v) · N1+(·,w)/N1+(·,·), with
+    the continuation probability ranking words by how many CONTEXTS
+    they follow rather than raw frequency (the insight that makes KN
+    the standard). Trained on the corpus itself and scored per doc as
+    exp(mean −log P) over its bigrams (docs need ≥ 2 tokens).
+
+    Scale shape: ONE bigram count shuffle (map-side combined) is the
+    only corpus-sized exchange; every KN statistic (context totals,
+    follower/predecessor type counts, the type total) derives from the
+    bigram-TYPE table, which is vocabulary²-bounded — broadcast-sized
+    here and an ordinary dimension join at web scale. The per-doc
+    scoring join is bigram-keyed against that table; log/exp algebra
+    stays in codegen, rounded at 4 like the unigram gate (the proven
+    cross-engine float discipline). D = 0.75 is exactly representable,
+    so discount arithmetic is seam-free."""
+    d = widen(_t(spark, sf, "documents"), spark)
+    t = d.select("doc_id", F.split("text", " ").alias("t"))
+    n = F.size("t")
+    # guarded sequence: Spark's sequence(1, 0) DESCENDS, so short docs
+    # must take the empty branch explicitly
+    grams = t.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                n >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), n - 1),
+                    lambda i: F.struct(
+                        F.element_at("t", i.cast("int")).alias("v"),
+                        F.element_at("t", (i + 1).cast("int")).alias("w"),
+                    ),
+                ),
+            ).otherwise(F.array())
+        ).alias("g"),
+    ).select("doc_id", "g.v", "g.w")
+    types = grams.groupBy("v", "w").agg(F.count(F.lit(1)).alias("c_vw"))
+    ctx = types.groupBy("v").agg(
+        F.sum("c_vw").alias("c_v"),
+        F.count(F.lit(1)).alias("n1_fwd"),  # N1+(v,·)
+    )
+    cont = types.groupBy("w").agg(F.count(F.lit(1)).alias("n1_bwd"))
+    total_types = types.agg(F.count(F.lit(1)).alias("tt"))
+    probs = (
+        types.join(ctx, "v")
+        .join(cont, "w")
+        .crossJoin(total_types)
+        .select(
+            "v",
+            "w",
+            (
+                F.greatest(F.col("c_vw") - KN_D, F.lit(0.0)) / F.col("c_v")
+                + (KN_D * F.col("n1_fwd") / F.col("c_v"))
+                * (F.col("n1_bwd") / F.col("tt"))
+            ).alias("p"),
+        )
+    )
+    return (
+        grams.join(probs, ["v", "w"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(F.avg(-F.log("p")), 4).alias("nll"),
+            F.round(F.exp(F.avg(-F.log("p"))), 4).alias("ppl"),
+        )
+    )
+
+
+_PPL_KN_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+grams AS (
+  SELECT doc_id, t[i] AS v, t[i + 1] AS w
+  FROM toks, unnest(generate_series(1, greatest(len(t) - 1, 0))) AS s(i)),
+types AS (
+  SELECT v, w, count(*) AS c_vw FROM grams GROUP BY v, w),
+ctx AS (
+  SELECT v, sum(c_vw) AS c_v, count(*) AS n1_fwd FROM types GROUP BY v),
+cont AS (
+  SELECT w, count(*) AS n1_bwd FROM types GROUP BY w),
+tt AS (SELECT count(*) AS tt FROM types),
+probs AS (
+  SELECT types.v, types.w,
+         greatest(c_vw - {KN_D}, 0.0) / c_v
+           + ({KN_D} * n1_fwd / c_v) * (n1_bwd / tt) AS p
+  FROM types JOIN ctx USING (v) JOIN cont USING (w), tt)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(-ln(p)), 4) AS nll,
+       round(exp(avg(-ln(p))), 4) AS ppl
+FROM grams JOIN probs USING (v, w)
+GROUP BY doc_id
+"""
+
+TEXT_QUERIES["text_perplexity_kn"] = text_perplexity_kn
+TEXT_ORACLES["text_perplexity_kn"] = _PPL_KN_SQL

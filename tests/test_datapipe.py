@@ -929,3 +929,50 @@ def test_wht_butterfly_matches_definition(spark):
     row = out.orderBy("doc_id").first()
     assert row.e0 + row.e1 + row.e2 + row.e3 > 0
     assert 0 <= row.dom_band <= 3
+
+
+def test_kn_probabilities_normalize(spark):
+    """Interpolated KN is a proper distribution: for every context v,
+    sum over the FULL vocabulary of P(w|v) == 1 (discount mass exactly
+    redistributed through the continuation term)."""
+    import itertools
+
+    from reair_spark.datapipe.text import KN_D
+
+    corpus = [
+        "the cat sat on the mat",
+        "the dog sat on the log",
+        "a cat and a dog",
+    ]
+    grams = []
+    for s in corpus:
+        t = s.split()
+        grams += list(zip(t, t[1:]))
+    types = {}
+    for v, w in grams:
+        types[(v, w)] = types.get((v, w), 0) + 1
+    c_v = {}
+    n1_fwd = {}
+    n1_bwd = {}
+    for (v, w), c in types.items():
+        c_v[v] = c_v.get(v, 0) + c
+        n1_fwd[v] = n1_fwd.get(v, 0) + 1
+        n1_bwd[w] = n1_bwd.get(w, 0) + 1
+    tt = len(types)
+    vocab = sorted({w for _, w in types} | {v for v, _ in types})
+    for v in c_v:
+        mass = 0.0
+        for w in vocab:
+            c = types.get((v, w), 0)
+            pc = n1_bwd.get(w, 0) / tt
+            mass += max(c - KN_D, 0) / c_v[v] + (
+                KN_D * n1_fwd[v] / c_v[v]
+            ) * pc
+        assert abs(mass - 1.0) < 1e-12, (v, mass)
+
+    # and the operator runs end-to-end with sane outputs
+    from reair_spark.datapipe.text import text_perplexity_kn
+
+    out = text_perplexity_kn(spark, "/root/testdata/sf0.001")
+    row = out.orderBy("doc_id").first()
+    assert row.n_bigrams >= 1 and row.ppl > 1.0
