@@ -265,3 +265,40 @@ def test_zonemap_as_of_reads_only_bounded_ingests(spark, tmp_path):
     )
     # physical: no ingest=2 path is ever opened
     assert all("ingest=2" not in f for f in asof.inputFiles())
+
+
+def test_zonemap_unmanifested_data_is_invisible(spark, tmp_path):
+    """Crash window between the data write and the manifest-delta
+    publish: the layout's readers construct paths FROM the manifest,
+    so data whose delta never landed is invisible (Iceberg
+    uncommitted-file semantics) — and replaying the batch under the
+    same ingest id heals the layout exactly."""
+    from pyspark.sql import functions as F2
+
+    from reair_spark.sources import (
+        append_zonemapped,
+        write_partitioned,
+        zonemap_scan,
+    )
+
+    df = spark.range(600).select(
+        "id", (F2.col("id") % 3).cast("string").alias("b"),
+        F2.col("id").alias("v"),
+    )
+    loc = str(tmp_path / "crash")
+    append_zonemapped(df.filter("id < 300"), loc, "b", ["v"], ingest_id=0)
+    before = zonemap_scan(spark, loc)[1]
+    assert before["n_rows_scanned"] == 300
+
+    # simulate the crash: batch 1's DATA lands, its manifest does not
+    write_partitioned(
+        df.filter("id >= 300").withColumn("ingest", F2.lit(1)),
+        f"{loc}/data", ["ingest", "b"], dynamic=True,
+    )
+    assert zonemap_scan(spark, loc)[1] == before  # invisible
+
+    # replay of batch 1 (same ingest id) completes the append exactly
+    append_zonemapped(df.filter("id >= 300"), loc, "b", ["v"], ingest_id=1)
+    after, stats = zonemap_scan(spark, loc)
+    assert stats["n_rows_scanned"] == 600
+    assert after.count() == 600
