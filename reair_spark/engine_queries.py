@@ -1947,3 +1947,12 @@ WHERE l_shipdate >= TIMESTAMP '1996-03-15 00:00:00'
   AND l_shipdate <= TIMESTAMP '1996-07-20 00:00:00'
   AND l_extendedprice >= 900.0
 """
+
+
+from reair_spark.scalebench import (  # noqa: E402
+    zonemap_scale_digest as _zonemap_scale_q,
+    zonemap_scale_oracle_sql as _zonemap_scale_sql,
+)
+
+ENGINE_QUERIES["zonemap_scale_digest"] = _zonemap_scale_q
+ENGINE_ORACLES["zonemap_scale_digest"] = _zonemap_scale_sql()

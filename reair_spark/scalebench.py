@@ -592,3 +592,115 @@ def measure_file_scale(
             "plan_rows": sum(r.n for r in rows if r.stage == "plan"),
         })
     return out
+
+
+# ---------------------------------------------------------------------------
+# zone-map scan PLANNING at scale: a million-bucket manifest is the
+# metadata of a ~10M-file clustered table; the planner (sources.
+# zonemap_plan) must evaluate predicates against it with Spark-side
+# selection so the driver receives only surviving buckets — the
+# Iceberg manifest-evaluation cost model. Manifests are range-generated
+# (zero driver rows) and written once per (session, n).
+# ---------------------------------------------------------------------------
+
+ZONEMAP_GATE_N = 100_000
+_ZM_SCALE_MANIFESTS: dict = {}
+
+
+def synthetic_zonemap_manifest(spark: SparkSession, n: int) -> str:
+    """Manifest for ``n`` buckets with DISJOINT v-zones: bucket i holds
+    v ∈ [10i, 10i+9] and n_rows = (i % 97) + 1 — every stat is
+    closed-form, so the planner's output is oracle-checkable by range
+    arithmetic alone."""
+    import atexit
+    import shutil
+    import tempfile
+
+    key = (spark.sparkContext.applicationId, n)
+    if key not in _ZM_SCALE_MANIFESTS:
+        base = tempfile.mkdtemp(prefix="reair_zmscale_")
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
+        (
+            spark.range(n)
+            .select(
+                F.col("id").cast("string").alias("bucket"),
+                ((F.col("id") % 97) + 1).cast("long").alias("n_rows"),
+                (F.col("id") * 10).alias("min_v"),
+                (F.col("id") * 10 + 9).alias("max_v"),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{base}/manifest/ingest=0")
+        )
+        _ZM_SCALE_MANIFESTS[key] = base
+    return _ZM_SCALE_MANIFESTS[key]
+
+
+def _zm_bounds(n: int) -> tuple[int, int]:
+    """A mid-range ~50%-selective predicate, deliberately NOT aligned
+    to zone boundaries (both edge buckets are partial overlaps)."""
+    return n * 10 // 4 + 5, n * 10 * 3 // 4 + 4
+
+
+def zonemap_plan_scale(spark: SparkSession, n: int) -> dict:
+    """Drive the REAL planner over the n-bucket manifest."""
+    from reair_spark.sources import zonemap_plan
+
+    loc = synthetic_zonemap_manifest(spark, n)
+    lo, hi = _zm_bounds(n)
+    _, _, stats = zonemap_plan(spark, loc, predicates=[("v", lo, hi)])
+    return stats
+
+
+def zonemap_scale_digest(spark: SparkSession, sf: str) -> DataFrame:
+    """Gate query: planning over a 100k-bucket manifest (``sf`` unused
+    — manifest volume is metadata, independent of data scale). The
+    stats ride a range(1) frame (never createDataFrame — the
+    driver-rows discipline all scale gates share)."""
+    stats = zonemap_plan_scale(spark, ZONEMAP_GATE_N)
+    return spark.range(1).select(
+        F.lit(stats["n_buckets_total"]).cast("long").alias(
+            "n_buckets_total"
+        ),
+        F.lit(stats["n_buckets_read"]).cast("long").alias("n_buckets_read"),
+        F.lit(stats["n_rows_scanned"]).cast("long").alias("n_rows_scanned"),
+    )
+
+
+def zonemap_scale_oracle_sql(n: int = ZONEMAP_GATE_N) -> str:
+    lo, hi = _zm_bounds(n)
+    return f"""
+WITH b AS (SELECT unnest(generate_series(0, {n} - 1)) AS i),
+k AS (SELECT i, (i % 97) + 1 AS nr FROM b
+      WHERE i * 10 + 9 >= {lo} AND i * 10 <= {hi})
+SELECT (SELECT count(*)::BIGINT FROM b) AS n_buckets_total,
+       (SELECT count(*)::BIGINT FROM k) AS n_buckets_read,
+       (SELECT sum(nr)::BIGINT FROM k) AS n_rows_scanned
+"""
+
+
+def zonemap_measure_scale(
+    spark: SparkSession, sizes: tuple[int, ...] = (100_000, 1_000_000)
+) -> list[dict]:
+    """Wall + Spark-job counts for planning at each manifest size —
+    the PLANS.md evidence table (same jobs-per-group method as
+    measure_scale). Kept-bucket collection grows with SELECTIVITY,
+    not manifest size — the honest driver cost every table format
+    pays at plan time."""
+    sc = spark.sparkContext
+    out = []
+    for n in sizes:
+        synthetic_zonemap_manifest(spark, n)  # build outside the timer
+        group = f"zmscale-{n}"
+        sc.setJobGroup(group, f"zonemap plan scale n={n}")
+        t0 = time.time()
+        stats = zonemap_plan_scale(spark, n)
+        wall = time.time() - t0
+        sc.setJobGroup("", "")
+        jobs = len(sc.statusTracker().getJobIdsForGroup(group))
+        out.append({
+            "n_buckets": n,
+            "wall_s": round(wall, 2),
+            "spark_jobs": jobs,
+            **stats,
+        })
+    return out

@@ -317,40 +317,27 @@ def zonemap_compact(
     return {"deltas_before": deltas_before, "deltas_after": 1}
 
 
-def zonemap_scan(
+def zonemap_plan(
     spark: SparkSession,
     location: str,
     predicates: list[tuple[str, object, object]] | None = None,
     serde: str = "parquet",
     point_predicates: list[tuple[str, object]] | None = None,
     max_ingest: int | None = None,
-) -> tuple[DataFrame, dict]:
-    """Manifest-pruned scan over a :func:`write_zonemapped` layout.
+) -> tuple[str, list[dict], dict]:
+    """Scan PLANNING over a zone-mapped manifest: merge the ingest
+    deltas, evaluate every predicate, and return (bucket_col, kept
+    bucket rows, stats) — the manifest-evaluation half of
+    :func:`zonemap_scan`, separated so planning cost can be measured
+    at metadata scale without reading any data (scalebench drives it
+    over range-generated million-bucket manifests).
 
-    ``predicates`` is a list of (col, lo, hi) closed ranges (either
-    bound may be None). A bucket is read iff EVERY predicate's range
-    overlaps the bucket's [min_col, max_col] zone — the standard
-    zone-map test: overlap can be a false positive (a zone may span a
-    gap), never a false negative, so pruning is lossless and the
-    residual filter still applies on the rows read.
-    ``point_predicates`` is a list of (col, value) equality probes
-    tested against the per-bucket Bloom filters the layout recorded
-    for ``bloom_cols`` — the pruning path for columns UNCORRELATED
-    with the clustering key, where every bucket's min/max zone spans
-    the probe and range pruning keeps everything.
-    ``max_ingest`` reads the table AS OF that ingest: deltas and data
-    partitions above it are ignored entirely — batch-level time travel
-    for free, because appends never rewrite earlier ingests (the same
-    property the CDC-SCD2 snapshots exploit). Compaction collapses
-    history to ingest 0 (like expiring snapshots).
-
-    Returns (DataFrame over only the qualifying bucket directories —
-    WITHOUT the residual filter, the caller owns predicate semantics —
-    and a stats dict: n_buckets_total / n_buckets_read /
-    n_rows_scanned). The manifest evaluation collects the manifest to
-    the driver: that is by design, not a shortcut — scan planning over
-    metadata-sized state is driver work in every table format (Iceberg
-    manifest evaluation, Delta log replay)."""
+    The keep decision — zone overlaps AND bloom membership
+    (array_contains per md5-derived probe position) — is evaluated
+    SPARK-side, so only surviving buckets are ever collected: planning
+    a 1%-selective query over a million-bucket manifest ships ~10⁴
+    rows to the driver, not 10⁶. The total-bucket count is one extra
+    metadata-sized aggregate."""
     from pyspark.sql import functions as F
 
     fmt = SERDE_FORMATS.get(serde, serde)
@@ -389,29 +376,76 @@ def zonemap_scan(
             keep = keep & (F.col(f"max_{col}") >= F.lit(lo))
         if hi is not None:
             keep = keep & (F.col(f"min_{col}") <= F.lit(hi))
-    bloom_needed = [f"bloom_{col}" for col, _ in point_predicates or []]
-    collected = man.select(
-        bucket_col, "n_rows", "__ingests", keep.alias("keep"), *bloom_needed
-    ).collect()
-    # bloom membership test, driver-side like the zone test: a bucket
-    # survives a point predicate iff EVERY probe position is set in
-    # its filter (can false-positive, never false-negative)
-    rows = []
-    for r in collected:
-        ok = bool(r["keep"])
-        for col, value in point_predicates or []:
-            ok = ok and all(
-                p in (r[f"bloom_{col}"] or [])
-                for p in _bloom_positions(value)
+    for col, value in point_predicates or []:
+        # bloom membership: the bucket survives iff EVERY probe
+        # position is set (can false-positive, never false-negative);
+        # a missing filter (null) cannot prove membership → unkept
+        for p in _bloom_positions(value):
+            keep = keep & F.coalesce(
+                F.array_contains(F.col(f"bloom_{col}"), p), F.lit(False)
             )
-        rows.append({bucket_col: r[bucket_col], "n_rows": r["n_rows"],
-                     "__ingests": list(r["__ingests"]), "keep": ok})
-    kept = [r for r in rows if r["keep"]]
+    total = man.count()
+    collected = man.where(keep).select(
+        bucket_col, "n_rows", "__ingests"
+    ).collect()
+    kept = [
+        {bucket_col: r[bucket_col], "n_rows": r["n_rows"],
+         "__ingests": list(r["__ingests"])}
+        for r in collected
+    ]
     stats = {
-        "n_buckets_total": len(rows),
+        "n_buckets_total": int(total),
         "n_buckets_read": len(kept),
         "n_rows_scanned": int(sum(r["n_rows"] for r in kept)),
     }
+    return bucket_col, kept, stats
+
+
+def zonemap_scan(
+    spark: SparkSession,
+    location: str,
+    predicates: list[tuple[str, object, object]] | None = None,
+    serde: str = "parquet",
+    point_predicates: list[tuple[str, object]] | None = None,
+    max_ingest: int | None = None,
+) -> tuple[DataFrame, dict]:
+    """Manifest-pruned scan over a :func:`write_zonemapped` layout.
+
+    ``predicates`` is a list of (col, lo, hi) closed ranges (either
+    bound may be None). A bucket is read iff EVERY predicate's range
+    overlaps the bucket's [min_col, max_col] zone — the standard
+    zone-map test: overlap can be a false positive (a zone may span a
+    gap), never a false negative, so pruning is lossless and the
+    residual filter still applies on the rows read.
+    ``point_predicates`` is a list of (col, value) equality probes
+    tested against the per-bucket Bloom filters the layout recorded
+    for ``bloom_cols`` — the pruning path for columns UNCORRELATED
+    with the clustering key, where every bucket's min/max zone spans
+    the probe and range pruning keeps everything.
+    ``max_ingest`` reads the table AS OF that ingest: deltas and data
+    partitions above it are ignored entirely — batch-level time travel
+    for free, because appends never rewrite earlier ingests (the same
+    property the CDC-SCD2 snapshots exploit). Compaction collapses
+    history to ingest 0 (like expiring snapshots).
+
+    Returns (DataFrame over only the qualifying bucket directories —
+    WITHOUT the residual filter, the caller owns predicate semantics —
+    and a stats dict: n_buckets_total / n_buckets_read /
+    n_rows_scanned). The manifest evaluation collects the manifest to
+    the driver: that is by design, not a shortcut — scan planning over
+    metadata-sized state is driver work in every table format (Iceberg
+    manifest evaluation, Delta log replay)."""
+    from pyspark.sql import functions as F
+
+    fmt = SERDE_FORMATS.get(serde, serde)
+    bucket_col, kept, stats = zonemap_plan(
+        spark,
+        location,
+        predicates=predicates,
+        serde=serde,
+        point_predicates=point_predicates,
+        max_ingest=max_ingest,
+    )
     if not kept:
         # preserve the data schema for empty results
         empty = spark.read.format(fmt).load(f"{location.rstrip('/')}/data")

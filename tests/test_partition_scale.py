@@ -258,3 +258,59 @@ def test_file_no_createDataFrame_in_pipeline(spark, monkeypatch):
     monkeypatch.setattr(type(spark), "createDataFrame", counting)
     file_scale_pipeline(spark, 20_000).collect()
     assert calls == []
+
+
+# ---- zone-map manifest planning at scale (same discipline) ---------
+
+
+def test_zonemap_plan_matches_closed_form_small(spark):
+    import duckdb
+
+    from reair_spark.scalebench import (
+        zonemap_plan_scale,
+        zonemap_scale_oracle_sql,
+    )
+
+    stats = zonemap_plan_scale(spark, 5_000)
+    want = duckdb.connect().execute(zonemap_scale_oracle_sql(5_000)).fetchone()
+    assert (
+        stats["n_buckets_total"],
+        stats["n_buckets_read"],
+        stats["n_rows_scanned"],
+    ) == want
+
+
+def test_zonemap_plan_job_count_flat_at_10x(spark):
+    """Planning jobs must not scale with manifest size (the merge agg
+    and the kept-rows collect are the same TWO jobs at any size)."""
+    sc = spark.sparkContext
+    from reair_spark.scalebench import (
+        synthetic_zonemap_manifest,
+        zonemap_plan_scale,
+    )
+
+    def jobs_at(n: int) -> int:
+        synthetic_zonemap_manifest(spark, n)  # build outside the count
+        group = f"zmscale-test-{n}"
+        sc.setJobGroup(group, "zm scale study")
+        zonemap_plan_scale(spark, n)
+        sc.setJobGroup("", "")
+        return len(sc.statusTracker().getJobIdsForGroup(group))
+
+    j1, j10 = jobs_at(10_000), jobs_at(100_000)
+    assert j10 <= j1 + 2, f"jobs scaled with manifest: {j1} -> {j10}"
+
+
+def test_zonemap_plan_no_createDataFrame(spark, monkeypatch):
+    calls = []
+    orig = type(spark).createDataFrame
+
+    def counting(self, *a, **kw):
+        calls.append(1)
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(type(spark), "createDataFrame", counting)
+    from reair_spark.scalebench import zonemap_plan_scale
+
+    zonemap_plan_scale(spark, 20_000)
+    assert calls == []
