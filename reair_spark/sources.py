@@ -293,6 +293,13 @@ def zonemap_compact(
     swapped in with two renames (the DistCpWrapper.java:94-98
     publish discipline, applied to the whole layout root).
 
+    A crash BETWEEN the two renames leaves the canonical path absent
+    with the old layout parked at ``_.old_*`` — the same window
+    JobStore.compact recovers from (ADVICE r7): :func:`_recover_layout`
+    runs first here and in :func:`zonemap_plan`, restoring the parked
+    layout (compaction is idempotent, so re-running it afterwards is
+    always safe) and sweeping dead ``_.compact_*`` debris.
+
     Returns {"deltas_before", "deltas_after"} for the caller's
     bookkeeping; the scan answer before and after is identical by
     construction (pytest-pinned)."""
@@ -301,6 +308,7 @@ def zonemap_compact(
     import uuid
 
     loc = location.rstrip("/")
+    _recover_layout(loc)
     deltas_before = len(
         [p for p in os.listdir(f"{loc}/manifest") if p.startswith("ingest=")]
     )
@@ -315,6 +323,56 @@ def zonemap_compact(
     os.replace(tmp, loc)
     shutil.rmtree(old)
     return {"deltas_before": deltas_before, "deltas_after": 1}
+
+
+def _recover_layout(loc: str) -> None:
+    """Heal a zone-mapped layout from a compaction crash: if the
+    canonical path is missing but a parked ``_.old_*`` sibling exists,
+    restore it (the pre-compaction layout is complete and correct —
+    compaction re-runs idempotently); then sweep ``_.compact_*`` tmp
+    debris and any ``_.old_*`` leftovers that lost the race AFTER the
+    canonical path is in place. Never touches anything when the
+    canonical path exists and no debris is present."""
+    import glob as _glob
+    import os
+    import shutil
+
+    if not os.path.exists(loc):
+        olds = sorted(_glob.glob(f"{loc}_.old_*"))
+        if olds:
+            os.replace(olds[0], loc)
+    if os.path.exists(loc):
+        for p in _glob.glob(f"{loc}_.compact_*") + _glob.glob(
+            f"{loc}_.old_*"
+        ):
+            shutil.rmtree(p, ignore_errors=True)
+
+
+def zonemap_orphan_ingests(location: str) -> list[int]:
+    """Ingest data partitions with NO manifest delta — the residue of
+    an append that crashed between its data write and its delta
+    publish. Readers never see them (paths come from the manifest),
+    so this is pure space reclamation: delete them, or simply re-run
+    the batch under the same ingest id (the delta publish completes
+    the append and the dynamic overwrite replaces the data in place).
+    Directory-listing only — metadata-sized, the layout-level analogue
+    of plans.orphan_gc_plan's file-level verdicts."""
+    import os
+
+    loc = location.rstrip("/")
+    _recover_layout(loc)
+
+    def ingests(sub: str) -> set[int]:
+        root = f"{loc}/{sub}"
+        if not os.path.isdir(root):
+            return set()
+        return {
+            int(p.split("=", 1)[1])
+            for p in os.listdir(root)
+            if p.startswith("ingest=")
+        }
+
+    return sorted(ingests("data") - ingests("manifest"))
 
 
 def zonemap_plan(
@@ -340,6 +398,7 @@ def zonemap_plan(
     metadata-sized aggregate."""
     from pyspark.sql import functions as F
 
+    _recover_layout(location.rstrip("/"))
     fmt = SERDE_FORMATS.get(serde, serde)
     raw = spark.read.format(fmt).load(f"{location.rstrip('/')}/manifest")
     if max_ingest is not None:

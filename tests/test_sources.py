@@ -302,3 +302,72 @@ def test_zonemap_unmanifested_data_is_invisible(spark, tmp_path):
     after, stats = zonemap_scan(spark, loc)
     assert stats["n_rows_scanned"] == 600
     assert after.count() == 600
+
+
+def test_zonemap_compact_crash_between_renames_recovers(spark, tmp_path):
+    """The JobStore.compact crash class (ADVICE r7), applied to the
+    layout: a crash between os.replace(loc, old) and os.replace(tmp,
+    loc) leaves no canonical layout — the next plan/compact restores
+    the parked _.old_* (compaction is idempotent) and sweeps debris."""
+    import os
+
+    from pyspark.sql import functions as F2
+
+    from reair_spark.sources import (
+        write_zonemapped,
+        zonemap_compact,
+        zonemap_scan,
+    )
+
+    df = spark.range(500).select(
+        "id", (F2.col("id") % 4).cast("string").alias("b"),
+        F2.col("id").alias("v"),
+    )
+    loc = str(tmp_path / "zr")
+    write_zonemapped(df, loc, "b", ["v"])
+    before = zonemap_scan(spark, loc)[1]
+
+    # simulate the crash window: canonical path parked, tmp half-built
+    os.replace(loc, f"{loc}_.old_deadbeef")
+    os.makedirs(f"{loc}_.compact_deadbeef/manifest", exist_ok=True)
+
+    # any reader heals the layout first
+    assert zonemap_scan(spark, loc)[1] == before
+    assert os.path.exists(loc)
+    assert not os.path.exists(f"{loc}_.old_deadbeef")
+    assert not os.path.exists(f"{loc}_.compact_deadbeef")
+
+    # and a re-run of compaction completes normally afterwards
+    os.replace(loc, f"{loc}_.old_deadbeef")
+    stats = zonemap_compact(spark, loc, "b", ["v"])
+    assert stats["deltas_after"] == 1
+    assert zonemap_scan(spark, loc)[1] == before
+
+
+def test_zonemap_orphan_ingests_listed_and_healed(spark, tmp_path):
+    """Crashed appends leave invisible data-only ingests; the GC
+    helper lists exactly those, and replaying the batch heals them."""
+    from pyspark.sql import functions as F2
+
+    from reair_spark.sources import (
+        append_zonemapped,
+        write_partitioned,
+        zonemap_orphan_ingests,
+    )
+
+    df = spark.range(400).select(
+        "id", (F2.col("id") % 2).cast("string").alias("b"),
+        F2.col("id").alias("v"),
+    )
+    loc = str(tmp_path / "og")
+    append_zonemapped(df.filter("id < 200"), loc, "b", ["v"], ingest_id=0)
+    assert zonemap_orphan_ingests(loc) == []
+
+    write_partitioned(  # batch 1 data lands, delta does not
+        df.filter("id >= 200").withColumn("ingest", F2.lit(1)),
+        f"{loc}/data", ["ingest", "b"], dynamic=True,
+    )
+    assert zonemap_orphan_ingests(loc) == [1]
+
+    append_zonemapped(df.filter("id >= 200"), loc, "b", ["v"], ingest_id=1)
+    assert zonemap_orphan_ingests(loc) == []
