@@ -642,3 +642,43 @@ def test_zonemap_residual_filter_is_pushed(spark, tmp_path):
     assert schema_lines and all(
         "struct<v:bigint>" in ln for ln in schema_lines
     )
+
+
+def test_aqe_splits_skewed_join_at_runtime(spark):
+    """The session config claims AQE handles skew at runtime — prove
+    it: a 90%-hot-key join, thresholds scaled to test size, must
+    execute as SortMergeJoin(skew=true) in the FINAL adaptive plan
+    (the join DataFrame itself must run: count() plans a different
+    query and never finalizes this one)."""
+    import contextlib
+    import io
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+            "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        big = spark.range(400000).select(
+            F.when(F.col("id") % 10 < 9, 7).otherwise(F.col("id")).alias("k"),
+            F.concat(F.lit("x" * 64), F.col("id").cast("string")).alias("pad"),
+        )
+        dim = spark.range(400000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        j = big.join(dim, "k").select("k", "v")
+        assert len(j.collect()) == 400000
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain("formatted")
+        plan = buf.getvalue()
+        assert "isFinalPlan=true" in plan
+        assert "SortMergeJoin(skew=true)" in plan
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
