@@ -654,13 +654,16 @@ def test_aqe_splits_skewed_join_at_runtime(spark):
     import io
 
     confs = {
+        # BOTH thresholds: AQE re-plans with the adaptive one, and a
+        # runtime demotion to broadcast would make skew-split moot
         "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
         "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
             "64KB",
         "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
         "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
     }
-    prev = {k: spark.conf.get(k) for k in confs}
+    prev = {k: spark.conf.get(k, None) for k in confs}
     try:
         for k, v in confs.items():
             spark.conf.set(k, v)
@@ -678,7 +681,10 @@ def test_aqe_splits_skewed_join_at_runtime(spark):
             j.explain("formatted")
         plan = buf.getvalue()
         assert "isFinalPlan=true" in plan
-        assert "SortMergeJoin(skew=true)" in plan
+        assert "SortMergeJoin(skew=true)" in plan, plan
     finally:
         for k, v in prev.items():
-            spark.conf.set(k, v)
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
