@@ -662,29 +662,31 @@ def test_aqe_splits_skewed_join_at_runtime(spark):
             "64KB",
         "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
         "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        # pin everything the skew rule reads: this probe must be
+        # independent of whatever session state 700 earlier tests left
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.shuffle.partitions": "8",
     }
-    prev = {k: spark.conf.get(k, None) for k in confs}
-    try:
-        for k, v in confs.items():
-            spark.conf.set(k, v)
-        big = spark.range(400000).select(
-            F.when(F.col("id") % 10 < 9, 7).otherwise(F.col("id")).alias("k"),
-            F.concat(F.lit("x" * 64), F.col("id").cast("string")).alias("pad"),
-        )
-        dim = spark.range(400000).select(
-            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
-        )
-        j = big.join(dim, "k").select("k", "v")
-        assert len(j.collect()) == 400000
-        buf = io.StringIO()
-        with contextlib.redirect_stdout(buf):
-            j.explain("formatted")
-        plan = buf.getvalue()
-        assert "isFinalPlan=true" in plan
-        assert "SortMergeJoin(skew=true)" in plan, plan
-    finally:
-        for k, v in prev.items():
-            if v is None:
-                spark.conf.unset(k)
-            else:
-                spark.conf.set(k, v)
+    # isolated SQLConf over the shared SparkContext — immune to conf
+    # leakage from other tests, no second JVM, nothing to restore
+    spark = spark.newSession()
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    big = spark.range(400000).select(
+        F.when(F.col("id") % 10 < 9, 7).otherwise(F.col("id")).alias("k"),
+        F.concat(F.lit("x" * 64), F.col("id").cast("string")).alias("pad"),
+    )
+    dim = spark.range(400000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    j = big.join(dim, "k").select("k", "v")
+    assert len(j.collect()) == 400000
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        j.explain("formatted")
+    plan = buf.getvalue()
+    assert "isFinalPlan=true" in plan
+    live = {k: spark.conf.get(k, None) for k in confs}
+    assert "SortMergeJoin(skew=true)" in plan, (live, plan)
