@@ -1948,3 +1948,135 @@ SELECT CAST({KMV_K} AS BIGINT) AS k, n_sig, n_shared, union_est,
        exact_union, exact_inter
 FROM u, ex, ei
 """
+
+
+def sketch_hll_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """HLL MERGEABILITY through the gate — the property that makes HLL
+    the canonical distributed cardinality sketch: sketch two disjoint
+    halves of the key stream independently (odd/even orderkeys),
+    merge by per-bucket register MAX, and the merged estimate must
+    equal the whole-stream sketch's estimate EXACTLY (register merge
+    is lossless — max of maxes — not approximately compatible). The
+    oracle recomputes both sketches and the merge with the same md5
+    arithmetic, so the gate hash-checks exact register-level equality
+    plus both estimates against the true distinct count. This is the
+    map-side-combine argument in miniature: partial sketches from any
+    partitioning of the data merge to the same final state."""
+    from reair_spark.datapipe.common import portable_hash32
+
+    li = _t(spark, sf, "lineitem")
+    h = portable_hash32(F.col("l_partkey").cast("string"))
+    v = F.floor(h / HLL_M)
+    rho = F.when(v > 0, 25 - F.length(F.bin(v))).otherwise(F.lit(25))
+
+    def registers(df: DataFrame) -> DataFrame:
+        return (
+            df.select((h % HLL_M).alias("bucket"), rho.alias("rho"))
+            .groupBy("bucket")
+            .agg(F.max("rho").alias("mj"))
+        )
+
+    halves = (
+        registers(li.filter(F.col("l_orderkey") % 2 == 0))
+        .unionByName(registers(li.filter(F.col("l_orderkey") % 2 == 1)))
+        .groupBy("bucket")
+        .agg(F.max("mj").alias("mj"))  # register merge = max of maxes
+    )
+    whole = registers(li)
+
+    def estimate(regs: DataFrame, tag: str) -> DataFrame:
+        alpha = 0.7213 / (1.0 + 1.079 / HLL_M)
+        agg = regs.agg(
+            F.count(F.lit(1)).alias("seen"),
+            F.sum(F.pow(F.lit(2.0), -F.col("mj"))).alias("zsum"),
+            F.sum(F.col("mj")).cast("long").alias("reg_sum"),
+        ).select(
+            F.col("seen").cast("long").alias(f"seen_{tag}"),
+            F.col("reg_sum").alias(f"regsum_{tag}"),
+            (
+                F.lit(alpha * HLL_M * HLL_M)
+                / (F.col("zsum") + (HLL_M - F.col("seen")))
+            ).alias("e_raw"),
+            (HLL_M - F.col("seen")).cast("double").alias("v0"),
+        )
+        est = F.when(
+            (F.col("e_raw") <= 2.5 * HLL_M) & (F.col("v0") > 0),
+            F.round(HLL_M * F.log(F.lit(HLL_M) / F.col("v0"))),
+        ).otherwise(F.round(F.col("e_raw")))
+        return agg.select(
+            f"seen_{tag}", f"regsum_{tag}",
+            est.cast("long").alias(f"est_{tag}"),
+        )
+
+    exact = li.agg(F.count_distinct("l_partkey").cast("long").alias("exact"))
+    return (
+        estimate(halves, "merged")
+        .crossJoin(estimate(whole, "whole"))  # 1-row scalar attaches
+        .crossJoin(exact)
+        .select(
+            "seen_merged", "regsum_merged", "est_merged",
+            "seen_whole", "regsum_whole", "est_whole",
+            (F.col("est_merged") == F.col("est_whole")).alias("lossless"),
+            "exact",
+        )
+    )
+
+
+EXTRA_QUERIES["sketch_hll_merge"] = sketch_hll_merge
+_HLL_REG_SQL = """
+  SELECT CAST(concat('0x', substr(md5(CAST({key} AS VARCHAR)), 1, 8))
+              AS BIGINT) % {m} AS bucket,
+         CASE WHEN CAST(concat('0x', substr(md5(CAST({key} AS VARCHAR)),
+                                1, 8)) AS BIGINT) // {m} > 0
+              THEN 25 - length(bin(CAST(concat('0x',
+                     substr(md5(CAST({key} AS VARCHAR)), 1, 8))
+                     AS BIGINT) // {m}))
+              ELSE 25 END AS rho
+  FROM {src}
+"""
+EXTRA_ORACLES["sketch_hll_merge"] = f"""
+WITH rh AS ({_HLL_REG_SQL.format(key="l_partkey", m=256,
+                                 src="lineitem WHERE l_orderkey % 2 = 0")}),
+rt AS ({_HLL_REG_SQL.format(key="l_partkey", m=256,
+                            src="lineitem WHERE l_orderkey % 2 = 1")}),
+rw AS ({_HLL_REG_SQL.format(key="l_partkey", m=256, src="lineitem")}),
+merged AS (
+  SELECT bucket, max(mj) AS mj FROM (
+    SELECT bucket, max(rho) AS mj FROM rh GROUP BY bucket
+    UNION ALL
+    SELECT bucket, max(rho) AS mj FROM rt GROUP BY bucket)
+  GROUP BY bucket),
+whole AS (SELECT bucket, max(rho) AS mj FROM rw GROUP BY bucket),
+em AS (
+  SELECT CAST(count(*) AS BIGINT) AS seen_merged,
+         CAST(sum(mj) AS BIGINT) AS regsum_merged,
+         0.7213 / (1.0 + 1.079 / 256) * 256 * 256
+           / (sum(power(2.0, -mj)) + (256 - count(*))) AS e_raw,
+         CAST(256 - count(*) AS DOUBLE) AS v0
+  FROM merged),
+ew AS (
+  SELECT CAST(count(*) AS BIGINT) AS seen_whole,
+         CAST(sum(mj) AS BIGINT) AS regsum_whole,
+         0.7213 / (1.0 + 1.079 / 256) * 256 * 256
+           / (sum(power(2.0, -mj)) + (256 - count(*))) AS e_raw,
+         CAST(256 - count(*) AS DOUBLE) AS v0
+  FROM whole),
+fm AS (
+  SELECT seen_merged, regsum_merged,
+         CAST(CASE WHEN e_raw <= 2.5 * 256 AND v0 > 0
+              THEN round(256 * ln(256 / v0))
+              ELSE round(e_raw) END AS BIGINT) AS est_merged
+  FROM em),
+fw AS (
+  SELECT seen_whole, regsum_whole,
+         CAST(CASE WHEN e_raw <= 2.5 * 256 AND v0 > 0
+              THEN round(256 * ln(256 / v0))
+              ELSE round(e_raw) END AS BIGINT) AS est_whole
+  FROM ew),
+ex AS (SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact
+       FROM lineitem)
+SELECT seen_merged, regsum_merged, est_merged,
+       seen_whole, regsum_whole, est_whole,
+       est_merged = est_whole AS lossless, exact
+FROM fm, fw, ex
+"""
