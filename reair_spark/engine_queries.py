@@ -1380,8 +1380,12 @@ def scan_zonemap_pruning(spark: SparkSession, sf: str) -> DataFrame:
     the residual filter keeps semantics exact. (Reference parity: the
     reference has no zone maps — this is engine-native table-format
     capability; cf. HiveDifferenceChecker's full-listing diff,
-    ReplicationJob.java:215-319, which is the pre-manifest world.)"""
-    key = (id(spark), sf)
+    ReplicationJob.java:215-319, which is the pre-manifest world.)
+
+    Layouts are memoized per (applicationId, sf) — applicationId, not
+    id(spark): CPython reuses object ids after GC, so an id-keyed
+    cache can hand a dead session's layout to a new one (ADVICE r9)."""
+    key = (spark.sparkContext.applicationId, sf)
     if key not in _ZONEMAP_CACHE:
         _ZONEMAP_CACHE[key] = _build_zonemap_layout(spark, sf)
     return _zonemap_answer(spark, _ZONEMAP_CACHE[key])
@@ -1446,6 +1450,83 @@ FROM li
 WHERE l_shipdate >= TIMESTAMP '1996-03-15 00:00:00'
   AND l_shipdate <= TIMESTAMP '1996-07-20 00:00:00'
   AND l_extendedprice >= 900.0
+"""
+
+
+def zonemap_cluster_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Group-by on the CLUSTERING column of a manifest-pruned scan —
+    the read-contract gate (VERDICT r9 "What's wrong" #1): a layout
+    clustered on ``bucket`` must return ``bucket`` on pruned reads
+    (basePath-anchored partition reconstruction in zonemap_scan), so
+    the most natural query against a clustered layout — roll up by
+    its own clustering key — runs on the pruned frame directly. The
+    r9 defect (leaf-dir loads without a basePath silently dropping
+    the partition columns) makes this query throw AnalysisException;
+    the oracle recomputes the per-month rollup AND the kept-bucket
+    count from the raw table, so a dropped or misattributed bucket
+    breaks the hash, not just the schema."""
+    import datetime as _dt
+
+    from reair_spark.sources import zonemap_scan
+
+    key = (spark.sparkContext.applicationId, sf)
+    if key not in _ZONEMAP_CACHE:
+        _ZONEMAP_CACHE[key] = _build_zonemap_layout(spark, sf)
+    base = _ZONEMAP_CACHE[key]
+
+    lo = _dt.datetime(1996, 3, 15)
+    hi = _dt.datetime(1996, 7, 20)
+    pmin = 900.0
+    df, stats = zonemap_scan(
+        spark,
+        base,
+        predicates=[("l_shipdate", lo, hi), ("l_extendedprice", pmin, None)],
+    )
+    return (
+        df.filter(
+            (F.col("l_shipdate") >= F.lit(lo))
+            & (F.col("l_shipdate") <= F.lit(hi))
+            & (F.col("l_extendedprice") >= F.lit(pmin))
+        )
+        .groupBy("bucket")  # the clustering column, rebuilt from dirs
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+        .withColumn(
+            "n_buckets_read",
+            F.lit(stats["n_buckets_read"]).cast("long"),
+        )
+        .orderBy("bucket")
+    )
+
+
+ENGINE_QUERIES["zonemap_cluster_rollup"] = zonemap_cluster_rollup
+ENGINE_ORACLES["zonemap_cluster_rollup"] = """
+WITH li AS (
+  SELECT l_shipdate, l_extendedprice,
+         strftime(l_shipdate, '%Y-%m') AS bucket
+  FROM lineitem),
+m AS (
+  SELECT bucket,
+         min(l_shipdate) AS mn_s, max(l_shipdate) AS mx_s,
+         max(l_extendedprice) AS mx_p
+  FROM li GROUP BY bucket),
+k AS (
+  SELECT * FROM m
+  WHERE mx_s >= TIMESTAMP '1996-03-15 00:00:00'
+    AND mn_s <= TIMESTAMP '1996-07-20 00:00:00'
+    AND mx_p >= 900.0)
+SELECT bucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       round(sum(l_extendedprice), 2) AS revenue,
+       (SELECT CAST(count(*) AS BIGINT) FROM k) AS n_buckets_read
+FROM li
+WHERE l_shipdate >= TIMESTAMP '1996-03-15 00:00:00'
+  AND l_shipdate <= TIMESTAMP '1996-07-20 00:00:00'
+  AND l_extendedprice >= 900.0
+GROUP BY bucket
+ORDER BY bucket
 """
 
 
@@ -1567,7 +1648,7 @@ def bucketed_join_digest(spark: SparkSession, sf: str) -> DataFrame:
     = the plain join + rollup from the raw tables, so a bucket-
     misalignment bug (rows hashed to different buckets on each side)
     surfaces as missing join matches, not just a slow plan."""
-    key = (id(spark), sf)
+    key = (spark.sparkContext.applicationId, sf)
     if key not in _BUCKETED_CACHE:
         _BUCKETED_CACHE[key] = _build_bucketed_tables(spark, sf)
     to, tc = _BUCKETED_CACHE[key]
@@ -1622,7 +1703,7 @@ def scan_bloom_pruning(spark: SparkSession, sf: str) -> DataFrame:
     done at manifest granularity."""
     from reair_spark.sources import zonemap_scan
 
-    key = (id(spark), sf)
+    key = (spark.sparkContext.applicationId, sf)
     if key not in _ZONEMAP_CACHE:
         _ZONEMAP_CACHE[key] = _build_zonemap_layout(spark, sf)
     base = _ZONEMAP_CACHE[key]

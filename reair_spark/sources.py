@@ -493,7 +493,18 @@ def zonemap_scan(
     n_rows_scanned). The manifest evaluation collects the manifest to
     the driver: that is by design, not a shortcut — scan planning over
     metadata-sized state is driver work in every table format (Iceberg
-    manifest evaluation, Delta log replay)."""
+    manifest evaluation, Delta log replay).
+
+    Read contract: the result schema is IDENTICAL for pruned,
+    unpruned, and empty scans — the data columns plus the
+    reconstructed partition columns (``ingest`` and the clustering
+    column). Pruned reads are anchored with ``basePath`` so Spark's
+    partition discovery rebuilds those columns from the kept leaf
+    directories, exactly as a whole-table read would; without the
+    anchor a layout clustered on ``bucket`` would return a frame
+    WITHOUT ``bucket`` — and the most natural query against a
+    clustered layout (group by its clustering key) would throw
+    (pytest-pinned in test_sources.py)."""
     from pyspark.sql import functions as F
 
     fmt = SERDE_FORMATS.get(serde, serde)
@@ -505,16 +516,19 @@ def zonemap_scan(
         point_predicates=point_predicates,
         max_ingest=max_ingest,
     )
+    data_base = f"{location.rstrip('/')}/data"
+    reader = spark.read.format(fmt).option("basePath", data_base)
     if not kept:
-        # preserve the data schema for empty results
-        empty = spark.read.format(fmt).load(f"{location.rstrip('/')}/data")
+        # same reader shape as the kept path ⇒ same schema (data
+        # columns + ingest + clustering column), just zero rows
+        empty = reader.load(data_base)
         return empty.where(F.lit(False)), stats
     paths = [
-        f"{location.rstrip('/')}/data/ingest={i}/{bucket_col}={r[bucket_col]}"
+        f"{data_base}/ingest={i}/{bucket_col}={r[bucket_col]}"
         for r in kept
         for i in r["__ingests"]
     ]
-    return spark.read.format(fmt).load(paths), stats
+    return reader.load(paths), stats
 
 
 def atomic_overwrite(df: DataFrame, location: str, serde: str = "parquet") -> None:

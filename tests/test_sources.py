@@ -133,6 +133,42 @@ def test_zonemap_scan_prunes_and_is_lossless(spark, tmp_path):
     assert set(empty.columns) >= {"id", "v", "w"}
 
 
+def test_zonemap_scan_schema_identical_across_prune_states(spark, tmp_path):
+    """Read contract (VERDICT r9 #1): pruned, unpruned, and empty
+    scans return ONE schema — the data columns plus the reconstructed
+    ``ingest`` and clustering partition columns — and a group-by on
+    the clustering column works on a PRUNED frame (the r9 defect made
+    it throw: leaf-dir loads without basePath dropped the column)."""
+    from reair_spark.sources import write_zonemapped, zonemap_scan
+
+    df = spark.range(1000).select(
+        "id",
+        (F.col("id") % 10).cast("string").alias("b"),
+        (F.col("id") % 10).alias("v"),
+    )
+    loc = str(tmp_path / "zs")
+    write_zonemapped(df, loc, "b", stat_cols=["v"])
+
+    pruned, s1 = zonemap_scan(spark, loc, [("v", 3, 4)])
+    unpruned, s2 = zonemap_scan(spark, loc)
+    empty, s3 = zonemap_scan(spark, loc, [("v", 99, 100)])
+    assert (s1["n_buckets_read"], s2["n_buckets_read"],
+            s3["n_buckets_read"]) == (2, 10, 0)
+    assert pruned.columns == unpruned.columns == empty.columns
+    assert {"ingest", "b"} <= set(pruned.columns)
+    # dtypes too — a partition column type-inferred differently on the
+    # pruned path would break unions across the prune boundary
+    assert pruned.dtypes == unpruned.dtypes == empty.dtypes
+    # the natural query against a clustered layout: roll up by its key
+    got = {
+        r["b"]: r["n"]
+        for r in pruned.groupBy("b").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == {3: 100, 4: 100}
+    # and the prune/no-prune branches union cleanly
+    assert pruned.unionByName(empty).count() == 200
+
+
 def test_zonemap_false_positive_reads_but_filters(spark, tmp_path):
     """A zone spanning a value gap is a false POSITIVE (bucket read,
     rows filtered) — the allowed direction; false negatives are not."""
