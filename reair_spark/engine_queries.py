@@ -1327,11 +1327,15 @@ FROM v GROUP BY verdict
 """
 
 
-def _build_zonemap_layout(spark: SparkSession, sf: str) -> str:
+def _build_zonemap_layout(
+    spark: SparkSession, sf: str, bloom_m: int | None = None
+) -> str:
     """lineitem written once per (session, sf) as a month-clustered
     zone-mapped layout (sources.write_zonemapped): data partitioned by
     shipdate month, manifest carrying per-bucket min/max zones for
-    l_shipdate AND l_extendedprice."""
+    l_shipdate AND l_extendedprice. ``bloom_m`` sizes the per-bucket
+    blooms (persisted in the layout's _meta.json; None = the gate-
+    sized module default)."""
     import atexit
     import shutil
     import tempfile
@@ -1351,6 +1355,7 @@ def _build_zonemap_layout(spark: SparkSession, sf: str) -> str:
         "bucket",
         stat_cols=["l_shipdate", "l_extendedprice", "l_orderkey"],
         bloom_cols=["l_orderkey"],
+        bloom_m=bloom_m,
     )
     return base
 
@@ -1795,6 +1800,132 @@ SELECT (SELECT p FROM pr) AS probe_orderkey,
 FROM lineitem, pr
 WHERE l_orderkey = p
 """
+
+
+_BLOOM_BIG_M = 65536  # ~10+ bits/key at gate scales — production sizing
+
+
+def _bloom_kept_sql(mod: int) -> str:
+    """DuckDB scalar subquery: kept-bucket count for the md5-derived
+    2-probe bloom at modulus ``mod`` — the oracle-side mirror of
+    sources._bloom_positions with the SAME family, parameterized by m
+    so one generator covers both the gate-sized and production-sized
+    layouts."""
+    av = "CAST(concat('0x', substr(m, 1, 8)) AS BIGINT)"
+    bv = "CAST(concat('0x', substr(m, 9, 8)) AS BIGINT)"
+    ap = "CAST(concat('0x', substr(md5(CAST(p AS VARCHAR)), 1, 8)) AS BIGINT)"
+    bp = "CAST(concat('0x', substr(md5(CAST(p AS VARCHAR)), 9, 8)) AS BIGINT)"
+
+    def pos(a: str, b: str, s: int) -> str:
+        return f"(({a} + {s} * ({b})) % 4294967291 % {mod})"
+
+    v1, v2 = pos(av, bv, 1), pos(av, bv, 2)
+    p1, p2 = pos(ap, bp, 1), pos(ap, bp, 2)
+    return f"""
+  SELECT CAST(count(*) AS BIGINT) FROM (
+    SELECT bucket,
+           bool_or({v1} = (SELECT {p1} FROM pr)
+                OR {v2} = (SELECT {p1} FROM pr)) AS h1,
+           bool_or({v1} = (SELECT {p2} FROM pr)
+                OR {v2} = (SELECT {p2} FROM pr)) AS h2
+    FROM li GROUP BY bucket) WHERE h1 AND h2"""
+
+
+def scan_bloom_bigm(spark: SparkSession, sf: str) -> DataFrame:
+    """Production-sized bloom contrast (VERDICT r9 ask #3): the same
+    point probe planned against TWO layouts whose descriptors record
+    different bloom sizes — the gate-sized m (module default, which
+    visibly saturates as per-bucket key counts grow) and m = 65536
+    (the documented production sizing, ~10+ bits per key at these
+    scales). Because m now lives in each layout's _meta.json, the two
+    layouts coexist and each probe uses its own layout's family — the
+    exact scenario that silently corrupted under module-constant
+    parameters. The oracle recomputes BOTH kept-bucket counts with the
+    same md5-derived arithmetic at each modulus, so the expected
+    behavior (big m prunes at least as hard, and the saturation
+    disappears at sf0.01) is hash-checked, not just asserted."""
+    from reair_spark import sources
+    from reair_spark.sources import zonemap_scan
+
+    key = (spark.sparkContext.applicationId, sf)
+    if key not in _ZONEMAP_CACHE:
+        _ZONEMAP_CACHE[key] = _build_zonemap_layout(spark, sf)
+    bkey = (spark.sparkContext.applicationId, "bigm", sf)
+    if bkey not in _ZONEMAP_CACHE:
+        _ZONEMAP_CACHE[bkey] = _build_zonemap_layout(
+            spark, sf, bloom_m=_BLOOM_BIG_M
+        )
+    small, big = _ZONEMAP_CACHE[key], _ZONEMAP_CACHE[bkey]
+
+    li = _t(spark, sf, "lineitem")
+    half = li.agg(
+        F.floor(F.max("l_orderkey") / 2).cast("long").alias("half")
+    ).collect()[0]["half"]
+    probe = (
+        li.filter(F.col("l_orderkey") >= half)
+        .agg(F.min("l_orderkey").alias("p"))
+        .collect()[0]["p"]
+    )
+
+    _, small_stats = zonemap_scan(
+        spark, small, point_predicates=[("l_orderkey", probe)]
+    )
+    df, big_stats = zonemap_scan(
+        spark, big, point_predicates=[("l_orderkey", probe)]
+    )
+    res = df.filter(F.col("l_orderkey") == F.lit(probe)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows_matched"),
+        F.round(F.sum("l_quantity"), 2).alias("qty_sum"),
+    )
+    return res.select(
+        F.lit(probe).cast("long").alias("probe_orderkey"),
+        F.lit(big_stats["n_buckets_total"]).cast("long").alias(
+            "n_buckets_total"
+        ),
+        F.lit(small_stats["n_buckets_read"]).cast("long").alias(
+            "n_buckets_read_m_small"
+        ),
+        F.lit(big_stats["n_buckets_read"]).cast("long").alias(
+            "n_buckets_read_m_big"
+        ),
+        F.lit(sources.BLOOM_M).cast("long").alias("m_small"),
+        F.lit(_BLOOM_BIG_M).cast("long").alias("m_big"),
+        "n_rows_matched",
+        "qty_sum",
+    )
+
+
+ENGINE_QUERIES["scan_bloom_bigm"] = scan_bloom_bigm
+
+
+def _bloom_bigm_oracle() -> str:
+    from reair_spark import sources
+
+    return f"""
+WITH pr AS (
+  SELECT min(l_orderkey) AS p FROM lineitem
+  WHERE l_orderkey >= (SELECT CAST(floor(max(l_orderkey) / 2) AS BIGINT)
+                       FROM lineitem)),
+li AS (
+  SELECT l_orderkey, l_quantity,
+         strftime(l_shipdate, '%Y-%m') AS bucket,
+         md5(CAST(l_orderkey AS VARCHAR)) AS m
+  FROM lineitem)
+SELECT (SELECT p FROM pr) AS probe_orderkey,
+       (SELECT CAST(count(DISTINCT bucket) AS BIGINT) FROM li)
+         AS n_buckets_total,
+       ({_bloom_kept_sql(sources.BLOOM_M)}) AS n_buckets_read_m_small,
+       ({_bloom_kept_sql(_BLOOM_BIG_M)}) AS n_buckets_read_m_big,
+       CAST({sources.BLOOM_M} AS BIGINT) AS m_small,
+       CAST({_BLOOM_BIG_M} AS BIGINT) AS m_big,
+       CAST(count(*) AS BIGINT) AS n_rows_matched,
+       round(sum(l_quantity), 2) AS qty_sum
+FROM lineitem, pr
+WHERE l_orderkey = p
+"""
+
+
+ENGINE_ORACLES["scan_bloom_bigm"] = _bloom_bigm_oracle()
 
 
 _ZONEMAP_STREAM_SRC: dict = {}

@@ -229,6 +229,83 @@ def test_zonemap_bloom_point_pruning(spark, tmp_path):
     assert both["n_buckets_read"] == 0
 
 
+def test_zonemap_meta_owns_bloom_parameters(spark, tmp_path):
+    """The layout descriptor (_meta.json) is the source of truth for
+    the bloom hash parameters (VERDICT r9 #2): probes use the
+    LAYOUT's recorded (m, k) even when the module constants differ,
+    an append with explicitly different parameters is REFUSED instead
+    of silently poisoning the manifest, and probing a column without
+    a recorded bloom (or a layout without a descriptor) fails loudly
+    rather than mis-pruning."""
+    import pytest
+
+    from reair_spark import sources
+    from reair_spark.sources import (
+        append_zonemapped,
+        write_zonemapped,
+        zonemap_compact,
+        zonemap_scan,
+    )
+
+    df = spark.range(4000).select(
+        "id", (F.col("id") % 8).cast("string").alias("b"),
+        F.col("id").alias("v"),
+    )
+    loc = str(tmp_path / "meta")
+    write_zonemapped(df, loc, "b", ["v"], bloom_cols=["v"], bloom_m=4096)
+
+    def probe_stats():
+        pruned, stats = zonemap_scan(
+            spark, loc, point_predicates=[("v", 1234)]
+        )
+        assert pruned.filter("v = 1234").count() == 1  # never a false neg
+        return stats
+
+    baseline = probe_stats()
+    # a build with DIFFERENT module constants reads the same layout
+    # correctly — the probe family comes from _meta.json, not the
+    # constants (the r9 latent corruption: they only agreed by
+    # compile-time coincidence)
+    orig_m, orig_k = sources.BLOOM_M, sources.BLOOM_K
+    try:
+        sources.BLOOM_M, sources.BLOOM_K = 64, 3
+        assert probe_stats() == baseline
+        # appends with DEFAULTED parameters inherit the layout's meta
+        append_zonemapped(
+            df.withColumn("v", F.col("v") + 4000), loc, "b", ["v"],
+            bloom_cols=["v"], ingest_id=1,
+        )
+        pruned, _ = zonemap_scan(spark, loc, point_predicates=[("v", 7777)])
+        assert pruned.filter("v = 7777").count() == 1
+    finally:
+        sources.BLOOM_M, sources.BLOOM_K = orig_m, orig_k
+
+    # an EXPLICITLY mismatched append is refused, not merged
+    with pytest.raises(ValueError, match="bloom_m"):
+        append_zonemapped(
+            df, loc, "b", ["v"], bloom_cols=["v"], ingest_id=2,
+            bloom_m=1024,
+        )
+    # ... as is a different clustering/stat shape
+    with pytest.raises(ValueError, match="bucket_col"):
+        append_zonemapped(df, loc, "v", ["id"], ingest_id=2)
+
+    # compaction preserves the recorded parameters (meta-driven)
+    zonemap_compact(spark, loc)
+    assert sources._read_layout_meta(loc)["bloom_m"] == 4096
+    probe_stats()  # still probes correctly post-compact
+    _, full = zonemap_scan(spark, loc)
+    assert full["n_rows_scanned"] == 8000  # nothing lost in rewrite
+
+    # probe on a column with no recorded bloom → loud refusal
+    with pytest.raises(ValueError, match="no bloom"):
+        zonemap_scan(spark, loc, point_predicates=[("id", 5)])
+    # descriptor-less layout (legacy/synthetic) → loud refusal
+    os.remove(f"{loc}/_meta.json")
+    with pytest.raises(ValueError, match="_meta.json"):
+        zonemap_scan(spark, loc, point_predicates=[("v", 1234)])
+
+
 def test_zonemap_compact_preserves_answers(spark, tmp_path):
     """Compaction (multi-ingest → 1) preserves every scan answer —
     range pruning, bloom point pruning, and row content — and
