@@ -108,6 +108,19 @@ class LocalFs:
     def unlink(self, path: str) -> None:
         os.unlink(self._resolve(path))
 
+    def rmdir(self, path: str) -> None:
+        """Remove an EMPTY directory (fs_rmtree's post-order leaf op);
+        object-store backends where directories are implicit no-op."""
+        os.rmdir(self._resolve(path))
+
+    def spark_path(self, path: str) -> str:
+        """The path Spark's JVM reader/writer can address for this
+        seam path — identity for local; mapped schemes resolve to
+        their local root; backends Spark can't address raise. Lets
+        the table-layout lifecycle route ALL metadata ops through the
+        seam while bulk data still flows through the datasource API."""
+        return path
+
 
 class MappedFs(LocalFs):
     """A non-local scheme backed by a local root: ``mock://a/b`` →
@@ -125,6 +138,9 @@ class MappedFs(LocalFs):
         if not path.startswith(prefix):
             raise ValueError(f"{path!r} is not a {prefix} path")
         return os.path.join(self.root, path[len(prefix):].lstrip("/"))
+
+    def spark_path(self, path: str) -> str:
+        return self._resolve(path)
 
     def scandir(self, path: str) -> list[FsEntry]:
         out = []
@@ -229,6 +245,16 @@ class MemFs:
         if k not in self.files:
             raise FileNotFoundError(path)
         del self.files[k]
+
+    def rmdir(self, path: str) -> None:
+        pass  # directories are implicit in the key space
+
+    def spark_path(self, path: str) -> str:
+        raise NotImplementedError(
+            "MemFs state lives in the driver process only — Spark's "
+            "JVM readers cannot address it; use MappedFs for "
+            "distributed data paths"
+        )
 
 
 class ArrowFs:
@@ -337,8 +363,23 @@ class ArrowFs:
         self._info(path)
         self.arrow.delete_file(self._resolve(path))
 
+    def rmdir(self, path: str) -> None:
+        self.arrow.delete_dir(self._resolve(path))
+
+    def spark_path(self, path: str) -> str:
+        raise NotImplementedError(
+            f"Spark can address {self.scheme}:// only through a "
+            "matching Hadoop FileSystem on the JVM classpath; "
+            "subclass ArrowFs and return the Hadoop URI when one is "
+            "configured"
+        )
+
 
 _TMP_SUFFIX_RE = re.compile(r"\.__copying_\d+$")
+# layout-lifecycle staging/parking suffixes (zonemap compact swap,
+# staged delta publish) — stripped so fault schedules can target the
+# FINAL name ("layout", "ingest=1") despite per-run uuid suffixes
+_LAYOUT_SUFFIX_RE = re.compile(r"_\.(old|tmp|compact)_[0-9a-f]+$")
 
 
 class InjectedCrash(RuntimeError):
@@ -409,6 +450,7 @@ class FailingFs(MappedFs):
 
     def _maybe_fail(self, op: str, path: str) -> None:
         name = _TMP_SUFFIX_RE.sub("", os.path.basename(str(path).rstrip("/")))
+        name = _LAYOUT_SUFFIX_RE.sub("", name)
         self._bump(op, name)
         marker = os.path.join(self.board, f"{op}__{name}")
         try:
@@ -536,6 +578,12 @@ class RetryingFs:
     def mkdirs(self, path: str) -> None:
         return self._retry(self.inner.mkdirs, path)
 
+    def rmdir(self, path: str) -> None:
+        return self._retry(self.inner.rmdir, path)
+
+    def spark_path(self, path: str) -> str:
+        return self.inner.spark_path(path)
+
     def unlink(self, path: str) -> None:
         # same lost-success convergence rule as rename: attempt 1 can
         # delete server-side yet report a transient error; the retry
@@ -609,6 +657,59 @@ class UnregisteredSchemeError(ValueError):
     type so listing-tolerance code can skip exactly this case without
     also swallowing ValueErrors raised from inside an FS
     implementation (which indicate real bugs)."""
+
+
+def fs_exists(fs, path: str) -> bool:
+    """Existence probe over the seam primitives (no dedicated
+    primitive: 9 is the whole protocol): a directory or a stat-able
+    file counts."""
+    if fs.isdir(path):
+        return True
+    try:
+        fs.stat(path)
+        return True
+    except OSError:
+        return False
+
+
+def fs_rmtree(fs, path: str) -> None:
+    """Recursive delete via the seam (the shutil.rmtree of the
+    protocol): post-order — unlink files, then remove the emptied
+    directories via ``rmdir`` (a no-op on backends where directories
+    are implicit). Missing paths and races are tolerated; debris
+    sweeping must converge, not throw."""
+    try:
+        entries = fs.scandir(path)
+    except FileNotFoundError:
+        return
+    except NotADirectoryError:
+        try:
+            fs.unlink(path)
+        except FileNotFoundError:
+            pass
+        return
+    for e in entries:
+        if e.is_dir:
+            fs_rmtree(fs, e.path)
+        else:
+            try:
+                fs.unlink(e.path)
+            except FileNotFoundError:
+                pass
+    try:
+        fs.rmdir(path)
+    except OSError:
+        pass
+
+
+def fs_spark_path(path: str, registry: dict[str, object] | None = None) -> str:
+    """Resolve a seam path to the path Spark's JVM datasources can
+    address (LocalFs: identity; MappedFs: its local root; MemFs/
+    ArrowFs raise). The split this enables is the layout lifecycle's
+    contract: METADATA ops (list/rename/publish/recover) go through
+    the seam primitives — so a mock scheme proves nothing bypasses it
+    — while BULK data flows through the declarative datasource API."""
+    return fs_for(path, registry).spark_path(path)
 
 
 def fs_for(path: str, registry: dict[str, object] | None = None):

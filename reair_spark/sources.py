@@ -16,8 +16,6 @@ so Catalyst keeps pushdown/pruning wherever the format supports it
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 
 # serde string (catalog B.1 record) → Spark datasource format
@@ -181,9 +179,12 @@ def _read_layout_meta(location: str) -> dict | None:
     parameter-free), point probes are refused."""
     import json
 
+    from reair_spark.fs import fs_for
+
+    loc = location.rstrip("/")
     try:
-        with open(f"{location.rstrip('/')}/{LAYOUT_META}") as fh:
-            return json.load(fh)
+        with fs_for(loc).open_read(f"{loc}/{LAYOUT_META}") as fh:
+            return json.loads(fh.read().decode("utf-8"))
     except FileNotFoundError:
         return None
 
@@ -195,14 +196,17 @@ def _write_layout_meta(location: str, meta: dict) -> None:
     import json
     import uuid
 
+    from reair_spark.fs import fs_for
+
     loc = location.rstrip("/")
-    os.makedirs(loc, exist_ok=True)
+    fs = fs_for(loc)
+    fs.mkdirs(loc)
     tmp = f"{loc}/{LAYOUT_META}.tmp_{uuid.uuid4().hex[:8]}"
-    with open(tmp, "w") as fh:
-        fh.write(json.dumps(meta, sort_keys=True))
-        fh.flush()
-        os.fsync(fh.fileno())
-    os.replace(tmp, f"{loc}/{LAYOUT_META}")
+    fh = fs.create(tmp)
+    fh.write(json.dumps(meta, sort_keys=True).encode("utf-8"))
+    fs.flush_and_sync(fh)
+    fh.close()
+    fs.rename(tmp, f"{loc}/{LAYOUT_META}")
 
 
 def write_zonemapped(
@@ -336,10 +340,12 @@ def append_zonemapped(
                     for k, (a, b) in sorted(drift.items())
                 )
             )
+    from reair_spark.fs import fs_spark_path
+
     m_bits, k_hashes = int(meta["bloom_m"]), int(meta["bloom_k"])
     write_partitioned(
         df.withColumn("ingest", F.lit(int(ingest_id))),
-        f"{loc}/data",
+        fs_spark_path(f"{loc}/data"),
         ["ingest", bucket_col],
         serde=serde,
         dynamic=True,
@@ -363,9 +369,50 @@ def append_zonemapped(
             .agg(F.sort_array(F.collect_set("pos")).alias(f"bloom_{c}"))
         )
         manifest = manifest.join(bl, bucket_col, "left")
-    atomic_overwrite(
-        manifest, f"{loc}/manifest/ingest={int(ingest_id)}", serde
+    _publish_delta(manifest, loc, int(ingest_id), serde)
+
+
+def _publish_delta(
+    manifest: DataFrame, loc: str, ingest_id: int, serde: str
+) -> None:
+    """Publish one manifest delta atomically WITHOUT ever staging
+    inside ``manifest/`` (ADVICE r9 medium: a crashed sibling-swap tmp
+    dir under manifest/ is parsed by partition discovery as an ingest
+    value, widening the column and pointing scans at nonexistent data
+    paths). Staging lives under ``_staging/`` at the layout root —
+    underscore-prefixed, so even a whole-root listing hides it from
+    Spark — and the swap is: write staged → park any existing delta
+    (replay) into _staging → one rename into place → sweep the parked
+    copy. Every crash window leaves either the old delta in place,
+    the old delta parked (restored by :func:`_recover_layout`), or
+    only _staging debris (swept); ``manifest/`` itself only ever
+    holds complete ``ingest=<id>`` directories.
+
+    Object-store variant (no atomic directory rename): the same
+    discipline becomes write-new-manifest-files + one compare-and-swap
+    of a root pointer object (the Iceberg commit protocol); the seam
+    keeps that a backend concern, not a lifecycle rewrite."""
+    import uuid
+
+    from reair_spark.fs import fs_for, fs_rmtree, fs_spark_path
+
+    fs = fs_for(loc)
+    token = uuid.uuid4().hex[:8]
+    staged = f"{loc}/_staging/ingest={ingest_id}_.tmp_{token}"
+    (
+        manifest.write.format(SERDE_FORMATS.get(serde, serde))
+        .mode("overwrite")
+        .save(fs_spark_path(staged))
     )
+    final = f"{loc}/manifest/ingest={ingest_id}"
+    fs.mkdirs(f"{loc}/manifest")
+    parked = None
+    if fs.isdir(final):
+        parked = f"{loc}/_staging/ingest={ingest_id}_.old_{token}"
+        fs.rename(final, parked)
+    fs.rename(staged, final)
+    if parked is not None:
+        fs_rmtree(fs, parked)
 
 
 def zonemap_compact(
@@ -402,12 +449,22 @@ def zonemap_compact(
 
     Returns {"deltas_before", "deltas_after"} for the caller's
     bookkeeping; the scan answer before and after is identical by
-    construction (pytest-pinned)."""
-    import os
-    import shutil
+    construction (pytest-pinned).
+
+    All filesystem ops route through the ``fs.py`` seam (reference
+    parity: FsUtils/DistCpWrapper own every fs touch behind one
+    interface), so the whole lifecycle runs against any registered
+    scheme — pytest-proven over a mock scheme and under FailingFs
+    crash schedules. On an object store without atomic directory
+    rename, the backend implements the swap as a manifest-pointer
+    compare-and-swap (the Iceberg commit protocol); the lifecycle
+    code is unchanged."""
     import uuid
 
+    from reair_spark.fs import fs_for, fs_rmtree, fs_spark_path
+
     loc = location.rstrip("/")
+    fs = fs_for(loc)
     _recover_layout(loc)
     meta = _read_layout_meta(loc)
     bloom_m = bloom_k = None
@@ -423,43 +480,88 @@ def zonemap_compact(
             "stat_cols explicitly to compact a legacy layout"
         )
     deltas_before = len(
-        [p for p in os.listdir(f"{loc}/manifest") if p.startswith("ingest=")]
+        [e for e in fs.scandir(f"{loc}/manifest")
+         if e.name.startswith("ingest=")]
     )
     fmt = SERDE_FORMATS.get(serde, serde)
-    df = spark.read.format(fmt).load(f"{loc}/data").drop("ingest")
+    df = spark.read.format(fmt).load(
+        fs_spark_path(f"{loc}/data")
+    ).drop("ingest")
     tmp = f"{loc}_.compact_{uuid.uuid4().hex[:8]}"
     write_zonemapped(
         df, tmp, bucket_col, stat_cols, serde=serde, bloom_cols=bloom_cols,
         bloom_m=bloom_m, bloom_k=bloom_k,
     )
     old = f"{loc}_.old_{uuid.uuid4().hex[:8]}"
-    os.replace(loc, old)
-    os.replace(tmp, loc)
-    shutil.rmtree(old)
+    fs.rename(loc, old)
+    fs.rename(tmp, loc)
+    fs_rmtree(fs, old)
     return {"deltas_before": deltas_before, "deltas_after": 1}
 
 
-def _recover_layout(loc: str) -> None:
-    """Heal a zone-mapped layout from a compaction crash: if the
-    canonical path is missing but a parked ``_.old_*`` sibling exists,
-    restore it (the pre-compaction layout is complete and correct —
-    compaction re-runs idempotently); then sweep ``_.compact_*`` tmp
-    debris and any ``_.old_*`` leftovers that lost the race AFTER the
-    canonical path is in place. Never touches anything when the
-    canonical path exists and no debris is present."""
-    import glob as _glob
-    import os
-    import shutil
+def _scandir_or_empty(fs, path: str) -> list:
+    try:
+        return fs.scandir(path)
+    except (FileNotFoundError, NotADirectoryError):
+        return []
 
-    if not os.path.exists(loc):
-        olds = sorted(_glob.glob(f"{loc}_.old_*"))
+
+def _recover_layout(location: str) -> None:
+    """Heal a zone-mapped layout from every crash window the lifecycle
+    has (all via the fs seam):
+
+    1. compact crash between the two swap renames — canonical path
+       missing, pre-compaction layout parked at ``<loc>_.old_*``:
+       restore it (it is complete and correct; compaction re-runs
+       idempotently), then sweep dead ``_.compact_*``/``_.old_*``
+       siblings.
+    2. append crash between parking a replayed delta and publishing
+       its replacement — ``manifest/ingest=<id>`` missing but parked
+       at ``_staging/ingest=<id>_.old_*``: restore it (the parked
+       delta matches the data that is still in place).
+    3. append crash before publish — ``_staging`` tmp debris: sweep
+       (readers never look in _staging; the data-side residue is what
+       :func:`zonemap_orphan_ingests` reports).
+    4. legacy sibling-swap debris INSIDE ``manifest/``
+       (``ingest=<id>_.tmp_*``/``_.old_*`` from the pre-staging
+       publish discipline, ADVICE r9): sweep — partition discovery
+       would otherwise parse the debris dir as an ingest VALUE,
+       widening the column and failing every later scan.
+
+    Never touches anything when the canonical path exists and no
+    debris is present."""
+    import re as _re
+
+    from reair_spark.fs import fs_for, fs_rmtree
+
+    loc = location.rstrip("/")
+    fs = fs_for(loc)
+    parent, name = loc.rsplit("/", 1)
+    if not fs.isdir(loc):
+        olds = sorted(
+            e.path for e in _scandir_or_empty(fs, parent)
+            if e.is_dir and e.name.startswith(f"{name}_.old_")
+        )
         if olds:
-            os.replace(olds[0], loc)
-    if os.path.exists(loc):
-        for p in _glob.glob(f"{loc}_.compact_*") + _glob.glob(
-            f"{loc}_.old_*"
+            fs.rename(olds[0], loc)
+    if not fs.isdir(loc):
+        return
+    for e in _scandir_or_empty(fs, parent):
+        if e.is_dir and (
+            e.name.startswith(f"{name}_.compact_")
+            or e.name.startswith(f"{name}_.old_")
         ):
-            shutil.rmtree(p, ignore_errors=True)
+            fs_rmtree(fs, e.path)
+    parked_re = _re.compile(r"^(ingest=\d+)_\.old_[0-9a-f]+$")
+    for e in _scandir_or_empty(fs, f"{loc}/_staging"):
+        m = parked_re.match(e.name)
+        if m and not fs.isdir(f"{loc}/manifest/{m.group(1)}"):
+            fs.rename(e.path, f"{loc}/manifest/{m.group(1)}")
+        else:
+            fs_rmtree(fs, e.path)
+    for e in _scandir_or_empty(fs, f"{loc}/manifest"):
+        if "_.tmp_" in e.name or "_.old_" in e.name:
+            fs_rmtree(fs, e.path)
 
 
 def zonemap_orphan_ingests(location: str) -> list[int]:
@@ -471,19 +573,18 @@ def zonemap_orphan_ingests(location: str) -> list[int]:
     the append and the dynamic overwrite replaces the data in place).
     Directory-listing only — metadata-sized, the layout-level analogue
     of plans.orphan_gc_plan's file-level verdicts."""
-    import os
+    from reair_spark.fs import fs_for
 
     loc = location.rstrip("/")
+    fs = fs_for(loc)
     _recover_layout(loc)
 
     def ingests(sub: str) -> set[int]:
-        root = f"{loc}/{sub}"
-        if not os.path.isdir(root):
-            return set()
         return {
-            int(p.split("=", 1)[1])
-            for p in os.listdir(root)
-            if p.startswith("ingest=")
+            int(e.name.split("=", 1)[1])
+            for e in _scandir_or_empty(fs, f"{loc}/{sub}")
+            if e.is_dir and e.name.startswith("ingest=")
+            and e.name.split("=", 1)[1].isdigit()
         }
 
     return sorted(ingests("data") - ingests("manifest"))
@@ -512,9 +613,13 @@ def zonemap_plan(
     metadata-sized aggregate."""
     from pyspark.sql import functions as F
 
+    from reair_spark.fs import fs_spark_path
+
     _recover_layout(location.rstrip("/"))
     fmt = SERDE_FORMATS.get(serde, serde)
-    raw = spark.read.format(fmt).load(f"{location.rstrip('/')}/manifest")
+    raw = spark.read.format(fmt).load(
+        fs_spark_path(f"{location.rstrip('/')}/manifest")
+    )
     if max_ingest is not None:
         raw = raw.where(F.col("ingest") <= int(max_ingest))
     bucket_col = raw.columns[0]
@@ -642,6 +747,8 @@ def zonemap_scan(
     (pytest-pinned in test_sources.py)."""
     from pyspark.sql import functions as F
 
+    from reair_spark.fs import fs_spark_path
+
     fmt = SERDE_FORMATS.get(serde, serde)
     bucket_col, kept, stats = zonemap_plan(
         spark,
@@ -651,7 +758,7 @@ def zonemap_scan(
         point_predicates=point_predicates,
         max_ingest=max_ingest,
     )
-    data_base = f"{location.rstrip('/')}/data"
+    data_base = fs_spark_path(f"{location.rstrip('/')}/data")
     reader = spark.read.format(fmt).option("basePath", data_base)
     if not kept:
         # same reader shape as the kept path ⇒ same schema (data
@@ -671,15 +778,26 @@ def atomic_overwrite(df: DataFrame, location: str, serde: str = "parquet") -> No
     readers of ``location`` never observe a half-written table even on
     filesystems without atomic job commit. (Spark's own overwrite
     deletes before writing; this keeps the old data until the new data
-    is fully materialized — the DistCpWrapper.java:94-98 discipline.)"""
-    import shutil
+    is fully materialized — the DistCpWrapper.java:94-98 discipline.)
+    All fs ops go through the seam; Spark writes the bulk data at the
+    backend's resolved path. NOTE: the tmp/old siblings live NEXT TO
+    ``location`` — do not point this at a child of a directory Spark
+    partition-discovers (the zonemap manifest publish uses
+    ``_publish_delta``'s out-of-tree staging for exactly that
+    reason)."""
     import uuid
 
-    tmp = f"{location.rstrip('/')}_.tmp_{uuid.uuid4().hex[:8]}"
-    df.write.format(SERDE_FORMATS.get(serde, serde)).mode("overwrite").save(tmp)
-    old = f"{location.rstrip('/')}_.old_{uuid.uuid4().hex[:8]}"
-    if os.path.exists(location):
-        os.replace(location, old)
-    os.replace(tmp, location)
-    if os.path.exists(old):
-        shutil.rmtree(old)
+    from reair_spark.fs import fs_exists, fs_for, fs_rmtree, fs_spark_path
+
+    loc = location.rstrip("/")
+    fs = fs_for(loc)
+    tmp = f"{loc}_.tmp_{uuid.uuid4().hex[:8]}"
+    df.write.format(SERDE_FORMATS.get(serde, serde)).mode(
+        "overwrite"
+    ).save(fs_spark_path(tmp))
+    old = f"{loc}_.old_{uuid.uuid4().hex[:8]}"
+    if fs_exists(fs, loc):
+        fs.rename(loc, old)
+    fs.rename(tmp, loc)
+    if fs_exists(fs, old):
+        fs_rmtree(fs, old)

@@ -536,3 +536,94 @@ def test_sync_unlink_fault_fails_row_then_rerun_deletes(
                           delete_extraneous=True)
     assert {x.status for x in r2["results"].collect()} == {"DELETED"}
     assert not os.path.exists(os.path.join(failfs.root, "dest/gone.txt"))
+
+
+# ---------------------------------------------------------------------------
+# zone-mapped layout lifecycle under injected crashes (VERDICT r9 ask
+# #2): the streaming-replication treatment applied to the table-format
+# layer — the lifecycle routes all metadata ops through the fs seam,
+# so FailingFs can kill the exact rename that publishes a delta or
+# swaps a compacted layout, and recovery must converge.
+# ---------------------------------------------------------------------------
+
+
+def _zm_frame(spark, n=400):
+    from pyspark.sql import functions as F
+
+    return spark.range(n).select(
+        "id",
+        (F.col("id") % 2).cast("string").alias("b"),
+        F.col("id").alias("v"),
+    )
+
+
+def test_zonemap_delta_publish_crash_then_replay_heals(spark, failfs):
+    """Crash ON the delta-publish rename: the batch's data lands but
+    its manifest delta does not — the ingest is invisible to every
+    scan (readers build paths FROM the manifest), listed as an orphan,
+    and a replay of the same batch id completes the append exactly
+    (idempotent dynamic overwrite + same delta dir)."""
+    from reair_spark.fs import InjectedCrash
+    from reair_spark.sources import (
+        append_zonemapped,
+        zonemap_orphan_ingests,
+        zonemap_scan,
+    )
+
+    loc = "failfs://wh/zm"
+    df = _zm_frame(spark)
+    append_zonemapped(df.filter("id < 200"), loc, "b", ["v"], ingest_id=0)
+    _, before = zonemap_scan(spark, loc)
+    assert before["n_rows_scanned"] == 200
+
+    FailingFs.schedule(failfs.board, "rename", "ingest=1", 1, kind="crash")
+    with pytest.raises(InjectedCrash):
+        append_zonemapped(
+            df.filter("id >= 200"), loc, "b", ["v"], ingest_id=1
+        )
+    # unpublished ⇒ invisible (and the staged debris is swept)
+    assert zonemap_scan(spark, loc)[1] == before
+    assert not os.listdir(
+        os.path.join(failfs.root, "wh/zm/_staging")
+    )
+    assert zonemap_orphan_ingests(loc) == [1]
+
+    append_zonemapped(df.filter("id >= 200"), loc, "b", ["v"], ingest_id=1)
+    _, after = zonemap_scan(spark, loc)
+    assert after["n_rows_scanned"] == 400
+    assert zonemap_orphan_ingests(loc) == []
+
+
+def test_zonemap_compact_swap_crash_leaves_layout_intact(spark, failfs):
+    """Crash ON the compact swap's first rename (the park): the
+    canonical layout is untouched, the fully-built compact tmp is
+    debris the next reader sweeps, and a re-run of compaction
+    completes to one delta with identical answers."""
+    from reair_spark.fs import InjectedCrash
+    from reair_spark.sources import (
+        append_zonemapped,
+        zonemap_compact,
+        zonemap_scan,
+    )
+
+    loc = "failfs://wh/zc"
+    df = _zm_frame(spark)
+    for i in range(2):
+        append_zonemapped(
+            df.filter(f"id % 2 = {i}"), loc, "b", ["v"], ingest_id=i
+        )
+    _, before = zonemap_scan(spark, loc)
+    assert before["n_rows_scanned"] == 400
+
+    FailingFs.schedule(failfs.board, "rename", "zc", 1, kind="crash")
+    with pytest.raises(InjectedCrash):
+        zonemap_compact(spark, loc)
+    # canonical layout untouched; tmp debris present, then swept
+    root = os.path.join(failfs.root, "wh")
+    assert any(n.startswith("zc_.compact_") for n in os.listdir(root))
+    assert zonemap_scan(spark, loc)[1] == before
+    assert [n for n in os.listdir(root) if n.startswith("zc_.")] == []
+
+    stats = zonemap_compact(spark, loc)
+    assert stats == {"deltas_before": 2, "deltas_after": 1}
+    assert zonemap_scan(spark, loc)[1]["n_rows_scanned"] == 400
