@@ -2161,6 +2161,155 @@ WHERE l_shipdate >= TIMESTAMP '1996-03-15 00:00:00'
 """
 
 
+# --- Z-order clustered layout: multi-dimension pruning ---------------------
+# VERDICT r9 ask #4 — compose operators.zorder_key with the
+# zone-mapped layout: cluster by a Morton bucket of (shipdate cell,
+# extendedprice cell) so every bucket covers a BOUNDED rectangle in
+# BOTH dimensions, and a predicate on EITHER column prunes buckets —
+# the Delta OPTIMIZE ZORDER BY read path. The gate contrasts it with
+# the 1-D month layout, where a price-only predicate keeps ~all
+# buckets (every month spans the full price range).
+
+_Z_DATE0 = "1992-01-01"   # TPC-H shipdate epoch
+_Z_DATE_CELL = 256.0      # days/cell: datediff <= ~2556 → cells 0..9
+_Z_PRICE_CELL = 8192.0    # price/cell: extendedprice < 131072 → 0..15
+_Z_BITS = 4               # 4 bits/dim → zbucket in [0, 255]
+
+
+def _build_zorder_layout(spark: SparkSession, sf: str) -> str:
+    """lineitem clustered by the Morton interleave of coarse
+    (shipdate, extendedprice) cells — rows close in BOTH dimensions
+    land in the same bucket, so the manifest's per-bucket zones are
+    tight rectangles (the per-file extent property already pinned in
+    test_plan_shapes for the plain z-sorted write, here lifted to the
+    manifest-planned layout)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from reair_spark.operators import zorder_key
+    from reair_spark.sources import write_zonemapped
+
+    base = tempfile.mkdtemp(prefix="reair_zorder_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    li = _t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_extendedprice", "l_quantity"
+    )
+    ca = F.floor(
+        F.datediff(F.col("l_shipdate"), F.lit(_Z_DATE0).cast("date"))
+        / F.lit(_Z_DATE_CELL)
+    ).cast("long")
+    cb = F.floor(F.col("l_extendedprice") / F.lit(_Z_PRICE_CELL)).cast("long")
+    li = li.withColumn("zbucket", zorder_key([ca, cb], bits=_Z_BITS))
+    write_zonemapped(
+        li, base, "zbucket",
+        stat_cols=["l_shipdate", "l_extendedprice"],
+    )
+    return base
+
+
+def scan_zorder_pruning(spark: SparkSession, sf: str) -> DataFrame:
+    """Second-dimension pruning through the correctness gate: the same
+    price-floor predicate planned against the 1-D month-clustered
+    layout (keeps ~every bucket — months are uncorrelated with price)
+    and the Z-order layout (keeps only the high-price Morton cells),
+    plus a 2-predicate scan answering rows/revenue from the Z layout.
+    The oracle recomputes the Morton arithmetic (the exact shift/or
+    interleave of both cell ids), every bucket-zone extent, and the
+    answer from the raw table — so a wrong interleave, a loose zone,
+    or a dropped bucket all break the hash.
+
+    100 TB story: a sort pays once at write; after it, predicates on
+    EITHER of the two leading query dimensions skip data at manifest
+    granularity — lexicographic (month, price) clustering gives that
+    only for month. This is why table formats expose ZORDER BY as the
+    OPTIMIZE clustering, not a multi-column sort."""
+    import datetime as _dt
+
+    from reair_spark.sources import zonemap_scan
+
+    key1 = (spark.sparkContext.applicationId, sf)
+    if key1 not in _ZONEMAP_CACHE:
+        _ZONEMAP_CACHE[key1] = _build_zonemap_layout(spark, sf)
+    keyz = (spark.sparkContext.applicationId, "zorder", sf)
+    if keyz not in _ZONEMAP_CACHE:
+        _ZONEMAP_CACHE[keyz] = _build_zorder_layout(spark, sf)
+    base1, basez = _ZONEMAP_CACHE[key1], _ZONEMAP_CACHE[keyz]
+
+    pmin = 90000.0
+    lo = _dt.datetime(1996, 3, 15)
+    hi = _dt.datetime(1996, 7, 20)
+    _, s1 = zonemap_scan(
+        spark, base1, predicates=[("l_extendedprice", pmin, None)]
+    )
+    _, sz = zonemap_scan(
+        spark, basez, predicates=[("l_extendedprice", pmin, None)]
+    )
+    df, sz2 = zonemap_scan(
+        spark, basez,
+        predicates=[("l_shipdate", lo, hi), ("l_extendedprice", pmin, None)],
+    )
+    res = df.filter(
+        (F.col("l_shipdate") >= F.lit(lo))
+        & (F.col("l_shipdate") <= F.lit(hi))
+        & (F.col("l_extendedprice") >= F.lit(pmin))
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows_matched"),
+        F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+    )
+    return res.select(
+        F.lit(s1["n_buckets_total"]).cast("long").alias("n_buckets_1d_total"),
+        F.lit(s1["n_buckets_read"]).cast("long").alias("n_buckets_1d_price"),
+        F.lit(sz["n_buckets_total"]).cast("long").alias("n_buckets_z_total"),
+        F.lit(sz["n_buckets_read"]).cast("long").alias("n_buckets_z_price"),
+        F.lit(sz2["n_buckets_read"]).cast("long").alias("n_buckets_z_2d"),
+        "n_rows_matched",
+        "revenue",
+    )
+
+
+ENGINE_QUERIES["scan_zorder_pruning"] = scan_zorder_pruning
+
+
+def _zorder_oracle() -> str:
+    from reair_spark.extra_queries import _zorder_sql
+
+    zd = (f"CAST(floor(date_diff('day', DATE '{_Z_DATE0}', l_shipdate)"
+          f" / {_Z_DATE_CELL}) AS BIGINT)")
+    zp = f"CAST(floor(l_extendedprice / {_Z_PRICE_CELL}) AS BIGINT)"
+    return f"""
+WITH li AS (
+  SELECT l_shipdate, l_extendedprice,
+         strftime(l_shipdate, '%Y-%m') AS mbucket,
+         {_zorder_sql([zd, zp], _Z_BITS)} AS zbucket
+  FROM lineitem),
+m1 AS (
+  SELECT mbucket, max(l_extendedprice) AS mx_p FROM li GROUP BY mbucket),
+mz AS (
+  SELECT zbucket, min(l_shipdate) AS mn_s, max(l_shipdate) AS mx_s,
+         max(l_extendedprice) AS mx_p
+  FROM li GROUP BY zbucket)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM m1) AS n_buckets_1d_total,
+       (SELECT CAST(count(*) AS BIGINT) FROM m1 WHERE mx_p >= 90000.0)
+         AS n_buckets_1d_price,
+       (SELECT CAST(count(*) AS BIGINT) FROM mz) AS n_buckets_z_total,
+       (SELECT CAST(count(*) AS BIGINT) FROM mz WHERE mx_p >= 90000.0)
+         AS n_buckets_z_price,
+       (SELECT CAST(count(*) AS BIGINT) FROM mz WHERE mx_p >= 90000.0
+          AND mx_s >= TIMESTAMP '1996-03-15 00:00:00'
+          AND mn_s <= TIMESTAMP '1996-07-20 00:00:00') AS n_buckets_z_2d,
+       CAST(count(*) AS BIGINT) AS n_rows_matched,
+       round(sum(l_extendedprice), 2) AS revenue
+FROM li
+WHERE l_extendedprice >= 90000.0
+  AND l_shipdate >= TIMESTAMP '1996-03-15 00:00:00'
+  AND l_shipdate <= TIMESTAMP '1996-07-20 00:00:00'
+"""
+
+
+ENGINE_ORACLES["scan_zorder_pruning"] = _zorder_oracle()
+
+
 from reair_spark.scalebench import (  # noqa: E402
     zonemap_scale_digest as _zonemap_scale_q,
     zonemap_scale_oracle_sql as _zonemap_scale_sql,

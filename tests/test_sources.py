@@ -457,6 +457,45 @@ def test_zonemap_compact_crash_between_renames_recovers(spark, tmp_path):
     assert zonemap_scan(spark, loc)[1] == before
 
 
+def test_zorder_layout_prunes_second_dimension(spark, tmp_path):
+    """Morton-bucket clustering (operators.zorder_key composed with
+    the zone-mapped layout) makes a predicate on the SECOND dimension
+    prune buckets — a 1-D layout on the first dimension cannot: every
+    1-D bucket's y-zone spans the full range. Pruning stays lossless
+    on both layouts."""
+    from reair_spark.operators import zorder_key
+    from reair_spark.sources import write_zonemapped, zonemap_scan
+
+    # x and y independent: every x-cell sees the FULL y range, so a
+    # 1-D x-clustered layout has nothing to prune on y
+    df = spark.range(4096).select(
+        "id",
+        (F.col("id") % 64).alias("x"),
+        (F.floor(F.col("id") / 64)).alias("y"),
+    )
+    loc1 = str(tmp_path / "one_d")
+    locz = str(tmp_path / "zord")
+    write_zonemapped(
+        df.withColumn("bx", F.floor(F.col("x") / 8)),
+        loc1, "bx", stat_cols=["x", "y"],
+    )
+    zb = zorder_key([F.floor(F.col("x") / 8), F.floor(F.col("y") / 8)],
+                    bits=3)
+    write_zonemapped(
+        df.withColumn("zb", zb), locz, "zb", stat_cols=["x", "y"],
+    )
+
+    pred = [("y", 0, 7)]
+    p1, s1 = zonemap_scan(spark, loc1, pred)
+    pz, sz = zonemap_scan(spark, locz, pred)
+    assert s1["n_buckets_read"] == s1["n_buckets_total"]  # 1-D can't prune y
+    assert sz["n_buckets_read"] < sz["n_buckets_total"] // 4
+    # lossless on both paths
+    want = sorted(r.id for r in df.filter("y <= 7").collect())
+    assert sorted(r.id for r in p1.filter("y <= 7").collect()) == want
+    assert sorted(r.id for r in pz.filter("y <= 7").collect()) == want
+
+
 def test_zonemap_lifecycle_runs_entirely_through_fs_seam(spark, tmp_path):
     """The whole layout lifecycle (write → append → plan/scan →
     orphan GC → compact → as-of) on a MOCK scheme: every metadata op
