@@ -1535,6 +1535,74 @@ ORDER BY bucket
 """
 
 
+def catalog_zonemap_read(spark: SparkSession, sf: str) -> DataFrame:
+    """The zone-mapped layout reached THROUGH the metastore record
+    (VERDICT r9 ask #6): the month-clustered lineitem layout is
+    registered in a DirectoryCatalog with ``parameters.layout =
+    'zonemapped'`` (the Iceberg-in-HMS discipline: the table ADVERTISES
+    its format via a table parameter, cf. table_type=ICEBERG;
+    reference parity: serde dispatch from the catalog record,
+    ThriftHiveMetastoreClient Table.sd), and the scan goes through
+    sources.scan_catalog_table — no path knowledge at the call site,
+    pruning stats still asserted by the oracle. Same query and oracle
+    as scan_zonemap_pruning: only the DISPATCH differs, so a dispatch
+    bug (wrong location, lost serde, ignored predicates) breaks the
+    same hash."""
+    import atexit
+    import datetime as _dt
+    import shutil
+    import tempfile
+
+    from reair_spark.catalog import DirectoryCatalog
+    from reair_spark.sources import scan_catalog_table
+
+    key = (spark.sparkContext.applicationId, sf)
+    if key not in _ZONEMAP_CACHE:
+        _ZONEMAP_CACHE[key] = _build_zonemap_layout(spark, sf)
+    ckey = (spark.sparkContext.applicationId, "catalog", sf)
+    if ckey not in _ZONEMAP_CACHE:
+        root = tempfile.mkdtemp(prefix="reair_zmcat_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        cat = DirectoryCatalog(root)
+        cat.create_table({
+            "db": "wh", "table": "lineitem_zm",
+            "table_type": "EXTERNAL_TABLE", "cols": [],
+            "partition_keys": [], "location": _ZONEMAP_CACHE[key],
+            "serde": "parquet", "parameters": {"layout": "zonemapped"},
+        })
+        _ZONEMAP_CACHE[ckey] = cat
+    cat = _ZONEMAP_CACHE[ckey]
+
+    lo = _dt.datetime(1996, 3, 15)
+    hi = _dt.datetime(1996, 7, 20)
+    pmin = 900.0
+    df, stats = scan_catalog_table(
+        spark, cat, "wh", "lineitem_zm",
+        predicates=[("l_shipdate", lo, hi), ("l_extendedprice", pmin, None)],
+    )
+    res = df.filter(
+        (F.col("l_shipdate") >= F.lit(lo))
+        & (F.col("l_shipdate") <= F.lit(hi))
+        & (F.col("l_extendedprice") >= F.lit(pmin))
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows_matched"),
+        F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+    )
+    return res.select(
+        F.lit(stats["n_buckets_total"]).cast("long").alias("n_buckets_total"),
+        F.lit(stats["n_buckets_read"]).cast("long").alias("n_buckets_read"),
+        F.lit(stats["n_rows_scanned"]).cast("long").alias("n_rows_scanned"),
+        "n_rows_matched",
+        "revenue",
+    )
+
+
+ENGINE_QUERIES["catalog_zonemap_read"] = catalog_zonemap_read
+ENGINE_ORACLES["catalog_zonemap_read"] = ENGINE_ORACLES[
+    "scan_zonemap_pruning"
+]
+
+
 def serde_orc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     """ORC + compressed-CSV legs of the serde-migration surface
     (X1-X3), same digest discipline as `serde_roundtrip_digest`:

@@ -457,6 +457,53 @@ def test_zonemap_compact_crash_between_renames_recovers(spark, tmp_path):
     assert zonemap_scan(spark, loc)[1] == before
 
 
+def test_catalog_dispatches_zonemapped_layout(spark, tmp_path):
+    """A catalog record with parameters.layout='zonemapped' routes
+    reads through the manifest-pruned scan (pushed predicates, pruning
+    stats); plain tables keep the serde reader, and pushing manifest
+    predicates at one fails loudly."""
+    import pytest
+
+    from reair_spark.catalog import DirectoryCatalog
+    from reair_spark.sources import (
+        scan_catalog_table,
+        write_zonemapped,
+    )
+
+    df = spark.range(1000).select(
+        "id", (F.col("id") % 10).cast("string").alias("b"),
+        (F.col("id") % 10).alias("v"),
+    )
+    zloc = str(tmp_path / "zm_table")
+    write_zonemapped(df, zloc, "b", stat_cols=["v"])
+    ploc = str(tmp_path / "plain_table")
+    df.write.parquet(ploc)
+
+    cat = DirectoryCatalog(str(tmp_path / "wh"))
+    base = {"table_type": "EXTERNAL_TABLE", "cols": [],
+            "partition_keys": [], "serde": "parquet"}
+    cat.create_table({**base, "db": "d", "table": "zm", "location": zloc,
+                      "parameters": {"layout": "zonemapped"}})
+    cat.create_table({**base, "db": "d", "table": "plain",
+                      "location": ploc, "parameters": {}})
+
+    got, stats = scan_catalog_table(
+        spark, cat, "d", "zm", predicates=[("v", 3, 4)]
+    )
+    assert stats["n_buckets_read"] == 2 and stats["n_buckets_total"] == 10
+    assert got.filter("v in (3, 4)").count() == 200
+    # read_catalog_table dispatches too — full (unpruned) layout read
+    assert read_catalog_table(spark, cat, "d", "zm").count() == 1000
+
+    plain, pstats = scan_catalog_table(spark, cat, "d", "plain")
+    assert pstats == {} and plain.count() == 1000
+    with pytest.raises(ValueError, match="not a zonemapped-layout"):
+        scan_catalog_table(spark, cat, "d", "plain",
+                           predicates=[("v", 3, 4)])
+    with pytest.raises(KeyError):
+        scan_catalog_table(spark, cat, "d", "nope")
+
+
 def test_zorder_layout_prunes_second_dimension(spark, tmp_path):
     """Morton-bucket clustering (operators.zorder_key composed with
     the zone-mapped layout) makes a predicate on the SECOND dimension
