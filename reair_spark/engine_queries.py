@@ -1999,6 +1999,31 @@ ENGINE_ORACLES["scan_bloom_bigm"] = _bloom_bigm_oracle()
 _ZONEMAP_STREAM_SRC: dict = {}
 
 
+def _zonemap_stream_src(spark: SparkSession, sf: str) -> str:
+    """lineitem as 2 key-ranged parquet chunks (one per micro-batch),
+    built once per (session, sf) and shared by the streaming-ingestion
+    gates."""
+    import atexit
+    import shutil
+    import tempfile
+
+    key = (spark.sparkContext.applicationId, "zonemap_stream_src", sf)
+    if key not in _ZONEMAP_STREAM_SRC:
+        base = tempfile.mkdtemp(prefix="reair_zstream_")
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
+        li = (
+            _t(spark, sf, "lineitem")
+            .select("l_orderkey", "l_shipdate", "l_extendedprice",
+                    "l_quantity")
+            .withColumn("bucket", F.date_format("l_shipdate", "yyyy-MM"))
+        )
+        li.repartitionByRange(2, "l_orderkey").write.parquet(
+            f"{base}/chunks"
+        )
+        _ZONEMAP_STREAM_SRC[key] = f"{base}/chunks"
+    return _ZONEMAP_STREAM_SRC[key]
+
+
 def stream_zonemap_scan(spark: SparkSession, sf: str) -> DataFrame:
     """Streaming clustered ingestion + incremental manifest maintenance
     — the streaming twin of scan_zonemap_pruning: lineitem arrives as
@@ -2021,21 +2046,7 @@ def stream_zonemap_scan(spark: SparkSession, sf: str) -> DataFrame:
 
     from reair_spark.streaming import stream_zonemap_ingest
 
-    key = (spark.sparkContext.applicationId, "zonemap_stream_src", sf)
-    if key not in _ZONEMAP_STREAM_SRC:
-        base = tempfile.mkdtemp(prefix="reair_zstream_")
-        atexit.register(shutil.rmtree, base, ignore_errors=True)
-        li = (
-            _t(spark, sf, "lineitem")
-            .select("l_orderkey", "l_shipdate", "l_extendedprice",
-                    "l_quantity")
-            .withColumn("bucket", F.date_format("l_shipdate", "yyyy-MM"))
-        )
-        li.repartitionByRange(2, "l_orderkey").write.parquet(
-            f"{base}/chunks"
-        )
-        _ZONEMAP_STREAM_SRC[key] = f"{base}/chunks"
-    src = _ZONEMAP_STREAM_SRC[key]
+    src = _zonemap_stream_src(spark, sf)
 
     run = tempfile.mkdtemp(prefix="reair_zstream_run_")
     atexit.register(shutil.rmtree, run, ignore_errors=True)
@@ -2060,6 +2071,62 @@ ENGINE_QUERIES["stream_zonemap_scan"] = stream_zonemap_scan
 ENGINE_ORACLES["stream_zonemap_scan"] = ENGINE_ORACLES[
     "scan_zonemap_pruning"
 ]
+
+
+def stream_zonemap_autocompact(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming ingestion with the auto-OPTIMIZE policy (VERDICT r9
+    ask #8): the same 2-chunk checkpointed stream as
+    stream_zonemap_scan, but the sink compacts whenever the manifest
+    reaches 2 deltas — so a compaction fires MID-STREAM (after batch
+    1) and the layout ends at exactly one delta. The answer is
+    unchanged by construction (per-bucket statistics are monoids and
+    compaction preserves rows), so the gate shares
+    scan_zonemap_pruning's oracle plus the closed-form final delta
+    count; a compaction that lost or duplicated rows — the classic
+    replay-after-OPTIMIZE bug, guarded by the descriptor's
+    compacted_through high-water mark — breaks the revenue hash."""
+    import atexit
+    import os as _os
+    import shutil
+    import tempfile
+
+    from reair_spark.streaming import stream_zonemap_ingest
+
+    src = _zonemap_stream_src(spark, sf)
+
+    run = tempfile.mkdtemp(prefix="reair_zauto_run_")
+    atexit.register(shutil.rmtree, run, ignore_errors=True)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    stream_zonemap_ingest(
+        spark,
+        stream,
+        f"{run}/layout",
+        "bucket",
+        ["l_shipdate", "l_extendedprice"],
+        f"{run}/_ckpt",
+        compact_every=2,
+    )
+    n_deltas = len([
+        p for p in _os.listdir(f"{run}/layout/manifest")
+        if p.startswith("ingest=")
+    ])
+    ans = _zonemap_answer(spark, f"{run}/layout")
+    return ans.select(
+        F.lit(n_deltas).cast("long").alias("n_deltas_final"),
+        *ans.columns,
+    )
+
+
+ENGINE_QUERIES["stream_zonemap_autocompact"] = stream_zonemap_autocompact
+ENGINE_ORACLES["stream_zonemap_autocompact"] = f"""
+WITH ans AS ({ENGINE_ORACLES["scan_zonemap_pruning"]})
+SELECT CAST(1 AS BIGINT) AS n_deltas_final, ans.* FROM ans
+"""
 
 
 _ZONEMAP_COMPACT_TEMPLATE: dict = {}

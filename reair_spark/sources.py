@@ -399,6 +399,15 @@ def append_zonemapped(
                     for k, (a, b) in sorted(drift.items())
                 )
             )
+        if int(ingest_id) <= int(meta.get("compacted_through", -1)):
+            # replay of a batch that compaction has already FOLDED into
+            # the base ingest: its rows are in the layout, its original
+            # ingest partition no longer exists — re-appending would
+            # DUPLICATE them. The high-water mark in _meta.json keeps
+            # replay idempotent across compactions (the reason Delta's
+            # OPTIMIZE commutes with stream replays: the log, here the
+            # descriptor, remembers what was folded).
+            return
     from reair_spark.fs import fs_spark_path
 
     m_bits, k_hashes = int(meta["bloom_m"]), int(meta["bloom_k"])
@@ -412,7 +421,16 @@ def append_zonemapped(
     aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
     for c in stat_cols:
         aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
-    manifest = df.groupBy(bucket_col).agg(*aggs)
+    # the manifest records bucket values in the DIRECTORY-NAME domain
+    # (string): the compaction reread recovers the clustering column
+    # via partition discovery, whose type inference may re-type it
+    # (string '0' → int), and a manifest whose deltas disagree on the
+    # bucket column's parquet type is unreadable — pinning the string
+    # domain keeps every delta merge-compatible across the
+    # write → compact → append lifecycle (path construction already
+    # lives in that domain)
+    bkey = F.col(bucket_col).cast("string").alias(bucket_col)
+    manifest = df.groupBy(bkey).agg(*aggs)
     for c in bloom_cols or []:
         a, b = hash_family_ab(F.md5(F.col(c).cast("string")))
         pos = F.array(
@@ -422,7 +440,7 @@ def append_zonemapped(
             ]
         )
         bl = (
-            df.select(F.col(bucket_col), F.explode(pos).alias("pos"))
+            df.select(bkey, F.explode(pos).alias("pos"))
             .distinct()
             .groupBy(bucket_col)
             .agg(F.sort_array(F.collect_set("pos")).alias(f"bloom_{c}"))
@@ -538,10 +556,13 @@ def zonemap_compact(
             f"{loc} has no {LAYOUT_META}; pass bucket_col and "
             "stat_cols explicitly to compact a legacy layout"
         )
-    deltas_before = len(
-        [e for e in fs.scandir(f"{loc}/manifest")
-         if e.name.startswith("ingest=")]
-    )
+    delta_ids = [
+        int(e.name.split("=", 1)[1])
+        for e in fs.scandir(f"{loc}/manifest")
+        if e.name.startswith("ingest=")
+        and e.name.split("=", 1)[1].isdigit()
+    ]
+    deltas_before = len(delta_ids)
     fmt = SERDE_FORMATS.get(serde, serde)
     df = spark.read.format(fmt).load(
         fs_spark_path(f"{loc}/data")
@@ -551,6 +572,15 @@ def zonemap_compact(
         df, tmp, bucket_col, stat_cols, serde=serde, bloom_cols=bloom_cols,
         bloom_m=bloom_m, bloom_k=bloom_k,
     )
+    # replay high-water mark: every folded ingest id is REMEMBERED so
+    # a later replay of one of those batches is a no-op instead of a
+    # duplication (append_zonemapped checks it) — compaction must
+    # commute with streaming crash recovery
+    prev = int(meta.get("compacted_through", -1)) if meta else -1
+    folded = max([prev] + delta_ids)
+    tmp_meta = _read_layout_meta(tmp) or {}
+    tmp_meta["compacted_through"] = folded
+    _write_layout_meta(tmp, tmp_meta)
     old = f"{loc}_.old_{uuid.uuid4().hex[:8]}"
     fs.rename(loc, old)
     fs.rename(tmp, loc)

@@ -792,12 +792,28 @@ def stream_zonemap_ingest(
     stat_cols: list,
     checkpoint_dir: str,
     bloom_cols: list | None = None,
+    compact_every: int | None = None,
 ) -> None:
     """Run the clustered-ingestion stream to exhaustion (availableNow;
     on a real bus: format('kafka') + processingTime trigger, no sink
     change). Exactly-once lands on idempotence: a replayed batch
-    rewrites its OWN ingest partition and its OWN manifest delta."""
-    from reair_spark.sources import append_zonemapped
+    rewrites its OWN ingest partition and its OWN manifest delta.
+
+    ``compact_every`` is the auto-OPTIMIZE policy (VERDICT r9 ask #8):
+    without it, continuous ingestion grows one manifest delta and one
+    small-file layer per batch FOREVER — plan-time merge keeps answers
+    right, but file and delta counts grow without bound. With it, the
+    sink invokes :func:`sources.zonemap_compact` from foreachBatch
+    whenever the delta count reaches the threshold, collapsing history
+    to one ingest. Replay safety across the compaction boundary comes
+    from the layout descriptor's ``compacted_through`` high-water
+    mark: a replayed batch whose ingest was already folded is a no-op,
+    never a duplication (pytest-pinned batch-boundary invariance
+    ACROSS a mid-stream compaction)."""
+    from reair_spark.fs import fs_for
+    from reair_spark.sources import append_zonemapped, zonemap_compact
+
+    loc = location.rstrip("/")
 
     def feed(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -810,6 +826,13 @@ def stream_zonemap_ingest(
             bloom_cols=bloom_cols,
             ingest_id=int(batch_id),
         )
+        if compact_every is not None:
+            deltas = [
+                e for e in fs_for(loc).scandir(f"{loc}/manifest")
+                if e.name.startswith("ingest=")
+            ]
+            if len(deltas) >= int(compact_every):
+                zonemap_compact(batch_df.sparkSession, location)
 
     q = (
         stream_df.writeStream
