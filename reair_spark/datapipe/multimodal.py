@@ -1402,7 +1402,17 @@ def multimodal_audio_wht(spark: SparkSession, sf: str) -> DataFrame:
     O(N log N) per window, linear in corpus bytes, embarrassingly
     parallel; the production form applies the same kernel to every
     window, this gate transforms window 0 so the oracle's 6-stage SQL
-    butterfly stays metadata-cheap)."""
+    butterfly stays metadata-cheap).
+
+    ASCII dependency (ADVICE r9): the Spark kernel samples the UTF-8
+    BYTES of the payload while the DuckDB oracle mirrors it with
+    per-character code points and character-counted n_samples — the
+    two agree exactly iff every payload byte is < 128, which the
+    synthetic corpus guarantees (same invariant the sibling byte-level
+    gates lean on, e.g. multimodal_frame_sample's substr arithmetic).
+    On a non-ASCII corpus the BYTE kernel is the production-correct
+    one (real audio is bytes); only the SQL mirror would need a
+    code-point→byte rewrite."""
 
     def wht(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as _np

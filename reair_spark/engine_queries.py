@@ -422,6 +422,8 @@ def incremental_e2e_digest(spark: SparkSession, sf: str) -> DataFrame:
     from reair_spark.catalog import DirectoryCatalog
     from reair_spark.events import run_incremental
 
+    from reair_spark.events import _metadata_scale_conf
+
     hook, src_root, dest_root, state_dir = _incremental_scenario(spark, sf)
     # One batch here: each loop iteration costs a full targeted
     # replication (~6 s of fixed job floor on this VM), and the gate's
@@ -429,10 +431,19 @@ def incremental_e2e_digest(spark: SparkSession, sf: str) -> DataFrame:
     # multi-batch checkpointed path is asserted equivalent to this
     # digest in tests/test_incremental.py (2-batch run, identical rows)
     # and exercised further by the checkpoint-restart pytests.
-    res = run_incremental(
-        spark, hook.events_df(), src_root, dest_root, state_dir, batch_size=64
-    )
-    return _incremental_outcome_digest(spark, res["job_store"], dest_root)
+    # The whole scenario is nation-sized, so the loop's bookkeeping
+    # and the digest run under the targeted-replication conf context
+    # (metadata-scale: AQE re-planning round-trips dominate, r10).
+    with _metadata_scale_conf(spark):
+        res = run_incremental(
+            spark, hook.events_df(), src_root, dest_root, state_dir,
+            batch_size=64,
+        )
+        dig = _incremental_outcome_digest(spark, res["job_store"], dest_root)
+        # materialize INSIDE the context (the digest is ≤ ~25 rows —
+        # lazy return would execute it under the restored wide conf)
+        rows, schema = dig.collect(), dig.schema
+    return spark.createDataFrame(rows, schema)
 
 
 def _incremental_outcome_digest(spark: SparkSession, job_store, dest_root: str) -> DataFrame:
@@ -486,18 +497,22 @@ def incremental_streaming_digest(spark: SparkSession, sf: str) -> DataFrame:
     destination to the same bytes and compile the same jobs, whatever
     the micro-batch boundaries — the engine's strongest
     path-equivalence statement."""
+    from reair_spark.events import _metadata_scale_conf
     from reair_spark.state import JobStore
     from reair_spark.streaming import stream_replicate
 
     hook, src_root, dest_root, state_dir = _incremental_scenario(spark, sf)
     schema = spark.read.parquet(hook.log_path).schema
     stream = spark.readStream.schema(schema).parquet(hook.log_path)
-    stream_replicate(
-        spark, stream, src_root, dest_root,
-        state_dir, f"{state_dir}/_checkpoint",
-    )
-    job_store = JobStore(spark, f"{state_dir}/replication_jobs")
-    return _incremental_outcome_digest(spark, job_store, dest_root)
+    with _metadata_scale_conf(spark):
+        stream_replicate(
+            spark, stream, src_root, dest_root,
+            state_dir, f"{state_dir}/_checkpoint",
+        )
+        job_store = JobStore(spark, f"{state_dir}/replication_jobs")
+        dig = _incremental_outcome_digest(spark, job_store, dest_root)
+        rows, schema = dig.collect(), dig.schema
+    return spark.createDataFrame(rows, schema)
 
 
 def dirsync_e2e_digest(spark: SparkSession, sf: str) -> DataFrame:

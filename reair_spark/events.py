@@ -191,6 +191,47 @@ def _execute_rename(src_cat, dest_cat, job) -> None:
         dest_cat.alter_table(rec)
 
 
+class _metadata_scale_conf:
+    """Conf context for TARGETED replication: the object set is
+    bounded by one audit batch (≤ batch_size tables — metadata-scale
+    by construction), where AQE's per-exchange re-planning costs a
+    scheduler round-trip per stage and 32-wide shuffles schedule 32
+    tasks to move 25 rows — measured r10: the targeted loop's plan
+    stages drop 37 → 8 Spark jobs with AQE off and a narrow fixed
+    width, at identical results. Whole-stage codegen and constraint
+    propagation are compile-time costs paid per stage/per join that
+    can never pay off on 25-row stages (janino compile alone ~0.1 s ×
+    stages), so they're off too. Warehouse-SCALE replication (the
+    batch CLI path) keeps the defaults: there the inputs are unbounded
+    and AQE/codegen earn their overheads. Copy parallelism is
+    unaffected either way (execute_copies sizes tasks by data volume,
+    A8). Restores the caller's conf on exit, exceptions included."""
+
+    _SET = (
+        ("spark.sql.adaptive.enabled", "false"),
+        ("spark.sql.codegen.wholeStage", "false"),
+        ("spark.sql.constraintPropagation.enabled", "false"),
+    )
+
+    def __init__(self, spark: SparkSession, partitions: int = 4):
+        self.spark = spark
+        self.partitions = partitions
+
+    def __enter__(self):
+        keys = [k for k, _ in self._SET] + ["spark.sql.shuffle.partitions"]
+        self.saved = [(k, self.spark.conf.get(k)) for k in keys]
+        for k, v in self._SET:
+            self.spark.conf.set(k, v)
+        self.spark.conf.set(
+            "spark.sql.shuffle.partitions", str(self.partitions)
+        )
+
+    def __exit__(self, *exc):
+        for k, v in self.saved:
+            self.spark.conf.set(k, v)
+        return False
+
+
 def execute_jobs(
     spark: SparkSession, jobs: DataFrame, src_root: str, dest_root: str
 ) -> DataFrame:
@@ -222,7 +263,8 @@ def execute_jobs(
     whitelist = [
         (_re.escape(d), _re.escape(t)) for d, t in sorted(touched) if d and t
     ]
-    replicate_warehouse(spark, src_root, dest_root, whitelist=whitelist)
+    with _metadata_scale_conf(spark):
+        replicate_warehouse(spark, src_root, dest_root, whitelist=whitelist)
     return jobs.withColumn("status", F.lit("SUCCESSFUL"))
 
 
@@ -272,16 +314,29 @@ def run_incremental(
         batch = (
             events.filter(F.col("id") > last_id).orderBy("id").limit(batch_size)
         )
-        rows_max = batch.agg(F.max("id").alias("m")).collect()[0]["m"]
-        if rows_max is None:
+        batch_ids = [r["id"] for r in batch.select("id").collect()]
+        if not batch_ids:
             break
-        jobs = compile_jobs(batch)
+        # one computation feeds three consumers (pending persist,
+        # execute's collect, terminal persist) — compile_jobs over the
+        # batch is cheap but NOT free (an events scan + regex compile
+        # per action), and the consumers run strictly sequentially, so
+        # a lazy persist is race-free (r4 plan-fork discipline)
+        jobs = compile_jobs(batch).persist()
         job_store.append(jobs.select(*_job_cols()))
         executed = execute_jobs(spark, jobs, src_root, dest_root)
         job_store.append(executed.select(*_job_cols()))
-        last_id = int(rows_max)
+        jobs.unpersist()
+        last_id = int(max(batch_ids))
         kv.set(LAST_PERSISTED_ID, str(last_id))
         batches += 1
+        if len(batch_ids) < batch_size:
+            # the id-ordered poll returned a short page: the static
+            # events table is exhausted — skip the would-be-empty
+            # probe (the live-tail loop re-polls by re-invocation,
+            # AuditLogReader.java's fetch-size paging has the same
+            # short-page termination)
+            break
     # A6 counters + A7 lag gauge in one log pass (ask-#8 discipline:
     # the old current→counts + current→join→lag exit cost four jobs)
     status_counts, lag = job_store.status_summary()

@@ -141,12 +141,16 @@ def replicate_warehouse(
     else:
         # the plan is metadata-scale (changed objects, not files) and
         # feeds THREE consumers (copy-root scan, copy-task join, commit
-        # stage); without the parquet roundtrip it must persist or each
-        # consumer re-runs snapshots + digest listing + the diff joins.
-        # Lazy persist is safe here: the consumers run strictly
-        # sequentially (sizing agg → copies → commits), so the first
-        # job fills the cache with no AQE branch race.
-        plan = plan.persist()
+        # stage); without the parquet roundtrip each consumer would
+        # re-run snapshots + digest listing + the diff joins.
+        # localCheckpoint rather than persist: persist caches the DATA
+        # but every downstream action still re-ANALYZES the full
+        # snapshot⋈digest⋈payload logical plan (~0.5 s of Catalyst
+        # work per consumer at any scale — plan compile cost is
+        # data-independent); the checkpoint truncates lineage so the
+        # consumers compile against a leaf. Eager ⇒ it doubles as the
+        # sequencing barrier the persist comment used to provide.
+        plan = plan.localCheckpoint(eager=True)
 
     # ---- stage 2: data movement ---------------------------------------
     # copy-root discovery stays distributed AND free: the stage-1

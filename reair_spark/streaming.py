@@ -502,10 +502,14 @@ def stream_replicate(
     job_store = JobStore(spark, f"{state_dir}/replication_jobs")
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        jobs = compile_jobs(batch_df)
+        # one computation, three sequential consumers (pending
+        # persist, execute's collect, terminal persist) — same
+        # race-free lazy-persist discipline as run_incremental
+        jobs = compile_jobs(batch_df).persist()
         job_store.append(jobs.select(*_job_cols()))
         executed = execute_jobs(spark, jobs, src_root, dest_root)
         job_store.append(executed.select(*_job_cols()))
+        jobs.unpersist()
 
     q = (
         events_stream.writeStream.foreachBatch(sink)
