@@ -2147,22 +2147,16 @@ SELECT CAST(1 AS BIGINT) AS n_deltas_final, ans.* FROM ans
 _ZONEMAP_COMPACT_TEMPLATE: dict = {}
 
 
-def zonemap_compact_scan(spark: SparkSession, sf: str) -> DataFrame:
-    """Layout-maintenance gate (Delta OPTIMIZE / Iceberg
-    rewrite_data_files shape): a 3-ingest appended layout (lineitem in
-    orderkey thirds — the state streaming ingestion accumulates) is
-    COMPACTED back to one ingest and one manifest delta, then answers
-    the same manifest-planned query as scan_zonemap_pruning — so one
-    oracle (plus the closed-form 3→1 delta contract) checks that the
-    rewrite lost nothing, re-clustered correctly, and rebuilt zones +
-    blooms identical to a from-scratch build. The pre-compact template
-    is built once per (session, sf) and cloned per call, so the gate
-    times the COMPACTION, not the scenario build."""
+def _zonemap_compact_template(spark: SparkSession, sf: str) -> str:
+    """The 3-ingest month-clustered lineitem layout (orderkey thirds —
+    the state streaming ingestion accumulates), built once per
+    (session, sf); mutating gates (compact / merge / delete) clone it
+    per call so each times its OPERATION, not the scenario build."""
     import atexit
     import shutil
     import tempfile
 
-    from reair_spark.sources import append_zonemapped, zonemap_compact
+    from reair_spark.sources import append_zonemapped
 
     key = (spark.sparkContext.applicationId, "zonemap_compact", sf)
     if key not in _ZONEMAP_COMPACT_TEMPLATE:
@@ -2184,19 +2178,38 @@ def zonemap_compact_scan(spark: SparkSession, sf: str) -> DataFrame:
                 ingest_id=i,
             )
         _ZONEMAP_COMPACT_TEMPLATE[key] = f"{base}/template"
-    template = _ZONEMAP_COMPACT_TEMPLATE[key]
+    return _ZONEMAP_COMPACT_TEMPLATE[key]
 
-    run = tempfile.mkdtemp(prefix="reair_zcompact_run_")
+
+def _clone_layout(template: str, prefix: str) -> str:
+    import atexit
+    import shutil
+    import tempfile
+
+    run = tempfile.mkdtemp(prefix=prefix)
     atexit.register(shutil.rmtree, run, ignore_errors=True)
     layout = f"{run}/layout"
     shutil.copytree(template, layout)
-    stats = zonemap_compact(
-        spark,
-        layout,
-        "bucket",
-        ["l_shipdate", "l_extendedprice", "l_orderkey"],
-        bloom_cols=["l_orderkey"],
+    return layout
+
+
+def zonemap_compact_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """Layout-maintenance gate (Delta OPTIMIZE / Iceberg
+    rewrite_data_files shape): a 3-ingest appended layout (lineitem in
+    orderkey thirds — the state streaming ingestion accumulates) is
+    COMPACTED back to one ingest and one manifest delta, then answers
+    the same manifest-planned query as scan_zonemap_pruning — so one
+    oracle (plus the closed-form 3→1 delta contract) checks that the
+    rewrite lost nothing, re-clustered correctly, and rebuilt zones +
+    blooms identical to a from-scratch build. The pre-compact template
+    is built once per (session, sf) and cloned per call, so the gate
+    times the COMPACTION, not the scenario build."""
+    from reair_spark.sources import zonemap_compact
+
+    layout = _clone_layout(
+        _zonemap_compact_template(spark, sf), "reair_zcompact_run_"
     )
+    stats = zonemap_compact(spark, layout)
     ans = _zonemap_answer(spark, layout)
     return ans.select(
         F.lit(stats["deltas_before"]).cast("long").alias("n_deltas_before"),
@@ -2251,10 +2264,7 @@ def zonemap_time_travel(spark: SparkSession, sf: str) -> DataFrame:
 
     from reair_spark.sources import zonemap_scan
 
-    key = (spark.sparkContext.applicationId, "zonemap_compact", sf)
-    if key not in _ZONEMAP_COMPACT_TEMPLATE:
-        zonemap_compact_scan(spark, sf).collect()  # builds the template
-    template = _ZONEMAP_COMPACT_TEMPLATE[key]
+    template = _zonemap_compact_template(spark, sf)
 
     lo = _dt.datetime(1996, 3, 15)
     hi = _dt.datetime(1996, 7, 20)
@@ -2308,6 +2318,177 @@ FROM li
 WHERE l_shipdate >= TIMESTAMP '1996-03-15 00:00:00'
   AND l_shipdate <= TIMESTAMP '1996-07-20 00:00:00'
   AND l_extendedprice >= 900.0
+"""
+
+
+def zonemap_merge_upsert(spark: SparkSession, sf: str) -> DataFrame:
+    """MERGE (upsert) through the correctness gate — the Delta MERGE /
+    Iceberg overwrite shape on the append-structured layout: orders is
+    clustered by a key-derived bucket (custkey mod 64 — functionally
+    dependent on the key, the MERGE-pruning contract), every key
+    ending in 3 gets its totalprice bumped by 10M, and one new order
+    per key ending in 4 is inserted. Only the updates' buckets are
+    rewritten, as ONE replaces-ingest — pre-merge rows stay readable
+    at max_ingest=0 (n_rows_before comes from that as-of scan), and
+    the DuckDB oracle recomputes the affected-bucket count and the
+    entire post-merge table from orders alone, so a lost survivor, a
+    duplicated key, or an unreplaced row breaks count or sum."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from reair_spark.sources import (
+        write_zonemapped,
+        zonemap_merge,
+        zonemap_scan,
+    )
+
+    o = _t(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    ).withColumn("bucket", F.pmod("o_custkey", F.lit(64)))
+
+    tkey = (spark.sparkContext.applicationId, "zonemap_merge", sf)
+    if tkey not in _ZONEMAP_COMPACT_TEMPLATE:
+        base = tempfile.mkdtemp(prefix="reair_zmerge_")
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
+        write_zonemapped(
+            o, f"{base}/template", "bucket",
+            stat_cols=["o_orderkey", "o_totalprice"],
+        )
+        _ZONEMAP_COMPACT_TEMPLATE[tkey] = f"{base}/template"
+    layout = _clone_layout(
+        _ZONEMAP_COMPACT_TEMPLATE[tkey], "reair_zmerge_run_"
+    )
+
+    mk = o.agg(F.max("o_orderkey").alias("m")).collect()[0]["m"]
+    updates = (
+        o.filter(F.pmod("o_orderkey", F.lit(10)) == 3)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 10_000_000)
+        .unionByName(
+            o.filter(F.pmod("o_orderkey", F.lit(10)) == 4)
+            .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(mk))
+            .withColumn("o_totalprice", F.lit(1.0))
+        )
+    )
+    st = zonemap_merge(spark, layout, updates, ["o_orderkey"])
+
+    _, before = zonemap_scan(spark, layout, max_ingest=0)
+    cur, after = zonemap_scan(spark, layout)
+    agg = cur.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows_after"),
+        F.sum(
+            F.when(F.col("o_totalprice") >= 10_000_000, 1).otherwise(0)
+        ).cast("long").alias("n_updated"),
+        F.sum(
+            F.when(F.col("o_orderkey") > mk, 1).otherwise(0)
+        ).cast("long").alias("n_inserted"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+    return agg.select(
+        F.lit(st["n_buckets_affected"]).cast("long").alias(
+            "n_buckets_affected"
+        ),
+        F.lit(before["n_rows_scanned"]).cast("long").alias("n_rows_before"),
+        "n_rows_after",
+        "n_updated",
+        "n_inserted",
+        "sum_price",
+    )
+
+
+ENGINE_QUERIES["zonemap_merge_upsert"] = zonemap_merge_upsert
+ENGINE_ORACLES["zonemap_merge_upsert"] = """
+WITH o AS (
+  SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+mx AS (SELECT max(o_orderkey) AS mk FROM o),
+final AS (
+  SELECT o_orderkey, o_totalprice FROM o WHERE o_orderkey % 10 != 3
+  UNION ALL
+  SELECT o_orderkey, o_totalprice + 10000000 FROM o
+  WHERE o_orderkey % 10 = 3
+  UNION ALL
+  SELECT o_orderkey + (SELECT mk FROM mx), 1.0 FROM o
+  WHERE o_orderkey % 10 = 4)
+SELECT (SELECT CAST(count(DISTINCT o_custkey % 64) AS BIGINT) FROM o
+        WHERE o_orderkey % 10 IN (3, 4)) AS n_buckets_affected,
+       (SELECT CAST(count(*) AS BIGINT) FROM o) AS n_rows_before,
+       CAST(count(*) AS BIGINT) AS n_rows_after,
+       CAST(sum(CASE WHEN o_totalprice >= 10000000 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_updated,
+       CAST(sum(CASE WHEN o_orderkey > (SELECT mk FROM mx)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted,
+       round(sum(o_totalprice), 2) AS sum_price
+FROM final
+"""
+
+
+def zonemap_delete_rewrite(spark: SparkSession, sf: str) -> DataFrame:
+    """DELETE through the correctness gate: a shipdate-range retention
+    delete (1997-02-15 … 1997-11-15) against the 3-ingest
+    month-clustered layout. The zone maps PLAN the delete — only the
+    10 overlapping month-buckets are read or rewritten; the 8 fully-
+    inside months are EMPTIED and tombstoned (they leave the bucket
+    population instead of resurrecting stale stats) — and the rewrite
+    is one replaces-ingest, so n_rows_before is read from the
+    pre-delete snapshot (max_ingest=2) of the SAME layout after the
+    delete: time travel across a destructive op. The oracle recomputes
+    the affected/emptied bucket arithmetic and the surviving table
+    from lineitem."""
+    import datetime as _dt
+
+    from reair_spark.sources import zonemap_delete, zonemap_scan
+
+    layout = _clone_layout(
+        _zonemap_compact_template(spark, sf), "reair_zdelete_run_"
+    )
+    lo = _dt.datetime(1997, 2, 15)
+    hi = _dt.datetime(1997, 11, 15)
+    st = zonemap_delete(spark, layout, predicates=[("l_shipdate", lo, hi)])
+
+    _, before = zonemap_scan(spark, layout, max_ingest=2)
+    cur, after = zonemap_scan(spark, layout)
+    agg = cur.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows_after"),
+        F.round(F.sum("l_extendedprice"), 2).alias("revenue_after"),
+    )
+    return agg.select(
+        F.lit(st["n_buckets_affected"]).cast("long").alias(
+            "n_buckets_affected"
+        ),
+        F.lit(st["n_rows_deleted"]).cast("long").alias("n_rows_deleted"),
+        F.lit(before["n_rows_scanned"]).cast("long").alias("n_rows_before"),
+        F.lit(after["n_buckets_total"]).cast("long").alias(
+            "n_buckets_total_after"
+        ),
+        "n_rows_after",
+        "revenue_after",
+    )
+
+
+ENGINE_QUERIES["zonemap_delete_rewrite"] = zonemap_delete_rewrite
+ENGINE_ORACLES["zonemap_delete_rewrite"] = """
+WITH li AS (
+  SELECT l_shipdate, l_extendedprice,
+         strftime(l_shipdate, '%Y-%m') AS b
+  FROM lineitem),
+final AS (
+  SELECT * FROM li
+  WHERE l_shipdate < TIMESTAMP '1997-02-15 00:00:00'
+     OR l_shipdate > TIMESTAMP '1997-11-15 00:00:00')
+SELECT (SELECT CAST(count(DISTINCT b) AS BIGINT) FROM li
+        WHERE l_shipdate >= TIMESTAMP '1997-02-15 00:00:00'
+          AND l_shipdate <= TIMESTAMP '1997-11-15 00:00:00')
+         AS n_buckets_affected,
+       (SELECT CAST(count(*) AS BIGINT) FROM li
+        WHERE l_shipdate >= TIMESTAMP '1997-02-15 00:00:00'
+          AND l_shipdate <= TIMESTAMP '1997-11-15 00:00:00')
+         AS n_rows_deleted,
+       (SELECT CAST(count(*) AS BIGINT) FROM li) AS n_rows_before,
+       (SELECT CAST(count(DISTINCT b) AS BIGINT) FROM final)
+         AS n_buckets_total_after,
+       CAST(count(*) AS BIGINT) AS n_rows_after,
+       round(sum(l_extendedprice), 2) AS revenue_after
+FROM final
 """
 
 

@@ -344,6 +344,8 @@ def append_zonemapped(
     ingest_id: int = 0,
     bloom_m: int | None = None,
     bloom_k: int | None = None,
+    _replaces: bool = False,
+    _tombstone_buckets: list | None = None,
 ) -> None:
     """One ingest (micro-batch) into a zone-mapped layout: data lands
     under its own ``ingest=<id>`` partition via DYNAMIC partition
@@ -360,7 +362,18 @@ def append_zonemapped(
     a delta built with a different bloom family or different stat
     columns would silently poison the monoid merge (mis-pruning on
     probe, schema-skewed manifest parquet), so the mismatch fails
-    loudly at write time instead (VERDICT r9 "What's wrong" #2)."""
+    loudly at write time instead (VERDICT r9 "What's wrong" #2).
+
+    ``_replaces`` (internal; used by :func:`zonemap_merge` /
+    :func:`zonemap_delete`) marks the delta's buckets as REPLACING all
+    earlier ingests of those buckets — the Iceberg overwrite-snapshot
+    shape: plan-time merge resolves each bucket's newest replacing
+    ingest as its base and ignores everything older, so point-in-time
+    reads (``max_ingest``) still see the pre-merge rows and nothing is
+    rewritten in place. ``_tombstone_buckets`` adds n_rows=0 delta
+    rows for buckets the rewrite EMPTIED (a delete can erase a whole
+    bucket; without a tombstone the plan would fall back to the stale
+    pre-delete delta rows)."""
     from pyspark.sql import functions as F
 
     from reair_spark.datapipe.common import derived_hash, hash_family_ab
@@ -446,6 +459,19 @@ def append_zonemapped(
             .agg(F.sort_array(F.collect_set("pos")).alias(f"bloom_{c}"))
         )
         manifest = manifest.join(bl, bucket_col, "left")
+    if _tombstone_buckets:
+        # emptied buckets: n_rows=0 marker rows (stats/blooms null) so
+        # the replacing base still covers them; the plan drops
+        # zero-row buckets from both the kept set and the totals
+        tomb = df.sparkSession.createDataFrame(
+            [(str(b),) for b in _tombstone_buckets],
+            f"`{bucket_col}` string",
+        ).join(manifest.select(bucket_col), bucket_col, "left_anti")
+        manifest = manifest.unionByName(
+            tomb.withColumn("n_rows", F.lit(0).cast("long")),
+            allowMissingColumns=True,
+        )
+    manifest = manifest.withColumn("replaces", F.lit(bool(_replaces)))
     _publish_delta(manifest, loc, int(ingest_id), serde)
 
 
@@ -538,7 +564,7 @@ def zonemap_compact(
     code is unchanged."""
     import uuid
 
-    from reair_spark.fs import fs_for, fs_rmtree, fs_spark_path
+    from reair_spark.fs import fs_for, fs_rmtree
 
     loc = location.rstrip("/")
     fs = fs_for(loc)
@@ -563,10 +589,14 @@ def zonemap_compact(
         and e.name.split("=", 1)[1].isdigit()
     ]
     deltas_before = len(delta_ids)
-    fmt = SERDE_FORMATS.get(serde, serde)
-    df = spark.read.format(fmt).load(
-        fs_spark_path(f"{loc}/data")
-    ).drop("ingest")
+    # read the CURRENT table state via the manifest, not the raw data
+    # tree: buckets superseded by merge/delete rewrites (replaces
+    # deltas) still have their old directories on disk — invisible to
+    # every reader, and compaction is where they get garbage-collected
+    # (Iceberg's expire-snapshots + rewrite in one step). A raw
+    # directory read would resurrect them.
+    df, _ = zonemap_scan(spark, loc, serde=serde)
+    df = df.drop("ingest")
     tmp = f"{loc}_.compact_{uuid.uuid4().hex[:8]}"
     write_zonemapped(
         df, tmp, bucket_col, stat_cols, serde=serde, bloom_cols=bloom_cols,
@@ -679,6 +709,170 @@ def zonemap_orphan_ingests(location: str) -> list[int]:
     return sorted(ingests("data") - ingests("manifest"))
 
 
+def _next_ingest_id(location: str) -> int:
+    """max(manifest, data) ingest id + 1 — data-side orphans (crashed
+    appends awaiting replay) keep their reserved ids."""
+    from reair_spark.fs import fs_for
+
+    loc = location.rstrip("/")
+    fs = fs_for(loc)
+    meta = _read_layout_meta(loc) or {}
+    # compaction folds history down to ingest 0 but remembers the max
+    # folded id; a fresh rewrite ingest must clear it or the append's
+    # replay guard would treat it as an already-folded replay
+    ids = [int(meta.get("compacted_through", -1))]
+    for sub in ("manifest", "data"):
+        ids += [
+            int(e.name.split("=", 1)[1])
+            for e in _scandir_or_empty(fs, f"{loc}/{sub}")
+            if e.is_dir and e.name.startswith("ingest=")
+            and e.name.split("=", 1)[1].isdigit()
+        ]
+    return max(ids) + 1
+
+
+def zonemap_merge(
+    spark: SparkSession,
+    location: str,
+    updates: DataFrame,
+    key_cols: list[str],
+) -> dict:
+    """MERGE (upsert) into a zone-mapped layout with bucket-scoped
+    copy-on-write — the Delta MERGE / Iceberg overwrite shape, built
+    on the append-structured layout instead of in-place mutation:
+
+    1. the AFFECTED buckets are the distinct clustering values in
+       ``updates`` (metadata-sized collect);
+    2. only those bucket directories are read (manifest-planned:
+       :func:`zonemap_scan` with a bucket filter), rows matching an
+       update key are anti-joined out, and the survivors + updates are
+       rewritten as ONE new ingest whose delta carries
+       ``replaces=true`` — plan-time snapshot resolution then ignores
+       every older ingest of those buckets;
+    3. nothing is modified in place: unaffected buckets are untouched
+       (at 100 TB, a MERGE touching 3 of 10⁴ buckets rewrites 3), the
+       superseded directories stay on disk invisible to readers
+       (``max_ingest`` time travel still sees the pre-merge rows) and
+       are garbage-collected by the next :func:`zonemap_compact`.
+
+    Contract (the standard MERGE-pruning contract): the clustering
+    column must be functionally dependent on ``key_cols`` and present
+    in ``updates`` — a key whose bucket changed would leave its old
+    row in an unaffected bucket. Rows whose key matches ANY update key
+    are replaced by the update rows for that key (non-unique keys
+    replace the whole key group).
+
+    Returns {"n_buckets_affected", "ingest_id"}."""
+    from pyspark.sql import functions as F
+
+    loc = location.rstrip("/")
+    _recover_layout(loc)
+    meta = _read_layout_meta(loc)
+    if meta is None:
+        raise ValueError(f"{loc} has no {LAYOUT_META}; merge needs a "
+                         "descriptor-bearing layout")
+    bucket_col = meta["bucket_col"]
+    if bucket_col not in updates.columns:
+        raise ValueError(
+            f"updates must carry the clustering column {bucket_col!r}"
+        )
+    affected = [
+        r[0]
+        for r in updates.select(
+            F.col(bucket_col).cast("string")
+        ).distinct().collect()
+    ]
+    existing, _ = zonemap_scan(
+        spark, loc, serde=meta["serde"], buckets=affected
+    )
+    existing = existing.drop("ingest").withColumn(
+        bucket_col,
+        F.col(bucket_col).cast(updates.schema[bucket_col].dataType),
+    )
+    survivors = existing.join(
+        updates.select(*key_cols).distinct(), key_cols, "left_anti"
+    )
+    merged = survivors.unionByName(updates.select(*existing.columns))
+    ingest_id = _next_ingest_id(loc)
+    append_zonemapped(
+        merged, loc, bucket_col, meta["stat_cols"], serde=meta["serde"],
+        bloom_cols=meta["bloom_cols"] or None, ingest_id=ingest_id,
+        _replaces=True,
+    )
+    return {"n_buckets_affected": len(affected), "ingest_id": ingest_id}
+
+
+def zonemap_delete(
+    spark: SparkSession,
+    location: str,
+    predicates: list[tuple[str, object, object]] | None = None,
+    point_predicates: list[tuple[str, object]] | None = None,
+) -> dict:
+    """DELETE rows matching the conjunction of the given range/point
+    predicates, with the same bucket-scoped copy-on-write as
+    :func:`zonemap_merge`: the zone maps and blooms PLAN the delete
+    (only buckets that can hold matching rows are read or rewritten —
+    a 3-month retention delete on a 100 TB table rewrites 3 months),
+    survivors are rewritten as one ``replaces`` ingest, and buckets
+    the delete EMPTIED get n_rows=0 tombstone delta rows so the plan
+    never falls back to their stale pre-delete stats. Append-only:
+    ``max_ingest`` reads before the delete ingest still see the
+    deleted rows (the audit/time-travel property), and compaction
+    garbage-collects the superseded directories.
+
+    Returns {"n_buckets_affected", "n_rows_deleted", "ingest_id"}."""
+    from pyspark.sql import functions as F
+
+    loc = location.rstrip("/")
+    _recover_layout(loc)
+    meta = _read_layout_meta(loc)
+    if meta is None:
+        raise ValueError(f"{loc} has no {LAYOUT_META}; delete needs a "
+                         "descriptor-bearing layout")
+    bucket_col = meta["bucket_col"]
+    doomed_scope, _ = zonemap_scan(
+        spark, loc, predicates=predicates, serde=meta["serde"],
+        point_predicates=point_predicates,
+    )
+    # exact row-level predicate (the residual): delete rows matching
+    # EVERY range and EVERY point predicate
+    cond = F.lit(True)
+    for col, lo, hi in predicates or []:
+        if lo is not None:
+            cond = cond & (F.col(col) >= F.lit(lo))
+        if hi is not None:
+            cond = cond & (F.col(col) <= F.lit(hi))
+    for col, value in point_predicates or []:
+        cond = cond & (F.col(col) == F.lit(value))
+    # null-valued rows do not MATCH the predicate ⇒ they survive
+    # (SQL DELETE semantics; a bare ~cond would silently drop them)
+    cond = F.coalesce(cond, F.lit(False))
+    affected = [
+        r[0]
+        for r in doomed_scope.select(
+            F.col(bucket_col).cast("string")
+        ).where(cond).distinct().collect()
+    ]
+    if not affected:
+        return {"n_buckets_affected": 0, "n_rows_deleted": 0,
+                "ingest_id": None}
+    existing, _ = zonemap_scan(
+        spark, loc, serde=meta["serde"], buckets=affected
+    )
+    existing = existing.drop("ingest")
+    survivors = existing.where(~cond)
+    n_deleted = existing.where(cond).count()
+    ingest_id = _next_ingest_id(loc)
+    append_zonemapped(
+        survivors, loc, bucket_col, meta["stat_cols"],
+        serde=meta["serde"], bloom_cols=meta["bloom_cols"] or None,
+        ingest_id=ingest_id, _replaces=True,
+        _tombstone_buckets=affected,
+    )
+    return {"n_buckets_affected": len(affected),
+            "n_rows_deleted": int(n_deleted), "ingest_id": ingest_id}
+
+
 def zonemap_plan(
     spark: SparkSession,
     location: str,
@@ -686,6 +880,7 @@ def zonemap_plan(
     serde: str = "parquet",
     point_predicates: list[tuple[str, object]] | None = None,
     max_ingest: int | None = None,
+    buckets: list | None = None,
 ) -> tuple[str, list[dict], dict]:
     """Scan PLANNING over a zone-mapped manifest: merge the ingest
     deltas, evaluate every predicate, and return (bucket_col, kept
@@ -712,17 +907,40 @@ def zonemap_plan(
     if max_ingest is not None:
         raw = raw.where(F.col("ingest") <= int(max_ingest))
     bucket_col = raw.columns[0]
+    if "replaces" in raw.columns:
+        # snapshot resolution (the Iceberg overwrite shape): a bucket's
+        # BASE is its newest replacing ingest within the as-of bound —
+        # older deltas of that bucket are superseded, not merged. The
+        # join is manifest-sized (metadata), and because the bound is
+        # applied FIRST, point-in-time reads resolve the base that was
+        # current at that ingest — time travel across merges/deletes
+        # for free.
+        base = raw.groupBy(bucket_col).agg(
+            F.max(
+                F.when(F.col("replaces"), F.col("ingest")).otherwise(-1)
+            ).alias("__base")
+        )
+        raw = (
+            raw.join(base, bucket_col)
+            .where(F.col("ingest") >= F.col("__base"))
+            .drop("__base")
+        )
     # merge manifest deltas at plan time: every statistic is a monoid,
     # so the merged view is invariant to how ingests were batched
     merge_aggs = [
         # exact data-path construction: each (ingest, bucket) delta row
-        # implies that data partition exists (append contract), so the
-        # reader opens precisely these directories — no globs, no
-        # listing, and as-of reads never touch future ingests
-        F.sort_array(F.collect_set("ingest")).alias("__ingests")
+        # with rows implies that data partition exists (append
+        # contract; n_rows=0 tombstones imply nothing), so the reader
+        # opens precisely these directories — no globs, no listing,
+        # and as-of reads never touch future ingests
+        F.sort_array(
+            F.collect_set(
+                F.when(F.col("n_rows") > 0, F.col("ingest"))
+            )
+        ).alias("__ingests")
     ]
     for c in raw.columns:
-        if c in (bucket_col, "ingest"):
+        if c in (bucket_col, "ingest", "replaces"):
             continue
         if c == "n_rows":
             merge_aggs.append(F.sum("n_rows").cast("long").alias("n_rows"))
@@ -736,8 +954,15 @@ def zonemap_plan(
                     F.array_distinct(F.flatten(F.collect_list(c)))
                 ).alias(c)
             )
-    man = raw.groupBy(bucket_col).agg(*merge_aggs)
+    # zero-row buckets are deletion tombstones: not data, not counted
+    man = raw.groupBy(bucket_col).agg(*merge_aggs).where(
+        F.col("n_rows") > 0
+    )
     keep = F.lit(True)
+    if buckets is not None:
+        keep = keep & F.col(bucket_col).cast("string").isin(
+            [str(b) for b in buckets]
+        )
     for col, lo, hi in predicates or []:
         if lo is not None:
             keep = keep & (F.col(f"max_{col}") >= F.lit(lo))
@@ -796,6 +1021,7 @@ def zonemap_scan(
     serde: str = "parquet",
     point_predicates: list[tuple[str, object]] | None = None,
     max_ingest: int | None = None,
+    buckets: list | None = None,
 ) -> tuple[DataFrame, dict]:
     """Manifest-pruned scan over a :func:`write_zonemapped` layout.
 
@@ -846,6 +1072,7 @@ def zonemap_scan(
         serde=serde,
         point_predicates=point_predicates,
         max_ingest=max_ingest,
+        buckets=buckets,
     )
     data_base = fs_spark_path(f"{location.rstrip('/')}/data")
     reader = spark.read.format(fmt).option("basePath", data_base)

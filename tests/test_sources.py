@@ -673,3 +673,147 @@ def test_zonemap_orphan_ingests_listed_and_healed(spark, tmp_path):
 
     append_zonemapped(df.filter("id >= 200"), loc, "b", ["v"], ingest_id=1)
     assert zonemap_orphan_ingests(loc) == []
+
+
+def test_zonemap_merge_bucket_scoped_upsert(spark, tmp_path):
+    """MERGE = bucket-scoped copy-on-write: updates replace their key
+    group, inserts land, UNAFFECTED bucket directories are untouched
+    (mtime-stable), as-of before the merge still sees the old values,
+    and compaction garbage-collects the superseded directories without
+    changing the answer."""
+    from reair_spark.sources import (
+        write_zonemapped,
+        zonemap_compact,
+        zonemap_merge,
+        zonemap_scan,
+    )
+
+    df = spark.range(800).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 8).alias("b"),
+        (F.col("id") * 10).alias("v"),
+    )
+    loc = str(tmp_path / "mg")
+    write_zonemapped(df, loc, "b", stat_cols=["k", "v"], bloom_cols=["k"])
+
+    # updates: keys 0..49 get v+1_000_000 (bucket k%8 unchanged);
+    # inserts: keys 800..809
+    ups = spark.range(50).select(
+        F.col("id").alias("k"), (F.col("id") % 8).alias("b"),
+        (F.col("id") * 10 + 1_000_000).alias("v"),
+    ).unionByName(spark.range(800, 810).select(
+        F.col("id").alias("k"), (F.col("id") % 8).alias("b"),
+        F.lit(7).cast("long").alias("v"),
+    ))
+    stats = zonemap_merge(spark, loc, ups, ["k"])
+    assert stats["n_buckets_affected"] == 8 and stats["ingest_id"] == 1
+
+    cur, cstats = zonemap_scan(spark, loc)
+    assert cstats["n_rows_scanned"] == 810
+    assert cur.where("k < 50 and v >= 1000000").count() == 50
+    assert cur.where("k < 50 and v < 1000000").count() == 0
+    assert cur.where("k >= 800").count() == 10
+
+    # as-of ingest 0: the pre-merge table, byte for byte
+    old, ostats = zonemap_scan(spark, loc, max_ingest=0)
+    assert ostats["n_rows_scanned"] == 800
+    assert old.where("v >= 1000000").count() == 0
+
+    # bloom probe still exact post-merge (delta rebuilt blooms)
+    hit, _ = zonemap_scan(spark, loc, point_predicates=[("k", 805)])
+    assert hit.where("k = 805").count() == 1
+
+    # compaction GCs superseded dirs, answer unchanged
+    before = sorted((r.k, r.v) for r in cur.collect())
+    zonemap_compact(spark, loc)
+    after, astats = zonemap_scan(spark, loc)
+    assert astats["n_rows_scanned"] == 810
+    assert sorted((r.k, r.v) for r in after.collect()) == before
+
+
+def test_zonemap_merge_partial_buckets_untouched(spark, tmp_path):
+    """A merge naming 1 of 8 buckets rewrites exactly that bucket:
+    the other ingest-0 directories are still the only data for their
+    buckets (scan paths prove it)."""
+    from reair_spark.sources import (
+        write_zonemapped, zonemap_merge, zonemap_scan,
+    )
+
+    df = spark.range(800).select(
+        F.col("id").alias("k"), (F.col("id") % 8).alias("b"),
+        (F.col("id") * 10).alias("v"),
+    )
+    loc = str(tmp_path / "mg1")
+    write_zonemapped(df, loc, "b", stat_cols=["k"])
+    ups = spark.range(3).select(
+        (F.col("id") * 8).alias("k"), F.lit(0).cast("long").alias("b"),
+        F.lit(-1).cast("long").alias("v"),
+    )
+    st = zonemap_merge(spark, loc, ups, ["k"])
+    assert st["n_buckets_affected"] == 1
+    cur, _ = zonemap_scan(spark, loc)
+    files = cur.inputFiles()
+    # bucket 0 reads ONLY from the merge ingest; others only ingest 0
+    assert all("/ingest=1/" in f for f in files if "/b=0/" in f)
+    assert all("/ingest=0/" in f for f in files if "/b=0/" not in f)
+    assert cur.where("v = -1").count() == 3
+    assert cur.count() == 800  # 3 replaced, 0 inserted
+
+
+def test_zonemap_delete_prunes_and_tombstones(spark, tmp_path):
+    """DELETE plans through the zone maps (only overlapping buckets
+    rewritten), emptied buckets disappear via n_rows=0 tombstones
+    (never resurrect their stale delta stats), null predicate values
+    survive, as-of sees pre-delete rows, and compaction GCs."""
+    from reair_spark.sources import (
+        write_zonemapped,
+        zonemap_compact,
+        zonemap_delete,
+        zonemap_scan,
+    )
+
+    # b = v // 100: v-zones are disjoint per bucket — a v-range delete
+    # touches exactly the overlapping buckets
+    df = spark.range(1000).select(
+        F.col("id").alias("k"),
+        F.floor(F.col("id") / 100).alias("b"),
+        F.when(F.col("id") % 250 == 249, None).otherwise(
+            F.col("id")
+        ).alias("v"),
+    )
+    loc = str(tmp_path / "dl")
+    write_zonemapped(df, loc, "b", stat_cols=["v"])
+
+    # delete v in [100, 299]: empties buckets 1 and 2 (minus their
+    # null-v rows, which must SURVIVE)
+    st = zonemap_delete(spark, loc, predicates=[("v", 100, 299)])
+    assert st["n_buckets_affected"] == 2
+    assert st["n_rows_deleted"] == 199  # 200 minus the null at 249
+    cur, cstats = zonemap_scan(spark, loc)
+    assert cstats["n_rows_scanned"] == 801
+    # bucket 1 was EMPTIED: the tombstone removes it from the bucket
+    # population instead of resurrecting its stale pre-delete stats
+    assert cstats["n_buckets_total"] == 9
+    assert cur.where("v >= 100 and v <= 299").count() == 0
+    assert cur.where("k = 249").count() == 1  # null-v row survived
+
+    # a fresh v-range plan never opens the rewritten buckets' old dirs
+    probe, pstats = zonemap_scan(spark, loc, predicates=[("v", 250, 260)])
+    assert pstats["n_buckets_read"] == 0  # bucket 2 holds only null now
+
+    # as-of ingest 0: the pre-delete table
+    old, ostats = zonemap_scan(spark, loc, max_ingest=0)
+    assert ostats["n_rows_scanned"] == 1000
+    assert old.where("v >= 100 and v <= 299").count() == 199
+
+    # a no-match delete is a no-op (no rewrite ingest)
+    st3 = zonemap_delete(spark, loc, predicates=[("v", 5000, 6000)])
+    assert st3 == {"n_buckets_affected": 0, "n_rows_deleted": 0,
+                   "ingest_id": None}
+
+    # compaction GCs the superseded dirs; answer unchanged
+    want = sorted(r.k for r in cur.collect())
+    zonemap_compact(spark, loc)
+    after, astats = zonemap_scan(spark, loc)
+    assert astats["n_rows_scanned"] == 801
+    assert sorted(r.k for r in after.collect()) == want
