@@ -2492,6 +2492,80 @@ FROM final
 """
 
 
+def zonemap_schema_evolution(spark: SparkSession, sf: str) -> DataFrame:
+    """Add-column schema evolution through the correctness gate
+    (Iceberg add-column semantics): wave 1 writes orders WITHOUT
+    o_orderpriority (even keys), wave 2 appends WITH it (odd keys) —
+    the layout descriptor's union read schema makes every scan return
+    the same columns, with wave-1 rows null-filling the new column.
+    Without the recorded schema, Spark samples one parquet footer per
+    scan and silently drops whichever columns that file lacks — a
+    scan-dependent schema. The oracle rebuilds the union table from
+    orders (priority nulled on even keys) and rolls up by the evolved
+    column, so a dropped column, a missing null-fill, or rows read
+    under the wrong wave all break the hash."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from reair_spark.sources import (
+        append_zonemapped,
+        write_zonemapped,
+        zonemap_scan,
+    )
+
+    o = _t(spark, sf, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    ).withColumn("bucket", F.pmod("o_orderkey", F.lit(16)))
+
+    ekey = (spark.sparkContext.applicationId, "zonemap_evolve", sf)
+    if ekey not in _ZONEMAP_CACHE:
+        run = tempfile.mkdtemp(prefix="reair_zevolve_")
+        atexit.register(shutil.rmtree, run, ignore_errors=True)
+        layout = f"{run}/layout"
+        write_zonemapped(
+            o.filter(F.pmod("o_orderkey", F.lit(2)) == 0)
+            .drop("o_orderpriority"),
+            layout, "bucket", stat_cols=["o_orderkey"],
+        )
+        append_zonemapped(
+            o.filter(F.pmod("o_orderkey", F.lit(2)) == 1),
+            layout, "bucket", ["o_orderkey"], ingest_id=1,
+        )
+        _ZONEMAP_CACHE[ekey] = layout
+    cur, stats = zonemap_scan(spark, _ZONEMAP_CACHE[ekey])
+    return (
+        cur.groupBy(
+            F.coalesce("o_orderpriority", F.lit("NONE")).alias("priority")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .withColumn(
+            "n_rows_scanned",
+            F.lit(stats["n_rows_scanned"]).cast("long"),
+        )
+        .orderBy("priority")
+    )
+
+
+ENGINE_QUERIES["zonemap_schema_evolution"] = zonemap_schema_evolution
+ENGINE_ORACLES["zonemap_schema_evolution"] = """
+WITH f AS (
+  SELECT o_totalprice,
+         CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END AS pr
+  FROM orders)
+SELECT coalesce(pr, 'NONE') AS priority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 2) AS sum_price,
+       (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_rows_scanned
+FROM f
+GROUP BY coalesce(pr, 'NONE')
+ORDER BY priority
+"""
+
+
 # --- Z-order clustered layout: multi-dimension pruning ---------------------
 # VERDICT r9 ask #4 — compose operators.zorder_key with the
 # zone-mapped layout: cluster by a Morton bucket of (shipdate cell,

@@ -387,6 +387,11 @@ def append_zonemapped(
         "bloom_m": int(bloom_m if bloom_m is not None else BLOOM_M),
         "bloom_k": int(bloom_k if bloom_k is not None else BLOOM_K),
         "serde": serde,
+        "data_schema": [
+            [f.name, f.dataType.simpleString()]
+            for f in df.schema.fields
+            if f.name != bucket_col
+        ],
     }
     meta = _read_layout_meta(loc)
     if meta is None:
@@ -421,6 +426,35 @@ def append_zonemapped(
             # OPTIMIZE commutes with stream replays: the log, here the
             # descriptor, remembers what was folded).
             return
+    # schema evolution (Iceberg add-column semantics): the descriptor
+    # records the union READ schema. New columns WIDEN it (old files
+    # null-fill under the explicit read schema); a type change is
+    # refused — parquet files disagreeing on a column's type make the
+    # layout unreadable. Without the recorded schema, Spark samples
+    # ONE footer per scan and silently drops whichever columns that
+    # file lacks — the latent mixed-schema bug this closes.
+    incoming = [
+        [f.name, f.dataType.simpleString()]
+        for f in df.schema.fields
+        if f.name != bucket_col
+    ]
+    recorded = [list(x) for x in (meta.get("data_schema") or [])]
+    rec_types = {n: t for n, t in recorded}
+    drift_t = {
+        n: (rec_types[n], t) for n, t in incoming
+        if n in rec_types and rec_types[n] != t
+    }
+    if drift_t:
+        raise ValueError(
+            f"append into {loc} changes column types: "
+            + ", ".join(f"{n} layout={a!r} append={b!r}"
+                        for n, (a, b) in sorted(drift_t.items()))
+        )
+    widened = recorded + [x for x in incoming if x[0] not in rec_types]
+    if widened != (meta.get("data_schema") or []):
+        meta = dict(meta)
+        meta["data_schema"] = widened
+        _write_layout_meta(loc, meta)
     from reair_spark.fs import fs_spark_path
 
     m_bits, k_hashes = int(meta["bloom_m"]), int(meta["bloom_k"])
@@ -1076,6 +1110,17 @@ def zonemap_scan(
     )
     data_base = fs_spark_path(f"{location.rstrip('/')}/data")
     reader = spark.read.format(fmt).option("basePath", data_base)
+    meta = _read_layout_meta(location.rstrip("/"))
+    if meta and meta.get("data_schema"):
+        # the descriptor's union READ schema (schema evolution): files
+        # written before a column existed null-fill it, and every scan
+        # sees the same columns in the same order — without this,
+        # Spark samples ONE footer and silently drops whichever
+        # columns that file lacks. Partition columns (ingest + the
+        # clustering column) stay with discovery, which appends them.
+        reader = reader.schema(
+            ", ".join(f"`{n}` {t}" for n, t in meta["data_schema"])
+        )
     if not kept:
         # same reader shape as the kept path ⇒ same schema (data
         # columns + ingest + clustering column), just zero rows

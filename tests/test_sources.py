@@ -817,3 +817,56 @@ def test_zonemap_delete_prunes_and_tombstones(spark, tmp_path):
     after, astats = zonemap_scan(spark, loc)
     assert astats["n_rows_scanned"] == 801
     assert sorted(r.k for r in after.collect()) == want
+
+
+def test_zonemap_schema_evolution_add_column(spark, tmp_path):
+    """Add-column schema evolution (Iceberg semantics): a widening
+    append extends the descriptor's union READ schema, old files
+    null-fill the new column on every scan (pruned, unpruned, empty —
+    one schema), a TYPE change is refused, and compaction rewrites
+    everything under the union schema without losing values. Without
+    the recorded schema Spark samples one footer per scan and silently
+    drops whichever columns that file lacks."""
+    import pytest
+
+    from reair_spark.sources import (
+        append_zonemapped,
+        write_zonemapped,
+        zonemap_compact,
+        zonemap_scan,
+    )
+
+    v1 = spark.range(400).select(
+        F.col("id").alias("k"), (F.col("id") % 4).alias("b"),
+        (F.col("id") * 2).alias("v"),
+    )
+    loc = str(tmp_path / "ev")
+    write_zonemapped(v1, loc, "b", stat_cols=["v"])
+
+    v2 = spark.range(400, 800).select(
+        F.col("id").alias("k"), (F.col("id") % 4).alias("b"),
+        (F.col("id") * 2).alias("v"), F.lit("crawl2").alias("src"),
+    )
+    append_zonemapped(v2, loc, "b", ["v"], ingest_id=1)
+
+    cur, stats = zonemap_scan(spark, loc)
+    assert stats["n_rows_scanned"] == 800
+    assert "src" in cur.columns
+    assert cur.where("src IS NULL").count() == 400   # old files null-fill
+    assert cur.where("src = 'crawl2'").count() == 400
+    # one schema across prune states, new column included
+    pruned, _ = zonemap_scan(spark, loc, [("v", 0, 100)])
+    empty, _ = zonemap_scan(spark, loc, [("v", 10**9, 10**9 + 1)])
+    assert pruned.dtypes == cur.dtypes == empty.dtypes
+
+    # a type change is refused — mixed parquet types are unreadable
+    bad = v1.withColumn("v", F.col("v").cast("string"))
+    with pytest.raises(ValueError, match="column types"):
+        append_zonemapped(bad, loc, "b", ["v"], ingest_id=2)
+
+    # compaction carries the union schema and the values
+    zonemap_compact(spark, loc)
+    after, astats = zonemap_scan(spark, loc)
+    assert astats["n_rows_scanned"] == 800
+    assert after.where("src = 'crawl2'").count() == 400
+    assert after.where("src IS NULL").count() == 400
