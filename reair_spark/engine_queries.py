@@ -2566,6 +2566,68 @@ ORDER BY priority
 """
 
 
+def zonemap_count_pushdown(spark: SparkSession, sf: str) -> DataFrame:
+    """COUNT with manifest pushdown through the correctness gate — the
+    Iceberg/Delta metadata-only count plus a partial-bucket residual:
+    the no-predicate count is answered PURELY from manifest n_rows
+    sums (zero data files; pytest proves it by deleting data/ and
+    counting anyway), and the shipdate-range count sums the fully-
+    covered months from the manifest while scanning only the two edge
+    months the range cuts through. The oracle recomputes the
+    full/partial split from each month's actual min/max — a bucket
+    wrongly classified full (overcount risk) or partial moves the
+    bucket columns, and a wrong residual moves n_matching."""
+    import datetime as _dt
+
+    from reair_spark.sources import zonemap_count
+
+    key = (spark.sparkContext.applicationId, sf)
+    if key not in _ZONEMAP_CACHE:
+        _ZONEMAP_CACHE[key] = _build_zonemap_layout(spark, sf)
+    base = _ZONEMAP_CACHE[key]
+
+    n_total, _ = zonemap_count(spark, base)  # metadata-only
+    lo = _dt.datetime(1996, 3, 15)
+    hi = _dt.datetime(1996, 7, 20)
+    n_match, st = zonemap_count(
+        spark, base, predicates=[("l_shipdate", lo, hi)]
+    )
+    return spark.range(1).select(
+        F.lit(n_total).cast("long").alias("n_total"),
+        F.lit(st["n_buckets_full"]).cast("long").alias("n_buckets_full"),
+        F.lit(st["n_buckets_partial"]).cast("long").alias(
+            "n_buckets_partial"
+        ),
+        F.lit(n_match).cast("long").alias("n_matching"),
+    )
+
+
+ENGINE_QUERIES["zonemap_count_pushdown"] = zonemap_count_pushdown
+ENGINE_ORACLES["zonemap_count_pushdown"] = """
+WITH li AS (
+  SELECT l_shipdate, strftime(l_shipdate, '%Y-%m') AS b FROM lineitem),
+m AS (
+  SELECT b, min(l_shipdate) AS mn, max(l_shipdate) AS mx
+  FROM li GROUP BY b),
+k AS (
+  SELECT *,
+         (mn >= TIMESTAMP '1996-03-15 00:00:00'
+          AND mx <= TIMESTAMP '1996-07-20 00:00:00') AS covered
+  FROM m
+  WHERE mx >= TIMESTAMP '1996-03-15 00:00:00'
+    AND mn <= TIMESTAMP '1996-07-20 00:00:00')
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM li) AS n_total,
+       (SELECT CAST(count(*) AS BIGINT) FROM k WHERE covered)
+         AS n_buckets_full,
+       (SELECT CAST(count(*) AS BIGINT) FROM k WHERE NOT covered)
+         AS n_buckets_partial,
+       (SELECT CAST(count(*) AS BIGINT) FROM li
+        WHERE l_shipdate >= TIMESTAMP '1996-03-15 00:00:00'
+          AND l_shipdate <= TIMESTAMP '1996-07-20 00:00:00')
+         AS n_matching
+"""
+
+
 # --- Z-order clustered layout: multi-dimension pruning ---------------------
 # VERDICT r9 ask #4 — compose operators.zorder_key with the
 # zone-mapped layout: cluster by a Morton bucket of (shipdate cell,

@@ -915,6 +915,7 @@ def zonemap_plan(
     point_predicates: list[tuple[str, object]] | None = None,
     max_ingest: int | None = None,
     buckets: list | None = None,
+    keep_cols: list[str] | None = None,
 ) -> tuple[str, list[dict], dict]:
     """Scan PLANNING over a zone-mapped manifest: merge the ingest
     deltas, evaluate every predicate, and return (bucket_col, kept
@@ -1032,12 +1033,14 @@ def zonemap_plan(
                     F.lit(False),
                 )
     total = man.count()
+    extra = list(keep_cols or [])  # e.g. zone columns for count pushdown
     collected = man.where(keep).select(
-        bucket_col, "n_rows", "__ingests"
+        bucket_col, "n_rows", "__ingests", *extra
     ).collect()
     kept = [
         {bucket_col: r[bucket_col], "n_rows": r["n_rows"],
-         "__ingests": list(r["__ingests"])}
+         "__ingests": list(r["__ingests"]),
+         **{c: r[c] for c in extra}}
         for r in collected
     ]
     stats = {
@@ -1046,6 +1049,74 @@ def zonemap_plan(
         "n_rows_scanned": int(sum(r["n_rows"] for r in kept)),
     }
     return bucket_col, kept, stats
+
+
+def zonemap_count(
+    spark: SparkSession,
+    location: str,
+    predicates: list[tuple[str, object, object]] | None = None,
+    serde: str = "parquet",
+    max_ingest: int | None = None,
+) -> tuple[int, dict]:
+    """COUNT(*) with manifest pushdown — the Iceberg/Delta
+    metadata-only count, extended with a partial-bucket residual:
+
+    - a bucket whose zones are FULLY COVERED by every predicate (for
+      each (col, lo, hi): lo ≤ min_col and max_col ≤ hi) contributes
+      its manifest ``n_rows`` — no data read;
+    - only PARTIALLY-covered buckets (zone overlaps but sticks out)
+      are scanned, with the exact predicate as the residual filter;
+    - with no predicates the answer is a pure metadata read: the sum
+      of every bucket's n_rows, zero data files opened.
+
+    At 100 TB this is the difference between answering a
+    count-over-3-months in milliseconds from thousands of manifest
+    rows (+ at most two edge-bucket scans) and scanning 3 TB. Null
+    zone stats (schema-evolution null-fill, all-null columns) are
+    never treated as covered — they fall to the residual scan, the
+    lossless direction. Returns (count, stats) where stats adds
+    n_buckets_full / n_buckets_partial to the plan stats."""
+    from pyspark.sql import functions as F
+
+    preds = list(predicates or [])
+    zone_cols = [
+        c for col, _, _ in preds for c in (f"min_{col}", f"max_{col}")
+    ]
+    bucket_col, kept, stats = zonemap_plan(
+        spark, location, predicates=preds, serde=serde,
+        max_ingest=max_ingest, keep_cols=zone_cols,
+    )
+
+    def fully_covered(r: dict) -> bool:
+        for col, lo, hi in preds:
+            mn, mx = r.get(f"min_{col}"), r.get(f"max_{col}")
+            if mn is None or mx is None:
+                return False  # unknown zone ⇒ must scan (lossless)
+            if lo is not None and not (lo <= mn):
+                return False
+            if hi is not None and not (mx <= hi):
+                return False
+        return True
+
+    full = [r for r in kept if fully_covered(r)]
+    partial = [r for r in kept if not fully_covered(r)]
+    count = sum(int(r["n_rows"]) for r in full)
+    if partial:
+        df, _ = zonemap_scan(
+            spark, location, serde=serde, max_ingest=max_ingest,
+            buckets=[r[bucket_col] for r in partial],
+        )
+        cond = F.lit(True)
+        for col, lo, hi in preds:
+            if lo is not None:
+                cond = cond & (F.col(col) >= F.lit(lo))
+            if hi is not None:
+                cond = cond & (F.col(col) <= F.lit(hi))
+        count += df.where(cond).count()
+    stats = dict(stats)
+    stats["n_buckets_full"] = len(full)
+    stats["n_buckets_partial"] = len(partial)
+    return int(count), stats
 
 
 def zonemap_scan(

@@ -870,3 +870,46 @@ def test_zonemap_schema_evolution_add_column(spark, tmp_path):
     assert astats["n_rows_scanned"] == 800
     assert after.where("src = 'crawl2'").count() == 400
     assert after.where("src IS NULL").count() == 400
+
+
+def test_zonemap_count_metadata_only_and_residual(spark, tmp_path):
+    """COUNT pushdown: the no-predicate count and a fully-covering
+    range are answered WITHOUT data (proved by deleting data/);
+    a cutting range sums covered buckets from the manifest and scans
+    only the partial ones, exactly; deleted/merged state is respected
+    (counts go through the same snapshot-resolved plan)."""
+    import shutil
+
+    from reair_spark.sources import (
+        write_zonemapped,
+        zonemap_count,
+        zonemap_delete,
+        zonemap_scan,
+    )
+
+    # b = v // 100: disjoint v-zones per bucket
+    df = spark.range(1000).select(
+        F.col("id").alias("k"),
+        F.floor(F.col("id") / 100).alias("b"),
+        F.col("id").alias("v"),
+    )
+    loc = str(tmp_path / "cnt")
+    write_zonemapped(df, loc, "b", stat_cols=["v"])
+
+    # range cutting through buckets 1 and 8: full = 2..7 (600 rows),
+    # partial = 1 and 8 (50 + 51 matching rows)
+    n, st = zonemap_count(spark, loc, predicates=[("v", 150, 850)])
+    assert (n, st["n_buckets_full"], st["n_buckets_partial"]) == (701, 6, 2)
+
+    # count composes with DELETE (snapshot-resolved plan)
+    zonemap_delete(spark, loc, predicates=[("v", 300, 399)])
+    n2, _ = zonemap_count(spark, loc, predicates=[("v", 150, 850)])
+    assert n2 == 601
+    assert zonemap_count(spark, loc)[0] == 900
+
+    # metadata-only proof: remove the data — counts that need no
+    # residual still answer; zonemap_scan would fail
+    shutil.rmtree(f"{loc}/data")
+    assert zonemap_count(spark, loc)[0] == 900
+    n3, st3 = zonemap_count(spark, loc, predicates=[("v", 0, 2000)])
+    assert n3 == 900 and st3["n_buckets_partial"] == 0
