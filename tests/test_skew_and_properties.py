@@ -300,3 +300,69 @@ def test_span_islands_match_bruteforce(docs):
                 runs += 1
             prev = pos
         assert got[d] == (len(toks), runs, len(covered)), (d, toks)
+
+
+# ---------------------------------------------------------------------------
+# zone-mapped layout properties (r10): pruning losslessness and
+# merge/delete/count composition under RANDOM data shapes and
+# predicates — each Spark job costs ~0.5 s here, so the layout is
+# built ONCE per example from hypothesis-drawn parameters and every
+# property is checked against a plain-DataFrame model.
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    n=st.integers(min_value=40, max_value= 300),
+    n_buckets=st.integers(min_value=2, max_value=9),
+    mod=st.integers(min_value=7, max_value=60),
+    lo=st.integers(min_value=-5, max_value=70),
+    width=st.integers(min_value=0, max_value=40),
+    del_lo=st.integers(min_value=-5, max_value=70),
+    del_width=st.integers(min_value=0, max_value=20),
+)
+def test_zonemap_prune_count_delete_model_equivalence(
+    spark, tmp_path_factory, n, n_buckets, mod, lo, width, del_lo, del_width
+):
+    """For arbitrary (bucket count, value distribution, range
+    predicate, delete range): pruned scan + residual == model filter;
+    zonemap_count == model count (before AND after a delete); the
+    as-of read still equals the pre-delete model."""
+    from pyspark.sql import functions as F
+
+    from reair_spark.sources import (
+        write_zonemapped,
+        zonemap_count,
+        zonemap_delete,
+        zonemap_scan,
+    )
+
+    hi = lo + width
+    dhi = del_lo + del_width
+    rows = [(i, i % n_buckets, (i * 13) % mod) for i in range(n)]
+    df = spark.createDataFrame(rows, "k long, b long, v long")
+    loc = str(tmp_path_factory.mktemp("zprop") / "layout")
+    write_zonemapped(df, loc, "b", stat_cols=["v"])
+
+    model = {(k, v) for k, b, v in rows}
+
+    pruned, _ = zonemap_scan(spark, loc, [("v", lo, hi)])
+    got = {
+        (r.k, r.v)
+        for r in pruned.where(f"v >= {lo} and v <= {hi}").collect()
+    }
+    assert got == {(k, v) for k, v in model if lo <= v <= hi}
+    assert zonemap_count(spark, loc, [("v", lo, hi)])[0] == len(got)
+
+    st_del = zonemap_delete(spark, loc, predicates=[("v", del_lo, dhi)])
+    survivors = {(k, v) for k, v in model if not (del_lo <= v <= dhi)}
+    assert st_del["n_rows_deleted"] == len(model) - len(survivors)
+    after, _ = zonemap_scan(spark, loc)
+    assert {(r.k, r.v) for r in after.collect()} == survivors
+    assert zonemap_count(spark, loc)[0] == len(survivors)
+    assert zonemap_count(spark, loc, [("v", lo, hi)])[0] == len(
+        {(k, v) for k, v in survivors if lo <= v <= hi}
+    )
+    # the pre-delete snapshot is intact (append-only time travel)
+    asof, _ = zonemap_scan(spark, loc, max_ingest=0)
+    assert {(r.k, r.v) for r in asof.collect()} == model
