@@ -2566,6 +2566,35 @@ ORDER BY priority
 """
 
 
+_NULLZM_CACHE: dict = {}
+
+
+def _build_null_zonemap_layout(spark: SparkSession, sf: str) -> str:
+    """orders, year-clustered, with o_totalprice NULLED on every
+    orderkey % 5 == 0 row — a layout where EVERY bucket's zone is
+    inside any wide price range yet no bucket is legitimately
+    metadata-countable (each holds nulls). This is the corpus the
+    driver oracle pins the null-count discipline on; TESTDATA itself
+    is null-free in every stat column, which is exactly how the
+    VERDICT r10 #1 overcount stayed green for a round."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from reair_spark.sources import write_zonemapped
+
+    base = tempfile.mkdtemp(prefix="reair_nullzm_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    o = _t(spark, sf, "orders").select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.when(F.col("o_orderkey") % 5 != 0, F.col("o_totalprice"))
+        .alias("price"),
+    )
+    write_zonemapped(o, base, "yr", stat_cols=["price"])
+    return base
+
+
 def zonemap_count_pushdown(spark: SparkSession, sf: str) -> DataFrame:
     """COUNT with manifest pushdown through the correctness gate — the
     Iceberg/Delta metadata-only count plus a partial-bucket residual:
@@ -2576,7 +2605,14 @@ def zonemap_count_pushdown(spark: SparkSession, sf: str) -> DataFrame:
     months the range cuts through. The oracle recomputes the
     full/partial split from each month's actual min/max — a bucket
     wrongly classified full (overcount risk) or partial moves the
-    bucket columns, and a wrong residual moves n_matching."""
+    bucket columns, and a wrong residual moves n_matching.
+
+    Null discipline (VERDICT r10 #1): a second layout with NULLs
+    planted in the stat column of every bucket pins SQL WHERE
+    semantics — its wide-range count must EXCLUDE the null rows even
+    though every zone lies inside the range (n_null_matching), and
+    none of its buckets may take the metadata-only path
+    (n_null_full = 0); the r10 code returned count(*) here."""
     import datetime as _dt
 
     from reair_spark.sources import zonemap_count
@@ -2592,6 +2628,13 @@ def zonemap_count_pushdown(spark: SparkSession, sf: str) -> DataFrame:
     n_match, st = zonemap_count(
         spark, base, predicates=[("l_shipdate", lo, hi)]
     )
+
+    if key not in _NULLZM_CACHE:
+        _NULLZM_CACHE[key] = _build_null_zonemap_layout(spark, sf)
+    n_null_match, nst = zonemap_count(
+        spark, _NULLZM_CACHE[key],
+        predicates=[("price", 0.0, 1e9)],
+    )
     return spark.range(1).select(
         F.lit(n_total).cast("long").alias("n_total"),
         F.lit(st["n_buckets_full"]).cast("long").alias("n_buckets_full"),
@@ -2599,6 +2642,8 @@ def zonemap_count_pushdown(spark: SparkSession, sf: str) -> DataFrame:
             "n_buckets_partial"
         ),
         F.lit(n_match).cast("long").alias("n_matching"),
+        F.lit(n_null_match).cast("long").alias("n_null_matching"),
+        F.lit(nst["n_buckets_full"]).cast("long").alias("n_null_full"),
     )
 
 
@@ -2624,7 +2669,16 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM li) AS n_total,
        (SELECT CAST(count(*) AS BIGINT) FROM li
         WHERE l_shipdate >= TIMESTAMP '1996-03-15 00:00:00'
           AND l_shipdate <= TIMESTAMP '1996-07-20 00:00:00')
-         AS n_matching
+         AS n_matching,
+       (SELECT CAST(count(*) AS BIGINT) FROM orders
+        WHERE (CASE WHEN o_orderkey % 5 <> 0 THEN o_totalprice END) >= 0
+          AND (CASE WHEN o_orderkey % 5 <> 0 THEN o_totalprice END)
+              <= 1000000000) AS n_null_matching,
+       (SELECT CAST(count(*) AS BIGINT) FROM (
+          SELECT year(o_orderdate) AS yr,
+                 count(CASE WHEN o_orderkey % 5 = 0 THEN 1 END) AS nn
+          FROM orders GROUP BY yr) b
+        WHERE b.nn = 0) AS n_null_full
 """
 
 

@@ -320,14 +320,20 @@ def test_span_islands_match_bruteforce(docs):
     width=st.integers(min_value=0, max_value=40),
     del_lo=st.integers(min_value=-5, max_value=70),
     del_width=st.integers(min_value=0, max_value=20),
+    null_mod=st.integers(min_value=3, max_value=25),
 )
 def test_zonemap_prune_count_delete_model_equivalence(
-    spark, tmp_path_factory, n, n_buckets, mod, lo, width, del_lo, del_width
+    spark, tmp_path_factory, n, n_buckets, mod, lo, width, del_lo,
+    del_width, null_mod,
 ):
     """For arbitrary (bucket count, value distribution, range
-    predicate, delete range): pruned scan + residual == model filter;
-    zonemap_count == model count (before AND after a delete); the
-    as-of read still equals the pre-delete model."""
+    predicate, delete range, NULL density): pruned scan + residual ==
+    model filter; zonemap_count == model count (before AND after a
+    delete — SQL semantics: a NULL v never matches a range predicate,
+    so null rows survive every delete and are excluded from every
+    predicated count, but DO count when there is no predicate —
+    VERDICT r10 #1); the as-of read still equals the pre-delete
+    model."""
     from pyspark.sql import functions as F
 
     from reair_spark.sources import (
@@ -339,29 +345,37 @@ def test_zonemap_prune_count_delete_model_equivalence(
 
     hi = lo + width
     dhi = del_lo + del_width
-    rows = [(i, i % n_buckets, (i * 13) % mod) for i in range(n)]
+    rows = [
+        (i, i % n_buckets,
+         None if i % null_mod == 0 else (i * 13) % mod)
+        for i in range(n)
+    ]
     df = spark.createDataFrame(rows, "k long, b long, v long")
     loc = str(tmp_path_factory.mktemp("zprop") / "layout")
     write_zonemapped(df, loc, "b", stat_cols=["v"])
 
     model = {(k, v) for k, b, v in rows}
 
+    def matches(v, a, b2):
+        return v is not None and a <= v <= b2
+
     pruned, _ = zonemap_scan(spark, loc, [("v", lo, hi)])
     got = {
         (r.k, r.v)
         for r in pruned.where(f"v >= {lo} and v <= {hi}").collect()
     }
-    assert got == {(k, v) for k, v in model if lo <= v <= hi}
+    assert got == {(k, v) for k, v in model if matches(v, lo, hi)}
     assert zonemap_count(spark, loc, [("v", lo, hi)])[0] == len(got)
+    assert zonemap_count(spark, loc)[0] == len(model)
 
     st_del = zonemap_delete(spark, loc, predicates=[("v", del_lo, dhi)])
-    survivors = {(k, v) for k, v in model if not (del_lo <= v <= dhi)}
+    survivors = {(k, v) for k, v in model if not matches(v, del_lo, dhi)}
     assert st_del["n_rows_deleted"] == len(model) - len(survivors)
     after, _ = zonemap_scan(spark, loc)
     assert {(r.k, r.v) for r in after.collect()} == survivors
     assert zonemap_count(spark, loc)[0] == len(survivors)
     assert zonemap_count(spark, loc, [("v", lo, hi)])[0] == len(
-        {(k, v) for k, v in survivors if lo <= v <= hi}
+        {(k, v) for k, v in survivors if matches(v, lo, hi)}
     )
     # the pre-delete snapshot is intact (append-only time travel)
     asof, _ = zonemap_scan(spark, loc, max_ingest=0)
