@@ -502,6 +502,45 @@ def test_catalog_dispatches_zonemapped_layout(spark, tmp_path):
                            predicates=[("v", 3, 4)])
     with pytest.raises(KeyError):
         scan_catalog_table(spark, cat, "d", "nope")
+    # reader options on the zonemapped path are refused loudly, not
+    # silently dropped (ADVICE r10) — plain tables still accept them
+    with pytest.raises(ValueError, match="options"):
+        read_catalog_table(spark, cat, "d", "zm", mergeSchema="true")
+    with pytest.raises(ValueError, match="options"):
+        scan_catalog_table(spark, cat, "d", "zm", mergeSchema="true")
+    assert read_catalog_table(
+        spark, cat, "d", "plain", mergeSchema="true"
+    ).count() == 1000
+
+
+def test_recover_layout_degenerate_paths_are_safe(spark, tmp_path):
+    """ADVICE r10: _recover_layout on a single-segment relative path
+    or a scheme-root layout must not raise (the bare rsplit did) —
+    the sibling sweeps are skipped (nothing can be parked next to an
+    unaddressable parent) while in-layout healing still runs, so
+    every scan/append over such a location keeps working."""
+    from reair_spark.fs import MappedFs, register_fs, unregister_fs
+    from reair_spark.sources import (
+        _recover_layout,
+        write_zonemapped,
+        zonemap_scan,
+    )
+
+    _recover_layout("no_such_layout_xyz")  # bare relative: no-op
+
+    register_fs(MappedFs("mockroot", str(tmp_path / "remote")))
+    try:
+        loc = "mockroot://layout"  # layout AT the scheme root
+        df = spark.range(100).select(
+            "id", (F.col("id") % 4).cast("string").alias("b"),
+            (F.col("id") % 10).alias("v"),
+        )
+        write_zonemapped(df, loc, "b", stat_cols=["v"])
+        got, stats = zonemap_scan(spark, loc, predicates=[("v", 2, 3)])
+        assert got.filter("v in (2, 3)").count() == 20
+        assert stats["n_buckets_total"] == 4
+    finally:
+        unregister_fs("mockroot")
 
 
 def test_zorder_layout_prunes_second_dimension(spark, tmp_path):
