@@ -2492,6 +2492,91 @@ FROM final
 """
 
 
+def zonemap_vacuum_gc(spark: SparkSession, sf: str) -> DataFrame:
+    """Vacuum/retention GC through the correctness gate (VERDICT r10
+    ask #2 — the expireSnapshots contract): orders clustered by
+    custkey-mod-64 takes a MERGE (keys ending in 3 get a 10M price
+    bump) that supersedes the affected buckets' ingest-0 dirs, then
+    ``zonemap_vacuum(retention_ingests=0)`` deletes EXACTLY those
+    dirs — one per affected bucket, the oracle recomputes the count
+    from orders — without rewriting any live data. Evidence pinned:
+    the post-vacuum table equals the post-merge table (count + full
+    price sum — a vacuum that deleted a LIVE dir moves both), and the
+    pre-merge snapshot is refused (asof0_expired) because its data is
+    genuinely gone."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from reair_spark.sources import (
+        write_zonemapped,
+        zonemap_merge,
+        zonemap_scan,
+        zonemap_vacuum,
+    )
+
+    o = _t(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    ).withColumn("bucket", F.pmod("o_custkey", F.lit(64)))
+
+    tkey = (spark.sparkContext.applicationId, "zonemap_merge", sf)
+    if tkey not in _ZONEMAP_COMPACT_TEMPLATE:
+        base = tempfile.mkdtemp(prefix="reair_zmerge_")
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
+        write_zonemapped(
+            o, f"{base}/template", "bucket",
+            stat_cols=["o_orderkey", "o_totalprice"],
+        )
+        _ZONEMAP_COMPACT_TEMPLATE[tkey] = f"{base}/template"
+    layout = _clone_layout(
+        _ZONEMAP_COMPACT_TEMPLATE[tkey], "reair_zvac_run_"
+    )
+
+    updates = (
+        o.filter(F.pmod("o_orderkey", F.lit(10)) == 3)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 10_000_000)
+    )
+    zonemap_merge(spark, layout, updates, ["o_orderkey"])
+    vout = zonemap_vacuum(spark, layout, retention_ingests=0)
+    try:
+        zonemap_scan(spark, layout, max_ingest=0)
+        asof0_expired = False
+    except ValueError:
+        asof0_expired = True
+    cur, _ = zonemap_scan(spark, layout)
+    agg = cur.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows_after"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+    return agg.select(
+        F.lit(vout["n_dirs_removed"]).cast("long").alias("n_dirs_removed"),
+        F.lit(vout["vacuumed_through"]).cast("long").alias(
+            "vacuumed_through"
+        ),
+        F.lit(asof0_expired).alias("asof0_expired"),
+        "n_rows_after",
+        "sum_price",
+    )
+
+
+ENGINE_QUERIES["zonemap_vacuum_gc"] = zonemap_vacuum_gc
+ENGINE_ORACLES["zonemap_vacuum_gc"] = """
+WITH o AS (
+  SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+final AS (
+  SELECT CASE WHEN o_orderkey % 10 = 3 THEN o_totalprice + 10000000
+              ELSE o_totalprice END AS p
+  FROM o)
+SELECT (SELECT CAST(count(DISTINCT o_custkey % 64) AS BIGINT) FROM o
+        WHERE o_orderkey % 10 = 3) AS n_dirs_removed,
+       CAST(1 AS BIGINT) AS vacuumed_through,
+       TRUE AS asof0_expired,
+       CAST(count(*) AS BIGINT) AS n_rows_after,
+       round(sum(p), 2) AS sum_price
+FROM final
+"""
+
+
 def zonemap_schema_evolution(spark: SparkSession, sf: str) -> DataFrame:
     """Add-column schema evolution through the correctness gate
     (Iceberg add-column semantics): wave 1 writes orders WITHOUT

@@ -513,6 +513,96 @@ def test_catalog_dispatches_zonemapped_layout(spark, tmp_path):
     ).count() == 1000
 
 
+def test_zonemap_vacuum_retention_and_crash_recovery(spark, tmp_path):
+    """Vacuum GC for superseded bucket dirs (VERDICT r10 ask #2):
+
+    - retention keeps history: with the rewrite inside the retention
+      bound nothing is deleted and the pre-merge as-of read is
+      byte-identical;
+    - retention 0 deletes exactly the superseded dirs of the rewritten
+      buckets, the current scan is unchanged, and as-of reads BELOW
+      the recorded horizon are refused (expireSnapshots contract)
+      while reads AT it still work;
+    - a FailingFs crash mid-delete-walk leaves the layout fully
+      readable (the horizon is recorded before the walk, so the
+      half-deleted snapshots were already refused) and re-running the
+      vacuum is idempotent and finishes the sweep."""
+    import pytest
+
+    from reair_spark.fs import FailingFs, InjectedCrash, register_fs, unregister_fs
+    from reair_spark.sources import (
+        write_zonemapped,
+        zonemap_merge,
+        zonemap_scan,
+        zonemap_vacuum,
+    )
+
+    fs = FailingFs("failvac", str(tmp_path / "remote"),
+                   str(tmp_path / "board"))
+    register_fs(fs)
+    try:
+        loc = "failvac://wh/layout"
+        df = spark.range(600).select(
+            "id", (F.col("id") % 6).alias("b"), (F.col("id") % 50).alias("v")
+        )
+        write_zonemapped(df, loc, "b", stat_cols=["v"])
+        ups = spark.range(200).select(
+            "id", (F.col("id") % 6).alias("b"), F.lit(999).alias("v")
+        ).where("b in (1, 2)")
+        st = zonemap_merge(spark, loc, ups, ["id"])
+        assert st["n_buckets_affected"] == 2
+
+        model = {(r.id, r.v) for r in zonemap_scan(spark, loc)[0].collect()}
+        pre = {(r.id, r.v)
+               for r in zonemap_scan(spark, loc, max_ingest=0)[0].collect()}
+        assert pre == {(i, i % 50) for i in range(600)}
+
+        # within retention: nothing removed, time travel intact
+        out = zonemap_vacuum(spark, loc, retention_ingests=1)
+        assert out == {"n_dirs_removed": 0, "vacuumed_through": 0,
+                       "n_ingest_dirs_swept": 0}
+        assert {(r.id, r.v) for r in
+                zonemap_scan(spark, loc, max_ingest=0)[0].collect()} == pre
+
+        # crash mid-walk: plant sentinel files in the doomed dirs and
+        # blow up on the first unlink of one
+        for b in (1, 2):
+            fh = fs.create(f"{loc}/data/ingest=0/b={b}/marker.bin")
+            fh.write(b"x")
+            fh.close()
+        FailingFs.schedule(fs.board, "unlink", "marker.bin", 1,
+                           kind="crash")
+        with pytest.raises(InjectedCrash):
+            zonemap_vacuum(spark, loc, retention_ingests=0)
+        # layout still fully readable at the current snapshot...
+        assert {(r.id, r.v)
+                for r in zonemap_scan(spark, loc)[0].collect()} == model
+        # ...and the expired snapshot is already refused (horizon was
+        # recorded before the walk started)
+        with pytest.raises(ValueError, match="expired"):
+            zonemap_scan(spark, loc, max_ingest=0)
+
+        # re-run: idempotent, sweeps the remainder
+        out2 = zonemap_vacuum(spark, loc, retention_ingests=0)
+        assert out2["vacuumed_through"] == 1
+        assert not fs.isdir(f"{loc}/data/ingest=0/b=1")
+        assert not fs.isdir(f"{loc}/data/ingest=0/b=2")
+        # unaffected buckets' ingest-0 dirs are untouched
+        assert fs.isdir(f"{loc}/data/ingest=0/b=0")
+        assert {(r.id, r.v)
+                for r in zonemap_scan(spark, loc)[0].collect()} == model
+        # as-of AT the horizon still works
+        assert zonemap_scan(spark, loc, max_ingest=1)[1][
+            "n_rows_scanned"] == 600
+        # vacuum again: converged no-op
+        assert zonemap_vacuum(spark, loc, retention_ingests=0) == {
+            "n_dirs_removed": 0, "vacuumed_through": 1,
+            "n_ingest_dirs_swept": 0,
+        }
+    finally:
+        unregister_fs("failvac")
+
+
 def test_recover_layout_degenerate_paths_are_safe(spark, tmp_path):
     """ADVICE r10: _recover_layout on a single-segment relative path
     or a scheme-root layout must not raise (the bare rsplit did) —
