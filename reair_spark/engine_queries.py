@@ -2577,6 +2577,125 @@ FROM final
 """
 
 
+_RGSORT_CACHE: dict = {}
+
+
+def _rg_overlap_counts(loc: str, col: str, lo, hi) -> tuple[int, int]:
+    """(total, overlapping) parquet row groups across a layout's data
+    files for a [lo, hi] predicate on ``col`` — read driver-side from
+    the footers, i.e. exactly the statistics the scan's row-group
+    pruning consults. Metadata-sized: row-group stats, never data."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    total = selected = 0
+    for f in _glob.glob(f"{loc}/data/**/*.parquet", recursive=True):
+        md = pq.ParquetFile(f).metadata
+        idx = {md.schema.column(i).name: i
+               for i in range(md.num_columns)}[col]
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(idx).statistics
+            total += 1
+            if st is None or st.min is None or (
+                st.max >= lo and st.min <= hi
+            ):
+                selected += 1
+    return total, selected
+
+
+def scan_rowgroup_pruning(spark: SparkSession, sf: str) -> DataFrame:
+    """Sorted-within-bucket writes → row-group pruning INSIDE kept
+    buckets (VERDICT r10 ask #3). Two layouts of the same lineitem
+    rows, clustered into two coarse half-decade buckets with small
+    row groups: one written with ``sort_cols=['l_shipdate']``, one
+    unsorted. A one-month predicate keeps ONE bucket on both layouts
+    (the manifest's job) — but inside that bucket the sorted layout's
+    row-group [min,max] footers overlap the month in only a sliver of
+    groups while the unsorted layout's groups ALL span it (every
+    ~100-row run of unsorted data covers the whole bucket range).
+    Pinned: the exact query answer (oracle recomputes from lineitem),
+    the kept-bucket count (oracle recomputes the zone overlap), and
+    the two pruning contrasts as invariants — sorted selects ≤¼ of
+    its groups and ≤½ of what unsorted selects; both held with ~10×
+    margin at every sf (the fractions themselves are writer-version
+    dependent, so they are pinned as bounds, not equalities)."""
+    import atexit
+    import datetime as _dt
+    import shutil
+    import tempfile
+
+    from reair_spark.sources import write_zonemapped, zonemap_scan
+
+    key = (spark.sparkContext.applicationId, sf)
+    if key not in _RGSORT_CACHE:
+        base = tempfile.mkdtemp(prefix="reair_rgsort_")
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
+        li = _t(spark, sf, "lineitem").select(
+            "l_shipdate", "l_quantity", "l_extendedprice", "l_orderkey",
+            F.when(F.year("l_shipdate") <= 1997, "a").otherwise("b")
+            .alias("half"),
+        )
+        # tiny row groups + no dictionary: the buffered-size check
+        # that closes a row group sees raw bytes, so even the sf0.001
+        # corpus splits into enough groups for a real contrast
+        opts = {"parquet.block.size": 8192, "parquet.page.size": 4096,
+                "parquet.enable.dictionary": "false"}
+        write_zonemapped(li, f"{base}/sorted", "half",
+                         stat_cols=["l_shipdate"],
+                         sort_cols=["l_shipdate"], write_options=opts)
+        write_zonemapped(li, f"{base}/unsorted", "half",
+                         stat_cols=["l_shipdate"], write_options=opts)
+        _RGSORT_CACHE[key] = base
+    base = _RGSORT_CACHE[key]
+
+    lo = _dt.datetime(1996, 3, 1)
+    hi = _dt.datetime(1996, 3, 31)
+    st_tot, st_sel = _rg_overlap_counts(f"{base}/sorted", "l_shipdate",
+                                        lo, hi)
+    un_tot, un_sel = _rg_overlap_counts(f"{base}/unsorted", "l_shipdate",
+                                        lo, hi)
+    df, stats = zonemap_scan(
+        spark, f"{base}/sorted", predicates=[("l_shipdate", lo, hi)]
+    )
+    res = df.filter(
+        (F.col("l_shipdate") >= F.lit(lo))
+        & (F.col("l_shipdate") <= F.lit(hi))
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_matched"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+    return res.select(
+        F.lit(stats["n_buckets_read"]).cast("long").alias("n_buckets_read"),
+        F.lit(st_sel * 4 <= st_tot).alias("sorted_prunes_within_bucket"),
+        F.lit(st_sel * 2 <= un_sel).alias("sorted_beats_unsorted"),
+        "n_matched",
+        "sum_qty",
+    )
+
+
+ENGINE_QUERIES["scan_rowgroup_pruning"] = scan_rowgroup_pruning
+ENGINE_ORACLES["scan_rowgroup_pruning"] = """
+WITH li AS (
+  SELECT l_shipdate, l_quantity,
+         CASE WHEN year(l_shipdate) <= 1997 THEN 'a' ELSE 'b' END AS half
+  FROM lineitem),
+z AS (
+  SELECT half, min(l_shipdate) AS mn, max(l_shipdate) AS mx
+  FROM li GROUP BY half)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM z
+        WHERE mx >= TIMESTAMP '1996-03-01 00:00:00'
+          AND mn <= TIMESTAMP '1996-03-31 00:00:00') AS n_buckets_read,
+       TRUE AS sorted_prunes_within_bucket,
+       TRUE AS sorted_beats_unsorted,
+       CAST(count(*) AS BIGINT) AS n_matched,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM li
+WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+  AND l_shipdate <= TIMESTAMP '1996-03-31 00:00:00'
+"""
+
+
 def zonemap_schema_evolution(spark: SparkSession, sf: str) -> DataFrame:
     """Add-column schema evolution through the correctness gate
     (Iceberg add-column semantics): wave 1 writes orders WITHOUT

@@ -151,13 +151,16 @@ def write_partitioned(
     partition_by: list[str],
     serde: str = "parquet",
     dynamic: bool = True,
+    options: dict | None = None,
 ) -> None:
     """Partitioned sink with partition-scoped overwrite: with
     ``dynamic`` (default), an overwrite only replaces the partitions
     present in ``df`` — re-publishing one day of a 5-year table
     touches one directory, and a bad upstream filter can't silently
     truncate the other ~1800 (the sink-side analog of the copy
-    stage's tmp+rename publish)."""
+    stage's tmp+rename publish). ``options`` go to the writer (e.g.
+    ``parquet.block.size`` to size row groups for the downstream
+    scan's row-group pruning)."""
     spark = df.sparkSession
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     try:
@@ -165,12 +168,10 @@ def write_partitioned(
             "spark.sql.sources.partitionOverwriteMode",
             "dynamic" if dynamic else "static",
         )
-        (
-            df.write.format(SERDE_FORMATS.get(serde, serde))
-            .partitionBy(*partition_by)
-            .mode("overwrite")
-            .save(location)
-        )
+        w = df.write.format(SERDE_FORMATS.get(serde, serde))
+        if options:
+            w = w.options(**{k: str(v) for k, v in options.items()})
+        w.partitionBy(*partition_by).mode("overwrite").save(location)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
@@ -299,6 +300,8 @@ def write_zonemapped(
     bloom_cols: list[str] | None = None,
     bloom_m: int | None = None,
     bloom_k: int | None = None,
+    sort_cols: list[str] | None = None,
+    write_options: dict | None = None,
 ) -> None:
     """Clustered layout + file-level statistics manifest — the
     Iceberg/Delta scan-planning shape, expressed with plain datasource
@@ -348,11 +351,22 @@ def write_zonemapped(
     distinct key per bucket, ~1% false-positive rate at any scale) —
     the chosen values are PERSISTED in the layout's ``_meta.json`` so
     every later append and every probe uses the layout's own
-    parameters, never a different build's constants."""
+    parameters, never a different build's constants.
+
+    ``sort_cols`` orders rows WITHIN each bucket at write time (also
+    persisted, as ``sorted_by`` — appends and compactions inherit
+    it): bucket pruning decides which directories to open, and the
+    in-file sort is what makes parquet's row-group min/max prune
+    INSIDE a kept bucket — without it an edge bucket is scanned
+    whole. At 100 TB a month-bucket is still ~100 GB; sorted by the
+    predicate column, a one-day query reads ~3% of its row groups.
+    ``write_options`` passes writer knobs (e.g. ``parquet.block.
+    size`` to size the row groups the sort is pruning)."""
     append_zonemapped(
         df, location, bucket_col, stat_cols, serde=serde,
         bloom_cols=bloom_cols, ingest_id=0,
         bloom_m=bloom_m, bloom_k=bloom_k,
+        sort_cols=sort_cols, write_options=write_options,
     )
 
 
@@ -366,6 +380,8 @@ def append_zonemapped(
     ingest_id: int = 0,
     bloom_m: int | None = None,
     bloom_k: int | None = None,
+    sort_cols: list[str] | None = None,
+    write_options: dict | None = None,
     _replaces: bool = False,
     _tombstone_buckets: list | None = None,
 ) -> None:
@@ -418,6 +434,15 @@ def append_zonemapped(
         # skip the stat (the manifest deltas of one layout must agree
         # on schema) and COUNT demotes those buckets to residual scans.
         "null_counts": True,
+        # the within-bucket write order (row-group pruning inside kept
+        # buckets) and the writer knobs that size those row groups
+        # (e.g. parquet.block.size); appends/compactions inherit both
+        # so the property is a LAYOUT invariant, not a per-writer
+        # courtesy — the Iceberg write-properties discipline
+        "sorted_by": list(sort_cols or []),
+        "write_options": {
+            str(k): str(v) for k, v in (write_options or {}).items()
+        },
         "data_schema": [
             [f.name, f.dataType.simpleString()]
             for f in df.schema.fields
@@ -436,6 +461,8 @@ def append_zonemapped(
             check.append("bloom_m")
         if bloom_k is not None:
             check.append("bloom_k")
+        if sort_cols is not None:
+            check.append("sorted_by")
         drift = {
             k: (meta.get(k), want[k]) for k in check
             if meta.get(k) != want[k]
@@ -489,12 +516,31 @@ def append_zonemapped(
     from reair_spark.fs import fs_spark_path
 
     m_bits, k_hashes = int(meta["bloom_m"]), int(meta["bloom_k"])
+    out = df.withColumn("ingest", F.lit(int(ingest_id)))
+    sort_list = (
+        list(sort_cols) if sort_cols is not None
+        else list(meta.get("sorted_by") or [])
+    )
+    if write_options is None:
+        write_options = meta.get("write_options") or None
+    if sort_list:
+        # range-partition by (bucket, sort cols) then sort within each
+        # task: every data file lands internally SORTED with files of
+        # one bucket covering disjoint sort ranges — parquet row-group
+        # min/max become tight, so a pushed filter skips row groups
+        # inside kept buckets. Range partitioning (not hash-by-bucket)
+        # is the skew answer: a giant bucket splits across tasks along
+        # the sort dimension instead of serializing on one.
+        out = out.repartitionByRange(
+            bucket_col, *sort_list
+        ).sortWithinPartitions(bucket_col, *sort_list)
     write_partitioned(
-        df.withColumn("ingest", F.lit(int(ingest_id))),
+        out,
         fs_spark_path(f"{loc}/data"),
         ["ingest", bucket_col],
         serde=serde,
         dynamic=True,
+        options=write_options,
     )
     aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
     with_nulls = bool(meta.get("null_counts"))
@@ -643,12 +689,14 @@ def zonemap_compact(
     _recover_layout(loc)
     meta = _read_layout_meta(loc)
     bloom_m = bloom_k = None
+    sort_cols = None
     if meta is not None:
         bucket_col = meta["bucket_col"]
         stat_cols = meta["stat_cols"]
         bloom_cols = meta["bloom_cols"] or None
         bloom_m, bloom_k = meta["bloom_m"], meta["bloom_k"]
         serde = meta["serde"]
+        sort_cols = meta.get("sorted_by") or None
     if bucket_col is None or stat_cols is None:
         raise ValueError(
             f"{loc} has no {LAYOUT_META}; pass bucket_col and "
@@ -672,7 +720,8 @@ def zonemap_compact(
     tmp = f"{loc}_.compact_{uuid.uuid4().hex[:8]}"
     write_zonemapped(
         df, tmp, bucket_col, stat_cols, serde=serde, bloom_cols=bloom_cols,
-        bloom_m=bloom_m, bloom_k=bloom_k,
+        bloom_m=bloom_m, bloom_k=bloom_k, sort_cols=sort_cols,
+        write_options=(meta or {}).get("write_options") or None,
     )
     # replay high-water mark: every folded ingest id is REMEMBERED so
     # a later replay of one of those batches is a no-op instead of a

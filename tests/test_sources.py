@@ -513,6 +513,90 @@ def test_catalog_dispatches_zonemapped_layout(spark, tmp_path):
     ).count() == 1000
 
 
+def _rowgroup_overlap(loc: str, col: str, lo, hi) -> tuple[int, int]:
+    """(total row groups, row groups whose [min,max] overlaps
+    [lo,hi]) across every data file — read from parquet footers, the
+    exact statistics the scan's row-group pruning consults."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    total = selected = 0
+    for f in glob.glob(f"{loc}/data/**/*.parquet", recursive=True):
+        md = pq.ParquetFile(f).metadata
+        idx = {md.schema.column(i).name: i
+               for i in range(md.num_columns)}[col]
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(idx).statistics
+            total += 1
+            if st is None or st.min is None:
+                selected += 1
+            elif st.max >= lo and st.min <= hi:
+                selected += 1
+    return total, selected
+
+
+def test_sorted_within_bucket_prunes_row_groups(spark, tmp_path):
+    """VERDICT r10 ask #3: ``sort_cols`` at write time makes parquet
+    row-group min/max prune INSIDE kept buckets. Same data, same
+    bucket clustering, small row groups; a narrow predicate on the
+    sort column overlaps a small fraction of the sorted layout's row
+    groups and ~all of the unsorted one's. The sort is a LAYOUT
+    invariant: appends and compaction inherit ``sorted_by`` from the
+    descriptor, and answers are unchanged either way."""
+    from reair_spark.sources import (
+        _read_layout_meta,
+        append_zonemapped,
+        write_zonemapped,
+        zonemap_compact,
+        zonemap_scan,
+    )
+
+    n = 200_000
+    # v uniform over [0, 10000), uncorrelated with insertion order;
+    # 4 coarse buckets so most pruning must happen INSIDE a bucket
+    df = spark.range(n).select(
+        "id",
+        (F.col("id") % 4).alias("b"),
+        ((F.col("id") * 7919) % 10000).alias("v"),
+    )
+    opts = {"parquet.block.size": 65536}
+    sloc, uloc = str(tmp_path / "sorted"), str(tmp_path / "unsorted")
+    write_zonemapped(df, sloc, "b", stat_cols=["v"], sort_cols=["v"],
+                     write_options=opts)
+    write_zonemapped(df, uloc, "b", stat_cols=["v"], write_options=opts)
+
+    lo, hi = 4000, 4199  # 2% of the value space
+    st_tot, st_sel = _rowgroup_overlap(sloc, "v", lo, hi)
+    un_tot, un_sel = _rowgroup_overlap(uloc, "v", lo, hi)
+    assert st_tot > 8 and un_tot > 8  # the contrast is real
+    assert st_sel < un_sel
+    assert st_sel * 4 <= st_tot  # sorted: a small fraction survives
+    assert un_sel == un_tot      # unsorted: every group spans the range
+
+    # answers identical on both layouts
+    want = n // 50  # 200 of 10000 values, uniform
+    for loc in (sloc, uloc):
+        got, _ = zonemap_scan(spark, loc, predicates=[("v", lo, hi)])
+        assert got.where(f"v >= {lo} and v <= {hi}").count() == want
+
+    # appends inherit the recorded sort; compaction preserves it
+    extra = spark.range(n, n + 50_000).select(
+        "id", (F.col("id") % 4).alias("b"),
+        ((F.col("id") * 7919) % 10000).alias("v"),
+    )
+    append_zonemapped(extra, sloc, "b", ["v"], ingest_id=1,
+                      write_options=opts)
+    zonemap_compact(spark, sloc)
+    assert _read_layout_meta(sloc)["sorted_by"] == ["v"]
+    ct, cs = _rowgroup_overlap(sloc, "v", lo, hi)
+    assert cs * 4 <= ct
+    got, _ = zonemap_scan(spark, sloc, predicates=[("v", lo, hi)])
+    assert got.where(f"v >= {lo} and v <= {hi}").count() == (
+        (n + 50_000) // 50
+    )
+
+
 def test_zonemap_vacuum_retention_and_crash_recovery(spark, tmp_path):
     """Vacuum GC for superseded bucket dirs (VERDICT r10 ask #2):
 
