@@ -955,6 +955,93 @@ def zonemap_merge(
     return {"n_buckets_affected": len(affected), "ingest_id": ingest_id}
 
 
+def zonemap_overwrite(
+    spark: SparkSession,
+    location: str,
+    df: DataFrame,
+    bucket_col: str | None = None,
+    stat_cols: list[str] | None = None,
+    serde: str = "parquet",
+    bloom_cols: list[str] | None = None,
+    sort_cols: list[str] | None = None,
+) -> dict:
+    """INSERT OVERWRITE for a zone-mapped layout: ``df`` becomes the
+    table's entire new snapshot as ONE replacing ingest — every bucket
+    present in ``df`` is rewritten, every current bucket ABSENT from
+    ``df`` is tombstoned, and nothing is modified in place (the
+    pre-overwrite snapshot stays readable via ``max_ingest``, the
+    superseded dirs are GC'd by compaction or :func:`zonemap_vacuum`).
+    This is the full-snapshot publish a replication target needs:
+    re-running the same publish converges (same rows ⇒ same snapshot),
+    and rows/buckets deleted at the source disappear at the dest —
+    a plain append could only grow.
+
+    On a fresh location this is just :func:`write_zonemapped` (layout
+    parameters from the arguments); on an existing layout the
+    descriptor wins and the arguments must not conflict (same rule as
+    every append). The tombstone set is ``current buckets − df
+    buckets`` — both metadata-sized collects, the same contract as
+    :func:`zonemap_merge`'s affected-bucket set. Single-writer, like
+    every mutation here.
+
+    Returns {"n_rows", "n_buckets", "n_buckets_tombstoned",
+    "ingest_id"}."""
+    from pyspark.sql import Observation, functions as F
+
+    loc = location.rstrip("/")
+    _recover_layout(loc)
+    meta = _read_layout_meta(loc)
+    if meta is None:
+        if bucket_col is None or stat_cols is None:
+            raise ValueError(
+                "fresh layout: bucket_col and stat_cols are required"
+            )
+        obs = Observation()
+        df = df.observe(obs, F.count(F.lit(1)).alias("n"))
+        write_zonemapped(
+            df, loc, bucket_col, stat_cols, serde=serde,
+            bloom_cols=bloom_cols, sort_cols=sort_cols,
+        )
+        # bucket count from the just-written manifest: one
+        # metadata-sized aggregate, no second pass over the data
+        fmt = SERDE_FORMATS.get(serde, serde)
+        from reair_spark.fs import fs_spark_path
+
+        n_b = (
+            spark.read.format(fmt)
+            .load(fs_spark_path(f"{loc}/manifest"))
+            .where(F.col("n_rows") > 0)
+            .select(F.countDistinct(F.col(bucket_col).cast("string")))
+            .first()[0]
+        )
+        return {"n_rows": int(obs.get["n"]), "n_buckets": int(n_b),
+                "n_buckets_tombstoned": 0, "ingest_id": 0}
+    bucket_col = meta["bucket_col"]
+    if bucket_col not in df.columns:
+        raise ValueError(
+            f"overwrite must carry the clustering column {bucket_col!r}"
+        )
+    df = df.localCheckpoint(eager=True)  # same pin as zonemap_merge
+    new_buckets = {
+        str(r[0])
+        for r in df.select(
+            F.col(bucket_col).cast("string")
+        ).distinct().collect()
+    }
+    _, kept, _ = zonemap_plan(spark, loc, serde=meta["serde"])
+    gone = sorted({str(r[bucket_col]) for r in kept} - new_buckets)
+    obs = Observation()
+    df = df.observe(obs, F.count(F.lit(1)).alias("n"))
+    ingest_id = _next_ingest_id(loc)
+    append_zonemapped(
+        df, loc, bucket_col, meta["stat_cols"], serde=meta["serde"],
+        bloom_cols=meta["bloom_cols"] or None, ingest_id=ingest_id,
+        _replaces=True, _tombstone_buckets=gone or None,
+    )
+    return {"n_rows": int(obs.get["n"]), "n_buckets": len(new_buckets),
+            "n_buckets_tombstoned": len(gone), "ingest_id": ingest_id}
+
+
 def zonemap_delete(
     spark: SparkSession,
     location: str,
