@@ -3042,3 +3042,145 @@ from reair_spark.scalebench import (  # noqa: E402
 
 ENGINE_QUERIES["zonemap_scale_digest"] = _zonemap_scale_q
 ENGINE_ORACLES["zonemap_scale_digest"] = _zonemap_scale_sql()
+
+
+def _build_zm_replication_src(spark: SparkSession, sf: str) -> str:
+    """One-time src warehouse for the zonemap-replication gate: orders
+    (o_orderkey, o_totalprice, o_orderdate, bucket = order YEAR) as a
+    plain parquet catalog table. Immutable once built — memoized per
+    (applicationId, sf) like every other scenario source."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from reair_spark.catalog import DirectoryCatalog
+
+    root = tempfile.mkdtemp(prefix="reair_zmrepl_src_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    cat = DirectoryCatalog(root)
+    loc = cat.table_location("wh", "orders_rep")
+    (
+        _t(spark, sf, "orders")
+        .select(
+            "o_orderkey", "o_totalprice", "o_orderdate",
+            F.date_format("o_orderdate", "yyyy").alias("bucket"),
+        )
+        .write.mode("overwrite").parquet(loc)
+    )
+    cat.create_table({
+        "db": "wh", "table": "orders_rep", "table_type": "MANAGED_TABLE",
+        "cols": [], "partition_keys": [], "location": loc,
+        "serde": "parquet", "parameters": {"transient_lastDdlTime": "100"},
+    })
+    return root
+
+
+def replication_zonemap_digest(spark: SparkSession, sf: str) -> DataFrame:
+    """The two halves of the engine COMPOSED (VERDICT r10 ask #4): a
+    warehouse replication whose DEST table record declares
+    ``parameters.layout = 'zonemapped'`` publishes the source snapshot
+    through the table format — zonemap_overwrite's clustered write +
+    ONE replacing manifest ingest — instead of a raw directory copy,
+    then the gate reads the dest back through the catalog-dispatched
+    manifest-pruned scan. Reference parity: the copy task honors the
+    destination's storage descriptor (ThriftHiveMetastoreClient
+    Table.sd); here the descriptor is a table FORMAT. The DuckDB
+    oracle recomputes the publish evidence (rows, buckets), the zone
+    pruning arithmetic, AND the query answer from raw orders — so a
+    publish that drops rows, a plan that routes the table through the
+    copy stage (no manifest ⇒ scan throws), or a pruning bug all break
+    the same hash.
+
+    100 TB story: replication into a format target pays the clustering
+    shuffle ONCE at publish; every downstream consumer then scans with
+    manifest pruning — the alternative (copy raw, cluster later) reads
+    the table twice. The publish loop is per-TABLE driver iteration
+    (metadata-scale, the Iceberg commit shape) over distributed writes."""
+    import datetime as _dt
+    import tempfile
+
+    import atexit
+    import shutil as _sh
+
+    from reair_spark.catalog import DirectoryCatalog
+    from reair_spark.replicate import replicate_warehouse
+    from reair_spark.sources import scan_catalog_table
+
+    key = (spark.sparkContext.applicationId, "zm_repl", sf)
+    if key not in _ZONEMAP_CACHE:
+        _ZONEMAP_CACHE[key] = _build_zm_replication_src(spark, sf)
+    src_root = _ZONEMAP_CACHE[key]
+
+    run = tempfile.mkdtemp(prefix="reair_zmrepl_run_")
+    atexit.register(_sh.rmtree, run, ignore_errors=True)
+    dest_root = os.path.join(run, "dest")
+    dest_cat = DirectoryCatalog(dest_root)
+    dest_cat.create_table({
+        "db": "wh", "table": "orders_rep", "table_type": "EXTERNAL_TABLE",
+        "cols": [], "partition_keys": [],
+        "location": dest_cat.table_location("wh", "orders_rep"),
+        "serde": "parquet",
+        "parameters": {
+            "layout": "zonemapped",
+            "zonemap.bucket_col": "bucket",
+            "zonemap.stat_cols": "o_orderdate,o_totalprice",
+            "zonemap.sort_cols": "o_orderdate",
+        },
+    })
+
+    out = replicate_warehouse(spark, src_root, dest_root)
+    pub = out["zonemap_results"].where(
+        "table = 'orders_rep' AND status = 'PUBLISHED'"
+    ).first()
+
+    lo = _dt.datetime(1996, 3, 1)
+    hi = _dt.datetime(1997, 9, 30)
+    df, stats = scan_catalog_table(
+        spark, dest_cat, "wh", "orders_rep",
+        predicates=[("o_orderdate", lo, hi)],
+    )
+    res = df.filter(
+        (F.col("o_orderdate") >= F.lit(lo))
+        & (F.col("o_orderdate") <= F.lit(hi))
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows_matched"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+    return res.select(
+        F.lit(pub.n_rows if pub else -1).cast("long").alias("n_pub_rows"),
+        F.lit(pub.n_buckets if pub else -1).cast("long")
+            .alias("n_pub_buckets"),
+        F.lit(stats["n_buckets_total"]).cast("long").alias("n_buckets_total"),
+        F.lit(stats["n_buckets_read"]).cast("long").alias("n_buckets_read"),
+        F.lit(stats["n_rows_scanned"]).cast("long").alias("n_rows_scanned"),
+        "n_rows_matched",
+        "revenue",
+    )
+
+
+ENGINE_QUERIES["replication_zonemap_digest"] = replication_zonemap_digest
+ENGINE_ORACLES["replication_zonemap_digest"] = """
+WITH o AS (
+  SELECT o_orderdate, o_totalprice,
+         strftime(o_orderdate, '%Y') AS bucket
+  FROM orders),
+m AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+         min(o_orderdate) AS mn, max(o_orderdate) AS mx
+  FROM o GROUP BY bucket),
+k AS (
+  SELECT * FROM m
+  WHERE mx >= TIMESTAMP '1996-03-01 00:00:00'
+    AND mn <= TIMESTAMP '1997-09-30 00:00:00')
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM o) AS n_pub_rows,
+       (SELECT CAST(count(*) AS BIGINT) FROM m) AS n_pub_buckets,
+       (SELECT CAST(count(*) AS BIGINT) FROM m) AS n_buckets_total,
+       (SELECT CAST(count(*) AS BIGINT) FROM k) AS n_buckets_read,
+       (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) FROM k)
+         AS n_rows_scanned,
+       CAST(count(*) AS BIGINT) AS n_rows_matched,
+       round(sum(o_totalprice), 2) AS revenue
+FROM o
+WHERE o_orderdate >= TIMESTAMP '1996-03-01 00:00:00'
+  AND o_orderdate <= TIMESTAMP '1997-09-30 00:00:00'
+"""

@@ -122,13 +122,16 @@ def replicate_warehouse(
         ).select("db", "table", "location", "serde", "parameters",
                  "partition_keys").collect()
     ]
-    stage_plan = plan
     if zm_tables:
+        # table-level AND partition rows of zonemapped dest tables
+        # leave the copy/commit plan — their lifecycle belongs to the
+        # table-format layer (publish below; drops/partitions never
+        # touch them), and their catalog record is never overwritten.
         zm_keys = spark.createDataFrame(
             [(t["db"], t["table"]) for t in zm_tables],
             "db string, table string",
         )
-        stage_plan = plan.join(
+        plan = plan.join(
             F.broadcast(zm_keys), ["db", "table"], "left_anti"
         )
 
@@ -202,6 +205,15 @@ def replicate_warehouse(
     copy_results.count()
     metrics.mark_done("copy")
 
+    # ---- stage 2b: table-format publish targets ------------------------
+    # zonemapped dest tables get the whole src snapshot as ONE replacing
+    # ingest (zonemap_overwrite): data + manifest commit are the same
+    # atomic publish, so the ST6 data-before-metadata ordering is
+    # intrinsic to the format. Driver loop over TABLES (metadata-scale,
+    # like Iceberg's per-table commits); each publish is a distributed
+    # clustering write.
+    zonemap_results = _publish_zonemap_targets(spark, zm_tables, src_cat)
+
     # ---- stage 3: metadata commit -------------------------------------
     committed = (
         apply_commits_driver(spark, plan, dest_cat)
@@ -212,10 +224,77 @@ def replicate_warehouse(
     commit_results.count()
     metrics.mark_done("commit")
 
-    return {
+    out = {
         "plan": plan,
         "copy_results": copy_results,
         "copy_summary": copy_summary(copy_results),
         "commit_results": commit_results,
         "metrics": metrics.snapshot(),
     }
+    if zonemap_results is not None:
+        out["zonemap_results"] = zonemap_results
+    return out
+
+
+_ZM_RESULT_SCHEMA = (
+    "db string, table string, status string, n_rows long, "
+    "n_buckets long, n_buckets_tombstoned long, ingest_id long"
+)
+
+
+def _publish_zonemap_targets(
+    spark: SparkSession,
+    zm_tables: list[dict],
+    src_cat: MetastoreCatalog,
+) -> DataFrame | None:
+    """Publish each zonemapped replication TARGET: read the source
+    table with ITS catalog serde, hand the snapshot to
+    :func:`~reair_spark.sources.zonemap_overwrite` at the DEST record's
+    location. The dest record is authoritative for layout config —
+    on a fresh layout the clustering comes from its parameters
+    (``zonemap.bucket_col`` / ``zonemap.stat_cols`` /
+    ``zonemap.bloom_cols`` / ``zonemap.sort_cols``, comma-separated);
+    an existing layout's ``_meta.json`` descriptor wins, exactly as
+    every other layout mutation. Reference parity: the copy task
+    honors the destination table's storage descriptor
+    (ThriftHiveMetastoreClient Table.sd) — here the "descriptor" is a
+    table FORMAT, not just a serde. Returns one row per target
+    (PUBLISHED / SKIPPED_NO_SOURCE), or None when there are no
+    targets."""
+    if not zm_tables:
+        return None
+    from reair_spark.sources import read_location, zonemap_overwrite
+
+    def _csv(params: dict, key: str) -> list[str] | None:
+        v = (params or {}).get(key)
+        return [c.strip() for c in v.split(",") if c.strip()] if v else None
+
+    rows = []
+    for t in zm_tables:
+        src_rec = src_cat.get_table(t["db"], t["table"])
+        if src_rec is None:
+            # dest-only format table: replication never drops or
+            # rewrites it — its lifecycle is the table-format layer's
+            rows.append((t["db"], t["table"], "SKIPPED_NO_SOURCE",
+                         0, 0, 0, -1))
+            continue
+        params = t.get("parameters") or {}
+        df = read_location(
+            spark, src_rec["location"], src_rec.get("serde") or "parquet",
+            basePath=src_rec["location"],
+        )
+        stat_cols = _csv(params, "zonemap.stat_cols")
+        res = zonemap_overwrite(
+            spark, t["location"], df,
+            bucket_col=params.get("zonemap.bucket_col"),
+            stat_cols=stat_cols,
+            serde=t.get("serde") or "parquet",
+            bloom_cols=_csv(params, "zonemap.bloom_cols"),
+            sort_cols=_csv(params, "zonemap.sort_cols"),
+        )
+        rows.append((
+            t["db"], t["table"], "PUBLISHED", res["n_rows"],
+            res["n_buckets"], res["n_buckets_tombstoned"],
+            res["ingest_id"],
+        ))
+    return spark.createDataFrame(rows, _ZM_RESULT_SCHEMA)

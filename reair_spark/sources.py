@@ -985,8 +985,13 @@ def zonemap_overwrite(
     every mutation here.
 
     Returns {"n_rows", "n_buckets", "n_buckets_tombstoned",
-    "ingest_id"}."""
-    from pyspark.sql import Observation, functions as F
+    "ingest_id"}. Row/bucket counts come from the just-written
+    manifest DELTA — the authoritative record of what the publish
+    committed, one metadata-sized aggregate, no extra pass over the
+    data (an ``observe`` on ``df`` would double-count: the write
+    evaluates the frame once for the data and once for the manifest
+    aggregate)."""
+    from pyspark.sql import functions as F
 
     loc = location.rstrip("/")
     _recover_layout(loc)
@@ -996,25 +1001,12 @@ def zonemap_overwrite(
             raise ValueError(
                 "fresh layout: bucket_col and stat_cols are required"
             )
-        obs = Observation()
-        df = df.observe(obs, F.count(F.lit(1)).alias("n"))
         write_zonemapped(
             df, loc, bucket_col, stat_cols, serde=serde,
             bloom_cols=bloom_cols, sort_cols=sort_cols,
         )
-        # bucket count from the just-written manifest: one
-        # metadata-sized aggregate, no second pass over the data
-        fmt = SERDE_FORMATS.get(serde, serde)
-        from reair_spark.fs import fs_spark_path
-
-        n_b = (
-            spark.read.format(fmt)
-            .load(fs_spark_path(f"{loc}/manifest"))
-            .where(F.col("n_rows") > 0)
-            .select(F.countDistinct(F.col(bucket_col).cast("string")))
-            .first()[0]
-        )
-        return {"n_rows": int(obs.get["n"]), "n_buckets": int(n_b),
+        n_r, n_b = _delta_totals(spark, loc, serde, bucket_col, 0)
+        return {"n_rows": n_r, "n_buckets": n_b,
                 "n_buckets_tombstoned": 0, "ingest_id": 0}
     bucket_col = meta["bucket_col"]
     if bucket_col not in df.columns:
@@ -1030,16 +1022,39 @@ def zonemap_overwrite(
     }
     _, kept, _ = zonemap_plan(spark, loc, serde=meta["serde"])
     gone = sorted({str(r[bucket_col]) for r in kept} - new_buckets)
-    obs = Observation()
-    df = df.observe(obs, F.count(F.lit(1)).alias("n"))
     ingest_id = _next_ingest_id(loc)
     append_zonemapped(
         df, loc, bucket_col, meta["stat_cols"], serde=meta["serde"],
         bloom_cols=meta["bloom_cols"] or None, ingest_id=ingest_id,
         _replaces=True, _tombstone_buckets=gone or None,
     )
-    return {"n_rows": int(obs.get["n"]), "n_buckets": len(new_buckets),
+    n_r, _ = _delta_totals(spark, loc, meta["serde"], bucket_col, ingest_id)
+    return {"n_rows": n_r, "n_buckets": len(new_buckets),
             "n_buckets_tombstoned": len(gone), "ingest_id": ingest_id}
+
+
+def _delta_totals(
+    spark: SparkSession, loc: str, serde: str, bucket_col: str,
+    ingest_id: int,
+) -> tuple[int, int]:
+    """(rows written, non-empty buckets) of ONE manifest delta —
+    tombstone rows (n_rows=0) excluded. Metadata-sized."""
+    from pyspark.sql import functions as F
+
+    from reair_spark.fs import fs_spark_path
+
+    fmt = SERDE_FORMATS.get(serde, serde)
+    r = (
+        spark.read.format(fmt)
+        .load(fs_spark_path(f"{loc}/manifest/ingest={int(ingest_id)}"))
+        .where(F.col("n_rows") > 0)
+        .agg(
+            F.coalesce(F.sum("n_rows"), F.lit(0)),
+            F.countDistinct(F.col(bucket_col).cast("string")),
+        )
+        .first()
+    )
+    return int(r[0]), int(r[1])
 
 
 def zonemap_delete(

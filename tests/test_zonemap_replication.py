@@ -1,0 +1,225 @@
+"""Zone-mapped layouts as replication TARGETS (VERDICT r10 ask #4):
+``zonemap_overwrite`` — full-snapshot INSERT OVERWRITE on the table
+format — and ``replicate_warehouse`` publishing through it when the
+dest catalog record declares ``parameters.layout = 'zonemapped'``.
+Reference parity: the copy task honors the destination table's
+storage descriptor (ThriftHiveMetastoreClient Table.sd); here the
+"descriptor" is a table format, so the publish is clustered data +
+manifest commit, never a raw directory copy."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from reair_spark.catalog import DirectoryCatalog
+from reair_spark.replicate import replicate_warehouse
+from reair_spark.sources import (
+    scan_catalog_table,
+    zonemap_overwrite,
+    zonemap_scan,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k int, v double, bucket string")
+
+
+def _read_all(spark, loc):
+    df, _ = zonemap_scan(spark, loc)
+    return sorted((r.k, r.v, r.bucket) for r in df.collect())
+
+
+def test_overwrite_fresh_layout(spark, tmp_path):
+    loc = str(tmp_path / "zm")
+    df = _df(spark, [(1, 1.0, "a"), (2, 2.0, "a"), (3, 3.0, "b")])
+    res = zonemap_overwrite(
+        spark, loc, df, bucket_col="bucket", stat_cols=["k", "v"]
+    )
+    assert res == {
+        "n_rows": 3, "n_buckets": 2,
+        "n_buckets_tombstoned": 0, "ingest_id": 0,
+    }
+    assert _read_all(spark, loc) == [
+        (1, 1.0, "a"), (2, 2.0, "a"), (3, 3.0, "b")
+    ]
+
+
+def test_overwrite_replaces_and_tombstones(spark, tmp_path):
+    loc = str(tmp_path / "zm")
+    zonemap_overwrite(
+        spark, loc,
+        _df(spark, [(1, 1.0, "a"), (2, 2.0, "b"), (3, 3.0, "c")]),
+        bucket_col="bucket", stat_cols=["k", "v"],
+    )
+    # new snapshot: bucket a changed, bucket b gone, bucket d new
+    res = zonemap_overwrite(
+        spark, loc,
+        _df(spark, [(9, 9.0, "a"), (3, 3.0, "c"), (4, 4.0, "d")]),
+        bucket_col="bucket", stat_cols=["k", "v"],
+    )
+    assert res["n_buckets"] == 3
+    assert res["n_buckets_tombstoned"] == 1  # bucket b
+    assert res["ingest_id"] == 1
+    assert _read_all(spark, loc) == [
+        (3, 3.0, "c"), (4, 4.0, "d"), (9, 9.0, "a")
+    ]
+    # point-in-time: the pre-overwrite snapshot is still readable
+    old, _ = zonemap_scan(spark, loc, max_ingest=0)
+    assert sorted((r.k, r.bucket) for r in old.collect()) == [
+        (1, "a"), (2, "b"), (3, "c")
+    ]
+    # manifest planning skips the tombstoned bucket entirely
+    _, stats = zonemap_scan(spark, loc, predicates=[("k", 2, 2)])
+    assert stats["n_rows_scanned"] == 0
+
+
+def test_overwrite_converges_on_republish(spark, tmp_path):
+    loc = str(tmp_path / "zm")
+    rows = [(1, 1.0, "a"), (2, 2.0, "b")]
+    zonemap_overwrite(spark, loc, _df(spark, rows),
+                      bucket_col="bucket", stat_cols=["k", "v"])
+    res = zonemap_overwrite(spark, loc, _df(spark, rows),
+                            bucket_col="bucket", stat_cols=["k", "v"])
+    assert res["n_buckets_tombstoned"] == 0
+    assert _read_all(spark, loc) == [(1, 1.0, "a"), (2, 2.0, "b")]
+
+
+def test_overwrite_requires_config_on_fresh_layout(spark, tmp_path):
+    with pytest.raises(ValueError, match="bucket_col and stat_cols"):
+        zonemap_overwrite(
+            spark, str(tmp_path / "zm"),
+            _df(spark, [(1, 1.0, "a")]),
+        )
+
+
+def test_overwrite_requires_clustering_column(spark, tmp_path):
+    loc = str(tmp_path / "zm")
+    zonemap_overwrite(spark, loc, _df(spark, [(1, 1.0, "a")]),
+                      bucket_col="bucket", stat_cols=["k"])
+    with pytest.raises(ValueError, match="clustering column"):
+        zonemap_overwrite(
+            spark, loc, spark.createDataFrame([(1, 1.0)], "k int, v double")
+        )
+
+
+# ---------------------------------------------------------------------
+# replicate_warehouse with a zonemapped dest target
+# ---------------------------------------------------------------------
+
+def _src_warehouse(spark, root):
+    """src: one plain text table + one parquet fact table."""
+    cat = DirectoryCatalog(root)
+    ploc = cat.table_location("wh", "plain")
+    os.makedirs(ploc, exist_ok=True)
+    with open(os.path.join(ploc, "part-0"), "w") as fh:
+        fh.write("hello")
+    cat.create_table({
+        "db": "wh", "table": "plain", "table_type": "MANAGED_TABLE",
+        "cols": [{"name": "c1", "type": "string", "comment": None}],
+        "partition_keys": [], "location": ploc, "serde": "text",
+        "parameters": {"transient_lastDdlTime": "100"},
+    })
+    floc = cat.table_location("wh", "fact")
+    spark.createDataFrame(
+        [(i, float(i) * 10, "a" if i % 2 else "b") for i in range(1, 9)],
+        "k int, v double, bucket string",
+    ).write.mode("overwrite").parquet(floc)
+    cat.create_table({
+        "db": "wh", "table": "fact", "table_type": "MANAGED_TABLE",
+        "cols": [], "partition_keys": [], "location": floc,
+        "serde": "parquet",
+        "parameters": {"transient_lastDdlTime": "100"},
+    })
+    return cat
+
+
+def _zm_dest(root):
+    """dest: the fact table pre-declared as a zonemapped target."""
+    cat = DirectoryCatalog(root)
+    cat.create_table({
+        "db": "wh", "table": "fact", "table_type": "EXTERNAL_TABLE",
+        "cols": [], "partition_keys": [],
+        "location": cat.table_location("wh", "fact"),
+        "serde": "parquet",
+        "parameters": {
+            "layout": "zonemapped",
+            "zonemap.bucket_col": "bucket",
+            "zonemap.stat_cols": "k,v",
+        },
+    })
+    return cat
+
+
+def test_replicate_into_zonemapped_target(spark, tmp_path):
+    src_root, dest_root = str(tmp_path / "src"), str(tmp_path / "dest")
+    _src_warehouse(spark, src_root)
+    dest_cat = _zm_dest(dest_root)
+
+    out = replicate_warehouse(spark, src_root, dest_root)
+
+    # the format target was published, not copied
+    zm = {r.table: r for r in out["zonemap_results"].collect()}
+    assert zm["fact"].status == "PUBLISHED"
+    assert zm["fact"].n_rows == 8
+    assert zm["fact"].n_buckets == 2
+    # the raw-copy plan never saw the zonemapped table
+    assert out["plan"].where("table = 'fact'").count() == 0
+    # dest is a real layout: catalog-dispatched manifest-pruned scan
+    df, stats = scan_catalog_table(
+        spark, dest_cat, "wh", "fact", predicates=[("k", 1, 3)]
+    )
+    assert stats["n_buckets_total"] == 2
+    got = sorted(
+        (r.k, r.v) for r in df.where("k between 1 and 3").collect()
+    )
+    assert got == [(1, 10.0), (2, 20.0), (3, 30.0)]
+    # the plain table still replicated the classic way
+    with open(os.path.join(dest_root, "wh", "plain", "part-0")) as fh:
+        assert fh.read() == "hello"
+
+
+def test_replicate_zonemapped_converges_and_tombstones(spark, tmp_path):
+    src_root, dest_root = str(tmp_path / "src"), str(tmp_path / "dest")
+    src_cat = _src_warehouse(spark, src_root)
+    _zm_dest(dest_root)
+
+    out1 = replicate_warehouse(spark, src_root, dest_root)
+    assert out1["zonemap_results"].first().status == "PUBLISHED"
+
+    # source shrinks to one bucket; re-replication tombstones the other
+    floc = src_cat.get_table("wh", "fact")["location"]
+    spark.createDataFrame(
+        [(1, 10.0, "a")], "k int, v double, bucket string"
+    ).write.mode("overwrite").parquet(floc)
+    out2 = replicate_warehouse(spark, src_root, dest_root)
+    zm = {r.table: r for r in out2["zonemap_results"].collect()}
+    assert zm["fact"].n_buckets_tombstoned == 1
+    dest_cat = DirectoryCatalog(dest_root)
+    df, _ = scan_catalog_table(spark, dest_cat, "wh", "fact")
+    assert [(r.k, r.bucket) for r in df.collect()] == [(1, "a")]
+
+
+def test_dest_only_zonemapped_table_is_never_dropped(spark, tmp_path):
+    src_root, dest_root = str(tmp_path / "src"), str(tmp_path / "dest")
+    _src_warehouse(spark, src_root)
+    dest_cat = _zm_dest(dest_root)
+    # a dest-only format table (no src counterpart)
+    only_loc = dest_cat.table_location("wh", "local_only")
+    zonemap_overwrite(
+        spark, only_loc,
+        spark.createDataFrame([(1, 1.0, "x")], "k int, v double, bucket string"),
+        bucket_col="bucket", stat_cols=["k"],
+    )
+    dest_cat.create_table({
+        "db": "wh", "table": "local_only", "table_type": "EXTERNAL_TABLE",
+        "cols": [], "partition_keys": [], "location": only_loc,
+        "serde": "parquet", "parameters": {"layout": "zonemapped"},
+    })
+    out = replicate_warehouse(spark, src_root, dest_root)
+    zm = {r.table: r for r in out["zonemap_results"].collect()}
+    assert zm["local_only"].status == "SKIPPED_NO_SOURCE"
+    assert dest_cat.get_table("wh", "local_only") is not None
+    df, _ = scan_catalog_table(spark, dest_cat, "wh", "local_only")
+    assert df.count() == 1
