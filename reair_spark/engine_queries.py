@@ -3184,3 +3184,11 @@ FROM o
 WHERE o_orderdate >= TIMESTAMP '1996-03-01 00:00:00'
   AND o_orderdate <= TIMESTAMP '1997-09-30 00:00:00'
 """
+
+from reair_spark.scalebench import (  # noqa: E402
+    merge_scale_digest as _merge_scale_q,
+    merge_scale_oracle_sql as _merge_scale_sql,
+)
+
+ENGINE_QUERIES["merge_scale_digest"] = _merge_scale_q
+ENGINE_ORACLES["merge_scale_digest"] = _merge_scale_sql()

@@ -704,3 +704,170 @@ def zonemap_measure_scale(
             **stats,
         })
     return out
+
+
+# ---------------------------------------------------------------------
+# MERGE/DELETE at metadata scale (VERDICT r10 ask #5)
+# ---------------------------------------------------------------------
+
+MERGE_SCALE_N = 100_000   # buckets in the manifest
+MERGE_SEED_B = 20         # buckets that carry real data (10 rows each)
+MERGE_SCALE_K = 5         # buckets one merge touches
+_MERGE_TEMPLATES: dict = {}
+
+
+def synthetic_merge_layout(spark: SparkSession, n: int) -> str:
+    """A descriptor-bearing zone-mapped layout whose manifest claims
+    ``n`` buckets while only ``MERGE_SEED_B`` of them carry real data
+    — the harness shape for proving MERGE/DELETE cost scales with the
+    buckets TOUCHED, not the buckets that EXIST.
+
+    Build: the real engine writer (``write_zonemapped``) lays down the
+    seed buckets (bucket i holds v = 10i..10i+9, columns k=v=id), then
+    one range-generated manifest delta (``ingest=1``) adds ``n − seed``
+    phantom buckets with the SAME closed-form disjoint zones
+    (min_v=10i, max_v=10i+9, n_rows=(i%97)+1) and no data directories
+    — legal, because every plan/merge/delete path only ever opens the
+    directories of buckets it KEPT, and the scenario's predicates and
+    update keys live entirely inside the seed zones. Zero
+    ``createDataFrame`` rows, the discipline all scale harnesses
+    share. Returns the TEMPLATE path — mutations must clone it
+    (:func:`merge_scale_scenario` does)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from reair_spark.sources import write_zonemapped
+
+    key = (spark.sparkContext.applicationId, n)
+    if key not in _MERGE_TEMPLATES:
+        base = tempfile.mkdtemp(prefix="reair_mergescale_")
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
+        loc = f"{base}/layout"
+        seed = spark.range(MERGE_SEED_B * 10).select(
+            F.col("id").alias("k"),
+            F.col("id").alias("v"),
+            (F.col("id") / 10).cast("long").cast("string").alias("bucket"),
+        )
+        write_zonemapped(seed, loc, "bucket", stat_cols=["v"])
+        (
+            spark.range(MERGE_SEED_B, n)
+            .select(
+                F.col("id").cast("string").alias("bucket"),
+                ((F.col("id") % 97) + 1).cast("long").alias("n_rows"),
+                (F.col("id") * 10).alias("min_v"),
+                (F.col("id") * 10 + 9).alias("max_v"),
+                F.lit(0).cast("long").alias("n_nulls_v"),
+                F.lit(False).alias("replaces"),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{loc}/manifest/ingest=1")
+        )
+        _MERGE_TEMPLATES[key] = loc
+    return _MERGE_TEMPLATES[key]
+
+
+def merge_scale_scenario(spark: SparkSession, n: int) -> dict:
+    """Drive the REAL mutation paths over an n-bucket layout clone:
+
+    1. MERGE touching ``MERGE_SCALE_K`` seed buckets — key k = 10i+3
+       gets v = 9000+i (moves each bucket's max_v zone, so a pruning
+       readback would notice a stale manifest);
+    2. DELETE v ∈ [153, 155] — plans to exactly one bucket ("15");
+    3. readback over the seed buckets (count, sum of v).
+
+    Every number is closed-form integer arithmetic (the oracle
+    re-derives them from generate_series)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from reair_spark.sources import zonemap_delete, zonemap_merge, zonemap_scan
+
+    template = synthetic_merge_layout(spark, n)
+    run = tempfile.mkdtemp(prefix="reair_mergescale_run_")
+    atexit.register(shutil.rmtree, run, ignore_errors=True)
+    loc = f"{run}/layout"
+    shutil.copytree(template, loc)
+
+    updates = spark.range(MERGE_SCALE_K).select(
+        (F.col("id") * 10 + 3).alias("k"),
+        (F.col("id") + 9000).alias("v"),
+        F.col("id").cast("string").alias("bucket"),
+    )
+    m = zonemap_merge(spark, loc, updates, key_cols=["k"])
+    d = zonemap_delete(spark, loc, predicates=[("v", 153, 155)])
+    df, stats = zonemap_scan(
+        spark, loc, buckets=[str(i) for i in range(MERGE_SEED_B)]
+    )
+    agg = df.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("v").cast("long").alias("sum_v"),
+    ).first()
+    return {
+        "n_buckets_total": stats["n_buckets_total"],
+        "n_buckets_affected_merge": m["n_buckets_affected"],
+        "n_buckets_affected_delete": d["n_buckets_affected"],
+        "n_rows_deleted": d["n_rows_deleted"],
+        "n_rows": int(agg["n_rows"]),
+        "sum_v": int(agg["sum_v"]),
+    }
+
+
+def merge_scale_digest(spark: SparkSession, sf: str) -> DataFrame:
+    """Gate query: the real MERGE + DELETE over a 100k-bucket manifest
+    (``sf`` unused — the mutation cost is the k touched buckets, never
+    the manifest width). Results ride a range(1) frame."""
+    r = merge_scale_scenario(spark, MERGE_SCALE_N)
+    return spark.range(1).select(*[
+        F.lit(r[c]).cast("long").alias(c)
+        for c in (
+            "n_buckets_total", "n_buckets_affected_merge",
+            "n_buckets_affected_delete", "n_rows_deleted",
+            "n_rows", "sum_v",
+        )
+    ])
+
+
+def merge_scale_oracle_sql(n: int = MERGE_SCALE_N) -> str:
+    rows = MERGE_SEED_B * 10
+    return f"""
+WITH seed AS (SELECT unnest(generate_series(0, {rows} - 1)) AS v),
+upd AS (SELECT unnest(generate_series(0, {MERGE_SCALE_K} - 1)) AS i),
+merged AS (
+  SELECT v FROM seed WHERE v NOT IN (SELECT i * 10 + 3 FROM upd)
+  UNION ALL SELECT 9000 + i AS v FROM upd),
+final AS (SELECT v FROM merged WHERE v NOT BETWEEN 153 AND 155)
+SELECT CAST({n} AS BIGINT) AS n_buckets_total,
+       CAST({MERGE_SCALE_K} AS BIGINT) AS n_buckets_affected_merge,
+       CAST(1 AS BIGINT) AS n_buckets_affected_delete,
+       (SELECT count(*)::BIGINT FROM merged
+         WHERE v BETWEEN 153 AND 155) AS n_rows_deleted,
+       (SELECT count(*)::BIGINT FROM final) AS n_rows,
+       (SELECT sum(v)::BIGINT FROM final) AS sum_v
+"""
+
+
+def merge_measure_scale(
+    spark: SparkSession, sizes: tuple[int, ...] = (100_000, 1_000_000)
+) -> list[dict]:
+    """Wall + Spark-job counts for the SAME k-bucket merge+delete at
+    each manifest width — the PLANS.md evidence that mutation cost is
+    flat in table size (the bucket-scoped copy-on-write claim made
+    measurable)."""
+    sc = spark.sparkContext
+    out = []
+    for n in sizes:
+        synthetic_merge_layout(spark, n)  # template outside the timer
+        group = f"mergescale-{n}"
+        sc.setJobGroup(group, f"merge/delete scale n={n}")
+        t0 = time.time()
+        r = merge_scale_scenario(spark, n)
+        wall = time.time() - t0
+        sc.setJobGroup("", "")
+        jobs = len(sc.statusTracker().getJobIdsForGroup(group))
+        out.append({
+            "n_buckets": n, "wall_s": round(wall, 2),
+            "spark_jobs": jobs, **r,
+        })
+    return out

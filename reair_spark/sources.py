@@ -581,10 +581,15 @@ def append_zonemapped(
         # emptied buckets: n_rows=0 marker rows (stats/blooms null) so
         # the replacing base still covers them; the plan drops
         # zero-row buckets from both the kept set and the totals
-        tomb = df.sparkSession.createDataFrame(
-            [(str(b),) for b in _tombstone_buckets],
-            f"`{bucket_col}` string",
-        ).join(manifest.select(bucket_col), bucket_col, "left_anti")
+        tomb = (
+            df.sparkSession.range(1)
+            .select(
+                F.explode(
+                    F.array(*[F.lit(str(b)) for b in _tombstone_buckets])
+                ).alias(bucket_col)
+            )
+            .join(manifest.select(bucket_col), bucket_col, "left_anti")
+        )
         manifest = manifest.unionByName(
             tomb.withColumn("n_rows", F.lit(0).cast("long")),
             allowMissingColumns=True,
