@@ -2704,10 +2704,14 @@ def zonemap_schema_evolution(spark: SparkSession, sf: str) -> DataFrame:
     the same columns, with wave-1 rows null-filling the new column.
     Without the recorded schema, Spark samples one parquet footer per
     scan and silently drops whichever columns that file lacks — a
-    scan-dependent schema. The oracle rebuilds the union table from
-    orders (priority nulled on even keys) and rolls up by the evolved
-    column, so a dropped column, a missing null-fill, or rows read
-    under the wrong wave all break the hash."""
+    scan-dependent schema. Wave 2 ALSO widens ``units`` int → bigint
+    (the safe type promotion, VERDICT r10 ask #6): the descriptor
+    records the wide type and the wave-1 int files upcast at read, so
+    the mixed-width sum is exact. The oracle rebuilds the union table
+    from orders (priority nulled on even keys, units per wave rule)
+    and rolls up by the evolved column, so a dropped column, a missing
+    null-fill, a refused/mis-typed promotion, or rows read under the
+    wrong wave all break the hash."""
     import atexit
     import shutil
     import tempfile
@@ -2729,11 +2733,15 @@ def zonemap_schema_evolution(spark: SparkSession, sf: str) -> DataFrame:
         layout = f"{run}/layout"
         write_zonemapped(
             o.filter(F.pmod("o_orderkey", F.lit(2)) == 0)
-            .drop("o_orderpriority"),
+            .drop("o_orderpriority")
+            .withColumn("units", F.pmod("o_orderkey", F.lit(100))
+                        .cast("int")),
             layout, "bucket", stat_cols=["o_orderkey"],
         )
         append_zonemapped(
-            o.filter(F.pmod("o_orderkey", F.lit(2)) == 1),
+            o.filter(F.pmod("o_orderkey", F.lit(2)) == 1)
+            .withColumn("units", (F.col("o_orderkey") * 100000)
+                        .cast("bigint")),
             layout, "bucket", ["o_orderkey"], ingest_id=1,
         )
         _ZONEMAP_CACHE[ekey] = layout
@@ -2745,6 +2753,7 @@ def zonemap_schema_evolution(spark: SparkSession, sf: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_orders"),
             F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            F.sum("units").cast("long").alias("sum_units"),
         )
         .withColumn(
             "n_rows_scanned",
@@ -2758,11 +2767,14 @@ ENGINE_QUERIES["zonemap_schema_evolution"] = zonemap_schema_evolution
 ENGINE_ORACLES["zonemap_schema_evolution"] = """
 WITH f AS (
   SELECT o_totalprice,
-         CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END AS pr
+         CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END AS pr,
+         CASE WHEN o_orderkey % 2 = 1 THEN o_orderkey * 100000
+              ELSE o_orderkey % 100 END AS units
   FROM orders)
 SELECT coalesce(pr, 'NONE') AS priority,
        CAST(count(*) AS BIGINT) AS n_orders,
        round(sum(o_totalprice), 2) AS sum_price,
+       CAST(sum(units) AS BIGINT) AS sum_units,
        (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_rows_scanned
 FROM f
 GROUP BY coalesce(pr, 'NONE')

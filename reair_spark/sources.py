@@ -250,6 +250,28 @@ def _bloom_positions(value, m: int = BLOOM_M, k: int = BLOOM_K) -> list[int]:
     return [(a + s * b) % P32 % m for s in range(1, k + 1)]
 
 
+_INT_WIDTH = {"tinyint": 0, "smallint": 1, "int": 2, "bigint": 3}
+
+
+def _type_promotes(narrow: str, wide: str) -> bool:
+    """True when parquet files written as ``narrow`` are readable
+    under a ``wide`` explicit read schema (Spark 4 widening reads) —
+    the Iceberg safe-promotion list: integral widening, float→double,
+    and decimal precision growth at the SAME scale."""
+    import re
+
+    if narrow in _INT_WIDTH and wide in _INT_WIDTH:
+        return _INT_WIDTH[narrow] < _INT_WIDTH[wide]
+    if (narrow, wide) == ("float", "double"):
+        return True
+    dn = re.fullmatch(r"decimal\((\d+),(\d+)\)", narrow)
+    dw = re.fullmatch(r"decimal\((\d+),(\d+)\)", wide)
+    if dn and dw:
+        return (dn.group(2) == dw.group(2)
+                and int(dn.group(1)) < int(dw.group(1)))
+    return False
+
+
 def _read_layout_meta(location: str) -> dict | None:
     """The layout's self-describing parameters (``_meta.json`` at the
     layout root): bucket_col, stat_cols, bloom_cols, bloom_m, bloom_k,
@@ -498,17 +520,42 @@ def append_zonemapped(
     ]
     recorded = [list(x) for x in (meta.get("data_schema") or [])]
     rec_types = {n: t for n, t in recorded}
-    drift_t = {
-        n: (rec_types[n], t) for n, t in incoming
-        if n in rec_types and rec_types[n] != t
-    }
+    # SAFE type promotions (Iceberg's list: int→long, float→double,
+    # decimal precision widening at the same scale): the union read
+    # schema records the WIDE type and Spark's parquet reader upcasts
+    # the narrow files at scan time, so a mixed-width layout reads as
+    # one type without rewriting anything. Symmetrically, an append
+    # NARROWER than the recorded type needs no descriptor change at
+    # all. STAT columns are the exception: their min/max ride every
+    # manifest delta as parquet columns, and the manifest merge reads
+    # all deltas as ONE table with no explicit schema — deltas
+    # disagreeing on a zone column's physical type would make the
+    # manifest itself unreadable, so promoting a stat column is
+    # refused (compact-and-rewrite is the escape hatch, as in Iceberg
+    # before v3 type promotion of partition stats).
+    merged_types = dict(rec_types)
+    drift_t = {}
+    for n, t in incoming:
+        rec = rec_types.get(n)
+        if rec is None or rec == t:
+            continue
+        if _type_promotes(rec, t) and n not in stat_cols:
+            merged_types[n] = t
+        elif _type_promotes(t, rec):
+            pass  # narrow files under the recorded wide read schema
+        else:
+            drift_t[n] = (rec, t)
     if drift_t:
         raise ValueError(
             f"append into {loc} changes column types: "
             + ", ".join(f"{n} layout={a!r} append={b!r}"
                         for n, (a, b) in sorted(drift_t.items()))
+            + " (only safe widenings of non-stat columns are allowed: "
+            "int->bigint, float->double, decimal precision growth)"
         )
-    widened = recorded + [x for x in incoming if x[0] not in rec_types]
+    widened = [
+        [n, merged_types[n]] for n, _ in recorded
+    ] + [x for x in incoming if x[0] not in rec_types]
     if widened != (meta.get("data_schema") or []):
         meta = dict(meta)
         meta["data_schema"] = widened
