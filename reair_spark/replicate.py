@@ -258,12 +258,24 @@ def _publish_zonemap_targets(
     every other layout mutation. Reference parity: the copy task
     honors the destination table's storage descriptor
     (ThriftHiveMetastoreClient Table.sd) — here the "descriptor" is a
-    table FORMAT, not just a serde. Returns one row per target
-    (PUBLISHED / SKIPPED_NO_SOURCE), or None when there are no
-    targets."""
+    table FORMAT, not just a serde.
+
+    Convergence guard (the TLDT CAS discipline the copy plan applies,
+    re-expressed for format targets): the layout descriptor records
+    the source ``transient_lastDdlTime`` it was last published from —
+    an unchanged source skips the publish entirely, so re-replicating
+    a warehouse of 10⁴ format tables rewrites only the ones whose
+    source actually moved, exactly like the NO_OP rows of the file
+    plan. Returns one row per target (PUBLISHED / SKIPPED_UNCHANGED /
+    SKIPPED_NO_SOURCE), or None when there are no targets."""
     if not zm_tables:
         return None
-    from reair_spark.sources import read_location, zonemap_overwrite
+    from reair_spark.sources import (
+        _read_layout_meta,
+        _write_layout_meta,
+        read_location,
+        zonemap_overwrite,
+    )
 
     def _csv(params: dict, key: str) -> list[str] | None:
         v = (params or {}).get(key)
@@ -278,6 +290,16 @@ def _publish_zonemap_targets(
             rows.append((t["db"], t["table"], "SKIPPED_NO_SOURCE",
                          0, 0, 0, -1))
             continue
+        loc = t["location"].rstrip("/")
+        src_tldt = (src_rec.get("parameters") or {}).get(
+            "transient_lastDdlTime"
+        )
+        meta = _read_layout_meta(loc)
+        if (meta is not None and src_tldt is not None
+                and meta.get("published_src_tldt") == src_tldt):
+            rows.append((t["db"], t["table"], "SKIPPED_UNCHANGED",
+                         0, 0, 0, -1))
+            continue
         params = t.get("parameters") or {}
         df = read_location(
             spark, src_rec["location"], src_rec.get("serde") or "parquet",
@@ -285,13 +307,19 @@ def _publish_zonemap_targets(
         )
         stat_cols = _csv(params, "zonemap.stat_cols")
         res = zonemap_overwrite(
-            spark, t["location"], df,
+            spark, loc, df,
             bucket_col=params.get("zonemap.bucket_col"),
             stat_cols=stat_cols,
             serde=t.get("serde") or "parquet",
             bloom_cols=_csv(params, "zonemap.bloom_cols"),
             sort_cols=_csv(params, "zonemap.sort_cols"),
         )
+        if src_tldt is not None:
+            meta = _read_layout_meta(loc)
+            if meta is not None:
+                meta = dict(meta)
+                meta["published_src_tldt"] = src_tldt
+                _write_layout_meta(loc, meta)
         rows.append((
             t["db"], t["table"], "PUBLISHED", res["n_rows"],
             res["n_buckets"], res["n_buckets_tombstoned"],

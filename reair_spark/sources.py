@@ -791,6 +791,89 @@ def zonemap_compact(
     return {"deltas_before": deltas_before, "deltas_after": 1}
 
 
+def zonemap_recluster(
+    spark: SparkSession,
+    location: str,
+    bucket_col: str,
+    stat_cols: list[str],
+    bucket_expr: str | None = None,
+    bloom_cols: list[str] | None = None,
+    sort_cols: list[str] | None = None,
+    bloom_m: int | None = None,
+    bloom_k: int | None = None,
+) -> dict:
+    """Partition-spec EVOLUTION: rewrite the layout under a NEW
+    clustering spec — different bucket column (optionally derived via
+    the SQL expression ``bucket_expr``, the Iceberg transform shape:
+    ``date_format(ts, 'yyyy')``, ``pmod(hash(k), 64)``), new stat /
+    bloom / sort columns — in one clustering pass with the same
+    crash-safe whole-layout swap as :func:`zonemap_compact` (built
+    complete in a ``_.compact_*`` sibling, two renames,
+    :func:`_recover_layout` heals the window between them).
+
+    The OLD clustering column survives as a plain data column (the
+    rewrite is information-preserving), and the replay high-water mark
+    carries over so streaming crash recovery still commutes with the
+    rewrite. Like compaction, history collapses to the new single
+    ingest — a spec change is a new table generation, the documented
+    trade against Iceberg's spec-versioned manifests (which prune
+    old-spec files only on their residual metadata).
+
+    100 TB story: this is the operation that fixes a mis-clustered
+    table — one full clustering shuffle, after which every scan prunes
+    on the spec the workload actually filters by; the alternative
+    (leave it) pays a full-table read on every query forever.
+
+    Returns {"n_rows", "n_buckets"} of the new generation."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from reair_spark.fs import fs_for, fs_rmtree
+
+    loc = location.rstrip("/")
+    fs = fs_for(loc)
+    _recover_layout(loc)
+    meta = _read_layout_meta(loc)
+    if meta is None:
+        raise ValueError(f"{loc} has no {LAYOUT_META}; recluster needs "
+                         "a descriptor-bearing layout")
+    delta_ids = [
+        int(e.name.split("=", 1)[1])
+        for e in fs.scandir(f"{loc}/manifest")
+        if e.name.startswith("ingest=")
+        and e.name.split("=", 1)[1].isdigit()
+    ]
+    df, _ = zonemap_scan(spark, loc, serde=meta["serde"])
+    df = df.drop("ingest")
+    if bucket_col not in df.columns:
+        if bucket_expr is None:
+            raise ValueError(
+                f"new clustering column {bucket_col!r} is not a data "
+                "column; pass bucket_expr to derive it"
+            )
+        df = df.withColumn(bucket_col, F.expr(bucket_expr))
+    tmp = f"{loc}_.compact_{uuid.uuid4().hex[:8]}"
+    write_zonemapped(
+        df, tmp, bucket_col, stat_cols, serde=meta["serde"],
+        bloom_cols=bloom_cols, bloom_m=bloom_m, bloom_k=bloom_k,
+        sort_cols=sort_cols,
+        write_options=meta.get("write_options") or None,
+    )
+    n_rows, n_buckets = _delta_totals(
+        spark, tmp, meta["serde"], bucket_col, 0
+    )
+    prev = int(meta.get("compacted_through", -1))
+    tmp_meta = _read_layout_meta(tmp) or {}
+    tmp_meta["compacted_through"] = max([prev] + delta_ids)
+    _write_layout_meta(tmp, tmp_meta)
+    old = f"{loc}_.old_{uuid.uuid4().hex[:8]}"
+    fs.rename(loc, old)
+    fs.rename(tmp, loc)
+    fs_rmtree(fs, old)
+    return {"n_rows": n_rows, "n_buckets": n_buckets}
+
+
 def _scandir_or_empty(fs, path: str) -> list:
     try:
         return fs.scandir(path)

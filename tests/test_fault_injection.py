@@ -627,3 +627,60 @@ def test_zonemap_compact_swap_crash_leaves_layout_intact(spark, failfs):
     stats = zonemap_compact(spark, loc)
     assert stats == {"deltas_before": 2, "deltas_after": 1}
     assert zonemap_scan(spark, loc)[1]["n_rows_scanned"] == 400
+
+
+# ---- DirectoryCatalog record publish through the seam (VERDICT r10
+# ask #7: the catalog store was the last writer off fs.py) -----------
+
+
+def test_directory_catalog_on_mock_scheme(failfs):
+    """The whole record lifecycle works against a registered scheme
+    root — proof the catalog I/O runs on the seam, not raw os.*."""
+    from reair_spark.catalog import DirectoryCatalog
+
+    cat = DirectoryCatalog("failfs://wh")
+    cat.create_table({
+        "db": "d1", "table": "t1", "table_type": "MANAGED_TABLE",
+        "cols": [], "partition_keys": [],
+        "location": cat.table_location("d1", "t1"), "serde": "text",
+        "parameters": {"transient_lastDdlTime": "7"},
+    })
+    assert cat.databases() == ["d1"]
+    assert cat.tables("d1") == ["t1"]
+    assert cat.get_table("d1", "t1")["parameters"][
+        "transient_lastDdlTime"] == "7"
+    cat.add_partition("d1", "t1", {
+        "partition_name": "ds=1", "values": ["1"],
+        "location": cat.table_location("d1", "t1") + "/ds=1",
+        "parameters": {},
+    })
+    assert [p["partition_name"] for p in cat.get_partitions("d1", "t1")] \
+        == ["ds=1"]
+    cat.drop_table("d1", "t1")
+    assert cat.get_table("d1", "t1") is None
+
+
+def test_directory_catalog_publish_crash_never_tears_record(failfs):
+    """A crash on the tmp→final rename leaves the OLD record intact
+    (atomic replace discipline); the retried write then lands the new
+    one. A torn/half-written record is never observable."""
+    from reair_spark.catalog import DirectoryCatalog
+
+    cat = DirectoryCatalog("failfs://wh")
+    rec = {
+        "db": "d1", "table": "t1", "table_type": "MANAGED_TABLE",
+        "cols": [], "partition_keys": [],
+        "location": cat.table_location("d1", "t1"), "serde": "text",
+        "parameters": {"transient_lastDdlTime": "1"},
+    }
+    cat.create_table(rec)
+    FailingFs.schedule(failfs.board, "rename", "t1.json", 1)
+    new = dict(rec, parameters={"transient_lastDdlTime": "2"})
+    with pytest.raises(OSError):
+        cat.alter_table(new)
+    # old record still whole and parseable
+    assert cat.get_table("d1", "t1")["parameters"][
+        "transient_lastDdlTime"] == "1"
+    cat.alter_table(new)  # retry converges
+    assert cat.get_table("d1", "t1")["parameters"][
+        "transient_lastDdlTime"] == "2"

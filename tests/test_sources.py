@@ -1303,3 +1303,56 @@ def test_zonemap_count_legacy_layout_demotes_to_scan(spark, tmp_path):
     append_zonemapped(more, loc, "b", ["v"], ingest_id=1)
     assert "n_nulls_v" not in spark.read.parquet(f"{loc}/manifest").columns
     assert zonemap_count(spark, loc, predicates=[("v", 0, 100)])[0] == 41
+
+
+def test_zonemap_recluster_changes_spec_and_preserves_rows(spark, tmp_path):
+    """Partition-spec evolution: recluster by a derived transform —
+    descriptor rewritten to the new spec, rows preserved, old
+    clustering column demoted to a data column, replay high-water
+    mark carried over (a pre-recluster batch replay is a no-op)."""
+    from reair_spark.sources import (
+        _read_layout_meta,
+        append_zonemapped,
+        write_zonemapped,
+        zonemap_recluster,
+        zonemap_scan,
+    )
+
+    loc = str(tmp_path / "rc")
+    df = spark.range(300).select(
+        F.col("id").alias("k"), (F.col("id") % 10).alias("b"),
+        F.col("id").alias("v"),
+    )
+    write_zonemapped(df, loc, "b", stat_cols=["v"])
+    append_zonemapped(
+        spark.range(300, 400).select(
+            F.col("id").alias("k"), (F.col("id") % 10).alias("b"),
+            F.col("id").alias("v"),
+        ),
+        loc, "b", ["v"], ingest_id=1,
+    )
+    res = zonemap_recluster(
+        spark, loc, "b4", stat_cols=["v"], bucket_expr="pmod(k, 4)",
+    )
+    assert res == {"n_rows": 400, "n_buckets": 4}
+    meta = _read_layout_meta(loc)
+    assert meta["bucket_col"] == "b4"
+    assert meta["compacted_through"] == 1
+    cur, stats = zonemap_scan(spark, loc)
+    assert stats["n_buckets_total"] == 4
+    assert cur.count() == 400
+    assert "b" in cur.columns  # old clustering survives as data
+    assert cur.select("b").distinct().count() == 10
+    # pruning works under the NEW spec's zones
+    _, s2 = zonemap_scan(spark, loc, predicates=[("v", 0, 50)])
+    assert s2["n_buckets_read"] == 4  # v interleaves all 4 new buckets
+    # a replay of folded ingest 1 is a no-op (high-water mark)
+    append_zonemapped(
+        spark.range(300, 400).select(
+            F.col("id").alias("k"), (F.col("id") % 10).alias("b"),
+            F.col("id").alias("v"),
+            F.expr("pmod(k, 4)").alias("b4"),
+        ),
+        loc, "b4", ["v"], ingest_id=1,
+    )
+    assert zonemap_scan(spark, loc)[0].count() == 400

@@ -188,13 +188,23 @@ def test_replicate_zonemapped_converges_and_tombstones(spark, tmp_path):
     out1 = replicate_warehouse(spark, src_root, dest_root)
     assert out1["zonemap_results"].first().status == "PUBLISHED"
 
-    # source shrinks to one bucket; re-replication tombstones the other
-    floc = src_cat.get_table("wh", "fact")["location"]
+    # unchanged source (same TLDT): the publish watermark skips it —
+    # the format-target twin of the file plan's NO_OP rows
+    out1b = replicate_warehouse(spark, src_root, dest_root)
+    assert out1b["zonemap_results"].first().status == "SKIPPED_UNCHANGED"
+
+    # source shrinks to one bucket (TLDT bumps, as any audited change
+    # does); re-replication tombstones the other bucket
+    rec = src_cat.get_table("wh", "fact")
     spark.createDataFrame(
         [(1, 10.0, "a")], "k int, v double, bucket string"
-    ).write.mode("overwrite").parquet(floc)
+    ).write.mode("overwrite").parquet(rec["location"])
+    src_cat.alter_table(
+        dict(rec, parameters={"transient_lastDdlTime": "200"})
+    )
     out2 = replicate_warehouse(spark, src_root, dest_root)
     zm = {r.table: r for r in out2["zonemap_results"].collect()}
+    assert zm["fact"].status == "PUBLISHED"
     assert zm["fact"].n_buckets_tombstoned == 1
     dest_cat = DirectoryCatalog(dest_root)
     df, _ = scan_catalog_table(spark, dest_cat, "wh", "fact")
