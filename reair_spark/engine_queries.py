@@ -3294,3 +3294,41 @@ WHERE l_shipdate >= TIMESTAMP '1996-03-15 00:00:00'
   AND l_shipdate <= TIMESTAMP '1996-07-20 00:00:00'
   AND l_extendedprice >= 900.0
 """
+
+
+def zonemap_stats_digest(spark: SparkSession, sf: str) -> DataFrame:
+    """ANALYZE-from-metadata gate: per-column statistics (rows, nulls,
+    min, max) answered purely from the merged manifest of the
+    null-planted orders layout — zero data reads (pytest proves it by
+    deleting data/). The oracle recomputes the same statistics from
+    raw orders under the layout's null rule, so a lost delta, a wrong
+    null monoid, or min/max ignoring the snapshot resolution all break
+    the hash. This is the column-stats surface a cost-based decision
+    reads (Iceberg value/null counts rolled up)."""
+    from reair_spark.sources import zonemap_stats
+
+    nkey = (spark.sparkContext.applicationId, sf)
+    if nkey not in _NULLZM_CACHE:
+        _NULLZM_CACHE[nkey] = _build_null_zonemap_layout(spark, sf)
+    st = zonemap_stats(spark, _NULLZM_CACHE[nkey])
+    return st.select(
+        "column",
+        "n_rows",
+        "n_nulls",
+        F.round(F.col("min_value").cast("double"), 2).alias("min_v"),
+        F.round(F.col("max_value").cast("double"), 2).alias("max_v"),
+    )
+
+
+ENGINE_QUERIES["zonemap_stats_digest"] = zonemap_stats_digest
+ENGINE_ORACLES["zonemap_stats_digest"] = """
+SELECT 'price' AS column,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN o_orderkey % 5 = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_nulls,
+       round(min(CASE WHEN o_orderkey % 5 != 0 THEN o_totalprice END), 2)
+         AS min_v,
+       round(max(CASE WHEN o_orderkey % 5 != 0 THEN o_totalprice END), 2)
+         AS max_v
+FROM orders
+"""

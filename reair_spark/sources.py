@@ -1407,6 +1407,84 @@ def zonemap_plan(
     metadata-sized aggregate."""
     from pyspark.sql import functions as F
 
+    bucket_col, man = _merged_manifest(spark, location, serde, max_ingest)
+    keep = F.lit(True)
+    if buckets is not None:
+        keep = keep & F.col(bucket_col).cast("string").isin(
+            [str(b) for b in buckets]
+        )
+    for col, lo, hi in predicates or []:
+        if lo is not None:
+            keep = keep & (F.col(f"max_{col}") >= F.lit(lo))
+        if hi is not None:
+            keep = keep & (F.col(f"min_{col}") <= F.lit(hi))
+    if point_predicates:
+        # probe parameters come from the LAYOUT's own descriptor —
+        # probing with this build's constants against a layout written
+        # under different ones would silently mis-prune (false
+        # negatives = missing rows), so an unknown layout is refused
+        meta = _read_layout_meta(location.rstrip("/"))
+        if meta is None:
+            raise ValueError(
+                f"{location} has no {LAYOUT_META}: bloom probe "
+                "parameters unknown — rebuild the layout via "
+                "append_zonemapped, or query with range predicates only"
+            )
+        for col, _ in point_predicates:
+            if col not in meta.get("bloom_cols", []):
+                raise ValueError(
+                    f"layout {location} records no bloom for column "
+                    f"{col!r} (bloom_cols={meta.get('bloom_cols')})"
+                )
+        m_bits, k_hashes = int(meta["bloom_m"]), int(meta["bloom_k"])
+        for col, value in point_predicates:
+            # bloom membership: the bucket survives iff EVERY probe
+            # position is set (can false-positive, never
+            # false-negative); a missing filter (null) cannot prove
+            # membership → unkept
+            for p in _bloom_positions(value, m_bits, k_hashes):
+                keep = keep & F.coalesce(
+                    F.array_contains(F.col(f"bloom_{col}"), p),
+                    F.lit(False),
+                )
+    total = man.count()
+    extra = list(keep_cols or [])  # e.g. zone columns for count pushdown
+    # keep_cols the manifest does not carry (e.g. n_nulls_* on a
+    # legacy layout written before null counts existed) come back as
+    # None — "statistic unknown", which every consumer must treat as
+    # the lossless direction (scan, don't trust)
+    present = [c for c in extra if c in man.columns]
+    collected = man.where(keep).select(
+        bucket_col, "n_rows", "__ingests", *present
+    ).collect()
+    kept = [
+        {bucket_col: r[bucket_col], "n_rows": r["n_rows"],
+         "__ingests": list(r["__ingests"]),
+         **{c: (r[c] if c in present else None) for c in extra}}
+        for r in collected
+    ]
+    stats = {
+        "n_buckets_total": int(total),
+        "n_buckets_read": len(kept),
+        "n_rows_scanned": int(sum(r["n_rows"] for r in kept)),
+    }
+    return bucket_col, kept, stats
+
+
+def _merged_manifest(
+    spark: SparkSession,
+    location: str,
+    serde: str = "parquet",
+    max_ingest: int | None = None,
+) -> tuple[str, DataFrame]:
+    """Load + snapshot-resolve + monoid-merge the manifest deltas of a
+    layout into ONE frame keyed by bucket (columns: n_rows, min_*/
+    max_*/n_nulls_*/bloom_*, __ingests) — the shared metadata view
+    behind :func:`zonemap_plan` and :func:`zonemap_stats`. Everything
+    here is manifest-sized and evaluated Spark-side; nothing is
+    collected."""
+    from pyspark.sql import functions as F
+
     from reair_spark.fs import fs_spark_path
 
     _recover_layout(location.rstrip("/"))
@@ -1480,70 +1558,59 @@ def zonemap_plan(
                 ).alias(c)
             )
     # zero-row buckets are deletion tombstones: not data, not counted
-    man = raw.groupBy(bucket_col).agg(*merge_aggs).where(
+    return bucket_col, raw.groupBy(bucket_col).agg(*merge_aggs).where(
         F.col("n_rows") > 0
     )
-    keep = F.lit(True)
-    if buckets is not None:
-        keep = keep & F.col(bucket_col).cast("string").isin(
-            [str(b) for b in buckets]
-        )
-    for col, lo, hi in predicates or []:
-        if lo is not None:
-            keep = keep & (F.col(f"max_{col}") >= F.lit(lo))
-        if hi is not None:
-            keep = keep & (F.col(f"min_{col}") <= F.lit(hi))
-    if point_predicates:
-        # probe parameters come from the LAYOUT's own descriptor —
-        # probing with this build's constants against a layout written
-        # under different ones would silently mis-prune (false
-        # negatives = missing rows), so an unknown layout is refused
-        meta = _read_layout_meta(location.rstrip("/"))
-        if meta is None:
-            raise ValueError(
-                f"{location} has no {LAYOUT_META}: bloom probe "
-                "parameters unknown — rebuild the layout via "
-                "append_zonemapped, or query with range predicates only"
-            )
-        for col, _ in point_predicates:
-            if col not in meta.get("bloom_cols", []):
-                raise ValueError(
-                    f"layout {location} records no bloom for column "
-                    f"{col!r} (bloom_cols={meta.get('bloom_cols')})"
-                )
-        m_bits, k_hashes = int(meta["bloom_m"]), int(meta["bloom_k"])
-        for col, value in point_predicates:
-            # bloom membership: the bucket survives iff EVERY probe
-            # position is set (can false-positive, never
-            # false-negative); a missing filter (null) cannot prove
-            # membership → unkept
-            for p in _bloom_positions(value, m_bits, k_hashes):
-                keep = keep & F.coalesce(
-                    F.array_contains(F.col(f"bloom_{col}"), p),
-                    F.lit(False),
-                )
-    total = man.count()
-    extra = list(keep_cols or [])  # e.g. zone columns for count pushdown
-    # keep_cols the manifest does not carry (e.g. n_nulls_* on a
-    # legacy layout written before null counts existed) come back as
-    # None — "statistic unknown", which every consumer must treat as
-    # the lossless direction (scan, don't trust)
-    present = [c for c in extra if c in man.columns]
-    collected = man.where(keep).select(
-        bucket_col, "n_rows", "__ingests", *present
-    ).collect()
-    kept = [
-        {bucket_col: r[bucket_col], "n_rows": r["n_rows"],
-         "__ingests": list(r["__ingests"]),
-         **{c: (r[c] if c in present else None) for c in extra}}
-        for r in collected
-    ]
-    stats = {
-        "n_buckets_total": int(total),
-        "n_buckets_read": len(kept),
-        "n_rows_scanned": int(sum(r["n_rows"] for r in kept)),
-    }
-    return bucket_col, kept, stats
+
+
+def zonemap_stats(
+    spark: SparkSession,
+    location: str,
+    serde: str = "parquet",
+    max_ingest: int | None = None,
+) -> DataFrame:
+    """ANALYZE TABLE from metadata alone: per-stat-column statistics —
+    row count, null count, min, max — computed entirely from the
+    merged manifest (snapshot-resolved, tombstones excluded, as-of via
+    ``max_ingest``), zero data files opened. This is the column-stats
+    surface a cost-based decision reads (Iceberg's per-file
+    value/null counts rolled up the same way); at 100 TB it answers in
+    manifest time because every statistic is a monoid the deltas
+    already carry.
+
+    Returns a DataFrame (column, n_rows, n_nulls, min_value,
+    max_value) — min/max stringified (columns have heterogeneous
+    types; the typed values remain available per bucket in the
+    manifest). ``n_nulls`` is NULL for layouts written before null
+    counts existed — "unknown", never a fabricated 0."""
+    from pyspark.sql import functions as F
+
+    meta = _read_layout_meta(location.rstrip("/"))
+    if meta is None:
+        raise ValueError(f"{location} has no {LAYOUT_META}; stats need "
+                         "a descriptor-bearing layout")
+    _, man = _merged_manifest(spark, location, meta["serde"], max_ingest)
+    stat_cols = list(meta["stat_cols"])
+    rolls = [F.sum("n_rows").cast("long").alias("n_rows")]
+    for c in stat_cols:
+        rolls += [
+            (F.sum(f"n_nulls_{c}").cast("long")
+             if f"n_nulls_{c}" in man.columns
+             else F.lit(None).cast("long")).alias(f"n_nulls_{c}"),
+            F.min(f"min_{c}").cast("string").alias(f"min_{c}"),
+            F.max(f"max_{c}").cast("string").alias(f"max_{c}"),
+        ]
+    one = man.agg(*rolls)
+    # pivot the single roll-up row to one row per column — a literal
+    # stack over an already-aggregated 1-row frame, still metadata-work
+    pairs = ", ".join(
+        f"'{c}', n_nulls_{c}, min_{c}, max_{c}" for c in stat_cols
+    )
+    return one.selectExpr(
+        "n_rows",
+        f"stack({len(stat_cols)}, {pairs}) as "
+        "(column, n_nulls, min_value, max_value)",
+    ).select("column", "n_rows", "n_nulls", "min_value", "max_value")
 
 
 def zonemap_count(

@@ -1356,3 +1356,44 @@ def test_zonemap_recluster_changes_spec_and_preserves_rows(spark, tmp_path):
         loc, "b4", ["v"], ingest_id=1,
     )
     assert zonemap_scan(spark, loc)[0].count() == 400
+
+
+def test_zonemap_stats_metadata_only_and_as_of(spark, tmp_path):
+    """ANALYZE from metadata: zonemap_stats answers per-column rows/
+    nulls/min/max with data/ DELETED (pure manifest work), respects
+    snapshot resolution (post-merge stats reflect the rewrite), and
+    as-of stats see the pre-merge state. Legacy layouts without null
+    counts report n_nulls NULL, never a fabricated 0."""
+    import shutil
+
+    from reair_spark.sources import (
+        write_zonemapped,
+        zonemap_merge,
+        zonemap_stats,
+    )
+
+    loc = str(tmp_path / "st")
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") % 4).alias("b"),
+        F.when(F.col("id") % 10 != 0, F.col("id")).alias("v"),
+    )
+    write_zonemapped(df, loc, "b", stat_cols=["v"])
+    zonemap_merge(
+        spark, loc,
+        spark.range(1).select(
+            F.lit(7).cast("long").alias("k"), F.lit(3).cast("long").alias("b"),
+            F.lit(1000).cast("long").alias("v"),
+        ),
+        key_cols=["k"],
+    )
+
+    shutil.rmtree(f"{loc}/data")  # stats must not need it
+    cur = {r.column: r for r in zonemap_stats(spark, loc).collect()}
+    # post-merge: row count unchanged, max moved to the upsert value
+    assert cur["v"].n_rows == 100
+    assert cur["v"].n_nulls == 10
+    assert float(cur["v"].max_value) == 1000.0
+    old = {r.column: r for r in
+           zonemap_stats(spark, loc, max_ingest=0).collect()}
+    assert float(old["v"].max_value) == 99.0
+    assert old["v"].n_rows == 100
