@@ -1680,10 +1680,11 @@ def zonemap_count(
     partial = [r for r in kept if not fully_covered(r)]
     count = sum(int(r["n_rows"]) for r in full)
     if partial:
-        df, _ = zonemap_scan(
-            spark, location, serde=serde, max_ingest=max_ingest,
-            buckets=[r[bucket_col] for r in partial],
-        )
+        # residual scan over exactly the partial buckets, built from
+        # the plan ALREADY in hand (kept rows carry their data paths)
+        # — re-planning through zonemap_scan would re-run the manifest
+        # merge + collect for nothing
+        df = _bucket_reader(spark, location, serde, partial, bucket_col)
         cond = F.lit(True)
         for col, lo, hi in preds:
             if lo is not None:
@@ -1743,11 +1744,6 @@ def zonemap_scan(
     WITHOUT ``bucket`` — and the most natural query against a
     clustered layout (group by its clustering key) would throw
     (pytest-pinned in test_sources.py)."""
-    from pyspark.sql import functions as F
-
-    from reair_spark.fs import fs_spark_path
-
-    fmt = SERDE_FORMATS.get(serde, serde)
     bucket_col, kept, stats = zonemap_plan(
         spark,
         location,
@@ -1757,6 +1753,26 @@ def zonemap_scan(
         max_ingest=max_ingest,
         buckets=buckets,
     )
+    return _bucket_reader(spark, location, serde, kept, bucket_col), stats
+
+
+def _bucket_reader(
+    spark: SparkSession, location: str, serde: str,
+    kept: list[dict], bucket_col: str,
+) -> DataFrame:
+    """Build the DataFrame over exactly the planned (ingest, bucket)
+    directories — the read half of :func:`zonemap_scan`, reusable by
+    consumers that already hold a plan (COUNT's residual) without
+    re-running the manifest merge. basePath-anchored so partition
+    discovery reconstructs ``ingest`` + the clustering column; the
+    descriptor's union read schema (when present) pins the data
+    columns across mixed-schema files; an empty plan returns a
+    schema-identical zero-row frame."""
+    from pyspark.sql import functions as F
+
+    from reair_spark.fs import fs_spark_path
+
+    fmt = SERDE_FORMATS.get(serde, serde)
     data_base = fs_spark_path(f"{location.rstrip('/')}/data")
     reader = spark.read.format(fmt).option("basePath", data_base)
     meta = _read_layout_meta(location.rstrip("/"))
@@ -1774,13 +1790,13 @@ def zonemap_scan(
         # same reader shape as the kept path ⇒ same schema (data
         # columns + ingest + clustering column), just zero rows
         empty = reader.load(data_base)
-        return empty.where(F.lit(False)), stats
+        return empty.where(F.lit(False))
     paths = [
         f"{data_base}/ingest={i}/{bucket_col}={r[bucket_col]}"
         for r in kept
         for i in r["__ingests"]
     ]
-    return reader.load(paths), stats
+    return reader.load(paths)
 
 
 def atomic_overwrite(df: DataFrame, location: str, serde: str = "parquet") -> None:
