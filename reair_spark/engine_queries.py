@@ -2815,7 +2815,8 @@ def _build_null_zonemap_layout(spark: SparkSession, sf: str) -> str:
         F.when(F.col("o_orderkey") % 5 != 0, F.col("o_totalprice"))
         .alias("price"),
     )
-    write_zonemapped(o, base, "yr", stat_cols=["price"])
+    write_zonemapped(o, base, "yr", stat_cols=["price"],
+                     ndv_cols=["o_orderkey"])
     return base
 
 
@@ -3317,11 +3318,30 @@ def zonemap_stats_digest(spark: SparkSession, sf: str) -> DataFrame:
         "n_nulls",
         F.round(F.col("min_value").cast("double"), 2).alias("min_v"),
         F.round(F.col("max_value").cast("double"), 2).alias("max_v"),
-    )
+        "ndv",
+    ).orderBy("column")
 
 
 ENGINE_QUERIES["zonemap_stats_digest"] = zonemap_stats_digest
 ENGINE_ORACLES["zonemap_stats_digest"] = """
+WITH h AS (
+  SELECT DISTINCT CAST(concat('0x',
+           substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT)
+         AS hv
+  FROM orders),
+kth AS (SELECT hv FROM h ORDER BY hv LIMIT 64),
+ndv AS (
+  SELECT CASE WHEN (SELECT count(*) FROM h) < 64
+              THEN (SELECT CAST(count(*) AS BIGINT) FROM h)
+              ELSE 63 * 4294967296 // (SELECT max(hv) FROM kth)
+         END AS est)
+SELECT 'o_orderkey' AS column,
+       (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_rows,
+       CAST(NULL AS BIGINT) AS n_nulls,
+       CAST(NULL AS DOUBLE) AS min_v,
+       CAST(NULL AS DOUBLE) AS max_v,
+       (SELECT CAST(est AS BIGINT) FROM ndv) AS ndv
+UNION ALL
 SELECT 'price' AS column,
        CAST(count(*) AS BIGINT) AS n_rows,
        CAST(sum(CASE WHEN o_orderkey % 5 = 0 THEN 1 ELSE 0 END)
@@ -3329,6 +3349,8 @@ SELECT 'price' AS column,
        round(min(CASE WHEN o_orderkey % 5 != 0 THEN o_totalprice END), 2)
          AS min_v,
        round(max(CASE WHEN o_orderkey % 5 != 0 THEN o_totalprice END), 2)
-         AS max_v
+         AS max_v,
+       CAST(NULL AS BIGINT) AS ndv
 FROM orders
+ORDER BY 1
 """

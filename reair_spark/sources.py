@@ -230,6 +230,7 @@ def write_bucketed(
 
 BLOOM_M = 1024  # default bit positions per bucket-level bloom
 BLOOM_K = 2     # default derived-family members per value
+KMV_K = 64      # k-minimum-values sketch size per bucket per NDV column
 
 LAYOUT_META = "_meta.json"  # layout descriptor at the layout root
 
@@ -324,6 +325,7 @@ def write_zonemapped(
     bloom_k: int | None = None,
     sort_cols: list[str] | None = None,
     write_options: dict | None = None,
+    ndv_cols: list[str] | None = None,
 ) -> None:
     """Clustered layout + file-level statistics manifest — the
     Iceberg/Delta scan-planning shape, expressed with plain datasource
@@ -389,6 +391,7 @@ def write_zonemapped(
         bloom_cols=bloom_cols, ingest_id=0,
         bloom_m=bloom_m, bloom_k=bloom_k,
         sort_cols=sort_cols, write_options=write_options,
+        ndv_cols=ndv_cols,
     )
 
 
@@ -404,6 +407,7 @@ def append_zonemapped(
     bloom_k: int | None = None,
     sort_cols: list[str] | None = None,
     write_options: dict | None = None,
+    ndv_cols: list[str] | None = None,
     _replaces: bool = False,
     _tombstone_buckets: list | None = None,
 ) -> None:
@@ -447,6 +451,11 @@ def append_zonemapped(
         "bloom_m": int(bloom_m if bloom_m is not None else BLOOM_M),
         "bloom_k": int(bloom_k if bloom_k is not None else BLOOM_K),
         "serde": serde,
+        # opt-in KMV distinct-count sketches (Iceberg's puffin-NDV
+        # analog, kept per bucket so it merges as a monoid: union of
+        # k-min hash sets re-truncated to k). Portable md5-derived
+        # hashes, so a DuckDB oracle reproduces the ESTIMATE exactly.
+        "ndv_cols": sorted(ndv_cols or []),
         # per-stat-col null counts in every delta (Iceberg's
         # null_value_counts): min/max zones IGNORE nulls while n_rows
         # includes them, so a metadata-only COUNT over a "fully
@@ -479,6 +488,8 @@ def append_zonemapped(
         # defaulted m/k inherit the layout's recorded values; only
         # EXPLICIT mismatching parameters are a contract violation
         check = ["bucket_col", "stat_cols", "bloom_cols", "serde"]
+        if ndv_cols is not None:
+            check.append("ndv_cols")
         if bloom_m is not None:
             check.append("bloom_m")
         if bloom_k is not None:
@@ -609,6 +620,35 @@ def append_zonemapped(
     # lives in that domain)
     bkey = F.col(bucket_col).cast("string").alias(bucket_col)
     manifest = df.groupBy(bkey).agg(*aggs)
+    ndv_list = (
+        list(ndv_cols) if ndv_cols is not None
+        else list(meta.get("ndv_cols") or [])
+    )
+    for c in ndv_list:
+        # k-minimum-values sketch: the KMV_K smallest DISTINCT portable
+        # hashes per bucket. Built with a per-bucket window (shuffle +
+        # sort, linear) — NEVER a collect_set of all distinct hashes,
+        # which would materialize a bucket's whole key set in one
+        # aggregation buffer. Nulls carry no hash and are excluded
+        # (NDV counts values, not rows).
+        from pyspark.sql.window import Window
+
+        from reair_spark.datapipe.common import portable_hash32
+
+        h = portable_hash32(F.col(c).cast("string"))
+        kk = (
+            df.select(bkey, h.alias("__h"))
+            .where(F.col("__h").isNotNull())
+            .distinct()
+        )
+        w = Window.partitionBy(bucket_col).orderBy("__h")
+        kmv = (
+            kk.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= KMV_K)
+            .groupBy(bucket_col)
+            .agg(F.sort_array(F.collect_list("__h")).alias(f"kmv_{c}"))
+        )
+        manifest = manifest.join(kmv, bucket_col, "left")
     for c in bloom_cols or []:
         a, b = hash_family_ab(F.md5(F.col(c).cast("string")))
         pos = F.array(
@@ -774,6 +814,7 @@ def zonemap_compact(
         df, tmp, bucket_col, stat_cols, serde=serde, bloom_cols=bloom_cols,
         bloom_m=bloom_m, bloom_k=bloom_k, sort_cols=sort_cols,
         write_options=(meta or {}).get("write_options") or None,
+        ndv_cols=(meta or {}).get("ndv_cols") or None,
     )
     # replay high-water mark: every folded ingest id is REMEMBERED so
     # a later replay of one of those batches is a no-op instead of a
@@ -1551,6 +1592,18 @@ def _merged_manifest(
             merge_aggs.append(F.min(c).alias(c))
         elif c.startswith("max_"):
             merge_aggs.append(F.max(c).alias(c))
+        elif c.startswith("kmv_"):
+            # KMV union re-truncated to k — the sketch's monoid: the
+            # k smallest of a union of k-smallest sets is the k
+            # smallest of the underlying union
+            merge_aggs.append(
+                F.slice(
+                    F.sort_array(
+                        F.array_distinct(F.flatten(F.collect_list(c)))
+                    ),
+                    1, KMV_K,
+                ).alias(c)
+            )
         elif c.startswith("bloom_"):
             merge_aggs.append(
                 F.sort_array(
@@ -1579,10 +1632,17 @@ def zonemap_stats(
     already carry.
 
     Returns a DataFrame (column, n_rows, n_nulls, min_value,
-    max_value) — min/max stringified (columns have heterogeneous
-    types; the typed values remain available per bucket in the
-    manifest). ``n_nulls`` is NULL for layouts written before null
-    counts existed — "unknown", never a fabricated 0."""
+    max_value, ndv) — one row per column in stat_cols ∪ ndv_cols;
+    min/max stringified (columns have heterogeneous types; the typed
+    values remain available per bucket in the manifest). ``n_nulls``
+    is NULL for layouts written before null counts existed —
+    "unknown", never a fabricated 0; ``ndv`` is the KMV estimate
+    (exact when fewer than KMV_K distinct hashes were ever seen) and
+    NULL for columns without a sketch. The KMV merge across buckets is
+    the sketch's monoid (k smallest of the union), evaluated
+    Spark-side; the estimate — (k−1)·2³² // kth-smallest-hash, exact
+    integer arithmetic — is reproducible by any engine sharing the
+    portable md5 hash, which is what makes it oracle-checkable."""
     from pyspark.sql import functions as F
 
     meta = _read_layout_meta(location.rstrip("/"))
@@ -1591,6 +1651,8 @@ def zonemap_stats(
                          "a descriptor-bearing layout")
     _, man = _merged_manifest(spark, location, meta["serde"], max_ingest)
     stat_cols = list(meta["stat_cols"])
+    ndv_cols = list(meta.get("ndv_cols") or [])
+    out_cols = stat_cols + [c for c in ndv_cols if c not in stat_cols]
     rolls = [F.sum("n_rows").cast("long").alias("n_rows")]
     for c in stat_cols:
         rolls += [
@@ -1600,17 +1662,44 @@ def zonemap_stats(
             F.min(f"min_{c}").cast("string").alias(f"min_{c}"),
             F.max(f"max_{c}").cast("string").alias(f"max_{c}"),
         ]
-    one = man.agg(*rolls)
-    # pivot the single roll-up row to one row per column — a literal
-    # stack over an already-aggregated 1-row frame, still metadata-work
-    pairs = ", ".join(
-        f"'{c}', n_nulls_{c}, min_{c}, max_{c}" for c in stat_cols
+    for c in ndv_cols:
+        rolls.append(
+            F.slice(
+                F.sort_array(
+                    F.array_distinct(F.flatten(F.collect_list(f"kmv_{c}")))
+                ),
+                1, KMV_K,
+            ).alias(f"kmv_{c}")
+        )
+    one = man.agg(*rolls).first()  # ONE metadata row
+
+    def _ndv(arr) -> int | None:
+        if arr is None:
+            return None
+        m = len(arr)
+        if m == 0:
+            return 0
+        if m < KMV_K:
+            return m  # saw every distinct hash — exact
+        return (KMV_K - 1) * (2 ** 32) // int(arr[KMV_K - 1])
+
+    rows = []
+    for c in out_cols:
+        rows.append((
+            c,
+            int(one["n_rows"]) if one["n_rows"] is not None else 0,
+            (int(one[f"n_nulls_{c}"])
+             if c in stat_cols and one[f"n_nulls_{c}"] is not None
+             else None),
+            one[f"min_{c}"] if c in stat_cols else None,
+            one[f"max_{c}"] if c in stat_cols else None,
+            _ndv(one[f"kmv_{c}"]) if c in ndv_cols else None,
+        ))
+    return spark.createDataFrame(
+        rows,
+        "column string, n_rows long, n_nulls long, "
+        "min_value string, max_value string, ndv long",
     )
-    return one.selectExpr(
-        "n_rows",
-        f"stack({len(stat_cols)}, {pairs}) as "
-        "(column, n_nulls, min_value, max_value)",
-    ).select("column", "n_rows", "n_nulls", "min_value", "max_value")
 
 
 def zonemap_count(

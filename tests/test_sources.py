@@ -1397,3 +1397,54 @@ def test_zonemap_stats_metadata_only_and_as_of(spark, tmp_path):
            zonemap_stats(spark, loc, max_ingest=0).collect()}
     assert float(old["v"].max_value) == 99.0
     assert old["v"].n_rows == 100
+
+
+def test_zonemap_ndv_kmv_sketch(spark, tmp_path):
+    """Opt-in KMV NDV sketches: per-bucket k-min hash sets merge as a
+    monoid (union re-truncated to k), the estimate is EXACT below k
+    distinct values, within ~3 standard errors above it, invariant to
+    batching, and survives compaction. Nulls carry no hash."""
+    from reair_spark.sources import (
+        KMV_K,
+        append_zonemapped,
+        write_zonemapped,
+        zonemap_compact,
+        zonemap_stats,
+    )
+
+    loc = str(tmp_path / "ndv")
+    # 36 distinct non-null values (< k=64): exact. (v = id % 40 with
+    # ids ≡ 0 mod 10 nulled: 0/10/20/30 only arise from those ids, so
+    # they never survive — 36 distinct values remain.)
+    df = spark.range(200).select(
+        F.col("id").alias("k"), (F.col("id") % 4).alias("b"),
+        F.when(F.col("id") % 10 != 0, F.col("id") % 40).alias("v"),
+    )
+    write_zonemapped(df, loc, "b", stat_cols=["v"], ndv_cols=["v"])
+    st = {r.column: r for r in zonemap_stats(spark, loc).collect()}
+    assert st["v"].ndv == 36  # exact below k, nulls excluded
+
+    # 10k distinct appended in TWO batches == one-shot (monoid)
+    big = spark.range(10_000).select(
+        (F.col("id") + 1000).alias("k"), (F.col("id") % 4).alias("b"),
+        (F.col("id") + 1000).alias("v"),
+    )
+    append_zonemapped(big.where("v % 2 = 0"), loc, "b", ["v"], ingest_id=1)
+    append_zonemapped(big.where("v % 2 = 1"), loc, "b", ["v"], ingest_id=2)
+    est = {r.column: r for r in zonemap_stats(spark, loc).collect()}["v"].ndv
+    loc2 = str(tmp_path / "ndv1")
+    write_zonemapped(
+        df.unionByName(big), loc2, "b", stat_cols=["v"], ndv_cols=["v"]
+    )
+    est_oneshot = {
+        r.column: r for r in zonemap_stats(spark, loc2).collect()
+    }["v"].ndv
+    assert est == est_oneshot  # batching-invariant
+    true_n = 10_040
+    se = true_n / (KMV_K - 1) ** 0.5
+    assert abs(est - true_n) < 3 * se, (est, true_n)
+
+    # compaction preserves the sketch family and the estimate
+    zonemap_compact(spark, loc)
+    after = {r.column: r for r in zonemap_stats(spark, loc).collect()}
+    assert after["v"].ndv == est
