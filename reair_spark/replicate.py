@@ -313,6 +313,7 @@ def _publish_zonemap_targets(
             serde=t.get("serde") or "parquet",
             bloom_cols=_csv(params, "zonemap.bloom_cols"),
             sort_cols=_csv(params, "zonemap.sort_cols"),
+            ndv_cols=_csv(params, "zonemap.ndv_cols"),
         )
         if src_tldt is not None:
             meta = _read_layout_meta(loc)

@@ -1140,6 +1140,7 @@ def zonemap_overwrite(
     serde: str = "parquet",
     bloom_cols: list[str] | None = None,
     sort_cols: list[str] | None = None,
+    ndv_cols: list[str] | None = None,
 ) -> dict:
     """INSERT OVERWRITE for a zone-mapped layout: ``df`` becomes the
     table's entire new snapshot as ONE replacing ingest — every bucket
@@ -1180,6 +1181,7 @@ def zonemap_overwrite(
         write_zonemapped(
             df, loc, bucket_col, stat_cols, serde=serde,
             bloom_cols=bloom_cols, sort_cols=sort_cols,
+            ndv_cols=ndv_cols,
         )
         n_r, n_b = _delta_totals(spark, loc, serde, bucket_col, 0)
         return {"n_rows": n_r, "n_buckets": n_b,

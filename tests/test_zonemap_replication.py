@@ -147,6 +147,7 @@ def _zm_dest(root):
             "layout": "zonemapped",
             "zonemap.bucket_col": "bucket",
             "zonemap.stat_cols": "k,v",
+            "zonemap.ndv_cols": "k",
         },
     })
     return cat
@@ -175,6 +176,12 @@ def test_replicate_into_zonemapped_target(spark, tmp_path):
         (r.k, r.v) for r in df.where("k between 1 and 3").collect()
     )
     assert got == [(1, 10.0), (2, 20.0), (3, 30.0)]
+    # the dest record's ndv config reached the layout descriptor
+    from reair_spark.sources import zonemap_stats
+
+    st = {r.column: r for r in zonemap_stats(
+        spark, dest_cat.get_table("wh", "fact")["location"]).collect()}
+    assert st["k"].ndv == 8  # exact below the sketch size
     # the plain table still replicated the classic way
     with open(os.path.join(dest_root, "wh", "plain", "part-0")) as fh:
         assert fh.read() == "hello"
