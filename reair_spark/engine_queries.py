@@ -3354,3 +3354,67 @@ SELECT 'price' AS column,
 FROM orders
 ORDER BY 1
 """
+
+
+def zonemap_count_bloom(spark: SparkSession, sf: str) -> DataFrame:
+    """COUNT under a POINT predicate, bloom-planned (the composition
+    of the count pushdown with the Bloom manifests): the blooms choose
+    which buckets to open, the exact equality filter runs as the
+    residual, and — because a bloom admits false positives — no bucket
+    may ever take the metadata-only path (n_buckets_full = 0 by
+    construction, hash-pinned). The oracle recomputes the kept-bucket
+    count with the same md5-derived family arithmetic AND the true
+    count from raw lineitem, so a membership bug (dropped bucket →
+    undercount) and a full-coverage bug (bloom 'proving' a count →
+    overcount risk) both break the hash. Probe derivation shared with
+    scan_bloom_pruning (smallest orderkey in the upper half)."""
+    from reair_spark import sources
+    from reair_spark.sources import zonemap_count
+
+    key = (spark.sparkContext.applicationId, sf)
+    if key not in _ZONEMAP_CACHE:
+        _ZONEMAP_CACHE[key] = _build_zonemap_layout(spark, sf)
+    base = _ZONEMAP_CACHE[key]
+
+    li = _t(spark, sf, "lineitem")
+    half = li.agg(
+        F.floor(F.max("l_orderkey") / 2).cast("long").alias("half")
+    ).collect()[0]["half"]
+    probe = (
+        li.filter(F.col("l_orderkey") >= half)
+        .agg(F.min("l_orderkey").alias("p"))
+        .collect()[0]["p"]
+    )
+    n, st = zonemap_count(
+        spark, base, point_predicates=[("l_orderkey", probe)]
+    )
+    return spark.range(1).select(
+        F.lit(probe).cast("long").alias("probe_orderkey"),
+        F.lit(st["n_buckets_total"]).cast("long").alias("n_buckets_total"),
+        F.lit(st["n_buckets_partial"]).cast("long").alias(
+            "n_buckets_scanned"
+        ),
+        F.lit(st["n_buckets_full"]).cast("long").alias("n_buckets_full"),
+        F.lit(n).cast("long").alias("n_matching"),
+    )
+
+
+ENGINE_QUERIES["zonemap_count_bloom"] = zonemap_count_bloom
+from reair_spark.sources import BLOOM_M as _BLOOM_M_DEFAULT  # noqa: E402
+
+ENGINE_ORACLES["zonemap_count_bloom"] = f"""
+WITH li AS (
+  SELECT l_orderkey, strftime(l_shipdate, '%Y-%m') AS bucket,
+         md5(CAST(l_orderkey AS VARCHAR)) AS m
+  FROM lineitem),
+pr AS (
+  SELECT min(l_orderkey) AS p FROM lineitem
+  WHERE l_orderkey >= (SELECT floor(max(l_orderkey) / 2) FROM lineitem))
+SELECT (SELECT CAST(p AS BIGINT) FROM pr) AS probe_orderkey,
+       (SELECT CAST(count(DISTINCT bucket) AS BIGINT) FROM li)
+         AS n_buckets_total,
+       ({_bloom_kept_sql(_BLOOM_M_DEFAULT)}) AS n_buckets_scanned,
+       CAST(0 AS BIGINT) AS n_buckets_full,
+       (SELECT CAST(count(*) AS BIGINT) FROM li
+        WHERE l_orderkey = (SELECT p FROM pr)) AS n_matching
+"""

@@ -1710,6 +1710,7 @@ def zonemap_count(
     predicates: list[tuple[str, object, object]] | None = None,
     serde: str = "parquet",
     max_ingest: int | None = None,
+    point_predicates: list[tuple[str, object]] | None = None,
 ) -> tuple[int, dict]:
     """COUNT(*) with manifest pushdown — the Iceberg/Delta
     metadata-only count, extended with a partial-bucket residual:
@@ -1736,8 +1737,15 @@ def zonemap_count(
     buckets with nulls (or with the statistic missing — legacy
     layouts, all-null zones, schema-evolution null-fill) fall to the
     residual scan, whose WHERE evaluates nulls to not-matched — the
-    lossless direction. Returns (count, stats) where stats adds
-    n_buckets_full / n_buckets_partial to the plan stats."""
+    lossless direction.
+
+    ``point_predicates`` compose via the layout's Bloom manifests: the
+    blooms PLAN the count (only membership-positive buckets opened)
+    but can never PROVE it — a bloom admits false positives — so every
+    kept bucket is residual-scanned with the exact equality filter;
+    n_buckets_full is 0 by construction under a point predicate.
+    Returns (count, stats) where stats adds n_buckets_full /
+    n_buckets_partial to the plan stats."""
     from pyspark.sql import functions as F
 
     preds = list(predicates or [])
@@ -1749,9 +1757,15 @@ def zonemap_count(
     bucket_col, kept, stats = zonemap_plan(
         spark, location, predicates=preds, serde=serde,
         max_ingest=max_ingest, keep_cols=zone_cols,
+        point_predicates=point_predicates,
     )
 
     def fully_covered(r: dict) -> bool:
+        if point_predicates:
+            # bloom membership is probabilistic (false positives):
+            # it can PLAN the count but never PROVE it — every kept
+            # bucket is a residual scan under a point predicate
+            return False
         for col, lo, hi in preds:
             mn, mx = r.get(f"min_{col}"), r.get(f"max_{col}")
             if mn is None or mx is None:
@@ -1782,6 +1796,8 @@ def zonemap_count(
                 cond = cond & (F.col(col) >= F.lit(lo))
             if hi is not None:
                 cond = cond & (F.col(col) <= F.lit(hi))
+        for col, value in point_predicates or []:
+            cond = cond & (F.col(col) == F.lit(value))
         count += df.where(cond).count()
     stats = dict(stats)
     stats["n_buckets_full"] = len(full)

@@ -1448,3 +1448,38 @@ def test_zonemap_ndv_kmv_sketch(spark, tmp_path):
     zonemap_compact(spark, loc)
     after = {r.column: r for r in zonemap_stats(spark, loc).collect()}
     assert after["v"].ndv == est
+
+
+def test_zonemap_count_point_predicates(spark, tmp_path):
+    """Point-predicate COUNT: blooms plan which buckets to open, the
+    equality residual keeps semantics exact, and no bucket ever takes
+    the metadata-only path (a bloom can false-positive, so it can
+    never PROVE a count). Composes with range predicates."""
+    from reair_spark.sources import write_zonemapped, zonemap_count
+
+    df = spark.range(1000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 10).cast("string").alias("b"),
+        (F.col("id") % 10).alias("v"),
+    )
+    loc = str(tmp_path / "cpt")
+    write_zonemapped(df, loc, "b", stat_cols=["v"], bloom_cols=["k"])
+
+    n, st = zonemap_count(spark, loc, point_predicates=[("k", 137)])
+    assert n == 1
+    assert st["n_buckets_full"] == 0          # never metadata-proved
+    assert st["n_buckets_partial"] <= st["n_buckets_total"]
+    # absent key: count 0 even if a false-positive bucket was opened
+    n0, st0 = zonemap_count(spark, loc, point_predicates=[("k", 10**9)])
+    assert n0 == 0 and st0["n_buckets_full"] == 0
+    # range + point compose (k=137 has v = 137 % 10 = 7)
+    n2, _ = zonemap_count(
+        spark, loc, predicates=[("v", 7, 7)],
+        point_predicates=[("k", 137)],
+    )
+    assert n2 == 1
+    n3, _ = zonemap_count(
+        spark, loc, predicates=[("v", 8, 8)],
+        point_predicates=[("k", 137)],
+    )
+    assert n3 == 0
