@@ -240,3 +240,49 @@ def test_dest_only_zonemapped_table_is_never_dropped(spark, tmp_path):
     assert dest_cat.get_table("wh", "local_only") is not None
     df, _ = scan_catalog_table(spark, dest_cat, "wh", "local_only")
     assert df.count() == 1
+
+
+def test_incremental_event_publishes_zonemapped_target(spark, tmp_path):
+    """The incremental loop composes with format targets FOR FREE:
+    execute_jobs converges every touched table through the targeted
+    batch replication, whose zonemapped dispatch publishes through
+    zonemap_overwrite — so an audit event naming a table whose DEST
+    record declares the layout lands as a manifest-planned publish,
+    and re-delivered/stale events are no-ops via the published_src_tldt
+    watermark (the ST7 idempotence contract, format edition)."""
+    import datetime
+
+    from reair_spark.events import run_incremental
+    from reair_spark.sources import zonemap_scan
+
+    src_root, dest_root = str(tmp_path / "src"), str(tmp_path / "dest")
+    state = str(tmp_path / "state")
+    _src_warehouse(spark, src_root)
+    dest_cat = _zm_dest(dest_root)
+
+    events = spark.createDataFrame(
+        [(1, datetime.datetime(2024, 1, 1), "CREATETABLE", "",
+          [("OUTPUT", "TABLE", "wh.fact", "{}")])],
+        "id long, create_time timestamp, command_type string, "
+        "command string, objects array<struct<category:string, "
+        "obj_type:string, name:string, payload:string>>",
+    )
+    out = run_incremental(spark, events, src_root, dest_root, state)
+    assert out["batches"] == 1
+
+    loc = dest_cat.get_table("wh", "fact")["location"]
+    df, stats = zonemap_scan(spark, loc)
+    assert stats["n_buckets_total"] == 2
+    assert df.count() == 8
+    # duplicate delivery of the same event: watermark makes the
+    # publish a no-op (still ingest 0, no new snapshot)
+    run_incremental(spark, events, src_root, dest_root,
+                    str(tmp_path / "state2"))
+    _, stats2 = zonemap_scan(spark, loc)
+    assert stats2["n_buckets_total"] == 2
+    import os as _os
+
+    ingests = sorted(
+        p for p in _os.listdir(f"{loc}/manifest") if p.startswith("ingest=")
+    )
+    assert ingests == ["ingest=0"]  # no second publish
