@@ -380,3 +380,111 @@ def test_zonemap_prune_count_delete_model_equivalence(
     # the pre-delete snapshot is intact (append-only time travel)
     asof, _ = zonemap_scan(spark, loc, max_ingest=0)
     assert {(r.k, r.v) for r in asof.collect()} == model
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    n=st.integers(min_value=40, max_value=200),
+    n_buckets=st.integers(min_value=2, max_value=8),
+    mod=st.integers(min_value=7, max_value=60),
+    null_mod=st.integers(min_value=3, max_value=25),
+    n2=st.integers(min_value=10, max_value=150),
+    shift=st.integers(min_value=0, max_value=50),
+    upd_step=st.integers(min_value=2, max_value=9),
+    new_mod=st.integers(min_value=2, max_value=6),
+)
+def test_zonemap_overwrite_merge_recluster_stats_model_equivalence(
+    spark, tmp_path_factory, n, n_buckets, mod, null_mod, n2, shift,
+    upd_step, new_mod,
+):
+    """Round-11 mutations under RANDOM shapes, against a dict model:
+    ANALYZE stats (rows / nulls / min / max / exact-below-k NDV) match
+    the model; INSERT OVERWRITE replaces the snapshot exactly
+    (tombstoned buckets = old − new, as-of sees the old model); MERGE
+    replaces whole key groups; RECLUSTER by a different modulus
+    preserves every row, keeps pruning lossless under the new spec,
+    and keeps the old clustering as a data column."""
+    from pyspark.sql import functions as F
+
+    from reair_spark.sources import (
+        write_zonemapped,
+        zonemap_merge,
+        zonemap_overwrite,
+        zonemap_recluster,
+        zonemap_scan,
+        zonemap_stats,
+    )
+
+    rows = [
+        (i, i % n_buckets,
+         None if i % null_mod == 0 else (i * 13) % mod)
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "k long, b long, v long")
+    loc = str(tmp_path_factory.mktemp("zprop2") / "layout")
+    write_zonemapped(df, loc, "b", stat_cols=["v"], ndv_cols=["v"])
+
+    # --- stats vs model (mod <= 60 < KMV_K=64 ⇒ NDV exact) ----------
+    vals = [v for _, _, v in rows if v is not None]
+    stats = {r.column: r for r in zonemap_stats(spark, loc).collect()}
+    assert stats["v"].n_rows == n
+    assert stats["v"].n_nulls == len(rows) - len(vals)
+    if vals:
+        assert int(stats["v"].min_value) == min(vals)
+        assert int(stats["v"].max_value) == max(vals)
+    assert stats["v"].ndv == len(set(vals))
+
+    # --- INSERT OVERWRITE -------------------------------------------
+    rows2 = [
+        (i + shift, (i + shift) % n_buckets,
+         None if i % null_mod == 1 else (i * 7) % mod)
+        for i in range(n2)
+    ]
+    res = zonemap_overwrite(
+        spark, loc, spark.createDataFrame(rows2, "k long, b long, v long")
+    )
+    old_b = {b for _, b, _ in rows}
+    new_b = {b for _, b, _ in rows2}
+    assert res["n_rows"] == n2
+    assert res["n_buckets"] == len(new_b)
+    assert res["n_buckets_tombstoned"] == len(old_b - new_b)
+    cur, _ = zonemap_scan(spark, loc)
+    assert {(r.k, r.v) for r in cur.collect()} == {
+        (k, v) for k, _, v in rows2
+    }
+    asof, _ = zonemap_scan(spark, loc, max_ingest=0)
+    assert {(r.k, r.v) for r in asof.collect()} == {
+        (k, v) for k, _, v in rows
+    }
+
+    # --- MERGE (replace whole key groups) ---------------------------
+    upd_keys = sorted({k for k, _, _ in rows2})[::upd_step][:5]
+    updates = [(k, k % n_buckets, 1000 + k) for k in upd_keys]
+    m = zonemap_merge(
+        spark, loc,
+        spark.createDataFrame(updates, "k long, b long, v long"),
+        key_cols=["k"],
+    )
+    assert m["n_buckets_affected"] == len({b for _, b, _ in updates})
+    model = {(k, v) for k, _, v in rows2 if k not in set(upd_keys)}
+    model |= {(k, v) for k, _, v in updates}
+    cur2, _ = zonemap_scan(spark, loc)
+    assert {(r.k, r.v) for r in cur2.collect()} == model
+
+    # --- RECLUSTER by a different modulus ---------------------------
+    rc = zonemap_recluster(
+        spark, loc, "b2", stat_cols=["v"],
+        bucket_expr=f"pmod(k, {new_mod})",
+    )
+    assert rc["n_rows"] == len(model)
+    cur3, st3 = zonemap_scan(spark, loc)
+    assert st3["n_buckets_total"] == len({k % new_mod for k, _ in model})
+    got = {(r.k, r.v, r.b) for r in cur3.collect()}
+    assert {(k, v) for k, v, _ in got} == model
+    assert all(b is not None for _, _, b in got)  # old clustering kept
+    # pruning under the new spec is still lossless
+    pr, _ = zonemap_scan(spark, loc, [("v", 0, mod // 2)])
+    want = {(k, v) for k, v in model if v is not None and 0 <= v <= mod // 2}
+    assert {
+        (r.k, r.v) for r in pr.where(f"v >= 0 and v <= {mod // 2}").collect()
+    } == want
