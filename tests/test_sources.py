@@ -1483,3 +1483,41 @@ def test_zonemap_count_point_predicates(spark, tmp_path):
         point_predicates=[("k", 137)],
     )
     assert n3 == 0
+
+
+def test_zonemap_recluster_crash_between_renames_recovers(spark, tmp_path):
+    """Recluster shares compaction's whole-layout swap, so it shares
+    its crash window: a crash between the two renames leaves the old
+    spec parked — any reader restores it (the layout is whole and the
+    rewrite is idempotent), and re-running the recluster completes."""
+    import os
+
+    from reair_spark.sources import (
+        _read_layout_meta,
+        write_zonemapped,
+        zonemap_recluster,
+        zonemap_scan,
+    )
+
+    df = spark.range(300).select(
+        F.col("id").alias("k"), (F.col("id") % 5).alias("b"),
+        F.col("id").alias("v"),
+    )
+    loc = str(tmp_path / "rcrash")
+    write_zonemapped(df, loc, "b", ["v"])
+
+    # crash window mid-recluster: old spec parked, tmp half-built
+    os.replace(loc, f"{loc}_.old_deadbeef")
+    os.makedirs(f"{loc}_.compact_deadbeef/manifest", exist_ok=True)
+
+    healed, st = zonemap_scan(spark, loc)
+    assert st["n_buckets_total"] == 5        # old spec restored whole
+    assert healed.count() == 300
+    assert not os.path.exists(f"{loc}_.compact_deadbeef")
+
+    res = zonemap_recluster(
+        spark, loc, "b3", stat_cols=["v"], bucket_expr="pmod(k, 3)",
+    )
+    assert res == {"n_rows": 300, "n_buckets": 3}
+    assert _read_layout_meta(loc)["bucket_col"] == "b3"
+    assert zonemap_scan(spark, loc)[0].count() == 300
