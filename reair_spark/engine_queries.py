@@ -3418,3 +3418,414 @@ SELECT (SELECT CAST(p AS BIGINT) FROM pr) AS probe_orderkey,
        (SELECT CAST(count(*) AS BIGINT) FROM li
         WHERE l_orderkey = (SELECT p FROM pr)) AS n_matching
 """
+
+# ---------------------------------------------------------------------
+# round 12: manifest-only compaction, optimistic concurrency, hidden
+# partitioning on the publish path, load-bearing ANALYZE statistics
+# ---------------------------------------------------------------------
+
+
+def zonemap_fold_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """Manifest-only compaction gate (VERDICT r11 ask #1 — Iceberg
+    ``rewrite_manifests``): the 3-ingest lineitem layout's manifest
+    deltas fold into ONE snapshot-resolved delta while ``data/`` stays
+    BYTE-IDENTICAL (the gate hashes the data tree before and after and
+    pins the equality), then the same manifest-planned query as
+    scan_zonemap_pruning answers from the folded manifest. The oracle
+    recomputes the zone arithmetic and the answer from raw lineitem —
+    a fold that loses a delta row, mis-merges a monoid, or breaks the
+    data_ingests path mapping changes the counts or the revenue hash.
+
+    100 TB story: after 10⁴ streaming ingests, every plan pays 10⁴
+    manifest-delta reads until SOMETHING folds them; before this
+    operator the only fold rewrote the data too (builder-measured:
+    merge wall 11.2→14.8 s at 10× manifest width purely from the
+    delta merge). Folding metadata alone is manifest-sized work."""
+    import hashlib
+
+    from reair_spark.sources import zonemap_rewrite_manifests
+
+    layout = _clone_layout(
+        _zonemap_compact_template(spark, sf), "reair_zfold_run_"
+    )
+
+    def data_digest(base: str) -> str:
+        h = hashlib.md5()
+        for root, _dirs, files in sorted(
+            (r, d, f) for r, d, f in os.walk(f"{base}/data")
+        ):
+            for f in sorted(files):
+                p = os.path.join(root, f)
+                h.update(os.path.relpath(p, base).encode())
+                with open(p, "rb") as fh:
+                    h.update(fh.read())
+        return h.hexdigest()
+
+    before = data_digest(layout)
+    stats = zonemap_rewrite_manifests(spark, layout)
+    unchanged = int(data_digest(layout) == before)
+    ans = _zonemap_answer(spark, layout)
+    return ans.select(
+        F.lit(stats["deltas_before"]).cast("long").alias("n_deltas_before"),
+        F.lit(stats["deltas_after"]).cast("long").alias("n_deltas_after"),
+        F.lit(unchanged).cast("long").alias("data_unchanged"),
+        *ans.columns,
+    )
+
+
+ENGINE_QUERIES["zonemap_fold_scan"] = zonemap_fold_scan
+ENGINE_ORACLES["zonemap_fold_scan"] = """
+WITH li AS (
+  SELECT l_shipdate, l_extendedprice,
+         strftime(l_shipdate, '%Y-%m') AS bucket
+  FROM lineitem),
+m AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+         min(l_shipdate) AS mn_s, max(l_shipdate) AS mx_s,
+         max(l_extendedprice) AS mx_p
+  FROM li GROUP BY bucket),
+k AS (
+  SELECT * FROM m
+  WHERE mx_s >= TIMESTAMP '1996-03-15 00:00:00'
+    AND mn_s <= TIMESTAMP '1996-07-20 00:00:00'
+    AND mx_p >= 900.0)
+SELECT CAST(3 AS BIGINT) AS n_deltas_before,
+       CAST(1 AS BIGINT) AS n_deltas_after,
+       CAST(1 AS BIGINT) AS data_unchanged,
+       (SELECT CAST(count(*) AS BIGINT) FROM m) AS n_buckets_total,
+       (SELECT CAST(count(*) AS BIGINT) FROM k) AS n_buckets_read,
+       (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) FROM k)
+         AS n_rows_scanned,
+       CAST(count(*) AS BIGINT) AS n_rows_matched,
+       round(sum(l_extendedprice), 2) AS revenue
+FROM li
+WHERE l_shipdate >= TIMESTAMP '1996-03-15 00:00:00'
+  AND l_shipdate <= TIMESTAMP '1996-07-20 00:00:00'
+  AND l_extendedprice >= 900.0
+"""
+
+
+def zonemap_concurrent_commit(spark: SparkSession, sf: str) -> DataFrame:
+    """Optimistic-concurrency gate (VERDICT r11 ask #2): a MERGE and
+    an APPEND race on one layout — the append commits in the window
+    between the merge's planning and its id claim (a deterministic
+    interleave through the claim hook, the same harness discipline as
+    the scale gates' monkeypatches). The claims make the ids collide-
+    free and the merge's commit validation detects the landed delta
+    and RECOMPUTES, so the append's rows survive the merge's replacing
+    rewrite. The oracle derives the converged table from nation +
+    region closed-form: a lost delta (append rows vanish), an id
+    collision (delta overwritten), or a stale-base merge all change
+    the row count or the sum.
+
+    100 TB story: multi-writer ingestion without an external lock —
+    the Iceberg loser-retries commit, expressed at the fs seam."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from reair_spark import sources as S
+
+    run = tempfile.mkdtemp(prefix="reair_zmconc_")
+    atexit.register(shutil.rmtree, run, ignore_errors=True)
+    loc = f"{run}/layout"
+
+    nation = _t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("k"),
+        F.col("n_regionkey").cast("long").alias("b"),
+        (F.col("n_nationkey") * 10).cast("long").alias("v"),
+    )
+    S.write_zonemapped(nation, loc, "b", stat_cols=["v"])
+
+    b_rows = _t(spark, sf, "region").select(
+        (F.col("r_regionkey") + 100).cast("long").alias("k"),
+        F.col("r_regionkey").cast("long").alias("b"),
+        F.col("r_regionkey").cast("long").alias("v"),
+    )
+    state = {"fired": False}
+    real_claim = S._claim_ingest_id
+
+    def claim_with_concurrent_append(location):
+        if not state["fired"]:
+            state["fired"] = True
+            bid = real_claim(location)
+            S.append_zonemapped(b_rows, loc, "b", ["v"], ingest_id=bid)
+        return real_claim(location)
+
+    upd = nation.where("k = 5").select(
+        "k", "b", F.lit(9999).cast("long").alias("v")
+    )
+    S._claim_ingest_id = claim_with_concurrent_append
+    try:
+        m = S.zonemap_merge(spark, loc, upd, key_cols=["k"])
+    finally:
+        S._claim_ingest_id = real_claim
+
+    ids = sorted(
+        int(p.split("=")[1])
+        for p in os.listdir(f"{loc}/manifest")
+        if p.startswith("ingest=")
+    )
+    df, _ = S.zonemap_scan(spark, loc)
+    agg = df.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("v").cast("long").alias("sum_v"),
+    )
+    return agg.select(
+        F.lit(len(ids)).cast("long").alias("n_deltas"),
+        F.lit(len(set(ids))).cast("long").alias("n_distinct_ingests"),
+        F.lit(m["ingest_id"]).cast("long").alias("merge_ingest"),
+        "n_rows",
+        "sum_v",
+    )
+
+
+ENGINE_QUERIES["zonemap_concurrent_commit"] = zonemap_concurrent_commit
+ENGINE_ORACLES["zonemap_concurrent_commit"] = """
+WITH merged AS (
+  SELECT n_nationkey AS k,
+         CASE WHEN n_nationkey = 5 THEN 9999
+              ELSE n_nationkey * 10 END AS v
+  FROM nation
+  UNION ALL
+  SELECT r_regionkey + 100 AS k, r_regionkey AS v FROM region)
+SELECT CAST(3 AS BIGINT) AS n_deltas,
+       CAST(3 AS BIGINT) AS n_distinct_ingests,
+       -- base=0, append claims 1, the merge's invalidated first
+       -- attempt strands claim 2, the winning recompute commits at 3
+       CAST(3 AS BIGINT) AS merge_ingest,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(v) AS BIGINT) AS sum_v
+FROM merged
+"""
+
+
+def _build_hidden_partition_src(spark: SparkSession, sf: str) -> str:
+    """src warehouse for the hidden-partitioning gate: orders WITHOUT
+    any materialized clustering column — the dest record's
+    ``zonemap.bucket_expr`` must derive it at publish time."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from reair_spark.catalog import DirectoryCatalog
+
+    root = tempfile.mkdtemp(prefix="reair_hidden_src_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    cat = DirectoryCatalog(root)
+    loc = cat.table_location("wh", "orders_h")
+    (
+        _t(spark, sf, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+        .write.mode("overwrite").parquet(loc)
+    )
+    cat.create_table({
+        "db": "wh", "table": "orders_h", "table_type": "MANAGED_TABLE",
+        "cols": [], "partition_keys": [], "location": loc,
+        "serde": "parquet", "parameters": {"transient_lastDdlTime": "100"},
+    })
+    return root
+
+
+def replication_hidden_partition(spark: SparkSession, sf: str) -> DataFrame:
+    """Hidden partitioning on the replication publish path (VERDICT
+    r11 ask #3 — the Iceberg transform shape): the SOURCE orders table
+    carries NO clustering column; the dest record declares
+    ``zonemap.bucket_expr = date_format(o_orderdate, 'yyyy')`` and the
+    publish derives it, persists the expression in the layout
+    descriptor (every later append re-derives identically), and the
+    readback prunes on the derived zones. The oracle recomputes the
+    derived buckets, the pruning arithmetic, and the answer from raw
+    orders — a publish that fails to derive, records the wrong
+    expression, or mis-clusters breaks the counts or the hash.
+
+    100 TB story: a real fact table rarely materializes ``year`` —
+    hidden partitioning is what lets the table format own the
+    clustering without touching every producer."""
+    import datetime as _dt
+    import tempfile
+
+    import atexit
+    import shutil as _sh
+
+    from reair_spark.catalog import DirectoryCatalog
+    from reair_spark.replicate import replicate_warehouse
+    from reair_spark.sources import _read_layout_meta, scan_catalog_table
+
+    key = (spark.sparkContext.applicationId, "hidden_src", sf)
+    if key not in _ZONEMAP_CACHE:
+        _ZONEMAP_CACHE[key] = _build_hidden_partition_src(spark, sf)
+    src_root = _ZONEMAP_CACHE[key]
+
+    run = tempfile.mkdtemp(prefix="reair_hidden_run_")
+    atexit.register(_sh.rmtree, run, ignore_errors=True)
+    dest_root = os.path.join(run, "dest")
+    dest_cat = DirectoryCatalog(dest_root)
+    dest_cat.create_table({
+        "db": "wh", "table": "orders_h", "table_type": "EXTERNAL_TABLE",
+        "cols": [], "partition_keys": [],
+        "location": dest_cat.table_location("wh", "orders_h"),
+        "serde": "parquet",
+        "parameters": {
+            "layout": "zonemapped",
+            "zonemap.bucket_col": "oyear",
+            "zonemap.stat_cols": "o_orderdate,o_totalprice",
+            "zonemap.bucket_expr": "date_format(o_orderdate, 'yyyy')",
+        },
+    })
+
+    out = replicate_warehouse(spark, src_root, dest_root)
+    pub = out["zonemap_results"].where(
+        "table = 'orders_h' AND status = 'PUBLISHED'"
+    ).first()
+    loc = dest_cat.get_table("wh", "orders_h")["location"]
+    meta = _read_layout_meta(loc)
+    expr_recorded = int(
+        (meta or {}).get("bucket_expr") == "date_format(o_orderdate, 'yyyy')"
+    )
+
+    lo = _dt.datetime(1995, 2, 1)
+    hi = _dt.datetime(1996, 11, 30)
+    df, stats = scan_catalog_table(
+        spark, dest_cat, "wh", "orders_h",
+        predicates=[("o_orderdate", lo, hi)],
+    )
+    res = df.filter(
+        (F.col("o_orderdate") >= F.lit(lo))
+        & (F.col("o_orderdate") <= F.lit(hi))
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows_matched"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+    return res.select(
+        F.lit(pub.n_rows if pub else -1).cast("long").alias("n_pub_rows"),
+        F.lit(pub.n_buckets if pub else -1).cast("long")
+            .alias("n_pub_buckets"),
+        F.lit(expr_recorded).cast("long").alias("expr_recorded"),
+        F.lit(stats["n_buckets_total"]).cast("long").alias("n_buckets_total"),
+        F.lit(stats["n_buckets_read"]).cast("long").alias("n_buckets_read"),
+        "n_rows_matched",
+        "revenue",
+    )
+
+
+ENGINE_QUERIES["replication_hidden_partition"] = replication_hidden_partition
+ENGINE_ORACLES["replication_hidden_partition"] = """
+WITH o AS (
+  SELECT o_orderdate, o_totalprice,
+         strftime(o_orderdate, '%Y') AS oyear
+  FROM orders),
+m AS (
+  SELECT oyear, CAST(count(*) AS BIGINT) AS n,
+         min(o_orderdate) AS mn, max(o_orderdate) AS mx
+  FROM o GROUP BY oyear),
+k AS (
+  SELECT * FROM m
+  WHERE mx >= TIMESTAMP '1995-02-01 00:00:00'
+    AND mn <= TIMESTAMP '1996-11-30 00:00:00')
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM o) AS n_pub_rows,
+       (SELECT CAST(count(*) AS BIGINT) FROM m) AS n_pub_buckets,
+       CAST(1 AS BIGINT) AS expr_recorded,
+       (SELECT CAST(count(*) AS BIGINT) FROM m) AS n_buckets_total,
+       (SELECT CAST(count(*) AS BIGINT) FROM k) AS n_buckets_read,
+       CAST(count(*) AS BIGINT) AS n_rows_matched,
+       round(sum(o_totalprice), 2) AS revenue
+FROM o
+WHERE o_orderdate >= TIMESTAMP '1995-02-01 00:00:00'
+  AND o_orderdate <= TIMESTAMP '1996-11-30 00:00:00'
+"""
+
+
+def stats_broadcast_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Load-bearing ANALYZE statistics (VERDICT r11 ask #6): a
+    zonemapped ``part`` reference table is ANALYZEd from its manifest
+    alone (zero data reads), the statistics land in the catalog record
+    under the public ``spark.sql.statistics.*`` property names, and
+    the reference-lookup join (J6) reads them to make its broadcast
+    decision — the hint goes on iff the recorded numRows clears the
+    threshold, with auto-broadcast disabled so ONLY the statistic can
+    produce the broadcast plan (plan-shape pytest-pinned; the gate
+    pins the decision flag + the join answer). The oracle recomputes
+    numRows, the decision rule, and the join from raw tables.
+
+    100 TB story: this is the CBO loop Iceberg/HMS stats exist for —
+    the manifest's metadata answers "is this side broadcastable"
+    without scanning a byte, turning a fact⋈reference join from a
+    full shuffle into a map-side join."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from reair_spark.catalog import DirectoryCatalog
+    from reair_spark.sources import (
+        BROADCAST_ROW_THRESHOLD,
+        analyze_catalog_table,
+        broadcast_aware_join,
+        write_zonemapped,
+    )
+
+    key = (spark.sparkContext.applicationId, "stats_bcast", sf)
+    if key not in _ZONEMAP_CACHE:
+        root = tempfile.mkdtemp(prefix="reair_statsj_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        cat = DirectoryCatalog(root)
+        loc = cat.table_location("wh", "part_ref")
+        part = _t(spark, sf, "part").select(
+            "p_partkey", "p_retailprice",
+            F.pmod("p_partkey", F.lit(8)).cast("long").alias("pb"),
+        )
+        write_zonemapped(part, loc, "pb", stat_cols=["p_retailprice"])
+        cat.create_table({
+            "db": "wh", "table": "part_ref",
+            "table_type": "EXTERNAL_TABLE",
+            "cols": [], "partition_keys": [], "location": loc,
+            "serde": "parquet", "parameters": {"layout": "zonemapped"},
+        })
+        analyze_catalog_table(spark, cat, "wh", "part_ref")
+        _ZONEMAP_CACHE[key] = cat
+    cat = _ZONEMAP_CACHE[key]
+
+    li = _t(spark, sf, "lineitem").select(
+        F.col("l_partkey").alias("p_partkey"), "l_quantity",
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined, dec = broadcast_aware_join(
+            spark, cat, "wh", "part_ref", li, on=["p_partkey"]
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        agg = joined.agg(
+            F.count(F.lit(1)).cast("long").alias("n_joined"),
+            F.round(
+                F.sum(F.col("l_quantity") * F.col("p_retailprice")), 2
+            ).alias("total_value"),
+        )
+        rows, schema = agg.collect(), agg.schema
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    out = spark.createDataFrame(rows, schema)
+    return out.select(
+        F.lit(dec["num_rows_stat"]).cast("long").alias("num_rows_stat"),
+        F.lit(int(dec["broadcast"])).cast("long").alias("broadcast_on"),
+        F.lit(int("BroadcastHashJoin" in plan)).cast("long")
+            .alias("broadcast_in_plan"),
+        F.lit(int(BROADCAST_ROW_THRESHOLD)).cast("long")
+            .alias("row_threshold"),
+        "n_joined",
+        "total_value",
+    )
+
+
+ENGINE_QUERIES["stats_broadcast_join"] = stats_broadcast_join
+ENGINE_ORACLES["stats_broadcast_join"] = """
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM part) AS num_rows_stat,
+       (SELECT CAST(CASE WHEN count(*) <= 500000 THEN 1 ELSE 0 END
+               AS BIGINT) FROM part) AS broadcast_on,
+       (SELECT CAST(CASE WHEN count(*) <= 500000 THEN 1 ELSE 0 END
+               AS BIGINT) FROM part) AS broadcast_in_plan,
+       CAST(500000 AS BIGINT) AS row_threshold,
+       CAST(count(*) AS BIGINT) AS n_joined,
+       round(sum(l.l_quantity * p.p_retailprice), 2) AS total_value
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+"""

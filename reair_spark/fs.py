@@ -16,7 +16,7 @@ the call sites capture a snapshot of the scheme registry
 (``fs_registry()``) inside the task closure — so a scheme registered
 on the driver travels to every Python worker with the task, no
 worker-side import-time registration needed. Adding a real
-`hdfs://`/`s3a://` backend is therefore: implement the 9 primitives
+`hdfs://`/`s3a://` backend is therefore: implement the core primitives
 below (e.g. over pyarrow.fs), `register_fs(...)` it, done — no change
 to the listing or copy code.
 """
@@ -91,6 +91,16 @@ class LocalFs:
         p = self._resolve(path)
         os.makedirs(os.path.dirname(p), exist_ok=True)
         return open(p, "wb")
+
+    def create_exclusive(self, path: str):
+        """Writable binary stream that ATOMICALLY fails with
+        FileExistsError when the path already exists (O_EXCL) — the
+        compare-and-swap primitive layout commits build on: whoever
+        creates the path owns the claim, losers observe the collision
+        and retry. Parent dirs created."""
+        p = self._resolve(path)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        return open(p, "xb")
 
     def flush_and_sync(self, fileobj) -> None:
         fileobj.flush()
@@ -217,6 +227,16 @@ class MemFs:
                 super().close()
 
         return _W()
+
+    def create_exclusive(self, path: str):
+        # claim the key EAGERLY (empty content): the existence check
+        # and the reservation are one step under the in-process dict,
+        # so two racers cannot both win
+        key = self._key(path)
+        if key in self.files:
+            raise FileExistsError(path)
+        self.files[key] = (b"", int(time.time() * 1000))
+        return self.create(path)
 
     def flush_and_sync(self, fileobj) -> None:
         pass  # no durability boundary in memory
@@ -345,6 +365,22 @@ class ArrowFs:
         if parent:
             self.arrow.create_dir(parent, recursive=True)
         return self.arrow.open_output_stream(p)
+
+    def create_exclusive(self, path: str):
+        """Best-effort exclusive create: probe-then-create (pyarrow
+        has no O_EXCL). On a real object store the probe window is
+        closed by the backend's conditional write (S3 If-None-Match,
+        GCS x-goog-if-generation-match) — subclass and use it; the
+        layout commit protocol's safety degrades to the probe window
+        otherwise, which is exactly the pre-conditional-PUT Iceberg
+        situation (an external lock, or single-writer, closes it)."""
+        from pyarrow.fs import FileType
+
+        if self.arrow.get_file_info(
+            self._resolve(path)
+        ).type != FileType.NotFound:
+            raise FileExistsError(path)
+        return self.create(path)
 
     def flush_and_sync(self, fileobj) -> None:
         fileobj.flush()
@@ -478,6 +514,10 @@ class FailingFs(MappedFs):
         self._maybe_fail("create", path)
         return super().create(path)
 
+    def create_exclusive(self, path: str):
+        self._maybe_fail("create_exclusive", path)
+        return super().create_exclusive(path)
+
     def flush_and_sync(self, fileobj) -> None:
         self._maybe_fail("flush_and_sync", getattr(fileobj, "name", ""))
         super().flush_and_sync(fileobj)
@@ -568,6 +608,11 @@ class RetryingFs:
 
     def create(self, path: str):
         return self._retry(self.inner.create, path)
+
+    def create_exclusive(self, path: str):
+        # FileExistsError is NON_TRANSIENT: the collision IS the
+        # protocol signal — it must surface immediately, never retry
+        return self._retry(self.inner.create_exclusive, path)
 
     def flush_and_sync(self, fileobj) -> None:
         return self._retry(self.inner.flush_and_sync, fileobj)
@@ -661,7 +706,7 @@ class UnregisteredSchemeError(ValueError):
 
 def fs_exists(fs, path: str) -> bool:
     """Existence probe over the seam primitives (no dedicated
-    primitive: 9 is the whole protocol): a directory or a stat-able
+    primitive: the protocol stays small): a directory or a stat-able
     file counts."""
     if fs.isdir(path):
         return True

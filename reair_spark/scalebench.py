@@ -871,3 +871,90 @@ def merge_measure_scale(
             "spark_jobs": jobs, **r,
         })
     return out
+
+
+# ---------------------------------------------------------------------
+# manifest FOLD at scale (VERDICT r11 ask #1 done-criterion): plan
+# cost over a many-delta manifest before vs after rewrite_manifests —
+# the study that shows the per-ingest delta-read growth gone without
+# any data rewrite.
+# ---------------------------------------------------------------------
+
+def synthetic_multidelta_layout(
+    spark: SparkSession, n_deltas: int, buckets_per_delta: int = 512
+) -> str:
+    """A descriptor-bearing layout (real seed write) plus
+    ``n_deltas − 1`` range-generated manifest deltas, each adding its
+    own disjoint bucket range with closed-form zones — the metadata
+    shape of a streaming table after n_deltas micro-batches. Phantom
+    buckets carry no data dirs (legal: plans only open KEPT buckets,
+    and the study's predicate stays inside the seed zones when it
+    scans). Zero createDataFrame rows."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from reair_spark.sources import write_zonemapped
+
+    base = tempfile.mkdtemp(prefix="reair_foldscale_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    loc = f"{base}/layout"
+    seed = spark.range(20).select(
+        F.col("id").alias("k"), F.col("id").alias("v"),
+        (F.col("id") / 10).cast("long").cast("string").alias("bucket"),
+    )
+    write_zonemapped(seed, loc, "bucket", stat_cols=["v"])
+    for i in range(1, n_deltas):
+        lo = i * buckets_per_delta
+        (
+            spark.range(lo, lo + buckets_per_delta)
+            .select(
+                F.col("id").cast("string").alias("bucket"),
+                ((F.col("id") % 97) + 1).cast("long").alias("n_rows"),
+                (F.col("id") * 10).alias("min_v"),
+                (F.col("id") * 10 + 9).alias("max_v"),
+                F.lit(0).cast("long").alias("n_nulls_v"),
+                F.lit(False).alias("replaces"),
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{loc}/manifest/ingest={i}")
+        )
+    return loc
+
+
+def fold_measure_scale(
+    spark: SparkSession, delta_counts: tuple[int, ...] = (64, 256)
+) -> list[dict]:
+    """Plan wall over the many-delta manifest BEFORE and AFTER the
+    manifest-only fold, plus the fold's own cost — the PLANS.md
+    evidence that rewrite_manifests removes the per-ingest delta-read
+    growth while data/ stays untouched."""
+    from reair_spark.sources import zonemap_plan, zonemap_rewrite_manifests
+
+    out = []
+    for k in delta_counts:
+        loc = synthetic_multidelta_layout(spark, k)
+        pred = [("v", 5, 95)]  # inside the seed zones
+
+        t0 = time.time()
+        _, _, before = zonemap_plan(spark, loc, predicates=pred)
+        t_before = time.time() - t0
+
+        t0 = time.time()
+        fold = zonemap_rewrite_manifests(spark, loc)
+        t_fold = time.time() - t0
+
+        t0 = time.time()
+        _, _, after = zonemap_plan(spark, loc, predicates=pred)
+        t_after = time.time() - t0
+        assert after == before, (before, after)
+        out.append({
+            "n_deltas": k,
+            "plan_s_before": round(t_before, 2),
+            "fold_s": round(t_fold, 2),
+            "plan_s_after": round(t_after, 2),
+            "deltas_after": fold["deltas_after"],
+            "n_buckets_total": before["n_buckets_total"],
+        })
+    return out

@@ -231,6 +231,12 @@ def write_bucketed(
 BLOOM_M = 1024  # default bit positions per bucket-level bloom
 BLOOM_K = 2     # default derived-family members per value
 KMV_K = 64      # k-minimum-values sketch size per bucket per NDV column
+# tombstone lists at or below this ride a Catalyst literal array (one
+# job, no driver rows in the plan); above it they fall back to a
+# parallelized frame — one literal per emptied bucket would blow up
+# codegen/constant pools at the layout's own 10⁵–10⁶-bucket scale
+# story (ADVICE r11)
+TOMBSTONE_LITERAL_MAX = 1024
 
 LAYOUT_META = "_meta.json"  # layout descriptor at the layout root
 
@@ -314,6 +320,135 @@ def _write_layout_meta(location: str, meta: dict) -> None:
     fs.rename(tmp, f"{loc}/{LAYOUT_META}")
 
 
+def _meta_cas_update(location: str, mutate):
+    """Optimistic compare-and-swap read-modify-write of the layout
+    descriptor (VERDICT r11 ask #2): ``mutate(meta_or_None)`` returns
+    the new descriptor dict, or None for "no change needed". The CAS
+    carrier is an exclusive-create VERSION file
+    (``_staging/meta/v<N>.json``) at the fs seam: whoever creates
+    version N+1 owns that transition; losers adopt the winner's
+    descriptor and retry against fresh state — so two concurrent
+    writers can both widen the schema, advance watermarks, or record
+    a first-write without either update being lost to a torn
+    read-modify-write of ``_meta.json``.
+
+    Crash discipline: the winner writes the version file's CONTENT,
+    fsyncs, then republishes the canonical ``_meta.json`` (atomic
+    rename). A winner that dies between claiming and writing content
+    leaves an empty claim; after a bounded number of collisions
+    against a claim whose canonical never advances, the claim is
+    STOLEN (deleted and retried) — the liveness/safety trade every
+    lease-style commit makes on filesystems without conditional
+    writes; object-store backends close it with conditional PUT
+    (S3 If-None-Match), cf. ArrowFs.create_exclusive.
+
+    Version files at or below the canonical version are garbage;
+    :func:`_recover_layout` sweeps them and heals a stale canonical
+    from a newer surviving version file."""
+    import json
+    import time as _time
+
+    from reair_spark.fs import fs_for
+
+    loc = location.rstrip("/")
+    fs = fs_for(loc)
+    stuck = 0
+    while True:
+        meta = _read_layout_meta(loc)
+        cur_v = int((meta or {}).get("meta_version", 0))
+        new = mutate(dict(meta) if meta is not None else None)
+        if new is None:
+            return meta
+        new = dict(new)
+        new["meta_version"] = cur_v + 1
+        ver_path = f"{loc}/_staging/meta/v{cur_v + 1:012d}.json"
+        try:
+            fh = fs.create_exclusive(ver_path)
+        except FileExistsError:
+            # lost the race. Adopt the winner's descriptor if the
+            # canonical hasn't caught up (heals a winner that died
+            # after writing content but before the canonical rename),
+            # then retry the whole RMW against fresh state.
+            healed = False
+            try:
+                with fs.open_read(ver_path) as rfh:
+                    raw = rfh.read()
+                if raw:
+                    winner = json.loads(raw.decode("utf-8"))
+                    cur = _read_layout_meta(loc) or {}
+                    if int(cur.get("meta_version", 0)) < int(
+                        winner.get("meta_version", 0)
+                    ):
+                        _write_layout_meta(loc, winner)
+                    healed = True
+            except (FileNotFoundError, ValueError):
+                pass
+            if not healed:
+                # empty/unreadable claim: a winner crashed between
+                # claiming and writing content. Bounded patience,
+                # then steal the dead claim.
+                stuck += 1
+                if stuck >= 10:
+                    try:
+                        fs.unlink(ver_path)
+                    except FileNotFoundError:
+                        pass
+                    stuck = 0
+                else:
+                    _time.sleep(0.01)
+            continue
+        payload = json.dumps(new, sort_keys=True).encode("utf-8")
+        fh.write(payload)
+        fs.flush_and_sync(fh)
+        fh.close()
+        _write_layout_meta(loc, new)
+        return new
+
+
+def _manifest_delta_ids(location: str) -> tuple[int, ...]:
+    """Sorted manifest delta ids — the commit-visibility snapshot the
+    optimistic mutations validate against."""
+    from reair_spark.fs import fs_for
+
+    loc = location.rstrip("/")
+    return tuple(sorted(
+        int(e.name.split("=", 1)[1])
+        for e in _scandir_or_empty(fs_for(loc), f"{loc}/manifest")
+        if e.name.startswith("ingest=")
+        and e.name.split("=", 1)[1].isdigit()
+    ))
+
+
+def _claim_ingest_id(location: str) -> int:
+    """Reserve a fresh ingest id against concurrent writers: an
+    exclusive-create CLAIM file under ``_staging/claims`` (the fs-seam
+    CAS primitive). Two racing mutations can no longer mint the same
+    id — the loser's create collides and linear-probes upward. Claims
+    whose delta has published are swept by :func:`_recover_layout`;
+    a crashed writer's claim simply leaves its id reserved (ids are
+    free)."""
+    from reair_spark.fs import fs_for
+
+    loc = location.rstrip("/")
+    fs = fs_for(loc)
+    claimed = [
+        int(e.name.split("-", 1)[1])
+        for e in _scandir_or_empty(fs, f"{loc}/_staging/claims")
+        if e.name.startswith("ingest-")
+        and e.name.split("-", 1)[1].isdigit()
+    ]
+    cand = max([_next_ingest_id(loc) - 1] + claimed) + 1
+    while True:
+        try:
+            fh = fs.create_exclusive(
+                f"{loc}/_staging/claims/ingest-{cand}"
+            )
+            fh.close()
+            return cand
+        except FileExistsError:
+            cand += 1
+
+
 def write_zonemapped(
     df: DataFrame,
     location: str,
@@ -326,6 +461,7 @@ def write_zonemapped(
     sort_cols: list[str] | None = None,
     write_options: dict | None = None,
     ndv_cols: list[str] | None = None,
+    bucket_expr: str | None = None,
 ) -> None:
     """Clustered layout + file-level statistics manifest — the
     Iceberg/Delta scan-planning shape, expressed with plain datasource
@@ -391,8 +527,51 @@ def write_zonemapped(
         bloom_cols=bloom_cols, ingest_id=0,
         bloom_m=bloom_m, bloom_k=bloom_k,
         sort_cols=sort_cols, write_options=write_options,
-        ndv_cols=ndv_cols,
+        ndv_cols=ndv_cols, bucket_expr=bucket_expr,
     )
+
+
+def _widen_schema(
+    loc: str,
+    recorded: list,
+    incoming: list,
+    hashed_cols: set,
+) -> list:
+    """Pure union-merge of the descriptor's READ schema with an
+    append's columns under the safe-promotion rules (see the comment
+    block at the call site); raises on any refused type change. Pure
+    so the descriptor CAS can re-run it against whichever descriptor
+    version actually wins."""
+    rec_types = {n: t for n, t in recorded}
+    merged_types = dict(rec_types)
+    drift_t = {}
+    for n, t in incoming:
+        rec = rec_types.get(n)
+        if rec is None or rec == t:
+            continue
+        if n in hashed_cols:
+            # both directions: a NARROW append under a wide-recorded
+            # hashed column renders the same hash drift in its delta
+            drift_t[n] = (rec, t)
+        elif _type_promotes(rec, t):
+            merged_types[n] = t
+        elif _type_promotes(t, rec):
+            pass  # narrow files under the recorded wide read schema
+        else:
+            drift_t[n] = (rec, t)
+    if drift_t:
+        raise ValueError(
+            f"append into {loc} changes column types: "
+            + ", ".join(f"{n} layout={a!r} append={b!r}"
+                        for n, (a, b) in sorted(drift_t.items()))
+            + " (only safe widenings are allowed — int->bigint, "
+            "float->double, decimal precision growth — and never on "
+            "stat/bloom/ndv columns, whose manifest stats/hashes are "
+            "keyed to the recorded physical type)"
+        )
+    return [
+        [n, merged_types[n]] for n, _ in recorded
+    ] + [list(x) for x in incoming if x[0] not in rec_types]
 
 
 def append_zonemapped(
@@ -408,6 +587,7 @@ def append_zonemapped(
     sort_cols: list[str] | None = None,
     write_options: dict | None = None,
     ndv_cols: list[str] | None = None,
+    bucket_expr: str | None = None,
     _replaces: bool = False,
     _tombstone_buckets: list | None = None,
 ) -> None:
@@ -443,6 +623,27 @@ def append_zonemapped(
     from reair_spark.datapipe.common import derived_hash, hash_family_ab
 
     loc = location.rstrip("/")
+    meta = _read_layout_meta(loc)
+    # hidden partitioning (the Iceberg transform shape, VERDICT r11
+    # ask #3): the clustering column can be DERIVED from a recorded
+    # SQL expression instead of materialized by every producer — a
+    # fact table clustered on year(ts) never needs a physical `year`
+    # column. The expression is persisted in the descriptor so every
+    # later append/merge/overwrite re-derives it identically; an
+    # explicit mismatching expression is a drift error like any other
+    # layout parameter.
+    derive_expr = (
+        bucket_expr if bucket_expr is not None
+        else (meta or {}).get("bucket_expr")
+    )
+    if bucket_col not in df.columns:
+        if not derive_expr:
+            raise ValueError(
+                f"append into {loc}: clustering column {bucket_col!r} "
+                "is not a data column and the layout records no "
+                "bucket_expr to derive it"
+            )
+        df = df.withColumn(bucket_col, F.expr(derive_expr))
     want = {
         "format_version": 1,
         "bucket_col": bucket_col,
@@ -456,6 +657,9 @@ def append_zonemapped(
         # k-min hash sets re-truncated to k). Portable md5-derived
         # hashes, so a DuckDB oracle reproduces the ESTIMATE exactly.
         "ndv_cols": sorted(ndv_cols or []),
+        # hidden-partitioning derivation expression (None = the
+        # clustering column is a physical data column)
+        "bucket_expr": derive_expr,
         # per-stat-col null counts in every delta (Iceberg's
         # null_value_counts): min/max zones IGNORE nulls while n_rows
         # includes them, so a metadata-only COUNT over a "fully
@@ -480,43 +684,55 @@ def append_zonemapped(
             if f.name != bucket_col
         ],
     }
-    meta = _read_layout_meta(loc)
     if meta is None:
-        _write_layout_meta(loc, want)
-        meta = want
-    else:
-        # defaulted m/k inherit the layout's recorded values; only
-        # EXPLICIT mismatching parameters are a contract violation
-        check = ["bucket_col", "stat_cols", "bloom_cols", "serde"]
-        if ndv_cols is not None:
-            check.append("ndv_cols")
-        if bloom_m is not None:
-            check.append("bloom_m")
-        if bloom_k is not None:
-            check.append("bloom_k")
-        if sort_cols is not None:
-            check.append("sorted_by")
-        drift = {
-            k: (meta.get(k), want[k]) for k in check
-            if meta.get(k) != want[k]
-        }
-        if drift:
-            raise ValueError(
-                f"append into {loc} conflicts with its _meta.json: "
-                + ", ".join(
-                    f"{k} layout={a!r} append={b!r}"
-                    for k, (a, b) in sorted(drift.items())
-                )
+        # first-write CAS: two racing fresh writers resolve to ONE
+        # descriptor author; the loser adopts the winner's and falls
+        # through to the same drift validation as any later append
+        meta = _meta_cas_update(
+            loc, lambda m: dict(want) if m is None else None
+        )
+    if int(ingest_id) <= int(meta.get("compacted_through", -1)):
+        # replay of a batch that compaction has already FOLDED into
+        # the base ingest: its rows are in the layout, its original
+        # ingest partition no longer exists — re-appending would
+        # DUPLICATE them. The high-water mark in _meta.json keeps
+        # replay idempotent across compactions (the reason Delta's
+        # OPTIMIZE commutes with stream replays: the log, here the
+        # descriptor, remembers what was folded).
+        # Checked BEFORE the descriptor drift check (ADVICE r11):
+        # a replayed batch arrives with whatever spec its
+        # CHECKPOINTED writer recorded — after zonemap_recluster
+        # changed the layout's spec, that old spec no longer
+        # matches the descriptor, but the replay's rows are
+        # already in the layout, so its append arguments are
+        # irrelevant and the replay must no-op, not raise.
+        return
+    # defaulted m/k inherit the layout's recorded values; only
+    # EXPLICIT mismatching parameters are a contract violation (a
+    # just-authored descriptor trivially passes its own check)
+    check = ["bucket_col", "stat_cols", "bloom_cols", "serde"]
+    if ndv_cols is not None:
+        check.append("ndv_cols")
+    if bucket_expr is not None:
+        check.append("bucket_expr")
+    if bloom_m is not None:
+        check.append("bloom_m")
+    if bloom_k is not None:
+        check.append("bloom_k")
+    if sort_cols is not None:
+        check.append("sorted_by")
+    drift = {
+        k: (meta.get(k), want[k]) for k in check
+        if meta.get(k) != want[k]
+    }
+    if drift:
+        raise ValueError(
+            f"append into {loc} conflicts with its _meta.json: "
+            + ", ".join(
+                f"{k} layout={a!r} append={b!r}"
+                for k, (a, b) in sorted(drift.items())
             )
-        if int(ingest_id) <= int(meta.get("compacted_through", -1)):
-            # replay of a batch that compaction has already FOLDED into
-            # the base ingest: its rows are in the layout, its original
-            # ingest partition no longer exists — re-appending would
-            # DUPLICATE them. The high-water mark in _meta.json keeps
-            # replay idempotent across compactions (the reason Delta's
-            # OPTIMIZE commutes with stream replays: the log, here the
-            # descriptor, remembers what was folded).
-            return
+        )
     # schema evolution (Iceberg add-column semantics): the descriptor
     # records the union READ schema. New columns WIDEN it (old files
     # null-fill under the explicit read schema); a type change is
@@ -543,34 +759,35 @@ def append_zonemapped(
     # disagreeing on a zone column's physical type would make the
     # manifest itself unreadable, so promoting a stat column is
     # refused (compact-and-rewrite is the escape hatch, as in Iceberg
-    # before v3 type promotion of partition stats).
-    merged_types = dict(rec_types)
-    drift_t = {}
-    for n, t in incoming:
-        rec = rec_types.get(n)
-        if rec is None or rec == t:
-            continue
-        if _type_promotes(rec, t) and n not in stat_cols:
-            merged_types[n] = t
-        elif _type_promotes(t, rec):
-            pass  # narrow files under the recorded wide read schema
-        else:
-            drift_t[n] = (rec, t)
-    if drift_t:
-        raise ValueError(
-            f"append into {loc} changes column types: "
-            + ", ".join(f"{n} layout={a!r} append={b!r}"
-                        for n, (a, b) in sorted(drift_t.items()))
-            + " (only safe widenings of non-stat columns are allowed: "
-            "int->bigint, float->double, decimal precision growth)"
-        )
-    widened = [
-        [n, merged_types[n]] for n, _ in recorded
-    ] + [x for x in incoming if x[0] not in rec_types]
-    if widened != (meta.get("data_schema") or []):
-        meta = dict(meta)
-        meta["data_schema"] = widened
-        _write_layout_meta(loc, meta)
+    # before v3 type promotion of partition stats). BLOOM and NDV
+    # columns are equally frozen (ADVICE r11): their manifests are
+    # built from md5/portable hashes of cast(col AS string), and a
+    # float '1.1' string-renders differently from the double it
+    # promotes to ('1.1000000238418579') — old deltas' blooms would
+    # silently FALSE-NEGATIVE on point probes (pruned buckets,
+    # missing rows) and KMV sketches would double-count, so the
+    # promotion is refused for any hash-bearing column.
+    hashed_cols = (
+        set(stat_cols)
+        | set(meta.get("bloom_cols") or [])
+        | set(meta.get("ndv_cols") or [])
+    )
+    _widen_schema(loc, recorded, incoming, hashed_cols)  # validate NOW
+
+    def _widen_mutate(m):
+        rec = [list(x) for x in ((m or {}).get("data_schema") or [])]
+        w = _widen_schema(loc, rec, incoming, hashed_cols)
+        if w == rec:
+            return None
+        out = dict(m)
+        out["data_schema"] = w
+        return out
+
+    # descriptor CAS (VERDICT r11 ask #2): two concurrent appends can
+    # both widen the schema — the union merge is recomputed against
+    # whatever descriptor actually won, so neither widening is lost to
+    # a torn read-modify-write
+    meta = _meta_cas_update(loc, _widen_mutate)
     from reair_spark.fs import fs_spark_path
 
     m_bits, k_hashes = int(meta["bloom_m"]), int(meta["bloom_k"])
@@ -667,15 +884,25 @@ def append_zonemapped(
     if _tombstone_buckets:
         # emptied buckets: n_rows=0 marker rows (stats/blooms null) so
         # the replacing base still covers them; the plan drops
-        # zero-row buckets from both the kept set and the totals
-        tomb = (
-            df.sparkSession.range(1)
-            .select(
-                F.explode(
-                    F.array(*[F.lit(str(b)) for b in _tombstone_buckets])
-                ).alias(bucket_col)
+        # zero-row buckets from both the kept set and the totals.
+        # Small lists ride a literal array (one job, no driver rows in
+        # the plan); big lists — an overwrite/delete emptying 10⁵⁺
+        # buckets — would build one Catalyst literal PER bucket and
+        # blow up codegen/constant pools (ADVICE r11), so they fall
+        # back to a parallelized frame, which scales as data.
+        spark_ = df.sparkSession
+        names = [str(b) for b in _tombstone_buckets]
+        if len(names) <= TOMBSTONE_LITERAL_MAX:
+            tomb_src = spark_.range(1).select(
+                F.explode(F.array(*[F.lit(b) for b in names]))
+                .alias(bucket_col)
             )
-            .join(manifest.select(bucket_col), bucket_col, "left_anti")
+        else:
+            tomb_src = spark_.createDataFrame(
+                [(b,) for b in names], f"`{bucket_col}` string"
+            )
+        tomb = tomb_src.join(
+            manifest.select(bucket_col), bucket_col, "left_anti"
         )
         manifest = manifest.unionByName(
             tomb.withColumn("n_rows", F.lit(0).cast("long")),
@@ -842,6 +1069,7 @@ def zonemap_recluster(
     sort_cols: list[str] | None = None,
     bloom_m: int | None = None,
     bloom_k: int | None = None,
+    ndv_cols: list[str] | None = None,
 ) -> dict:
     """Partition-spec EVOLUTION: rewrite the layout under a NEW
     clustering spec — different bucket column (optionally derived via
@@ -894,12 +1122,22 @@ def zonemap_recluster(
                 "column; pass bucket_expr to derive it"
             )
         df = df.withColumn(bucket_col, F.expr(bucket_expr))
+    if ndv_cols is None:
+        # inherit the surviving subset of the old descriptor's NDV
+        # sketch columns (ADVICE r11: recluster silently dropped them
+        # — zonemap_stats returned ndv NULL after any spec change),
+        # matching zonemap_compact's preservation at its write call
+        ndv_cols = [
+            c for c in (meta.get("ndv_cols") or []) if c in df.columns
+        ] or None
     tmp = f"{loc}_.compact_{uuid.uuid4().hex[:8]}"
     write_zonemapped(
         df, tmp, bucket_col, stat_cols, serde=meta["serde"],
         bloom_cols=bloom_cols, bloom_m=bloom_m, bloom_k=bloom_k,
         sort_cols=sort_cols,
         write_options=meta.get("write_options") or None,
+        ndv_cols=ndv_cols,
+        bucket_expr=bucket_expr,
     )
     n_rows, n_buckets = _delta_totals(
         spark, tmp, meta["serde"], bucket_col, 0
@@ -913,6 +1151,122 @@ def zonemap_recluster(
     fs.rename(tmp, loc)
     fs_rmtree(fs, old)
     return {"n_rows": n_rows, "n_buckets": n_buckets}
+
+
+def zonemap_rewrite_manifests(
+    spark: SparkSession,
+    location: str,
+) -> dict:
+    """Manifest-only compaction (VERDICT r11 ask #1 — the Iceberg
+    ``rewrite_manifests`` shape): fold every per-ingest manifest delta
+    into ONE snapshot-resolved delta WITHOUT touching ``data/``. After
+    10⁴ streaming ingests, every plan pays 10⁴ small manifest reads
+    plus the delta merge — the builder-measured growth (merge+delete
+    wall 11.2→14.8 s at 10× manifest width, entirely manifest-merge
+    aggregates); until now the only fold was :func:`zonemap_compact`,
+    which rewrites the DATA too. This folds the metadata alone:
+    plan/scan/count/stats answers are unchanged by construction
+    (pytest-pinned byte-identical ``data/``), and Iceberg separates
+    ``rewrite_manifests`` from ``rewrite_data_files`` for exactly this
+    reason.
+
+    Mechanics: the snapshot-resolved merged view (every statistic a
+    monoid — min/max/null-count sums, bloom unions, KMV re-truncation)
+    becomes one delta whose rows carry ``data_ingests`` — the explicit
+    per-bucket list of absorbed data directories, so exact data-path
+    construction survives the fold — published atomically at a fresh
+    ingest id with ``replaces=true`` (so in the crash window between
+    publish and old-delta removal, resolution already supersedes every
+    older delta and nothing double-counts). The fold horizon is
+    recorded in ``_meta.json`` BEFORE old deltas are removed: as-of
+    reads below it are refused (their per-ingest deltas are gone — the
+    expireSnapshots contract, same as vacuum), a crash mid-removal
+    only strands already-superseded deltas, and re-running converges.
+    ``compacted_through`` advances over the folded delta ids, so a
+    streaming replay of a folded batch no-ops exactly as it does
+    across a data compaction.
+
+    Contracts: refused for text-family manifest serdes (the folded
+    delta adds a column; csv cannot union schemas positionally —
+    parquet/orc manifests read with mergeSchema) and when ORPHAN
+    ingest data partitions exist (a crashed append awaiting replay:
+    folding would mint a fold id ABOVE the orphan's reserved id, and
+    the replay's late delta would be silently superseded — replay or
+    GC the orphan first). Single-writer like every layout mutation.
+
+    Returns {"deltas_before", "deltas_after", "fold_ingest"}."""
+    from pyspark.sql import functions as F
+
+    from reair_spark.fs import fs_for, fs_rmtree
+
+    loc = location.rstrip("/")
+    _recover_layout(loc)
+    meta = _read_layout_meta(loc)
+    if meta is None:
+        raise ValueError(
+            f"{loc} has no {LAYOUT_META}; rewrite_manifests needs a "
+            "descriptor-bearing layout"
+        )
+    serde = meta["serde"]
+    fmt = SERDE_FORMATS.get(serde, serde)
+    if fmt not in ("parquet", "orc"):
+        raise ValueError(
+            f"rewrite_manifests on a {serde!r} manifest is not "
+            "supported: the folded delta adds a data_ingests column "
+            "and text-family serdes cannot union schemas across "
+            "deltas — zonemap_compact (full rewrite) is the fold for "
+            "such layouts"
+        )
+    orphans = zonemap_orphan_ingests(loc)
+    if orphans:
+        raise ValueError(
+            f"{loc} has orphan ingest data partitions {orphans} "
+            "(crashed appends whose manifest delta never published): "
+            "replay them or delete the dirs first — folding would "
+            "supersede their eventual delta publish"
+        )
+    fs = fs_for(loc)
+    delta_ids = [
+        int(e.name.split("=", 1)[1])
+        for e in _scandir_or_empty(fs, f"{loc}/manifest")
+        if e.name.startswith("ingest=")
+        and e.name.split("=", 1)[1].isdigit()
+    ]
+    if len(delta_ids) <= 1:
+        return {"deltas_before": len(delta_ids),
+                "deltas_after": len(delta_ids), "fold_ingest": None}
+    bucket_col, man = _merged_manifest(spark, loc, serde)
+    folded = (
+        man.withColumnRenamed("__ingests", "data_ingests")
+        .withColumn("replaces", F.lit(True))
+    )
+    fold_id = _next_ingest_id(loc)
+    # horizons recorded BEFORE the folded delta publishes or any old
+    # delta is removed: folded_through turns mergeSchema on for every
+    # later manifest read (the mixed-schema crash window — a reader
+    # sampling an old footer would otherwise DROP data_ingests and
+    # construct nonexistent data paths) and refuses as-of reads below
+    # the fold; compacted_through makes folded-batch replays no-op.
+    # A crash right after this write strands only the horizons —
+    # refuse-only, never wrong data — and re-running converges (the
+    # re-run claims the same fold id: _next_ingest_id already counts
+    # the recorded compacted_through).
+    def _horizons(m):
+        out = dict(m or {})
+        out["folded_through"] = max(
+            int(out.get("folded_through", -1)), fold_id
+        )
+        out["compacted_through"] = max(
+            int(out.get("compacted_through", -1)), max(delta_ids)
+        )
+        return out
+
+    meta = _meta_cas_update(loc, _horizons)
+    _publish_delta(folded, loc, fold_id, serde)
+    for i in sorted(delta_ids):
+        fs_rmtree(fs, f"{loc}/manifest/ingest={i}")
+    return {"deltas_before": len(delta_ids), "deltas_after": 1,
+            "fold_ingest": fold_id}
 
 
 def _scandir_or_empty(fs, path: str) -> list:
@@ -984,6 +1338,69 @@ def _recover_layout(location: str) -> None:
         return
     parked_re = _re.compile(r"^(ingest=\d+)_\.old_[0-9a-f]+$")
     for e in _scandir_or_empty(fs, f"{loc}/_staging"):
+        if e.name == "claims" and e.is_dir:
+            # ingest-id CLAIM files (the fs-seam CAS): a claim whose
+            # delta has PUBLISHED is consumed — sweep it; a pending
+            # claim (mid-commit or crashed writer) stays, keeping its
+            # id reserved. Never rmtree the dir itself.
+            for c in _scandir_or_empty(fs, e.path):
+                if (c.name.startswith("ingest-")
+                        and c.name.split("-", 1)[1].isdigit()
+                        and fs.isdir(
+                            f"{loc}/manifest/ingest="
+                            f"{c.name.split('-', 1)[1]}"
+                        )):
+                    try:
+                        fs.unlink(c.path)
+                    except FileNotFoundError:
+                        pass
+            if not _scandir_or_empty(fs, e.path):
+                try:
+                    fs.rmdir(e.path)  # emptied: recreated on demand
+                except OSError:
+                    pass
+            continue
+        if e.name == "meta" and e.is_dir:
+            # descriptor VERSION files (the _meta_cas_update log):
+            # heal a stale canonical from the newest non-empty
+            # version file, then sweep files at or below the
+            # canonical version
+            import json as _json
+
+            best, best_v = None, -1
+            for v in _scandir_or_empty(fs, e.path):
+                try:
+                    with fs.open_read(v.path) as fh:
+                        raw = fh.read()
+                    if not raw:
+                        continue
+                    cand = _json.loads(raw.decode("utf-8"))
+                    cv = int(cand.get("meta_version", 0))
+                    if cv > best_v:
+                        best, best_v = cand, cv
+                except (OSError, ValueError):
+                    continue
+            cur = _read_layout_meta(loc) or {}
+            cur_v = int(cur.get("meta_version", 0))
+            if best is not None and best_v > cur_v:
+                _write_layout_meta(loc, best)
+                cur_v = best_v
+            for v in _scandir_or_empty(fs, e.path):
+                try:
+                    n = int(v.name.lstrip("v").split(".", 1)[0])
+                except ValueError:
+                    continue
+                if n <= cur_v:
+                    try:
+                        fs.unlink(v.path)
+                    except FileNotFoundError:
+                        pass
+            if not _scandir_or_empty(fs, e.path):
+                try:
+                    fs.rmdir(e.path)  # emptied: recreated on demand
+                except OSError:
+                    pass
+            continue
         m = parked_re.match(e.name)
         if m and not fs.isdir(f"{loc}/manifest/{m.group(1)}"):
             fs.rename(e.path, f"{loc}/manifest/{m.group(1)}")
@@ -992,6 +1409,20 @@ def _recover_layout(location: str) -> None:
     for e in _scandir_or_empty(fs, f"{loc}/manifest"):
         if "_.tmp_" in e.name or "_.old_" in e.name:
             fs_rmtree(fs, e.path)
+
+
+def _layout_serde(location: str, fallback: str) -> str:
+    """The layout's authoritative serde: ``_meta.json`` wins over any
+    caller/catalog-record value (VERDICT r11 "What's wrong" #2 — every
+    MUTATION already treats the descriptor as authoritative; a catalog
+    record whose serde field drifted from the descriptor would read
+    the manifest with the wrong format and fail confusingly, or
+    silently misparse for text serdes). Legacy layouts without a
+    descriptor keep the caller's value."""
+    meta = _read_layout_meta(location.rstrip("/"))
+    if meta is not None and meta.get("serde"):
+        return meta["serde"]
+    return fallback
 
 
 def zonemap_orphan_ingests(location: str) -> list[int]:
@@ -1017,7 +1448,16 @@ def zonemap_orphan_ingests(location: str) -> list[int]:
             and e.name.split("=", 1)[1].isdigit()
         }
 
-    return sorted(ingests("data") - ingests("manifest"))
+    # batches at or below the replay high-water mark are FOLDED, not
+    # orphaned: after zonemap_rewrite_manifests their per-ingest delta
+    # is gone by design while their data dirs stay live (referenced by
+    # the folded delta's data_ingests)
+    folded = int((_read_layout_meta(loc) or {}).get(
+        "compacted_through", -1
+    ))
+    return sorted(
+        i for i in ingests("data") - ingests("manifest") if i > folded
+    )
 
 
 def _next_ingest_id(location: str) -> int:
@@ -1039,6 +1479,15 @@ def _next_ingest_id(location: str) -> int:
             if e.is_dir and e.name.startswith("ingest=")
             and e.name.split("=", 1)[1].isdigit()
         ]
+    # ids RESERVED by in-flight writers (exclusive-create claims)
+    # count too: a maintenance op (fold) must not mint an id a
+    # concurrent mutation already owns
+    ids += [
+        int(e.name.split("-", 1)[1])
+        for e in _scandir_or_empty(fs, f"{loc}/_staging/claims")
+        if e.name.startswith("ingest-")
+        and e.name.split("-", 1)[1].isdigit()
+    ]
     return max(ids) + 1
 
 
@@ -1081,14 +1530,19 @@ def zonemap_merge(
     between them — buckets collected from one evaluation, rows
     written from another (ADVICE r10).
 
-    Concurrency contract (single writer, like every mutation here):
-    ``_next_ingest_id`` and the ``_meta.json`` read-modify-write are
-    not CAS-protected — two concurrent writers could mint the same
-    ingest id or fork the descriptor. Serialize writers externally
-    (the replication engine's per-table FIFO, commit.py, is the
-    in-repo tool); a multi-writer deployment would move the commit to
-    an atomic compare-and-swap at the fs seam, the Iceberg commit
-    protocol sketched in :func:`_publish_delta`.
+    Concurrency (optimistic, VERDICT r11 ask #2): the ingest id is
+    RESERVED via an exclusive-create claim at the fs seam
+    (:func:`_claim_ingest_id` — two racing writers can no longer mint
+    the same id), descriptor updates go through the version-file CAS
+    (:func:`_meta_cas_update`), and the commit validates that no new
+    manifest delta landed since this merge's snapshot was planned —
+    if one did, the whole merge RECOMPUTES from fresh state and
+    retries (bounded), the Iceberg loser-retries shape. The residual
+    window between validation and the delta publish is the honest
+    limit of a filesystem without conditional writes; strict
+    serialization remains the per-table FIFO (commit.py), and an
+    object-store backend closes the window with conditional PUT
+    (cf. ArrowFs.create_exclusive).
 
     Returns {"n_buckets_affected", "ingest_id"}."""
     from pyspark.sql import functions as F
@@ -1101,9 +1555,18 @@ def zonemap_merge(
                          "descriptor-bearing layout")
     bucket_col = meta["bucket_col"]
     if bucket_col not in updates.columns:
-        raise ValueError(
-            f"updates must carry the clustering column {bucket_col!r}"
-        )
+        if meta.get("bucket_expr"):
+            # hidden partitioning: derive the clustering value the
+            # same way every append does — functional dependence on
+            # the data columns is the expression itself
+            updates = updates.withColumn(
+                bucket_col, F.expr(meta["bucket_expr"])
+            )
+        else:
+            raise ValueError(
+                f"updates must carry the clustering column "
+                f"{bucket_col!r}"
+            )
     updates = updates.localCheckpoint(eager=True)
     affected = [
         r[0]
@@ -1111,24 +1574,34 @@ def zonemap_merge(
             F.col(bucket_col).cast("string")
         ).distinct().collect()
     ]
-    existing, _ = zonemap_scan(
-        spark, loc, serde=meta["serde"], buckets=affected
+    for _attempt in range(5):
+        base = _manifest_delta_ids(loc)
+        existing, _ = zonemap_scan(
+            spark, loc, serde=meta["serde"], buckets=affected
+        )
+        existing = existing.drop("ingest").withColumn(
+            bucket_col,
+            F.col(bucket_col).cast(updates.schema[bucket_col].dataType),
+        )
+        survivors = existing.join(
+            updates.select(*key_cols).distinct(), key_cols, "left_anti"
+        )
+        merged = survivors.unionByName(updates.select(*existing.columns))
+        ingest_id = _claim_ingest_id(loc)
+        if _manifest_delta_ids(loc) != base:
+            continue  # a commit landed since planning: recompute
+        append_zonemapped(
+            merged, loc, bucket_col, meta["stat_cols"],
+            serde=meta["serde"],
+            bloom_cols=meta["bloom_cols"] or None, ingest_id=ingest_id,
+            _replaces=True,
+        )
+        return {"n_buckets_affected": len(affected),
+                "ingest_id": ingest_id}
+    raise RuntimeError(
+        f"zonemap_merge on {loc}: commit validation failed 5 times "
+        "under concurrent writes — serialize writers (per-table FIFO)"
     )
-    existing = existing.drop("ingest").withColumn(
-        bucket_col,
-        F.col(bucket_col).cast(updates.schema[bucket_col].dataType),
-    )
-    survivors = existing.join(
-        updates.select(*key_cols).distinct(), key_cols, "left_anti"
-    )
-    merged = survivors.unionByName(updates.select(*existing.columns))
-    ingest_id = _next_ingest_id(loc)
-    append_zonemapped(
-        merged, loc, bucket_col, meta["stat_cols"], serde=meta["serde"],
-        bloom_cols=meta["bloom_cols"] or None, ingest_id=ingest_id,
-        _replaces=True,
-    )
-    return {"n_buckets_affected": len(affected), "ingest_id": ingest_id}
 
 
 def zonemap_overwrite(
@@ -1141,6 +1614,7 @@ def zonemap_overwrite(
     bloom_cols: list[str] | None = None,
     sort_cols: list[str] | None = None,
     ndv_cols: list[str] | None = None,
+    bucket_expr: str | None = None,
 ) -> dict:
     """INSERT OVERWRITE for a zone-mapped layout: ``df`` becomes the
     table's entire new snapshot as ONE replacing ingest — every bucket
@@ -1181,16 +1655,26 @@ def zonemap_overwrite(
         write_zonemapped(
             df, loc, bucket_col, stat_cols, serde=serde,
             bloom_cols=bloom_cols, sort_cols=sort_cols,
-            ndv_cols=ndv_cols,
+            ndv_cols=ndv_cols, bucket_expr=bucket_expr,
         )
         n_r, n_b = _delta_totals(spark, loc, serde, bucket_col, 0)
         return {"n_rows": n_r, "n_buckets": n_b,
                 "n_buckets_tombstoned": 0, "ingest_id": 0}
     bucket_col = meta["bucket_col"]
     if bucket_col not in df.columns:
-        raise ValueError(
-            f"overwrite must carry the clustering column {bucket_col!r}"
-        )
+        # hidden partitioning: derive the clustering column from the
+        # recorded (or explicitly passed, drift-checked by the append)
+        # expression — the publish path's source table need not carry
+        # a materialized bucket column (VERDICT r11 ask #3)
+        derive = (bucket_expr if bucket_expr is not None
+                  else meta.get("bucket_expr"))
+        if not derive:
+            raise ValueError(
+                f"overwrite must carry the clustering column "
+                f"{bucket_col!r} (or the layout must record a "
+                "bucket_expr to derive it)"
+            )
+        df = df.withColumn(bucket_col, F.expr(derive))
     df = df.localCheckpoint(eager=True)  # same pin as zonemap_merge
     new_buckets = {
         str(r[0])
@@ -1198,14 +1682,25 @@ def zonemap_overwrite(
             F.col(bucket_col).cast("string")
         ).distinct().collect()
     }
-    _, kept, _ = zonemap_plan(spark, loc, serde=meta["serde"])
-    gone = sorted({str(r[bucket_col]) for r in kept} - new_buckets)
-    ingest_id = _next_ingest_id(loc)
-    append_zonemapped(
-        df, loc, bucket_col, meta["stat_cols"], serde=meta["serde"],
-        bloom_cols=meta["bloom_cols"] or None, ingest_id=ingest_id,
-        _replaces=True, _tombstone_buckets=gone or None,
-    )
+    for _attempt in range(5):
+        base = _manifest_delta_ids(loc)
+        _, kept, _ = zonemap_plan(spark, loc, serde=meta["serde"])
+        gone = sorted({str(r[bucket_col]) for r in kept} - new_buckets)
+        ingest_id = _claim_ingest_id(loc)
+        if _manifest_delta_ids(loc) != base:
+            continue  # a commit landed since planning: recompute
+        append_zonemapped(
+            df, loc, bucket_col, meta["stat_cols"], serde=meta["serde"],
+            bloom_cols=meta["bloom_cols"] or None, ingest_id=ingest_id,
+            ndv_cols=ndv_cols, bucket_expr=bucket_expr,
+            _replaces=True, _tombstone_buckets=gone or None,
+        )
+        break
+    else:
+        raise RuntimeError(
+            f"zonemap_overwrite on {loc}: commit validation failed 5 "
+            "times under concurrent writes — serialize writers"
+        )
     n_r, _ = _delta_totals(spark, loc, meta["serde"], bucket_col, ingest_id)
     return {"n_rows": n_r, "n_buckets": len(new_buckets),
             "n_buckets_tombstoned": len(gone), "ingest_id": ingest_id}
@@ -1258,8 +1753,9 @@ def zonemap_delete(
     ``n_rows_deleted`` is the manifest's row total for those buckets
     minus the observed survivors, so the delete costs one pass over
     the affected data instead of a count pass plus a write pass
-    (VERDICT r10 plan-audit note). Same single-writer contract as
-    :func:`zonemap_merge`.
+    (VERDICT r10 plan-audit note). Same optimistic-concurrency
+    contract as :func:`zonemap_merge` (claimed ingest id, commit
+    validation with recompute-retry).
 
     Returns {"n_buckets_affected", "n_rows_deleted", "ingest_id"}."""
     from pyspark.sql import functions as F
@@ -1299,21 +1795,31 @@ def zonemap_delete(
                 "ingest_id": None}
     from pyspark.sql import Observation
 
-    existing, scan_stats = zonemap_scan(
-        spark, loc, serde=meta["serde"], buckets=affected
-    )
-    existing = existing.drop("ingest")
-    obs = Observation()
-    survivors = existing.where(~cond).observe(
-        obs, F.count(F.lit(1)).alias("n_survivors")
-    )
-    ingest_id = _next_ingest_id(loc)
-    append_zonemapped(
-        survivors, loc, bucket_col, meta["stat_cols"],
-        serde=meta["serde"], bloom_cols=meta["bloom_cols"] or None,
-        ingest_id=ingest_id, _replaces=True,
-        _tombstone_buckets=affected,
-    )
+    for _attempt in range(5):
+        base = _manifest_delta_ids(loc)
+        existing, scan_stats = zonemap_scan(
+            spark, loc, serde=meta["serde"], buckets=affected
+        )
+        existing = existing.drop("ingest")
+        obs = Observation()
+        survivors = existing.where(~cond).observe(
+            obs, F.count(F.lit(1)).alias("n_survivors")
+        )
+        ingest_id = _claim_ingest_id(loc)
+        if _manifest_delta_ids(loc) != base:
+            continue  # a commit landed since planning: recompute
+        append_zonemapped(
+            survivors, loc, bucket_col, meta["stat_cols"],
+            serde=meta["serde"], bloom_cols=meta["bloom_cols"] or None,
+            ingest_id=ingest_id, _replaces=True,
+            _tombstone_buckets=affected,
+        )
+        break
+    else:
+        raise RuntimeError(
+            f"zonemap_delete on {loc}: commit validation failed 5 "
+            "times under concurrent writes — serialize writers"
+        )
     # observed during the rewrite's data write (its first action);
     # the manifest knows the pre-delete total for exactly these
     # buckets, so no second data pass is needed for the delta
@@ -1360,8 +1866,11 @@ def zonemap_vacuum(
     recorded in ``_meta.json`` BEFORE the delete walk, so a crash
     mid-walk leaves only expired (already-refused) dirs partially
     removed; re-running the vacuum is idempotent and sweeps the rest
-    (FailingFs-scheduled in tests). Same single-writer contract as
-    :func:`zonemap_merge`.
+    (FailingFs-scheduled in tests). Vacuum races are benign by
+    construction (it only deletes dirs no admissible read can reach,
+    and its horizon advances through the descriptor CAS), but the
+    dead-set decision assumes no concurrent whole-layout rewrite —
+    the same exclusivity compact/recluster/fold already require.
 
     Returns {"n_dirs_removed", "vacuumed_through",
     "n_ingest_dirs_swept"}."""
@@ -1379,47 +1888,96 @@ def zonemap_vacuum(
                          "descriptor-bearing layout")
     serde = meta["serde"]
     fmt = SERDE_FORMATS.get(serde, serde)
-    raw = spark.read.format(fmt).load(fs_spark_path(f"{loc}/manifest"))
+    reader = spark.read.format(fmt)
+    if meta.get("folded_through") is not None and fmt in ("parquet", "orc"):
+        reader = reader.option("mergeSchema", "true")  # folded deltas
+    raw = reader.load(fs_spark_path(f"{loc}/manifest"))
     bucket_col = raw.columns[0]
     current_max = raw.agg(F.max("ingest")).first()[0]
     horizon = int(current_max) - int(retention_ingests)
     prev = int(meta.get("vacuumed_through", -1))
     out = {"n_dirs_removed": 0, "vacuumed_through": max(prev, horizon),
            "n_ingest_dirs_swept": 0}
-    if horizon < 0 or "replaces" not in raw.columns:
-        return out
-    dirs = raw.where(F.col("n_rows") > 0).select(bucket_col, "ingest")
-    repl = (
-        raw.where(F.col("replaces") & (F.col("ingest") <= horizon))
-        .select(bucket_col, F.col("ingest").alias("__r"))
-    )
-    dead = (
-        dirs.join(repl, bucket_col)
-        .where(F.col("ingest") < F.col("__r"))
-        .select(F.col(bucket_col).cast("string").alias("b"), "ingest")
-        .distinct()
-        .collect()
-    )
-    if horizon > prev:
-        meta = dict(meta)
-        meta["vacuumed_through"] = horizon
-        _write_layout_meta(loc, meta)
-    if not dead:
-        return out
     fs = fs_for(loc)
     bcol = meta["bucket_col"]
-    removed = 0
-    for r in dead:
-        path = f"{loc}/data/ingest={int(r['ingest'])}/{bcol}={r['b']}"
-        if fs.isdir(path):
-            fs_rmtree(fs, path)
-            removed += 1
-    swept = 0
-    for i in sorted({int(r["ingest"]) for r in dead}):
-        idir = f"{loc}/data/ingest={i}"
-        if fs.isdir(idir) and not _scandir_or_empty(fs, idir):
-            fs_rmtree(fs, idir)
-            swept += 1
+    removed = swept = 0
+    if horizon >= 0 and "replaces" in raw.columns:
+        dirs = raw.where(F.col("n_rows") > 0).select(bucket_col, "ingest")
+        if "data_ingests" in raw.columns:
+            # folded rows stand for their absorbed dirs — those are
+            # LIVE references, never dead candidates; the row's own
+            # (fold) ingest has no data dir of its own
+            dirs = (
+                raw.where(
+                    (F.col("n_rows") > 0)
+                    & F.col("data_ingests").isNull()
+                ).select(bucket_col, "ingest")
+            )
+        repl = (
+            raw.where(F.col("replaces") & (F.col("ingest") <= horizon))
+            .select(bucket_col, F.col("ingest").alias("__r"))
+        )
+        dead = (
+            dirs.join(repl, bucket_col)
+            .where(F.col("ingest") < F.col("__r"))
+            .select(F.col(bucket_col).cast("string").alias("b"), "ingest")
+            .distinct()
+            .collect()
+        )
+        if horizon > prev:
+            def _adv(m):
+                if m is None or int(
+                    m.get("vacuumed_through", -1)
+                ) >= horizon:
+                    return None
+                out = dict(m)
+                out["vacuumed_through"] = horizon
+                return out
+
+            meta = _meta_cas_update(loc, _adv) or meta
+        for r in dead:
+            path = f"{loc}/data/ingest={int(r['ingest'])}/{bcol}={r['b']}"
+            if fs.isdir(path):
+                fs_rmtree(fs, path)
+                removed += 1
+        for i in sorted({int(r["ingest"]) for r in dead}):
+            idir = f"{loc}/data/ingest={i}"
+            if fs.isdir(idir) and not _scandir_or_empty(fs, idir):
+                fs_rmtree(fs, idir)
+                swept += 1
+    ft = meta.get("folded_through")
+    if ft is not None:
+        # dirs STRANDED below the fold horizon (VERDICT r11 ask #8
+        # composed with rewrite_manifests): the folded delta only
+        # references live dirs, so pre-fold superseded dirs appear in
+        # NO delta — invisible to the manifest-driven rule above and
+        # unreachable by any admissible read (as-of below the fold is
+        # refused), hence dead regardless of retention. The live
+        # reference set is one metadata-sized collect — the same
+        # cardinality as the data-dir listing this sweep walks anyway.
+        live: set[tuple[int, str]] = set()
+        _, man = _merged_manifest(spark, loc, serde)
+        for r in man.select(
+            F.col(man.columns[0]).cast("string").alias("b"), "__ingests"
+        ).collect():
+            for i in r["__ingests"]:
+                live.add((int(i), str(r["b"])))
+        for e in _scandir_or_empty(fs, f"{loc}/data"):
+            if not (e.is_dir and e.name.startswith("ingest=")
+                    and e.name.split("=", 1)[1].isdigit()):
+                continue
+            i = int(e.name.split("=", 1)[1])
+            if i >= int(ft):
+                continue
+            for b in _scandir_or_empty(fs, e.path):
+                if not (b.is_dir and "=" in b.name):
+                    continue
+                if (i, b.name.split("=", 1)[1]) not in live:
+                    fs_rmtree(fs, b.path)
+                    removed += 1
+            if not _scandir_or_empty(fs, e.path):
+                fs_rmtree(fs, e.path)
+                swept += 1
     out["n_dirs_removed"] = removed
     out["n_ingest_dirs_swept"] = swept
     return out
@@ -1450,6 +2008,7 @@ def zonemap_plan(
     metadata-sized aggregate."""
     from pyspark.sql import functions as F
 
+    serde = _layout_serde(location, serde)
     bucket_col, man = _merged_manifest(spark, location, serde, max_ingest)
     keep = F.lit(True)
     if buckets is not None:
@@ -1530,24 +2089,39 @@ def _merged_manifest(
 
     from reair_spark.fs import fs_spark_path
 
-    _recover_layout(location.rstrip("/"))
+    loc = location.rstrip("/")
+    _recover_layout(loc)
+    meta = _read_layout_meta(loc) or {}
     fmt = SERDE_FORMATS.get(serde, serde)
-    raw = spark.read.format(fmt).load(
-        fs_spark_path(f"{location.rstrip('/')}/manifest")
-    )
+    reader = spark.read.format(fmt)
+    if meta.get("folded_through") is not None and fmt in ("parquet", "orc"):
+        # a FOLDED delta (zonemap_rewrite_manifests) carries the extra
+        # data_ingests column while post-fold append deltas do not;
+        # without an explicit schema union Spark samples ONE footer
+        # and silently drops the column — mergeSchema unions them.
+        # Manifest-sized, so reading every footer is metadata work.
+        reader = reader.option("mergeSchema", "true")
+    raw = reader.load(fs_spark_path(f"{loc}/manifest"))
     if max_ingest is not None:
-        # snapshots below the vacuum horizon are EXPIRED: their
-        # superseded dirs may already be deleted, so reading them
-        # would silently return partial data — refuse instead (the
-        # Iceberg expireSnapshots contract)
-        vt = (_read_layout_meta(location.rstrip("/")) or {}).get(
-            "vacuumed_through"
-        )
+        # snapshots below the vacuum/fold horizons are EXPIRED: their
+        # superseded dirs may already be deleted (vacuum) or their
+        # per-ingest manifest deltas folded away (rewrite_manifests),
+        # so reading them would silently return partial data — refuse
+        # instead (the Iceberg expireSnapshots contract)
+        vt = meta.get("vacuumed_through")
         if vt is not None and int(max_ingest) < int(vt):
             raise ValueError(
                 f"snapshot as of ingest {max_ingest} is expired: "
                 f"zonemap_vacuum removed superseded data up to ingest "
                 f"{vt} — only as-of reads >= {vt} remain readable"
+            )
+        ft = meta.get("folded_through")
+        if ft is not None and int(max_ingest) < int(ft):
+            raise ValueError(
+                f"snapshot as of ingest {max_ingest} is expired: "
+                f"zonemap_rewrite_manifests folded the per-ingest "
+                f"deltas into ingest {ft} — only as-of reads >= {ft} "
+                "remain readable"
             )
         raw = raw.where(F.col("ingest") <= int(max_ingest))
     bucket_col = raw.columns[0]
@@ -1571,20 +2145,34 @@ def _merged_manifest(
         )
     # merge manifest deltas at plan time: every statistic is a monoid,
     # so the merged view is invariant to how ingests were batched
+    if "data_ingests" in raw.columns:
+        # folded deltas record WHERE their rows' data actually lives
+        # (the per-ingest dirs the fold absorbed); plain deltas imply
+        # their own ingest dir — coalesce unifies both shapes
+        ingest_src = F.when(
+            F.col("n_rows") > 0,
+            F.coalesce(
+                F.col("data_ingests"), F.array(F.col("ingest"))
+            ),
+        )
+        ingests_agg = F.sort_array(
+            F.array_distinct(F.flatten(F.collect_list(ingest_src)))
+        ).alias("__ingests")
+    else:
+        ingests_agg = F.sort_array(
+            F.collect_set(F.when(F.col("n_rows") > 0, F.col("ingest")))
+        ).alias("__ingests")
     merge_aggs = [
         # exact data-path construction: each (ingest, bucket) delta row
         # with rows implies that data partition exists (append
-        # contract; n_rows=0 tombstones imply nothing), so the reader
+        # contract; n_rows=0 tombstones imply nothing; folded rows
+        # carry their absorbed dirs in data_ingests), so the reader
         # opens precisely these directories — no globs, no listing,
         # and as-of reads never touch future ingests
-        F.sort_array(
-            F.collect_set(
-                F.when(F.col("n_rows") > 0, F.col("ingest"))
-            )
-        ).alias("__ingests")
+        ingests_agg
     ]
     for c in raw.columns:
-        if c in (bucket_col, "ingest", "replaces"):
+        if c in (bucket_col, "ingest", "replaces", "data_ingests"):
             continue
         if c == "n_rows":
             merge_aggs.append(F.sum("n_rows").cast("long").alias("n_rows"))
@@ -1748,6 +2336,7 @@ def zonemap_count(
     n_buckets_partial to the plan stats."""
     from pyspark.sql import functions as F
 
+    serde = _layout_serde(location, serde)
     preds = list(predicates or [])
     zone_cols = [
         c
@@ -1851,6 +2440,7 @@ def zonemap_scan(
     WITHOUT ``bucket`` — and the most natural query against a
     clustered layout (group by its clustering key) would throw
     (pytest-pinned in test_sources.py)."""
+    serde = _layout_serde(location, serde)
     bucket_col, kept, stats = zonemap_plan(
         spark,
         location,
@@ -1904,6 +2494,95 @@ def _bucket_reader(
         for i in r["__ingests"]
     ]
     return reader.load(paths)
+
+
+#: broadcast-decision default: reference sides at or below this many
+#: rows (per the ANALYZE-published statistics) are broadcast. Sized so
+#: a ~100-byte-row reference table lands well under typical executor
+#: broadcast budgets (500k rows ≈ 50 MB serialized upper bound).
+BROADCAST_ROW_THRESHOLD = 500_000
+
+
+def analyze_catalog_table(spark: SparkSession, catalog, db: str,
+                          table: str) -> dict:
+    """ANALYZE TABLE for a zonemapped catalog table, published INTO the
+    catalog record's parameters under the public Spark statistics
+    property names (``spark.sql.statistics.numRows``,
+    ``spark.sql.statistics.colStats.<col>.{distinctCount,min,max,
+    nullCount}`` — the same properties HiveExternalCatalog round-trips
+    through HMS). The numbers come from :func:`zonemap_stats` — pure
+    manifest work, zero data files opened — so ANALYZE on a 100 TB
+    table costs a metadata read, and any stats consumer (Spark's CBO
+    on property-carrying catalogs, or :func:`broadcast_aware_join`
+    here) picks them up from the record (VERDICT r11 ask #6: the
+    stats surface is now load-bearing, not just reportable).
+
+    Returns {"n_rows", "n_cols_analyzed"}."""
+    rec = catalog.get_table(db, table)
+    if rec is None:
+        raise KeyError(f"{db}.{table} does not exist")
+    if (rec.get("parameters") or {}).get("layout") != "zonemapped":
+        raise ValueError(
+            f"{db}.{table} is not a zonemapped-layout table; "
+            "metadata-only ANALYZE needs the manifest"
+        )
+    rows = zonemap_stats(spark, rec["location"]).collect()
+    n_rows = max((int(r.n_rows) for r in rows), default=0)
+    params = dict(rec.get("parameters") or {})
+    params["spark.sql.statistics.numRows"] = str(n_rows)
+    for r in rows:
+        pre = f"spark.sql.statistics.colStats.{r.column}."
+        params[pre + "version"] = "2"
+        if r.n_nulls is not None:
+            params[pre + "nullCount"] = str(int(r.n_nulls))
+        if r.min_value is not None:
+            params[pre + "min"] = str(r.min_value)
+        if r.max_value is not None:
+            params[pre + "max"] = str(r.max_value)
+        if r.ndv is not None:
+            params[pre + "distinctCount"] = str(int(r.ndv))
+    catalog.alter_table(dict(rec, parameters=params))
+    return {"n_rows": n_rows, "n_cols_analyzed": len(rows)}
+
+
+def broadcast_aware_join(
+    spark: SparkSession,
+    catalog,
+    db: str,
+    table: str,
+    other: DataFrame,
+    on: list[str],
+    how: str = "inner",
+    row_threshold: int = BROADCAST_ROW_THRESHOLD,
+) -> tuple[DataFrame, dict]:
+    """Reference-table join whose broadcast decision is DRIVEN by the
+    ANALYZE-published catalog statistics (the J6 lookup-join, now
+    cost-based): when the record carries ``spark.sql.statistics.
+    numRows`` at or under ``row_threshold``, the catalog side gets an
+    explicit broadcast hint — the shuffle-free plan a 100 TB fact
+    join needs; without statistics (or above the threshold) the
+    planner's default stands, because guessing "small" about an
+    unknown table is how drivers OOM. The decision observably changes
+    with the stats (plan-shape pytest-pinned).
+
+    Returns (joined DataFrame, {"broadcast", "num_rows_stat"})."""
+    from pyspark.sql import functions as F
+
+    rec = catalog.get_table(db, table)
+    if rec is None:
+        raise KeyError(f"{db}.{table} does not exist")
+    params = rec.get("parameters") or {}
+    if params.get("layout") == "zonemapped":
+        ref, _ = scan_catalog_table(spark, catalog, db, table)
+    else:
+        ref = read_catalog_table(spark, catalog, db, table)
+    n = params.get("spark.sql.statistics.numRows")
+    num = int(n) if n is not None else None
+    decided = num is not None and num <= int(row_threshold)
+    side = F.broadcast(ref) if decided else ref
+    return other.join(side, on, how), {
+        "broadcast": decided, "num_rows_stat": num,
+    }
 
 
 def atomic_overwrite(df: DataFrame, location: str, serde: str = "parquet") -> None:

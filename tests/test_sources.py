@@ -1346,14 +1346,17 @@ def test_zonemap_recluster_changes_spec_and_preserves_rows(spark, tmp_path):
     # pruning works under the NEW spec's zones
     _, s2 = zonemap_scan(spark, loc, predicates=[("v", 0, 50)])
     assert s2["n_buckets_read"] == 4  # v interleaves all 4 new buckets
-    # a replay of folded ingest 1 is a no-op (high-water mark)
+    # a replay of folded ingest 1 is a no-op (high-water mark) — and
+    # the replay arrives with the OLD spec its checkpointed writer
+    # recorded (b, not b4): the no-op must run BEFORE the descriptor
+    # drift check, or a restarted stream would crash on the very
+    # batch the recluster already folded (ADVICE r11 medium)
     append_zonemapped(
         spark.range(300, 400).select(
             F.col("id").alias("k"), (F.col("id") % 10).alias("b"),
             F.col("id").alias("v"),
-            F.expr("pmod(k, 4)").alias("b4"),
         ),
-        loc, "b4", ["v"], ingest_id=1,
+        loc, "b", ["v"], ingest_id=1,
     )
     assert zonemap_scan(spark, loc)[0].count() == 400
 
@@ -1521,3 +1524,311 @@ def test_zonemap_recluster_crash_between_renames_recovers(spark, tmp_path):
     assert res == {"n_rows": 300, "n_buckets": 3}
     assert _read_layout_meta(loc)["bucket_col"] == "b3"
     assert zonemap_scan(spark, loc)[0].count() == 300
+
+
+def test_zonemap_recluster_preserves_ndv_sketches(spark, tmp_path):
+    """Recluster inherits the surviving subset of the layout's NDV
+    sketch columns the way compact does (ADVICE r11: the sketches
+    were silently dropped — zonemap_stats returned ndv NULL after any
+    spec change)."""
+    from reair_spark.sources import (
+        _read_layout_meta,
+        write_zonemapped,
+        zonemap_recluster,
+        zonemap_stats,
+    )
+
+    loc = str(tmp_path / "rcndv")
+    df = spark.range(200).select(
+        F.col("id").alias("k"), (F.col("id") % 8).alias("b"),
+        (F.col("id") % 37).alias("v"),
+    )
+    write_zonemapped(df, loc, "b", stat_cols=["v"], ndv_cols=["v"])
+    before = {r.column: r.ndv for r in zonemap_stats(spark, loc).collect()}
+    assert before["v"] == 37  # exact below k
+
+    zonemap_recluster(spark, loc, "b3", stat_cols=["v"],
+                      bucket_expr="pmod(k, 3)")
+    assert _read_layout_meta(loc)["ndv_cols"] == ["v"]
+    after = {r.column: r.ndv for r in zonemap_stats(spark, loc).collect()}
+    assert after["v"] == 37
+
+
+def test_zonemap_hashed_column_type_change_refused(spark, tmp_path):
+    """Bloom and NDV columns are hashed via cast-to-string: a float
+    '1.1' string-renders differently from the double it would promote
+    to, so old deltas' blooms would silently FALSE-NEGATIVE on point
+    probes. Any type change on a hashed column is refused, in both
+    directions (ADVICE r11 medium)."""
+    import pytest
+
+    from reair_spark.sources import append_zonemapped, write_zonemapped
+
+    loc = str(tmp_path / "hashedfreeze")
+    df = spark.range(50).select(
+        (F.col("id") % 5).alias("b"),
+        F.col("id").cast("float").alias("f"),
+        F.col("id").alias("v"),
+    )
+    write_zonemapped(df, loc, "b", stat_cols=["v"], bloom_cols=["f"])
+
+    promoted = spark.range(50, 60).select(
+        (F.col("id") % 5).alias("b"),
+        F.col("id").cast("double").alias("f"),
+        F.col("id").alias("v"),
+    )
+    with pytest.raises(ValueError, match="changes column types"):
+        append_zonemapped(promoted, loc, "b", ["v"],
+                          bloom_cols=["f"], ingest_id=1)
+
+    # non-hashed columns still take the safe widening
+    loc2 = str(tmp_path / "plainwiden")
+    write_zonemapped(df, loc2, "b", stat_cols=["v"])
+    append_zonemapped(promoted, loc2, "b", ["v"], ingest_id=1)
+
+    # ndv columns are frozen the same way, narrow direction included
+    loc3 = str(tmp_path / "ndvfreeze")
+    dfd = spark.range(50).select(
+        (F.col("id") % 5).alias("b"),
+        F.col("id").cast("double").alias("f"),
+        F.col("id").alias("v"),
+    )
+    write_zonemapped(dfd, loc3, "b", stat_cols=["v"], ndv_cols=["f"])
+    narrow = spark.range(50, 60).select(
+        (F.col("id") % 5).alias("b"),
+        F.col("id").cast("float").alias("f"),
+        F.col("id").alias("v"),
+    )
+    with pytest.raises(ValueError, match="changes column types"):
+        append_zonemapped(narrow, loc3, "b", ["v"],
+                          ndv_cols=["f"], ingest_id=1)
+
+
+def test_zonemap_overwrite_ndv_drift_checked(spark, tmp_path):
+    """zonemap_overwrite threads ndv_cols into the existing-layout
+    append, so an explicit mismatch hits the descriptor drift check
+    instead of being silently ignored (ADVICE r11 low)."""
+    import pytest
+
+    from reair_spark.sources import write_zonemapped, zonemap_overwrite
+
+    loc = str(tmp_path / "ovndv")
+    df = spark.range(60).select(
+        (F.col("id") % 4).alias("b"), F.col("id").alias("k"),
+        F.col("id").alias("v"),
+    )
+    write_zonemapped(df, loc, "b", stat_cols=["v"], ndv_cols=["v"])
+    with pytest.raises(ValueError, match="ndv_cols"):
+        zonemap_overwrite(spark, loc, df, ndv_cols=["k"])
+    # matching explicit value and inherited default both pass
+    res = zonemap_overwrite(spark, loc, df, ndv_cols=["v"])
+    assert res["n_rows"] == 60
+    res = zonemap_overwrite(spark, loc, df)
+    assert res["n_rows"] == 60
+
+
+def test_zonemap_serde_authority_descriptor_wins(spark, tmp_path):
+    """The layout's _meta.json serde is authoritative on the READ
+    dispatch, like it already is for every mutation (VERDICT r11
+    "What's wrong" #2): a catalog record whose serde field drifted
+    reads the manifest correctly anyway."""
+    from reair_spark.sources import (
+        write_zonemapped,
+        zonemap_count,
+        zonemap_scan,
+    )
+
+    loc = str(tmp_path / "serdeauth")
+    df = spark.range(80).select(
+        (F.col("id") % 4).alias("b"), F.col("id").alias("v"),
+    )
+    write_zonemapped(df, loc, "b", stat_cols=["v"], serde="orc")
+    # caller passes a DRIFTED serde — descriptor must win
+    got, stats = zonemap_scan(spark, loc, serde="parquet")
+    assert got.count() == 80
+    assert stats["n_buckets_total"] == 4
+    n, _ = zonemap_count(spark, loc, serde="csv")
+    assert n == 80
+
+
+def test_zonemap_tombstone_fallback_above_literal_threshold(
+    spark, tmp_path, monkeypatch
+):
+    """Emptying more buckets than TOMBSTONE_LITERAL_MAX switches the
+    tombstone frame from per-bucket Catalyst literals to a
+    parallelized frame (ADVICE r11 low: a 10⁵-bucket overwrite would
+    otherwise build a 10⁵-literal expression tree). Same answers on
+    both sides of the threshold."""
+    import reair_spark.sources as S
+
+    monkeypatch.setattr(S, "TOMBSTONE_LITERAL_MAX", 3)
+    loc = str(tmp_path / "tombbig")
+    df = spark.range(16).select(
+        F.col("id").alias("b"), F.col("id").alias("k"),
+        F.col("id").alias("v"),
+    )
+    S.write_zonemapped(df, loc, "b", stat_cols=["v"])
+    # keep 2 buckets → 14 tombstones > 3 ⇒ parallelized path
+    keep = spark.range(2).select(
+        F.col("id").alias("b"), F.col("id").alias("k"),
+        (F.col("id") + 100).alias("v"),
+    )
+    res = S.zonemap_overwrite(spark, loc, keep)
+    assert res["n_buckets_tombstoned"] == 14
+    got, stats = S.zonemap_scan(spark, loc)
+    assert stats["n_buckets_total"] == 2
+    assert sorted(r.v for r in got.collect()) == [100, 101]
+
+
+def test_zonemap_hidden_partitioning_bucket_expr(spark, tmp_path):
+    """Iceberg-style hidden partitioning (VERDICT r11 ask #3): the
+    clustering column is DERIVED from a recorded SQL expression — the
+    producer never materializes it. The expression is persisted in the
+    descriptor, every append/merge/overwrite re-derives it
+    identically, and a conflicting explicit expression is a drift
+    error."""
+    import pytest
+
+    from reair_spark.sources import (
+        _read_layout_meta,
+        append_zonemapped,
+        write_zonemapped,
+        zonemap_merge,
+        zonemap_overwrite,
+        zonemap_scan,
+    )
+
+    loc = str(tmp_path / "hidden")
+    df = spark.range(100).select(
+        F.col("id").alias("k"), F.col("id").alias("v"),
+    )
+    write_zonemapped(df, loc, "bkt", stat_cols=["v"],
+                     bucket_expr="pmod(k, 5)")
+    assert _read_layout_meta(loc)["bucket_expr"] == "pmod(k, 5)"
+
+    # append without the column: derived from the descriptor
+    append_zonemapped(
+        spark.range(100, 150).select(
+            F.col("id").alias("k"), F.col("id").alias("v"),
+        ),
+        loc, "bkt", ["v"], ingest_id=1,
+    )
+    got, stats = zonemap_scan(spark, loc)
+    assert stats["n_buckets_total"] == 5
+    assert got.count() == 150
+    # derived values line up with the expression
+    assert got.where(F.col("bkt") != F.expr("pmod(k, 5)")).count() == 0
+
+    # merge without the column: bucket derived from keys
+    zonemap_merge(
+        spark, loc,
+        spark.range(1).select(F.lit(7).cast("long").alias("k"),
+                              F.lit(999).cast("long").alias("v")),
+        key_cols=["k"],
+    )
+    got2, _ = zonemap_scan(spark, loc, predicates=[("v", 999, 999)])
+    assert got2.where("v = 999").count() == 1
+    assert got2.where("v = 999").first().k == 7
+
+    # overwrite without the column converges to the new snapshot
+    res = zonemap_overwrite(
+        spark, loc,
+        spark.range(10).select(F.col("id").alias("k"),
+                               F.col("id").alias("v")),
+    )
+    assert res["n_rows"] == 10
+    assert zonemap_scan(spark, loc)[0].count() == 10
+
+    # conflicting explicit expression fails loudly
+    with pytest.raises(ValueError, match="bucket_expr"):
+        append_zonemapped(
+            spark.range(5).select(F.col("id").alias("k"),
+                                  F.col("id").alias("v")),
+            loc, "bkt", ["v"], ingest_id=99, bucket_expr="pmod(k, 7)",
+        )
+
+    # a plain layout without an expression still refuses a missing
+    # clustering column
+    loc2 = str(tmp_path / "nohidden")
+    write_zonemapped(
+        spark.range(10).select((F.col("id") % 2).alias("b"),
+                               F.col("id").alias("v")),
+        loc2, "b", ["v"],
+    )
+    with pytest.raises(ValueError, match="bucket_expr"):
+        append_zonemapped(
+            spark.range(5).select(F.col("id").alias("v")),
+            loc2, "b", ["v"], ingest_id=1,
+        )
+
+
+def test_analyze_publishes_stats_and_drives_broadcast(spark, tmp_path):
+    """VERDICT r11 ask #6 — the stats surface is load-bearing:
+    ANALYZE-from-metadata publishes spark.sql.statistics.* into the
+    catalog record, and broadcast_aware_join's plan observably
+    changes with them (explicit broadcast hint iff the recorded
+    numRows is at or under the threshold; no stats ⇒ no guess)."""
+    from reair_spark.catalog import DirectoryCatalog
+    from reair_spark.sources import (
+        analyze_catalog_table,
+        broadcast_aware_join,
+        write_zonemapped,
+    )
+
+    root = str(tmp_path / "wh")
+    cat = DirectoryCatalog(root)
+    loc = cat.table_location("db", "ref")
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") % 4).alias("b"),
+        F.when(F.col("id") % 10 != 0, F.col("id") % 50).alias("v"),
+    )
+    write_zonemapped(df, loc, "b", stat_cols=["v"], ndv_cols=["v"])
+    cat.create_table({
+        "db": "db", "table": "ref", "table_type": "EXTERNAL_TABLE",
+        "cols": [], "partition_keys": [], "location": loc,
+        "serde": "parquet", "parameters": {"layout": "zonemapped"},
+    })
+
+    fact = spark.range(1000).select(
+        (F.col("id") % 100).alias("k"), F.col("id").alias("x"),
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # kill size-based auto-broadcast so only OUR hint decides
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+        # no stats yet: no hint, sort-merge plan
+        j0, d0 = broadcast_aware_join(
+            spark, cat, "db", "ref", fact, on=["k"]
+        )
+        assert d0 == {"broadcast": False, "num_rows_stat": None}
+        plan0 = j0._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan0
+
+        res = analyze_catalog_table(spark, cat, "db", "ref")
+        assert res["n_rows"] == 100
+        params = cat.get_table("db", "ref")["parameters"]
+        assert params["spark.sql.statistics.numRows"] == "100"
+        assert params["spark.sql.statistics.colStats.v.nullCount"] == "10"
+        # 45 distinct non-null values < KMV_K=64 ⇒ the sketch is exact
+        assert params[
+            "spark.sql.statistics.colStats.v.distinctCount"] == "45"
+
+        # stats present and small: explicit broadcast hint
+        j1, d1 = broadcast_aware_join(
+            spark, cat, "db", "ref", fact, on=["k"]
+        )
+        assert d1 == {"broadcast": True, "num_rows_stat": 100}
+        plan1 = j1._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan1
+        assert j1.count() == 1000
+
+        # stats ABOVE the threshold: decision flips back
+        j2, d2 = broadcast_aware_join(
+            spark, cat, "db", "ref", fact, on=["k"], row_threshold=50
+        )
+        assert d2["broadcast"] is False
+        plan2 = j2._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

@@ -286,3 +286,72 @@ def test_incremental_event_publishes_zonemapped_target(spark, tmp_path):
         p for p in _os.listdir(f"{loc}/manifest") if p.startswith("ingest=")
     )
     assert ingests == ["ingest=0"]  # no second publish
+
+
+def test_replicate_hidden_partitioning_bucket_expr(spark, tmp_path):
+    """Hidden partitioning on the publish path (VERDICT r11 ask #3):
+    the SOURCE fact table carries no clustering column at all — the
+    dest record declares ``zonemap.bucket_expr`` and the publish
+    derives it, records it in the descriptor, and a re-publish after
+    a source change re-derives identically."""
+    src_root, dest_root = str(tmp_path / "src"), str(tmp_path / "dest")
+    src_cat = DirectoryCatalog(src_root)
+    floc = src_cat.table_location("wh", "fact")
+    spark.createDataFrame(
+        [(i, float(i) * 10) for i in range(1, 9)], "k int, v double"
+    ).write.mode("overwrite").parquet(floc)
+    src_cat.create_table({
+        "db": "wh", "table": "fact", "table_type": "MANAGED_TABLE",
+        "cols": [], "partition_keys": [], "location": floc,
+        "serde": "parquet",
+        "parameters": {"transient_lastDdlTime": "100"},
+    })
+    dest_cat = DirectoryCatalog(dest_root)
+    dest_cat.create_table({
+        "db": "wh", "table": "fact", "table_type": "EXTERNAL_TABLE",
+        "cols": [], "partition_keys": [],
+        "location": dest_cat.table_location("wh", "fact"),
+        "serde": "parquet",
+        "parameters": {
+            "layout": "zonemapped",
+            "zonemap.bucket_col": "par",
+            "zonemap.stat_cols": "k,v",
+            "zonemap.bucket_expr": "pmod(k, 2)",
+        },
+    })
+
+    out = replicate_warehouse(spark, src_root, dest_root)
+    zm = {r.table: r for r in out["zonemap_results"].collect()}
+    assert zm["fact"].status == "PUBLISHED"
+    assert zm["fact"].n_rows == 8
+    assert zm["fact"].n_buckets == 2
+
+    from reair_spark.sources import _read_layout_meta
+
+    loc = dest_cat.get_table("wh", "fact")["location"]
+    meta = _read_layout_meta(loc)
+    assert meta["bucket_col"] == "par"
+    assert meta["bucket_expr"] == "pmod(k, 2)"
+
+    df, stats = scan_catalog_table(spark, dest_cat, "wh", "fact")
+    assert stats["n_buckets_total"] == 2
+    assert df.where(F_expr_mismatch()).count() == 0
+
+    # source moves: re-publish re-derives through the descriptor
+    rec = src_cat.get_table("wh", "fact")
+    spark.createDataFrame(
+        [(1, 10.0), (4, 40.0)], "k int, v double"
+    ).write.mode("overwrite").parquet(rec["location"])
+    src_cat.alter_table(
+        dict(rec, parameters={"transient_lastDdlTime": "200"})
+    )
+    out2 = replicate_warehouse(spark, src_root, dest_root)
+    assert out2["zonemap_results"].first().status == "PUBLISHED"
+    df2, _ = scan_catalog_table(spark, dest_cat, "wh", "fact")
+    assert sorted((r.k, r.par) for r in df2.collect()) == [(1, 1), (4, 0)]
+
+
+def F_expr_mismatch():
+    from pyspark.sql import functions as F
+
+    return F.col("par").cast("int") != F.expr("pmod(k, 2)")
