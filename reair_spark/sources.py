@@ -1186,13 +1186,21 @@ def zonemap_rewrite_manifests(
     streaming replay of a folded batch no-ops exactly as it does
     across a data compaction.
 
+    The folded delta publishes AT THE HIGHEST FOLDED ID (atomic
+    same-dir swap), never at a freshly minted one: streaming batch
+    ids come from the checkpoint counter, so a fold id above the
+    current maximum could collide with the NEXT micro-batch, whose
+    delta publish would replace the fold and lose every folded row.
+    Publishing at max(folded) makes future ids collision-free by
+    construction, and a crashed append's late replay (an orphan
+    ingest above the fold) lands ABOVE the folded base and stays
+    visible — fold commutes with replay in both directions.
+
     Contracts: refused for text-family manifest serdes (the folded
     delta adds a column; csv cannot union schemas positionally —
-    parquet/orc manifests read with mergeSchema) and when ORPHAN
-    ingest data partitions exist (a crashed append awaiting replay:
-    folding would mint a fold id ABOVE the orphan's reserved id, and
-    the replay's late delta would be silently superseded — replay or
-    GC the orphan first). Single-writer like every layout mutation.
+    parquet/orc manifests read with mergeSchema). Exclusive against
+    other WRITERS like compact/recluster (it rewrites shared
+    manifest state); appends against a folded layout are ordinary.
 
     Returns {"deltas_before", "deltas_after", "fold_ingest"}."""
     from pyspark.sql import functions as F
@@ -1217,14 +1225,6 @@ def zonemap_rewrite_manifests(
             "deltas — zonemap_compact (full rewrite) is the fold for "
             "such layouts"
         )
-    orphans = zonemap_orphan_ingests(loc)
-    if orphans:
-        raise ValueError(
-            f"{loc} has orphan ingest data partitions {orphans} "
-            "(crashed appends whose manifest delta never published): "
-            "replay them or delete the dirs first — folding would "
-            "supersede their eventual delta publish"
-        )
     fs = fs_for(loc)
     delta_ids = [
         int(e.name.split("=", 1)[1])
@@ -1240,7 +1240,7 @@ def zonemap_rewrite_manifests(
         man.withColumnRenamed("__ingests", "data_ingests")
         .withColumn("replaces", F.lit(True))
     )
-    fold_id = _next_ingest_id(loc)
+    fold_id = max(delta_ids)
     # horizons recorded BEFORE the folded delta publishes or any old
     # delta is removed: folded_through turns mergeSchema on for every
     # later manifest read (the mixed-schema crash window — a reader
@@ -1248,9 +1248,8 @@ def zonemap_rewrite_manifests(
     # construct nonexistent data paths) and refuses as-of reads below
     # the fold; compacted_through makes folded-batch replays no-op.
     # A crash right after this write strands only the horizons —
-    # refuse-only, never wrong data — and re-running converges (the
-    # re-run claims the same fold id: _next_ingest_id already counts
-    # the recorded compacted_through).
+    # refuse-only, never wrong data — and re-running converges at the
+    # same fold id (max of the surviving deltas).
     def _horizons(m):
         out = dict(m or {})
         out["folded_through"] = max(
@@ -1264,7 +1263,8 @@ def zonemap_rewrite_manifests(
     meta = _meta_cas_update(loc, _horizons)
     _publish_delta(folded, loc, fold_id, serde)
     for i in sorted(delta_ids):
-        fs_rmtree(fs, f"{loc}/manifest/ingest={i}")
+        if i != fold_id:
+            fs_rmtree(fs, f"{loc}/manifest/ingest={i}")
     return {"deltas_before": len(delta_ids), "deltas_after": 1,
             "fold_ingest": fold_id}
 

@@ -797,6 +797,7 @@ def stream_zonemap_ingest(
     checkpoint_dir: str,
     bloom_cols: list | None = None,
     compact_every: int | None = None,
+    fold_every: int | None = None,
 ) -> None:
     """Run the clustered-ingestion stream to exhaustion (availableNow;
     on a real bus: format('kafka') + processingTime trigger, no sink
@@ -813,9 +814,25 @@ def stream_zonemap_ingest(
     from the layout descriptor's ``compacted_through`` high-water
     mark: a replayed batch whose ingest was already folded is a no-op,
     never a duplication (pytest-pinned batch-boundary invariance
-    ACROSS a mid-stream compaction)."""
+    ACROSS a mid-stream compaction).
+
+    ``fold_every`` is the cheap half of the Iceberg maintenance split
+    (rewrite_manifests often, rewrite_data_files rarely): when the
+    delta count reaches it, the sink folds the MANIFEST only
+    (:func:`sources.zonemap_rewrite_manifests`) — metadata-sized work
+    every N batches keeps plan cost flat in stream lifetime, while
+    the data files wait for the (much rarer, data-sized)
+    ``compact_every`` pass. Replay safety is the same
+    ``compacted_through`` no-op; crash-at-any-point convergence is
+    the fold's own refuse-only horizon discipline. With both set,
+    fold_every should be the smaller — folds keep the delta count
+    low, so size compact_every against small-FILE growth instead."""
     from reair_spark.fs import fs_for
-    from reair_spark.sources import append_zonemapped, zonemap_compact
+    from reair_spark.sources import (
+        append_zonemapped,
+        zonemap_compact,
+        zonemap_rewrite_manifests,
+    )
 
     loc = location.rstrip("/")
 
@@ -830,13 +847,17 @@ def stream_zonemap_ingest(
             bloom_cols=bloom_cols,
             ingest_id=int(batch_id),
         )
-        if compact_every is not None:
+        if compact_every is not None or fold_every is not None:
             deltas = [
                 e for e in fs_for(loc).scandir(f"{loc}/manifest")
                 if e.name.startswith("ingest=")
             ]
-            if len(deltas) >= int(compact_every):
+            if (compact_every is not None
+                    and len(deltas) >= int(compact_every)):
                 zonemap_compact(batch_df.sparkSession, location)
+            elif (fold_every is not None
+                    and len(deltas) >= int(fold_every)):
+                zonemap_rewrite_manifests(batch_df.sparkSession, location)
 
     q = (
         stream_df.writeStream

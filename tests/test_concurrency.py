@@ -221,6 +221,7 @@ def test_meta_cas_heals_stale_canonical_and_steals_dead_claim(
 
     # a winner that died BETWEEN claiming and writing content leaves
     # an EMPTY claim; the next writer steals it after bounded patience
+    os.makedirs(f"{loc}/_staging/meta", exist_ok=True)
     open(f"{loc}/_staging/meta/v{8:012d}.json", "wb").close()
     out = S._meta_cas_update(loc, lambda m: {**m, "after_steal": True})
     assert out["after_steal"] is True

@@ -83,7 +83,9 @@ def test_fold_leaves_data_identical_and_answers_unchanged(spark, tmp_path):
     res = zonemap_rewrite_manifests(spark, loc)
     assert res["deltas_before"] == 3
     assert res["deltas_after"] == 1
-    assert res["fold_ingest"] == 3
+    # the fold publishes AT the highest folded id — never a fresh one,
+    # which could collide with the next streaming batch id
+    assert res["fold_ingest"] == 2
 
     # data/ byte-identical — the whole point of a manifest-only fold
     assert _data_snapshot(loc) == before_data
@@ -91,7 +93,7 @@ def test_fold_leaves_data_identical_and_answers_unchanged(spark, tmp_path):
     deltas = sorted(
         p for p in os.listdir(f"{loc}/manifest") if p.startswith("ingest=")
     )
-    assert deltas == ["ingest=3"]
+    assert deltas == ["ingest=2"]
     # every answer — pruned scan, count pushdown (incl. full-coverage
     # accounting), ANALYZE stats with NDV, bloom point pruning — is
     # unchanged
@@ -140,21 +142,36 @@ def test_fold_replay_noops_and_asof_refused(spark, tmp_path):
     # are gone); at or above it still reads
     with pytest.raises(ValueError, match="folded"):
         zonemap_scan(spark, loc, max_ingest=1)
-    assert zonemap_scan(spark, loc, max_ingest=3)[0].count() == 180
+    assert zonemap_scan(spark, loc, max_ingest=2)[0].count() == 180
 
 
-def test_fold_refusals(spark, tmp_path):
-    # orphan ingest data (crashed append awaiting replay) blocks the
-    # fold: its late delta publish would be silently superseded
+def test_fold_commutes_with_orphan_replay(spark, tmp_path):
+    """A crashed append (data landed, delta never published) stays
+    replayable ACROSS a fold: the fold publishes at the highest
+    FOLDED id, so the orphan's later delta lands ABOVE the folded
+    base and its rows appear — fold and replay commute in both
+    directions."""
     loc = str(tmp_path / "orph")
     _build(spark, loc, n_ingests=2)
     os.makedirs(f"{loc}/data/ingest=7/b=0", exist_ok=True)
     with open(f"{loc}/data/ingest=7/b=0/part-0.parquet", "wb") as fh:
-        fh.write(b"x")
+        fh.write(b"x")  # crashed write debris: replay rewrites it
     assert zonemap_orphan_ingests(loc) == [7]
-    with pytest.raises(ValueError, match="orphan"):
-        zonemap_rewrite_manifests(spark, loc)
 
+    res = zonemap_rewrite_manifests(spark, loc)
+    assert res["fold_ingest"] == 1
+    assert zonemap_scan(spark, loc)[0].count() == 120
+    assert zonemap_orphan_ingests(loc) == [7]  # still awaiting replay
+
+    append_zonemapped(_batch(spark, 500, 520), loc, "b", ["v"],
+                      bloom_cols=["k"], ndv_cols=["v"], ingest_id=7)
+    assert zonemap_orphan_ingests(loc) == []
+    df, _ = zonemap_scan(spark, loc)
+    assert df.count() == 140
+    assert df.where("k >= 500").count() == 20
+
+
+def test_fold_refusals(spark, tmp_path):
     # text-family manifest serde cannot union the folded schema
     loc2 = str(tmp_path / "csv")
     df = spark.range(20).select(
@@ -197,14 +214,14 @@ def test_fold_crash_windows_converge(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(S, "_publish_delta", real_publish)
 
     meta = _read_layout_meta(loc)
-    assert meta["folded_through"] == 3        # horizon stranded
+    assert meta["folded_through"] == 2        # horizon stranded
     assert meta["compacted_through"] == 2
     assert _answers(spark, loc) == before     # reads unaffected
 
     # re-run converges at the same fold id
     res = zonemap_rewrite_manifests(spark, loc)
     assert res == {"deltas_before": 3, "deltas_after": 1,
-                   "fold_ingest": 3}
+                   "fold_ingest": 2}
     assert _answers(spark, loc) == before
 
     # window 2: new appends, then a fold whose old-delta removal dies

@@ -679,3 +679,83 @@ def test_stream_zonemap_autocompact_invariance_and_replay(spark, tmp_path):
     append_zonemapped(new_rows, loc, "b", ["v"], bloom_cols=["v"],
                       ingest_id=9)
     assert zonemap_scan(spark, loc)[1]["n_rows_scanned"] == 2100
+
+
+def test_stream_zonemap_autofold_invariance_and_replay(spark, tmp_path):
+    """Batch-boundary invariance across mid-stream MANIFEST-ONLY folds
+    (fold_every — the cheap half of the Iceberg maintenance split):
+    the stream's data dirs stay per-ingest (untouched), the manifest
+    collapses to a single folded delta plus at most fold_every-1
+    newer appends, the answer matches the one-shot write, and a
+    replay of a folded batch is a no-op."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from reair_spark.sources import (
+        append_zonemapped,
+        write_zonemapped,
+        zonemap_scan,
+    )
+    from reair_spark.streaming import stream_zonemap_ingest
+
+    df = spark.range(2000).select(
+        "id",
+        (F.col("id") % 7).cast("string").alias("b"),
+        (F.col("id") % 100).alias("v"),
+    )
+    src = str(tmp_path / "chunks")
+    df.repartitionByRange(4, "id").write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    loc = str(tmp_path / "fold")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    stream_zonemap_ingest(
+        spark, stream, loc, "b", ["v"], str(tmp_path / "ckpt"),
+        bloom_cols=["v"], fold_every=2,
+    )
+    # folds fired mid-stream: data dirs are the stream's own ingests,
+    # manifest deltas are bounded by the fold policy
+    data_ingests = sorted(
+        p for p in os.listdir(f"{loc}/data") if p.startswith("ingest=")
+    )
+    assert data_ingests == [f"ingest={i}" for i in range(4)]
+    deltas = [p for p in os.listdir(f"{loc}/manifest")
+              if p.startswith("ingest=")]
+    assert len(deltas) < 4
+
+    oneshot = str(tmp_path / "oneshot")
+    write_zonemapped(df, oneshot, "b", ["v"], bloom_cols=["v"])
+
+    def fingerprint(where):
+        pruned, stats = zonemap_scan(
+            spark, where, predicates=[("v", 40, 60)],
+            point_predicates=[("v", 42)],
+        )
+        rows = sorted(
+            (r.id, r.v) for r in pruned.filter("v = 42").collect()
+        )
+        return stats, rows
+
+    assert fingerprint(loc) == fingerprint(oneshot)
+
+    # replay of a FOLDED batch: no-op via compacted_through
+    batch0 = spark.read.parquet(src).limit(0).unionByName(
+        df.filter(F.col("id") < 500)
+    )
+    before = fingerprint(loc)
+    append_zonemapped(batch0, loc, "b", ["v"], bloom_cols=["v"],
+                      ingest_id=0)
+    assert fingerprint(loc) == before
+    # a genuinely new batch still appends on top of the fold
+    new_rows = spark.range(2000, 2100).select(
+        "id", (F.col("id") % 7).cast("string").alias("b"),
+        (F.col("id") % 100).alias("v"),
+    )
+    append_zonemapped(new_rows, loc, "b", ["v"], bloom_cols=["v"],
+                      ingest_id=99)
+    assert zonemap_scan(spark, loc)[1]["n_rows_scanned"] == 2100
