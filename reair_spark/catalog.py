@@ -219,6 +219,10 @@ class DirectoryCatalog:
 
 
 _PART_PROP_PREFIX = "reair.part."
+# pointer property for zonemapped-layout tables registered in a Spark
+# SQL catalog: the DDL anchors at an empty marker dir (Spark lists the
+# LOCATION at CREATE) and this property carries the real layout root
+_ZM_LOCATION_PROP = "reair.zonemap.location"
 
 
 def _sql_str(v: str) -> str:
@@ -299,6 +303,11 @@ class SparkSqlCatalog:
             k: v for k, v in self._raw_props(fqn).items()
             if not k.startswith(_PART_PROP_PREFIX)
         }
+        # layout tables: the DDL location is the empty anchor dir; the
+        # REAL layout root rides the pointer property (see create_table)
+        real = params.pop(_ZM_LOCATION_PROP, None)
+        if real is not None:
+            location = real
         return {
             "db": db,
             "table": table,
@@ -311,10 +320,16 @@ class SparkSqlCatalog:
         }
 
     def _raw_props(self, fqn: str) -> dict[str, str]:
+        # Spark's own bookkeeping props (option.*, spark.sql.sources.*)
+        # are implementation noise and stay hidden — EXCEPT the
+        # statistics namespace, which is the public HMS discipline
+        # ANALYZE publishes through (sources.analyze_catalog_table) and
+        # cost-based consumers read back (broadcast_aware_join)
         return {
             r["key"]: r["value"]
             for r in self.spark.sql(f"SHOW TBLPROPERTIES {fqn}").collect()
-            if not r["key"].startswith(("option.", "spark.sql."))
+            if r["key"].startswith("spark.sql.statistics.")
+            or not r["key"].startswith(("option.", "spark.sql."))
         }
 
     def get_partitions(self, db: str, table: str) -> list[dict]:
@@ -350,7 +365,19 @@ class SparkSqlCatalog:
         db, table = rec["db"], rec["table"]
         self.spark.sql(f"CREATE DATABASE IF NOT EXISTS {_bt(db)}")
         location = rec.get("location") or self.table_location(db, table)
-        fs_for(location).mkdirs(location)  # Spark resolves LOCATION eagerly
+        params = dict(rec.get("parameters") or {})
+        ddl_loc = location
+        if params.get("layout") == "zonemapped":
+            # Spark's CREATE TABLE lists the LOCATION for partition
+            # inference, and a layout root (data/ + manifest/ siblings)
+            # trips CONFLICTING_DIRECTORY_STRUCTURES. Anchor the DDL at
+            # an empty marker dir and round-trip the REAL root through
+            # a table property — the Iceberg-on-HMS pointer shape
+            # (metadata_location in TBLPROPERTIES over a dummy storage
+            # descriptor); get_table restores it transparently.
+            params[_ZM_LOCATION_PROP] = location
+            ddl_loc = location.rstrip("/") + "/_ddl"
+        fs_for(ddl_loc).mkdirs(ddl_loc)  # Spark resolves LOCATION eagerly
         col_ddl = ", ".join(
             f"{_bt(c['name'])} {c['type']}"
             for c in list(rec.get("cols", [])) + list(rec.get("partition_keys", []))
@@ -359,7 +386,6 @@ class SparkSqlCatalog:
         part_ddl = (
             f" PARTITIONED BY ({', '.join(_bt(k) for k in pkeys)})" if pkeys else ""
         )
-        params = rec.get("parameters") or {}
         props_ddl = (
             " TBLPROPERTIES ("
             + ", ".join(f"{_sql_str(k)}={_sql_str(v)}" for k, v in sorted(params.items()))
@@ -370,7 +396,7 @@ class SparkSqlCatalog:
         serde = rec.get("serde") or "parquet"
         self.spark.sql(
             f"CREATE TABLE {self._fqn(db, table)} ({col_ddl}) USING {serde}"
-            f"{part_ddl} LOCATION {_sql_str(location)}{props_ddl}"
+            f"{part_ddl} LOCATION {_sql_str(ddl_loc)}{props_ddl}"
         )
 
     def alter_table(self, rec: dict) -> None:

@@ -186,3 +186,51 @@ def test_replicate_into_sql_catalog(spark, tmp_path):
 
     spark.sql("DROP TABLE IF EXISTS sqlrep.plain")
     spark.sql("DROP TABLE IF EXISTS sqlrep.parted")
+
+
+def test_analyze_statistics_roundtrip_sqlcatalog(spark, tmp_path):
+    """The ANALYZE-published spark.sql.statistics.* properties survive
+    the SparkSqlCatalog round-trip (they are the one spark.sql.*
+    namespace _raw_props must NOT hide — the public HMS discipline),
+    so broadcast_aware_join's cost decision works against a real
+    Spark-SQL catalog, not just the directory one."""
+    from reair_spark.catalog import SparkSqlCatalog
+    from reair_spark.sources import (
+        analyze_catalog_table,
+        broadcast_aware_join,
+        write_zonemapped,
+    )
+    from pyspark.sql import functions as F
+
+    cat = SparkSqlCatalog(spark, str(tmp_path / "wh"))
+    loc = str(tmp_path / "wh" / "ref")
+    df = spark.range(60).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("b"),
+        F.col("id").alias("v"),
+    )
+    write_zonemapped(df, loc, "b", stat_cols=["v"], ndv_cols=["v"])
+    cat.create_table(_rec(
+        "db1", "ref", loc,
+        params={"layout": "zonemapped"},
+    ))
+
+    res = analyze_catalog_table(spark, cat, "db1", "ref")
+    assert res["n_rows"] == 60
+    back = cat.get_table("db1", "ref")["parameters"]
+    assert back["spark.sql.statistics.numRows"] == "60"
+    assert back["spark.sql.statistics.colStats.v.nullCount"] == "0"
+    assert back["layout"] == "zonemapped"
+
+    fact = spark.range(500).select((F.col("id") % 60).alias("k"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined, dec = broadcast_aware_join(
+            spark, cat, "db1", "ref", fact, on=["k"]
+        )
+        assert dec == {"broadcast": True, "num_rows_stat": 60}
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert joined.count() == 500
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
