@@ -3829,3 +3829,183 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM part) AS num_rows_stat,
        round(sum(l.l_quantity * p.p_retailprice), 2) AS total_value
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 """
+
+
+def _build_incpub_src(spark: SparkSession, sf: str, mutated: bool) -> str:
+    """src warehouse for the incremental-publish gate: orders
+    partitioned by order YEAR (oy_p), per-partition TLDTs. The
+    ``mutated`` variant doubles o_totalprice in year 1996 and bumps
+    that partition's TLDT — the deterministic "one partition landed"
+    change the incremental publish must isolate."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from reair_spark.catalog import DirectoryCatalog
+
+    root = tempfile.mkdtemp(prefix="reair_incpub_src_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    cat = DirectoryCatalog(root)
+    loc = cat.table_location("wh", "orders_p")
+    o = _t(spark, sf, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.date_format("o_orderdate", "yyyy").alias("oy_p"),
+    )
+    if mutated:
+        o = o.withColumn(
+            "o_totalprice",
+            F.when(F.col("oy_p") == "1996", F.col("o_totalprice") * 2)
+            .otherwise(F.col("o_totalprice")),
+        )
+    o.write.partitionBy("oy_p").mode("overwrite").parquet(loc)
+    cat.create_table({
+        "db": "wh", "table": "orders_p", "table_type": "MANAGED_TABLE",
+        "cols": [{"name": "o_orderkey", "type": "bigint",
+                  "comment": None},
+                 {"name": "o_totalprice", "type": "double",
+                  "comment": None}],
+        "partition_keys": [{"name": "oy_p", "type": "string",
+                            "comment": None}],
+        "location": loc, "serde": "parquet",
+        "parameters": {"transient_lastDdlTime": "100"},
+    })
+    years = sorted(r.oy_p for r in o.select("oy_p").distinct().collect())
+    for y in years:
+        cat.add_partition("wh", "orders_p", {
+            "partition_name": f"oy_p={y}", "values": [y],
+            "location": os.path.join(loc, f"oy_p={y}"),
+            "parameters": {"transient_lastDdlTime": (
+                "200" if mutated and y == "1996" else "100"
+            )},
+        })
+    return root
+
+
+def _build_incpub_seeded_dest(spark: SparkSession, sf: str,
+                              src_a: str) -> str:
+    """dest template AFTER the seeding snapshot publish — built once
+    per (session, sf); each gate call clones it so the call times the
+    INCREMENTAL publish, not the seed."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from reair_spark.catalog import DirectoryCatalog
+    from reair_spark.replicate import replicate_warehouse
+
+    base = tempfile.mkdtemp(prefix="reair_incpub_dest_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    dest_root = os.path.join(base, "dest")
+    dest_cat = DirectoryCatalog(dest_root)
+    dest_cat.create_table({
+        "db": "wh", "table": "orders_p", "table_type": "EXTERNAL_TABLE",
+        "cols": [], "partition_keys": [],
+        "location": dest_cat.table_location("wh", "orders_p"),
+        "serde": "parquet",
+        "parameters": {
+            "layout": "zonemapped",
+            "zonemap.publish_mode": "incremental",
+            "zonemap.bucket_col": "epoch",
+            # bucket COARSER than the partition: two years share an
+            # epoch, so a one-year change must CO-READ its sibling —
+            # the bucket-is-the-rewrite-granularity contract
+            "zonemap.bucket_expr":
+                "cast(floor((cast(oy_p as int) - 1995) / 2) as int)",
+            "zonemap.stat_cols": "o_totalprice",
+        },
+    })
+    out = replicate_warehouse(spark, src_a, dest_root)
+    assert out["zonemap_results"].first().status == "PUBLISHED"
+    return dest_root
+
+
+def replication_incremental_publish(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    """Incremental format-target publish (``zonemap.publish_mode =
+    incremental``): the seeding replication snapshots orders into an
+    epoch-clustered layout (two years per clustering bucket) and
+    records per-partition (year) TLDT watermarks; when ONE year's
+    partition changes at the source, the re-replication rewrites only
+    the EPOCH bucket that year maps into — co-reading the sibling
+    year (the bucket is the rewrite granularity) while every other
+    epoch keeps its ORIGINAL ingest directory (pinned: epoch 1 still
+    reads ingest 0). The oracle recomputes the publish accounting and
+    the converged table from raw orders with 1996 prices doubled — a
+    stale watermark (no-op'd change), an over-wide rewrite, or a lost
+    co-read row all break the hash.
+
+    100 TB story: the difference between re-clustering a 100 TB table
+    because one partition landed and rewriting one bucket — the
+    replication engine and the table format composed at the
+    partition/bucket boundary (Hive-partition ingestion into an
+    Iceberg-clustered table)."""
+    import tempfile
+
+    import atexit
+    import shutil as _sh
+
+    from reair_spark.catalog import DirectoryCatalog
+    from reair_spark.replicate import replicate_warehouse
+    from reair_spark.sources import zonemap_plan, zonemap_scan
+
+    key = (spark.sparkContext.applicationId, "incpub", sf)
+    if key not in _ZONEMAP_CACHE:
+        src_a = _build_incpub_src(spark, sf, False)
+        src_b = _build_incpub_src(spark, sf, True)
+        dest_tpl = _build_incpub_seeded_dest(spark, sf, src_a)
+        _ZONEMAP_CACHE[key] = (src_b, dest_tpl)
+    src_b, dest_tpl = _ZONEMAP_CACHE[key]
+
+    run = tempfile.mkdtemp(prefix="reair_incpub_run_")
+    atexit.register(_sh.rmtree, run, ignore_errors=True)
+    dest_root = os.path.join(run, "dest")
+    _sh.copytree(dest_tpl, dest_root)
+    dest_cat = DirectoryCatalog(dest_root)
+
+    out2 = replicate_warehouse(spark, src_b, dest_root)
+    inc = out2["zonemap_results"].first()
+
+    loc = dest_cat.get_table("wh", "orders_p")["location"]
+    _, kept, _ = zonemap_plan(spark, loc)
+    e1 = next(
+        (r["__ingests"] for r in kept if str(r["epoch"]) == "1"), None
+    )
+    df, _ = zonemap_scan(spark, loc)
+    ans = df.agg(
+        F.count(F.lit(1)).cast("long").alias("final_rows"),
+        F.round(F.sum("o_totalprice"), 2).alias("final_revenue"),
+    )
+    return ans.select(
+        F.lit(int(inc.status == "PUBLISHED_INCREMENTAL")).cast("long")
+            .alias("inc_ok"),
+        F.lit(inc.n_buckets).cast("long").alias("inc_buckets_written"),
+        F.lit(inc.n_rows).cast("long").alias("inc_rows"),
+        F.lit(int(list(e1 or []) == [0])).cast("long")
+            .alias("epoch1_untouched"),
+        "final_rows",
+        "final_revenue",
+    )
+
+
+ENGINE_QUERIES["replication_incremental_publish"] = (
+    replication_incremental_publish
+)
+ENGINE_ORACLES["replication_incremental_publish"] = """
+WITH o AS (
+  SELECT o_orderkey, o_totalprice,
+         strftime(o_orderdate, '%Y') AS oy
+  FROM orders),
+mut AS (
+  SELECT CASE WHEN oy = '1996' THEN o_totalprice * 2
+              ELSE o_totalprice END AS p, oy
+  FROM o)
+SELECT CAST(1 AS BIGINT) AS inc_ok,
+       CAST(1 AS BIGINT) AS inc_buckets_written,
+       (SELECT CAST(count(*) AS BIGINT) FROM o
+        WHERE oy IN ('1995', '1996')) AS inc_rows,
+       CAST(1 AS BIGINT) AS epoch1_untouched,
+       (SELECT CAST(count(*) AS BIGINT) FROM mut) AS final_rows,
+       (SELECT round(sum(p), 2) FROM mut) AS final_revenue
+"""

@@ -175,14 +175,20 @@ def dir_digest(files: DataFrame, check_mtime: bool = False) -> DataFrame:
     content = [F.col("rel_path"), F.col("size").cast("string")]
     if check_mtime:
         content.append(F.col("mtime").cast("string"))
-    row_h = F.conv(F.substring(F.md5(F.concat_ws("\x01", *content)), 1, 15), 16, 10).cast(
-        "long"
-    )
+    # 60-bit per-row hash summed in DECIMAL: a long sum overflows under
+    # ANSI mode once a root holds ~16 files (sum of n × ~2^60 values
+    # crosses 2^63) — latent until a many-file table directory hit it.
+    # decimal(28,0) carries a billion-file root exactly (10^9 × 2^60
+    # ≈ 10^27 < 10^28); consumers only compare digests for EQUALITY
+    # (diff casts to string), so the wider type changes nothing else.
+    row_h = F.conv(
+        F.substring(F.md5(F.concat_ws("\x01", *content)), 1, 15), 16, 10
+    ).cast("decimal(28,0)")
     return files.groupBy("root").agg(
         F.count("*").alias("n_files"),
         F.sum("size").alias("total_size"),
         # sum of per-row hashes = order-insensitive set digest
-        F.sum(row_h).alias("digest"),
+        F.sum(row_h).cast("decimal(28,0)").alias("digest"),
     )
 
 

@@ -431,13 +431,7 @@ def _claim_ingest_id(location: str) -> int:
 
     loc = location.rstrip("/")
     fs = fs_for(loc)
-    claimed = [
-        int(e.name.split("-", 1)[1])
-        for e in _scandir_or_empty(fs, f"{loc}/_staging/claims")
-        if e.name.startswith("ingest-")
-        and e.name.split("-", 1)[1].isdigit()
-    ]
-    cand = max([_next_ingest_id(loc) - 1] + claimed) + 1
+    cand = _next_ingest_id(loc)  # already counts pending claims
     while True:
         try:
             fh = fs.create_exclusive(
@@ -1340,16 +1334,22 @@ def _recover_layout(location: str) -> None:
     for e in _scandir_or_empty(fs, f"{loc}/_staging"):
         if e.name == "claims" and e.is_dir:
             # ingest-id CLAIM files (the fs-seam CAS): a claim whose
-            # delta has PUBLISHED is consumed — sweep it; a pending
-            # claim (mid-commit or crashed writer) stays, keeping its
-            # id reserved. Never rmtree the dir itself.
+            # delta has PUBLISHED — or whose id the replay high-water
+            # mark already covers (its delta was folded/compacted
+            # away) — is consumed and swept; a pending claim
+            # (mid-commit or crashed writer) stays, keeping its id
+            # reserved. Never rmtree the dir itself.
+            folded = int((_read_layout_meta(loc) or {}).get(
+                "compacted_through", -1
+            ))
             for c in _scandir_or_empty(fs, e.path):
-                if (c.name.startswith("ingest-")
-                        and c.name.split("-", 1)[1].isdigit()
-                        and fs.isdir(
-                            f"{loc}/manifest/ingest="
-                            f"{c.name.split('-', 1)[1]}"
-                        )):
+                if not (c.name.startswith("ingest-")
+                        and c.name.split("-", 1)[1].isdigit()):
+                    continue
+                cid = int(c.name.split("-", 1)[1])
+                if cid <= folded or fs.isdir(
+                    f"{loc}/manifest/ingest={cid}"
+                ):
                     try:
                         fs.unlink(c.path)
                     except FileNotFoundError:
@@ -1703,6 +1703,81 @@ def zonemap_overwrite(
         )
     n_r, _ = _delta_totals(spark, loc, meta["serde"], bucket_col, ingest_id)
     return {"n_rows": n_r, "n_buckets": len(new_buckets),
+            "n_buckets_tombstoned": len(gone), "ingest_id": ingest_id}
+
+
+def zonemap_replace_buckets(
+    spark: SparkSession,
+    location: str,
+    df: DataFrame,
+    buckets: list,
+) -> dict:
+    """Bucket-scoped INSERT OVERWRITE: the listed ``buckets`` become
+    exactly the rows of ``df`` (which must only contain rows of those
+    buckets — refused otherwise, because a replacing delta replaces
+    every bucket it mentions and rows for other buckets would
+    truncate them), and listed buckets with NO rows in ``df`` are
+    tombstoned. Buckets not listed are untouched. This is the Hive
+    partition-overwrite shape on the clustering dimension — the
+    primitive an INCREMENTAL replication publish rewrites one changed
+    bucket with, instead of re-publishing a 100 TB snapshot. Same
+    append-only/time-travel properties and optimistic-concurrency
+    contract as :func:`zonemap_merge`.
+
+    Returns {"n_rows", "n_buckets_written", "n_buckets_tombstoned",
+    "ingest_id"}."""
+    from pyspark.sql import functions as F
+
+    loc = location.rstrip("/")
+    _recover_layout(loc)
+    meta = _read_layout_meta(loc)
+    if meta is None:
+        raise ValueError(f"{loc} has no {LAYOUT_META}; replace_buckets "
+                         "needs a descriptor-bearing layout")
+    bucket_col = meta["bucket_col"]
+    if bucket_col not in df.columns:
+        if not meta.get("bucket_expr"):
+            raise ValueError(
+                f"df must carry the clustering column {bucket_col!r} "
+                "(or the layout must record a bucket_expr)"
+            )
+        df = df.withColumn(bucket_col, F.expr(meta["bucket_expr"]))
+    df = df.localCheckpoint(eager=True)  # same pin as zonemap_merge
+    listed = {str(b) for b in buckets}
+    present = {
+        str(r[0])
+        for r in df.select(
+            F.col(bucket_col).cast("string")
+        ).distinct().collect()
+    }
+    stray = sorted(present - listed)
+    if stray:
+        raise ValueError(
+            f"df contains rows for buckets outside the replace set: "
+            f"{stray[:10]} — a replacing delta would TRUNCATE those "
+            "buckets to just these rows; widen the bucket list or "
+            "filter the frame"
+        )
+    gone = sorted(listed - present)
+    for _attempt in range(5):
+        base = _manifest_delta_ids(loc)
+        ingest_id = _claim_ingest_id(loc)
+        if _manifest_delta_ids(loc) != base:
+            continue
+        append_zonemapped(
+            df, loc, bucket_col, meta["stat_cols"], serde=meta["serde"],
+            bloom_cols=meta["bloom_cols"] or None, ingest_id=ingest_id,
+            _replaces=True, _tombstone_buckets=gone or None,
+        )
+        break
+    else:
+        raise RuntimeError(
+            f"zonemap_replace_buckets on {loc}: commit validation "
+            "failed 5 times under concurrent writes — serialize writers"
+        )
+    n_r, n_b = _delta_totals(spark, loc, meta["serde"], bucket_col,
+                             ingest_id)
+    return {"n_rows": n_r, "n_buckets_written": n_b,
             "n_buckets_tombstoned": len(gone), "ingest_id": ingest_id}
 
 

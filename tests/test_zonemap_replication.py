@@ -355,3 +355,152 @@ def F_expr_mismatch():
     from pyspark.sql import functions as F
 
     return F.col("par").cast("int") != F.expr("pmod(k, 2)")
+
+
+def _inc_src(spark, root):
+    """Partitioned src fact table: months om=1996-01/1996-02/1997-01,
+    deterministic rows, per-partition TLDTs."""
+    cat = DirectoryCatalog(root)
+    floc = cat.table_location("wh", "pfact")
+    df = spark.createDataFrame(
+        [(m * 100 + i, float(m * 100 + i), om)
+         for m, om in enumerate(["1996-01", "1996-02", "1997-01"])
+         for i in range(4)],
+        "k int, v double, om string",
+    )
+    df.write.partitionBy("om").mode("overwrite").parquet(floc)
+    cat.create_table({
+        "db": "wh", "table": "pfact", "table_type": "MANAGED_TABLE",
+        "cols": [{"name": "k", "type": "int", "comment": None},
+                 {"name": "v", "type": "double", "comment": None}],
+        "partition_keys": [{"name": "om", "type": "string",
+                            "comment": None}],
+        "location": floc, "serde": "parquet",
+        "parameters": {"transient_lastDdlTime": "100"},
+    })
+    for om in ("1996-01", "1996-02", "1997-01"):
+        cat.add_partition("wh", "pfact", {
+            "partition_name": f"om={om}", "values": [om],
+            "location": os.path.join(floc, f"om={om}"),
+            "parameters": {"transient_lastDdlTime": "100"},
+        })
+    return cat, floc
+
+
+def _inc_dest(root):
+    cat = DirectoryCatalog(root)
+    cat.create_table({
+        "db": "wh", "table": "pfact", "table_type": "EXTERNAL_TABLE",
+        "cols": [], "partition_keys": [],
+        "location": cat.table_location("wh", "pfact"),
+        "serde": "parquet",
+        "parameters": {
+            "layout": "zonemapped",
+            "zonemap.publish_mode": "incremental",
+            "zonemap.bucket_col": "oy",
+            "zonemap.bucket_expr": "substring(om, 1, 4)",
+            "zonemap.stat_cols": "v",
+        },
+    })
+    return cat
+
+
+def test_incremental_publish_rewrites_only_affected_buckets(
+    spark, tmp_path
+):
+    """zonemap.publish_mode=incremental: after the seeding snapshot,
+    a change to ONE source partition rewrites only the clustering
+    bucket(s) it touches — unchanged partitions sharing the bucket
+    are co-read (bucket = rewrite granularity), other buckets keep
+    their original ingest directories untouched — and a dropped
+    partition tombstones the bucket it emptied."""
+    from reair_spark.sources import (
+        _read_layout_meta,
+        zonemap_plan,
+        zonemap_scan,
+    )
+
+    src_root, dest_root = str(tmp_path / "src"), str(tmp_path / "dest")
+    src_cat, floc = _inc_src(spark, src_root)
+    dest_cat = _inc_dest(dest_root)
+    loc = dest_cat.get_table("wh", "pfact")["location"]
+
+    # publish 1: snapshot seeds layout + per-partition watermarks
+    out1 = replicate_warehouse(spark, src_root, dest_root)
+    zm1 = out1["zonemap_results"].first()
+    assert zm1.status == "PUBLISHED"
+    assert zm1.n_rows == 12
+    pub = _read_layout_meta(loc)["published_partitions"]
+    assert pub["om=1996-01"]["buckets"] == ["1996"]
+    assert pub["om=1997-01"]["buckets"] == ["1997"]
+
+    # publish 2: nothing moved
+    out2 = replicate_warehouse(spark, src_root, dest_root)
+    assert out2["zonemap_results"].first().status == "SKIPPED_UNCHANGED"
+
+    # mutate ONE partition (1996-02): new rows, bumped partition TLDT
+    upd = spark.createDataFrame(
+        [(999, 999.0), (998, 998.0)], "k int, v double"
+    )
+    upd.write.mode("overwrite").parquet(
+        os.path.join(floc, "om=1996-02")
+    )
+    src_cat.add_partition("wh", "pfact", {
+        "partition_name": "om=1996-02", "values": ["1996-02"],
+        "location": os.path.join(floc, "om=1996-02"),
+        "parameters": {"transient_lastDdlTime": "200"},
+    })
+    out3 = replicate_warehouse(spark, src_root, dest_root)
+    zm3 = out3["zonemap_results"].first()
+    assert zm3.status == "PUBLISHED_INCREMENTAL"
+    assert zm3.n_buckets == 1          # only bucket 1996 rewritten
+    assert zm3.n_rows == 6             # 4 co-read (1996-01) + 2 new
+
+    df, _ = zonemap_scan(spark, loc)
+    got = sorted(r.k for r in df.collect())
+    assert got == [0, 1, 2, 3, 200, 201, 202, 203, 998, 999]
+    # bucket 1997 still reads from its ORIGINAL ingest (untouched)
+    _, kept, _ = zonemap_plan(spark, loc)
+    by_bucket = {r["oy"]: r["__ingests"] for r in kept}
+    assert by_bucket["1997"] == [0]
+    assert by_bucket["1996"] != [0]
+
+    # drop partition 1997-01: its bucket is tombstoned
+    src_cat.drop_partition("wh", "pfact", "om=1997-01")
+    import shutil as _sh
+
+    _sh.rmtree(os.path.join(floc, "om=1997-01"))
+    out4 = replicate_warehouse(spark, src_root, dest_root)
+    zm4 = out4["zonemap_results"].first()
+    assert zm4.status == "PUBLISHED_INCREMENTAL"
+    assert zm4.n_buckets_tombstoned == 1
+    df4, stats4 = zonemap_scan(spark, loc)
+    assert stats4["n_buckets_total"] == 1
+    # 1997's rows (k=200..203) left with their partition
+    assert sorted(r.k for r in df4.collect()) == [
+        0, 1, 2, 3, 998, 999
+    ]
+    assert "om=1997-01" not in _read_layout_meta(
+        loc)["published_partitions"]
+
+
+def test_incremental_publish_requires_partitioned_source(
+    spark, tmp_path
+):
+    src_root, dest_root = str(tmp_path / "src"), str(tmp_path / "dest")
+    _src_warehouse(spark, src_root)  # unpartitioned fact table
+    cat = DirectoryCatalog(dest_root)
+    cat.create_table({
+        "db": "wh", "table": "fact", "table_type": "EXTERNAL_TABLE",
+        "cols": [], "partition_keys": [],
+        "location": cat.table_location("wh", "fact"),
+        "serde": "parquet",
+        "parameters": {
+            "layout": "zonemapped",
+            "zonemap.publish_mode": "incremental",
+            "zonemap.bucket_col": "bucket",
+            "zonemap.stat_cols": "k,v",
+        },
+    })
+    with pytest.raises(ValueError, match="partitioned source"):
+        replicate_warehouse(spark, src_root, dest_root)
