@@ -488,3 +488,138 @@ def test_zonemap_overwrite_merge_recluster_stats_model_equivalence(
     assert {
         (r.k, r.v) for r in pr.where(f"v >= 0 and v <= {mod // 2}").collect()
     } == want
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    n=st.integers(min_value=40, max_value=160),
+    n_buckets=st.integers(min_value=2, max_value=7),
+    mod=st.integers(min_value=7, max_value=60),
+    null_mod=st.integers(min_value=3, max_value=25),
+    n_ingests=st.integers(min_value=2, max_value=4),
+    bucket_mask=st.integers(min_value=1, max_value=127),
+    n_new=st.integers(min_value=0, max_value=40),
+    lo=st.integers(min_value=-5, max_value=70),
+    width=st.integers(min_value=0, max_value=40),
+)
+def test_zonemap_fold_replace_vacuum_model_equivalence(
+    spark, tmp_path_factory, n, n_buckets, mod, null_mod, n_ingests,
+    bucket_mask, n_new, lo, width,
+):
+    """Round-12 mutations under RANDOM shapes, against a dict model:
+    a MANIFEST-ONLY FOLD of an arbitrary multi-ingest history changes
+    no answer (scan, predicated count, ANALYZE stats incl. exact NDV)
+    and no-ops replays of folded batches; BUCKET-SCOPED REPLACE makes
+    the listed buckets exactly the new rows (absent listed buckets
+    tombstoned, stray-bucket rows refused, unlisted buckets
+    untouched); a second fold + vacuum sweeps the dirs the rewrite
+    superseded while every answer still matches the model and the
+    plan-time manifest holds exactly one row per live bucket."""
+    import os
+
+    import pytest as _pytest
+
+    from reair_spark.sources import (
+        append_zonemapped,
+        zonemap_count,
+        zonemap_replace_buckets,
+        zonemap_rewrite_manifests,
+        zonemap_scan,
+        zonemap_stats,
+        zonemap_vacuum,
+    )
+
+    hi = lo + width
+    rows = [
+        (i, i % n_buckets,
+         None if i % null_mod == 0 else (i * 13) % mod)
+        for i in range(n)
+    ]
+    per = max(1, n // n_ingests)
+    batches = [rows[i * per:(i + 1) * per] for i in range(n_ingests - 1)]
+    batches.append(rows[(n_ingests - 1) * per:])
+    batches = [b for b in batches if b]
+    loc = str(tmp_path_factory.mktemp("zprop3") / "layout")
+    for i, batch in enumerate(batches):
+        append_zonemapped(
+            spark.createDataFrame(batch, "k long, b long, v long"),
+            loc, "b", ["v"], ndv_cols=["v"], ingest_id=i,
+        )
+
+    model = {(k, v) for k, _, v in rows}
+
+    def check_all(expect):
+        cur, _ = zonemap_scan(spark, loc)
+        assert {(r.k, r.v) for r in cur.collect()} == expect
+        assert zonemap_count(spark, loc)[0] == len(expect)
+        inside = {
+            (k, v) for k, v in expect
+            if v is not None and lo <= v <= hi
+        }
+        assert zonemap_count(spark, loc, [("v", lo, hi)])[0] == len(inside)
+        stats = {r.column: r for r in zonemap_stats(spark, loc).collect()}
+        vals = [v for _, v in expect if v is not None]
+        assert stats["v"].n_rows == len(expect)
+        assert stats["v"].n_nulls == len(expect) - len(vals)
+        if vals:
+            assert int(stats["v"].min_value) == min(vals)
+            assert int(stats["v"].max_value) == max(vals)
+        assert stats["v"].ndv == len(set(vals))
+
+    # --- manifest-only fold: every answer invariant ------------------
+    res = zonemap_rewrite_manifests(spark, loc)
+    if len(batches) > 1:
+        assert res["deltas_after"] == 1
+        assert res["fold_ingest"] == len(batches) - 1
+    check_all(model)
+    # replay of EVERY folded batch no-ops
+    append_zonemapped(
+        spark.createDataFrame(batches[0], "k long, b long, v long"),
+        loc, "b", ["v"], ndv_cols=["v"], ingest_id=0,
+    )
+    check_all(model)
+
+    # --- bucket-scoped replace ---------------------------------------
+    listed = sorted(
+        b for b in range(n_buckets) if bucket_mask & (1 << b)
+    ) or [0]
+    new_rows = [
+        (10_000 + j, listed[j % len(listed)],
+         None if j % null_mod == 2 else (j * 11) % mod)
+        for j in range(n_new)
+    ]
+    # stray-bucket rows are refused loudly
+    if len(listed) < n_buckets:
+        stray_b = next(b for b in range(n_buckets) if b not in listed)
+        with _pytest.raises(ValueError, match="outside the replace set"):
+            zonemap_replace_buckets(
+                spark, loc,
+                spark.createDataFrame(
+                    [(1, stray_b, 0)], "k long, b long, v long"
+                ),
+                listed,
+            )
+    rr = zonemap_replace_buckets(
+        spark, loc,
+        spark.createDataFrame(new_rows, "k long, b long, v long")
+        if new_rows else
+        spark.createDataFrame([], "k long, b long, v long"),
+        listed,
+    )
+    present = {b for _, b, _ in new_rows}
+    assert rr["n_buckets_tombstoned"] == len(set(listed) - present)
+    model = {(k, v) for k, b, v in rows if b not in set(listed)}
+    model |= {(k, v) for k, _, v in new_rows}
+    check_all(model)
+
+    # --- fold again + vacuum: superseded dirs swept, answers fixed ---
+    zonemap_rewrite_manifests(spark, loc)
+    out = zonemap_vacuum(spark, loc)
+    check_all(model)
+    # plan-time manifest = exactly one row per live bucket
+    live_buckets = {b for k, b, v in rows if b not in set(listed)}
+    live_buckets |= present
+    man = spark.read.option("mergeSchema", "true").parquet(
+        f"{loc}/manifest"
+    )
+    assert man.where("n_rows > 0").count() == len(live_buckets)
