@@ -504,3 +504,72 @@ def test_incremental_publish_requires_partitioned_source(
     })
     with pytest.raises(ValueError, match="partitioned source"):
         replicate_warehouse(spark, src_root, dest_root)
+
+
+def test_incremental_publish_crash_before_watermark_converges(
+    spark, tmp_path, monkeypatch
+):
+    """Crash windows of the incremental publish: (a) the bucket
+    replace dies before anything published — re-replication re-detects
+    the change and publishes; (b) the replace lands but the process
+    dies BEFORE the watermark update — re-replication re-replaces the
+    same buckets (idempotent: a replacing delta of identical rows) and
+    then advances the watermark; a third run is a no-op."""
+    import reair_spark.sources as S
+
+    src_root, dest_root = str(tmp_path / "src"), str(tmp_path / "dest")
+    src_cat, floc = _inc_src(spark, src_root)
+    _inc_dest(dest_root)
+    dest_cat = DirectoryCatalog(dest_root)
+    loc = dest_cat.get_table("wh", "pfact")["location"]
+
+    assert replicate_warehouse(
+        spark, src_root, dest_root
+    )["zonemap_results"].first().status == "PUBLISHED"
+
+    # mutate one partition at the source
+    spark.createDataFrame(
+        [(999, 999.0)], "k int, v double"
+    ).write.mode("overwrite").parquet(os.path.join(floc, "om=1996-02"))
+    src_cat.add_partition("wh", "pfact", {
+        "partition_name": "om=1996-02", "values": ["1996-02"],
+        "location": os.path.join(floc, "om=1996-02"),
+        "parameters": {"transient_lastDdlTime": "200"},
+    })
+
+    # window (b): replace lands, watermark update dies
+    real_cas = S._meta_cas_update
+    state = {"boom": True}
+
+    def dying_cas(location, mutate):
+        out = real_cas(location, mutate)
+        if state["boom"] and out and "published_partitions" in (out or {}):
+            state["boom"] = False
+            raise OSError("injected crash after replace, before "
+                          "watermark durability confirmed")
+        return out
+
+    monkeypatch.setattr(
+        "reair_spark.sources._meta_cas_update", dying_cas
+    )
+    with pytest.raises(OSError, match="injected"):
+        replicate_warehouse(spark, src_root, dest_root)
+    monkeypatch.setattr("reair_spark.sources._meta_cas_update", real_cas)
+
+    # data is already correct (replace landed) but the watermark is
+    # stale — the re-run re-publishes the same buckets idempotently
+    # and advances it
+    out2 = replicate_warehouse(spark, src_root, dest_root)
+    assert out2["zonemap_results"].first().status == (
+        "PUBLISHED_INCREMENTAL"
+    )
+    from reair_spark.sources import zonemap_scan
+
+    df, _ = zonemap_scan(spark, loc)
+    got = sorted(r.k for r in df.collect())
+    assert got == [0, 1, 2, 3, 200, 201, 202, 203, 999]
+
+    # converged: the third run is a no-op
+    out3 = replicate_warehouse(spark, src_root, dest_root)
+    assert out3["zonemap_results"].first().status == "SKIPPED_UNCHANGED"
+    assert zonemap_scan(spark, loc)[0].count() == 9
