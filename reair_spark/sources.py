@@ -240,6 +240,40 @@ TOMBSTONE_LITERAL_MAX = 1024
 
 LAYOUT_META = "_meta.json"  # layout descriptor at the layout root
 
+#: characters Spark/Hive percent-escape in partition DIRECTORY names
+#: (ExternalCatalogUtils.escapePathName): anything here — or a control
+#: char — becomes %XX on disk, while manifest rows keep the RAW value.
+_HIVE_ESCAPE_CHARS = set('"#%\'*/:=?\\\x7f{[]^')
+
+
+def _escape_partition_value(value: str) -> str:
+    """RAW partition value → the directory-name form Spark writes
+    (Hive percent-escaping). Every place that CONSTRUCTS a data path
+    from a manifest bucket value must go through this, or values
+    containing ':', '/', '%', … resolve to nonexistent dirs — a loud
+    read error at scan time, and (before ADVICE r12 #5) a silent
+    live-dir DELETION in the vacuum sweep, whose live-set compare
+    mixed raw manifest values with escaped dir names."""
+    out = []
+    for ch in str(value):
+        if ch in _HIVE_ESCAPE_CHARS or ord(ch) < 0x20:
+            out.append(f"%{ord(ch):02X}")
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def _unescape_partition_value(name: str) -> str:
+    """Directory-name form → RAW value (inverse of
+    :func:`_escape_partition_value`, Hive unescapePathName)."""
+    import re
+
+    return re.sub(
+        r"%([0-9A-Fa-f]{2})",
+        lambda m: chr(int(m.group(1), 16)),
+        name,
+    )
+
 
 def _bloom_positions(value, m: int = BLOOM_M, k: int = BLOOM_K) -> list[int]:
     """Driver-side probe positions — the SAME md5-derived family the
@@ -2011,7 +2045,8 @@ def zonemap_vacuum(
 
             meta = _meta_cas_update(loc, _adv) or meta
         for r in dead:
-            path = f"{loc}/data/ingest={int(r['ingest'])}/{bcol}={r['b']}"
+            path = (f"{loc}/data/ingest={int(r['ingest'])}"
+                    f"/{bcol}={_escape_partition_value(r['b'])}")
             if fs.isdir(path):
                 fs_rmtree(fs, path)
                 removed += 1
@@ -2023,31 +2058,69 @@ def zonemap_vacuum(
     ft = meta.get("folded_through")
     if ft is not None:
         # dirs STRANDED below the fold horizon (VERDICT r11 ask #8
-        # composed with rewrite_manifests): the folded delta only
-        # references live dirs, so pre-fold superseded dirs appear in
-        # NO delta — invisible to the manifest-driven rule above and
-        # unreachable by any admissible read (as-of below the fold is
-        # refused), hence dead regardless of retention. The live
-        # reference set is one metadata-sized collect — the same
-        # cardinality as the data-dir listing this sweep walks anyway.
-        live: set[tuple[int, str]] = set()
-        _, man = _merged_manifest(spark, loc, serde)
-        for r in man.select(
-            F.col(man.columns[0]).cast("string").alias("b"), "__ingests"
-        ).collect():
-            for i in r["__ingests"]:
-                live.add((int(i), str(r["b"])))
+        # composed with rewrite_manifests): pre-fold superseded dirs
+        # appear in NO delta after the fold — invisible to the
+        # manifest-driven rule above — but they are NOT dead merely
+        # because the CURRENT merged view skips them (ADVICE r12 #1):
+        # a post-fold replacing delta (merge/overwrite/delete at
+        # ingest r) supersedes the folded row only for snapshots
+        # >= r, and as-of reads in [fold, r) remain admissible unless
+        # the retention horizon also expires them. The live set is
+        # therefore the union of merged views at EVERY admissible
+        # snapshot: a manifest row is admissibly visible iff no
+        # replacing delta of its bucket lands in (row.ingest, lo]
+        # where lo = max(folded_through, vacuumed_through) is the
+        # admissibility floor reads enforce; each visible row
+        # contributes its data_ingests (fold rows) or its own ingest
+        # dir. Evaluated Spark-side over the manifest; one
+        # metadata-sized collect — the same cardinality as the
+        # data-dir listing this sweep walks anyway.
+        lo = max(int(ft), int(out["vacuumed_through"]))
+        rows = raw.where(F.col("n_rows") > 0)
+        if "replaces" in raw.columns:
+            cut = (
+                raw.where(F.col("replaces") & (F.col("ingest") <= lo))
+                .groupBy(bucket_col)
+                .agg(F.max("ingest").alias("__cut"))
+            )
+            rows = (
+                rows.join(cut, bucket_col, "left")
+                .where(
+                    F.col("ingest")
+                    >= F.coalesce(F.col("__cut"), F.lit(-1))
+                )
+            )
+        if "data_ingests" in raw.columns:
+            ref = F.explode(
+                F.coalesce(
+                    F.col("data_ingests"), F.array(F.col("ingest"))
+                )
+            )
+        else:
+            ref = F.col("ingest")
+        live: set[tuple[int, str]] = {
+            (int(r["__i"]), str(r["b"]))
+            for r in rows.select(
+                F.col(bucket_col).cast("string").alias("b"),
+                ref.alias("__i"),
+            ).distinct().collect()
+        }
         for e in _scandir_or_empty(fs, f"{loc}/data"):
             if not (e.is_dir and e.name.startswith("ingest=")
                     and e.name.split("=", 1)[1].isdigit()):
                 continue
             i = int(e.name.split("=", 1)[1])
-            if i >= int(ft):
+            if i > int(ft):
+                # above the fold, pending appends/replays may still
+                # publish a delta for the dir — not sweepable here
                 continue
             for b in _scandir_or_empty(fs, e.path):
                 if not (b.is_dir and "=" in b.name):
                     continue
-                if (i, b.name.split("=", 1)[1]) not in live:
+                raw_val = _unescape_partition_value(
+                    b.name.split("=", 1)[1]
+                )
+                if (i, raw_val) not in live:
                     fs_rmtree(fs, b.path)
                     removed += 1
             if not _scandir_or_empty(fs, e.path):
@@ -2564,7 +2637,8 @@ def _bucket_reader(
         empty = reader.load(data_base)
         return empty.where(F.lit(False))
     paths = [
-        f"{data_base}/ingest={i}/{bucket_col}={r[bucket_col]}"
+        f"{data_base}/ingest={i}"
+        f"/{bucket_col}={_escape_partition_value(r[bucket_col])}"
         for r in kept
         for i in r["__ingests"]
     ]

@@ -319,3 +319,127 @@ def test_vacuum_sweeps_dirs_stranded_below_fold(spark, tmp_path):
     # idempotent
     out2 = zonemap_vacuum(spark, loc)
     assert out2["n_dirs_removed"] == 0
+
+
+def test_vacuum_retention_protects_prefold_dirs(spark, tmp_path):
+    """ADVICE r12 #1 (high): fold FIRST, replace a bucket AFTER — the
+    pre-fold dirs the folded delta references stay readable for as-of
+    snapshots in [fold, replacement), so a vacuum whose retention
+    window still admits those snapshots must NOT sweep them. Shrinking
+    the window to zero expires the fold snapshot and the same dirs
+    become dead."""
+    loc = str(tmp_path / "retain")
+    _build(spark, loc)                               # ingests 0, 1, 2
+    res = zonemap_rewrite_manifests(spark, loc)
+    fold_id = res["fold_ingest"]
+    assert fold_id == 2
+    prefold = [f"{loc}/data/ingest={i}/b=1" for i in range(3)]
+    assert all(os.path.isdir(p) for p in prefold)
+
+    def asof_bucket1():
+        df, _ = zonemap_scan(spark, loc, max_ingest=fold_id)
+        return sorted((r.k, r.b, r.v) for r in df.where("b = 1").collect())
+
+    asof_before = asof_bucket1()
+    assert len(asof_before) == 30                    # 3 ingests × 10 rows
+
+    # post-fold merge REPLACES bucket 1 at ingest 3
+    zonemap_merge(
+        spark, loc,
+        spark.range(1).select(
+            F.lit(7).cast("long").alias("k"),
+            F.lit(1).cast("long").alias("b"),
+            F.lit(5555).cast("long").alias("v"),
+        ),
+        key_cols=["k"],
+    )
+
+    # wide retention: the fold snapshot is still admissible — every
+    # dir it references survives the sweep and the as-of read is
+    # byte-identical before and after
+    zonemap_vacuum(spark, loc, retention_ingests=1000)
+    assert all(os.path.isdir(p) for p in prefold)
+    assert asof_bucket1() == asof_before
+
+    cur = sorted(
+        (r.k, r.b, r.v)
+        for r in zonemap_scan(spark, loc)[0].where("b = 1").collect()
+    )
+
+    # retention 0: the fold snapshot expires, the replacing ingest is
+    # now inside the horizon, and the stranded dirs become dead —
+    # including ingest=2/b=1 (referenced only via data_ingests)
+    zonemap_vacuum(spark, loc, retention_ingests=0)
+    assert not any(os.path.isdir(p) for p in prefold)
+    with pytest.raises(ValueError, match="expired"):
+        zonemap_scan(spark, loc, max_ingest=fold_id)
+    got = sorted(
+        (r.k, r.b, r.v)
+        for r in zonemap_scan(spark, loc)[0].where("b = 1").collect()
+    )
+    assert got == cur
+    # idempotent
+    assert zonemap_vacuum(spark, loc, retention_ingests=0)[
+        "n_dirs_removed"] == 0
+
+
+def test_vacuum_and_scan_handle_escaped_bucket_values(spark, tmp_path):
+    """ADVICE r12 #5 (low): Spark percent-escapes partition directory
+    names (':' → '%3A') while manifest rows keep the RAW value. Path
+    construction (scan, vacuum dead-walk) must escape, and the
+    stranded sweep's live-set compare must unescape — otherwise a
+    live escaped dir never matches the live set and is DELETED."""
+    loc = str(tmp_path / "esc")
+    df = spark.range(40).select(
+        F.concat(F.lit("k:"), (F.col("id") % 4).cast("string"))
+        .alias("b"),
+        F.col("id").alias("v"),
+    )
+    write_zonemapped(df, loc, "b", ["v"])
+    append_zonemapped(
+        spark.range(40, 60).select(
+            F.concat(F.lit("k:"), (F.col("id") % 4).cast("string"))
+            .alias("b"),
+            F.col("id").alias("v"),
+        ),
+        loc, "b", ["v"], ingest_id=1,
+    )
+    # escaped dirs actually landed
+    assert os.path.isdir(f"{loc}/data/ingest=0/b=k%3A0")
+
+    # pruned scan resolves escaped paths (bucket list prunes to one)
+    df2, stats = zonemap_scan(spark, loc, buckets=["k:1"])
+    assert stats["n_buckets_read"] == 1
+    assert df2.count() == 15
+    assert set(r.b for r in df2.collect()) == {"k:1"}
+
+    zonemap_rewrite_manifests(spark, loc)
+    before = sorted((r.b, r.v) for r in zonemap_scan(spark, loc)[0].collect())
+
+    # the stranded sweep must not eat LIVE escaped dirs
+    out = zonemap_vacuum(spark, loc)
+    assert out["n_dirs_removed"] == 0
+    assert sorted(
+        (r.b, r.v) for r in zonemap_scan(spark, loc)[0].collect()
+    ) == before
+
+    # supersede one escaped bucket; its dead dirs ARE swept (escaped
+    # path construction in the dead-walk + unescaped live compare)
+    zonemap_merge(
+        spark, loc,
+        spark.range(1).select(
+            F.lit("k:2").alias("b"),
+            F.lit(9999).cast("long").alias("v"),
+        ),
+        key_cols=["v"],
+    )
+    out = zonemap_vacuum(spark, loc)
+    assert out["n_dirs_removed"] >= 2
+    assert not os.path.isdir(f"{loc}/data/ingest=0/b=k%3A2")
+    assert not os.path.isdir(f"{loc}/data/ingest=1/b=k%3A2")
+    # other buckets intact
+    assert os.path.isdir(f"{loc}/data/ingest=0/b=k%3A0")
+    df3, _ = zonemap_scan(spark, loc)
+    assert df3.where("b = 'k:2'").count() == 16  # 15 kept + 1 upsert
+    assert df3.where("b = 'k:2' and v = 9999").count() == 1
+    assert df3.count() == 61
