@@ -826,7 +826,12 @@ def stream_zonemap_ingest(
     ``compacted_through`` no-op; crash-at-any-point convergence is
     the fold's own refuse-only horizon discipline. With both set,
     fold_every should be the smaller — folds keep the delta count
-    low, so size compact_every against small-FILE growth instead."""
+    low, so size compact_every against small-FILE growth instead.
+    The two policies watch DIFFERENT metrics for exactly that reason:
+    folds trigger on the manifest delta count (what folding bounds),
+    compaction on the ``data/ingest=*`` layer count (what compaction
+    bounds) — a fold resets the former to 1 but never the latter, so
+    compaction still fires under an aggressive fold cadence."""
     from reair_spark.fs import fs_for
     from reair_spark.sources import (
         append_zonemapped,
@@ -848,15 +853,30 @@ def stream_zonemap_ingest(
             ingest_id=int(batch_id),
         )
         if compact_every is not None or fold_every is not None:
-            deltas = [
-                e for e in fs_for(loc).scandir(f"{loc}/manifest")
-                if e.name.startswith("ingest=")
-            ]
+            fs = fs_for(loc)
+
+            def n_ingest_layers(sub: str) -> int:
+                try:
+                    return sum(
+                        1 for e in fs.scandir(f"{loc}/{sub}")
+                        if e.name.startswith("ingest=")
+                    )
+                except FileNotFoundError:
+                    return 0
+
+            # compaction triggers on the DATA ingest-layer count, not
+            # the manifest delta count: every fold resets the delta
+            # count to 1, so with the recommended fold_every <
+            # compact_every a delta-count trigger could NEVER reach
+            # compact_every and data-file compaction was silently
+            # disabled (ADVICE r12 #2). Small-FILE growth — the thing
+            # compact_every exists to bound — lives in the data layer,
+            # which folds never touch and compaction collapses to one.
             if (compact_every is not None
-                    and len(deltas) >= int(compact_every)):
+                    and n_ingest_layers("data") >= int(compact_every)):
                 zonemap_compact(batch_df.sparkSession, location)
             elif (fold_every is not None
-                    and len(deltas) >= int(fold_every)):
+                    and n_ingest_layers("manifest") >= int(fold_every)):
                 zonemap_rewrite_manifests(batch_df.sparkSession, location)
 
     q = (

@@ -759,3 +759,63 @@ def test_stream_zonemap_autofold_invariance_and_replay(spark, tmp_path):
     append_zonemapped(new_rows, loc, "b", ["v"], bloom_cols=["v"],
                       ingest_id=99)
     assert zonemap_scan(spark, loc)[1]["n_rows_scanned"] == 2100
+
+
+def test_stream_fold_does_not_starve_compaction(spark, tmp_path):
+    """ADVICE r12 #2: with both policies set (fold_every < compact_every,
+    the recommended configuration), a delta-count compaction trigger
+    could never fire — every fold reset the manifest delta count to 1.
+    Compaction now triggers on the data ingest-layer count, which folds
+    never touch, so data-file compaction still happens under an
+    aggressive fold cadence and the answer matches the one-shot write."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from reair_spark.sources import write_zonemapped, zonemap_scan
+    from reair_spark.streaming import stream_zonemap_ingest
+
+    df = spark.range(2000).select(
+        "id",
+        (F.col("id") % 7).cast("string").alias("b"),
+        (F.col("id") % 100).alias("v"),
+    )
+    src = str(tmp_path / "chunks")
+    df.repartitionByRange(6, "id").write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    loc = str(tmp_path / "both")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    stream_zonemap_ingest(
+        spark, stream, loc, "b", ["v"], str(tmp_path / "ckpt"),
+        bloom_cols=["v"], fold_every=2, compact_every=4,
+    )
+    # folds kept the manifest bounded AND compaction fired at least
+    # once: the data layer was collapsed mid-stream, so fewer than the
+    # stream's 6 per-batch ingest dirs remain
+    data_ingests = [
+        p for p in os.listdir(f"{loc}/data") if p.startswith("ingest=")
+    ]
+    assert len(data_ingests) < 6
+    deltas = [p for p in os.listdir(f"{loc}/manifest")
+              if p.startswith("ingest=")]
+    assert len(deltas) <= 2
+
+    oneshot = str(tmp_path / "oneshot")
+    write_zonemapped(df, oneshot, "b", ["v"], bloom_cols=["v"])
+
+    def fingerprint(where):
+        pruned, stats = zonemap_scan(
+            spark, where, predicates=[("v", 40, 60)],
+            point_predicates=[("v", 42)],
+        )
+        rows = sorted(
+            (r.id, r.v) for r in pruned.filter("v = 42").collect()
+        )
+        return stats, rows
+
+    assert fingerprint(loc) == fingerprint(oneshot)
