@@ -102,6 +102,32 @@ class LocalFs:
         os.makedirs(os.path.dirname(p), exist_ok=True)
         return open(p, "xb")
 
+    def create_exclusive_with_content(self, path: str, data: bytes) -> None:
+        """Atomically publish ``data`` at ``path``, failing with
+        FileExistsError when the path already exists — the
+        never-empty-claim CAS primitive (ADVICE r12 #3). With plain
+        ``create_exclusive`` a claim becomes VISIBLE before its
+        content lands; a peer that steals the claim during that
+        window races a merely-PAUSED winner, and two writers commit
+        the same version (lost update). Here the payload is staged to
+        a tmp file (fsynced), then published with an atomic
+        no-replace hard link — a visible claim always carries its
+        content, so the empty-claim state (and with it the steal
+        hazard) cannot arise on this backend."""
+        import uuid
+
+        p = self._resolve(path)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        tmp = f"{p}.__xpub_{uuid.uuid4().hex[:8]}"
+        with open(tmp, "wb") as fh:
+            fh.write(data)
+            fh.flush()
+            os.fsync(fh.fileno())
+        try:
+            os.link(tmp, p)  # atomic no-replace publish
+        finally:
+            os.unlink(tmp)
+
     def flush_and_sync(self, fileobj) -> None:
         fileobj.flush()
         os.fsync(fileobj.fileno())
@@ -237,6 +263,14 @@ class MemFs:
             raise FileExistsError(path)
         self.files[key] = (b"", int(time.time() * 1000))
         return self.create(path)
+
+    def create_exclusive_with_content(self, path: str, data: bytes) -> None:
+        # existence check + content publish are ONE step under the
+        # in-process dict — never-empty claims for free
+        key = self._key(path)
+        if key in self.files:
+            raise FileExistsError(path)
+        self.files[key] = (data, int(time.time() * 1000))
 
     def flush_and_sync(self, fileobj) -> None:
         pass  # no durability boundary in memory
@@ -382,6 +416,19 @@ class ArrowFs:
             raise FileExistsError(path)
         return self.create(path)
 
+    def create_exclusive_with_content(self, path: str, data: bytes) -> None:
+        """Probe-then-write — the same window as ``create_exclusive``
+        (pyarrow exposes no conditional write). An object-store
+        subclass should override this with the backend's conditional
+        PUT (S3 ``If-None-Match: *``, GCS generation-match-0), which
+        makes the publish genuinely atomic AND never-empty; absent
+        that, the claim can be momentarily visible-but-empty and the
+        caller's mtime-gated steal patience is the safety margin."""
+        fh = self.create_exclusive(path)
+        fh.write(data)
+        self.flush_and_sync(fh)
+        fh.close()
+
     def flush_and_sync(self, fileobj) -> None:
         fileobj.flush()
 
@@ -518,6 +565,12 @@ class FailingFs(MappedFs):
         self._maybe_fail("create_exclusive", path)
         return super().create_exclusive(path)
 
+    def create_exclusive_with_content(self, path: str, data: bytes) -> None:
+        # shares create_exclusive's op name so existing claim-window
+        # fault schedules keep firing on the atomic publish too
+        self._maybe_fail("create_exclusive", path)
+        super().create_exclusive_with_content(path, data)
+
     def flush_and_sync(self, fileobj) -> None:
         self._maybe_fail("flush_and_sync", getattr(fileobj, "name", ""))
         super().flush_and_sync(fileobj)
@@ -613,6 +666,24 @@ class RetryingFs:
         # FileExistsError is NON_TRANSIENT: the collision IS the
         # protocol signal — it must surface immediately, never retry
         return self._retry(self.inner.create_exclusive, path)
+
+    def create_exclusive_with_content(self, path: str, data: bytes) -> None:
+        # NOT blind-retried: attempt 1 can publish server-side yet
+        # report a transient error; a retry would then see
+        # FileExistsError and misreport a lost race. Verify content
+        # on the ambiguous path instead.
+        try:
+            return self.inner.create_exclusive_with_content(path, data)
+        except NON_TRANSIENT:
+            raise
+        except OSError:
+            try:
+                with self.inner.open_read(path) as fh:
+                    if fh.read() == data:
+                        return None  # our publish landed
+            except OSError:
+                pass
+            raise
 
     def flush_and_sync(self, fileobj) -> None:
         return self._retry(self.inner.flush_and_sync, fileobj)

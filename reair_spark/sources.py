@@ -354,39 +354,66 @@ def _write_layout_meta(location: str, meta: dict) -> None:
     fs.rename(tmp, f"{loc}/{LAYOUT_META}")
 
 
+#: How long a visible-but-contentless CAS claim must sit UNCHANGED
+#: before a peer may presume its writer dead and steal it (ADVICE
+#: r12 #3 / VERDICT r12 ask #7). With the atomic
+#: ``create_exclusive_with_content`` publish a live winner's claim is
+#: NEVER visible without content, so on such backends a steal only
+#: ever reclaims genuinely dead debris (a crashed fallback-path
+#: writer, a partial conditional PUT); on probe-then-write backends
+#: the patience is the safety margin against a merely-paused winner —
+#: default 5 s, far above any plausible GC/scheduler stall, tunable
+#: via ``REAIR_CAS_STEAL_PATIENCE_S``.
+CAS_STEAL_PATIENCE_S = 5.0
+
+
+def _cas_steal_patience_s() -> float:
+    import os as _os
+
+    return float(
+        _os.environ.get("REAIR_CAS_STEAL_PATIENCE_S",
+                        CAS_STEAL_PATIENCE_S)
+    )
+
+
 def _meta_cas_update(location: str, mutate):
     """Optimistic compare-and-swap read-modify-write of the layout
     descriptor (VERDICT r11 ask #2): ``mutate(meta_or_None)`` returns
     the new descriptor dict, or None for "no change needed". The CAS
-    carrier is an exclusive-create VERSION file
-    (``_staging/meta/v<N>.json``) at the fs seam: whoever creates
-    version N+1 owns that transition; losers adopt the winner's
-    descriptor and retry against fresh state — so two concurrent
-    writers can both widen the schema, advance watermarks, or record
-    a first-write without either update being lost to a torn
-    read-modify-write of ``_meta.json``.
+    carrier is an exclusive VERSION file (``_staging/meta/v<N>.json``)
+    at the fs seam: whoever creates version N+1 owns that transition;
+    losers adopt the winner's descriptor and retry against fresh
+    state — so two concurrent writers can both widen the schema,
+    advance watermarks, or record a first-write without either update
+    being lost to a torn read-modify-write of ``_meta.json``.
 
-    Crash discipline: the winner writes the version file's CONTENT,
-    fsyncs, then republishes the canonical ``_meta.json`` (atomic
-    rename). A winner that dies between claiming and writing content
-    leaves an empty claim; after a bounded number of collisions
-    against a claim whose canonical never advances, the claim is
-    STOLEN (deleted and retried) — the liveness/safety trade every
-    lease-style commit makes on filesystems without conditional
-    writes; object-store backends close it with conditional PUT
-    (S3 If-None-Match), cf. ArrowFs.create_exclusive.
+    Crash discipline: the winner publishes the version file WITH its
+    content in one atomic step (``create_exclusive_with_content`` —
+    tmp + fsync + no-replace link locally, conditional PUT on object
+    stores that have one), then republishes the canonical
+    ``_meta.json`` (atomic rename). A visible claim therefore always
+    carries its content on atomic backends; the visible-but-empty
+    state only exists on probe-then-write fallbacks (plain ArrowFs)
+    or as debris from a crashed partial publish. Such a claim is
+    STOLEN only after it has sat contentless past the mtime-gated
+    :data:`CAS_STEAL_PATIENCE_S` (a logged WARNING each time) — a
+    merely-paused winner inside the patience window keeps its claim,
+    closing the lost-update race the old fixed-collision-count steal
+    had (ADVICE r12 #3).
 
     Version files at or below the canonical version are garbage;
     :func:`_recover_layout` sweeps them and heals a stale canonical
     from a newer surviving version file."""
     import json
+    import logging
     import time as _time
 
     from reair_spark.fs import fs_for
 
     loc = location.rstrip("/")
     fs = fs_for(loc)
-    stuck = 0
+    patience = _cas_steal_patience_s()
+    first_empty_ms: dict[str, float] = {}
     while True:
         meta = _read_layout_meta(loc)
         cur_v = int((meta or {}).get("meta_version", 0))
@@ -396,8 +423,9 @@ def _meta_cas_update(location: str, mutate):
         new = dict(new)
         new["meta_version"] = cur_v + 1
         ver_path = f"{loc}/_staging/meta/v{cur_v + 1:012d}.json"
+        payload = json.dumps(new, sort_keys=True).encode("utf-8")
         try:
-            fh = fs.create_exclusive(ver_path)
+            fs.create_exclusive_with_content(ver_path, payload)
         except FileExistsError:
             # lost the race. Adopt the winner's descriptor if the
             # canonical hasn't caught up (heals a winner that died
@@ -418,23 +446,31 @@ def _meta_cas_update(location: str, mutate):
             except (FileNotFoundError, ValueError):
                 pass
             if not healed:
-                # empty/unreadable claim: a winner crashed between
-                # claiming and writing content. Bounded patience,
-                # then steal the dead claim.
-                stuck += 1
-                if stuck >= 10:
+                # contentless claim: crashed-writer debris, or a
+                # probe-then-write backend's window. Age it against
+                # the patience horizon (claim mtime where the backend
+                # has one, first-observation time otherwise) before
+                # presuming the writer dead.
+                now_ms = _time.time() * 1000
+                try:
+                    age_ms = now_ms - fs.stat(ver_path).mtime_ms
+                except (FileNotFoundError, OSError):
+                    age_ms = 0.0
+                seen = first_empty_ms.setdefault(ver_path, now_ms)
+                age_ms = max(age_ms, now_ms - seen)
+                if age_ms >= patience * 1000:
+                    logging.getLogger(__name__).warning(
+                        "stealing dead CAS claim %s (contentless for "
+                        ">= %.1fs)", ver_path, age_ms / 1000,
+                    )
+                    first_empty_ms.pop(ver_path, None)
                     try:
                         fs.unlink(ver_path)
                     except FileNotFoundError:
                         pass
-                    stuck = 0
                 else:
-                    _time.sleep(0.01)
+                    _time.sleep(min(0.05, max(patience / 20, 0.01)))
             continue
-        payload = json.dumps(new, sort_keys=True).encode("utf-8")
-        fh.write(payload)
-        fs.flush_and_sync(fh)
-        fh.close()
         _write_layout_meta(loc, new)
         return new
 

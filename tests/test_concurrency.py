@@ -56,6 +56,46 @@ def test_create_exclusive_backends(tmp_path):
         r.create_exclusive(p)
 
 
+def test_create_exclusive_with_content_backends(tmp_path):
+    """Never-empty claims (ADVICE r12 #3): the atomic publish lands
+    content and visibility in one step, collides like
+    create_exclusive, and leaves no staging debris."""
+    fs = LocalFs()
+    p = str(tmp_path / "xc")
+    fs.create_exclusive_with_content(p, b"payload")
+    with open(p, "rb") as fh:
+        assert fh.read() == b"payload"
+    with pytest.raises(FileExistsError):
+        fs.create_exclusive_with_content(p, b"other")
+    with open(p, "rb") as fh:
+        assert fh.read() == b"payload"  # loser never clobbers
+    assert os.listdir(tmp_path) == ["xc"]  # tmp staging cleaned up
+
+    mem = MemFs("m2")
+    mem.create_exclusive_with_content("m2://a/xc", b"payload")
+    with mem.open_read("m2://a/xc") as fh:
+        assert fh.read() == b"payload"
+    with pytest.raises(FileExistsError):
+        mem.create_exclusive_with_content("m2://a/xc", b"other")
+
+    r = RetryingFs(fs, attempts=3, backoff_s=0)
+    with pytest.raises(FileExistsError):
+        r.create_exclusive_with_content(p, b"other")
+
+    # ambiguous transient: the publish LANDED but reported an error —
+    # RetryingFs verifies content instead of blind-retrying into a
+    # self-collision misreported as a lost race
+    class Flaky(LocalFs):
+        def create_exclusive_with_content(self, path, data):
+            super().create_exclusive_with_content(path, data)
+            raise OSError("transient after landing")
+
+    rf = RetryingFs(Flaky(), attempts=3, backoff_s=0)
+    rf.create_exclusive_with_content(str(tmp_path / "amb"), b"mine")
+    with open(tmp_path / "amb", "rb") as fh:
+        assert fh.read() == b"mine"
+
+
 # ---------------------------------------------------------------------
 # ingest-id claims
 # ---------------------------------------------------------------------
@@ -200,9 +240,10 @@ def test_meta_cas_concurrent_updates_merge(spark, tmp_path):
 
 
 def test_meta_cas_heals_stale_canonical_and_steals_dead_claim(
-    spark, tmp_path
+    spark, tmp_path, monkeypatch, caplog
 ):
     import json
+    import logging
 
     loc = str(tmp_path / "heal")
     _base_layout(spark, loc)
@@ -220,12 +261,70 @@ def test_meta_cas_heals_stale_canonical_and_steals_dead_claim(
     assert int(healed["meta_version"]) == 7
 
     # a winner that died BETWEEN claiming and writing content leaves
-    # an EMPTY claim; the next writer steals it after bounded patience
+    # an EMPTY claim; past the (config-gated) patience the next writer
+    # steals it — and the steal is LOGGED (ADVICE r12 #3)
+    monkeypatch.setenv("REAIR_CAS_STEAL_PATIENCE_S", "0.3")
     os.makedirs(f"{loc}/_staging/meta", exist_ok=True)
     open(f"{loc}/_staging/meta/v{8:012d}.json", "wb").close()
-    out = S._meta_cas_update(loc, lambda m: {**m, "after_steal": True})
+    with caplog.at_level(logging.WARNING, logger="reair_spark.sources"):
+        out = S._meta_cas_update(loc, lambda m: {**m, "after_steal": True})
     assert out["after_steal"] is True
     assert int(out["meta_version"]) == 8
+    assert any("stealing dead CAS claim" in r.message
+               for r in caplog.records)
+
+
+def test_meta_cas_paused_winner_is_not_stolen(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r12 #3 (the lost-update hazard): a claim is stolen only
+    after sitting CONTENTLESS past the mtime-gated patience. A merely-
+    paused winner (GC, scheduler stall) that completes its publish
+    inside the window keeps its version: the contender waits, adopts
+    the winner's descriptor, and retries ON TOP — with the old
+    fixed-collision-count steal both writers committed the same
+    version and one update was silently lost."""
+    import json
+    import threading
+    import time
+
+    monkeypatch.setenv("REAIR_CAS_STEAL_PATIENCE_S", "3.0")
+    loc = str(tmp_path / "paused")
+    _base_layout(spark, loc)
+    meta = S._read_layout_meta(loc)
+    v = int(meta["meta_version"]) + 1
+    claim = f"{loc}/_staging/meta/v{v:012d}.json"
+    os.makedirs(f"{loc}/_staging/meta", exist_ok=True)
+    open(claim, "wb").close()  # paused winner: claimed, content pending
+
+    done = {}
+
+    def contender():
+        done["out"] = S._meta_cas_update(
+            loc, lambda m: {**m, "contender": True}
+        )
+
+    t = threading.Thread(target=contender)
+    t.start()
+    time.sleep(0.5)  # well inside the patience window
+    assert t.is_alive()          # contender is WAITING, not stealing
+    assert os.path.exists(claim)  # the claim was not stolen
+
+    # the paused winner wakes up and completes its publish
+    winner = {**meta, "meta_version": v, "winner": True}
+    with open(claim, "w") as fh:
+        json.dump(winner, fh)
+    t.join(timeout=60)
+    assert not t.is_alive()
+
+    out = done["out"]
+    # NEITHER update lost: the contender adopted the winner's
+    # descriptor and republished its own change at the next version
+    assert out["winner"] is True
+    assert out["contender"] is True
+    assert int(out["meta_version"]) == v + 1
+    final = S._read_layout_meta(loc)
+    assert final["winner"] is True and final["contender"] is True
 
 
 def test_concurrent_schema_widenings_both_survive(
