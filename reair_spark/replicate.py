@@ -354,9 +354,18 @@ def _publish_zonemap_incremental(
             out.setdefault(r["__p"], []).append(r["__b"])
         return {p: sorted(bs) for p, bs in out.items()}
 
-    if meta is None:
-        # first publish: whole-snapshot overwrite seeds the layout AND
-        # the per-partition watermark map
+    if meta is None or not recorded:
+        # first INCREMENTAL publish: whole-snapshot overwrite seeds
+        # the layout AND the per-partition watermark map. The
+        # `not recorded` arm covers a descriptor-bearing layout with
+        # no watermark state — e.g. first published in snapshot mode,
+        # then flipped to publish_mode=incremental (ADVICE r12 #4):
+        # diffing against an empty map would mark every partition
+        # changed but tombstone NOTHING (no recorded buckets), so
+        # layout buckets whose rows disappeared from the source would
+        # persist at the destination forever. The snapshot overwrite
+        # is the correct seed in both arms: it tombstones vanished
+        # buckets and records a complete watermark map.
         src = read_src()
         res = zonemap_overwrite(
             spark, loc, src,

@@ -573,3 +573,71 @@ def test_incremental_publish_crash_before_watermark_converges(
     out3 = replicate_warehouse(spark, src_root, dest_root)
     assert out3["zonemap_results"].first().status == "SKIPPED_UNCHANGED"
     assert zonemap_scan(spark, loc)[0].count() == 9
+
+
+def test_snapshot_then_incremental_flip_reseeds_and_tombstones(
+    spark, tmp_path
+):
+    """ADVICE r12 #4: a dest table first published in SNAPSHOT mode
+    has a descriptor but no per-partition watermark map. Flipping it
+    to publish_mode=incremental must fall back to a full snapshot
+    overwrite that SEEDS the map — diffing against an empty map would
+    rewrite every bucket but tombstone nothing, so rows deleted at
+    the source would persist at the destination forever."""
+    import shutil as _sh
+
+    from reair_spark.sources import (
+        _read_layout_meta,
+        zonemap_scan,
+    )
+
+    src_root, dest_root = str(tmp_path / "src"), str(tmp_path / "dest")
+    src_cat, floc = _inc_src(spark, src_root)
+    dest_cat = DirectoryCatalog(dest_root)
+    dest_cat.create_table({
+        "db": "wh", "table": "pfact", "table_type": "EXTERNAL_TABLE",
+        "cols": [], "partition_keys": [],
+        "location": dest_cat.table_location("wh", "pfact"),
+        "serde": "parquet",
+        "parameters": {
+            "layout": "zonemapped",
+            "zonemap.bucket_col": "oy",
+            "zonemap.bucket_expr": "substring(om, 1, 4)",
+            "zonemap.stat_cols": "v",
+        },
+    })
+    loc = dest_cat.get_table("wh", "pfact")["location"]
+
+    # publish 1: SNAPSHOT mode — descriptor exists, no watermark map
+    replicate_warehouse(spark, src_root, dest_root)
+    meta = _read_layout_meta(loc)
+    assert meta is not None
+    assert not meta.get("published_partitions")
+    assert zonemap_scan(spark, loc)[1]["n_buckets_total"] == 2
+
+    # source: DROP the only 1997 partition, touch nothing else
+    src_cat.drop_partition("wh", "pfact", "om=1997-01")
+    _sh.rmtree(os.path.join(floc, "om=1997-01"))
+
+    # flip the dest table to incremental mode
+    rec = dest_cat.get_table("wh", "pfact")
+    rec["parameters"]["zonemap.publish_mode"] = "incremental"
+    dest_cat.alter_table(rec)
+
+    # publish 2: must SEED via snapshot overwrite — the 1997 bucket is
+    # tombstoned and the watermark map is complete
+    out = replicate_warehouse(spark, src_root, dest_root)
+    zm = out["zonemap_results"].first()
+    assert zm.status == "PUBLISHED"
+    df, stats = zonemap_scan(spark, loc)
+    assert stats["n_buckets_total"] == 1      # 1997 tombstoned
+    assert sorted(r.k for r in df.collect()) == [
+        0, 1, 2, 3, 100, 101, 102, 103
+    ]
+    pub = _read_layout_meta(loc)["published_partitions"]
+    assert set(pub) == {"om=1996-01", "om=1996-02"}
+
+    # publish 3: unchanged → skipped; then one-partition change goes
+    # through the true incremental path on the seeded map
+    out3 = replicate_warehouse(spark, src_root, dest_root)
+    assert out3["zonemap_results"].first().status == "SKIPPED_UNCHANGED"
