@@ -2715,6 +2715,15 @@ def analyze_catalog_table(spark: SparkSession, catalog, db: str,
     n_rows = max((int(r.n_rows) for r in rows), default=0)
     params = dict(rec.get("parameters") or {})
     params["spark.sql.statistics.numRows"] = str(n_rows)
+    # snapshot-BIND the stats (VERDICT r12 ask #2, the Iceberg
+    # snapshot-id discipline): record the manifest high-water ingest
+    # the numbers were computed at, so consumers can tell fresh stats
+    # from stale ones — ANALYZE at 100k rows + append 10⁹ rows must
+    # not keep driving a broadcast decision.
+    ids = _manifest_delta_ids(rec["location"].rstrip("/"))
+    params["reair.statistics.snapshotIngest"] = str(
+        max(ids) if ids else -1
+    )
     for r in rows:
         pre = f"spark.sql.statistics.colStats.{r.column}."
         params[pre + "version"] = "2"
@@ -2739,6 +2748,7 @@ def broadcast_aware_join(
     on: list[str],
     how: str = "inner",
     row_threshold: int = BROADCAST_ROW_THRESHOLD,
+    refresh_stale: bool = False,
 ) -> tuple[DataFrame, dict]:
     """Reference-table join whose broadcast decision is DRIVEN by the
     ANALYZE-published catalog statistics (the J6 lookup-join, now
@@ -2750,23 +2760,51 @@ def broadcast_aware_join(
     unknown table is how drivers OOM. The decision observably changes
     with the stats (plan-shape pytest-pinned).
 
-    Returns (joined DataFrame, {"broadcast", "num_rows_stat"})."""
+    The stats must also be FRESH (VERDICT r12 ask #2): for a
+    zonemapped table the ANALYZE records the manifest high-water
+    ingest it ran at, and a layout whose current max delta id has
+    moved past it (any append/merge/overwrite/replace since) makes
+    the recorded numRows untrustworthy — ANALYZE at 100k rows +
+    append 10⁹ rows is exactly the stale-hint driver-OOM the
+    docstring above warns about. Stale (or unbound, on a zonemapped
+    table) stats are treated as ABSENT: no hint, unless
+    ``refresh_stale=True`` re-runs the metadata-only ANALYZE in place
+    (one manifest aggregate — cheap at any scale) and decides on the
+    fresh number, the Iceberg bind-stats-to-a-snapshot discipline.
+
+    Returns (joined DataFrame,
+    {"broadcast", "num_rows_stat", "stats_stale"})."""
     from pyspark.sql import functions as F
 
     rec = catalog.get_table(db, table)
     if rec is None:
         raise KeyError(f"{db}.{table} does not exist")
     params = rec.get("parameters") or {}
-    if params.get("layout") == "zonemapped":
+    zonemapped = params.get("layout") == "zonemapped"
+    n = params.get("spark.sql.statistics.numRows")
+    stale = False
+    if zonemapped and n is not None:
+        bound = params.get("reair.statistics.snapshotIngest")
+        ids = _manifest_delta_ids(rec["location"].rstrip("/"))
+        cur = max(ids) if ids else -1
+        stale = bound is None or int(bound) != cur
+        if stale and refresh_stale:
+            analyze_catalog_table(spark, catalog, db, table)
+            rec = catalog.get_table(db, table)
+            params = rec.get("parameters") or {}
+            n = params.get("spark.sql.statistics.numRows")
+            stale = False
+    if zonemapped:
         ref, _ = scan_catalog_table(spark, catalog, db, table)
     else:
         ref = read_catalog_table(spark, catalog, db, table)
-    n = params.get("spark.sql.statistics.numRows")
     num = int(n) if n is not None else None
-    decided = num is not None and num <= int(row_threshold)
+    decided = (num is not None and not stale
+               and num <= int(row_threshold))
     side = F.broadcast(ref) if decided else ref
     return other.join(side, on, how), {
         "broadcast": decided, "num_rows_stat": num,
+        "stats_stale": stale,
     }
 
 

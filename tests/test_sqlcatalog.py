@@ -228,7 +228,8 @@ def test_analyze_statistics_roundtrip_sqlcatalog(spark, tmp_path):
         joined, dec = broadcast_aware_join(
             spark, cat, "db1", "ref", fact, on=["k"]
         )
-        assert dec == {"broadcast": True, "num_rows_stat": 60}
+        assert dec == {"broadcast": True, "num_rows_stat": 60,
+                       "stats_stale": False}
         plan = joined._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan
         assert joined.count() == 500
