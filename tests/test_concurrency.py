@@ -400,3 +400,119 @@ def test_claim_crash_window_recovers(spark, tmp_path):
         assert df.count() == 40
     finally:
         unregister_fs("mockcas")
+
+
+# ---------------------------------------------------------------------
+# whole-layout writer lease (VERDICT r12 ask #3)
+# ---------------------------------------------------------------------
+
+def _three_ingest_layout(spark, loc):
+    for i in range(3):
+        S.append_zonemapped(
+            spark.range(i * 20, (i + 1) * 20).select(
+                F.col("id").alias("k"), (F.col("id") % 4).alias("b"),
+                F.col("id").alias("v"),
+            ),
+            loc, "b", ["v"], ingest_id=i,
+        )
+
+
+def _fingerprint(spark, loc):
+    df, stats = S.zonemap_scan(spark, loc, predicates=[("v", 10, 45)])
+    return stats, sorted((r.k, r.b, r.v) for r in df.collect())
+
+
+def test_layout_lease_fold_vs_compact_interleaved(
+    spark, tmp_path, monkeypatch
+):
+    """Two whole-layout writers interleaved: while the fold holds the
+    lease, a compact REFUSES (ConcurrentLayoutWriter) instead of
+    racing the fold's manifest rewrite — previously 'exclusive by
+    contract' only, so the interleaving could tear the layout. The
+    fold completes, answers unchanged, and the lease is released
+    (a later compact succeeds)."""
+    loc = str(tmp_path / "lease")
+    _three_ingest_layout(spark, loc)
+    before = _fingerprint(spark, loc)
+
+    real_merged = S._merged_manifest
+    state = {"fired": False, "refused": False}
+
+    def merged_with_concurrent_compact(*a, **k):
+        if not state["fired"]:
+            state["fired"] = True
+            with pytest.raises(S.ConcurrentLayoutWriter, match="fold"):
+                S.zonemap_compact(spark, loc)
+            state["refused"] = True
+        return real_merged(*a, **k)
+
+    monkeypatch.setattr(
+        S, "_merged_manifest", merged_with_concurrent_compact
+    )
+    res = S.zonemap_rewrite_manifests(spark, loc)
+    monkeypatch.setattr(S, "_merged_manifest", real_merged)
+
+    assert state["refused"]
+    assert res["deltas_after"] == 1
+    assert _fingerprint(spark, loc) == before
+    # lease released: the compact now goes through
+    assert not os.path.exists(f"{loc}/_staging/lease/writer")
+    out = S.zonemap_compact(spark, loc)
+    assert out["deltas_after"] == 1
+    assert _fingerprint(spark, loc)[1] == before[1]
+
+
+def test_layout_lease_dead_holder_stolen_live_holder_respected(
+    spark, tmp_path, monkeypatch, caplog
+):
+    import json
+    import logging
+
+    loc = str(tmp_path / "steal")
+    _three_ingest_layout(spark, loc)
+
+    # a LIVE holder (fresh lease, fat ttl): contender refuses
+    os.makedirs(f"{loc}/_staging/lease", exist_ok=True)
+    with open(f"{loc}/_staging/lease/writer", "w") as fh:
+        json.dump({"op": "compact", "ttl_s": 900.0, "token": "x"}, fh)
+    with pytest.raises(S.ConcurrentLayoutWriter, match="compact"):
+        S.zonemap_rewrite_manifests(spark, loc)
+
+    # a DEAD holder (lease older than its ttl): stolen, logged, and
+    # the fold proceeds
+    old = (os.path.getmtime(f"{loc}/_staging/lease/writer") - 4000)
+    os.utime(f"{loc}/_staging/lease/writer", (old, old))
+    with caplog.at_level(logging.WARNING, logger="reair_spark.sources"):
+        res = S.zonemap_rewrite_manifests(spark, loc)
+    assert res["deltas_after"] == 1
+    assert any("stealing expired layout writer lease" in r.message
+               for r in caplog.records)
+    assert not os.path.exists(f"{loc}/_staging/lease/writer")
+
+
+def test_layout_lease_failingfs_schedule_on_acquire(spark, tmp_path):
+    """FailingFs schedule on the lease window: an injected failure on
+    the lease acquisition surfaces cleanly (no half-taken lease, no
+    layout mutation), and the retried fold succeeds and releases."""
+    root = str(tmp_path / "froot")
+    board = str(tmp_path / "board")
+    fs = FailingFs("flease", root, board)
+    register_fs(fs)
+    try:
+        loc = "flease://lay"
+        _three_ingest_layout(spark, loc)
+        before = _fingerprint(spark, loc)
+
+        FailingFs.schedule(board, "create_exclusive", "writer", 1)
+        with pytest.raises(OSError, match="injected"):
+            S.zonemap_rewrite_manifests(spark, loc)
+        # nothing torn, nothing leaked: no lease file, deltas intact
+        assert not os.path.exists(f"{root}/lay/_staging/lease/writer")
+        assert _fingerprint(spark, loc) == before
+
+        res = S.zonemap_rewrite_manifests(spark, loc)
+        assert res["deltas_after"] == 1
+        assert _fingerprint(spark, loc) == before
+        assert not os.path.exists(f"{root}/lay/_staging/lease/writer")
+    finally:
+        unregister_fs("flease")
