@@ -641,3 +641,90 @@ def test_snapshot_then_incremental_flip_reseeds_and_tombstones(
     # through the true incremental path on the seeded map
     out3 = replicate_warehouse(spark, src_root, dest_root)
     assert out3["zonemap_results"].first().status == "SKIPPED_UNCHANGED"
+
+
+def test_incremental_event_drives_incremental_publish(spark, tmp_path):
+    """VERDICT r12 ask #6: the event-driven loop composes with
+    publish_mode=INCREMENTAL — an audit event naming one partition of
+    an incremental-mode dest table flows run_incremental →
+    _publish_zonemap_incremental and rewrites ONLY the affected
+    clustering bucket (the untouched bucket keeps its original ingest
+    dirs); duplicate delivery is a no-op via the per-partition TLDT
+    watermarks (no new manifest ingest)."""
+    import datetime
+
+    from reair_spark.events import run_incremental
+    from reair_spark.sources import (
+        _read_layout_meta,
+        zonemap_plan,
+        zonemap_scan,
+    )
+
+    src_root, dest_root = str(tmp_path / "src"), str(tmp_path / "dest")
+    src_cat, floc = _inc_src(spark, src_root)
+    dest_cat = _inc_dest(dest_root)
+    loc = dest_cat.get_table("wh", "pfact")["location"]
+
+    schema = (
+        "id long, create_time timestamp, command_type string, "
+        "command string, objects array<struct<category:string, "
+        "obj_type:string, name:string, payload:string>>"
+    )
+    seed_ev = spark.createDataFrame(
+        [(1, datetime.datetime(2024, 1, 1), "CREATETABLE", "",
+          [("OUTPUT", "TABLE", "wh.pfact", "{}")])], schema,
+    )
+    out = run_incremental(
+        spark, seed_ev, src_root, dest_root, str(tmp_path / "s1")
+    )
+    assert out["batches"] == 1
+    # snapshot seed landed with a complete watermark map
+    pub = _read_layout_meta(loc)["published_partitions"]
+    assert set(pub) == {"om=1996-01", "om=1996-02", "om=1997-01"}
+    assert zonemap_scan(spark, loc)[0].count() == 12
+
+    # mutate ONE source partition (om=1996-02), bump its TLDT
+    upd = spark.createDataFrame(
+        [(999, 999.0), (998, 998.0)], "k int, v double"
+    )
+    upd.write.mode("overwrite").parquet(os.path.join(floc, "om=1996-02"))
+    src_cat.add_partition("wh", "pfact", {
+        "partition_name": "om=1996-02", "values": ["1996-02"],
+        "location": os.path.join(floc, "om=1996-02"),
+        "parameters": {"transient_lastDdlTime": "200"},
+    })
+    part_ev = spark.createDataFrame(
+        [(2, datetime.datetime(2024, 1, 2), "ALTERPARTITION", "",
+          [("OUTPUT", "PARTITION", "wh.pfact/om=1996-02", "{}")])],
+        schema,
+    )
+    out2 = run_incremental(
+        spark, part_ev, src_root, dest_root, str(tmp_path / "s2")
+    )
+    assert out2["batches"] == 1
+    df, _ = zonemap_scan(spark, loc)
+    assert sorted(r.k for r in df.collect()) == [
+        0, 1, 2, 3, 200, 201, 202, 203, 998, 999
+    ]
+    # ONLY the 1996 bucket was rewritten: 1997 still reads ingest 0
+    _, kept, _ = zonemap_plan(spark, loc)
+    by_bucket = {r["oy"]: r["__ingests"] for r in kept}
+    assert by_bucket["1997"] == [0]
+    assert by_bucket["1996"] != [0]
+    ingests_after = sorted(
+        p for p in os.listdir(f"{loc}/manifest") if p.startswith("ingest=")
+    )
+
+    # duplicate delivery (fresh checkpoint state, same event): the
+    # per-partition watermark makes the publish a no-op — no new
+    # manifest ingest, identical answers
+    run_incremental(
+        spark, part_ev, src_root, dest_root, str(tmp_path / "s3")
+    )
+    assert sorted(
+        p for p in os.listdir(f"{loc}/manifest") if p.startswith("ingest=")
+    ) == ingests_after
+    df2, _ = zonemap_scan(spark, loc)
+    assert sorted(r.k for r in df2.collect()) == [
+        0, 1, 2, 3, 200, 201, 202, 203, 998, 999
+    ]
