@@ -3065,6 +3065,15 @@ ENGINE_QUERIES["zonemap_scale_digest"] = _zonemap_scale_q
 ENGINE_ORACLES["zonemap_scale_digest"] = _zonemap_scale_sql()
 
 
+from reair_spark.scalebench import (  # noqa: E402
+    pubmap_scale_digest as _pubmap_scale_q,
+    pubmap_scale_oracle_sql as _pubmap_scale_sql,
+)
+
+ENGINE_QUERIES["pubmap_scale_digest"] = _pubmap_scale_q
+ENGINE_ORACLES["pubmap_scale_digest"] = _pubmap_scale_sql()
+
+
 def _build_zm_replication_src(spark: SparkSession, sf: str) -> str:
     """One-time src warehouse for the zonemap-replication gate: orders
     (o_orderkey, o_totalprice, o_orderdate, bucket = order YEAR) as a

@@ -239,6 +239,11 @@ KMV_K = 64      # k-minimum-values sketch size per bucket per NDV column
 TOMBSTONE_LITERAL_MAX = 1024
 
 LAYOUT_META = "_meta.json"  # layout descriptor at the layout root
+#: per-partition publish-watermark side table (VERDICT r12 ask #1):
+#: manifest-style deltas under <layout>/_pubmap/ingest=<k>/ — see
+#: replicate._pubmap_read. Underscore-prefixed so Spark's discovery
+#: of the layout root never parses it as data.
+PUBMAP_DIR = "_pubmap"
 
 #: characters Spark/Hive percent-escape in partition DIRECTORY names
 #: (ExternalCatalogUtils.escapePathName): anything here — or a control
@@ -1253,6 +1258,15 @@ def zonemap_compact(
         old = f"{loc}_.old_{uuid.uuid4().hex[:8]}"
         fs.rename(loc, old)
         fs.rename(tmp, loc)
+        if fs.isdir(f"{old}/{PUBMAP_DIR}"):
+            # publish watermarks survive compaction: the rows moved
+            # but the per-partition (tldt, buckets) facts did not —
+            # without the carry a compaction would force the next
+            # incremental publish into a full snapshot reseed.
+            # (recluster deliberately does NOT carry it: a new
+            # clustering spec invalidates every recorded bucket set,
+            # and the reseed fallback is the correct recovery.)
+            fs.rename(f"{old}/{PUBMAP_DIR}", f"{loc}/{PUBMAP_DIR}")
         fs_rmtree(fs, old)
         return {"deltas_before": deltas_before, "deltas_after": 1}
 

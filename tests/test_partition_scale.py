@@ -369,3 +369,105 @@ def test_merge_scale_no_createDataFrame(spark, monkeypatch):
 
     merge_scale_scenario(spark, 20_000)
     assert calls == []
+
+
+# ---- publish-watermark side table at scale (VERDICT r12 ask #1) ----
+
+
+def test_pubmap_digest_matches_closed_form_small(spark):
+    import duckdb
+
+    from reair_spark.scalebench import (
+        pubmap_diff_scale,
+        pubmap_scale_oracle_sql,
+    )
+
+    got = pubmap_diff_scale(spark, 5_000)
+    exp = duckdb.sql(pubmap_scale_oracle_sql(5_000)).fetchone()
+    assert (got["n_recorded"], got["n_changed"], got["n_dropped"],
+            got["n_affected_buckets"], got["n_co_read"]) == exp
+
+
+def test_pubmap_driver_rows_flat_and_descriptor_o1(spark, monkeypatch):
+    """The verdict's done-criterion: against 10× the partitions, the
+    watermark diff collects the SAME change-sized row count, runs the
+    same job count, never calls createDataFrame, and no descriptor
+    grows with the partition count (the side table replaced the
+    published_partitions map)."""
+    import os
+
+    from reair_spark.scalebench import (
+        _PUBMAP_SCALE_STATE,
+        pubmap_measure_scale,
+        synthetic_pubmap_state,
+    )
+
+    # build the states BEFORE arming the createDataFrame counter
+    synthetic_pubmap_state(spark, 5_000)
+    synthetic_pubmap_state(spark, 50_000)
+
+    calls = []
+    orig = type(spark).createDataFrame
+
+    def counting(self, *a, **kw):
+        calls.append(1)
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(type(spark), "createDataFrame", counting)
+    rows = pubmap_measure_scale(spark, (5_000, 50_000))
+    assert calls == []
+
+    r1, r10 = rows
+    assert r10["driver_rows_collected"] <= r1["driver_rows_collected"] + 4
+    assert r10["spark_jobs"] <= r1["spark_jobs"] + 2
+    assert r1["n_changed"] == r10["n_changed"] == 1
+    assert r1["n_dropped"] == r10["n_dropped"] == 1
+
+    # descriptor O(1): the watermark home carries NO _meta.json at all
+    # here, and the side-table layout keeps state in parquet deltas
+    for n in (5_000, 50_000):
+        base = _PUBMAP_SCALE_STATE[(spark.sparkContext.applicationId, n)]
+        assert not os.path.exists(f"{base}/_meta.json")
+        assert os.path.isdir(f"{base}/_pubmap/ingest=0")
+
+
+def test_pubmap_fold_bounds_deltas_and_preserves_state(spark, tmp_path):
+    """Watermark deltas fold like manifest deltas: PUBMAP_FOLD_AT
+    appends collapse to one delta at the highest id, the merged view
+    is unchanged, and tombstones collapse to absence."""
+    from pyspark.sql import functions as F
+
+    from reair_spark.replicate import (
+        PUBMAP_SCHEMA,
+        _pubmap_delta_ids,
+        _pubmap_read,
+    )
+    from reair_spark.replicate import _pubmap_append as pa
+
+    loc = str(tmp_path / "pm")
+    pa(spark, loc, spark.createDataFrame(
+        [("om=a", "100", ["0"], False), ("om=b", "100", ["1"], False)],
+        PUBMAP_SCHEMA,
+    ))
+    for i in range(6):
+        pa(spark, loc, spark.createDataFrame(
+            [("om=a", str(200 + i), ["0", str(i)], False)],
+            PUBMAP_SCHEMA,
+        ))
+    pa(spark, loc, spark.createDataFrame(
+        [("om=b", None, None, True)], PUBMAP_SCHEMA,   # drop om=b
+    ))
+    # 8 appends hit PUBMAP_FOLD_AT → folded to ONE delta at the top id
+    assert _pubmap_delta_ids(loc) == [7]
+    state = {r["pname"]: (r["tldt"], sorted(r["buckets"] or []))
+             for r in _pubmap_read(spark, loc).collect()}
+    assert state == {"om=a": ("205", ["0", "5"])}
+
+    # appends after the fold keep layering
+    pa(spark, loc, spark.createDataFrame(
+        [("om=b", "300", ["9"], False)], PUBMAP_SCHEMA,
+    ))
+    assert _pubmap_delta_ids(loc) == [7, 8]
+    state = {r["pname"]: r["tldt"]
+             for r in _pubmap_read(spark, loc).collect()}
+    assert state == {"om=a": "205", "om=b": "300"}

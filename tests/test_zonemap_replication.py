@@ -405,6 +405,19 @@ def _inc_dest(root):
     return cat
 
 
+def _pubmap_dict(spark, loc):
+    """Merged per-partition watermark view as a dict (test harness for
+    the _pubmap side table that replaced the descriptor map)."""
+    from reair_spark.replicate import _pubmap_read
+
+    df = _pubmap_read(spark, loc)
+    return {} if df is None else {
+        r["pname"]: {"tldt": r["tldt"],
+                     "buckets": sorted(r["buckets"] or [])}
+        for r in df.collect()
+    }
+
+
 def test_incremental_publish_rewrites_only_affected_buckets(
     spark, tmp_path
 ):
@@ -430,7 +443,7 @@ def test_incremental_publish_rewrites_only_affected_buckets(
     zm1 = out1["zonemap_results"].first()
     assert zm1.status == "PUBLISHED"
     assert zm1.n_rows == 12
-    pub = _read_layout_meta(loc)["published_partitions"]
+    pub = _pubmap_dict(spark, loc)
     assert pub["om=1996-01"]["buckets"] == ["1996"]
     assert pub["om=1997-01"]["buckets"] == ["1997"]
 
@@ -480,8 +493,7 @@ def test_incremental_publish_rewrites_only_affected_buckets(
     assert sorted(r.k for r in df4.collect()) == [
         0, 1, 2, 3, 998, 999
     ]
-    assert "om=1997-01" not in _read_layout_meta(
-        loc)["published_partitions"]
+    assert "om=1997-01" not in _pubmap_dict(spark, loc)
 
 
 def test_incremental_publish_requires_partitioned_source(
@@ -537,24 +549,23 @@ def test_incremental_publish_crash_before_watermark_converges(
         "parameters": {"transient_lastDdlTime": "200"},
     })
 
-    # window (b): replace lands, watermark update dies
-    real_cas = S._meta_cas_update
+    # window (b): replace lands, the watermark DELTA append dies
+    import reair_spark.replicate as R
+
+    real_append = R._pubmap_append
     state = {"boom": True}
 
-    def dying_cas(location, mutate):
-        out = real_cas(location, mutate)
-        if state["boom"] and out and "published_partitions" in (out or {}):
+    def dying_append(spark_, location, delta, **kw):
+        if state["boom"]:
             state["boom"] = False
             raise OSError("injected crash after replace, before "
                           "watermark durability confirmed")
-        return out
+        return real_append(spark_, location, delta, **kw)
 
-    monkeypatch.setattr(
-        "reair_spark.sources._meta_cas_update", dying_cas
-    )
+    monkeypatch.setattr(R, "_pubmap_append", dying_append)
     with pytest.raises(OSError, match="injected"):
         replicate_warehouse(spark, src_root, dest_root)
-    monkeypatch.setattr("reair_spark.sources._meta_cas_update", real_cas)
+    monkeypatch.setattr(R, "_pubmap_append", real_append)
 
     # data is already correct (replace landed) but the watermark is
     # stale — the re-run re-publishes the same buckets idempotently
@@ -613,6 +624,7 @@ def test_snapshot_then_incremental_flip_reseeds_and_tombstones(
     meta = _read_layout_meta(loc)
     assert meta is not None
     assert not meta.get("published_partitions")
+    assert _pubmap_dict(spark, loc) == {}
     assert zonemap_scan(spark, loc)[1]["n_buckets_total"] == 2
 
     # source: DROP the only 1997 partition, touch nothing else
@@ -634,7 +646,7 @@ def test_snapshot_then_incremental_flip_reseeds_and_tombstones(
     assert sorted(r.k for r in df.collect()) == [
         0, 1, 2, 3, 100, 101, 102, 103
     ]
-    pub = _read_layout_meta(loc)["published_partitions"]
+    pub = _pubmap_dict(spark, loc)
     assert set(pub) == {"om=1996-01", "om=1996-02"}
 
     # publish 3: unchanged → skipped; then one-partition change goes
@@ -679,7 +691,7 @@ def test_incremental_event_drives_incremental_publish(spark, tmp_path):
     )
     assert out["batches"] == 1
     # snapshot seed landed with a complete watermark map
-    pub = _read_layout_meta(loc)["published_partitions"]
+    pub = _pubmap_dict(spark, loc)
     assert set(pub) == {"om=1996-01", "om=1996-02", "om=1997-01"}
     assert zonemap_scan(spark, loc)[0].count() == 12
 
@@ -728,3 +740,69 @@ def test_incremental_event_drives_incremental_publish(spark, tmp_path):
     assert sorted(r.k for r in df2.collect()) == [
         0, 1, 2, 3, 200, 201, 202, 203, 998, 999
     ]
+
+
+def test_legacy_descriptor_watermarks_migrate_to_pubmap(spark, tmp_path):
+    """A layout whose descriptor still carries the r12
+    published_partitions map (pre-side-table format) is migrated on
+    first contact: the map moves into _pubmap, the key is stripped
+    from the descriptor through the CAS, and the publish proceeds
+    INCREMENTALLY on the migrated watermarks — no snapshot reseed."""
+    import shutil as _sh
+
+    from reair_spark.sources import (
+        _meta_cas_update,
+        _read_layout_meta,
+        zonemap_plan,
+        zonemap_scan,
+    )
+
+    src_root, dest_root = str(tmp_path / "src"), str(tmp_path / "dest")
+    src_cat, floc = _inc_src(spark, src_root)
+    dest_cat = _inc_dest(dest_root)
+    loc = dest_cat.get_table("wh", "pfact")["location"]
+
+    assert replicate_warehouse(
+        spark, src_root, dest_root
+    )["zonemap_results"].first().status == "PUBLISHED"
+
+    # rewind the layout to the r12 FORMAT: watermarks in the
+    # descriptor, no side table
+    legacy = _pubmap_dict(spark, loc)
+    assert set(legacy) == {"om=1996-01", "om=1996-02", "om=1997-01"}
+    _sh.rmtree(f"{loc}/_pubmap")
+    _meta_cas_update(
+        loc, lambda m: {**m, "published_partitions": legacy},
+    )
+
+    # mutate ONE partition; the publish must migrate + go incremental
+    spark.createDataFrame(
+        [(999, 999.0)], "k int, v double"
+    ).write.mode("overwrite").parquet(os.path.join(floc, "om=1996-02"))
+    src_cat.add_partition("wh", "pfact", {
+        "partition_name": "om=1996-02", "values": ["1996-02"],
+        "location": os.path.join(floc, "om=1996-02"),
+        "parameters": {"transient_lastDdlTime": "200"},
+    })
+    out = replicate_warehouse(spark, src_root, dest_root)
+    zm = out["zonemap_results"].first()
+    assert zm.status == "PUBLISHED_INCREMENTAL"  # not a reseed
+    assert zm.n_buckets == 1                     # only bucket 1996
+
+    # descriptor shed the map; the side table holds the state
+    assert "published_partitions" not in _read_layout_meta(loc)
+    pub = _pubmap_dict(spark, loc)
+    assert set(pub) == {"om=1996-01", "om=1996-02", "om=1997-01"}
+    assert pub["om=1996-02"]["tldt"] == "200"
+
+    # untouched bucket kept its original ingest; answers correct
+    _, kept, _ = zonemap_plan(spark, loc)
+    by_bucket = {r["oy"]: r["__ingests"] for r in kept}
+    assert by_bucket["1997"] == [0]
+    assert sorted(
+        r.k for r in zonemap_scan(spark, loc)[0].collect()
+    ) == [0, 1, 2, 3, 200, 201, 202, 203, 999]
+
+    # converged
+    out2 = replicate_warehouse(spark, src_root, dest_root)
+    assert out2["zonemap_results"].first().status == "SKIPPED_UNCHANGED"
