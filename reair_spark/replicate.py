@@ -554,6 +554,16 @@ def _publish_zonemap_incremental_core(
         v = params.get(key)
         return [c.strip() for c in v.split(",") if c.strip()] if v else None
 
+    def _spec_param() -> list[str] | None:
+        # composite spec rides the record as a JSON array (transform
+        # expressions contain commas, so CSV cannot carry them)
+        v = params.get("zonemap.spec")
+        if not v:
+            return None
+        import json
+
+        return [str(x) for x in json.loads(v)]
+
     def read_src() -> DataFrame:
         return read_location(
             spark, src_rec["location"],
@@ -586,10 +596,19 @@ def _publish_zonemap_incremental_core(
         meta = _read_layout_meta(loc)
         recorded = _pubmap_read(spark, loc)
 
+    spec = _spec_param()
     bucket_col = (meta or {}).get("bucket_col") \
         or params.get("zonemap.bucket_col")
     bucket_expr = (meta or {}).get("bucket_expr") \
         or params.get("zonemap.bucket_expr")
+    if bucket_expr is None and spec:
+        # composite spec (VERDICT r12 ask #5): with the partition
+        # transform as level 0, a changed partition's cells belong to
+        # it ALONE — the co-read set is empty by construction and the
+        # publish rewrites exactly its (partition × bucket) cells
+        from reair_spark.sources import _spec_expr
+
+        bucket_expr = _spec_expr(spec)
 
     def with_bucket(df: DataFrame) -> DataFrame:
         if bucket_col not in df.columns:
@@ -625,6 +644,7 @@ def _publish_zonemap_incremental_core(
             sort_cols=_csv("zonemap.sort_cols"),
             ndv_cols=_csv("zonemap.ndv_cols"),
             bucket_expr=params.get("zonemap.bucket_expr"),
+            spec=spec,
         )
         _pubmap_append(spark, loc, (
             cur_df.join(part_buckets(read_src()), "pname", "left")

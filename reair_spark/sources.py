@@ -280,6 +280,26 @@ def _unescape_partition_value(name: str) -> str:
     )
 
 
+def _spec_expr(spec: list[str]) -> str:
+    """Composite partition spec (VERDICT r12 ask #5 — the Iceberg
+    LIST-of-transforms shape) composed into ONE clustering expression:
+    each transform's value is cast to string and the tuple is joined
+    with ``'|'``, so the existing single-column machinery (hidden
+    partitioning, manifest keying, bucket-scoped replaces, Hive
+    escaping) carries the composite for free while each LEVEL stays
+    individually addressable (``split(bucket, '|')[i]`` — the
+    per-level pruning :func:`zonemap_plan` exposes as
+    ``spec_predicates``). Transform outputs must not themselves
+    contain ``'|'``."""
+    if len(spec) < 2:
+        raise ValueError(
+            "a composite spec needs >= 2 transforms; use bucket_expr "
+            "for single-transform clustering"
+        )
+    parts = ", ".join(f"cast(({t}) as string)" for t in spec)
+    return f"concat_ws('|', {parts})"
+
+
 def _bloom_positions(value, m: int = BLOOM_M, k: int = BLOOM_K) -> list[int]:
     """Driver-side probe positions — the SAME md5-derived family the
     manifest build computes per row (datapipe.common.derived_hash), so
@@ -646,6 +666,7 @@ def write_zonemapped(
     write_options: dict | None = None,
     ndv_cols: list[str] | None = None,
     bucket_expr: str | None = None,
+    spec: list[str] | None = None,
 ) -> None:
     """Clustered layout + file-level statistics manifest — the
     Iceberg/Delta scan-planning shape, expressed with plain datasource
@@ -711,7 +732,7 @@ def write_zonemapped(
         bloom_cols=bloom_cols, ingest_id=0,
         bloom_m=bloom_m, bloom_k=bloom_k,
         sort_cols=sort_cols, write_options=write_options,
-        ndv_cols=ndv_cols, bucket_expr=bucket_expr,
+        ndv_cols=ndv_cols, bucket_expr=bucket_expr, spec=spec,
     )
 
 
@@ -773,6 +794,7 @@ def append_zonemapped(
     ndv_cols: list[str] | None = None,
     bucket_expr: str | None = None,
     auto_fold_at: int | None = None,
+    spec: list[str] | None = None,
     _replaces: bool = False,
     _tombstone_buckets: list | None = None,
 ) -> None:
@@ -821,6 +843,19 @@ def append_zonemapped(
 
     loc = location.rstrip("/")
     meta = _read_layout_meta(loc)
+    if spec is not None:
+        # composite spec (VERDICT r12 ask #5): a LIST of transforms
+        # composed into one derived clustering expression — manifest
+        # rows are keyed by the tuple, per-level pruning comes from
+        # zonemap_plan's spec_predicates, and bucket-scoped replaces
+        # operate on (level0 × level1 × …) CELLS.
+        se = _spec_expr(list(spec))
+        if bucket_expr is not None and bucket_expr != se:
+            raise ValueError(
+                f"append into {loc}: pass spec OR bucket_expr, not "
+                "conflicting both"
+            )
+        bucket_expr = se
     # hidden partitioning (the Iceberg transform shape, VERDICT r11
     # ask #3): the clustering column can be DERIVED from a recorded
     # SQL expression instead of materialized by every producer — a
@@ -857,6 +892,11 @@ def append_zonemapped(
         # hidden-partitioning derivation expression (None = the
         # clustering column is a physical data column)
         "bucket_expr": derive_expr,
+        # composite-spec transform list ([] = single-transform layout);
+        # when non-empty, bucket_expr is its concat_ws composition and
+        # each level is addressable via zonemap_plan(spec_predicates=…)
+        "spec": list(spec) if spec is not None
+        else list((meta or {}).get("spec") or []),
         # per-stat-col null counts in every delta (Iceberg's
         # null_value_counts): min/max zones IGNORE nulls while n_rows
         # includes them, so a metadata-only COUNT over a "fully
@@ -912,6 +952,8 @@ def append_zonemapped(
         check.append("ndv_cols")
     if bucket_expr is not None:
         check.append("bucket_expr")
+    if spec is not None:
+        check.append("spec")
     if bloom_m is not None:
         check.append("bloom_m")
     if bloom_k is not None:
@@ -1245,6 +1287,13 @@ def zonemap_compact(
             bloom_m=bloom_m, bloom_k=bloom_k, sort_cols=sort_cols,
             write_options=(meta or {}).get("write_options") or None,
             ndv_cols=(meta or {}).get("ndv_cols") or None,
+            # derivation metadata is a layout INVARIANT: the reread
+            # frame carries the materialized clustering column (so the
+            # rewrite itself never re-derives), but dropping the
+            # recorded expression/spec here would break every LATER
+            # hidden-partitioned append and spec-level prune
+            bucket_expr=(meta or {}).get("bucket_expr") or None,
+            spec=(meta or {}).get("spec") or None,
         )
         # replay high-water mark: every folded ingest id is REMEMBERED
         # so a later replay of one of those batches is a no-op instead
@@ -1903,6 +1952,7 @@ def zonemap_overwrite(
     sort_cols: list[str] | None = None,
     ndv_cols: list[str] | None = None,
     bucket_expr: str | None = None,
+    spec: list[str] | None = None,
 ) -> dict:
     """INSERT OVERWRITE for a zone-mapped layout: ``df`` becomes the
     table's entire new snapshot as ONE replacing ingest — every bucket
@@ -1943,12 +1993,20 @@ def zonemap_overwrite(
         write_zonemapped(
             df, loc, bucket_col, stat_cols, serde=serde,
             bloom_cols=bloom_cols, sort_cols=sort_cols,
-            ndv_cols=ndv_cols, bucket_expr=bucket_expr,
+            ndv_cols=ndv_cols, bucket_expr=bucket_expr, spec=spec,
         )
         n_r, n_b = _delta_totals(spark, loc, serde, bucket_col, 0)
         return {"n_rows": n_r, "n_buckets": n_b,
                 "n_buckets_tombstoned": 0, "ingest_id": 0}
     bucket_col = meta["bucket_col"]
+    if spec is not None:
+        if (meta.get("spec") or []) != list(spec):
+            raise ValueError(
+                f"overwrite into {loc} conflicts with its recorded "
+                f"spec: layout={meta.get('spec')!r} caller={spec!r}"
+            )
+        if bucket_expr is None:
+            bucket_expr = _spec_expr(list(spec))
     if bucket_col not in df.columns:
         # hidden partitioning: derive the clustering column from the
         # recorded (or explicitly passed, drift-checked by the append)
@@ -2396,6 +2454,7 @@ def zonemap_plan(
     max_ingest: int | None = None,
     buckets: list | None = None,
     keep_cols: list[str] | None = None,
+    spec_predicates: list[tuple[int, object]] | None = None,
 ) -> tuple[str, list[dict], dict]:
     """Scan PLANNING over a zone-mapped manifest: merge the ingest
     deltas, evaluate every predicate, and return (bucket_col, kept
@@ -2419,6 +2478,32 @@ def zonemap_plan(
         keep = keep & F.col(bucket_col).cast("string").isin(
             [str(b) for b in buckets]
         )
+    if spec_predicates:
+        # composite-spec LEVEL pruning (VERDICT r12 ask #5): the
+        # manifest key is the '|'-joined transform tuple, so either
+        # dimension prunes independently by positional split — a
+        # time-level predicate keeps one month's cells, a hash-level
+        # predicate keeps one bucket per month, both together keep
+        # exactly one cell. Evaluated Spark-side like every other
+        # keep term; refused on a layout without a recorded spec
+        # (positions would be meaningless).
+        meta_sp = _read_layout_meta(location.rstrip("/"))
+        lv = (meta_sp or {}).get("spec") or []
+        if not lv:
+            raise ValueError(
+                f"layout {location} records no composite spec — "
+                "spec_predicates need one (write with spec=[...])"
+            )
+        levels = F.split(F.col(bucket_col).cast("string"), "\\|")
+        for i, value in spec_predicates:
+            if not 0 <= int(i) < len(lv):
+                raise ValueError(
+                    f"spec level {i} out of range for {len(lv)}-"
+                    "transform spec"
+                )
+            keep = keep & (
+                F.element_at(levels, int(i) + 1) == F.lit(str(value))
+            )
     for col, lo, hi in predicates or []:
         if lo is not None:
             keep = keep & (F.col(f"max_{col}") >= F.lit(lo))
@@ -2806,6 +2891,7 @@ def zonemap_scan(
     point_predicates: list[tuple[str, object]] | None = None,
     max_ingest: int | None = None,
     buckets: list | None = None,
+    spec_predicates: list[tuple[int, object]] | None = None,
 ) -> tuple[DataFrame, dict]:
     """Manifest-pruned scan over a :func:`write_zonemapped` layout.
 
@@ -2853,6 +2939,7 @@ def zonemap_scan(
         point_predicates=point_predicates,
         max_ingest=max_ingest,
         buckets=buckets,
+        spec_predicates=spec_predicates,
     )
     return _bucket_reader(spark, location, serde, kept, bucket_col), stats
 
