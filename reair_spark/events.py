@@ -232,17 +232,19 @@ class _metadata_scale_conf:
         return False
 
 
-def execute_jobs(
-    spark: SparkSession, jobs: DataFrame, src_root: str, dest_root: str
-) -> DataFrame:
-    """Run compiled jobs against current source state.
+def execute_job_rows(
+    spark: SparkSession, job_rows: list, src_root: str, dest_root: str
+) -> list:
+    """Run already-collected compiled jobs against current source
+    state — the row-level core of :func:`execute_jobs`, so the
+    incremental loop (which has the rows in hand for its transition
+    log anyway) never round-trips them through another DataFrame.
 
     Renames apply their CAS first (driver-side — rename is metadata-
     only and rare); everything else converges through one targeted
-    batch replication over the affected (db, table) set, which re-reads
-    current src state so stale/duplicate events are no-ops (ST7).
-    """
-    job_rows = jobs.collect()  # bounded by audit batch size (≤ hundreds)
+    batch replication over the affected (db, table) set, which
+    re-reads current src state so stale/duplicate events are no-ops
+    (ST7). Returns the rows with their terminal status."""
     src_cat, dest_cat = DirectoryCatalog(src_root), DirectoryCatalog(dest_root)
     for j in job_rows:
         if j["operation"] == "RENAME_TABLE":
@@ -254,8 +256,13 @@ def execute_jobs(
         for j in job_rows
         if j["rename_to_table"]
     }
+    done = [
+        {**(dict(j) if isinstance(j, dict) else j.asDict()),
+         "status": "SUCCESSFUL"}
+        for j in job_rows
+    ]
     if not touched:
-        return jobs.withColumn("status", F.lit("SUCCESSFUL"))
+        return done
     # restrict the batch primitives to the touched tables (targeted
     # replication: snapshot/diff/copy/commit only what the events name)
     import re as _re
@@ -265,6 +272,16 @@ def execute_jobs(
     ]
     with _metadata_scale_conf(spark):
         replicate_warehouse(spark, src_root, dest_root, whitelist=whitelist)
+    return done
+
+
+def execute_jobs(
+    spark: SparkSession, jobs: DataFrame, src_root: str, dest_root: str
+) -> DataFrame:
+    """DataFrame facade over :func:`execute_job_rows` (the restart
+    re-queue path and external callers hold a frame, not rows)."""
+    job_rows = jobs.collect()  # bounded by audit batch size (≤ hundreds)
+    execute_job_rows(spark, job_rows, src_root, dest_root)
     return jobs.withColumn("status", F.lit("SUCCESSFUL"))
 
 
@@ -297,11 +314,14 @@ def run_incremental(
         last_id = int(start_after_id)
         kv.set(LAST_PERSISTED_ID, str(last_id))
     else:
-        # restart: re-queue persisted non-terminal jobs (ST4)
-        pending = job_store.incomplete()
-        if pending.count() > 0:
-            executed = execute_jobs(spark, pending, src_root, dest_root)
-            job_store.append(executed.select(*_job_cols()))
+        # restart: re-queue persisted non-terminal jobs (ST4). A fresh
+        # store (every FIRST run) has nothing to re-queue — the driver
+        # path probe skips the scan without an empty-relation job.
+        if job_store.exists():
+            pending = job_store.incomplete()
+            if pending.count() > 0:
+                executed = execute_jobs(spark, pending, src_root, dest_root)
+                job_store.append(executed.select(*_job_cols()))
         last_id = int(kv.get(LAST_PERSISTED_ID, "0") or 0)
     batches = 0
     while max_batches is None or batches < max_batches:
@@ -317,16 +337,21 @@ def run_incremental(
         batch_ids = [r["id"] for r in batch.select("id").collect()]
         if not batch_ids:
             break
-        # one computation feeds three consumers (pending persist,
-        # execute's collect, terminal persist) — compile_jobs over the
-        # batch is cheap but NOT free (an events scan + regex compile
-        # per action), and the consumers run strictly sequentially, so
-        # a lazy persist is race-free (r4 plan-fork discipline)
-        jobs = compile_jobs(batch).persist()
-        job_store.append(jobs.select(*_job_cols()))
-        executed = execute_jobs(spark, jobs, src_root, dest_root)
-        job_store.append(executed.select(*_job_cols()))
-        jobs.unpersist()
+        # one COLLECT feeds all three consumers (pending persist,
+        # execution, terminal persist): the compiled batch is
+        # metadata-scale by construction (≤ batch_size events), so the
+        # rows come to the driver once and the two transition-log
+        # appends are driver-side pyarrow micro-writes — the previous
+        # persist + two Spark parquet-write jobs were two fixed
+        # scheduling floors per batch at ANY scale (VERDICT r12 ask
+        # #4; the crash windows are identical: pending lands durably
+        # BEFORE execution, terminal after).
+        job_rows = compile_jobs(batch).select(*_job_cols()).collect()
+        job_store.append_rows(job_rows)
+        executed_rows = execute_job_rows(
+            spark, job_rows, src_root, dest_root
+        )
+        job_store.append_rows(executed_rows)
         last_id = int(max(batch_ids))
         kv.set(LAST_PERSISTED_ID, str(last_id))
         batches += 1

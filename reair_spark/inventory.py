@@ -44,7 +44,23 @@ _DIR_SCHEMA = T.StructType(
 )
 
 
-def _make_scan_level(fs_registry: dict) -> callable:
+#: per-task local-recursion budget for the level scan: a task keeps
+#: descending into the subdirectories it just discovered while its
+#: total listed-entry count stays under this, emitting any remainder
+#: as frontier dirs for the next DISTRIBUTED round. Small trees (the
+#: metadata-replication common case: depth ≤ 3, tens of files) finish
+#: in ONE Spark job instead of one job per level — each level round
+#: costs a fixed ~0.5 s scheduling floor that dominated the
+#: incremental e2e wall (VERDICT r12 ask #4) — while a huge directory
+#: (millions of partitions under one table) exhausts the budget
+#: immediately and fans out across the cluster exactly as before.
+SCAN_LOCAL_BUDGET = 10_000
+
+
+def _make_scan_level(
+    fs_registry: dict, include_hidden: bool = False,
+    local_budget: int = SCAN_LOCAL_BUDGET,
+) -> callable:
     """Build the per-level lister closure. All FS access goes through
     the pluggable seam (reair_spark.fs) with the driver's scheme
     registry snapshot riding in the closure — pointing the scan at a
@@ -55,34 +71,50 @@ def _make_scan_level(fs_registry: dict) -> callable:
     driver loop in replicate_warehouse (VERDICT r4 #1): at the
     reference's design point (millions of partition locations,
     TableCompareWorker.java:45-47) the mappers own all FS I/O, and so
-    do these tasks."""
+    do these tasks. ``include_hidden`` governs which discovered dirs
+    the LOCAL recursion may descend into — it must match the driver
+    loop's frontier filter, or hidden trees would be listed locally
+    that the round-based walk prunes."""
 
     def _scan_level(rows: Iterator) -> Iterator[tuple]:
+        from collections import deque
+
         from reair_spark.fs import UnregisteredSchemeError, fs_for
 
+        budget = int(local_budget)
         for row in rows:
-            root, d = row.root, row.dir
-            try:
-                fs = fs_for(d, fs_registry)
-            except UnregisteredSchemeError:
-                # Only the scheme-lookup failure is tolerated (e.g. an
-                # hdfs:// table location when only local/mock schemes
-                # are registered) — one stray location must not crash
-                # the whole listing job. A ValueError raised from
-                # INSIDE an FS's scandir is a bug and propagates.
-                continue
-            try:
-                entries = fs.scandir(d)
-            except (FileNotFoundError, NotADirectoryError):
-                continue
-            for e in entries:
-                hidden = e.name.startswith(("_", "."))
-                if e.is_dir:
-                    yield ("d", root, e.path, 0, 0, hidden)
-                else:
-                    rel = e.path[len(root):].lstrip("/") if e.path.startswith(root) \
-                        else os.path.relpath(e.path, root)
-                    yield ("f", root, rel, e.size, e.mtime_ms, hidden)
+            root = row.root
+            queue = deque([row.dir])
+            while queue:
+                d = queue.popleft()
+                try:
+                    fs = fs_for(d, fs_registry)
+                except UnregisteredSchemeError:
+                    # Only the scheme-lookup failure is tolerated (an
+                    # hdfs:// location when only local/mock schemes
+                    # are registered) — one stray location must not
+                    # crash the whole listing job. A ValueError from
+                    # INSIDE an FS's scandir is a bug and propagates.
+                    continue
+                try:
+                    entries = fs.scandir(d)
+                except (FileNotFoundError, NotADirectoryError):
+                    continue
+                budget -= len(entries)
+                for e in entries:
+                    hidden = e.name.startswith(("_", "."))
+                    if e.is_dir:
+                        if budget > 0 and (include_hidden or not hidden):
+                            queue.append(e.path)  # recurse locally
+                        else:
+                            yield ("d", root, e.path, 0, 0, hidden)
+                    else:
+                        rel = (
+                            e.path[len(root):].lstrip("/")
+                            if e.path.startswith(root)
+                            else os.path.relpath(e.path, root)
+                        )
+                        yield ("f", root, rel, e.size, e.mtime_ms, hidden)
 
     return _scan_level
 
@@ -131,7 +163,7 @@ def list_files(
         ).where(F.col("root").isNotNull()).distinct()
     else:
         dirs = spark.createDataFrame([(r, r) for r in roots], _DIR_SCHEMA)
-    scan_level = _make_scan_level(fs_registry())
+    scan_level = _make_scan_level(fs_registry(), include_hidden)
     files: DataFrame | None = None
     first = True
     while True:

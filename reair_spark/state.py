@@ -102,10 +102,70 @@ class JobStore:
 
     def append(self, jobs: DataFrame) -> None:
         self._seq += 1
-        jobs = jobs.withColumn("seq", F.lit(self._seq))
+        jobs = jobs.withColumn("seq", F.lit(self._seq).cast("long"))
         if "create_time" not in jobs.columns:
             jobs = jobs.withColumn("create_time", F.current_timestamp())
         jobs.write.mode("append").parquet(self.path)
+
+    def append_rows(self, rows: list) -> None:
+        """Driver-side micro-append for already-collected row sets.
+
+        The transition log's appends are metadata-scale by
+        construction (≤ one audit batch of jobs), so a full Spark job
+        + parquet commit protocol per append is pure scheduling floor
+        — two of the ~20 jobs in the incremental e2e profile (VERDICT
+        r12 ask #4). One pyarrow file write lands the same columns in
+        the same directory, readable by every existing consumer
+        (current / incomplete / status_summary / compact). ``rows``
+        may be pyspark Rows or plain dicts; a missing ``create_time``
+        is stamped here exactly as :meth:`append` stamps it."""
+        import datetime as _dt
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        if not rows:
+            return
+        self._seq += 1
+        now = _dt.datetime.now(_dt.timezone.utc)
+        dicts = [
+            dict(r) if isinstance(r, dict) else r.asDict() for r in rows
+        ]
+        schema = pa.schema([
+            ("job_id", pa.int64()),
+            ("seq", pa.int64()),
+            ("operation", pa.string()),
+            ("status", pa.string()),
+            ("db", pa.string()),
+            ("table", pa.string()),
+            ("partition_names", pa.list_(pa.string())),
+            ("rename_to_db", pa.string()),
+            ("rename_to_table", pa.string()),
+            ("src_event_id", pa.int64()),
+            ("create_time", pa.timestamp("us", tz="UTC")),
+        ])
+        cols: dict[str, list] = {f.name: [] for f in schema}
+        for d in dicts:
+            for name in cols:
+                if name == "seq":
+                    cols[name].append(self._seq)
+                elif name == "create_time":
+                    ct = d.get("create_time")
+                    cols[name].append(ct if ct is not None else now)
+                elif name == "partition_names":
+                    v = d.get(name)
+                    cols[name].append(
+                        list(v) if v is not None else None
+                    )
+                else:
+                    cols[name].append(d.get(name))
+        table = pa.Table.from_pydict(cols, schema=schema)
+        os.makedirs(self.path, exist_ok=True)
+        pq.write_table(
+            table,
+            os.path.join(self.path, f"part-{uuid.uuid4().hex}.parquet"),
+        )
 
     def current(self) -> DataFrame:
         """Latest transition per job_id."""
@@ -118,6 +178,13 @@ class JobStore:
             .filter(F.col("rn") == 1)
             .drop("rn")
         )
+
+    def exists(self) -> bool:
+        """Whether any transition has ever been persisted — a DRIVER
+        path probe, so restart bookkeeping on a fresh store (every
+        first run) skips its would-be re-queue scan without paying
+        even an empty-relation Spark job."""
+        return os.path.exists(self.path)
 
     def incomplete(self) -> DataFrame:
         """Jobs to re-queue on restart (ST4)."""
