@@ -3482,6 +3482,85 @@ def zonemap_fold_scan(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def zonemap_maintain_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """Maintenance-policy gate (VERDICT r12 ask #8): the 3-ingest
+    lineitem layout goes through TWO ``zonemap_maintain`` passes —
+    first with fold_at=3/compact_at=10 (delta count trips, data-layer
+    count doesn't → FOLD: manifest collapses to one delta, the three
+    data layers stay), then with compact_at=3 (the fold did NOT reset
+    the data-layer metric → COMPACT: data collapses to one ingest) —
+    and the same manifest-planned query as scan_zonemap_pruning
+    answers identically from the fully-maintained layout. A policy
+    that picks the wrong action, a fold that resets the compact
+    trigger (the ADVICE r12 #2 starvation), or a maintenance step
+    that perturbs any answer breaks the counts or the hash.
+
+    100 TB story: maintenance is scheduled, not hand-run — the policy
+    entry point must pick the cheap metadata fold when deltas grow and
+    the data-sized compact only when small files do."""
+    from reair_spark.sources import zonemap_maintain
+
+    layout = _clone_layout(
+        _zonemap_compact_template(spark, sf), "reair_zmaint_run_"
+    )
+
+    def n_layers(sub: str) -> int:
+        return sum(
+            1 for p in os.listdir(f"{layout}/{sub}")
+            if p.startswith("ingest=")
+        )
+
+    first = zonemap_maintain(spark, layout, fold_at=3, compact_at=10)
+    fold_kept_data = int(n_layers("data") == 3)
+    second = zonemap_maintain(spark, layout, fold_at=10, compact_at=3)
+    compacted = int(n_layers("data") == 1 and n_layers("manifest") == 1)
+    ans = _zonemap_answer(spark, layout)
+    return ans.select(
+        F.lit(int(first["action"] == "fold")).cast("long")
+            .alias("first_is_fold"),
+        F.lit(fold_kept_data).cast("long").alias("fold_kept_data_layers"),
+        F.lit(int(second["action"] == "compact")).cast("long")
+            .alias("second_is_compact"),
+        F.lit(compacted).cast("long").alias("fully_compacted"),
+        *ans.columns,
+    )
+
+
+ENGINE_QUERIES["zonemap_maintain_scan"] = zonemap_maintain_scan
+
+
+ENGINE_ORACLES["zonemap_maintain_scan"] = """
+WITH li AS (
+  SELECT l_shipdate, l_extendedprice,
+         strftime(l_shipdate, '%Y-%m') AS bucket
+  FROM lineitem),
+m AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+         min(l_shipdate) AS mn_s, max(l_shipdate) AS mx_s,
+         max(l_extendedprice) AS mx_p
+  FROM li GROUP BY bucket),
+k AS (
+  SELECT * FROM m
+  WHERE mx_s >= TIMESTAMP '1996-03-15 00:00:00'
+    AND mn_s <= TIMESTAMP '1996-07-20 00:00:00'
+    AND mx_p >= 900.0)
+SELECT CAST(1 AS BIGINT) AS first_is_fold,
+       CAST(1 AS BIGINT) AS fold_kept_data_layers,
+       CAST(1 AS BIGINT) AS second_is_compact,
+       CAST(1 AS BIGINT) AS fully_compacted,
+       (SELECT CAST(count(*) AS BIGINT) FROM m) AS n_buckets_total,
+       (SELECT CAST(count(*) AS BIGINT) FROM k) AS n_buckets_read,
+       (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) FROM k)
+         AS n_rows_scanned,
+       CAST(count(*) AS BIGINT) AS n_rows_matched,
+       round(sum(l_extendedprice), 2) AS revenue
+FROM li
+WHERE l_shipdate >= TIMESTAMP '1996-03-15 00:00:00'
+  AND l_shipdate <= TIMESTAMP '1996-07-20 00:00:00'
+  AND l_extendedprice >= 900.0
+"""
+
+
 ENGINE_QUERIES["zonemap_fold_scan"] = zonemap_fold_scan
 ENGINE_ORACLES["zonemap_fold_scan"] = """
 WITH li AS (
