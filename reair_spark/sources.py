@@ -2788,6 +2788,7 @@ def zonemap_count(
     serde: str = "parquet",
     max_ingest: int | None = None,
     point_predicates: list[tuple[str, object]] | None = None,
+    spec_predicates: list[tuple[int, object]] | None = None,
 ) -> tuple[int, dict]:
     """COUNT(*) with manifest pushdown — the Iceberg/Delta
     metadata-only count, extended with a partial-bucket residual:
@@ -2836,7 +2837,11 @@ def zonemap_count(
         spark, location, predicates=preds, serde=serde,
         max_ingest=max_ingest, keep_cols=zone_cols,
         point_predicates=point_predicates,
+        spec_predicates=spec_predicates,
     )
+    # spec predicates are EXACT on the manifest key (positional split
+    # equality, no false positives), so they never demote a bucket to
+    # the residual scan — coverage is decided by the zone/null rules
 
     def fully_covered(r: dict) -> bool:
         if point_predicates:

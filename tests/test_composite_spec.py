@@ -241,3 +241,34 @@ def test_spec_incremental_publish_rewrites_only_own_cells(spark, tmp_path):
     )
     assert stats["n_buckets_read"] == 1
     assert sorted(r.k for r in df2.collect()) == [998]
+
+
+def test_spec_predicates_count_pushdown(spark, tmp_path):
+    """zonemap_count composes spec-level pruning with the metadata
+    count: a spec predicate is EXACT on the cell key, so a fully
+    zone-covered cell still counts from the manifest alone."""
+    loc = str(tmp_path / "cnt")
+    S.write_zonemapped(_rows(spark), loc, "cell", ["v"], spec=SPEC)
+
+    # no zone predicate: pure metadata count of one month's cells
+    n, stats = S.zonemap_count(
+        spark, loc, spec_predicates=[(0, "2024-01")]
+    )
+    assert n == 20
+    assert stats["n_buckets_full"] == 2   # counted from the manifest
+    assert stats["n_buckets_partial"] == 0
+
+    # zone predicate covering every row of the kept cell: still
+    # metadata-only; a partial range demotes to a residual scan
+    n, stats = S.zonemap_count(
+        spark, loc, predicates=[("v", 0, 400)],
+        spec_predicates=[(0, "2024-01"), (1, 1)],
+    )
+    assert n == 10
+    assert stats["n_buckets_full"] == 1
+    n, stats = S.zonemap_count(
+        spark, loc, predicates=[("v", 0, 95)],
+        spec_predicates=[(0, "2024-01"), (1, 1)],
+    )
+    assert n == 5                          # v in {10,30,50,70,90}
+    assert stats["n_buckets_partial"] == 1
