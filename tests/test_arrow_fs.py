@@ -168,3 +168,72 @@ def test_replication_with_pyarrow_rooted_locations(spark, pafs, tmp_path):
         assert rec["location"] == f"{dest_root}/db1/{t}"
         with open(os.path.join(dest_root, "db1", t, "part-0"), "rb") as fh:
             assert fh.read() == payload
+
+
+def test_conditional_put_subclass_closes_cas_window(spark, tmp_path):
+    """The ask-#7 seam proof: an ArrowFs SUBCLASS whose
+    create_exclusive_with_content is a genuine conditional write (the
+    S3 If-None-Match / GCS generation-match-0 shape, modeled here with
+    an in-process reservation that makes probe+publish one step)
+    drives the descriptor CAS with NO visible-but-empty claim state —
+    two racing descriptor updates both survive, and no steal ever
+    fires. The engine code path is unchanged: the backend capability
+    plugs in at the seam."""
+    import json
+    import threading
+
+    import pyarrow.fs as pa_fs
+
+    import reair_spark.sources as S
+    from reair_spark.fs import ArrowFs, register_fs, unregister_fs
+
+    lock = threading.Lock()
+
+    class CondPutFs(ArrowFs):
+        """LocalFileSystem + an atomic reserve: existence check and
+        content publish under one mutex — the semantics a conditional
+        PUT gives on a real object store."""
+
+        def create_exclusive_with_content(self, path, data):
+            from pyarrow.fs import FileType
+
+            with lock:
+                if self.arrow.get_file_info(
+                    self._resolve(path)
+                ).type != FileType.NotFound:
+                    raise FileExistsError(path)
+                fh = self.create(path)
+                fh.write(data)
+                fh.close()
+
+    root = str(tmp_path / "condroot")
+    os.makedirs(root, exist_ok=True)
+    fs = CondPutFs("condput", pa_fs.LocalFileSystem(), root)
+    register_fs(fs)
+    try:
+        loc = "condput://lay"
+        # seed a descriptor through the normal first-write CAS
+        out = S._meta_cas_update(loc, lambda m: {"seeded": True})
+        assert out["seeded"] is True and out["meta_version"] == 1
+
+        # two interleaved updates: the loser adopts and retries — both
+        # survive, versions are strictly sequential, no empty claim
+        # ever existed for a steal to race
+        state = {"fired": False}
+
+        def mutate_a(m):
+            if not state["fired"]:
+                state["fired"] = True
+                S._meta_cas_update(loc, lambda mm: {**mm, "b": True})
+            return {**m, "a": True}
+
+        out = S._meta_cas_update(loc, mutate_a)
+        assert out["a"] is True and out["b"] is True
+        assert int(out["meta_version"]) == 3
+        # every published version file carries content (never empty)
+        vdir = os.path.join(root, "lay/_staging/meta")
+        for v in os.listdir(vdir):
+            with open(os.path.join(vdir, v)) as fh:
+                assert json.load(fh).get("meta_version") is not None
+    finally:
+        unregister_fs("condput")

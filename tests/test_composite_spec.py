@@ -272,3 +272,39 @@ def test_spec_predicates_count_pushdown(spark, tmp_path):
     )
     assert n == 5                          # v in {10,30,50,70,90}
     assert stats["n_buckets_partial"] == 1
+
+
+def test_three_level_spec(spark, tmp_path):
+    """The spec is a LIST, not a pair: a 3-transform spec keys cells
+    by (month, parity, magnitude) and prunes on any level."""
+    loc = str(tmp_path / "three")
+    spec3 = ["substring(om, 1, 7)", "pmod(k, 2)",
+             "case when v >= 200 then 'hi' else 'lo' end"]
+    S.write_zonemapped(_rows(spark), loc, "cell", ["v"], spec=spec3)
+    meta = S._read_layout_meta(loc)
+    assert meta["spec"] == spec3
+
+    # middle level alone
+    df, stats = S.zonemap_scan(spark, loc, spec_predicates=[(1, 0)])
+    assert sorted(r.k for r in df.collect()) == list(range(0, 40, 2))
+    # outer + inner levels, skipping the middle (v = k*10, so month 2
+    # is all 'hi' and month 1 all 'lo' — a month-1 'hi' cell does not
+    # even exist and prunes to nothing)
+    df, stats = S.zonemap_scan(
+        spark, loc, spec_predicates=[(0, "2024-02"), (2, "hi")]
+    )
+    assert stats["n_buckets_read"] == 2     # both parities of month 2
+    assert sorted(r.k for r in df.collect()) == list(range(20, 40))
+    _, stats = S.zonemap_scan(
+        spark, loc, spec_predicates=[(0, "2024-01"), (2, "hi")]
+    )
+    assert stats["n_buckets_read"] == 0
+    # all three levels: one cell
+    df, stats = S.zonemap_scan(
+        spark, loc,
+        spec_predicates=[(0, "2024-02"), (1, 1), (2, "hi")],
+    )
+    assert stats["n_buckets_read"] == 1
+    assert sorted(r.k for r in df.collect()) == [
+        k for k in range(20, 40) if k % 2 == 1 and k * 10 >= 200
+    ]

@@ -471,3 +471,76 @@ def test_pubmap_fold_bounds_deltas_and_preserves_state(spark, tmp_path):
     state = {r["pname"]: r["tldt"]
              for r in _pubmap_read(spark, loc).collect()}
     assert state == {"om=a": "205", "om=b": "300"}
+
+
+def test_pubmap_model_equivalence_property(spark, tmp_path):
+    """Hypothesis model check: an arbitrary interleaving of watermark
+    upserts, drops, and folds over the _pubmap side table reads back
+    exactly as a dict model — latest write per pname wins, tombstones
+    erase, folds never change the merged view."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from reair_spark.replicate import (
+        PUBMAP_SCHEMA,
+        _pubmap_append,
+        _pubmap_fold,
+        _pubmap_read,
+    )
+
+    pnames = ["om=a", "om=b", "om=c"]
+    op = st.one_of(
+        st.tuples(st.just("up"), st.sampled_from(pnames),
+                  st.text("xy", min_size=1, max_size=3),
+                  st.lists(st.sampled_from(["0", "1", "2"]),
+                           max_size=2, unique=True)),
+        st.tuples(st.just("drop"), st.sampled_from(pnames)),
+        st.tuples(st.just("fold"),),
+    )
+
+    counter = [0]
+
+    @settings(max_examples=12, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(ops=st.lists(op, min_size=1, max_size=8))
+    def run(ops):
+        counter[0] += 1
+        loc = str(tmp_path / f"pm{counter[0]}")
+        model: dict = {}
+        batch = []
+        for o in ops:
+            if o[0] == "up":
+                _, p, t, bks = o
+                batch.append((p, t, sorted(bks), False))
+                model[p] = {"tldt": t, "buckets": sorted(bks)}
+            elif o[0] == "drop":
+                _, p = o
+                batch.append((p, None, None, True))
+                model.pop(p, None)
+            else:
+                if batch:
+                    _pubmap_append(
+                        spark, loc,
+                        spark.createDataFrame(batch, PUBMAP_SCHEMA),
+                        fold_at=10**9,
+                    )
+                    batch = []
+                _pubmap_fold(spark, loc)
+            # within one delta, later rows for the same pname are
+            # ambiguous — flush per op to keep ordering exact
+            if batch:
+                _pubmap_append(
+                    spark, loc,
+                    spark.createDataFrame(batch, PUBMAP_SCHEMA),
+                    fold_at=10**9,
+                )
+                batch = []
+        df = _pubmap_read(spark, loc)
+        got = {} if df is None else {
+            r["pname"]: {"tldt": r["tldt"],
+                         "buckets": sorted(r["buckets"] or [])}
+            for r in df.collect()
+        }
+        assert got == model
+
+    run()
