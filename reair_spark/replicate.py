@@ -206,15 +206,30 @@ def replicate_warehouse(
     # src_path==root equi-join prunes it to the COPY rows' roots, so
     # each tree is listed exactly once per replication.
     metrics = JobMetrics()
-    tasks = plan_copy_tasks(plan, inv)
-    copy_results = metrics.observe(
-        execute_copies(spark, tasks, verify_checksum=verify_checksum),
-        "copy",
-    ).cache()
-    # side-effecting stage: materialize exactly once (cache + count) so
-    # (a) data lands BEFORE metadata commits (ST6 ordering) and (b)
-    # later actions on the result never re-run the copies
-    copy_results.count()
+    # empty-copy short-circuit: a replication whose plan carries no
+    # COPY rows (the format-target-only case — zonemapped tables left
+    # the snapshots above, their data moves inside the publish below)
+    # skips the whole copy machinery. The probe is one limit(1) job on
+    # the CHECKPOINTED plan leaf (~cheap at any scale); the machinery
+    # it skips is ~1 s of plan-build py4j (task join, LPT sizing, skew
+    # rebalance) spent provably producing zero tasks.
+    has_copies = plan.where(
+        F.col("action").startswith("COPY") & F.col("update_data")
+    ).limit(1).count() > 0
+    if has_copies:
+        tasks = plan_copy_tasks(plan, inv)
+        copy_results = metrics.observe(
+            execute_copies(spark, tasks, verify_checksum=verify_checksum),
+            "copy",
+        ).cache()
+        # side-effecting stage: materialize exactly once (cache +
+        # count) so (a) data lands BEFORE metadata commits (ST6
+        # ordering) and (b) later actions never re-run the copies
+        copy_results.count()
+    else:
+        from reair_spark.copy import COPY_RESULT_SCHEMA
+
+        copy_results = spark.createDataFrame([], COPY_RESULT_SCHEMA)
     metrics.mark_done("copy")
 
     # ---- stage 2b: table-format publish targets ------------------------
