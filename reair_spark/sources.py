@@ -245,6 +245,23 @@ LAYOUT_META = "_meta.json"  # layout descriptor at the layout root
 #: of the layout root never parses it as data.
 PUBMAP_DIR = "_pubmap"
 
+#: merge-on-read positional deletes (the Iceberg v2 position-delete /
+#: Delta deletion-vector shape): delete FILES live under
+#: <layout>/deletes/ingest=<dv>/<bucket>=<v>/ with rows
+#: (data_ingest, __file, __pos), and each DV commit publishes one
+#: metadata-sized accounting delta under <layout>/dmanifest/ingest=<dv>/
+#: with rows (bucket, data_ingest, n_deletes). Scans apply DVs with a
+#: (file, position) anti-join; compaction folds them into the data and
+#: the whole-layout swap purges both trees.
+DELETES_DIR = "deletes"
+DMANIFEST_DIR = "dmanifest"
+#: DV sides at or below this many live positions get an explicit
+#: broadcast hint on the scan's anti-join (a position row is ~a path
+#: dictionary entry + two ints — 2M rows is well under executor
+#: broadcast budgets); bigger delete sets fall back to the planner's
+#: default shuffled anti-join.
+DV_BROADCAST_MAX_ROWS = 2_000_000
+
 #: characters Spark/Hive percent-escape in partition DIRECTORY names
 #: (ExternalCatalogUtils.escapePathName): anything here — or a control
 #: char — becomes %XX on disk, while manifest rows keep the RAW value.
@@ -512,6 +529,33 @@ def _manifest_delta_ids(location: str) -> tuple[int, ...]:
         if e.name.startswith("ingest=")
         and e.name.split("=", 1)[1].isdigit()
     ))
+
+
+def _dmanifest_delta_ids(location: str) -> tuple[int, ...]:
+    """Sorted DELETE-manifest delta ids (merge-on-read positional
+    deletes, ``dmanifest/ingest=<id>``) — the second half of the
+    commit-visibility snapshot: a copy-on-write rewrite planned from a
+    pre-MOR-delete read would silently RESURRECT the deleted rows (its
+    replacing delta supersedes the DV), so every optimistic mutation
+    must notice DV commits exactly as it notices data commits."""
+    from reair_spark.fs import fs_for
+
+    loc = location.rstrip("/")
+    return tuple(sorted(
+        int(e.name.split("=", 1)[1])
+        for e in _scandir_or_empty(fs_for(loc), f"{loc}/{DMANIFEST_DIR}")
+        if e.name.startswith("ingest=")
+        and e.name.split("=", 1)[1].isdigit()
+    ))
+
+
+def _commit_snapshot(location: str) -> tuple[tuple[int, ...], tuple[int, ...]]:
+    """The full commit-visibility snapshot an optimistic mutation
+    validates against: (manifest delta ids, delete-manifest delta
+    ids). Two metadata listings — any commit of either kind landing
+    between planning and publish changes the tuple and forces a
+    recompute-retry."""
+    return _manifest_delta_ids(location), _dmanifest_delta_ids(location)
 
 
 def _claim_ingest_id(location: str) -> int:
@@ -1156,7 +1200,8 @@ def append_zonemapped(
 
 
 def _publish_delta(
-    manifest: DataFrame, loc: str, ingest_id: int, serde: str
+    manifest: DataFrame, loc: str, ingest_id: int, serde: str,
+    subdir: str = "manifest",
 ) -> None:
     """Publish one manifest delta atomically WITHOUT ever staging
     inside ``manifest/`` (ADVICE r9 medium: a crashed sibling-swap tmp
@@ -1181,17 +1226,21 @@ def _publish_delta(
 
     fs = fs_for(loc)
     token = uuid.uuid4().hex[:8]
-    staged = f"{loc}/_staging/ingest={ingest_id}_.tmp_{token}"
+    # non-default subdirs (the DV accounting deltas) carry their dir
+    # as a staging-name prefix so _recover_layout can route a parked
+    # delta back to the right tree
+    pre = "" if subdir == "manifest" else f"{subdir}-"
+    staged = f"{loc}/_staging/{pre}ingest={ingest_id}_.tmp_{token}"
     (
         manifest.write.format(SERDE_FORMATS.get(serde, serde))
         .mode("overwrite")
         .save(fs_spark_path(staged))
     )
-    final = f"{loc}/manifest/ingest={ingest_id}"
-    fs.mkdirs(f"{loc}/manifest")
+    final = f"{loc}/{subdir}/ingest={ingest_id}"
+    fs.mkdirs(f"{loc}/{subdir}")
     parked = None
     if fs.isdir(final):
-        parked = f"{loc}/_staging/ingest={ingest_id}_.old_{token}"
+        parked = f"{loc}/_staging/{pre}ingest={ingest_id}_.old_{token}"
         fs.rename(final, parked)
     fs.rename(staged, final)
     if parked is not None:
@@ -1272,6 +1321,11 @@ def zonemap_compact(
             and e.name.split("=", 1)[1].isdigit()
         ]
         deltas_before = len(delta_ids)
+        # DV ingest ids count toward the replay high-water mark too:
+        # the swap folds the delete files into the data and drops both
+        # DV trees, and a post-compact writer must not re-mint an id
+        # the pre-compact history used
+        delta_ids += list(_dmanifest_delta_ids(loc))
         # read the CURRENT table state via the manifest, not the raw
         # data tree: buckets superseded by merge/delete rewrites
         # (replaces deltas) still have their old directories on disk —
@@ -1375,6 +1429,7 @@ def zonemap_recluster(
             if e.name.startswith("ingest=")
             and e.name.split("=", 1)[1].isdigit()
         ]
+        delta_ids += list(_dmanifest_delta_ids(loc))  # same as compact
         df, _ = zonemap_scan(spark, loc, serde=meta["serde"])
         df = df.drop("ingest")
         if bucket_col not in df.columns:
@@ -1501,7 +1556,13 @@ def zonemap_rewrite_manifests(
         if len(delta_ids) <= 1:
             return {"deltas_before": len(delta_ids),
                     "deltas_after": len(delta_ids), "fold_ingest": None}
-        bucket_col, man = _merged_manifest(spark, loc, serde)
+        # the folded delta must carry GROSS per-bucket counts: the DV
+        # accounting deltas stay in place across a metadata-only fold,
+        # and every read nets them out — folding net counts would
+        # subtract the deletes twice
+        bucket_col, man = _merged_manifest(
+            spark, loc, serde, apply_deletes=False
+        )
         folded = (
             man.withColumnRenamed("__ingests", "data_ingests")
             .withColumn("replaces", F.lit(True))
@@ -1661,6 +1722,9 @@ def _recover_layout(location: str) -> None:
     elif not fs.isdir(loc):
         return
     parked_re = _re.compile(r"^(ingest=\d+)_\.old_[0-9a-f]+$")
+    dparked_re = _re.compile(
+        rf"^{DMANIFEST_DIR}-(ingest=\d+)_\.old_[0-9a-f]+$"
+    )
     for e in _scandir_or_empty(fs, f"{loc}/_staging"):
         if e.name == "claims" and e.is_dir:
             # ingest-id CLAIM files (the fs-seam CAS): a claim whose
@@ -1679,7 +1743,7 @@ def _recover_layout(location: str) -> None:
                 cid = int(c.name.split("-", 1)[1])
                 if cid <= folded or fs.isdir(
                     f"{loc}/manifest/ingest={cid}"
-                ):
+                ) or fs.isdir(f"{loc}/{DMANIFEST_DIR}/ingest={cid}"):
                     try:
                         fs.unlink(c.path)
                     except FileNotFoundError:
@@ -1741,11 +1805,17 @@ def _recover_layout(location: str) -> None:
         m = parked_re.match(e.name)
         if m and not fs.isdir(f"{loc}/manifest/{m.group(1)}"):
             fs.rename(e.path, f"{loc}/manifest/{m.group(1)}")
-        else:
-            fs_rmtree(fs, e.path)
-    for e in _scandir_or_empty(fs, f"{loc}/manifest"):
-        if "_.tmp_" in e.name or "_.old_" in e.name:
-            fs_rmtree(fs, e.path)
+            continue
+        dm = dparked_re.match(e.name)
+        if dm and not fs.isdir(f"{loc}/{DMANIFEST_DIR}/{dm.group(1)}"):
+            fs.mkdirs(f"{loc}/{DMANIFEST_DIR}")
+            fs.rename(e.path, f"{loc}/{DMANIFEST_DIR}/{dm.group(1)}")
+            continue
+        fs_rmtree(fs, e.path)
+    for sub in ("manifest", DMANIFEST_DIR):
+        for e in _scandir_or_empty(fs, f"{loc}/{sub}"):
+            if "_.tmp_" in e.name or "_.old_" in e.name:
+                fs_rmtree(fs, e.path)
 
 
 def _layout_serde(location: str, fallback: str) -> str:
@@ -1809,7 +1879,7 @@ def _next_ingest_id(location: str) -> int:
     # folded id; a fresh rewrite ingest must clear it or the append's
     # replay guard would treat it as an already-folded replay
     ids = [int(meta.get("compacted_through", -1))]
-    for sub in ("manifest", "data"):
+    for sub in ("manifest", "data", DMANIFEST_DIR, DELETES_DIR):
         ids += [
             int(e.name.split("=", 1)[1])
             for e in _scandir_or_empty(fs, f"{loc}/{sub}")
@@ -1912,7 +1982,7 @@ def zonemap_merge(
         ).distinct().collect()
     ]
     for _attempt in range(5):
-        base = _manifest_delta_ids(loc)
+        base = _commit_snapshot(loc)
         existing, _ = zonemap_scan(
             spark, loc, serde=meta["serde"], buckets=affected
         )
@@ -1925,7 +1995,7 @@ def zonemap_merge(
         )
         merged = survivors.unionByName(updates.select(*existing.columns))
         ingest_id = _claim_ingest_id(loc)
-        if _manifest_delta_ids(loc) != base:
+        if _commit_snapshot(loc) != base:
             continue  # a commit landed since planning: recompute
         append_zonemapped(
             merged, loc, bucket_col, meta["stat_cols"],
@@ -2029,11 +2099,11 @@ def zonemap_overwrite(
         ).distinct().collect()
     }
     for _attempt in range(5):
-        base = _manifest_delta_ids(loc)
+        base = _commit_snapshot(loc)
         _, kept, _ = zonemap_plan(spark, loc, serde=meta["serde"])
         gone = sorted({str(r[bucket_col]) for r in kept} - new_buckets)
         ingest_id = _claim_ingest_id(loc)
-        if _manifest_delta_ids(loc) != base:
+        if _commit_snapshot(loc) != base:
             continue  # a commit landed since planning: recompute
         append_zonemapped(
             df, loc, bucket_col, meta["stat_cols"], serde=meta["serde"],
@@ -2106,9 +2176,9 @@ def zonemap_replace_buckets(
         )
     gone = sorted(listed - present)
     for _attempt in range(5):
-        base = _manifest_delta_ids(loc)
+        base = _commit_snapshot(loc)
         ingest_id = _claim_ingest_id(loc)
-        if _manifest_delta_ids(loc) != base:
+        if _commit_snapshot(loc) != base:
             continue
         append_zonemapped(
             df, loc, bucket_col, meta["stat_cols"], serde=meta["serde"],
@@ -2156,31 +2226,59 @@ def zonemap_delete(
     location: str,
     predicates: list[tuple[str, object, object]] | None = None,
     point_predicates: list[tuple[str, object]] | None = None,
+    mode: str = "cow",
 ) -> dict:
     """DELETE rows matching the conjunction of the given range/point
-    predicates, with the same bucket-scoped copy-on-write as
-    :func:`zonemap_merge`: the zone maps and blooms PLAN the delete
-    (only buckets that can hold matching rows are read or rewritten —
-    a 3-month retention delete on a 100 TB table rewrites 3 months),
-    survivors are rewritten as one ``replaces`` ingest, and buckets
-    the delete EMPTIED get n_rows=0 tombstone delta rows so the plan
-    never falls back to their stale pre-delete stats. Append-only:
-    ``max_ingest`` reads before the delete ingest still see the
-    deleted rows (the audit/time-travel property), and compaction
-    garbage-collects the superseded directories.
+    predicates. Two execution modes, the Iceberg v2 / Delta split:
 
-    Single-pass accounting: the affected buckets are read ONCE — the
-    survivors write carries an ``observe`` counter and
+    ``mode="cow"`` (copy-on-write, the default): the same bucket-
+    scoped rewrite as :func:`zonemap_merge` — the zone maps and blooms
+    PLAN the delete (only buckets that can hold matching rows are read
+    or rewritten — a 3-month retention delete on a 100 TB table
+    rewrites 3 months), survivors are rewritten as one ``replaces``
+    ingest, and buckets the delete EMPTIED get n_rows=0 tombstone
+    delta rows so the plan never falls back to their stale pre-delete
+    stats. Best when the delete touches a large FRACTION of the
+    buckets it lands in (the rewrite amortizes and scans stay
+    join-free).
+
+    ``mode="mor"`` (merge-on-read, positional deletes — the Iceberg v2
+    position-delete / Delta deletion-vector shape): NO data is
+    rewritten. The matching rows' addresses (file path, row position
+    via parquet ``_metadata.row_index``) land as delete files under
+    ``deletes/ingest=<id>/<bucket>=…`` plus one metadata-sized
+    accounting delta under ``dmanifest/ingest=<id>``; every scan
+    anti-joins the live delete files (bucket-pruned, broadcast when
+    small) and every metadata count nets them out. Best for point /
+    sparse deletes: a GDPR erasure of 10³ rows in a 100 TB table
+    writes kilobytes instead of rewriting every touched bucket —
+    write cost scales with ROWS DELETED, not buckets touched, and the
+    next :func:`zonemap_compact` folds the DVs into the data and
+    drops them. Parquet layouts only (row addressing needs
+    ``_metadata.row_index``); refused otherwise.
+
+    Both modes are append-only: ``max_ingest`` reads before the delete
+    ingest still see the deleted rows (the audit/time-travel
+    property), and compaction garbage-collects the superseded
+    directories / delete files.
+
+    Single-pass accounting (cow): the affected buckets are read ONCE —
+    the survivors write carries an ``observe`` counter and
     ``n_rows_deleted`` is the manifest's row total for those buckets
-    minus the observed survivors, so the delete costs one pass over
-    the affected data instead of a count pass plus a write pass
-    (VERDICT r10 plan-audit note). Same optimistic-concurrency
-    contract as :func:`zonemap_merge` (claimed ingest id, commit
-    validation with recompute-retry).
+    minus the observed survivors. (mor): the delete files themselves
+    are the accounting — one pass over the pruned buckets writes them,
+    and the metadata-sized readback that builds the accounting delta
+    is the row count. Same optimistic-concurrency contract as
+    :func:`zonemap_merge` (claimed ingest id, commit validation with
+    recompute-retry) — validated against BOTH delta trees, so a
+    concurrent MOR delete forces a COW rewrite to recompute instead of
+    silently resurrecting its rows.
 
     Returns {"n_buckets_affected", "n_rows_deleted", "ingest_id"}."""
     from pyspark.sql import functions as F
 
+    if mode not in ("cow", "mor"):
+        raise ValueError(f"unknown delete mode {mode!r}: cow or mor")
     loc = location.rstrip("/")
     _recover_layout(loc)
     meta = _read_layout_meta(loc)
@@ -2188,10 +2286,6 @@ def zonemap_delete(
         raise ValueError(f"{loc} has no {LAYOUT_META}; delete needs a "
                          "descriptor-bearing layout")
     bucket_col = meta["bucket_col"]
-    doomed_scope, _ = zonemap_scan(
-        spark, loc, predicates=predicates, serde=meta["serde"],
-        point_predicates=point_predicates,
-    )
     # exact row-level predicate (the residual): delete rows matching
     # EVERY range and EVERY point predicate
     cond = F.lit(True)
@@ -2205,6 +2299,14 @@ def zonemap_delete(
     # null-valued rows do not MATCH the predicate ⇒ they survive
     # (SQL DELETE semantics; a bare ~cond would silently drop them)
     cond = F.coalesce(cond, F.lit(False))
+    if mode == "mor":
+        return _zonemap_delete_mor(
+            spark, loc, meta, cond, predicates, point_predicates
+        )
+    doomed_scope, _ = zonemap_scan(
+        spark, loc, predicates=predicates, serde=meta["serde"],
+        point_predicates=point_predicates,
+    )
     affected = [
         r[0]
         for r in doomed_scope.select(
@@ -2217,7 +2319,7 @@ def zonemap_delete(
     from pyspark.sql import Observation
 
     for _attempt in range(5):
-        base = _manifest_delta_ids(loc)
+        base = _commit_snapshot(loc)
         existing, scan_stats = zonemap_scan(
             spark, loc, serde=meta["serde"], buckets=affected
         )
@@ -2227,7 +2329,7 @@ def zonemap_delete(
             obs, F.count(F.lit(1)).alias("n_survivors")
         )
         ingest_id = _claim_ingest_id(loc)
-        if _manifest_delta_ids(loc) != base:
+        if _commit_snapshot(loc) != base:
             continue  # a commit landed since planning: recompute
         append_zonemapped(
             survivors, loc, bucket_col, meta["stat_cols"],
@@ -2247,6 +2349,106 @@ def zonemap_delete(
     n_deleted = scan_stats["n_rows_scanned"] - int(obs.get["n_survivors"])
     return {"n_buckets_affected": len(affected),
             "n_rows_deleted": int(n_deleted), "ingest_id": ingest_id}
+
+
+def _zonemap_delete_mor(
+    spark: SparkSession,
+    loc: str,
+    meta: dict,
+    cond,
+    predicates,
+    point_predicates,
+) -> dict:
+    """The merge-on-read half of :func:`zonemap_delete`: write the
+    matching rows' (file, position) addresses as delete files + one
+    accounting delta, touching no data. One pass over the PRUNED
+    buckets (manifest plan → pruned read → residual filter → DV
+    write); the accounting delta is built from a metadata-sized
+    readback of the just-written delete files, not a second data
+    pass. New positions are captured net of already-live DVs (the
+    pruned read anti-joins them), so a row is never deleted twice and
+    the accounting stays exact."""
+    from pyspark.sql import functions as F
+
+    from reair_spark.fs import fs_for, fs_rmtree, fs_spark_path
+
+    serde = _layout_serde(loc, meta["serde"])
+    if SERDE_FORMATS.get(serde, serde) != "parquet":
+        raise ValueError(
+            f"mode='mor' needs a parquet layout (row addressing via "
+            f"_metadata.row_index); this layout's serde is {serde!r} — "
+            "use mode='cow'"
+        )
+    bucket_col = meta["bucket_col"]
+    fs = fs_for(loc)
+    for _attempt in range(5):
+        base = _commit_snapshot(loc)
+        bcol, kept, _ = zonemap_plan(
+            spark, loc, predicates=predicates, serde=serde,
+            point_predicates=point_predicates,
+        )
+        scoped = _bucket_reader(
+            spark, loc, serde, kept, bcol, with_rowrefs=True
+        )
+        matched = scoped.where(cond).select(
+            F.col(bucket_col).cast("string").alias(bucket_col),
+            F.col("ingest").cast("int").alias("data_ingest"),
+            "__file",
+            F.col("__pos").cast("long").alias("__pos"),
+        )
+        ingest_id = _claim_ingest_id(loc)
+        if _commit_snapshot(loc) != base:
+            continue  # a commit landed since planning: recompute
+        # delete files land like any ingest: dynamic partition
+        # overwrite keyed by the claimed id (idempotent re-run)
+        write_partitioned(
+            matched.withColumn("ingest", F.lit(int(ingest_id))),
+            fs_spark_path(f"{loc}/{DELETES_DIR}"),
+            ["ingest", bucket_col],
+            serde="parquet",
+            dynamic=True,
+        )
+        dv_dir = f"{loc}/{DELETES_DIR}/ingest={ingest_id}"
+        if not _scandir_or_empty(fs, dv_dir):
+            # nothing matched: no accounting delta, sweep the empty
+            # ingest dir if the writer left one
+            if fs.isdir(dv_dir):
+                fs_rmtree(fs, dv_dir)
+            return {"n_buckets_affected": 0, "n_rows_deleted": 0,
+                    "ingest_id": None}
+        # accounting delta from the written delete files — small by
+        # construction (positions of deleted rows, parquet-compressed)
+        written = spark.read.option(
+            "basePath", fs_spark_path(f"{loc}/{DELETES_DIR}")
+        ).parquet(fs_spark_path(dv_dir))
+        acc = (
+            written.groupBy(
+                F.col(bucket_col).cast("string").alias(bucket_col),
+                F.col("data_ingest").cast("int").alias("data_ingest"),
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("n_deletes"))
+        )
+        # the descriptor learns the layout is merge-on-read BEFORE the
+        # accounting delta becomes visible: a reader must never see a
+        # dmanifest it does not know to consult
+        _meta_cas_update(
+            loc,
+            lambda m: (dict(m or {}, mor_deletes=True)
+                       if not (m or {}).get("mor_deletes") else None),
+        )
+        _publish_delta(acc, loc, int(ingest_id), "parquet",
+                       subdir=DMANIFEST_DIR)
+        totals = acc.agg(
+            F.coalesce(F.sum("n_deletes"), F.lit(0)),
+            F.countDistinct(bucket_col),
+        ).first()
+        return {"n_buckets_affected": int(totals[1]),
+                "n_rows_deleted": int(totals[0]),
+                "ingest_id": int(ingest_id)}
+    raise RuntimeError(
+        f"zonemap_delete(mode='mor') on {loc}: commit validation "
+        "failed 5 times under concurrent writes — serialize writers"
+    )
 
 
 def zonemap_vacuum(
@@ -2545,12 +2747,19 @@ def zonemap_plan(
     # None — "statistic unknown", which every consumer must treat as
     # the lossless direction (scan, don't trust)
     present = [c for c in extra if c in man.columns]
+    # merge-on-read layouts carry the live-DV columns (net n_rows is
+    # already applied in the merged view); the kept rows ship them so
+    # the bucket reader can apply exactly the live delete files
+    dv_cols = [c for c in ("__dv_rows", "__dv_ingests")
+               if c in man.columns]
     collected = man.where(keep).select(
-        bucket_col, "n_rows", "__ingests", *present
+        bucket_col, "n_rows", "__ingests", *dv_cols, *present
     ).collect()
     kept = [
         {bucket_col: r[bucket_col], "n_rows": r["n_rows"],
          "__ingests": list(r["__ingests"]),
+         **{c: (list(r[c]) if c == "__dv_ingests" else r[c])
+            for c in dv_cols},
          **{c: (r[c] if c in present else None) for c in extra}}
         for r in collected
     ]
@@ -2567,6 +2776,7 @@ def _merged_manifest(
     location: str,
     serde: str = "parquet",
     max_ingest: int | None = None,
+    apply_deletes: bool = True,
 ) -> tuple[str, DataFrame]:
     """Load + snapshot-resolve + monoid-merge the manifest deltas of a
     layout into ONE frame keyed by bucket (columns: n_rows, min_*/
@@ -2690,8 +2900,93 @@ def _merged_manifest(
                 ).alias(c)
             )
     # zero-row buckets are deletion tombstones: not data, not counted
-    return bucket_col, raw.groupBy(bucket_col).agg(*merge_aggs).where(
+    merged = raw.groupBy(bucket_col).agg(*merge_aggs).where(
         F.col("n_rows") > 0
+    )
+    if apply_deletes and meta.get("mor_deletes"):
+        merged = _dv_adjust_manifest(
+            spark, loc, merged, bucket_col, max_ingest
+        )
+    return bucket_col, merged
+
+
+def _dv_adjust_manifest(
+    spark: SparkSession,
+    loc: str,
+    merged: DataFrame,
+    bucket_col: str,
+    max_ingest: int | None,
+) -> DataFrame:
+    """Net the merge-on-read positional deletes out of the merged
+    manifest view: join the DV accounting deltas (``dmanifest/``, rows
+    (bucket, data_ingest, n_deletes)) against each bucket's resolved
+    data-directory set and subtract the LIVE delete counts from
+    ``n_rows`` — so every manifest consumer (plan stats, COUNT
+    pushdown, zonemap_stats, ANALYZE) sees net-of-delete row counts
+    without opening a data file.
+
+    Liveness is decided at (bucket, data_ingest) granularity: a DV row
+    is live iff its dv ingest is within the as-of bound AND the data
+    directory it targets is still in the bucket's resolved view
+    (``array_contains(__ingests, data_ingest)``). A copy-on-write
+    rewrite (merge/delete/overwrite/replace_buckets) drops the old
+    data dirs from the view, which kills their DVs with them — the
+    rewrite read post-DV rows, so its new base already excludes them;
+    counting those DVs again would double-subtract. Manifest folds
+    keep ``data_ingests`` explicit, so DVs survive metadata-only folds
+    unchanged. As-of reads below a DV simply skip it (time travel sees
+    the pre-delete rows). Exactness: DV positions are written net of
+    earlier live DVs (the delete anti-joins them first), so per
+    (bucket, data_ingest) counts never double-count a row.
+
+    min/max zones and bloom/KMV sketches stay the PRE-delete
+    over-approximation until compaction folds the DVs into the data —
+    lossless for pruning and for COUNT's full-coverage rule (every
+    live row still falls inside the zone), the same staleness contract
+    Iceberg carries for position deletes.
+
+    Adds ``__dv_rows`` (live deleted rows, 0 when none) and
+    ``__dv_ingests`` (sorted live dv ingest ids, empty when none) and
+    drops buckets the DVs emptied entirely. Everything here is
+    manifest-sized."""
+    from pyspark.sql import functions as F
+
+    from reair_spark.fs import fs_for, fs_spark_path
+
+    if not _scandir_or_empty(fs_for(loc), f"{loc}/{DMANIFEST_DIR}"):
+        return merged.withColumn(
+            "__dv_rows", F.lit(0).cast("long")
+        ).withColumn("__dv_ingests", F.array().cast("array<int>"))
+    # DV accounting deltas are ALWAYS parquet (they are engine-owned
+    # metadata, independent of the layout's data serde)
+    dm = spark.read.option("basePath", fs_spark_path(
+        f"{loc}/{DMANIFEST_DIR}"
+    )).parquet(fs_spark_path(f"{loc}/{DMANIFEST_DIR}"))
+    if max_ingest is not None:
+        dm = dm.where(F.col("ingest") <= int(max_ingest))
+    live = (
+        merged.select(bucket_col, "__ingests")
+        .join(dm, bucket_col)
+        .where(F.array_contains(F.col("__ingests"), F.col("data_ingest")))
+        .groupBy(bucket_col)
+        .agg(
+            F.sum("n_deletes").cast("long").alias("__dv_rows"),
+            F.sort_array(F.collect_set(F.col("ingest").cast("int")))
+            .alias("__dv_ingests"),
+        )
+    )
+    return (
+        merged.join(live, bucket_col, "left")
+        .withColumn(
+            "__dv_rows",
+            F.coalesce(F.col("__dv_rows"), F.lit(0)).cast("long"),
+        )
+        .withColumn(
+            "__dv_ingests",
+            F.coalesce(F.col("__dv_ingests"), F.array().cast("array<int>")),
+        )
+        .withColumn("n_rows", F.col("n_rows") - F.col("__dv_rows"))
+        .where(F.col("n_rows") > 0)
     )
 
 
@@ -2952,6 +3247,7 @@ def zonemap_scan(
 def _bucket_reader(
     spark: SparkSession, location: str, serde: str,
     kept: list[dict], bucket_col: str,
+    with_rowrefs: bool = False,
 ) -> DataFrame:
     """Build the DataFrame over exactly the planned (ingest, bucket)
     directories — the read half of :func:`zonemap_scan`, reusable by
@@ -2960,15 +3256,28 @@ def _bucket_reader(
     discovery reconstructs ``ingest`` + the clustering column; the
     descriptor's union read schema (when present) pins the data
     columns across mixed-schema files; an empty plan returns a
-    schema-identical zero-row frame."""
+    schema-identical zero-row frame.
+
+    Merge-on-read deletes: when the plan's kept rows carry live DV
+    ingests (``__dv_ingests``), the matching delete files are read —
+    only for the kept buckets, the DV twin of bucket pruning — and
+    anti-joined on (file path, row position), the Iceberg v2
+    position-delete application. The DV side's exact live row count
+    is known from the accounting deltas, so small delete sets get an
+    explicit broadcast hint (no stats guessing) and the anti-join
+    never shuffles the data side for a point delete. ``with_rowrefs``
+    keeps the ``__file``/``__pos`` columns on the result (parquet
+    only) for consumers that address rows by position — the MOR
+    delete writer and the changelog reader."""
     from pyspark.sql import functions as F
 
     from reair_spark.fs import fs_spark_path
 
     fmt = SERDE_FORMATS.get(serde, serde)
-    data_base = fs_spark_path(f"{location.rstrip('/')}/data")
+    loc = location.rstrip("/")
+    data_base = fs_spark_path(f"{loc}/data")
     reader = spark.read.format(fmt).option("basePath", data_base)
-    meta = _read_layout_meta(location.rstrip("/"))
+    meta = _read_layout_meta(loc)
     if meta and meta.get("data_schema"):
         # the descriptor's union READ schema (schema evolution): files
         # written before a column existed null-fill it, and every scan
@@ -2979,10 +3288,22 @@ def _bucket_reader(
         reader = reader.schema(
             ", ".join(f"`{n}` {t}" for n, t in meta["data_schema"])
         )
+    dv_pairs = [
+        (int(i), r[bucket_col])
+        for r in kept
+        for i in (r.get("__dv_ingests") or [])
+    ]
+    if with_rowrefs and fmt != "parquet":
+        raise ValueError(
+            "row references (_metadata.row_index) need a parquet "
+            f"layout; this layout's serde is {serde!r}"
+        )
     if not kept:
         # same reader shape as the kept path ⇒ same schema (data
         # columns + ingest + clustering column), just zero rows
         empty = reader.load(data_base)
+        if with_rowrefs:
+            empty = _attach_rowrefs(empty)
         return empty.where(F.lit(False))
     paths = [
         f"{data_base}/ingest={i}"
@@ -2990,7 +3311,39 @@ def _bucket_reader(
         for r in kept
         for i in r["__ingests"]
     ]
-    return reader.load(paths)
+    df = reader.load(paths)
+    if not dv_pairs:
+        return _attach_rowrefs(df) if with_rowrefs else df
+    # row references must be captured on the raw file relation —
+    # after any join, _metadata is no longer resolvable
+    df = _attach_rowrefs(df)
+    dv_paths = [
+        fs_spark_path(
+            f"{loc}/{DELETES_DIR}/ingest={i}"
+            f"/{bucket_col}={_escape_partition_value(b)}"
+        )
+        for i, b in dv_pairs
+    ]
+    dv = spark.read.parquet(*dv_paths).select("__file", "__pos")
+    if sum(int(r.get("__dv_rows") or 0) for r in kept) \
+            <= DV_BROADCAST_MAX_ROWS:
+        dv = F.broadcast(dv)
+    out = df.join(dv, ["__file", "__pos"], "left_anti")
+    return out if with_rowrefs else out.drop("__file", "__pos")
+
+
+def _attach_rowrefs(df: DataFrame) -> DataFrame:
+    """Attach the stable per-file row address (``__file``, ``__pos``)
+    from Spark's parquet ``_metadata`` pseudo-column. Valid because
+    layout data files are immutable once their ingest commits —
+    appends land in new ingest dirs, rewrites land in new ingest dirs,
+    nothing is modified in place (the same immutability Iceberg's
+    position deletes stand on)."""
+    from pyspark.sql import functions as F
+
+    return df.withColumn(
+        "__file", F.col("_metadata.file_path")
+    ).withColumn("__pos", F.col("_metadata.row_index"))
 
 
 #: broadcast-decision default: reference sides at or below this many
