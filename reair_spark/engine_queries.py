@@ -2500,6 +2500,150 @@ FROM final
 """
 
 
+def zonemap_mor_delete(spark: SparkSession, sf: str) -> DataFrame:
+    """Merge-on-read DELETE through the correctness gate (the Iceberg
+    v2 position-delete / Delta deletion-vector shape): the same
+    shipdate-range retention delete as ``zonemap_delete_rewrite``, but
+    with ``mode='mor'`` — the matching rows land as (file, position)
+    delete files + one metadata-sized accounting delta, and NO data
+    directory is rewritten (``dirs_untouched`` pins the 3 pre-delete
+    ingest dirs byte-identical in count — at 100 TB this is the
+    difference between kilobytes of DV writes and rewriting 10 month
+    buckets). The post-delete answer comes from a normal scan (the DV
+    anti-join path), the metadata COUNT must net the deletes out with
+    ZERO residual buckets (``meta_count`` — exact n_rows accounting,
+    not an estimate), and ``n_rows_before`` time-travels past the
+    delete. One oracle checks the whole contract; a liveness bug, a
+    double-subtraction, or a resurrected row breaks the hash."""
+    import datetime as _dt
+    import os as _os
+
+    from reair_spark.sources import (
+        zonemap_count,
+        zonemap_delete,
+        zonemap_scan,
+    )
+
+    layout = _clone_layout(
+        _zonemap_compact_template(spark, sf), "reair_zmor_run_"
+    )
+    data_dirs_before = len(_os.listdir(f"{layout}/data"))
+    lo = _dt.datetime(1997, 2, 15)
+    hi = _dt.datetime(1997, 11, 15)
+    st = zonemap_delete(spark, layout,
+                        predicates=[("l_shipdate", lo, hi)], mode="mor")
+    meta_count, cstats = zonemap_count(spark, layout)
+    _, before = zonemap_scan(spark, layout, max_ingest=2)
+    cur, after = zonemap_scan(spark, layout)
+    agg = cur.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows_after"),
+        F.round(F.sum("l_extendedprice"), 2).alias("revenue_after"),
+    )
+    return agg.select(
+        F.lit(st["n_buckets_affected"]).cast("long").alias(
+            "n_buckets_affected"
+        ),
+        F.lit(st["n_rows_deleted"]).cast("long").alias("n_rows_deleted"),
+        F.lit(before["n_rows_scanned"]).cast("long").alias("n_rows_before"),
+        F.lit(meta_count).cast("long").alias("meta_count"),
+        F.lit(cstats["n_buckets_partial"] == 0
+              and len(_os.listdir(f"{layout}/data")) == data_dirs_before
+              ).alias("dirs_untouched_and_meta_exact"),
+        "n_rows_after",
+        "revenue_after",
+    )
+
+
+def zonemap_change_feed(spark: SparkSession, sf: str) -> DataFrame:
+    """Change data feed through the correctness gate (the Delta CDF /
+    Iceberg changelog-scan shape): over the 3-ingest month-clustered
+    lineitem layout, a MOR retention delete lands as commit 3, then
+    ``zonemap_changes(from_ingest=1)`` reconstructs the row-level
+    history — commit 2's append dirs read back as inserts (a pure
+    pruned read, no diffing) and commit 3's delete files name their
+    rows exactly (an inner position-join, cost ~ rows deleted, the
+    reason a CDC-heavy table wants mode='mor': its changelog is
+    precomputed). The digest is per (commit, change_type) row counts +
+    revenue sums, so a wrong commit attribution, a missed or
+    phantom change row, or a mis-joined position breaks the hash; the
+    oracle recomputes both commits closed-form from lineitem
+    (orderkey-third append split, shipdate-range delete)."""
+    import datetime as _dt
+
+    from reair_spark.sources import zonemap_changes, zonemap_delete
+
+    layout = _clone_layout(
+        _zonemap_compact_template(spark, sf), "reair_zcdf_run_"
+    )
+    lo = _dt.datetime(1997, 2, 15)
+    hi = _dt.datetime(1997, 11, 15)
+    zonemap_delete(spark, layout, predicates=[("l_shipdate", lo, hi)],
+                   mode="mor")
+    ch, stats = zonemap_changes(spark, layout, from_ingest=1)
+    return (
+        ch.groupBy(
+            F.col("_commit_ingest").cast("long").alias("commit_ingest"),
+            F.col("_change_type").alias("change_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+        .withColumn("n_commits",
+                    F.lit(stats["n_commits"]).cast("long"))
+        .orderBy("commit_ingest", "change_type")
+    )
+
+
+ENGINE_QUERIES["zonemap_change_feed"] = zonemap_change_feed
+ENGINE_ORACLES["zonemap_change_feed"] = """
+WITH li AS (
+  SELECT l_orderkey, l_shipdate, l_extendedprice FROM lineitem),
+feed AS (
+  SELECT 2 AS commit_ingest, 'insert' AS change_type,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         round(sum(l_extendedprice), 2) AS sum_price
+  FROM li WHERE l_orderkey % 3 = 2
+  UNION ALL
+  SELECT 3, 'delete', CAST(count(*) AS BIGINT),
+         round(sum(l_extendedprice), 2)
+  FROM li
+  WHERE l_shipdate >= TIMESTAMP '1997-02-15 00:00:00'
+    AND l_shipdate <= TIMESTAMP '1997-11-15 00:00:00')
+SELECT commit_ingest, change_type, n_rows, sum_price,
+       CAST(2 AS BIGINT) AS n_commits
+FROM feed
+ORDER BY commit_ingest, change_type
+"""
+
+
+ENGINE_QUERIES["zonemap_mor_delete"] = zonemap_mor_delete
+ENGINE_ORACLES["zonemap_mor_delete"] = """
+WITH li AS (
+  SELECT l_shipdate, l_extendedprice,
+         strftime(l_shipdate, '%Y-%m') AS b
+  FROM lineitem),
+final AS (
+  SELECT * FROM li
+  WHERE l_shipdate < TIMESTAMP '1997-02-15 00:00:00'
+     OR l_shipdate > TIMESTAMP '1997-11-15 00:00:00')
+SELECT (SELECT CAST(count(DISTINCT b) AS BIGINT) FROM li
+        WHERE l_shipdate >= TIMESTAMP '1997-02-15 00:00:00'
+          AND l_shipdate <= TIMESTAMP '1997-11-15 00:00:00')
+         AS n_buckets_affected,
+       (SELECT CAST(count(*) AS BIGINT) FROM li
+        WHERE l_shipdate >= TIMESTAMP '1997-02-15 00:00:00'
+          AND l_shipdate <= TIMESTAMP '1997-11-15 00:00:00')
+         AS n_rows_deleted,
+       (SELECT CAST(count(*) AS BIGINT) FROM li) AS n_rows_before,
+       CAST(count(*) AS BIGINT) AS meta_count,
+       TRUE AS dirs_untouched_and_meta_exact,
+       CAST(count(*) AS BIGINT) AS n_rows_after,
+       round(sum(l_extendedprice), 2) AS revenue_after
+FROM final
+"""
+
+
 def zonemap_vacuum_gc(spark: SparkSession, sf: str) -> DataFrame:
     """Vacuum/retention GC through the correctness gate (VERDICT r10
     ask #2 — the expireSnapshots contract): orders clustered by

@@ -3244,6 +3244,162 @@ def zonemap_scan(
     return _bucket_reader(spark, location, serde, kept, bucket_col), stats
 
 
+def zonemap_changes(
+    spark: SparkSession,
+    location: str,
+    from_ingest: int,
+    to_ingest: int | None = None,
+) -> tuple[DataFrame, dict]:
+    """Change data feed (the Delta CDF / Iceberg changelog-scan
+    shape): every ROW-LEVEL change committed by ingests in
+    ``(from_ingest, to_ingest]``, as one DataFrame of the table's
+    columns plus ``_change_type`` ('insert' | 'delete') and
+    ``_commit_ingest``. An update reads as delete + insert under the
+    same commit — the CDC contract every downstream (incremental
+    materialized views, replication targets, SCD2 builders) composes
+    with; ``zonemap_scan(max_ingest=from) ⊎ inserts − deletes ==
+    zonemap_scan(max_ingest=to)`` is the algebraic invariant the gate
+    pins.
+
+    Per-commit reconstruction, each piece CHANGE-scoped (nothing
+    reads outside the buckets a commit touched — at 100 TB, a day of
+    commits diffs the touched buckets, not the table):
+
+    - append commit (non-replacing manifest delta): its data dirs ARE
+      the inserts — a pure pruned read, no diffing;
+    - rewrite commit (merge/delete/overwrite/replace_buckets,
+      ``replaces=true``): the affected buckets' view as-of ``i-1``
+      (net of earlier DVs — those rows were already reported deleted
+      by their own commits) is multiset-diffed (``exceptAll``, both
+      directions) against the commit's new rows — the only piece that
+      costs more than a read, and it is bucket-scoped by the commit's
+      own delta;
+    - MOR delete commit (dmanifest delta): the delete files name the
+      deleted rows EXACTLY — an inner join of the target data dirs
+      against the (file, position) pairs, no diffing, cost ~ rows
+      deleted. This is why a CDC-heavy table wants mode='mor': its
+      changelog is precomputed.
+
+    History contract: reconstruction needs the per-ingest deltas and
+    the superseded dirs, so ``from_ingest`` must be at or above every
+    expiry horizon (``folded_through``, ``vacuumed_through``,
+    ``compacted_through``) — refused below, the expireSnapshots
+    contract. Above the horizons every needed dir provably survives
+    vacuum (a dir a commit > horizon references cannot have been
+    superseded at-or-below it).
+
+    Returns (changes DataFrame, {"n_commits", "commit_ingests"})."""
+    from pyspark.sql import functions as F
+
+    from reair_spark.fs import fs_spark_path
+
+    loc = location.rstrip("/")
+    _recover_layout(loc)
+    meta = _read_layout_meta(loc)
+    if meta is None:
+        raise ValueError(f"{loc} has no {LAYOUT_META}; the change feed "
+                         "needs a descriptor-bearing layout")
+    serde = meta["serde"]
+    fmt = SERDE_FORMATS.get(serde, serde)
+    floor = max(
+        int(meta.get("folded_through") or -1),
+        int(meta.get("vacuumed_through") or -1),
+        int(meta.get("compacted_through") or -1),
+    )
+    if int(from_ingest) < floor:
+        raise ValueError(
+            f"changes since ingest {from_ingest} are expired: history "
+            f"below ingest {floor} was folded/vacuumed/compacted away "
+            f"— only change feeds from >= {floor} remain readable"
+        )
+    man_ids = [i for i in _manifest_delta_ids(loc)
+               if i > int(from_ingest)
+               and (to_ingest is None or i <= int(to_ingest))]
+    dv_ids = [i for i in _dmanifest_delta_ids(loc)
+              if i > int(from_ingest)
+              and (to_ingest is None or i <= int(to_ingest))]
+    bucket_col = meta["bucket_col"]
+
+    def _delta_df(i: int) -> DataFrame:
+        r = spark.read.format(fmt)
+        if fmt in ("parquet", "orc"):
+            r = r.option("mergeSchema", "true")
+        return r.load(fs_spark_path(f"{loc}/manifest/ingest={i}"))
+
+    def _rows_of(i: int, buckets: list[str]) -> DataFrame:
+        kept = [{bucket_col: b, "__ingests": [i]} for b in buckets]
+        df = _bucket_reader(spark, loc, serde, kept, bucket_col)
+        return df.drop("ingest")
+
+    def _stamp(df: DataFrame, kind: str, i: int) -> DataFrame:
+        return df.withColumn("_change_type", F.lit(kind)).withColumn(
+            "_commit_ingest", F.lit(int(i))
+        )
+
+    pieces: list[DataFrame] = []
+    for i in sorted(man_ids):
+        delta = _delta_df(i)
+        has_repl = "replaces" in delta.columns
+        rows = delta.select(
+            F.col(bucket_col).cast("string").alias("b"),
+            F.col("n_rows"),
+            (F.col("replaces") if has_repl else F.lit(False))
+            .alias("r"),
+        ).collect()
+        data_buckets = [r["b"] for r in rows if int(r["n_rows"]) > 0]
+        if not (has_repl and any(r["r"] for r in rows)):
+            if data_buckets:  # pure append: its dirs ARE the inserts
+                pieces.append(_stamp(_rows_of(i, data_buckets),
+                                     "insert", i))
+            continue
+        # rewrite commit: diff the affected buckets around it
+        affected = [r["b"] for r in rows]
+        old, _ = zonemap_scan(spark, loc, serde=serde,
+                              buckets=affected, max_ingest=i - 1)
+        old = old.drop("ingest")
+        new = (_rows_of(i, data_buckets) if data_buckets
+               else old.where(F.lit(False)))
+        new = new.select(*old.columns)
+        pieces.append(_stamp(old.exceptAll(new), "delete", i))
+        pieces.append(_stamp(new.exceptAll(old), "insert", i))
+    for i in sorted(dv_ids):
+        dm = spark.read.option(
+            "basePath", fs_spark_path(f"{loc}/{DMANIFEST_DIR}")
+        ).parquet(fs_spark_path(f"{loc}/{DMANIFEST_DIR}/ingest={i}"))
+        pairs = dm.select(
+            F.col(bucket_col).cast("string").alias("b"), "data_ingest",
+            "n_deletes",
+        ).collect()
+        by_bucket: dict[str, list[int]] = {}
+        for r in pairs:
+            by_bucket.setdefault(r["b"], []).append(int(r["data_ingest"]))
+        kept = [{bucket_col: b, "__ingests": sorted(set(ing))}
+                for b, ing in by_bucket.items()]
+        target = _bucket_reader(spark, loc, serde, kept, bucket_col,
+                                with_rowrefs=True)
+        dv = spark.read.parquet(*[
+            fs_spark_path(
+                f"{loc}/{DELETES_DIR}/ingest={i}"
+                f"/{bucket_col}={_escape_partition_value(b)}"
+            ) for b in by_bucket
+        ]).select("__file", "__pos")
+        if sum(int(r["n_deletes"]) for r in pairs) \
+                <= DV_BROADCAST_MAX_ROWS:
+            dv = F.broadcast(dv)
+        deleted = target.join(dv, ["__file", "__pos"]) \
+            .drop("__file", "__pos", "ingest")
+        pieces.append(_stamp(deleted, "delete", i))
+    commits = sorted(set(man_ids) | set(dv_ids))
+    if not pieces:
+        empty = _bucket_reader(spark, loc, serde, [], bucket_col)
+        pieces = [_stamp(empty.drop("ingest"), "insert", -1)
+                  .where(F.lit(False))]
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out, {"n_commits": len(commits), "commit_ingests": commits}
+
+
 def _bucket_reader(
     spark: SparkSession, location: str, serde: str,
     kept: list[dict], bucket_col: str,
