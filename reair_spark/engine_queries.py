@@ -2554,6 +2554,112 @@ def zonemap_mor_delete(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def zonemap_upsert_equality(spark: SparkSession, sf: str) -> DataFrame:
+    """Merge-on-read UPSERT through the correctness gate (the Iceberg
+    equality-delete / Flink upsert-sink shape): two upsert waves over
+    an orders layout — wave 1 re-prices keys ≡3 (mod 10), wave 2
+    re-prices half of them AGAIN (keys ≡3 mod 20, latest-wins) and
+    inserts brand-new keys — each landing as ONE atomic append+mask
+    commit with NO bucket rewritten (``dirs_untouched`` pins the data
+    tree at exactly 3 ingest dirs: at 100 TB this is a CDC sink that
+    appends kilobytes per trigger instead of re-shuffling hot buckets
+    forever). The scan must resolve three generations of key masks
+    (v2 over v1 over base), the metadata COUNT must demote masked
+    buckets to residual scans and still return the EXACT net count,
+    and ``n_rows_before`` time-travels under both waves. The oracle
+    rebuilds latest-state closed-form; a mask applied to the wrong
+    generation, a resurrected old version, or an overcounting bucket
+    breaks the hash."""
+    import atexit
+    import os as _os
+    import shutil
+    import tempfile
+
+    from reair_spark.sources import (
+        write_zonemapped,
+        zonemap_count,
+        zonemap_scan,
+        zonemap_upsert_mor,
+    )
+
+    o = _t(spark, sf, "orders").select(
+        "o_orderkey", "o_totalprice"
+    ).withColumn("bucket", F.pmod("o_orderkey", F.lit(16)))
+    mk = o.agg(F.max("o_orderkey")).first()[0]
+
+    run = tempfile.mkdtemp(prefix="reair_zupsert_")
+    atexit.register(shutil.rmtree, run, ignore_errors=True)
+    layout = f"{run}/layout"
+    write_zonemapped(o, layout, "bucket",
+                     stat_cols=["o_orderkey", "o_totalprice"])
+    w1 = o.filter(F.pmod("o_orderkey", F.lit(10)) == 3).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 10_000_000
+    )
+    zonemap_upsert_mor(spark, layout, w1, key_cols=["o_orderkey"])
+    w2 = o.filter(F.pmod("o_orderkey", F.lit(20)) == 3).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 20_000_000
+    ).unionByName(
+        o.filter(F.pmod("o_orderkey", F.lit(10)) == 4).select(
+            (F.col("o_orderkey") + F.lit(int(mk))).alias("o_orderkey"),
+            F.lit(1.0).cast("double").alias("o_totalprice"),
+            F.pmod(F.col("o_orderkey") + F.lit(int(mk)), F.lit(16))
+            .alias("bucket"),
+        )
+    )
+    zonemap_upsert_mor(spark, layout, w2, key_cols=["o_orderkey"])
+
+    meta_count, _ = zonemap_count(spark, layout)
+    _, before = zonemap_scan(spark, layout, max_ingest=0)
+    cur, _ = zonemap_scan(spark, layout)
+    agg = cur.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.sum(((F.col("o_totalprice") >= 10_000_000)
+               & (F.col("o_totalprice") < 20_000_000)).cast("long"))
+        .cast("long").alias("n_v1"),
+        F.sum((F.col("o_totalprice") >= 20_000_000).cast("long"))
+        .cast("long").alias("n_v2"),
+        F.sum((F.col("o_orderkey") > F.lit(int(mk))).cast("long"))
+        .cast("long").alias("n_inserted"),
+    )
+    return agg.select(
+        "n_rows", "sum_price", "n_v1", "n_v2", "n_inserted",
+        F.lit(meta_count).cast("long").alias("meta_count"),
+        F.lit(before["n_rows_scanned"]).cast("long")
+        .alias("n_rows_before"),
+        F.lit(len(_os.listdir(f"{layout}/data")) == 3)
+        .alias("dirs_untouched"),
+    )
+
+
+ENGINE_QUERIES["zonemap_upsert_equality"] = zonemap_upsert_equality
+ENGINE_ORACLES["zonemap_upsert_equality"] = """
+WITH o AS (SELECT o_orderkey, o_totalprice FROM orders),
+mx AS (SELECT max(o_orderkey) AS mk FROM o),
+final AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 20 = 3 THEN o_totalprice + 20000000
+              WHEN o_orderkey % 10 = 3 THEN o_totalprice + 10000000
+              ELSE o_totalprice END AS p
+  FROM o
+  UNION ALL
+  SELECT o_orderkey + (SELECT mk FROM mx), 1.0 FROM o
+  WHERE o_orderkey % 10 = 4)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       round(sum(p), 2) AS sum_price,
+       CAST(sum(CASE WHEN p >= 10000000 AND p < 20000000
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_v1,
+       CAST(sum(CASE WHEN p >= 20000000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_v2,
+       CAST(sum(CASE WHEN o_orderkey > (SELECT mk FROM mx)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted,
+       CAST(count(*) AS BIGINT) AS meta_count,
+       (SELECT CAST(count(*) AS BIGINT) FROM o) AS n_rows_before,
+       TRUE AS dirs_untouched
+FROM final
+"""
+
+
 def zonemap_change_feed(spark: SparkSession, sf: str) -> DataFrame:
     """Change data feed through the correctness gate (the Delta CDF /
     Iceberg changelog-scan shape): over the 3-ingest month-clustered

@@ -255,6 +255,13 @@ PUBMAP_DIR = "_pubmap"
 #: the whole-layout swap purges both trees.
 DELETES_DIR = "deletes"
 DMANIFEST_DIR = "dmanifest"
+#: equality-delete files (the Iceberg equality-delete / Flink-upsert
+#: shape): <layout>/edeletes/ingest=<i>/<bucket>=<v>/ holds the DISTINCT
+#: key tuples an upsert commit masks — every data row of that bucket
+#: with a matching key and a SMALLER ingest is dead at read time. The
+#: accounting (n_eq_keys, eq_ingests) rides the commit's own manifest
+#: delta, so an upsert is ONE atomic commit, not a two-delta window.
+EQ_DELETES_DIR = "edeletes"
 #: DV sides at or below this many live positions get an explicit
 #: broadcast hint on the scan's anti-join (a position row is ~a path
 #: dictionary entry + two ints — 2M rows is well under executor
@@ -841,6 +848,7 @@ def append_zonemapped(
     spec: list[str] | None = None,
     _replaces: bool = False,
     _tombstone_buckets: list | None = None,
+    _eq_key_cols: list[str] | None = None,
 ) -> None:
     """One ingest (micro-batch) into a zone-mapped layout: data lands
     under its own ``ingest=<id>`` partition via DYNAMIC partition
@@ -1191,6 +1199,66 @@ def append_zonemapped(
             tomb.withColumn("n_rows", F.lit(0).cast("long")),
             allowMissingColumns=True,
         )
+    if _eq_key_cols:
+        # equality-delete upsert commit (zonemap_upsert_mor): the
+        # batch's distinct key tuples land per bucket under edeletes/
+        # BEFORE the manifest delta publishes — the delta itself
+        # carries the accounting (n_eq_keys), so the upsert is ONE
+        # atomic commit: readers either see neither half or both.
+        if SERDE_FORMATS.get(serde, serde) not in ("parquet", "orc"):
+            raise ValueError(
+                "equality-delete upserts need a parquet/orc manifest "
+                "(the accounting column is schema-merged across "
+                f"deltas); this layout's serde is {serde!r}"
+            )
+        missing = [c for c in _eq_key_cols if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"upsert keys {missing} are not columns of the batch"
+            )
+        rec_keys = meta.get("eq_key_cols")
+        if rec_keys is not None and list(rec_keys) != list(_eq_key_cols):
+            raise ValueError(
+                f"upsert into {loc} conflicts with its recorded "
+                f"equality-delete keys: layout={rec_keys!r} "
+                f"caller={list(_eq_key_cols)!r}"
+            )
+        spark_ = df.sparkSession
+        keys = df.select(
+            bucket_col, *[c for c in _eq_key_cols]
+        ).distinct().withColumn("ingest", F.lit(int(ingest_id)))
+        write_partitioned(
+            keys,
+            fs_spark_path(f"{loc}/{EQ_DELETES_DIR}"),
+            ["ingest", bucket_col],
+            serde="parquet",
+            dynamic=True,
+        )
+        eqc = (
+            spark_.read.option(
+                "basePath", fs_spark_path(f"{loc}/{EQ_DELETES_DIR}")
+            )
+            .parquet(fs_spark_path(
+                f"{loc}/{EQ_DELETES_DIR}/ingest={int(ingest_id)}"
+            ))
+            .groupBy(F.col(bucket_col).cast("string").alias(bucket_col))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_eq_keys"))
+        )
+        manifest = manifest.join(eqc, bucket_col, "left")
+        # the descriptor learns the layout is equality-masked BEFORE
+        # the commit becomes visible: readers must know to merge the
+        # delta schemas and to apply the masks
+        _meta_cas_update(
+            loc,
+            lambda m: (
+                dict(m or {}, eq_deletes=True,
+                     eq_key_cols=list(_eq_key_cols))
+                if not (m or {}).get("eq_deletes")
+                or (m or {}).get("eq_key_cols") != list(_eq_key_cols)
+                else None
+            ),
+        )
+        meta = _read_layout_meta(loc) or meta
     manifest = manifest.withColumn("replaces", F.lit(bool(_replaces)))
     _publish_delta(manifest, loc, int(ingest_id), serde)
     if auto_fold_at is not None and len(
@@ -1879,7 +1947,8 @@ def _next_ingest_id(location: str) -> int:
     # folded id; a fresh rewrite ingest must clear it or the append's
     # replay guard would treat it as an already-folded replay
     ids = [int(meta.get("compacted_through", -1))]
-    for sub in ("manifest", "data", DMANIFEST_DIR, DELETES_DIR):
+    for sub in ("manifest", "data", DMANIFEST_DIR, DELETES_DIR,
+                EQ_DELETES_DIR):
         ids += [
             int(e.name.split("=", 1)[1])
             for e in _scandir_or_empty(fs, f"{loc}/{sub}")
@@ -2008,6 +2077,116 @@ def zonemap_merge(
     raise RuntimeError(
         f"zonemap_merge on {loc}: commit validation failed 5 times "
         "under concurrent writes — serialize writers (per-table FIFO)"
+    )
+
+
+def zonemap_upsert_mor(
+    spark: SparkSession,
+    location: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    ingest_id: int | None = None,
+) -> dict:
+    """Merge-on-read UPSERT (the Iceberg equality-delete / Flink
+    upsert-sink shape): the batch lands as a plain APPEND plus an
+    equality-delete set — the batch's distinct key tuples, stored per
+    bucket under ``edeletes/ingest=<i>/`` — and every read masks data
+    rows whose key matches a delete with a LARGER ingest. Nothing is
+    rewritten: where :func:`zonemap_merge` (copy-on-write) reads and
+    rewrites every touched bucket per call, this writes O(batch) —
+    the difference between a streaming CDC sink that rewrites hot
+    buckets every 10 seconds forever and one that appends kilobytes,
+    deferring the rewrite to the next :func:`zonemap_compact` (which
+    reads post-mask rows and drops the delete files).
+
+    Read-side cost is a key-join per scan (eq deltas are pruned per
+    bucket, inert once every live data dir of a bucket is at-or-above
+    the delete — a compact/merge/overwrite re-baselines them to
+    nothing), which is why Iceberg pairs equality deletes with
+    frequent compaction; :func:`zonemap_maintain` /
+    ``compact_every`` are the knobs here.
+
+    Atomicity: the delete files land BEFORE the manifest delta and
+    the accounting (``n_eq_keys``) rides the delta itself — one
+    commit point, no half-upserted window. Same contract as MERGE:
+    the clustering column must be functionally dependent on
+    ``key_cols`` (an old version living in a different bucket would
+    escape its mask) and present in ``updates`` (or derivable via the
+    recorded ``bucket_expr``); rows whose key matches ANY update key
+    are superseded by the update rows for that key. Duplicate keys
+    within one batch all survive (the key group is replaced
+    wholesale, as in MERGE).
+
+    Exactness discipline: manifest ``n_rows`` stays GROSS on
+    eq-masked buckets (an equality delete's kill count is unknowable
+    without reading data — the same reason Iceberg demotes such
+    files to estimates), so :func:`zonemap_count` demotes those
+    buckets to residual scans — counts stay EXACT, they just cost a
+    bucket read until compaction clears the masks.
+
+    ``ingest_id`` pins the commit id for streaming replay
+    (foreachBatch batch id — a replayed batch rewrites its own data
+    dir, its own delete files, and its own delta: idempotent);
+    batch callers leave it None and get a claimed id with the same
+    optimistic validation as MERGE.
+
+    Returns {"n_rows_upserted", "n_keys_masked", "ingest_id"}."""
+    from pyspark.sql import functions as F
+
+    loc = location.rstrip("/")
+    _recover_layout(loc)
+    meta = _read_layout_meta(loc)
+    if meta is None:
+        raise ValueError(f"{loc} has no {LAYOUT_META}; upsert needs a "
+                         "descriptor-bearing layout")
+    bucket_col = meta["bucket_col"]
+    if bucket_col not in updates.columns:
+        if meta.get("bucket_expr"):
+            updates = updates.withColumn(
+                bucket_col, F.expr(meta["bucket_expr"])
+            )
+        else:
+            raise ValueError(
+                f"updates must carry the clustering column "
+                f"{bucket_col!r} (or the layout must record a "
+                "bucket_expr)"
+            )
+    updates = updates.localCheckpoint(eager=True)  # same pin as MERGE
+
+    def _commit(iid: int) -> dict:
+        append_zonemapped(
+            updates, loc, bucket_col, meta["stat_cols"],
+            serde=meta["serde"],
+            bloom_cols=meta["bloom_cols"] or None,
+            ingest_id=iid, _eq_key_cols=list(key_cols),
+        )
+        n_r, _ = _delta_totals(spark, loc, meta["serde"], bucket_col,
+                               iid)
+        from reair_spark.fs import fs_spark_path
+
+        keys = (
+            spark.read.format(
+                SERDE_FORMATS.get(meta["serde"], meta["serde"])
+            )
+            .load(fs_spark_path(f"{loc}/manifest/ingest={iid}"))
+            .agg(F.coalesce(F.sum("n_eq_keys"), F.lit(0)))
+            .first()[0]
+        )
+        return {"n_rows_upserted": int(n_r),
+                "n_keys_masked": int(keys), "ingest_id": int(iid)}
+
+    if ingest_id is not None:
+        # streaming replay path: the id IS the identity of the commit
+        return _commit(int(ingest_id))
+    for _attempt in range(5):
+        base = _commit_snapshot(loc)
+        iid = _claim_ingest_id(loc)
+        if _commit_snapshot(loc) != base:
+            continue
+        return _commit(iid)
+    raise RuntimeError(
+        f"zonemap_upsert_mor on {loc}: commit validation failed 5 "
+        "times under concurrent writes — serialize writers"
     )
 
 
@@ -2320,14 +2499,19 @@ def zonemap_delete(
 
     for _attempt in range(5):
         base = _commit_snapshot(loc)
-        existing, scan_stats = zonemap_scan(
+        existing, _ = zonemap_scan(
             spark, loc, serde=meta["serde"], buckets=affected
         )
         existing = existing.drop("ingest")
+        # the matched-row count is OBSERVED on the same single pass
+        # that writes the survivors (not derived from manifest
+        # arithmetic, which is gross of equality masks): exact under
+        # every read-time mask, still one pass over the affected data
         obs = Observation()
-        survivors = existing.where(~cond).observe(
-            obs, F.count(F.lit(1)).alias("n_survivors")
-        )
+        survivors = existing.observe(
+            obs, F.coalesce(F.sum(cond.cast("long")), F.lit(0))
+            .alias("n_deleted")
+        ).where(~cond)
         ingest_id = _claim_ingest_id(loc)
         if _commit_snapshot(loc) != base:
             continue  # a commit landed since planning: recompute
@@ -2343,12 +2527,9 @@ def zonemap_delete(
             f"zonemap_delete on {loc}: commit validation failed 5 "
             "times under concurrent writes — serialize writers"
         )
-    # observed during the rewrite's data write (its first action);
-    # the manifest knows the pre-delete total for exactly these
-    # buckets, so no second data pass is needed for the delta
-    n_deleted = scan_stats["n_rows_scanned"] - int(obs.get["n_survivors"])
     return {"n_buckets_affected": len(affected),
-            "n_rows_deleted": int(n_deleted), "ingest_id": ingest_id}
+            "n_rows_deleted": int(obs.get["n_deleted"]),
+            "ingest_id": ingest_id}
 
 
 def _zonemap_delete_mor(
@@ -2750,7 +2931,8 @@ def zonemap_plan(
     # merge-on-read layouts carry the live-DV columns (net n_rows is
     # already applied in the merged view); the kept rows ship them so
     # the bucket reader can apply exactly the live delete files
-    dv_cols = [c for c in ("__dv_rows", "__dv_ingests")
+    dv_cols = [c for c in ("__dv_rows", "__dv_ingests",
+                           "__eq_ingests", "__eq_keys")
                if c in man.columns]
     collected = man.where(keep).select(
         bucket_col, "n_rows", "__ingests", *dv_cols, *present
@@ -2758,7 +2940,7 @@ def zonemap_plan(
     kept = [
         {bucket_col: r[bucket_col], "n_rows": r["n_rows"],
          "__ingests": list(r["__ingests"]),
-         **{c: (list(r[c]) if c == "__dv_ingests" else r[c])
+         **{c: (list(r[c]) if c.endswith("_ingests") else r[c])
             for c in dv_cols},
          **{c: (r[c] if c in present else None) for c in extra}}
         for r in collected
@@ -2793,9 +2975,12 @@ def _merged_manifest(
     meta = _read_layout_meta(loc) or {}
     fmt = SERDE_FORMATS.get(serde, serde)
     reader = spark.read.format(fmt)
-    if meta.get("folded_through") is not None and fmt in ("parquet", "orc"):
+    if fmt in ("parquet", "orc") and (
+        meta.get("folded_through") is not None or meta.get("eq_deletes")
+    ):
         # a FOLDED delta (zonemap_rewrite_manifests) carries the extra
-        # data_ingests column while post-fold append deltas do not;
+        # data_ingests column while post-fold append deltas do not,
+        # and upsert deltas carry n_eq_keys while plain ones do not;
         # without an explicit schema union Spark samples ONE footer
         # and silently drops the column — mergeSchema unions them.
         # Manifest-sized, so reading every footer is metadata work.
@@ -2870,8 +3055,33 @@ def _merged_manifest(
         # and as-of reads never touch future ingests
         ingests_agg
     ]
+    if "n_eq_keys" in raw.columns:
+        # equality-delete accounting (zonemap_upsert_mor): each upsert
+        # delta row with keys implies an edeletes/ingest=<i>/<bucket>
+        # dir; folded rows carry the union in eq_ingests — the same
+        # coalesce shape as data_ingests. The key counts sum (an
+        # upper bound after folds — good enough for the broadcast
+        # decision, never for counting rows).
+        if "eq_ingests" in raw.columns:
+            eq_src = F.coalesce(
+                F.col("eq_ingests"),
+                F.when(F.coalesce(F.col("n_eq_keys"), F.lit(0)) > 0,
+                       F.array(F.col("ingest"))),
+            )
+        else:
+            eq_src = F.when(
+                F.coalesce(F.col("n_eq_keys"), F.lit(0)) > 0,
+                F.array(F.col("ingest")),
+            )
+        merge_aggs += [
+            F.sort_array(
+                F.array_distinct(F.flatten(F.collect_list(eq_src)))
+            ).alias("eq_ingests"),
+            F.sum("n_eq_keys").cast("long").alias("n_eq_keys"),
+        ]
     for c in raw.columns:
-        if c in (bucket_col, "ingest", "replaces", "data_ingests"):
+        if c in (bucket_col, "ingest", "replaces", "data_ingests",
+                 "n_eq_keys", "eq_ingests"):
             continue
         if c == "n_rows":
             merge_aggs.append(F.sum("n_rows").cast("long").alias("n_rows"))
@@ -2906,6 +3116,30 @@ def _merged_manifest(
     if apply_deletes and meta.get("mor_deletes"):
         merged = _dv_adjust_manifest(
             spark, loc, merged, bucket_col, max_ingest
+        )
+    if apply_deletes and meta.get("eq_deletes") \
+            and "eq_ingests" in merged.columns:
+        # LIVE equality deletes per bucket: an eq delta at ingest i
+        # masks rows with data ingest < i, so it is inert once every
+        # live data dir of the bucket is at-or-above it (a rewrite or
+        # compaction re-baselines the bucket past its masks) —
+        # min(__ingests) is the sorted array's head. No n_rows
+        # adjustment: an equality delete's kill count is unknowable
+        # without reading data (the Iceberg estimate caveat);
+        # zonemap_count demotes masked buckets to residual scans
+        # instead, keeping counts exact.
+        merged = merged.withColumn(
+            "__eq_ingests",
+            F.coalesce(
+                F.filter(
+                    "eq_ingests",
+                    lambda i: i > F.element_at("__ingests", 1),
+                ),
+                F.array().cast("array<int>"),
+            ),
+        ).withColumn(
+            "__eq_keys",
+            F.coalesce(F.col("n_eq_keys"), F.lit(0)).cast("long"),
         )
     return bucket_col, merged
 
@@ -3139,6 +3373,12 @@ def zonemap_count(
     # the residual scan — coverage is decided by the zone/null rules
 
     def fully_covered(r: dict) -> bool:
+        if r.get("__eq_ingests"):
+            # live equality masks: the bucket's manifest n_rows is
+            # GROSS (a key mask's kill count is unknowable without
+            # reading) — demote to a residual scan, which applies the
+            # masks and stays exact
+            return False
         if point_predicates:
             # bloom membership is probabilistic (false positives):
             # it can PLAN the count but never PROVE it — every kept
@@ -3340,17 +3580,43 @@ def zonemap_changes(
     for i in sorted(man_ids):
         delta = _delta_df(i)
         has_repl = "replaces" in delta.columns
+        has_eq = "n_eq_keys" in delta.columns
         rows = delta.select(
             F.col(bucket_col).cast("string").alias("b"),
             F.col("n_rows"),
             (F.col("replaces") if has_repl else F.lit(False))
             .alias("r"),
+            (F.col("n_eq_keys") if has_eq else F.lit(None)).alias("q"),
         ).collect()
         data_buckets = [r["b"] for r in rows if int(r["n_rows"]) > 0]
         if not (has_repl and any(r["r"] for r in rows)):
-            if data_buckets:  # pure append: its dirs ARE the inserts
+            if data_buckets:  # append/upsert: its dirs ARE the inserts
                 pieces.append(_stamp(_rows_of(i, data_buckets),
                                      "insert", i))
+            eq_buckets = [r["b"] for r in rows
+                          if r["q"] is not None and int(r["q"]) > 0]
+            if eq_buckets:
+                # upsert commit: the superseded versions are the
+                # as-of(i-1) rows of the masked buckets whose keys the
+                # commit's equality-delete files name — a semi-join,
+                # cost ~ masked buckets, no diffing
+                key_cols = list(meta.get("eq_key_cols") or [])
+                old, _ = zonemap_scan(spark, loc, serde=serde,
+                                      buckets=eq_buckets,
+                                      max_ingest=i - 1)
+                old = old.drop("ingest")
+                eqk = spark.read.option(
+                    "basePath",
+                    fs_spark_path(f"{loc}/{EQ_DELETES_DIR}"),
+                ).parquet(*[
+                    fs_spark_path(
+                        f"{loc}/{EQ_DELETES_DIR}/ingest={i}"
+                        f"/{bucket_col}={_escape_partition_value(b)}"
+                    ) for b in eq_buckets
+                ]).select(*key_cols)
+                pieces.append(_stamp(
+                    old.join(eqk, key_cols, "left_semi"), "delete", i
+                ))
             continue
         # rewrite commit: diff the affected buckets around it
         affected = [r["b"] for r in rows]
@@ -3468,24 +3734,72 @@ def _bucket_reader(
         for i in r["__ingests"]
     ]
     df = reader.load(paths)
-    if not dv_pairs:
-        return _attach_rowrefs(df) if with_rowrefs else df
-    # row references must be captured on the raw file relation —
-    # after any join, _metadata is no longer resolvable
-    df = _attach_rowrefs(df)
-    dv_paths = [
-        fs_spark_path(
-            f"{loc}/{DELETES_DIR}/ingest={i}"
-            f"/{bucket_col}={_escape_partition_value(b)}"
-        )
-        for i, b in dv_pairs
+    eq_pairs = [
+        (int(i), r[bucket_col])
+        for r in kept
+        for i in (r.get("__eq_ingests") or [])
     ]
-    dv = spark.read.parquet(*dv_paths).select("__file", "__pos")
-    if sum(int(r.get("__dv_rows") or 0) for r in kept) \
-            <= DV_BROADCAST_MAX_ROWS:
-        dv = F.broadcast(dv)
-    out = df.join(dv, ["__file", "__pos"], "left_anti")
-    return out if with_rowrefs else out.drop("__file", "__pos")
+    if not dv_pairs and not eq_pairs:
+        return _attach_rowrefs(df) if with_rowrefs else df
+    if with_rowrefs or dv_pairs:
+        # row references must be captured on the raw file relation —
+        # after any join, _metadata is no longer resolvable
+        df = _attach_rowrefs(df)
+    if dv_pairs:
+        dv_paths = [
+            fs_spark_path(
+                f"{loc}/{DELETES_DIR}/ingest={i}"
+                f"/{bucket_col}={_escape_partition_value(b)}"
+            )
+            for i, b in dv_pairs
+        ]
+        dv = spark.read.parquet(*dv_paths).select("__file", "__pos")
+        if sum(int(r.get("__dv_rows") or 0) for r in kept) \
+                <= DV_BROADCAST_MAX_ROWS:
+            dv = F.broadcast(dv)
+        df = df.join(dv, ["__file", "__pos"], "left_anti")
+    if eq_pairs:
+        # equality masks (zonemap_upsert_mor): a row is dead iff some
+        # LIVE eq delta of its bucket holds its key at a LARGER
+        # ingest — per key, the max masking ingest suffices. The eq
+        # side is the distinct upserted keys of the kept buckets
+        # (pruned like data), broadcast when the accounting says it
+        # fits; the key-join is the read-side price of write-side
+        # O(batch) upserts, cleared by the next compact.
+        key_cols = list((meta or {}).get("eq_key_cols") or [])
+        if not key_cols:
+            raise ValueError(
+                f"layout {loc} has live equality deletes but records "
+                "no eq_key_cols — descriptor corrupt"
+            )
+        eq_paths = [
+            fs_spark_path(
+                f"{loc}/{EQ_DELETES_DIR}/ingest={i}"
+                f"/{bucket_col}={_escape_partition_value(b)}"
+            )
+            for i, b in eq_pairs
+        ]
+        eqm = (
+            spark.read.option(
+                "basePath", fs_spark_path(f"{loc}/{EQ_DELETES_DIR}")
+            )
+            .parquet(*eq_paths)
+            .groupBy(*key_cols)
+            .agg(F.max("ingest").alias("__eq_max"))
+        )
+        if sum(int(r.get("__eq_keys") or 0) for r in kept) \
+                <= DV_BROADCAST_MAX_ROWS:
+            eqm = F.broadcast(eqm)
+        cols = df.columns  # the using-join reorders; pin the contract
+        df = (
+            df.join(eqm, key_cols, "left")
+            .where(
+                F.col("__eq_max").isNull()
+                | (F.col("ingest") >= F.col("__eq_max"))
+            )
+            .select(*cols)
+        )
+    return df if with_rowrefs else df.drop("__file", "__pos")
 
 
 def _attach_rowrefs(df: DataFrame) -> DataFrame:

@@ -887,3 +887,99 @@ def stream_zonemap_ingest(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_zonemap_upsert(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    location: str,
+    key_cols: list,
+    checkpoint_dir: str,
+    compact_every: int | None = None,
+    fold_every: int | None = None,
+) -> None:
+    """Streaming merge-on-read UPSERT sink (the Flink→Iceberg
+    upsert-mode shape): each micro-batch lands through
+    :func:`sources.zonemap_upsert_mor` as ONE atomic commit — a plain
+    append of the batch plus its equality-delete key set — so a CDC
+    stream of key updates costs O(batch) writes per trigger instead
+    of :func:`sources.zonemap_merge`'s copy-on-write rewrite of every
+    touched bucket (at 100 TB: kilobytes of keys every 10 s versus
+    re-shuffling hot buckets every 10 s forever). Latest-version
+    reads fall out of the scan's key-mask; the read-side join debt is
+    cleared by the same ``compact_every`` policy as the append sink
+    (compaction reads post-mask rows and drops the delete files).
+
+    Exactly-once lands on the same idempotence as every sink here:
+    the batch id IS the ingest id, so a replayed batch rewrites its
+    own data dir, its own delete files, and its own manifest delta.
+    The layout must already exist (a CDC upsert stream starts from an
+    initial snapshot — write it with :func:`sources.write_zonemapped`
+    first); the clustering column must be functionally dependent on
+    ``key_cols``, MERGE's contract."""
+    from reair_spark.fs import fs_for
+    from reair_spark.sources import (
+        zonemap_compact,
+        zonemap_rewrite_manifests,
+        zonemap_upsert_mor,
+    )
+
+    import reair_spark.sources as _S
+
+    loc = location.rstrip("/")
+
+    def feed(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        # batch ids start at 0 but the layout pre-exists (the initial
+        # snapshot owns ingest 0), so the stream's ingest ids are
+        # batch_id + a base RECORDED in the descriptor on first use —
+        # persisted, so a replay after restart maps the same batch to
+        # the same ingest (the idempotence identity), instead of
+        # re-deriving a different base from whatever ids exist then.
+        meta = _S._read_layout_meta(loc) or {}
+        base = meta.get("upsert_stream_base")
+        if base is None:
+            cand = _S._next_ingest_id(loc)
+            meta = _S._meta_cas_update(
+                loc,
+                lambda m: (dict(m or {}, upsert_stream_base=int(cand))
+                           if (m or {}).get("upsert_stream_base")
+                           is None else None),
+            ) or {}
+            base = meta.get("upsert_stream_base", cand)
+        zonemap_upsert_mor(
+            batch_df.sparkSession, loc, batch_df, list(key_cols),
+            ingest_id=int(base) + int(batch_id),
+        )
+        if compact_every is not None or fold_every is not None:
+            fs = fs_for(loc)
+
+            def n_ingest_layers(sub: str) -> int:
+                try:
+                    return sum(
+                        1 for e in fs.scandir(f"{loc}/{sub}")
+                        if e.name.startswith("ingest=")
+                    )
+                except FileNotFoundError:
+                    return 0
+
+            # same maintenance split as stream_zonemap_ingest; for an
+            # upsert stream compaction ALSO clears the accumulated
+            # key masks (the read-side join debt), so compact_every
+            # matters more here than on the append sink
+            if (compact_every is not None
+                    and n_ingest_layers("data") >= int(compact_every)):
+                zonemap_compact(batch_df.sparkSession, loc)
+            elif (fold_every is not None
+                    and n_ingest_layers("manifest") >= int(fold_every)):
+                zonemap_rewrite_manifests(batch_df.sparkSession, loc)
+
+    q = (
+        stream_df.writeStream
+        .foreachBatch(feed)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
