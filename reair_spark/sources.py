@@ -2695,8 +2695,11 @@ def zonemap_vacuum(
         serde = meta["serde"]
         fmt = SERDE_FORMATS.get(serde, serde)
         reader = spark.read.format(fmt)
-        if meta.get("folded_through") is not None and fmt in ("parquet", "orc"):
-            reader = reader.option("mergeSchema", "true")  # folded deltas
+        if fmt in ("parquet", "orc") and (
+            meta.get("folded_through") is not None
+            or meta.get("eq_deletes")
+        ):
+            reader = reader.option("mergeSchema", "true")  # mixed deltas
         raw = reader.load(fs_spark_path(f"{loc}/manifest"))
         bucket_col = raw.columns[0]
         current_max = raw.agg(F.max("ingest")).first()[0]
@@ -2823,6 +2826,84 @@ def zonemap_vacuum(
                 if not _scandir_or_empty(fs, e.path):
                     fs_rmtree(fs, e.path)
                     swept += 1
+        # merge-on-read residue: DV / equality-delete deltas whose
+        # EVERY touched bucket was later rewritten by a replacing
+        # ingest at-or-below the horizon are unreachable by any
+        # admissible read — at every snapshot the retention still
+        # admits, the bucket's base sits above the mask, so the
+        # reader provably never opens these files (the same
+        # base-supersedes argument as the data-dir rule, applied to
+        # the delete trees). Without this sweep a merge-heavy table
+        # that never compacts accumulates masks forever.
+        def _dead_mask_ids(pairs_df) -> list[int]:
+            repl = (
+                raw.where(F.col("replaces")
+                          & (F.col("ingest") <= horizon))
+                .select(F.col(bucket_col).cast("string").alias("__b"),
+                        F.col("ingest").alias("__r"))
+            )
+            j = (
+                pairs_df.join(repl, "__b", "left")
+                .groupBy("__b", "__d")
+                .agg(F.max("__r").alias("__mr"))
+                .withColumn(
+                    "__dead",
+                    F.coalesce(F.col("__mr") > F.col("__d"),
+                               F.lit(False)),
+                )
+                .groupBy("__d")
+                .agg(F.min(F.col("__dead").cast("int")).alias("__all"))
+            )
+            return [int(r["__d"])
+                    for r in j.where(F.col("__all") == 1).collect()]
+
+        if (horizon >= 0 and "replaces" in raw.columns
+                and meta.get("mor_deletes")
+                and _scandir_or_empty(fs, f"{loc}/{DMANIFEST_DIR}")):
+            dm = spark.read.option(
+                "basePath", fs_spark_path(f"{loc}/{DMANIFEST_DIR}")
+            ).parquet(fs_spark_path(f"{loc}/{DMANIFEST_DIR}"))
+            dv_pairs = dm.select(
+                F.col(bcol).cast("string").alias("__b"),
+                F.col("ingest").alias("__d"),
+            ).distinct()
+            for d in _dead_mask_ids(dv_pairs):
+                for sub in (DMANIFEST_DIR, DELETES_DIR):
+                    p = f"{loc}/{sub}/ingest={d}"
+                    if fs.isdir(p):
+                        fs_rmtree(fs, p)
+                        removed += 1
+        if (horizon >= 0 and "replaces" in raw.columns
+                and meta.get("eq_deletes")
+                and "n_eq_keys" in raw.columns
+                and _scandir_or_empty(fs, f"{loc}/{EQ_DELETES_DIR}")):
+            eq_pairs = raw.where(
+                F.coalesce(F.col("n_eq_keys"), F.lit(0)) > 0
+            ).select(
+                F.col(bucket_col).cast("string").alias("__b"),
+                F.col("ingest").alias("__d"),
+            )
+            if "eq_ingests" in raw.columns:
+                # folded rows carry absorbed mask ids; stale
+                # (superseded) rows only ADD pairs, which can only
+                # make deadness harder — the conservative direction
+                eq_pairs = eq_pairs.unionByName(
+                    raw.where(F.col("eq_ingests").isNotNull()
+                              & (F.size("eq_ingests") > 0)).select(
+                        F.col(bucket_col).cast("string").alias("__b"),
+                        F.explode("eq_ingests").alias("__d"),
+                    )
+                )
+            live_eq_dirs = {
+                int(e.name.split("=", 1)[1])
+                for e in _scandir_or_empty(fs, f"{loc}/{EQ_DELETES_DIR}")
+                if e.name.startswith("ingest=")
+                and e.name.split("=", 1)[1].isdigit()
+            }
+            for d in _dead_mask_ids(eq_pairs.distinct()):
+                if d in live_eq_dirs:
+                    fs_rmtree(fs, f"{loc}/{EQ_DELETES_DIR}/ingest={d}")
+                    removed += 1
         out["n_dirs_removed"] = removed
         out["n_ingest_dirs_swept"] = swept
         return out

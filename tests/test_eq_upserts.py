@@ -243,3 +243,25 @@ def test_stream_upsert_exactly_once_and_latest_state(spark, tmp_path):
     cur2, _ = S.zonemap_scan(spark, loc)
     after = sorted(map(tuple, cur2.drop("ingest").collect()))
     assert after == before
+
+
+def test_vacuum_sweeps_dead_eq_masks(spark, tmp_path):
+    loc = str(tmp_path / "t")
+    S.write_zonemapped(_mk(spark, 0, 40), loc, "b", ["id", "v"])
+    r1 = S.zonemap_upsert_mor(spark, loc, _mk(spark, 0, 8, v=-1),
+                              key_cols=["id"])
+    # rewrite every bucket => masks of r1 unreachable at retention 0
+    cur, _ = S.zonemap_scan(spark, loc)
+    S.zonemap_overwrite(spark, loc, cur.drop("ingest"))
+    r2 = S.zonemap_upsert_mor(spark, loc, _mk(spark, 8, 12, v=-2),
+                              key_cols=["id"])
+    S.zonemap_vacuum(spark, loc, retention_ingests=0)
+    assert not os.path.isdir(f"{loc}/edeletes/ingest={r1['ingest_id']}")
+    assert os.path.isdir(f"{loc}/edeletes/ingest={r2['ingest_id']}")
+    cur2, _ = S.zonemap_scan(spark, loc)
+    assert cur2.count() == 40  # ids 8..11 are updates, not inserts
+    assert cur2.where("v = -1").count() == 8   # folded in by the rewrite
+    assert cur2.where("v = -2").count() == 4
+    assert cur2.where("id between 8 and 11 and v != -2").count() == 0
+    n, _ = S.zonemap_count(spark, loc)
+    assert n == 40

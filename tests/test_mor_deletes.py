@@ -398,3 +398,44 @@ def test_mor_with_hidden_partitioning_and_escaped_values(
     assert res["n_rows_deleted"] == 20
     out, stats = S.zonemap_scan(spark, loc)
     assert out.count() == 20 and stats["n_rows_scanned"] == 20
+
+
+def test_vacuum_sweeps_dead_dv_deltas(spark, tmp_path):
+    """A DV delta every one of whose buckets was later rewritten by a
+    replacing ingest at-or-below the horizon is unreachable by any
+    admissible read — vacuum removes its delete files; a DV still
+    live for ANY bucket (or only superseded above the horizon)
+    stays."""
+    loc = str(tmp_path / "t")
+    _layout(spark, loc, rows=80, buckets=4)
+    r1 = S.zonemap_delete(spark, loc, predicates=[("v", 0, 39)],
+                          mode="mor")  # DV over all 4 buckets
+    # rewrite ALL buckets (overwrite) => DV r1 fully superseded
+    cur, _ = S.zonemap_scan(spark, loc)
+    S.zonemap_overwrite(spark, loc, cur.drop("ingest"))
+    r2 = S.zonemap_delete(spark, loc, predicates=[("v", 40, 49)],
+                          mode="mor")  # live DV above the rewrite
+    out = S.zonemap_vacuum(spark, loc, retention_ingests=0)
+    assert not os.path.isdir(f"{loc}/dmanifest/ingest={r1['ingest_id']}")
+    assert not os.path.isdir(f"{loc}/deletes/ingest={r1['ingest_id']}")
+    assert os.path.isdir(f"{loc}/dmanifest/ingest={r2['ingest_id']}")
+    df, stats = S.zonemap_scan(spark, loc)
+    assert df.count() == 55 and stats["n_rows_scanned"] == 55
+    n, _ = S.zonemap_count(spark, loc)
+    assert n == 55
+
+
+def test_vacuum_retention_keeps_dv_deltas_in_window(spark, tmp_path):
+    loc = str(tmp_path / "t")
+    _layout(spark, loc, rows=80, buckets=4)
+    r1 = S.zonemap_delete(spark, loc, predicates=[("v", 0, 39)],
+                          mode="mor")
+    cur, _ = S.zonemap_scan(spark, loc)
+    S.zonemap_overwrite(spark, loc, cur.drop("ingest"))
+    # generous retention: the superseding rewrite is above the
+    # horizon, so as-of reads between the DV and the rewrite remain
+    # admissible — the DV must survive
+    S.zonemap_vacuum(spark, loc, retention_ingests=1000)
+    assert os.path.isdir(f"{loc}/dmanifest/ingest={r1['ingest_id']}")
+    old, _ = S.zonemap_scan(spark, loc, max_ingest=r1["ingest_id"])
+    assert old.count() == 60  # post-DV, pre-rewrite snapshot
