@@ -3473,6 +3473,14 @@ from reair_spark.scalebench import (  # noqa: E402
 ENGINE_QUERIES["merge_scale_digest"] = _merge_scale_q
 ENGINE_ORACLES["merge_scale_digest"] = _merge_scale_sql()
 
+from reair_spark.scalebench import (  # noqa: E402
+    mor_scale_digest as _mor_scale_q,
+    mor_scale_oracle_sql as _mor_scale_sql,
+)
+
+ENGINE_QUERIES["mor_scale_digest"] = _mor_scale_q
+ENGINE_ORACLES["mor_scale_digest"] = _mor_scale_sql()
+
 
 def zonemap_recluster_scan(spark: SparkSession, sf: str) -> DataFrame:
     """Partition-spec evolution gate: the 3-ingest MONTH-clustered
