@@ -2660,6 +2660,97 @@ FROM final
 """
 
 
+def stream_upsert_latest(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming CDC upsert sink through the correctness gate (the
+    Flink→Iceberg upsert-mode shape): an orders snapshot seeds the
+    layout, then three micro-batches of re-pricings (disjoint key
+    classes ≡0/1/2 mod 10, so the digest is batch-order-free) flow
+    through ``stream_zonemap_upsert`` — each trigger lands as ONE
+    atomic append+mask commit, NO bucket rewritten (``dirs`` pins
+    the data tree at snapshot + 3 appends). The post-stream scan must
+    resolve all three mask generations to latest-state, and the
+    metadata COUNT stays exact through residual demotion. The oracle
+    rebuilds latest-state closed-form from orders."""
+    import atexit
+    import os as _os
+    import shutil
+    import tempfile
+
+    from reair_spark.sources import (
+        write_zonemapped,
+        zonemap_count,
+        zonemap_scan,
+    )
+    from reair_spark.streaming import stream_zonemap_upsert
+
+    o = _t(spark, sf, "orders").select(
+        "o_orderkey", "o_totalprice"
+    ).withColumn("bucket", F.pmod("o_orderkey", F.lit(16)))
+
+    run = tempfile.mkdtemp(prefix="reair_zstreamup_")
+    atexit.register(shutil.rmtree, run, ignore_errors=True)
+    layout = f"{run}/layout"
+    write_zonemapped(o, layout, "bucket",
+                     stat_cols=["o_orderkey", "o_totalprice"])
+    waves = o.withColumn("wave", F.pmod("o_orderkey", F.lit(10))) \
+        .filter(F.col("wave") < 3).withColumn(
+            "o_totalprice",
+            F.col("o_totalprice") + (F.col("wave") + 1) * 10_000_000,
+        )
+    src = f"{run}/chunks"
+    for w in range(3):  # one file per wave => one micro-batch per wave
+        waves.filter(F.col("wave") == w).coalesce(1) \
+            .write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    ).select("o_orderkey", "o_totalprice", "bucket")
+    stream_zonemap_upsert(
+        spark, stream, layout, ["o_orderkey"], f"{run}/ckpt"
+    )
+    meta_count, _ = zonemap_count(spark, layout)
+    cur, _ = zonemap_scan(spark, layout)
+    agg = cur.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        *[
+            F.sum(((F.col("o_totalprice") >= (w + 1) * 10_000_000)
+                   & (F.col("o_totalprice") < (w + 2) * 10_000_000))
+                  .cast("long")).cast("long").alias(f"n_w{w}")
+            for w in range(3)
+        ],
+    )
+    return agg.select(
+        "n_rows", "sum_price", "n_w0", "n_w1", "n_w2",
+        F.lit(meta_count).cast("long").alias("meta_count"),
+        F.lit(len(_os.listdir(f"{layout}/data")) == 4).alias("dirs"),
+    )
+
+
+ENGINE_QUERIES["stream_upsert_latest"] = stream_upsert_latest
+ENGINE_ORACLES["stream_upsert_latest"] = """
+WITH o AS (SELECT o_orderkey, o_totalprice FROM orders),
+final AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 10 < 3
+              THEN o_totalprice + (o_orderkey % 10 + 1) * 10000000
+              ELSE o_totalprice END AS p
+  FROM o)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       round(sum(p), 2) AS sum_price,
+       CAST(sum(CASE WHEN p >= 10000000 AND p < 20000000
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_w0,
+       CAST(sum(CASE WHEN p >= 20000000 AND p < 30000000
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_w1,
+       CAST(sum(CASE WHEN p >= 30000000 AND p < 40000000
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_w2,
+       CAST(count(*) AS BIGINT) AS meta_count,
+       TRUE AS dirs
+FROM final
+"""
+
+
 def zonemap_change_feed(spark: SparkSession, sf: str) -> DataFrame:
     """Change data feed through the correctness gate (the Delta CDF /
     Iceberg changelog-scan shape): over the 3-ingest month-clustered
@@ -2699,6 +2790,139 @@ def zonemap_change_feed(spark: SparkSession, sf: str) -> DataFrame:
                     F.lit(stats["n_commits"]).cast("long"))
         .orderBy("commit_ingest", "change_type")
     )
+
+
+def cdf_incremental_sync(spark: SparkSession, sf: str) -> DataFrame:
+    """Change-feed-DRIVEN replication (the composition that makes the
+    CDF load-bearing, the Delta-CDF→downstream-sync shape): a dest
+    layout is seeded from a source snapshot, three heterogeneous
+    commits land on the source (an append of new keys, a MOR
+    positional delete, an equality-upsert re-pricing), and the sync
+    applies ``zonemap_changes(since last-synced)`` to the dest —
+    reading ONLY the change rows plus the dest's affected buckets,
+    and rewriting ONLY those buckets via ``zonemap_replace_buckets``.
+    At 100 TB this is the difference between re-publishing a snapshot
+    and shipping a day's diff. The digest pins dest≡source
+    (bidirectional multiset equality) plus the dest row/sum totals
+    against a closed-form oracle of all three commits."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from reair_spark.sources import (
+        append_zonemapped,
+        write_zonemapped,
+        zonemap_changes,
+        zonemap_delete,
+        zonemap_replace_buckets,
+        zonemap_scan,
+        zonemap_upsert_mor,
+        _claim_ingest_id,
+    )
+
+    o = _t(spark, sf, "orders").select(
+        "o_orderkey", "o_totalprice"
+    ).withColumn("bucket", F.pmod("o_orderkey", F.lit(16)))
+    mk = int(o.agg(F.max("o_orderkey")).first()[0])
+
+    run = tempfile.mkdtemp(prefix="reair_cdfsync_")
+    atexit.register(shutil.rmtree, run, ignore_errors=True)
+    src = f"{run}/src"
+    dest = f"{run}/dest"
+    write_zonemapped(o, src, "bucket",
+                     stat_cols=["o_orderkey", "o_totalprice"])
+    # seed the dest from the source snapshot; remember the sync point
+    seed, _ = zonemap_scan(spark, src)
+    write_zonemapped(seed.drop("ingest"), dest, "bucket",
+                     stat_cols=["o_orderkey", "o_totalprice"])
+    synced = 0
+    # three heterogeneous source commits
+    append_zonemapped(
+        o.filter(F.pmod("o_orderkey", F.lit(10)) == 4).select(
+            (F.col("o_orderkey") + F.lit(mk)).alias("o_orderkey"),
+            F.lit(1.0).cast("double").alias("o_totalprice"),
+            F.pmod(F.col("o_orderkey") + F.lit(mk), F.lit(16))
+            .alias("bucket"),
+        ),
+        src, "bucket", ["o_orderkey", "o_totalprice"],
+        ingest_id=_claim_ingest_id(src),
+    )
+    zonemap_delete(spark, src,
+                   predicates=[("o_totalprice", 900.0, 5000.0)],
+                   mode="mor")
+    zonemap_upsert_mor(
+        spark, src,
+        o.filter(F.pmod("o_orderkey", F.lit(10)) == 3).withColumn(
+            "o_totalprice", F.col("o_totalprice") + 10_000_000
+        ),
+        key_cols=["o_orderkey"],
+    )
+    # the sync: change rows + dest's affected buckets, nothing else
+    ch, st = zonemap_changes(spark, src, from_ingest=synced)
+    cols = ["o_orderkey", "o_totalprice", "bucket"]
+    buckets = [str(r[0]) for r in
+               ch.select(F.col("bucket").cast("string"))
+               .distinct().collect()]
+    dest_cur, _ = zonemap_scan(spark, dest, buckets=buckets)
+    dels = ch.where("_change_type = 'delete'").select(*cols)
+    ins = ch.where("_change_type = 'insert'").select(*cols)
+    new_view = (
+        dest_cur.select(*cols).exceptAll(dels).unionByName(ins)
+    ).localCheckpoint(eager=True)
+    rb = zonemap_replace_buckets(spark, dest, new_view, buckets)
+    # verification: dest is now multiset-identical to the source
+    s_now, _ = zonemap_scan(spark, src)
+    d_now, _ = zonemap_scan(spark, dest)
+    s_now, d_now = s_now.select(*cols), d_now.select(*cols)
+    in_sync = (s_now.exceptAll(d_now).count() == 0
+               and d_now.exceptAll(s_now).count() == 0)
+    agg = d_now.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+    return agg.select(
+        "n_rows", "sum_price",
+        F.lit(st["n_commits"]).cast("long").alias("n_commits"),
+        F.lit(rb["n_buckets_written"]
+              + rb["n_buckets_tombstoned"]).cast("long")
+        .alias("n_buckets_synced"),
+        F.lit(in_sync).alias("in_sync"),
+    )
+
+
+ENGINE_QUERIES["cdf_incremental_sync"] = cdf_incremental_sync
+ENGINE_ORACLES["cdf_incremental_sync"] = """
+WITH o AS (SELECT o_orderkey, o_totalprice FROM orders),
+mx AS (SELECT max(o_orderkey) AS mk FROM o),
+final AS (
+  -- upserted keys (%10=3): re-priced, present regardless of the
+  -- delete (the upsert re-inserts them)
+  SELECT o_orderkey, o_totalprice + 10000000 AS p FROM o
+  WHERE o_orderkey % 10 = 3
+  UNION ALL
+  -- everything else survives unless the MOR delete caught it
+  SELECT o_orderkey, o_totalprice FROM o
+  WHERE o_orderkey % 10 != 3
+    AND NOT (o_totalprice >= 900.0 AND o_totalprice <= 5000.0)
+  UNION ALL
+  -- appended new keys (price 1.0 is outside the delete range)
+  SELECT o_orderkey + (SELECT mk FROM mx), 1.0 FROM o
+  WHERE o_orderkey % 10 = 4)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       round(sum(p), 2) AS sum_price,
+       CAST(3 AS BIGINT) AS n_commits,
+       (SELECT CAST(count(DISTINCT b) AS BIGINT) FROM (
+          SELECT (o_orderkey + (SELECT mk FROM mx)) % 16 AS b FROM o
+          WHERE o_orderkey % 10 = 4
+          UNION
+          SELECT o_orderkey % 16 FROM o
+          WHERE o_totalprice >= 900.0 AND o_totalprice <= 5000.0
+          UNION
+          SELECT o_orderkey % 16 FROM o WHERE o_orderkey % 10 = 3
+        )) AS n_buckets_synced,
+       TRUE AS in_sync
+FROM final
+"""
 
 
 ENGINE_QUERIES["zonemap_change_feed"] = zonemap_change_feed
