@@ -265,3 +265,37 @@ def test_vacuum_sweeps_dead_eq_masks(spark, tmp_path):
     assert cur2.where("id between 8 and 11 and v != -2").count() == 0
     n, _ = S.zonemap_count(spark, loc)
     assert n == 40
+
+
+def test_upsert_crash_before_delta_publish_replay_converges(
+        spark, tmp_path):
+    """FailingFs schedule on the upsert's manifest-delta publish: the
+    batch's data dir and key files are on disk but the commit never
+    lands — both are INVISIBLE (paths come from published deltas) —
+    and a streaming-style replay under the SAME ingest id overwrites
+    and publishes, exactly-once."""
+    from reair_spark.fs import FailingFs, register_fs, unregister_fs
+
+    board = str(tmp_path / "board")
+    register_fs(FailingFs("mockeq", str(tmp_path / "remote"), board))
+    try:
+        loc = "mockeq://wh/layout"
+        S.write_zonemapped(_mk(spark, 0, 40), loc, "b", ["id", "v"])
+        FailingFs.schedule(board, "rename", "ingest=1", 1)
+        upd = _mk(spark, 0, 8, v=-1)
+        with pytest.raises(OSError, match="injected"):
+            S.zonemap_upsert_mor(spark, loc, upd, key_cols=["id"],
+                                 ingest_id=1)
+        cur, _ = S.zonemap_scan(spark, loc)
+        assert cur.count() == 40
+        assert cur.where("v = -1").count() == 0  # commit invisible
+        r = S.zonemap_upsert_mor(spark, loc, upd, key_cols=["id"],
+                                 ingest_id=1)  # the replay
+        assert r == {"n_rows_upserted": 8, "n_keys_masked": 8,
+                     "ingest_id": 1}
+        cur2, _ = S.zonemap_scan(spark, loc)
+        assert cur2.count() == 40
+        assert cur2.where("v = -1").count() == 8
+        assert cur2.where("id < 8 and v != -1").count() == 0
+    finally:
+        unregister_fs("mockeq")

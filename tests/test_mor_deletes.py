@@ -439,3 +439,38 @@ def test_vacuum_retention_keeps_dv_deltas_in_window(spark, tmp_path):
     assert os.path.isdir(f"{loc}/dmanifest/ingest={r1['ingest_id']}")
     old, _ = S.zonemap_scan(spark, loc, max_ingest=r1["ingest_id"])
     assert old.count() == 60  # post-DV, pre-rewrite snapshot
+
+
+def test_mor_delete_crash_before_accounting_publish(spark, tmp_path):
+    """FailingFs schedule on the accounting-delta publish rename: the
+    DV files are written but the dmanifest delta never lands — the
+    delete is INVISIBLE (readers consult only published accounting),
+    and re-running it converges with no double-delete (the retry
+    recomputes from live rows)."""
+    from reair_spark.fs import FailingFs, register_fs, unregister_fs
+
+    board = str(tmp_path / "board")
+    register_fs(FailingFs("mockmor", str(tmp_path / "remote"), board))
+    try:
+        loc = "mockmor://wh/layout"
+        df = spark.range(40).select(
+            F.col("id"), (F.col("id") % 4).cast("long").alias("b"),
+            F.col("id").alias("v"))
+        S.write_zonemapped(df, loc, "b", ["v"])
+        # the delete claims id 1; its dmanifest publish rename targets
+        # .../dmanifest/ingest=1 — fail it once
+        FailingFs.schedule(board, "rename", "ingest=1", 1)
+        with pytest.raises(OSError, match="injected"):
+            S.zonemap_delete(spark, loc, predicates=[("v", 0, 9)],
+                             mode="mor")
+        cur, _ = S.zonemap_scan(spark, loc)
+        assert cur.count() == 40  # invisible: nothing published
+        res = S.zonemap_delete(spark, loc, predicates=[("v", 0, 9)],
+                               mode="mor")
+        assert res["n_rows_deleted"] == 10  # recomputed, not doubled
+        cur2, _ = S.zonemap_scan(spark, loc)
+        assert cur2.count() == 30
+        n, _ = S.zonemap_count(spark, loc)
+        assert n == 30
+    finally:
+        unregister_fs("mockmor")
