@@ -623,3 +623,100 @@ def test_zonemap_fold_replace_vacuum_model_equivalence(
         f"{loc}/manifest"
     )
     assert man.where("n_rows > 0").count() == len(live_buckets)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    n=st.integers(min_value=40, max_value=160),
+    n_buckets=st.integers(min_value=2, max_value=8),
+    mod=st.integers(min_value=7, max_value=60),
+    null_mod=st.integers(min_value=3, max_value=25),
+    del_lo=st.integers(min_value=0, max_value=40),
+    del_width=st.integers(min_value=0, max_value=30),
+    upd_step=st.integers(min_value=2, max_value=9),
+    upd_extra=st.integers(min_value=0, max_value=20),
+    del2_lo=st.integers(min_value=0, max_value=60),
+    del2_width=st.integers(min_value=0, max_value=25),
+    q_lo=st.integers(min_value=0, max_value=50),
+    q_width=st.integers(min_value=0, max_value=40),
+)
+def test_zonemap_mor_upsert_model_equivalence(
+    spark, tmp_path_factory, n, n_buckets, mod, null_mod, del_lo,
+    del_width, upd_step, upd_extra, del2_lo, del2_width, q_lo, q_width,
+):
+    """Merge-on-read mutations under RANDOM shapes, against a dict
+    model: a positional (DV) delete, an equality upsert (updates +
+    brand-new keys), and a second DV delete OVER the masked state —
+    then scan/count/as-of equivalence, preserved across a metadata
+    fold AND a full compaction (which folds both delete kinds into
+    the data). SQL null semantics throughout: NULL v never matches a
+    delete or count predicate."""
+    from pyspark.sql import functions as F
+
+    from reair_spark.sources import (
+        write_zonemapped,
+        zonemap_compact,
+        zonemap_count,
+        zonemap_delete,
+        zonemap_rewrite_manifests,
+        zonemap_scan,
+        zonemap_upsert_mor,
+    )
+
+    dhi = del_lo + del_width
+    d2hi = del2_lo + del2_width
+    q_hi = q_lo + q_width
+    rows = [
+        (i, i % n_buckets,
+         None if i % null_mod == 0 else (i * 13) % mod)
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "k long, b long, v long")
+    loc = str(tmp_path_factory.mktemp("zmorprop") / "layout")
+    write_zonemapped(df, loc, "b", stat_cols=["v"])
+    model0 = {(k, v) for k, b, v in rows}
+
+    def matches(v, a, b2):
+        return v is not None and a <= v <= b2
+
+    # 1. positional delete
+    st1 = zonemap_delete(spark, loc, predicates=[("v", del_lo, dhi)],
+                         mode="mor")
+    model1 = {(k, v) for k, v in model0 if not matches(v, del_lo, dhi)}
+    assert st1["n_rows_deleted"] == len(model0) - len(model1)
+
+    # 2. equality upsert: every key ≡0 (mod upd_step) plus some new
+    upd_keys = sorted({k for k in range(0, n + upd_extra, upd_step)})
+    upd_rows = [(k, k % n_buckets, (k * 7) % mod) for k in upd_keys]
+    upd = spark.createDataFrame(upd_rows, "k long, b long, v long")
+    zonemap_upsert_mor(spark, loc, upd, key_cols=["k"])
+    model2 = {(k, v) for k, v in model1 if k not in set(upd_keys)}
+    model2 |= {(k, v) for k, b, v in upd_rows}
+
+    # 3. second positional delete over the MASKED state
+    st3 = zonemap_delete(spark, loc,
+                         predicates=[("v", del2_lo, d2hi)], mode="mor")
+    model3 = {(k, v) for k, v in model2
+              if not matches(v, del2_lo, d2hi)}
+    assert st3["n_rows_deleted"] == len(model2) - len(model3)
+
+    def check(expect_model, max_ingest=None):
+        cur, _ = zonemap_scan(spark, loc, max_ingest=max_ingest)
+        assert {(r.k, r.v) for r in cur.collect()} == expect_model
+        if max_ingest is None:
+            assert zonemap_count(spark, loc)[0] == len(expect_model)
+            assert zonemap_count(spark, loc, [("v", q_lo, q_hi)])[0] \
+                == len({(k, v) for k, v in expect_model
+                        if matches(v, q_lo, q_hi)})
+
+    check(model3)
+    check(model0, max_ingest=0)
+    # a delete that matched nothing is a no-op (ingest_id None, no
+    # commit) — the model-1 snapshot is then the seed snapshot
+    check(model1, max_ingest=st1["ingest_id"]
+          if st1["ingest_id"] is not None else 0)
+
+    zonemap_rewrite_manifests(spark, loc)
+    check(model3)
+    zonemap_compact(spark, loc)
+    check(model3)
