@@ -262,6 +262,19 @@ DMANIFEST_DIR = "dmanifest"
 #: accounting (n_eq_keys, eq_ingests) rides the commit's own manifest
 #: delta, so an upsert is ONE atomic commit, not a two-delta window.
 EQ_DELETES_DIR = "edeletes"
+#: append-only commit log (the Iceberg snapshot-log / Delta commit-
+#: timestamp shape): one tiny JSON file <layout>/_log/<ingest>.json
+#: per commit, written best-effort AFTER the delta rename in
+#: :func:`_publish_delta` (first writer wins, so idempotent replays
+#: keep the ORIGINAL commit time and a manifest fold republishing at
+#: max(folded ids) keeps that id's real timestamp). Underscore-
+#: prefixed so Spark's discovery of the layout root never parses it
+#: as data. Drives :func:`zonemap_history` and timestamp-based
+#: snapshot resolution (:func:`zonemap_resolve_snapshot`); a commit
+#: whose log write crashed simply cannot serve as a timestamp CUT
+#: (resolution skips it) — it still rides along in any id-cut read,
+#: so the miss is conservative, never wrong.
+LOG_DIR = "_log"
 #: DV sides at or below this many live positions get an explicit
 #: broadcast hint on the scan's anti-join (a position row is ~a path
 #: dictionary entry + two ints — 2M rows is well under executor
@@ -1267,6 +1280,34 @@ def append_zonemapped(
         zonemap_rewrite_manifests(df.sparkSession, loc)
 
 
+def _log_commit(loc: str, ingest_id: int, subdir: str) -> None:
+    """Best-effort append of one commit-log entry (``_log/<id>.json``,
+    epoch-ms wall time + which delta tree committed). Exclusive-create
+    so the FIRST publish of an id owns its timestamp — replays and the
+    manifest fold (which republishes at an existing id) never redate a
+    commit. Every failure is swallowed: the log is an index for
+    history/timestamp reads, never a correctness dependency."""
+    import json
+    import time
+
+    from reair_spark.fs import fs_for
+
+    try:
+        fs = fs_for(loc)
+        fs.mkdirs(f"{loc}/{LOG_DIR}")
+        fh = fs.create_exclusive(
+            f"{loc}/{LOG_DIR}/{int(ingest_id)}.json"
+        )
+        fh.write(json.dumps({
+            "ingest": int(ingest_id),
+            "ts_ms": int(time.time() * 1000),
+            "subdir": subdir,
+        }).encode("utf-8"))
+        fh.close()
+    except (OSError, ValueError):
+        pass
+
+
 def _publish_delta(
     manifest: DataFrame, loc: str, ingest_id: int, serde: str,
     subdir: str = "manifest",
@@ -1311,6 +1352,7 @@ def _publish_delta(
         parked = f"{loc}/_staging/{pre}ingest={ingest_id}_.old_{token}"
         fs.rename(final, parked)
     fs.rename(staged, final)
+    _log_commit(loc, ingest_id, subdir)
     if parked is not None:
         fs_rmtree(fs, parked)
 
@@ -1380,6 +1422,12 @@ def zonemap_compact(
         raise ValueError(
             f"{loc} has no {LAYOUT_META}; pass bucket_col and "
             "stat_cols explicitly to compact a legacy layout"
+        )
+    if meta and (meta.get("tags") or {}):
+        raise ValueError(
+            f"zonemap_compact on {loc} collapses history to ingest 0 "
+            f"and would strand tags {sorted(meta['tags'])} — drop "
+            "them first (zonemap_drop_tag)"
         )
     with _LayoutWriterLease(loc, "compact"):
         delta_ids = [
@@ -1490,6 +1538,12 @@ def zonemap_recluster(
     if meta is None:
         raise ValueError(f"{loc} has no {LAYOUT_META}; recluster needs "
                          "a descriptor-bearing layout")
+    if meta.get("tags") or {}:
+        raise ValueError(
+            f"zonemap_recluster on {loc} starts a new table "
+            f"generation and would strand tags "
+            f"{sorted(meta['tags'])} — drop them first"
+        )
     with _LayoutWriterLease(loc, "recluster"):
         delta_ids = [
             int(e.name.split("=", 1)[1])
@@ -1636,6 +1690,15 @@ def zonemap_rewrite_manifests(
             .withColumn("replaces", F.lit(True))
         )
         fold_id = max(delta_ids)
+        low_tags = {n: int(i)
+                    for n, i in (meta.get("tags") or {}).items()
+                    if int(i) < fold_id}
+        if low_tags:
+            raise ValueError(
+                f"rewrite_manifests on {loc} would expire tagged "
+                f"snapshots {low_tags} (fold horizon {fold_id}) — "
+                "drop the tags first"
+            )
         # horizons recorded BEFORE the folded delta publishes or any
         # old delta is removed: folded_through turns mergeSchema on
         # for every later manifest read (the mixed-schema crash window
@@ -2704,6 +2767,13 @@ def zonemap_vacuum(
         bucket_col = raw.columns[0]
         current_max = raw.agg(F.max("ingest")).first()[0]
         horizon = int(current_max) - int(retention_ingests)
+        tagged = [int(i) for i in (meta.get("tags") or {}).values()]
+        if tagged:
+            # tagged snapshots are retention promises (the Iceberg
+            # tag-retention shape): the horizon never advances past
+            # the oldest tag, so a tagged as-of read stays admissible
+            # no matter how small retention_ingests is
+            horizon = min(horizon, min(tagged))
         prev = int(meta.get("vacuumed_through", -1))
         out = {"n_dirs_removed": 0, "vacuumed_through": max(prev, horizon),
                "n_ingest_dirs_swept": 0}
@@ -2919,6 +2989,8 @@ def zonemap_plan(
     buckets: list | None = None,
     keep_cols: list[str] | None = None,
     spec_predicates: list[tuple[int, object]] | None = None,
+    as_of_ts=None,
+    tag: str | None = None,
 ) -> tuple[str, list[dict], dict]:
     """Scan PLANNING over a zone-mapped manifest: merge the ingest
     deltas, evaluate every predicate, and return (bucket_col, kept
@@ -2936,6 +3008,18 @@ def zonemap_plan(
     from pyspark.sql import functions as F
 
     serde = _layout_serde(location, serde)
+    if as_of_ts is not None or tag is not None:
+        # point-in-time / named reads resolve to the same ingest-id
+        # cut every as-of path speaks (the Iceberg
+        # snapshot-for-timestamp lookup); expiry refusal stays with
+        # _merged_manifest
+        if max_ingest is not None:
+            raise ValueError(
+                "pass at most one of max_ingest / as_of_ts / tag"
+            )
+        max_ingest = zonemap_resolve_snapshot(
+            location, ts=as_of_ts, tag=tag
+        )
     bucket_col, man = _merged_manifest(spark, location, serde, max_ingest)
     keep = F.lit(True)
     if buckets is not None:
@@ -3513,6 +3597,8 @@ def zonemap_scan(
     max_ingest: int | None = None,
     buckets: list | None = None,
     spec_predicates: list[tuple[int, object]] | None = None,
+    as_of_ts=None,
+    tag: str | None = None,
 ) -> tuple[DataFrame, dict]:
     """Manifest-pruned scan over a :func:`write_zonemapped` layout.
 
@@ -3561,6 +3647,8 @@ def zonemap_scan(
         max_ingest=max_ingest,
         buckets=buckets,
         spec_predicates=spec_predicates,
+        as_of_ts=as_of_ts,
+        tag=tag,
     )
     return _bucket_reader(spark, location, serde, kept, bucket_col), stats
 
@@ -3745,6 +3833,355 @@ def zonemap_changes(
     for p in pieces[1:]:
         out = out.unionByName(p)
     return out, {"n_commits": len(commits), "commit_ingests": commits}
+
+
+def _read_log_entries(location: str) -> dict[int, dict]:
+    """Driver-side read of the commit log (``_log/<id>.json``) — one
+    tiny JSON per commit, O(commits) like the delta-id listings every
+    plan already performs. Unparseable / torn entries are skipped
+    (the log is best-effort by contract)."""
+    import json
+
+    from reair_spark.fs import fs_for
+
+    loc = location.rstrip("/")
+    fs = fs_for(loc)
+    out: dict[int, dict] = {}
+    for e in _scandir_or_empty(fs, f"{loc}/{LOG_DIR}"):
+        name = e.name
+        if not name.endswith(".json"):
+            continue
+        stem = name[:-5]
+        if not stem.isdigit():
+            continue
+        try:
+            with fs.open_read(e.path) as fh:
+                ent = json.loads(fh.read().decode("utf-8"))
+            out[int(stem)] = {
+                "ts_ms": int(ent["ts_ms"]),
+                "subdir": str(ent.get("subdir", "manifest")),
+            }
+        except (OSError, ValueError, KeyError):
+            continue
+    return out
+
+
+def _expiry_floor(meta: dict | None) -> int:
+    """The oldest ingest id still READABLE as a snapshot cut: the max
+    of the fold and vacuum horizons (:func:`_merged_manifest` refuses
+    as-of reads below either)."""
+    floor = -1
+    for key in ("folded_through", "vacuumed_through"):
+        v = (meta or {}).get(key)
+        if v is not None:
+            floor = max(floor, int(v))
+    return floor
+
+
+def zonemap_resolve_snapshot(
+    location: str,
+    ts=None,
+    tag: str | None = None,
+) -> int:
+    """Resolve a point-in-time or named reference to the ingest-id
+    snapshot cut every as-of read speaks (the Iceberg
+    snapshot-id-for-timestamp / tag-reference lookup):
+
+    - ``ts`` (epoch milliseconds, or a ``datetime``): the NEWEST
+      commit whose logged wall time is at or before ``ts`` — commits
+      whose best-effort log entry is missing (a crashed log write)
+      cannot serve as the cut and are skipped; they still ride along
+      inside any resolved cut above them, so the miss reads an
+      earlier valid snapshot, never a wrong one.
+    - ``tag``: a named snapshot recorded by :func:`zonemap_tag` in
+      the layout descriptor.
+
+    The resolved id is NOT validated against the expiry horizons here
+    — :func:`_merged_manifest` owns that refusal, so a timestamp
+    below the fold/vacuum floor fails with the standard expired-
+    snapshot error. Returns the ingest id (int)."""
+    import datetime as _dt
+
+    loc = location.rstrip("/")
+    if (ts is None) == (tag is None):
+        raise ValueError("resolve_snapshot needs exactly one of "
+                         "ts= or tag=")
+    if tag is not None:
+        tags = (_read_layout_meta(loc) or {}).get("tags") or {}
+        if tag not in tags:
+            raise ValueError(
+                f"layout {loc} has no tag {tag!r} "
+                f"(tags: {sorted(tags)})"
+            )
+        return int(tags[tag])
+    if isinstance(ts, _dt.datetime):
+        ts_ms = int(ts.timestamp() * 1000)
+    else:
+        ts_ms = int(ts)
+    committed = set()
+    for ids in _commit_snapshot(loc):
+        committed.update(ids)
+    cands = [
+        i for i, ent in _read_log_entries(loc).items()
+        if ent["ts_ms"] <= ts_ms and i in committed
+    ]
+    if not cands:
+        raise ValueError(
+            f"layout {loc} has no committed snapshot logged at or "
+            f"before ts={ts_ms} ms"
+        )
+    return max(cands)
+
+
+def zonemap_tag(
+    location: str,
+    name: str,
+    ingest: int | None = None,
+) -> int:
+    """Record a NAMED snapshot reference (the Iceberg tag shape) in
+    the layout descriptor: ``tag='v1'`` pins the current (or given)
+    ingest-id cut so reads can say ``zonemap_scan(..., tag='v1')``
+    forever after. Tagged snapshots are RETENTION-PROTECTED: vacuum
+    clamps its horizon below the oldest tag, fold/compact refuse
+    while a tag would expire, and rollback refuses to drop a tagged
+    commit — drop the tag first (:func:`zonemap_drop_tag`). Published
+    through the descriptor CAS, so concurrent taggers serialize.
+    Returns the tagged ingest id."""
+    loc = location.rstrip("/")
+    _recover_layout(loc)
+    if _read_layout_meta(loc) is None:
+        raise ValueError(f"{loc} has no {LAYOUT_META}; tags need a "
+                         "descriptor-bearing layout")
+    committed = set()
+    for ids in _commit_snapshot(loc):
+        committed.update(ids)
+    if not committed:
+        raise ValueError(f"layout {loc} has no committed snapshot "
+                         "to tag")
+    target = max(committed) if ingest is None else int(ingest)
+    if target > max(committed):
+        raise ValueError(
+            f"cannot tag ingest {target}: newest committed snapshot "
+            f"is {max(committed)}"
+        )
+    floor = _expiry_floor(_read_layout_meta(loc))
+    if target < floor:
+        raise ValueError(
+            f"cannot tag ingest {target}: snapshots below {floor} "
+            "are expired (fold/vacuum horizon)"
+        )
+
+    def _set(m):
+        out = dict(m or {})
+        tags = dict(out.get("tags") or {})
+        if tags.get(name) == target:
+            return None
+        tags[name] = target
+        out["tags"] = tags
+        return out
+
+    _meta_cas_update(loc, _set)
+    return target
+
+
+def zonemap_drop_tag(location: str, name: str) -> None:
+    """Remove a named snapshot reference; the snapshot becomes
+    ordinary history (vacuum/fold/compact may expire it). Missing tag
+    is a no-op — drops are idempotent."""
+    loc = location.rstrip("/")
+
+    def _drop(m):
+        tags = dict((m or {}).get("tags") or {})
+        if name not in tags:
+            return None
+        del tags[name]
+        out = dict(m or {})
+        out["tags"] = tags
+        return out
+
+    _meta_cas_update(loc, _drop)
+
+
+def zonemap_history(
+    spark: SparkSession,
+    location: str,
+    serde: str = "parquet",
+) -> DataFrame:
+    """The layout's commit history as a DataFrame (the Iceberg
+    ``history``/``snapshots`` metadata-table shape): one row per
+    commit with ``ingest``, ``committed_at`` (null when the
+    best-effort log entry is missing), ``operation`` ('append' |
+    'rewrite' | 'upsert' | 'fold' | 'delete'), ``n_buckets`` /
+    ``n_rows`` carried by the commit's delta, and ``expired``
+    (below the fold/vacuum read floor — listable but not readable).
+
+    Everything is manifest-sized and evaluated Spark-side: the
+    manifest and delete-manifest trees group by their ingest
+    partition column, the commit log reads as JSON, and the pieces
+    join on ingest — planning a million-commit history ships zero
+    data rows. Operation is classified from the delta's own shape
+    (fold rows carry ``data_ingests``, upserts carry ``n_eq_keys``,
+    rewrites carry ``replaces``), so history needs no side metadata
+    beyond what commits already publish."""
+    from pyspark.sql import functions as F
+
+    from reair_spark.fs import fs_for, fs_spark_path
+
+    loc = location.rstrip("/")
+    _recover_layout(loc)
+    meta = _read_layout_meta(loc) or {}
+    serde = _layout_serde(loc, serde)
+    fmt = SERDE_FORMATS.get(serde, serde)
+    reader = spark.read.format(fmt)
+    if fmt in ("parquet", "orc") and (
+        meta.get("folded_through") is not None or meta.get("eq_deletes")
+    ):
+        reader = reader.option("mergeSchema", "true")
+    raw = reader.load(fs_spark_path(f"{loc}/manifest"))
+    bucket_col = raw.columns[0]
+    is_fold = (F.max(F.col("data_ingests").isNotNull().cast("int"))
+               if "data_ingests" in raw.columns else F.max(F.lit(0)))
+    any_repl = (F.max(F.col("replaces").cast("int"))
+                if "replaces" in raw.columns else F.max(F.lit(0)))
+    eq_keys = (F.sum(F.coalesce(F.col("n_eq_keys"), F.lit(0)))
+               if "n_eq_keys" in raw.columns else F.sum(F.lit(0)))
+    per = raw.groupBy(F.col("ingest").cast("int").alias("ingest")).agg(
+        F.countDistinct(bucket_col).cast("long").alias("n_buckets"),
+        F.sum(F.when(F.col("n_rows") > 0, F.col("n_rows"))
+              .otherwise(F.lit(0))).cast("long").alias("n_rows"),
+        is_fold.alias("__fold"),
+        any_repl.alias("__repl"),
+        eq_keys.alias("__eq"),
+    ).select(
+        "ingest",
+        F.when(F.col("__fold") == 1, F.lit("fold"))
+        .when(F.col("__eq") > 0, F.lit("upsert"))
+        .when(F.col("__repl") == 1, F.lit("rewrite"))
+        .otherwise(F.lit("append")).alias("operation"),
+        "n_buckets", "n_rows",
+    )
+    fs = fs_for(loc)
+    if meta.get("mor_deletes") and _scandir_or_empty(
+        fs, f"{loc}/{DMANIFEST_DIR}"
+    ):
+        dm = spark.read.option(
+            "basePath", fs_spark_path(f"{loc}/{DMANIFEST_DIR}")
+        ).parquet(fs_spark_path(f"{loc}/{DMANIFEST_DIR}"))
+        dcol = [c for c in dm.columns
+                if c not in ("ingest", "data_ingest", "n_deletes")][0]
+        per = per.unionByName(
+            dm.groupBy(F.col("ingest").cast("int").alias("ingest")).agg(
+                F.countDistinct(dcol).cast("long").alias("n_buckets"),
+                F.sum("n_deletes").cast("long").alias("n_rows"),
+            ).select("ingest", F.lit("delete").alias("operation"),
+                     "n_buckets", "n_rows")
+        )
+    if _scandir_or_empty(fs, f"{loc}/{LOG_DIR}"):
+        log = spark.read.schema(
+            "ingest long, ts_ms long, subdir string"
+        ).json(fs_spark_path(f"{loc}/{LOG_DIR}")).select(
+            F.col("ingest").cast("int").alias("ingest"),
+            F.timestamp_millis(F.col("ts_ms")).alias("committed_at"),
+        )
+        per = per.join(log, "ingest", "left")
+    else:
+        per = per.withColumn(
+            "committed_at", F.lit(None).cast("timestamp")
+        )
+    floor = _expiry_floor(meta)
+    return per.select(
+        "ingest", "committed_at", "operation", "n_buckets", "n_rows",
+        (F.col("ingest") < F.lit(floor)).alias("expired"),
+    ).orderBy("ingest")
+
+
+def zonemap_rollback(
+    spark: SparkSession,
+    location: str,
+    to_ingest: int,
+) -> dict:
+    """Roll the layout back to the snapshot AS OF ``to_ingest`` (the
+    Iceberg ``rollback_to_snapshot`` shape): every commit ABOVE the
+    cut — manifest deltas, delete-manifest deltas, their data /
+    delete-file / equality-delete directories, and their commit-log
+    entries — is removed, in DESCENDING ingest order so a crash
+    mid-walk leaves a valid intermediate snapshot and re-running
+    converges. Readers planned before the rollback recompute (the
+    optimistic-commit validation notices the delta set changed);
+    pending appends keep their claimed ids and land ABOVE the cut as
+    ordinary new commits.
+
+    Guards: the cut must be at or above the fold/vacuum expiry floor
+    (those snapshots' deltas are gone — nothing to roll back TO), at
+    or above the oldest committed id (a table cannot roll back past
+    its first snapshot), and no tag may point above the cut (drop the
+    tag first — tags are retention promises). Exclusive against
+    other whole-layout writers via the shared
+    :class:`_LayoutWriterLease`.
+
+    Only COMMITTED ids are swept: an in-flight writer's claimed-but-
+    unpublished id keeps its staged data (the same discipline
+    vacuum's stranded sweep applies above the fold horizon).
+
+    Returns {"rolled_back_to", "n_commits_removed",
+    "removed_ingests"}."""
+    from reair_spark.fs import fs_for, fs_rmtree
+
+    loc = location.rstrip("/")
+    _recover_layout(loc)
+    meta = _read_layout_meta(loc)
+    if meta is None:
+        raise ValueError(f"{loc} has no {LAYOUT_META}; rollback needs "
+                         "a descriptor-bearing layout")
+    to_ingest = int(to_ingest)
+    with _LayoutWriterLease(loc, "rollback"):
+        man_ids, dv_ids = _commit_snapshot(loc)
+        all_ids = sorted(set(man_ids) | set(dv_ids))
+        if not all_ids:
+            raise ValueError(f"layout {loc} has no committed "
+                             "snapshot to roll back")
+        floor = _expiry_floor(meta)
+        if to_ingest < floor:
+            raise ValueError(
+                f"cannot roll back to ingest {to_ingest}: snapshots "
+                f"below {floor} are expired (fold/vacuum horizon)"
+            )
+        if to_ingest < min(all_ids):
+            raise ValueError(
+                f"cannot roll back to ingest {to_ingest}: the oldest "
+                f"committed snapshot is {min(all_ids)}"
+            )
+        bad_tags = {n: i for n, i in (meta.get("tags") or {}).items()
+                    if int(i) > to_ingest}
+        if bad_tags:
+            raise ValueError(
+                f"cannot roll back to ingest {to_ingest}: tags point "
+                f"above the cut ({bad_tags}) — drop them first"
+            )
+        doomed = [i for i in all_ids if i > to_ingest]
+        fs = fs_for(loc)
+        for i in sorted(doomed, reverse=True):
+            # accounting first (readers stop constructing these
+            # paths), then the directories those deltas referenced,
+            # then the log entry — each id's removal is a complete
+            # valid snapshot step
+            for sub in ("manifest", DMANIFEST_DIR):
+                p = f"{loc}/{sub}/ingest={i}"
+                if fs.isdir(p):
+                    fs_rmtree(fs, p)
+            for sub in ("data", DELETES_DIR, EQ_DELETES_DIR):
+                p = f"{loc}/{sub}/ingest={i}"
+                if fs.isdir(p):
+                    fs_rmtree(fs, p)
+            for f_ in (f"{loc}/{LOG_DIR}/{i}.json",
+                       f"{loc}/_staging/claims/ingest-{i}"):
+                try:
+                    fs.unlink(f_)
+                except (FileNotFoundError, OSError):
+                    pass
+        return {"rolled_back_to": to_ingest,
+                "n_commits_removed": len(doomed),
+                "removed_ingests": doomed}
 
 
 def _bucket_reader(
