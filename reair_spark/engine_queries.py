@@ -4714,3 +4714,193 @@ SELECT CAST(1 AS BIGINT) AS inc_ok,
        (SELECT CAST(count(*) AS BIGINT) FROM mut) AS final_rows,
        (SELECT round(sum(p), 2) FROM mut) AS final_revenue
 """
+
+def zonemap_snapshot_refs(spark: SparkSession, sf: str) -> DataFrame:
+    """Snapshot history + timestamp/tag time travel through the
+    correctness gate (the Iceberg snapshot-log / tag-reference shape;
+    the reference's append-only audit-id discipline generalized to
+    named and wall-clock reads): seed three-quarters of orders
+    (tagged 'seed'), append the rest, then MOR-delete a price band —
+    three commits, each logged with a first-writer-wins wall time.
+    The gate pins that (a) the TAG read, the ingest-id cut, and the
+    TIMESTAMP cut captured between commits all resolve to the same
+    snapshot (``ts_resolution_ok`` — one redated or skipped commit
+    log entry breaks it), (b) ``zonemap_history`` classifies the
+    three commits from their deltas' own shape, and (c) the current
+    read nets the MOR delete out. At 100 TB the history/resolution
+    path is pure metadata — O(commits) tiny JSON reads plus one
+    manifest-sized group-by, never a data scan."""
+    import atexit
+    import shutil
+    import tempfile
+    import time
+
+    from reair_spark.sources import (
+        append_zonemapped,
+        write_zonemapped,
+        zonemap_delete,
+        zonemap_history,
+        zonemap_resolve_snapshot,
+        zonemap_scan,
+        zonemap_tag,
+    )
+
+    o = _t(spark, sf, "orders").select(
+        "o_orderkey", "o_totalprice"
+    ).withColumn("bucket", F.pmod("o_orderkey", F.lit(16)))
+    seed = o.filter(F.pmod("o_orderkey", F.lit(4)) != 3)
+    rest = o.filter(F.pmod("o_orderkey", F.lit(4)) == 3)
+
+    run = tempfile.mkdtemp(prefix="reair_ztt_")
+    atexit.register(shutil.rmtree, run, ignore_errors=True)
+    layout = f"{run}/layout"
+    stat_cols = ["o_orderkey", "o_totalprice"]
+    write_zonemapped(seed, layout, "bucket", stat_cols=stat_cols)
+    zonemap_tag(layout, "seed")
+    time.sleep(0.01)
+    t_seed = int(time.time() * 1000)
+    time.sleep(0.01)
+    append_zonemapped(rest, layout, "bucket", stat_cols, ingest_id=1)
+    time.sleep(0.01)
+    t_full = int(time.time() * 1000)
+    time.sleep(0.01)
+    zonemap_delete(spark, layout,
+                   predicates=[("o_totalprice", 100_000.0, 200_000.0)],
+                   mode="mor")
+
+    hist = zonemap_history(spark, layout).collect()
+    ops = ",".join(r["operation"] for r in hist)
+    ts_ok = (
+        zonemap_resolve_snapshot(layout, ts=t_seed) == 0
+        and zonemap_resolve_snapshot(layout, ts=t_full) == 1
+        and all(r["committed_at"] is not None for r in hist)
+        and [r["ingest"] for r in hist] == [0, 1, 2]
+    )
+    tagged, _ = zonemap_scan(spark, layout, tag="seed")
+    cur, _ = zonemap_scan(spark, layout)
+    a = tagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_seed"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_seed"),
+    )
+    b = cur.agg(
+        F.count(F.lit(1)).cast("long").alias("n_now"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_now"),
+    )
+    return a.crossJoin(b).select(
+        "n_seed", "sum_seed", "n_now", "sum_now",
+        F.lit(bool(ts_ok)).alias("ts_resolution_ok"),
+        F.lit(ops).alias("history_ops"),
+    )
+
+
+ENGINE_QUERIES["zonemap_snapshot_refs"] = zonemap_snapshot_refs
+ENGINE_ORACLES["zonemap_snapshot_refs"] = """
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM orders
+        WHERE o_orderkey % 4 <> 3) AS n_seed,
+       (SELECT round(sum(o_totalprice), 2) FROM orders
+        WHERE o_orderkey % 4 <> 3) AS sum_seed,
+       (SELECT CAST(count(*) AS BIGINT) FROM orders
+        WHERE o_totalprice NOT BETWEEN 100000.0 AND 200000.0)
+           AS n_now,
+       (SELECT round(sum(o_totalprice), 2) FROM orders
+        WHERE o_totalprice NOT BETWEEN 100000.0 AND 200000.0)
+           AS sum_now,
+       TRUE AS ts_resolution_ok,
+       'append,append,delete' AS history_ops
+"""
+
+
+def zonemap_rollback_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """Rollback through the correctness gate (the Iceberg
+    rollback_to_snapshot shape): seed orders, land a poisoned append
+    AND a MOR delete on top, roll back to the seed — both commits'
+    deltas, data dirs, delete files, and log entries are removed in
+    descending order — then append a clean wave and read the final
+    state. The gate pins that the post-rollback scan AND metadata
+    count equal the untouched seed (a leaked DV or stale accounting
+    row breaks both), that exactly two commits were removed, and
+    that the freed ingest ids are reusable by the later append. At
+    100 TB rollback is metadata work plus deletion of exactly the
+    rolled-back ingests' directories — no surviving data is read or
+    rewritten."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from reair_spark.sources import (
+        append_zonemapped,
+        write_zonemapped,
+        zonemap_count,
+        zonemap_delete,
+        zonemap_history,
+        zonemap_rollback,
+        zonemap_scan,
+    )
+
+    o = _t(spark, sf, "orders").select(
+        "o_orderkey", "o_totalprice"
+    ).withColumn("bucket", F.pmod("o_orderkey", F.lit(16)))
+    mk = o.agg(F.max("o_orderkey")).first()[0]
+
+    run = tempfile.mkdtemp(prefix="reair_zrb_")
+    atexit.register(shutil.rmtree, run, ignore_errors=True)
+    layout = f"{run}/layout"
+    stat_cols = ["o_orderkey", "o_totalprice"]
+    write_zonemapped(o, layout, "bucket", stat_cols=stat_cols)
+    poison = o.select(
+        (F.col("o_orderkey") + F.lit(int(mk))).alias("o_orderkey"),
+        (F.col("o_totalprice") + F.lit(1e9)).alias("o_totalprice"),
+        "bucket",
+    )
+    append_zonemapped(poison, layout, "bucket", stat_cols, ingest_id=1)
+    zonemap_delete(spark, layout,
+                   predicates=[("o_totalprice", 0.0, 50_000.0)],
+                   mode="mor")
+    st = zonemap_rollback(spark, layout, 0)
+
+    rb, _ = zonemap_scan(spark, layout)
+    meta_count, _ = zonemap_count(spark, layout)
+    a = rb.agg(
+        F.count(F.lit(1)).cast("long").alias("n_after_rollback"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_after_rollback"),
+    )
+    wave = o.filter(F.pmod("o_orderkey", F.lit(10)) == 7).select(
+        (F.col("o_orderkey") + F.lit(int(mk))).alias("o_orderkey"),
+        (F.col("o_totalprice") + F.lit(5e6)).alias("o_totalprice"),
+        "bucket",
+    )
+    append_zonemapped(wave, layout, "bucket", stat_cols, ingest_id=1)
+    cur, _ = zonemap_scan(spark, layout)
+    hist = zonemap_history(spark, layout).collect()
+    b = cur.agg(
+        F.count(F.lit(1)).cast("long").alias("n_final"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_final"),
+    )
+    return a.crossJoin(b).select(
+        "n_after_rollback", "sum_after_rollback",
+        F.lit(int(st["n_commits_removed"])).cast("long")
+        .alias("n_commits_removed"),
+        F.lit(int(meta_count)).cast("long").alias("meta_count"),
+        "n_final", "sum_final",
+        F.lit(",".join(r["operation"] for r in hist))
+        .alias("history_ops"),
+    )
+
+
+ENGINE_QUERIES["zonemap_rollback_scan"] = zonemap_rollback_scan
+ENGINE_ORACLES["zonemap_rollback_scan"] = """
+WITH wave AS (
+  SELECT o_totalprice + 5000000 AS p FROM orders
+  WHERE o_orderkey % 10 = 7)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM orders)
+           AS n_after_rollback,
+       (SELECT round(sum(o_totalprice), 2) FROM orders)
+           AS sum_after_rollback,
+       CAST(2 AS BIGINT) AS n_commits_removed,
+       (SELECT CAST(count(*) AS BIGINT) FROM orders) AS meta_count,
+       (SELECT CAST(count(*) AS BIGINT) FROM orders)
+         + (SELECT CAST(count(*) AS BIGINT) FROM wave) AS n_final,
+       (SELECT round((SELECT sum(o_totalprice) FROM orders)
+                     + (SELECT sum(p) FROM wave), 2)) AS sum_final,
+       'append,append' AS history_ops
+"""

@@ -4077,9 +4077,12 @@ def zonemap_history(
                      "n_buckets", "n_rows")
         )
     if _scandir_or_empty(fs, f"{loc}/{LOG_DIR}"):
+        # glob the entry files, not the directory: the dir's leading
+        # underscore trips Spark's hidden-path warning (the read still
+        # works, but the glob form is contract-clean)
         log = spark.read.schema(
             "ingest long, ts_ms long, subdir string"
-        ).json(fs_spark_path(f"{loc}/{LOG_DIR}")).select(
+        ).json(fs_spark_path(f"{loc}/{LOG_DIR}/*.json")).select(
             F.col("ingest").cast("int").alias("ingest"),
             F.timestamp_millis(F.col("ts_ms")).alias("committed_at"),
         )
