@@ -4904,3 +4904,213 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM orders)
                      + (SELECT sum(p) FROM wave), 2)) AS sum_final,
        'append,append' AS history_ops
 """
+
+
+def zonemap_wap_publish(spark: SparkSession, sf: str) -> DataFrame:
+    """Write-audit-publish through the correctness gate (the Iceberg
+    WAP / branch-commit shape): three-quarters of orders seed the
+    layout, the last quarter lands STAGED — fully written (data +
+    delta + log entry) but invisible to scan, metadata count, and the
+    change feed — while the audit read sees exactly its rows. A
+    poisoned wave is staged and ABORTED (its residue removed, the
+    table untouched), then the good commit publishes with one
+    metadata-only descriptor flip and every reader sees it. At 100 TB
+    the publish gates a petabyte ingest on a JSON CAS — zero bytes
+    move between audit pass and visibility."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from reair_spark.sources import (
+        append_zonemapped,
+        write_zonemapped,
+        zonemap_abort_staged,
+        zonemap_changes,
+        zonemap_count,
+        zonemap_publish_staged,
+        zonemap_scan,
+        zonemap_scan_staged,
+    )
+
+    o = _t(spark, sf, "orders").select(
+        "o_orderkey", "o_totalprice"
+    ).withColumn("bucket", F.pmod("o_orderkey", F.lit(16)))
+    seed = o.filter(F.pmod("o_orderkey", F.lit(4)) != 3)
+    rest = o.filter(F.pmod("o_orderkey", F.lit(4)) == 3)
+    mk = o.agg(F.max("o_orderkey")).first()[0]
+
+    run = tempfile.mkdtemp(prefix="reair_zwap_")
+    atexit.register(shutil.rmtree, run, ignore_errors=True)
+    layout = f"{run}/layout"
+    stat_cols = ["o_orderkey", "o_totalprice"]
+    write_zonemapped(seed, layout, "bucket", stat_cols=stat_cols)
+    append_zonemapped(rest, layout, "bucket", stat_cols, ingest_id=1,
+                      staged=True)
+    n_vis_staged, _ = zonemap_count(spark, layout)
+    cdf, cst = zonemap_changes(spark, layout, 0)
+    cdf_quiet = int(cdf.count()) == 0 and cst["n_commits"] == 0
+    audit = zonemap_scan_staged(spark, layout, 1).agg(
+        F.count(F.lit(1)).cast("long").alias("n_audit"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_audit"),
+    )
+    poison = o.select(
+        (F.col("o_orderkey") + F.lit(int(mk))).alias("o_orderkey"),
+        (F.col("o_totalprice") + F.lit(1e9)).alias("o_totalprice"),
+        "bucket",
+    )
+    append_zonemapped(poison, layout, "bucket", stat_cols,
+                      ingest_id=2, staged=True)
+    zonemap_abort_staged(layout, 2)
+    zonemap_publish_staged(layout, 1)
+    n_final_meta, _ = zonemap_count(spark, layout)
+    cur, _ = zonemap_scan(spark, layout)
+    fin = cur.agg(
+        F.count(F.lit(1)).cast("long").alias("n_final"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_final"),
+    )
+    return audit.crossJoin(fin).select(
+        F.lit(int(n_vis_staged)).cast("long").alias("n_while_staged"),
+        F.lit(bool(cdf_quiet)).alias("cdf_quiet_while_staged"),
+        "n_audit", "sum_audit",
+        F.lit(int(n_final_meta)).cast("long").alias("n_final_meta"),
+        "n_final", "sum_final",
+    )
+
+
+ENGINE_QUERIES["zonemap_wap_publish"] = zonemap_wap_publish
+ENGINE_ORACLES["zonemap_wap_publish"] = """
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM orders
+        WHERE o_orderkey % 4 <> 3) AS n_while_staged,
+       TRUE AS cdf_quiet_while_staged,
+       (SELECT CAST(count(*) AS BIGINT) FROM orders
+        WHERE o_orderkey % 4 = 3) AS n_audit,
+       (SELECT round(sum(o_totalprice), 2) FROM orders
+        WHERE o_orderkey % 4 = 3) AS sum_audit,
+       (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_final_meta,
+       (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_final,
+       (SELECT round(sum(o_totalprice), 2) FROM orders) AS sum_final
+"""
+
+
+def stream_cdf_sync(spark: SparkSession, sf: str) -> DataFrame:
+    """STREAMING change-feed consumption through the correctness gate
+    (the Delta readChangeFeed-stream shape): a checkpointed pump
+    (``stream_zonemap_changes``) seeds the dest from the source
+    snapshot as its initial batch, three heterogeneous commits land
+    on the source (append of new keys, a COW range delete, an
+    equality upsert), one pump call syncs all three through
+    ``zonemap_cdf_apply`` — change rows + the dest's affected buckets
+    only — and a THIRD call proves the checkpoint: caught up, zero
+    commits, nothing re-applied. The digest pins dest≡source
+    (bidirectional multiset equality) plus closed-form totals; the
+    offset lives in a tiny JSON advanced only AFTER each apply, so
+    the crash window replays into an idempotent range-apply."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from reair_spark.sources import (
+        _claim_ingest_id,
+        append_zonemapped,
+        write_zonemapped,
+        zonemap_delete,
+        zonemap_scan,
+        zonemap_upsert_mor,
+    )
+    from reair_spark.streaming import (
+        stream_zonemap_changes,
+        zonemap_cdf_apply,
+    )
+
+    o = _t(spark, sf, "orders").select(
+        "o_orderkey", "o_totalprice"
+    ).withColumn("bucket", F.pmod("o_orderkey", F.lit(16)))
+    mk = int(o.agg(F.max("o_orderkey")).first()[0])
+
+    run = tempfile.mkdtemp(prefix="reair_cdfstream_")
+    atexit.register(shutil.rmtree, run, ignore_errors=True)
+    src, dest, cp = f"{run}/src", f"{run}/dest", f"{run}/cp"
+    stat_cols = ["o_orderkey", "o_totalprice"]
+    write_zonemapped(o, src, "bucket", stat_cols=stat_cols)
+
+    def apply_fn(batch, from_i, to_i):
+        if from_i == -1:
+            write_zonemapped(
+                batch.drop("_change_type", "_commit_ingest"),
+                dest, "bucket", stat_cols=stat_cols,
+            )
+        else:
+            zonemap_cdf_apply(spark, src, dest, from_i, to_i)
+
+    def pump():
+        return stream_zonemap_changes(spark, src, cp, apply_fn)
+
+    seed_st = pump()
+    append_zonemapped(
+        o.filter(F.pmod("o_orderkey", F.lit(10)) == 6).select(
+            (F.col("o_orderkey") + F.lit(mk)).alias("o_orderkey"),
+            F.lit(2.0).cast("double").alias("o_totalprice"),
+            F.pmod(F.col("o_orderkey") + F.lit(mk), F.lit(16))
+            .alias("bucket"),
+        ),
+        src, "bucket", stat_cols, ingest_id=_claim_ingest_id(src),
+    )
+    zonemap_delete(spark, src,
+                   predicates=[("o_totalprice", 900.0, 5000.0)],
+                   mode="cow")
+    zonemap_upsert_mor(
+        spark, src,
+        o.filter(F.pmod("o_orderkey", F.lit(10)) == 8).withColumn(
+            "o_totalprice", F.col("o_totalprice") + 20_000_000
+        ),
+        key_cols=["o_orderkey"],
+    )
+    sync_st = pump()
+    noop_st = pump()
+    cols = ["o_orderkey", "o_totalprice", "bucket"]
+    s_now, _ = zonemap_scan(spark, src)
+    d_now, _ = zonemap_scan(spark, dest)
+    s_now, d_now = s_now.select(*cols), d_now.select(*cols)
+    in_sync = (s_now.exceptAll(d_now).count() == 0
+               and d_now.exceptAll(s_now).count() == 0)
+    agg = d_now.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+    return agg.select(
+        "n_rows", "sum_price",
+        F.lit(seed_st["from_ingest"] == -1
+              and seed_st["to_ingest"] == 0).alias("seed_ok"),
+        F.lit(sync_st["n_commits"]).cast("long")
+        .alias("n_commits_synced"),
+        F.lit(noop_st["n_commits"] == 0).alias("caught_up"),
+        F.lit(in_sync).alias("in_sync"),
+    )
+
+
+ENGINE_QUERIES["stream_cdf_sync"] = stream_cdf_sync
+ENGINE_ORACLES["stream_cdf_sync"] = """
+WITH o AS (SELECT o_orderkey, o_totalprice FROM orders),
+mx AS (SELECT max(o_orderkey) AS mk FROM o),
+final AS (
+  -- upserted keys (%10=8): re-priced, present regardless of the
+  -- delete (the upsert re-inserts them after it)
+  SELECT o_orderkey, o_totalprice + 20000000 AS p FROM o
+  WHERE o_orderkey % 10 = 8
+  UNION ALL
+  -- everything else survives unless the COW delete caught it
+  SELECT o_orderkey, o_totalprice FROM o
+  WHERE o_orderkey % 10 != 8
+    AND NOT (o_totalprice >= 900.0 AND o_totalprice <= 5000.0)
+  UNION ALL
+  -- appended new keys (price 2.0 is outside the delete range)
+  SELECT o_orderkey + (SELECT mk FROM mx), 2.0 FROM o
+  WHERE o_orderkey % 10 = 6)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       round(sum(p), 2) AS sum_price,
+       TRUE AS seed_ok,
+       CAST(3 AS BIGINT) AS n_commits_synced,
+       TRUE AS caught_up,
+       TRUE AS in_sync
+FROM final
+"""

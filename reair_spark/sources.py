@@ -859,6 +859,7 @@ def append_zonemapped(
     bucket_expr: str | None = None,
     auto_fold_at: int | None = None,
     spec: list[str] | None = None,
+    staged: bool = False,
     _replaces: bool = False,
     _tombstone_buckets: list | None = None,
     _eq_key_cols: list[str] | None = None,
@@ -890,6 +891,17 @@ def append_zonemapped(
     rows for buckets the rewrite EMPTIED (a delete can erase a whole
     bucket; without a tombstone the plan would fall back to the stale
     pre-delete delta rows).
+
+    ``staged=True`` is the write-audit-publish shape (Iceberg WAP /
+    branch commit): the ingest lands fully — data, delta, commit-log
+    entry — but its id is recorded as STAGED in the descriptor
+    (CAS'd BEFORE the delta publishes, so no reader window sees it
+    live), invisible to every scan/count/change-feed until
+    :func:`zonemap_publish_staged` flips it visible with one
+    metadata-only descriptor CAS; :func:`zonemap_scan_staged` is the
+    audit read, :func:`zonemap_abort_staged` the clean discard. At
+    100 TB the publish step moves zero bytes — validation pipelines
+    gate petabyte ingests on a JSON flip.
 
     ``auto_fold_at`` closes the batch-writer maintenance loop
     (VERDICT r12 ask #8): streaming ingestion already has
@@ -1273,6 +1285,21 @@ def append_zonemapped(
         )
         meta = _read_layout_meta(loc) or meta
     manifest = manifest.withColumn("replaces", F.lit(bool(_replaces)))
+    if staged:
+        # write-audit-publish: the id is recorded as STAGED in the
+        # descriptor BEFORE its delta lands, so no reader window ever
+        # sees the commit live — a crash between the two leaves a
+        # staged id with no delta (abort/recover sweeps it), never a
+        # silently-published one
+        sid = int(ingest_id)
+
+        def _stage(m):
+            cur = list((m or {}).get("staged_ingests") or [])
+            if sid in cur:
+                return None
+            return dict(m or {}, staged_ingests=sorted(cur + [sid]))
+
+        _meta_cas_update(loc, _stage)
     _publish_delta(manifest, loc, int(ingest_id), serde)
     if auto_fold_at is not None and len(
         _manifest_delta_ids(loc)
@@ -1429,6 +1456,12 @@ def zonemap_compact(
             f"and would strand tags {sorted(meta['tags'])} — drop "
             "them first (zonemap_drop_tag)"
         )
+    if meta and (meta.get("staged_ingests") or []):
+        raise ValueError(
+            f"zonemap_compact on {loc} would destroy staged "
+            f"(write-audit-publish) commits "
+            f"{meta['staged_ingests']} — publish or abort them first"
+        )
     with _LayoutWriterLease(loc, "compact"):
         delta_ids = [
             int(e.name.split("=", 1)[1])
@@ -1543,6 +1576,12 @@ def zonemap_recluster(
             f"zonemap_recluster on {loc} starts a new table "
             f"generation and would strand tags "
             f"{sorted(meta['tags'])} — drop them first"
+        )
+    if meta.get("staged_ingests") or []:
+        raise ValueError(
+            f"zonemap_recluster on {loc} would destroy staged "
+            f"(write-audit-publish) commits "
+            f"{meta['staged_ingests']} — publish or abort them first"
         )
     with _LayoutWriterLease(loc, "recluster"):
         delta_ids = [
@@ -1669,11 +1708,16 @@ def zonemap_rewrite_manifests(
         )
     fs = fs_for(loc)
     with _LayoutWriterLease(loc, "fold"):
+        staged_ids = {int(i)
+                      for i in (meta.get("staged_ingests") or [])}
         delta_ids = [
             int(e.name.split("=", 1)[1])
             for e in _scandir_or_empty(fs, f"{loc}/manifest")
             if e.name.startswith("ingest=")
             and e.name.split("=", 1)[1].isdigit()
+            # staged (write-audit-publish) deltas are not part of any
+            # snapshot yet: the fold neither absorbs nor removes them
+            and int(e.name.split("=", 1)[1]) not in staged_ids
         ]
         if len(delta_ids) <= 1:
             return {"deltas_before": len(delta_ids),
@@ -1690,6 +1734,19 @@ def zonemap_rewrite_manifests(
             .withColumn("replaces", F.lit(True))
         )
         fold_id = max(delta_ids)
+        low_staged = sorted(i for i in staged_ids if i < fold_id)
+        if low_staged:
+            # the folded delta publishes with replaces=true at
+            # fold_id: a staged commit BELOW it would be superseded
+            # the moment it publishes — silently lost. Refuse; the
+            # normal WAP flow stages only at the head, where
+            # fold_id = max(non-staged) sits below every staged id.
+            raise ValueError(
+                f"rewrite_manifests on {loc}: staged commits "
+                f"{low_staged} sit below the fold id {fold_id} and "
+                "would be superseded on publish — publish or abort "
+                "them first"
+            )
         low_tags = {n: int(i)
                     for n, i in (meta.get("tags") or {}).items()
                     if int(i) < fold_id}
@@ -1721,9 +1778,18 @@ def zonemap_rewrite_manifests(
 
         meta = _meta_cas_update(loc, _horizons)
         _publish_delta(folded, loc, fold_id, serde)
+        dm_live = set(_dmanifest_delta_ids(loc))
         for i in sorted(delta_ids):
             if i != fold_id:
                 fs_rmtree(fs, f"{loc}/manifest/ingest={i}")
+                if i not in dm_live:
+                    # the folded-away id's commit-log entry indexes a
+                    # snapshot that no longer exists — sweep it so the
+                    # log stays O(live deltas), not O(ingest history)
+                    try:
+                        fs.unlink(f"{loc}/{LOG_DIR}/{i}.json")
+                    except (FileNotFoundError, OSError):
+                        pass
         return {"deltas_before": len(delta_ids), "deltas_after": 1,
                 "fold_ingest": fold_id}
 
@@ -2253,6 +2319,141 @@ def zonemap_upsert_mor(
     )
 
 
+def zonemap_delete_by_key(
+    spark: SparkSession,
+    location: str,
+    keys: DataFrame,
+    key_cols: list[str],
+    ingest_id: int | None = None,
+) -> dict:
+    """KEY-ONLY merge-on-read deletion (the GDPR-erasure shape;
+    Iceberg equality-delete files with no accompanying data): the
+    given key tuples land as one equality-delete commit — per-bucket
+    key files under ``edeletes/ingest=<i>/`` plus a zero-row manifest
+    delta carrying the accounting — and every read masks ALL prior
+    versions of those keys. Nothing is read and nothing is rewritten:
+    erasing 10³ users from a 100 TB table writes kilobytes, the
+    physical purge rides the next :func:`zonemap_compact` /
+    :func:`zonemap_vacuum` cycle exactly as Iceberg pairs equality
+    deletes with compaction. (Contrast :func:`zonemap_delete`, which
+    deletes by PREDICATE: positional DVs need a data pass to find
+    row addresses; a key predicate already IS the delete file.)
+
+    Same contracts as :func:`zonemap_upsert_mor`: the clustering
+    column must be functionally dependent on ``key_cols`` and present
+    in ``keys`` (or derivable via the recorded ``bucket_expr``),
+    parquet/orc manifests only, key columns must match the layout's
+    recorded equality-key set, counts on masked buckets demote to
+    exact residual scans, and the change feed reports the erased
+    rows as deletes via the commit's own key files. ``ingest_id``
+    pins the commit for streaming replay; batch callers get a
+    claimed id with optimistic validation.
+
+    Returns {"n_keys_deleted", "n_buckets_affected", "ingest_id"}."""
+    from pyspark.sql import functions as F
+
+    from reair_spark.fs import fs_spark_path
+
+    loc = location.rstrip("/")
+    _recover_layout(loc)
+    meta = _read_layout_meta(loc)
+    if meta is None:
+        raise ValueError(f"{loc} has no {LAYOUT_META}; delete-by-key "
+                         "needs a descriptor-bearing layout")
+    serde = _layout_serde(loc, meta["serde"])
+    if SERDE_FORMATS.get(serde, serde) not in ("parquet", "orc"):
+        raise ValueError(
+            "equality deletes need a parquet/orc manifest; this "
+            f"layout's serde is {serde!r} — use zonemap_delete "
+            "(mode='cow')"
+        )
+    bucket_col = meta["bucket_col"]
+    if bucket_col not in keys.columns:
+        if meta.get("bucket_expr"):
+            keys = keys.withColumn(bucket_col,
+                                   F.expr(meta["bucket_expr"]))
+        else:
+            raise ValueError(
+                f"keys must carry the clustering column "
+                f"{bucket_col!r} (or the layout must record a "
+                "bucket_expr)"
+            )
+    missing = [c for c in key_cols if c not in keys.columns]
+    if missing:
+        raise ValueError(f"delete keys {missing} are not columns of "
+                         "the keys frame")
+    rec_keys = meta.get("eq_key_cols")
+    if rec_keys is not None and list(rec_keys) != list(key_cols):
+        raise ValueError(
+            f"delete-by-key on {loc} conflicts with its recorded "
+            f"equality-delete keys: layout={rec_keys!r} "
+            f"caller={list(key_cols)!r}"
+        )
+    keys = keys.select(bucket_col, *key_cols).distinct() \
+        .localCheckpoint(eager=True)
+
+    def _commit(iid: int) -> dict:
+        kd = keys.withColumn("ingest", F.lit(int(iid)))
+        write_partitioned(
+            kd, fs_spark_path(f"{loc}/{EQ_DELETES_DIR}"),
+            ["ingest", bucket_col], serde="parquet", dynamic=True,
+        )
+        # the accounting delta: zero data rows, per-bucket key counts
+        # — published AFTER the key files, so the commit point is the
+        # delta rename (readers see neither half or both); built from
+        # the readback of what actually landed (replay-exact)
+        eqc = (
+            spark.read.option(
+                "basePath", fs_spark_path(f"{loc}/{EQ_DELETES_DIR}")
+            )
+            .parquet(fs_spark_path(
+                f"{loc}/{EQ_DELETES_DIR}/ingest={int(iid)}"
+            ))
+            # manifest bucket values are STRINGS (partition-value
+            # convention, same cast every delta writer applies)
+            .groupBy(F.col(bucket_col).cast("string")
+                     .alias(bucket_col))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_eq_keys"))
+            .select(
+                bucket_col,
+                F.lit(0).cast("long").alias("n_rows"),
+                "n_eq_keys",
+                F.lit(False).alias("replaces"),
+            )
+        )
+        _meta_cas_update(
+            loc,
+            lambda m: (
+                dict(m or {}, eq_deletes=True,
+                     eq_key_cols=list(key_cols))
+                if not (m or {}).get("eq_deletes")
+                or (m or {}).get("eq_key_cols") != list(key_cols)
+                else None
+            ),
+        )
+        _publish_delta(eqc, loc, int(iid), serde)
+        totals = eqc.agg(
+            F.coalesce(F.sum("n_eq_keys"), F.lit(0)),
+            F.count(F.lit(1)),
+        ).first()
+        return {"n_keys_deleted": int(totals[0]),
+                "n_buckets_affected": int(totals[1]),
+                "ingest_id": int(iid)}
+
+    if ingest_id is not None:
+        return _commit(int(ingest_id))
+    for _attempt in range(5):
+        base = _commit_snapshot(loc)
+        iid = _claim_ingest_id(loc)
+        if _commit_snapshot(loc) != base:
+            continue
+        return _commit(iid)
+    raise RuntimeError(
+        f"zonemap_delete_by_key on {loc}: commit validation failed 5 "
+        "times under concurrent writes — serialize writers"
+    )
+
+
 def zonemap_overwrite(
     spark: SparkSession,
     location: str,
@@ -2765,7 +2966,18 @@ def zonemap_vacuum(
             reader = reader.option("mergeSchema", "true")  # mixed deltas
         raw = reader.load(fs_spark_path(f"{loc}/manifest"))
         bucket_col = raw.columns[0]
-        current_max = raw.agg(F.max("ingest")).first()[0]
+        staged_v = [int(i) for i in (meta.get("staged_ingests") or [])]
+        current_max = raw.where(
+            ~F.col("ingest").isin(staged_v) if staged_v else F.lit(True)
+        ).agg(F.max("ingest")).first()[0]
+        if current_max is None:
+            return {"n_dirs_removed": 0,
+                    "vacuumed_through":
+                        int(meta.get("vacuumed_through", -1)),
+                    "n_ingest_dirs_swept": 0}
+        # staged (write-audit-publish) ids never advance the horizon:
+        # they are not part of any snapshot yet — but their rows stay
+        # in `raw` below so every liveness test keeps their dirs
         horizon = int(current_max) - int(retention_ingests)
         tagged = [int(i) for i in (meta.get("tags") or {}).values()]
         if tagged:
@@ -2943,6 +3155,11 @@ def zonemap_vacuum(
                     if fs.isdir(p):
                         fs_rmtree(fs, p)
                         removed += 1
+                # the swept commit's log entry indexes nothing now
+                try:
+                    fs.unlink(f"{loc}/{LOG_DIR}/{d}.json")
+                except (FileNotFoundError, OSError):
+                    pass
         if (horizon >= 0 and "replaces" in raw.columns
                 and meta.get("eq_deletes")
                 and "n_eq_keys" in raw.columns
@@ -3151,6 +3368,12 @@ def _merged_manifest(
         # Manifest-sized, so reading every footer is metadata work.
         reader = reader.option("mergeSchema", "true")
     raw = reader.load(fs_spark_path(f"{loc}/manifest"))
+    staged = [int(i) for i in (meta.get("staged_ingests") or [])]
+    if staged:
+        # write-audit-publish commits are invisible until published:
+        # their deltas exist on disk (the audit step reads them by
+        # explicit id) but no ordinary or as-of read merges them
+        raw = raw.where(~F.col("ingest").isin(staged))
     if max_ingest is not None:
         # snapshots below the vacuum/fold horizons are EXPIRED: their
         # superseded dirs may already be deleted (vacuum) or their
@@ -3721,9 +3944,13 @@ def zonemap_changes(
             f"below ingest {floor} was folded/vacuumed/compacted away "
             f"— only change feeds from >= {floor} remain readable"
         )
+    staged_ids = {int(s) for s in (meta.get("staged_ingests") or [])}
     man_ids = [i for i in _manifest_delta_ids(loc)
                if i > int(from_ingest)
-               and (to_ingest is None or i <= int(to_ingest))]
+               and (to_ingest is None or i <= int(to_ingest))
+               # staged (write-audit-publish) commits are not part of
+               # any snapshot: the change feed must not leak them
+               and i not in staged_ids]
     dv_ids = [i for i in _dmanifest_delta_ids(loc)
               if i > int(from_ingest)
               and (to_ingest is None or i <= int(to_ingest))]
@@ -4055,7 +4282,11 @@ def zonemap_history(
     ).select(
         "ingest",
         F.when(F.col("__fold") == 1, F.lit("fold"))
-        .when(F.col("__eq") > 0, F.lit("upsert"))
+        .when((F.col("__eq") > 0) & (F.col("n_rows") > 0),
+              F.lit("upsert"))
+        # an equality commit with NO data rows is a key-only
+        # deletion (zonemap_delete_by_key)
+        .when(F.col("__eq") > 0, F.lit("delete"))
         .when(F.col("__repl") == 1, F.lit("rewrite"))
         .otherwise(F.lit("append")).alias("operation"),
         "n_buckets", "n_rows",
@@ -4076,13 +4307,20 @@ def zonemap_history(
             ).select("ingest", F.lit("delete").alias("operation"),
                      "n_buckets", "n_rows")
         )
-    if _scandir_or_empty(fs, f"{loc}/{LOG_DIR}"):
-        # glob the entry files, not the directory: the dir's leading
-        # underscore trips Spark's hidden-path warning (the read still
-        # works, but the glob form is contract-clean)
+    log_files = [
+        fs_spark_path(e.path)
+        for e in _scandir_or_empty(fs, f"{loc}/{LOG_DIR}")
+        if e.name.endswith(".json")
+    ]
+    if log_files:
+        # pass the entry FILES explicitly: the _log dir's leading
+        # underscore trips Spark's hidden-path filter when the dir
+        # (or a glob under it) is the input, while explicitly named
+        # files always read; the seam listing is O(commits), the
+        # same cardinality every delta-id listing already walks
         log = spark.read.schema(
             "ingest long, ts_ms long, subdir string"
-        ).json(fs_spark_path(f"{loc}/{LOG_DIR}/*.json")).select(
+        ).json(log_files).select(
             F.col("ingest").cast("int").alias("ingest"),
             F.timestamp_millis(F.col("ts_ms")).alias("committed_at"),
         )
@@ -4092,10 +4330,123 @@ def zonemap_history(
             "committed_at", F.lit(None).cast("timestamp")
         )
     floor = _expiry_floor(meta)
+    staged = [int(i) for i in (meta.get("staged_ingests") or [])]
     return per.select(
         "ingest", "committed_at", "operation", "n_buckets", "n_rows",
         (F.col("ingest") < F.lit(floor)).alias("expired"),
+        (F.col("ingest").isin(staged) if staged else F.lit(False))
+        .alias("staged"),
     ).orderBy("ingest")
+
+
+def zonemap_scan_staged(
+    spark: SparkSession,
+    location: str,
+    ingest_id: int,
+) -> DataFrame:
+    """AUDIT read of one staged (write-audit-publish) commit: the
+    rows that ingest's delta references — exactly what would become
+    visible on :func:`zonemap_publish_staged`. Reads only that
+    delta's own manifest rows and data directories (the staged commit
+    is an append, so its rows ARE its dirs — no snapshot merge
+    needed); refused for ids not currently staged, so an auditor can
+    never mistake a live commit for a pending one."""
+    from pyspark.sql import functions as F
+
+    from reair_spark.fs import fs_spark_path
+
+    loc = location.rstrip("/")
+    _recover_layout(loc)
+    meta = _read_layout_meta(loc) or {}
+    sid = int(ingest_id)
+    if sid not in {int(i) for i in meta.get("staged_ingests") or []}:
+        raise ValueError(
+            f"ingest {sid} is not staged on {loc} "
+            f"(staged: {meta.get('staged_ingests') or []})"
+        )
+    serde = _layout_serde(loc, "parquet")
+    fmt = SERDE_FORMATS.get(serde, serde)
+    r = spark.read.format(fmt)
+    if fmt in ("parquet", "orc"):
+        r = r.option("mergeSchema", "true")
+    delta = r.load(fs_spark_path(f"{loc}/manifest/ingest={sid}"))
+    bucket_col = delta.columns[0]
+    kept = [
+        {bucket_col: row[bucket_col], "n_rows": row["n_rows"],
+         "__ingests": [sid]}
+        for row in delta.where(F.col("n_rows") > 0)
+        .select(bucket_col, "n_rows").collect()
+    ]
+    return _bucket_reader(spark, loc, serde, kept, bucket_col)
+
+
+def zonemap_publish_staged(location: str, ingest_id: int) -> None:
+    """PUBLISH a staged (write-audit-publish) commit: one descriptor
+    CAS removes the id from ``staged_ingests`` and the already-landed
+    delta becomes visible to every reader atomically — the audit
+    pipeline's cherry-pick, zero data movement. Refused when the id
+    is not staged or its delta is missing (a crashed stage — abort
+    it instead)."""
+    from reair_spark.fs import fs_for
+
+    loc = location.rstrip("/")
+    _recover_layout(loc)
+    sid = int(ingest_id)
+    meta = _read_layout_meta(loc) or {}
+    if sid not in {int(i) for i in meta.get("staged_ingests") or []}:
+        raise ValueError(
+            f"ingest {sid} is not staged on {loc} "
+            f"(staged: {meta.get('staged_ingests') or []})"
+        )
+    if not fs_for(loc).isdir(f"{loc}/manifest/ingest={sid}"):
+        raise ValueError(
+            f"staged ingest {sid} on {loc} has no delta (the staging "
+            "write crashed) — zonemap_abort_staged it"
+        )
+
+    def _pub(m):
+        cur = [int(i) for i in (m or {}).get("staged_ingests", [])]
+        if sid not in cur:
+            return None
+        return dict(m or {},
+                    staged_ingests=[i for i in cur if i != sid])
+
+    _meta_cas_update(loc, _pub)
+
+
+def zonemap_abort_staged(location: str, ingest_id: int) -> None:
+    """ABORT a staged commit: remove its delta and data directories
+    and commit-log entry, THEN drop the descriptor record — while any
+    residue exists the id stays listed as staged, so no crash window
+    ever makes a half-removed commit visible. Idempotent."""
+    from reair_spark.fs import fs_for, fs_rmtree
+
+    loc = location.rstrip("/")
+    _recover_layout(loc)
+    sid = int(ingest_id)
+    meta = _read_layout_meta(loc) or {}
+    if sid not in {int(i) for i in meta.get("staged_ingests") or []}:
+        return
+    fs = fs_for(loc)
+    for sub in ("manifest", "data"):
+        p = f"{loc}/{sub}/ingest={sid}"
+        if fs.isdir(p):
+            fs_rmtree(fs, p)
+    for f_ in (f"{loc}/{LOG_DIR}/{sid}.json",
+               f"{loc}/_staging/claims/ingest-{sid}"):
+        try:
+            fs.unlink(f_)
+        except (FileNotFoundError, OSError):
+            pass
+
+    def _drop(m):
+        cur = [int(i) for i in (m or {}).get("staged_ingests", [])]
+        if sid not in cur:
+            return None
+        return dict(m or {},
+                    staged_ingests=[i for i in cur if i != sid])
+
+    _meta_cas_update(loc, _drop)
 
 
 def zonemap_rollback(
@@ -4182,6 +4533,18 @@ def zonemap_rollback(
                     fs.unlink(f_)
                 except (FileNotFoundError, OSError):
                     pass
+        if any(int(s) > to_ingest
+               for s in (meta.get("staged_ingests") or [])):
+            # staged (write-audit-publish) ids above the cut were
+            # swept with everything else — drop their descriptor
+            # records too
+            _meta_cas_update(
+                loc,
+                lambda m: dict(m or {}, staged_ingests=[
+                    int(s) for s in (m or {}).get("staged_ingests", [])
+                    if int(s) <= to_ingest
+                ]) if (m or {}).get("staged_ingests") else None,
+            )
         return {"rolled_back_to": to_ingest,
                 "n_commits_removed": len(doomed),
                 "removed_ingests": doomed}

@@ -983,3 +983,185 @@ def stream_zonemap_upsert(
         .start()
     )
     q.awaitTermination()
+
+
+def zonemap_cdf_apply(
+    spark: SparkSession,
+    src_location: str,
+    dest_location: str,
+    from_ingest: int,
+    to_ingest: int | None = None,
+) -> dict:
+    """Apply one change-feed RANGE of a source layout to a dest layout
+    (the Delta-CDF→downstream-sync primitive, factored out of the
+    cdf_incremental_sync gate so the streaming pump and any batch
+    syncer share one implementation): reads ONLY the change rows of
+    ``(from_ingest, to_ingest]`` plus the dest's affected buckets and
+    rewrites ONLY those buckets via ``zonemap_replace_buckets`` — at
+    100 TB a day of commits ships a day's diff, never a snapshot.
+    Requires src and dest to share the clustering column (the sync
+    seeds dest FROM src, so that holds by construction). Idempotent
+    per range: re-applying the same range rewrites the same buckets
+    to the same rows (the replay discipline every sink here lands
+    exactly-once on).
+
+    Returns {"n_commits", "n_changes", "n_buckets_synced"}."""
+    from pyspark.sql import functions as F
+
+    from reair_spark.sources import (
+        zonemap_changes,
+        zonemap_replace_buckets,
+        zonemap_scan,
+    )
+
+    ch, st = zonemap_changes(
+        spark, src_location, from_ingest=from_ingest,
+        to_ingest=to_ingest,
+    )
+    if st["n_commits"] == 0:
+        return {"n_commits": 0, "n_changes": 0, "n_buckets_synced": 0}
+    ch = ch.localCheckpoint(eager=True)
+    cols = [c for c in ch.columns
+            if c not in ("_change_type", "_commit_ingest")]
+    from reair_spark.sources import _read_layout_meta
+
+    bcol = (_read_layout_meta(dest_location.rstrip("/")) or {})[
+        "bucket_col"
+    ]
+    buckets = [str(r[0]) for r in
+               ch.select(F.col(bcol).cast("string"))
+               .distinct().collect()]
+    dest_cur, _ = zonemap_scan(spark, dest_location, buckets=buckets)
+    dels = ch.where("_change_type = 'delete'").select(*cols)
+    ins = ch.where("_change_type = 'insert'").select(*cols)
+    # multiset order matters across a RANGE of commits: a later
+    # commit may delete rows an earlier commit in the same range
+    # inserted (append then retention-delete), so the deletes must
+    # subtract from current ⊎ inserts — final = cur + Σins − Σdels
+    # is exact because every delete targets a row present in one of
+    # the two (the feed's own invariant)
+    new_view = (
+        dest_cur.select(*cols).unionByName(ins).exceptAll(dels)
+    ).localCheckpoint(eager=True)
+    rb = zonemap_replace_buckets(spark, dest_location, new_view,
+                                 buckets)
+    return {
+        "n_commits": st["n_commits"],
+        "n_changes": ch.count(),
+        "n_buckets_synced": rb["n_buckets_written"]
+        + rb["n_buckets_tombstoned"],
+    }
+
+
+def _cdf_offset_read(checkpoint_dir: str) -> int | None:
+    import json
+
+    from reair_spark.fs import fs_for
+
+    cp = checkpoint_dir.rstrip("/")
+    try:
+        with fs_for(cp).open_read(f"{cp}/cdf-offset.json") as fh:
+            return int(json.loads(fh.read().decode("utf-8"))[
+                "last_ingest"
+            ])
+    except (FileNotFoundError, ValueError, KeyError):
+        return None
+
+
+def _cdf_offset_write(checkpoint_dir: str, last_ingest: int) -> None:
+    import json
+    import uuid
+
+    from reair_spark.fs import fs_for
+
+    cp = checkpoint_dir.rstrip("/")
+    fs = fs_for(cp)
+    fs.mkdirs(cp)
+    tmp = f"{cp}/cdf-offset.json.tmp_{uuid.uuid4().hex[:8]}"
+    fh = fs.create(tmp)
+    fh.write(json.dumps({"last_ingest": int(last_ingest)})
+             .encode("utf-8"))
+    fs.flush_and_sync(fh)
+    fh.close()
+    fs.rename(tmp, f"{cp}/cdf-offset.json")
+
+
+def stream_zonemap_changes(
+    spark: SparkSession,
+    location: str,
+    checkpoint_dir: str,
+    apply_fn,
+    initial: str | int = "snapshot",
+) -> dict:
+    """Incrementally CONSUME a zonemap layout's change feed — the
+    streaming CDF source (Delta's ``readChangeFeed`` streaming shape,
+    expressed as the same micro-batch pump every external-offset
+    source here uses): each call reads the commits that landed since
+    the checkpointed offset, hands them to ``apply_fn(changes_df,
+    from_ingest, to_ingest)``, and advances the offset — AFTER the
+    apply, so a crash between the two replays the range and
+    exactly-once lands on the apply's idempotence (the same contract
+    as every foreachBatch sink in this module; pair with
+    :func:`zonemap_cdf_apply`, which is idempotent per range).
+
+    ``initial`` picks the first batch when no offset exists yet:
+    ``"snapshot"`` hands the current table state as one all-inserts
+    batch stamped with the current commit id (Delta's
+    startingVersion=0 semantics without replaying expired history);
+    ``"latest"`` skips existing data and consumes only future
+    commits; an int starts right after that ingest id (refused by
+    the feed itself when that history has been folded/vacuumed away
+    — the expireSnapshots contract).
+
+    The offset is a tiny JSON under ``checkpoint_dir`` written via
+    tmp+rename through the fs seam; the current head is the layout's
+    newest COMMITTED id (staged write-audit-publish commits are
+    invisible here exactly as they are to every reader — they enter
+    the feed only when published, at their publish order).
+
+    Returns {"from_ingest", "to_ingest", "n_commits"} for the call
+    (n_commits 0 = caught up; schedule the next call on the
+    ingestion cadence)."""
+    from pyspark.sql import functions as F
+
+    from reair_spark.sources import (
+        _dmanifest_delta_ids,
+        _manifest_delta_ids,
+        _read_layout_meta,
+        zonemap_changes,
+        zonemap_scan,
+    )
+
+    loc = location.rstrip("/")
+    meta = _read_layout_meta(loc) or {}
+    staged = {int(i) for i in meta.get("staged_ingests") or []}
+    committed = (set(_manifest_delta_ids(loc))
+                 | set(_dmanifest_delta_ids(loc))) - staged
+    head = max(committed) if committed else -1
+    offset = _cdf_offset_read(checkpoint_dir)
+    if offset is None:
+        if initial == "snapshot":
+            cur, _ = zonemap_scan(spark, loc)
+            batch = cur.drop("ingest").select(
+                "*",
+                F.lit("insert").alias("_change_type"),
+                F.lit(head).cast("int").alias("_commit_ingest"),
+            )
+            apply_fn(batch, -1, head)
+            _cdf_offset_write(checkpoint_dir, head)
+            return {"from_ingest": -1, "to_ingest": head,
+                    "n_commits": len(committed)}
+        if initial == "latest":
+            _cdf_offset_write(checkpoint_dir, head)
+            return {"from_ingest": head, "to_ingest": head,
+                    "n_commits": 0}
+        offset = int(initial)
+    if head <= offset:
+        return {"from_ingest": offset, "to_ingest": offset,
+                "n_commits": 0}
+    ch, st = zonemap_changes(spark, loc, from_ingest=offset,
+                             to_ingest=head)
+    apply_fn(ch, offset, head)
+    _cdf_offset_write(checkpoint_dir, head)
+    return {"from_ingest": offset, "to_ingest": head,
+            "n_commits": st["n_commits"]}
