@@ -5114,3 +5114,95 @@ SELECT CAST(count(*) AS BIGINT) AS n_rows,
        TRUE AS in_sync
 FROM final
 """
+
+
+def zonemap_key_erasure(spark: SparkSession, sf: str) -> DataFrame:
+    """Key-only merge-on-read deletion through the correctness gate
+    (the GDPR right-to-be-forgotten shape; Iceberg equality-delete
+    files with no data rows): every customer with ``c_custkey % 100
+    == 7`` is erased from a clustered customer layout by shipping
+    ONLY the key list — ``zonemap_delete_by_key`` writes per-bucket
+    key files plus a zero-row accounting delta, reads nothing,
+    rewrites nothing (``dirs_untouched`` pins the data tree). The
+    scan and the metadata COUNT net the masks out exactly, time
+    travel still sees the erased rows (the audit property), the
+    change feed reports each erased row as a delete, and the
+    compaction pass purges them physically with identical answers.
+    At 100 TB an erasure request costs kilobytes of keys — the
+    physical purge rides maintenance, exactly Iceberg's
+    eq-delete + rewrite_data_files split."""
+    import atexit
+    import os as _os
+    import shutil
+    import tempfile
+
+    from reair_spark.sources import (
+        write_zonemapped,
+        zonemap_changes,
+        zonemap_compact,
+        zonemap_count,
+        zonemap_delete_by_key,
+        zonemap_scan,
+    )
+
+    c = _t(spark, sf, "customer").select(
+        "c_custkey", "c_acctbal"
+    ).withColumn("bucket", F.pmod("c_custkey", F.lit(16)))
+
+    run = tempfile.mkdtemp(prefix="reair_zerase_")
+    atexit.register(shutil.rmtree, run, ignore_errors=True)
+    layout = f"{run}/layout"
+    write_zonemapped(c, layout, "bucket",
+                     stat_cols=["c_custkey", "c_acctbal"])
+    dirs_before = len(_os.listdir(f"{layout}/data"))
+    doomed = c.filter(F.pmod("c_custkey", F.lit(100)) == 7) \
+        .select("c_custkey", "bucket")
+    st = zonemap_delete_by_key(spark, layout, doomed,
+                               key_cols=["c_custkey"])
+    meta_count, _ = zonemap_count(spark, layout)
+    before, _ = zonemap_scan(spark, layout, max_ingest=0)
+    n_before = before.count()
+    cdf, _ = zonemap_changes(spark, layout, 0)
+    n_cdf_deletes = cdf.where("_change_type = 'delete'").count()
+    dirs_untouched = (
+        len(_os.listdir(f"{layout}/data")) == dirs_before
+    )
+    cur, _ = zonemap_scan(spark, layout)
+    agg = cur.agg(
+        F.count(F.lit(1)).cast("long").alias("n_after"),
+        F.round(F.sum("c_acctbal"), 2).alias("sum_after"),
+    ).first()
+    zonemap_compact(spark, layout)
+    post, _ = zonemap_scan(spark, layout)
+    purge_stable = post.agg(
+        (F.count(F.lit(1)) == F.lit(int(agg["n_after"]))).alias("ok")
+    )
+    return purge_stable.select(
+        F.lit(int(st["n_keys_deleted"])).cast("long")
+        .alias("n_keys_deleted"),
+        F.lit(int(meta_count)).cast("long").alias("meta_count"),
+        F.lit(int(n_before)).cast("long").alias("n_before"),
+        F.lit(int(n_cdf_deletes)).cast("long").alias("n_cdf_deletes"),
+        F.lit(bool(dirs_untouched)).alias("dirs_untouched"),
+        F.lit(int(agg["n_after"])).cast("long").alias("n_after"),
+        F.lit(agg["sum_after"]).alias("sum_after"),
+        F.col("ok").alias("purge_stable"),
+    )
+
+
+ENGINE_QUERIES["zonemap_key_erasure"] = zonemap_key_erasure
+ENGINE_ORACLES["zonemap_key_erasure"] = """
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM customer
+        WHERE c_custkey % 100 = 7) AS n_keys_deleted,
+       (SELECT CAST(count(*) AS BIGINT) FROM customer
+        WHERE c_custkey % 100 <> 7) AS meta_count,
+       (SELECT CAST(count(*) AS BIGINT) FROM customer) AS n_before,
+       (SELECT CAST(count(*) AS BIGINT) FROM customer
+        WHERE c_custkey % 100 = 7) AS n_cdf_deletes,
+       TRUE AS dirs_untouched,
+       (SELECT CAST(count(*) AS BIGINT) FROM customer
+        WHERE c_custkey % 100 <> 7) AS n_after,
+       (SELECT round(sum(c_acctbal), 2) FROM customer
+        WHERE c_custkey % 100 <> 7) AS sum_after,
+       TRUE AS purge_stable
+"""
