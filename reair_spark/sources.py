@@ -3706,6 +3706,8 @@ def zonemap_count(
     max_ingest: int | None = None,
     point_predicates: list[tuple[str, object]] | None = None,
     spec_predicates: list[tuple[int, object]] | None = None,
+    as_of_ts=None,
+    tag: str | None = None,
 ) -> tuple[int, dict]:
     """COUNT(*) with manifest pushdown — the Iceberg/Delta
     metadata-only count, extended with a partial-bucket residual:
@@ -3755,6 +3757,7 @@ def zonemap_count(
         max_ingest=max_ingest, keep_cols=zone_cols,
         point_predicates=point_predicates,
         spec_predicates=spec_predicates,
+        as_of_ts=as_of_ts, tag=tag,
     )
     # spec predicates are EXACT on the manifest key (positional split
     # equality, no false positives), so they never demote a bucket to

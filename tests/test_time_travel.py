@@ -161,6 +161,7 @@ def test_tags_roundtrip_and_guards(spark, tmp_path):
     assert zonemap_tag(loc, "v2") == 1
     assert _rows(spark, loc, tag="seed") == _rows(spark, loc,
                                                   max_ingest=0)
+    assert zonemap_count(spark, loc, tag="seed")[0] == 60
     with pytest.raises(ValueError, match="no tag"):
         zonemap_scan(spark, loc, tag="nope")
     with pytest.raises(ValueError, match="cannot tag ingest 9"):
