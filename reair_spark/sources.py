@@ -95,6 +95,8 @@ def scan_catalog_table(
     predicates: list[tuple[str, object, object]] | None = None,
     point_predicates: list[tuple[str, object]] | None = None,
     max_ingest: int | None = None,
+    as_of_ts=None,
+    tag: str | None = None,
     **options,
 ) -> tuple[DataFrame, dict]:
     """Predicate-pushing read through the CATALOG record: a table
@@ -130,8 +132,11 @@ def scan_catalog_table(
             serde=rec.get("serde") or "parquet",
             point_predicates=point_predicates,
             max_ingest=max_ingest,
+            as_of_ts=as_of_ts,
+            tag=tag,
         )
-    if predicates or point_predicates or max_ingest is not None:
+    if (predicates or point_predicates or max_ingest is not None
+            or as_of_ts is not None or tag is not None):
         raise ValueError(
             f"{db}.{table} is not a zonemapped-layout table; "
             "manifest predicates cannot be pushed (read it with "

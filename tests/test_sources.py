@@ -495,11 +495,26 @@ def test_catalog_dispatches_zonemapped_layout(spark, tmp_path):
     # read_catalog_table dispatches too — full (unpruned) layout read
     assert read_catalog_table(spark, cat, "d", "zm").count() == 1000
 
+    # snapshot refs dispatch through the record too: tag the current
+    # snapshot, append, and read the table AS OF the tag by name
+    from reair_spark.sources import append_zonemapped, zonemap_tag
+
+    zonemap_tag(zloc, "v1")
+    append_zonemapped(
+        df.withColumn("id", F.col("id") + 10_000), zloc, "b", ["v"],
+        ingest_id=1,
+    )
+    tagged, _ = scan_catalog_table(spark, cat, "d", "zm", tag="v1")
+    assert tagged.count() == 1000
+    assert scan_catalog_table(spark, cat, "d", "zm")[0].count() == 2000
+
     plain, pstats = scan_catalog_table(spark, cat, "d", "plain")
     assert pstats == {} and plain.count() == 1000
     with pytest.raises(ValueError, match="not a zonemapped-layout"):
         scan_catalog_table(spark, cat, "d", "plain",
                            predicates=[("v", 3, 4)])
+    with pytest.raises(ValueError, match="not a zonemapped-layout"):
+        scan_catalog_table(spark, cat, "d", "plain", tag="v1")
     with pytest.raises(KeyError):
         scan_catalog_table(spark, cat, "d", "nope")
     # reader options on the zonemapped path are refused loudly, not
