@@ -160,6 +160,29 @@ def test_fold_refuses_staged_below_cut(spark, tmp_path):
     assert len(_keys(spark, loc)) == 120
 
 
+def test_abort_crash_midwalk_converges(spark, tmp_path):
+    """Abort removes delta → data → log/claim → descriptor record, in
+    that order: simulate the crash after the FIRST step (delta gone,
+    everything else in place) — the commit stays invisible (the
+    descriptor still lists it as staged), publish refuses loudly, and
+    re-running the abort sweeps the rest."""
+    from reair_spark.fs import fs_for, fs_rmtree
+
+    loc, df = _seed(spark, tmp_path)
+    append_zonemapped(df.withColumn("k", F.col("k") + 100), loc, "b",
+                      ["v"], ingest_id=1, staged=True)
+    fs = fs_for(loc)
+    fs_rmtree(fs, f"{loc}/manifest/ingest=1")
+    assert _keys(spark, loc) == set(range(40))
+    assert _read_layout_meta(loc).get("staged_ingests") == [1]
+    with pytest.raises(ValueError, match="no delta"):
+        zonemap_publish_staged(loc, 1)
+    zonemap_abort_staged(loc, 1)
+    assert not fs.isdir(f"{loc}/data/ingest=1")
+    assert _read_layout_meta(loc).get("staged_ingests") == []
+    assert _keys(spark, loc) == set(range(40))
+
+
 def test_rollback_prunes_staged_records(spark, tmp_path):
     loc, df = _seed(spark, tmp_path)
     append_zonemapped(df.withColumn("k", F.col("k") + 100), loc, "b",
