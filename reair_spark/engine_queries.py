@@ -5206,3 +5206,130 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM customer
         WHERE c_custkey % 100 <> 7) AS sum_after,
        TRUE AS purge_stable
 """
+
+
+def zonemap_optimize_where(spark: SparkSession, sf: str) -> DataFrame:
+    """Targeted bucket-scoped compaction through the correctness gate
+    (the Iceberg rewrite_data_files-with-filter / Delta OPTIMIZE
+    WHERE shape): orders land in three ingest generations with a
+    key-erasure mask over a handful of hot buckets, then ONLY those buckets
+    are compacted — each collapses to one fresh layer with its masks
+    folded into the data (the metadata COUNT goes back to zero
+    residual buckets), while the cold buckets keep every original
+    layer byte-untouched and time travel below the rewrite still
+    reads the old state. At 100 TB this is the morning maintenance
+    job that rewrites yesterday's streaming tail and never reads the
+    cold 99%."""
+    import atexit
+    import os as _os
+    import shutil
+    import tempfile
+
+    from reair_spark.sources import (
+        append_zonemapped,
+        write_zonemapped,
+        zonemap_compact_buckets,
+        zonemap_count,
+        zonemap_delete_by_key,
+        zonemap_scan,
+    )
+
+    o = _t(spark, sf, "orders").select(
+        "o_orderkey", "o_totalprice"
+    ).withColumn("bucket", F.pmod("o_orderkey", F.lit(16)))
+
+    run = tempfile.mkdtemp(prefix="reair_zoptw_")
+    atexit.register(shutil.rmtree, run, ignore_errors=True)
+    layout = f"{run}/layout"
+    stat_cols = ["o_orderkey", "o_totalprice"]
+    mk = int(o.agg(F.max("o_orderkey")).first()[0])
+    write_zonemapped(o, layout, "bucket", stat_cols=stat_cols)
+    for g in (1, 2):
+        # the clustering column must stay functionally dependent on
+        # the key (the equality-delete contract): recompute it for
+        # the shifted keys
+        append_zonemapped(
+            o.select(
+                (F.col("o_orderkey") + F.lit(mk * g))
+                .alias("o_orderkey"),
+                (F.col("o_totalprice") + F.lit(float(g)))
+                .alias("o_totalprice"),
+                F.pmod(F.col("o_orderkey") + F.lit(mk * g), F.lit(16))
+                .alias("bucket"),
+            ),
+            layout, "bucket", stat_cols, ingest_id=g,
+        )
+    # erase keys =0 (mod 50): they all live in buckets 0 and (mk*g
+    # shifts preserve bucket because mk % 16 may vary) — target via
+    # the erased keys' own buckets
+    doomed = (
+        o.select("o_orderkey", "bucket")
+        .unionByName(o.select(
+            (F.col("o_orderkey") + F.lit(mk)).alias("o_orderkey"),
+            "bucket"))
+        .unionByName(o.select(
+            (F.col("o_orderkey") + F.lit(2 * mk)).alias("o_orderkey"),
+            "bucket"))
+        .where(F.pmod("o_orderkey", F.lit(50)) == 0)
+        .withColumn("bucket", F.pmod("o_orderkey", F.lit(16)))
+    )
+    st_del = zonemap_delete_by_key(spark, layout, doomed,
+                                   key_cols=["o_orderkey"])
+    hot = sorted({str(r[0]) for r in
+                  doomed.select("bucket").distinct().collect()})
+    cold = [b for b in map(str, range(16)) if b not in hot]
+    cold_dirs_before = sum(
+        1 for g in (0, 1, 2) for b in cold
+        if _os.path.isdir(f"{layout}/data/ingest={g}/bucket={b}")
+    )
+    n_before, _ = zonemap_count(spark, layout, max_ingest=2)
+    st = zonemap_compact_buckets(spark, layout, buckets=hot)
+    cnt, cstats = zonemap_count(spark, layout)
+    cold_dirs_after = sum(
+        1 for g in (0, 1, 2) for b in cold
+        if _os.path.isdir(f"{layout}/data/ingest={g}/bucket={b}")
+    )
+    cur, _ = zonemap_scan(spark, layout)
+    agg = cur.agg(
+        F.count(F.lit(1)).cast("long").alias("n_after"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_after"),
+    )
+    return agg.select(
+        F.lit(int(st["n_buckets_compacted"])).cast("long")
+        .alias("n_buckets_compacted"),
+        F.lit(int(st_del["n_keys_deleted"])).cast("long")
+        .alias("n_keys_erased"),
+        F.lit(int(n_before)).cast("long").alias("n_before"),
+        F.lit(int(cnt)).cast("long").alias("meta_count"),
+        F.lit(cstats["n_buckets_partial"] == 0)
+        .alias("masks_cleared"),
+        F.lit(cold_dirs_after == cold_dirs_before)
+        .alias("cold_untouched"),
+        "n_after", "sum_after",
+    )
+
+
+ENGINE_QUERIES["zonemap_optimize_where"] = zonemap_optimize_where
+ENGINE_ORACLES["zonemap_optimize_where"] = """
+WITH mx AS (SELECT max(o_orderkey) AS mk FROM orders),
+uni AS (
+  SELECT o_orderkey AS k, o_totalprice AS p FROM orders
+  UNION ALL
+  SELECT o_orderkey + (SELECT mk FROM mx),
+         o_totalprice + 1.0 FROM orders
+  UNION ALL
+  SELECT o_orderkey + 2 * (SELECT mk FROM mx),
+         o_totalprice + 2.0 FROM orders),
+hot AS (SELECT DISTINCT k % 16 AS b FROM uni WHERE k % 50 = 0),
+kept AS (SELECT k, p FROM uni WHERE k % 50 <> 0)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM hot)
+           AS n_buckets_compacted,
+       (SELECT CAST(count(*) AS BIGINT) FROM uni WHERE k % 50 = 0)
+           AS n_keys_erased,
+       (SELECT CAST(count(*) AS BIGINT) FROM uni) AS n_before,
+       (SELECT CAST(count(*) AS BIGINT) FROM kept) AS meta_count,
+       TRUE AS masks_cleared,
+       TRUE AS cold_untouched,
+       (SELECT CAST(count(*) AS BIGINT) FROM kept) AS n_after,
+       (SELECT round(sum(p), 2) FROM kept) AS sum_after
+"""

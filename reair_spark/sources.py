@@ -1528,6 +1528,63 @@ def zonemap_compact(
         return {"deltas_before": deltas_before, "deltas_after": 1}
 
 
+def zonemap_compact_buckets(
+    spark: SparkSession,
+    location: str,
+    buckets: list | None = None,
+    predicates: list[tuple[str, object, object]] | None = None,
+) -> dict:
+    """TARGETED data compaction (the Iceberg ``rewrite_data_files``
+    with a filter / Delta ``OPTIMIZE WHERE`` shape): rewrite ONLY the
+    named buckets — or the buckets the given zone predicates keep —
+    into one fresh ingest layer each, leaving every other bucket's
+    files, history, and statistics untouched. Where
+    :func:`zonemap_compact` rewrites the WHOLE layout (and so refuses
+    under tags/staged commits), this is the maintenance tool for a
+    100 TB table with a hot tail: compact yesterday's streaming
+    buckets every morning; the cold 99% is never read.
+
+    Composition, not new machinery: the post-mask rows of the target
+    buckets are read once (DVs anti-joined, equality masks applied —
+    so the rewrite ALSO clears the merge-on-read debt of exactly
+    those buckets: their DVs and key masks go inert and the next
+    vacuum sweeps them) and land through
+    :func:`zonemap_replace_buckets`, inheriting its append-only
+    replacing-delta commit, optimistic concurrency, and time-travel
+    contract — as-of reads below the rewrite still see the old
+    layers, so tags and staged commits are SAFE here, no refusal
+    needed.
+
+    Returns {"n_buckets_compacted", "n_rows", "ingest_id"}."""
+    from pyspark.sql import functions as F
+
+    loc = location.rstrip("/")
+    _recover_layout(loc)
+    meta = _read_layout_meta(loc)
+    if meta is None:
+        raise ValueError(f"{loc} has no {LAYOUT_META}; targeted "
+                         "compaction needs a descriptor-bearing layout")
+    if (buckets is None) == (predicates is None):
+        raise ValueError("pass exactly one of buckets= or predicates=")
+    serde = meta["serde"]
+    if buckets is None:
+        bcol, kept, _ = zonemap_plan(
+            spark, loc, predicates=predicates, serde=serde
+        )
+        buckets = [str(r[bcol]) for r in kept]
+    else:
+        buckets = [str(b) for b in buckets]
+    if not buckets:
+        return {"n_buckets_compacted": 0, "n_rows": 0,
+                "ingest_id": None}
+    cur, _ = zonemap_scan(spark, loc, buckets=buckets, serde=serde)
+    rb = zonemap_replace_buckets(spark, loc, cur.drop("ingest"),
+                                 buckets)
+    return {"n_buckets_compacted": len(buckets),
+            "n_rows": rb["n_rows"],
+            "ingest_id": rb["ingest_id"]}
+
+
 def zonemap_recluster(
     spark: SparkSession,
     location: str,
