@@ -4949,10 +4949,12 @@ def zonemap_wap_publish(spark: SparkSession, sf: str) -> DataFrame:
     n_vis_staged, _ = zonemap_count(spark, layout)
     cdf, cst = zonemap_changes(spark, layout, 0)
     cdf_quiet = int(cdf.count()) == 0 and cst["n_commits"] == 0
-    audit = zonemap_scan_staged(spark, layout, 1).agg(
+    # the audit read must evaluate BEFORE publish: the cherry-pick
+    # renames the staged dirs to the published id
+    audit_row = zonemap_scan_staged(spark, layout, 1).agg(
         F.count(F.lit(1)).cast("long").alias("n_audit"),
         F.round(F.sum("o_totalprice"), 2).alias("sum_audit"),
-    )
+    ).first()
     poison = o.select(
         (F.col("o_orderkey") + F.lit(int(mk))).alias("o_orderkey"),
         (F.col("o_totalprice") + F.lit(1e9)).alias("o_totalprice"),
@@ -4968,10 +4970,11 @@ def zonemap_wap_publish(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_final"),
         F.round(F.sum("o_totalprice"), 2).alias("sum_final"),
     )
-    return audit.crossJoin(fin).select(
+    return fin.select(
         F.lit(int(n_vis_staged)).cast("long").alias("n_while_staged"),
         F.lit(bool(cdf_quiet)).alias("cdf_quiet_while_staged"),
-        "n_audit", "sum_audit",
+        F.lit(int(audit_row["n_audit"])).cast("long").alias("n_audit"),
+        F.lit(float(audit_row["sum_audit"])).alias("sum_audit"),
         F.lit(int(n_final_meta)).cast("long").alias("n_final_meta"),
         "n_final", "sum_final",
     )

@@ -1275,19 +1275,7 @@ def append_zonemapped(
             .agg(F.count(F.lit(1)).cast("long").alias("n_eq_keys"))
         )
         manifest = manifest.join(eqc, bucket_col, "left")
-        # the descriptor learns the layout is equality-masked BEFORE
-        # the commit becomes visible: readers must know to merge the
-        # delta schemas and to apply the masks
-        _meta_cas_update(
-            loc,
-            lambda m: (
-                dict(m or {}, eq_deletes=True,
-                     eq_key_cols=list(_eq_key_cols))
-                if not (m or {}).get("eq_deletes")
-                or (m or {}).get("eq_key_cols") != list(_eq_key_cols)
-                else None
-            ),
-        )
+        _record_eq_keys(loc, list(_eq_key_cols))
         meta = _read_layout_meta(loc) or meta
     manifest = manifest.withColumn("replaces", F.lit(bool(_replaces)))
     if staged:
@@ -1338,6 +1326,24 @@ def _log_commit(loc: str, ingest_id: int, subdir: str) -> None:
         fh.close()
     except (OSError, ValueError):
         pass
+
+
+def _record_eq_keys(loc: str, key_cols: list) -> None:
+    """Descriptor CAS shared by every equality-delete commit
+    (upsert / key-only delete): the layout learns it is
+    equality-masked BEFORE the commit becomes visible — readers must
+    know to merge the delta schemas and to apply the masks — and the
+    recorded key set is pinned (a second writer with different keys
+    is refused at validation, before ever reaching this)."""
+    _meta_cas_update(
+        loc,
+        lambda m: (
+            dict(m or {}, eq_deletes=True, eq_key_cols=list(key_cols))
+            if not (m or {}).get("eq_deletes")
+            or (m or {}).get("eq_key_cols") != list(key_cols)
+            else None
+        ),
+    )
 
 
 def _publish_delta(
@@ -1796,19 +1802,10 @@ def zonemap_rewrite_manifests(
             .withColumn("replaces", F.lit(True))
         )
         fold_id = max(delta_ids)
-        low_staged = sorted(i for i in staged_ids if i < fold_id)
-        if low_staged:
-            # the folded delta publishes with replaces=true at
-            # fold_id: a staged commit BELOW it would be superseded
-            # the moment it publishes — silently lost. Refuse; the
-            # normal WAP flow stages only at the head, where
-            # fold_id = max(non-staged) sits below every staged id.
-            raise ValueError(
-                f"rewrite_manifests on {loc}: staged commits "
-                f"{low_staged} sit below the fold id {fold_id} and "
-                "would be superseded on publish — publish or abort "
-                "them first"
-            )
+        # staged (WAP) commits need no guard here: publish is a
+        # cherry-pick that re-ids the commit to a freshly claimed id
+        # ABOVE any fold, so the folded replaces=true delta can never
+        # supersede it (pytest-pinned fold-then-publish)
         low_tags = {n: int(i)
                     for n, i in (meta.get("tags") or {}).items()
                     if int(i) < fold_id}
@@ -2483,16 +2480,7 @@ def zonemap_delete_by_key(
                 F.lit(False).alias("replaces"),
             )
         )
-        _meta_cas_update(
-            loc,
-            lambda m: (
-                dict(m or {}, eq_deletes=True,
-                     eq_key_cols=list(key_cols))
-                if not (m or {}).get("eq_deletes")
-                or (m or {}).get("eq_key_cols") != list(key_cols)
-                else None
-            ),
-        )
+        _record_eq_keys(loc, list(key_cols))
         _publish_delta(eqc, loc, int(iid), serde)
         totals = eqc.agg(
             F.coalesce(F.sum("n_eq_keys"), F.lit(0)),
@@ -3416,6 +3404,18 @@ def _merged_manifest(
 
     loc = location.rstrip("/")
     _recover_layout(loc)
+    # SNAPSHOT PIN: list the delta ids BEFORE reading the descriptor.
+    # Spark's file listing happens lazily at action time, so without
+    # the pin a write-audit-publish commit could slip through: reader
+    # loads a descriptor whose staged list predates a stage-CAS, the
+    # writer CASes + renames the delta, and the execution-time
+    # listing then finds a delta the stale staged list doesn't
+    # filter. Listing-first closes it — any delta in the pinned list
+    # that was staged at listing time has its stage-CAS before the
+    # listing, hence before the descriptor read below, hence in the
+    # staged set. (It also makes every read a consistent snapshot of
+    # plan-time state, commits landing mid-execution included.)
+    listed = _manifest_delta_ids(loc)
     meta = _read_layout_meta(loc) or {}
     fmt = SERDE_FORMATS.get(serde, serde)
     reader = spark.read.format(fmt)
@@ -3430,12 +3430,12 @@ def _merged_manifest(
         # Manifest-sized, so reading every footer is metadata work.
         reader = reader.option("mergeSchema", "true")
     raw = reader.load(fs_spark_path(f"{loc}/manifest"))
-    staged = [int(i) for i in (meta.get("staged_ingests") or [])]
-    if staged:
-        # write-audit-publish commits are invisible until published:
-        # their deltas exist on disk (the audit step reads them by
-        # explicit id) but no ordinary or as-of read merges them
-        raw = raw.where(~F.col("ingest").isin(staged))
+    staged = {int(i) for i in (meta.get("staged_ingests") or [])}
+    visible = [int(i) for i in listed if int(i) not in staged]
+    # unconditional: a delta renamed AFTER the pin listing must not
+    # ride in via the execution-time listing even when nothing is
+    # currently staged (it might itself be a just-staged commit)
+    raw = raw.where(F.col("ingest").isin(visible))
     if max_ingest is not None:
         # snapshots below the vacuum/fold horizons are EXPIRED: their
         # superseded dirs may already be deleted (vacuum) or their
@@ -3992,6 +3992,11 @@ def zonemap_changes(
 
     loc = location.rstrip("/")
     _recover_layout(loc)
+    # list BEFORE the descriptor read — same stage-race pin as
+    # _merged_manifest: a delta staged and renamed after this listing
+    # can't enter the feed through a staged list that predates it
+    pinned_man = _manifest_delta_ids(loc)
+    pinned_dv = _dmanifest_delta_ids(loc)
     meta = _read_layout_meta(loc)
     if meta is None:
         raise ValueError(f"{loc} has no {LAYOUT_META}; the change feed "
@@ -4010,13 +4015,13 @@ def zonemap_changes(
             f"— only change feeds from >= {floor} remain readable"
         )
     staged_ids = {int(s) for s in (meta.get("staged_ingests") or [])}
-    man_ids = [i for i in _manifest_delta_ids(loc)
+    man_ids = [i for i in pinned_man
                if i > int(from_ingest)
                and (to_ingest is None or i <= int(to_ingest))
                # staged (write-audit-publish) commits are not part of
                # any snapshot: the change feed must not leak them
                and i not in staged_ids]
-    dv_ids = [i for i in _dmanifest_delta_ids(loc)
+    dv_ids = [i for i in pinned_dv
               if i > int(from_ingest)
               and (to_ingest is None or i <= int(to_ingest))]
     bucket_col = meta["bucket_col"]
@@ -4210,9 +4215,12 @@ def zonemap_resolve_snapshot(
         ts_ms = int(ts.timestamp() * 1000)
     else:
         ts_ms = int(ts)
+    meta_r = _read_layout_meta(loc) or {}
+    staged = {int(i) for i in meta_r.get("staged_ingests") or []}
     committed = set()
     for ids in _commit_snapshot(loc):
         committed.update(ids)
+    committed -= staged  # WAP commits are not snapshots until published
     cands = [
         i for i, ent in _read_log_entries(loc).items()
         if ent["ts_ms"] <= ts_ms and i in committed
@@ -4247,6 +4255,11 @@ def zonemap_tag(
     committed = set()
     for ids in _commit_snapshot(loc):
         committed.update(ids)
+    committed -= {
+        int(i)
+        for i in (_read_layout_meta(loc) or {}).get("staged_ingests")
+        or []
+    }  # WAP commits are not snapshots until published
     if not committed:
         raise ValueError(f"layout {loc} has no committed snapshot "
                          "to tag")
@@ -4273,6 +4286,19 @@ def zonemap_tag(
         return out
 
     _meta_cas_update(loc, _set)
+    # close the race against a concurrent rollback: if the target is
+    # no longer a committed snapshot (its deltas were swept between
+    # our validation and the CAS), retract the tag and fail loudly
+    # instead of leaving a name that silently reads an older state
+    still = set()
+    for ids in _commit_snapshot(loc):
+        still.update(ids)
+    if target not in still:
+        zonemap_drop_tag(loc, name)
+        raise ValueError(
+            f"cannot tag ingest {target}: the snapshot was removed "
+            "by a concurrent rollback"
+        )
     return target
 
 
@@ -4445,45 +4471,107 @@ def zonemap_scan_staged(
     return _bucket_reader(spark, loc, serde, kept, bucket_col)
 
 
-def zonemap_publish_staged(location: str, ingest_id: int) -> None:
-    """PUBLISH a staged (write-audit-publish) commit: one descriptor
-    CAS removes the id from ``staged_ingests`` and the already-landed
-    delta becomes visible to every reader atomically — the audit
-    pipeline's cherry-pick, zero data movement. Refused when the id
-    is not staged or its delta is missing (a crashed stage — abort
-    it instead)."""
+def _unstage(loc: str, sid: int) -> None:
+    """Drop a staged id's descriptor records (staged_ingests entry +
+    any in-flight staged_publishing mapping) in one CAS — shared by
+    publish (after the cherry-pick renames) and abort (after the
+    residue sweep)."""
+
+    def _drop(m):
+        cur = [int(i) for i in (m or {}).get("staged_ingests", [])]
+        rec = dict((m or {}).get("staged_publishing") or {})
+        if sid not in cur and str(sid) not in rec:
+            return None
+        rec.pop(str(sid), None)
+        return dict(m or {},
+                    staged_ingests=[i for i in cur if i != sid],
+                    staged_publishing=rec)
+
+    _meta_cas_update(loc, _drop)
+
+
+def zonemap_publish_staged(location: str, ingest_id: int) -> int:
+    """PUBLISH a staged (write-audit-publish) commit as a CHERRY-PICK
+    at the table head (the Iceberg WAP publish shape): the staged
+    ingest is re-identified to a freshly claimed id — two directory
+    renames, metadata-only — and one descriptor CAS makes it visible.
+    Re-iding is what keeps VISIBILITY ORDER equal to ID ORDER: if
+    ordinary commits landed while the audit ran, publishing at the
+    old (lower) id would put a new commit BELOW existing history —
+    monotone cursors (the streaming CDF pump's checkpointed offset)
+    would silently skip it, and timestamp/tag resolution would stop
+    being monotone in id. The commit-log entry is written fresh at
+    publish time: the PUBLISH is the commit, as in Iceberg, where
+    cherry-pick creates a new snapshot.
+
+    Crash discipline: the (old → new) mapping is CAS-recorded in the
+    descriptor BEFORE any rename (``staged_publishing``), the data
+    dir moves before the manifest dir (the delta at the old id stays
+    staged-filtered throughout, so no reader window sees a delta
+    whose data is mid-move), and re-calling converges from any
+    point. Refused when the id is not staged, or its delta is
+    missing without a publish in flight (a crashed stage — abort
+    it instead). Returns the PUBLISHED ingest id."""
     from reair_spark.fs import fs_for
 
     loc = location.rstrip("/")
     _recover_layout(loc)
     sid = int(ingest_id)
+    fs = fs_for(loc)
     meta = _read_layout_meta(loc) or {}
     if sid not in {int(i) for i in meta.get("staged_ingests") or []}:
         raise ValueError(
             f"ingest {sid} is not staged on {loc} "
             f"(staged: {meta.get('staged_ingests') or []})"
         )
-    if not fs_for(loc).isdir(f"{loc}/manifest/ingest={sid}"):
-        raise ValueError(
-            f"staged ingest {sid} on {loc} has no delta (the staging "
-            "write crashed) — zonemap_abort_staged it"
-        )
+    pubrec = (meta.get("staged_publishing") or {})
+    if str(sid) in pubrec:
+        new_id = int(pubrec[str(sid)])  # resume a crashed publish
+    else:
+        if not fs.isdir(f"{loc}/manifest/ingest={sid}"):
+            raise ValueError(
+                f"staged ingest {sid} on {loc} has no delta (the "
+                "staging write crashed) — zonemap_abort_staged it"
+            )
+        new_id = _claim_ingest_id(loc)
 
-    def _pub(m):
-        cur = [int(i) for i in (m or {}).get("staged_ingests", [])]
-        if sid not in cur:
-            return None
-        return dict(m or {},
-                    staged_ingests=[i for i in cur if i != sid])
+        def _record(m):
+            rec = dict((m or {}).get("staged_publishing") or {})
+            if str(sid) in rec:
+                return None
+            rec[str(sid)] = int(new_id)
+            return dict(m or {}, staged_publishing=rec)
 
-    _meta_cas_update(loc, _pub)
+        meta = _meta_cas_update(loc, _record) or meta
+        rec = (meta.get("staged_publishing") or {})
+        new_id = int(rec.get(str(sid), new_id))  # concurrent publisher wins
+    # idempotent re-id: data BEFORE manifest — until the manifest
+    # rename the commit is still addressed by the staged (filtered)
+    # id, so no reader constructs the half-moved paths
+    for sub in ("data", "manifest"):
+        old_p = f"{loc}/{sub}/ingest={sid}"
+        new_p = f"{loc}/{sub}/ingest={new_id}"
+        if fs.isdir(old_p) and not fs.isdir(new_p):
+            fs.rename(old_p, new_p)
+    _log_commit(loc, new_id, "manifest")
+    for f_ in (f"{loc}/{LOG_DIR}/{sid}.json",
+               f"{loc}/_staging/claims/ingest-{sid}"):
+        try:
+            fs.unlink(f_)
+        except (FileNotFoundError, OSError):
+            pass
+
+    _unstage(loc, sid)
+    return int(new_id)
 
 
 def zonemap_abort_staged(location: str, ingest_id: int) -> None:
     """ABORT a staged commit: remove its delta and data directories
     and commit-log entry, THEN drop the descriptor record — while any
     residue exists the id stays listed as staged, so no crash window
-    ever makes a half-removed commit visible. Idempotent."""
+    ever makes a half-removed commit visible. A publish that crashed
+    mid-flight leaves a ``staged_publishing`` mapping; the abort
+    sweeps BOTH ids' residue and clears it. Idempotent."""
     from reair_spark.fs import fs_for, fs_rmtree
 
     loc = location.rstrip("/")
@@ -4493,25 +4581,23 @@ def zonemap_abort_staged(location: str, ingest_id: int) -> None:
     if sid not in {int(i) for i in meta.get("staged_ingests") or []}:
         return
     fs = fs_for(loc)
-    for sub in ("manifest", "data"):
-        p = f"{loc}/{sub}/ingest={sid}"
-        if fs.isdir(p):
-            fs_rmtree(fs, p)
-    for f_ in (f"{loc}/{LOG_DIR}/{sid}.json",
-               f"{loc}/_staging/claims/ingest-{sid}"):
-        try:
-            fs.unlink(f_)
-        except (FileNotFoundError, OSError):
-            pass
+    ids = [sid]
+    pub = (meta.get("staged_publishing") or {}).get(str(sid))
+    if pub is not None:
+        ids.append(int(pub))
+    for i in ids:
+        for sub in ("manifest", "data"):
+            p = f"{loc}/{sub}/ingest={i}"
+            if fs.isdir(p):
+                fs_rmtree(fs, p)
+        for f_ in (f"{loc}/{LOG_DIR}/{i}.json",
+                   f"{loc}/_staging/claims/ingest-{i}"):
+            try:
+                fs.unlink(f_)
+            except (FileNotFoundError, OSError):
+                pass
 
-    def _drop(m):
-        cur = [int(i) for i in (m or {}).get("staged_ingests", [])]
-        if sid not in cur:
-            return None
-        return dict(m or {},
-                    staged_ingests=[i for i in cur if i != sid])
-
-    _meta_cas_update(loc, _drop)
+    _unstage(loc, sid)
 
 
 def zonemap_rollback(
@@ -4554,6 +4640,10 @@ def zonemap_rollback(
                          "a descriptor-bearing layout")
     to_ingest = int(to_ingest)
     with _LayoutWriterLease(loc, "rollback"):
+        # guards evaluate on a descriptor read INSIDE the lease: a
+        # tag recorded between the caller's read and the lease grant
+        # must still veto the sweep
+        meta = _read_layout_meta(loc) or meta
         man_ids, dv_ids = _commit_snapshot(loc)
         all_ids = sorted(set(man_ids) | set(dv_ids))
         if not all_ids:

@@ -995,20 +995,27 @@ def zonemap_cdf_apply(
     """Apply one change-feed RANGE of a source layout to a dest layout
     (the Delta-CDF→downstream-sync primitive, factored out of the
     cdf_incremental_sync gate so the streaming pump and any batch
-    syncer share one implementation): reads ONLY the change rows of
-    ``(from_ingest, to_ingest]`` plus the dest's affected buckets and
-    rewrites ONLY those buckets via ``zonemap_replace_buckets`` — at
-    100 TB a day of commits ships a day's diff, never a snapshot.
+    syncer share one implementation): the change rows of
+    ``(from_ingest, to_ingest]`` identify WHICH buckets moved — cost
+    proportional to the diff — and those dest buckets are then set to
+    the source's as-of(``to_ingest``) STATE of exactly those buckets
+    via ``zonemap_replace_buckets``. At 100 TB a day of commits ships
+    a day's touched buckets, never a snapshot.
+
+    State-based on purpose: replaying the same range (the
+    crash-between-apply-and-offset window) rewrites the same buckets
+    to the same as-of state, so the apply is idempotent for EVERY
+    commit mix — a delta-based ``dest + inserts − deletes`` replay
+    would double-apply inserts whose first application already
+    landed (the exactly-once discipline every sink here builds on).
     Requires src and dest to share the clustering column (the sync
-    seeds dest FROM src, so that holds by construction). Idempotent
-    per range: re-applying the same range rewrites the same buckets
-    to the same rows (the replay discipline every sink here lands
-    exactly-once on).
+    seeds dest FROM src, so that holds by construction).
 
     Returns {"n_commits", "n_changes", "n_buckets_synced"}."""
     from pyspark.sql import functions as F
 
     from reair_spark.sources import (
+        _read_layout_meta,
         zonemap_changes,
         zonemap_replace_buckets,
         zonemap_scan,
@@ -1021,33 +1028,22 @@ def zonemap_cdf_apply(
     if st["n_commits"] == 0:
         return {"n_commits": 0, "n_changes": 0, "n_buckets_synced": 0}
     ch = ch.localCheckpoint(eager=True)
-    cols = [c for c in ch.columns
-            if c not in ("_change_type", "_commit_ingest")]
-    from reair_spark.sources import _read_layout_meta
-
+    n_changes = ch.count()
     bcol = (_read_layout_meta(dest_location.rstrip("/")) or {})[
         "bucket_col"
     ]
     buckets = [str(r[0]) for r in
                ch.select(F.col(bcol).cast("string"))
                .distinct().collect()]
-    dest_cur, _ = zonemap_scan(spark, dest_location, buckets=buckets)
-    dels = ch.where("_change_type = 'delete'").select(*cols)
-    ins = ch.where("_change_type = 'insert'").select(*cols)
-    # multiset order matters across a RANGE of commits: a later
-    # commit may delete rows an earlier commit in the same range
-    # inserted (append then retention-delete), so the deletes must
-    # subtract from current ⊎ inserts — final = cur + Σins − Σdels
-    # is exact because every delete targets a row present in one of
-    # the two (the feed's own invariant)
-    new_view = (
-        dest_cur.select(*cols).unionByName(ins).exceptAll(dels)
-    ).localCheckpoint(eager=True)
+    to = st["commit_ingests"][-1] if to_ingest is None else to_ingest
+    src_state, _ = zonemap_scan(spark, src_location, buckets=buckets,
+                                max_ingest=int(to))
+    new_view = src_state.drop("ingest").localCheckpoint(eager=True)
     rb = zonemap_replace_buckets(spark, dest_location, new_view,
                                  buckets)
     return {
         "n_commits": st["n_commits"],
-        "n_changes": ch.count(),
+        "n_changes": n_changes,
         "n_buckets_synced": rb["n_buckets_written"]
         + rb["n_buckets_tombstoned"],
     }
@@ -1133,10 +1129,15 @@ def stream_zonemap_changes(
     )
 
     loc = location.rstrip("/")
+    # list BEFORE the descriptor read (the stage-race pin): a commit
+    # staged after this listing cannot enter `committed` through a
+    # staged list that predates it
+    listed = set(_manifest_delta_ids(loc)) | set(
+        _dmanifest_delta_ids(loc)
+    )
     meta = _read_layout_meta(loc) or {}
     staged = {int(i) for i in meta.get("staged_ingests") or []}
-    committed = (set(_manifest_delta_ids(loc))
-                 | set(_dmanifest_delta_ids(loc))) - staged
+    committed = listed - staged
     head = max(committed) if committed else -1
     offset = _cdf_offset_read(checkpoint_dir)
     if offset is None:
@@ -1156,7 +1157,21 @@ def stream_zonemap_changes(
             return {"from_ingest": head, "to_ingest": head,
                     "n_commits": 0}
         offset = int(initial)
-    if head <= offset:
+    if head < offset:
+        # the source's newest commit sits BELOW our checkpoint: the
+        # table was rolled back (freed ids may be reused for NEW
+        # data the monotone cursor would silently skip). Fail loudly
+        # — the Delta/Iceberg streaming contract for non-append
+        # table rewrites — and let the operator reset the checkpoint
+        # or reseed the downstream.
+        raise ValueError(
+            f"zonemap change stream on {loc}: checkpointed offset "
+            f"{offset} is above the newest committed ingest {head} — "
+            "the source was rolled back; delete the checkpoint and "
+            "re-seed (initial='snapshot') or restart from an "
+            "explicit ingest"
+        )
+    if head == offset:
         return {"from_ingest": offset, "to_ingest": offset,
                 "n_commits": 0}
     ch, st = zonemap_changes(spark, loc, from_ingest=offset,

@@ -98,6 +98,78 @@ def test_range_apply_is_idempotent(spark, tmp_path):
     assert _rows(spark, dest) == _rows(spark, src)
 
 
+def test_range_apply_replay_never_duplicates_inserts(spark, tmp_path):
+    """The replay window with an INSERT-bearing range: a delta-based
+    apply would add the appended rows a second time; the state-based
+    apply rewrites the touched buckets to the source's as-of state,
+    so the replay is a byte-level no-op."""
+    src, df = _seed(spark, tmp_path)
+    dest = str(tmp_path / "dest")
+    seed, _ = zonemap_scan(spark, src)
+    write_zonemapped(seed.drop("ingest"), dest, "b", stat_cols=["v"])
+    append_zonemapped(
+        df.withColumn("k", F.col("k") + 100), src, "b", ["v"],
+        ingest_id=_claim_ingest_id(src),
+    )
+    zonemap_delete(spark, src, predicates=[("v", 0, 2)], mode="mor")
+    zonemap_cdf_apply(spark, src, dest, 0)
+    assert _rows(spark, dest) == _rows(spark, src)
+    n = len(_rows(spark, dest))
+    zonemap_cdf_apply(spark, src, dest, 0)  # crash-window replay
+    assert len(_rows(spark, dest)) == n
+    assert _rows(spark, dest) == _rows(spark, src)
+
+
+def test_publish_after_later_commits_reaches_downstream(spark, tmp_path):
+    """The WAP-vs-pump ordering hazard: stage a commit, let an
+    ordinary commit land and be pumped (offset advances past the
+    staged id), THEN publish — the cherry-pick re-ids the commit
+    above the offset, so the pump delivers it instead of silently
+    skipping it forever."""
+    src, df = _seed(spark, tmp_path)
+    dest = str(tmp_path / "dest")
+    cp = str(tmp_path / "cp")
+    pump = lambda: stream_zonemap_changes(  # noqa: E731
+        spark, src, cp, _sync_fn(spark, src, dest)
+    )
+    pump()
+    append_zonemapped(
+        df.withColumn("k", F.col("k") + 100), src, "b", ["v"],
+        ingest_id=1, staged=True,
+    )
+    append_zonemapped(
+        df.withColumn("k", F.col("k") + 200), src, "b", ["v"],
+        ingest_id=2,
+    )
+    assert pump()["n_commits"] == 1  # offset now ABOVE the staged id
+    new_id = zonemap_publish_staged(src, 1)
+    assert new_id > 2
+    st = pump()
+    assert st["n_commits"] == 1
+    assert _rows(spark, dest) == _rows(spark, src)
+    assert len(_rows(spark, dest)) == 144
+
+
+def test_pump_fails_loudly_after_source_rollback(spark, tmp_path):
+    from reair_spark.sources import zonemap_rollback
+
+    src, df = _seed(spark, tmp_path)
+    dest = str(tmp_path / "dest")
+    cp = str(tmp_path / "cp")
+    pump = lambda: stream_zonemap_changes(  # noqa: E731
+        spark, src, cp, _sync_fn(spark, src, dest)
+    )
+    pump()
+    append_zonemapped(
+        df.withColumn("k", F.col("k") + 100), src, "b", ["v"],
+        ingest_id=1,
+    )
+    pump()
+    zonemap_rollback(spark, src, 0)
+    with pytest.raises(ValueError, match="rolled back"):
+        pump()
+
+
 def test_pump_initial_latest_and_explicit(spark, tmp_path):
     src, df = _seed(spark, tmp_path)
     dest = str(tmp_path / "dest")

@@ -70,7 +70,8 @@ def test_staged_invisible_until_published(spark, tmp_path):
     hist = {r["ingest"]: r.asDict()
             for r in zonemap_history(spark, loc).collect()}
     assert hist[1]["staged"] is True and hist[0]["staged"] is False
-    zonemap_publish_staged(loc, 1)
+    new_id = zonemap_publish_staged(loc, 1)
+    assert new_id > 1  # cherry-picked to a fresh head id
     assert _keys(spark, loc) == set(range(40)) | {
         k + 100 for k in range(40)
     }
@@ -78,6 +79,7 @@ def test_staged_invisible_until_published(spark, tmp_path):
     # the change feed now reports the published commit's inserts
     ch, st = zonemap_changes(spark, loc, 0)
     assert ch.count() == 40 and st["n_commits"] == 1
+    assert st["commit_ingests"] == [new_id]
     # audit read refuses once live
     with pytest.raises(ValueError, match="not staged"):
         zonemap_scan_staged(spark, loc, 1)
@@ -145,19 +147,33 @@ def test_maintenance_guards_and_vacuum(spark, tmp_path):
     assert len(_keys(spark, loc)) == 120
 
 
-def test_fold_refuses_staged_below_cut(spark, tmp_path):
+def test_fold_then_publish_cherry_picks_above(spark, tmp_path):
+    """A staged commit below the fold cut is NOT lost: publish is a
+    cherry-pick that re-ids the commit to a freshly claimed id above
+    the folded replaces=true delta, so visibility order stays id
+    order and the folded base can never supersede it."""
     loc, df = _seed(spark, tmp_path)
     append_zonemapped(df.withColumn("k", F.col("k") + 100), loc, "b",
                       ["v"], ingest_id=1, staged=True)
     append_zonemapped(df.withColumn("k", F.col("k") + 200), loc, "b",
                       ["v"], ingest_id=2)
-    with pytest.raises(ValueError, match="below the fold id"):
-        zonemap_rewrite_manifests(spark, loc)
-    # publish first, then the fold proceeds and absorbs it
-    zonemap_publish_staged(loc, 1)
     st = zonemap_rewrite_manifests(spark, loc)
-    assert st["fold_ingest"] == 2
+    assert st["fold_ingest"] == 2  # staged id 1 neither absorbed...
+    from reair_spark.fs import fs_for
+
+    assert fs_for(loc).isdir(f"{loc}/manifest/ingest=1")  # ...nor swept
+    assert len(_keys(spark, loc)) == 80
+    new_id = zonemap_publish_staged(loc, 1)
+    assert new_id > 2
+    assert not fs_for(loc).isdir(f"{loc}/manifest/ingest=1")
     assert len(_keys(spark, loc)) == 120
+    hist = {r["ingest"]: r.asDict()
+            for r in zonemap_history(spark, loc).collect()}
+    assert hist[new_id]["operation"] == "append"
+    assert hist[new_id]["committed_at"] is not None
+    # re-publishing / auditing the old id refuses
+    with pytest.raises(ValueError, match="not staged"):
+        zonemap_publish_staged(loc, 1)
 
 
 def test_abort_crash_midwalk_converges(spark, tmp_path):
@@ -181,6 +197,48 @@ def test_abort_crash_midwalk_converges(spark, tmp_path):
     assert not fs.isdir(f"{loc}/data/ingest=1")
     assert _read_layout_meta(loc).get("staged_ingests") == []
     assert _keys(spark, loc) == set(range(40))
+
+
+def test_publish_crash_resumes_at_recorded_id(spark, tmp_path):
+    """Publish records the (old -> new) mapping BEFORE any rename and
+    moves data before manifest: simulate the crash between the two
+    renames — the commit is still invisible (old id staged-filtered,
+    new id has no delta) — then re-calling publish converges at the
+    RECORDED id, and an abort from the same state sweeps both ids."""
+    from reair_spark.fs import fs_for
+    from reair_spark.sources import _claim_ingest_id, _meta_cas_update
+
+    loc, df = _seed(spark, tmp_path)
+    append_zonemapped(df.withColumn("k", F.col("k") + 100), loc, "b",
+                      ["v"], ingest_id=1, staged=True)
+    fs = fs_for(loc)
+    nid = _claim_ingest_id(loc)
+    _meta_cas_update(
+        loc, lambda m: dict(m or {}, staged_publishing={"1": nid})
+    )
+    fs.rename(f"{loc}/data/ingest=1", f"{loc}/data/ingest={nid}")
+    assert _keys(spark, loc) == set(range(40))  # still invisible
+    got = zonemap_publish_staged(loc, 1)
+    assert got == nid
+    assert len(_keys(spark, loc)) == 80
+    assert _read_layout_meta(loc).get("staged_publishing") == {}
+
+    # same window, resolved by ABORT instead
+    append_zonemapped(df.withColumn("k", F.col("k") + 500), loc, "b",
+                      ["v"], ingest_id=nid + 1, staged=True)
+    nid2 = _claim_ingest_id(loc)
+    _meta_cas_update(
+        loc,
+        lambda m: dict(m or {},
+                       staged_publishing={str(nid + 1): nid2}),
+    )
+    fs.rename(f"{loc}/data/ingest={nid + 1}",
+              f"{loc}/data/ingest={nid2}")
+    zonemap_abort_staged(loc, nid + 1)
+    assert not fs.isdir(f"{loc}/data/ingest={nid2}")
+    assert not fs.isdir(f"{loc}/manifest/ingest={nid + 1}")
+    assert _read_layout_meta(loc).get("staged_ingests") == []
+    assert len(_keys(spark, loc)) == 80
 
 
 def test_rollback_prunes_staged_records(spark, tmp_path):
