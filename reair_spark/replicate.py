@@ -37,6 +37,17 @@ from reair_spark.inventory import dir_digest, list_files
 from reair_spark.metrics import JobMetrics
 
 
+#: schema of the joined plan frame (PLAN_COLUMNS + the payload /
+#: CAS-guard columns replicate_warehouse attaches) — the format-
+#: target-only fast path builds an empty leaf with it instead of
+#: compiling the full snapshot⋈digest⋈payload DAG over empty inputs.
+_EMPTY_PLAN_SCHEMA = (
+    "action string, update_metadata boolean, update_data boolean, "
+    "src_path string, dest_path string, db string, table string, "
+    "partition_name string, payload string, expected_tldt string"
+)
+
+
 def _digests(
     spark: SparkSession, *snapshots: DataFrame
 ) -> tuple[DataFrame, DataFrame]:
@@ -90,8 +101,10 @@ def replicate_warehouse(
     the default path keeps executor-parallel per-table committers."""
     src_cat = src_catalog or DirectoryCatalog(src_root)
     dest_cat = dest_catalog or DirectoryCatalog(dest_root)
+    _jd = spark.sparkContext.setJobDescription  # guide §1.5 labels
 
     # ---- stage 1: snapshots + diff ------------------------------------
+    _jd("replicate: stage1 snapshot+diff+plan")
     src_t = apply_regex_filters(snapshot_tables(spark, src_cat), blacklist, whitelist)
     dest_t = apply_regex_filters(snapshot_tables(spark, dest_cat), blacklist, whitelist)
     src_p = apply_regex_filters(snapshot_partitions(spark, src_cat), blacklist, whitelist)
@@ -128,6 +141,7 @@ def replicate_warehouse(
             ).select("db", "table", "location", "serde", "parameters",
                      "partition_keys").collect()
         ]
+    empty_snapshot = False
     if zm_tables:
         # table-level AND partition rows of zonemapped dest tables
         # leave the snapshot set — their lifecycle belongs to the
@@ -141,45 +155,68 @@ def replicate_warehouse(
         dest_t = dest_t.join(zm_keys, ["db", "table"], "left_anti")
         src_p = src_p.join(zm_keys, ["db", "table"], "left_anti")
         dest_p = dest_p.join(zm_keys, ["db", "table"], "left_anti")
-
-    inv, dg = _digests(spark, src_t, src_p, dest_t, dest_p)
-
-    plan = warehouse_plan(src_t, dest_t, src_p, dest_p, dg, dg, overwrite_newer)
-    plan = rewrite_locations(plan, src_root, dest_root)
-
-    # serialized src payloads + dest TLDT (CAS guard) ride with the plan
-    t_payload = src_t.select(
-        "db", "table", F.lit(None).cast("string").alias("partition_name"),
-        F.to_json(F.struct("db", "table", "table_type", "cols", "partition_keys",
-                           "serde", "parameters")).alias("payload"),
-    )
-    p_payload = src_p.select(
-        "db", "table", "partition_name",
-        F.to_json(F.struct("partition_name", "values", "parameters")).alias("payload"),
-    )
-    payloads = t_payload.union(p_payload)
-    dest_tldt = dest_t.select(
-        "db", "table", F.lit(None).cast("string").alias("partition_name"),
-        F.element_at("parameters", "transient_lastDdlTime").alias("expected_tldt"),
-    ).union(
-        dest_p.select(
-            "db", "table", "partition_name",
-            F.element_at("parameters", "transient_lastDdlTime").alias("expected_tldt"),
+        # format-target-ONLY warehouse probe (r13 opt, measured on the
+        # replication_zonemap_digest family): when every snapshot row
+        # left with the table-format layer, the diff/copy/commit plan
+        # is PROVABLY empty — yet building it still cost ~10 s of
+        # empty-frame broadcast/checkpoint jobs per call (the dominant
+        # line of each format-target gate). One limit(1) job over the
+        # driver-row snapshot leaves decides; the fast path below
+        # feeds the same downstream stages an empty plan leaf.
+        probe = (
+            src_t.select("db", "table")
+            .union(dest_t.select("db", "table"))
+            .union(src_p.select("db", "table"))
+            .union(dest_p.select("db", "table"))
         )
-    )
-    # NULL partition_name (table-level rows) never equi-joins — use a
-    # sentinel key so payloads attach to table rows too
-    pn_key = F.coalesce(F.col("partition_name"), F.lit("\x00"))
-    plan = (
-        plan.withColumn("pn_key", pn_key)
-        .join(payloads.withColumn("pn_key", pn_key).drop("partition_name"),
-              ["db", "table", "pn_key"], "left")
-        .join(dest_tldt.withColumn("pn_key", pn_key).drop("partition_name"),
-              ["db", "table", "pn_key"], "left")
-        .select(*PLAN_COLUMNS, "payload", "expected_tldt")
-    )
+        empty_snapshot = probe.limit(1).count() == 0
 
-    if work_dir:
+    if empty_snapshot:
+        inv = None
+        plan = spark.createDataFrame([], _EMPTY_PLAN_SCHEMA)
+    else:
+        inv, dg = _digests(spark, src_t, src_p, dest_t, dest_p)
+
+        plan = warehouse_plan(
+            src_t, dest_t, src_p, dest_p, dg, dg, overwrite_newer
+        )
+        plan = rewrite_locations(plan, src_root, dest_root)
+
+        # serialized src payloads + dest TLDT (CAS guard) ride with the plan
+        t_payload = src_t.select(
+            "db", "table", F.lit(None).cast("string").alias("partition_name"),
+            F.to_json(F.struct("db", "table", "table_type", "cols", "partition_keys",
+                               "serde", "parameters")).alias("payload"),
+        )
+        p_payload = src_p.select(
+            "db", "table", "partition_name",
+            F.to_json(F.struct("partition_name", "values", "parameters")).alias("payload"),
+        )
+        payloads = t_payload.union(p_payload)
+        dest_tldt = dest_t.select(
+            "db", "table", F.lit(None).cast("string").alias("partition_name"),
+            F.element_at("parameters", "transient_lastDdlTime").alias("expected_tldt"),
+        ).union(
+            dest_p.select(
+                "db", "table", "partition_name",
+                F.element_at("parameters", "transient_lastDdlTime").alias("expected_tldt"),
+            )
+        )
+        # NULL partition_name (table-level rows) never equi-joins — use a
+        # sentinel key so payloads attach to table rows too
+        pn_key = F.coalesce(F.col("partition_name"), F.lit("\x00"))
+        plan = (
+            plan.withColumn("pn_key", pn_key)
+            .join(payloads.withColumn("pn_key", pn_key).drop("partition_name"),
+                  ["db", "table", "pn_key"], "left")
+            .join(dest_tldt.withColumn("pn_key", pn_key).drop("partition_name"),
+                  ["db", "table", "pn_key"], "left")
+            .select(*PLAN_COLUMNS, "payload", "expected_tldt")
+        )
+
+    if empty_snapshot:
+        pass  # the empty leaf needs no checkpoint fork
+    elif work_dir:
         step1 = os.path.join(work_dir, "step1_plan.parquet")
         plan.write.mode("overwrite").parquet(step1)
         plan = spark.read.parquet(step1)
@@ -197,6 +234,7 @@ def replicate_warehouse(
         # sequencing barrier the persist comment used to provide.
         plan = plan.localCheckpoint(eager=True)
 
+    _jd("replicate: stage2 copy")
     # ---- stage 2: data movement ---------------------------------------
     # copy-root discovery stays distributed AND free: the stage-1
     # inventory already listed every location executor-side (missing/
@@ -213,7 +251,7 @@ def replicate_warehouse(
     # the CHECKPOINTED plan leaf (~cheap at any scale); the machinery
     # it skips is ~1 s of plan-build py4j (task join, LPT sizing, skew
     # rebalance) spent provably producing zero tasks.
-    has_copies = plan.where(
+    has_copies = (not empty_snapshot) and plan.where(
         F.col("action").startswith("COPY") & F.col("update_data")
     ).limit(1).count() > 0
     if has_copies:
@@ -232,6 +270,7 @@ def replicate_warehouse(
         copy_results = spark.createDataFrame([], COPY_RESULT_SCHEMA)
     metrics.mark_done("copy")
 
+    _jd("replicate: stage2b format publish")
     # ---- stage 2b: table-format publish targets ------------------------
     # zonemapped dest tables get the whole src snapshot as ONE replacing
     # ingest (zonemap_overwrite): data + manifest commit are the same
@@ -241,6 +280,7 @@ def replicate_warehouse(
     # clustering write.
     zonemap_results = _publish_zonemap_targets(spark, zm_tables, src_cat)
 
+    _jd("replicate: stage3 commit")
     # ---- stage 3: metadata commit -------------------------------------
     committed = (
         apply_commits_driver(spark, plan, dest_cat)
@@ -251,6 +291,7 @@ def replicate_warehouse(
     commit_results.count()
     metrics.mark_done("commit")
 
+    _jd(None)
     out = {
         "plan": plan,
         "copy_results": copy_results,
@@ -867,4 +908,7 @@ def _publish_zonemap_targets(
             res["n_buckets"], res["n_buckets_tombstoned"],
             res["ingest_id"],
         ))
-    return spark.createDataFrame(rows, _ZM_RESULT_SCHEMA)
+    # one partition: the per-table result set is metadata-sized and
+    # consumers probe it with first()/where().first() — spread over
+    # default parallelism those probes pay a 3-4 job take-ramp
+    return spark.createDataFrame(rows, _ZM_RESULT_SCHEMA).coalesce(1)

@@ -2352,14 +2352,13 @@ def zonemap_upsert_mor(
                                iid)
         from reair_spark.fs import fs_spark_path
 
-        keys = (
+        keys = _meta_row(
             spark.read.format(
                 SERDE_FORMATS.get(meta["serde"], meta["serde"])
             )
             .load(fs_spark_path(f"{loc}/manifest/ingest={iid}"))
             .agg(F.coalesce(F.sum("n_eq_keys"), F.lit(0)))
-            .first()[0]
-        )
+        )[0]
         return {"n_rows_upserted": int(n_r),
                 "n_keys_masked": int(keys), "ingest_id": int(iid)}
 
@@ -2482,10 +2481,10 @@ def zonemap_delete_by_key(
         )
         _record_eq_keys(loc, list(key_cols))
         _publish_delta(eqc, loc, int(iid), serde)
-        totals = eqc.agg(
+        totals = _meta_row(eqc.agg(
             F.coalesce(F.sum("n_eq_keys"), F.lit(0)),
             F.count(F.lit(1)),
-        ).first()
+        ))
         return {"n_keys_deleted": int(totals[0]),
                 "n_buckets_affected": int(totals[1]),
                 "ingest_id": int(iid)}
@@ -2701,7 +2700,7 @@ def _delta_totals(
     from reair_spark.fs import fs_spark_path
 
     fmt = SERDE_FORMATS.get(serde, serde)
-    r = (
+    r = _meta_row(
         spark.read.format(fmt)
         .load(fs_spark_path(f"{loc}/manifest/ingest={int(ingest_id)}"))
         .where(F.col("n_rows") > 0)
@@ -2709,7 +2708,6 @@ def _delta_totals(
             F.coalesce(F.sum("n_rows"), F.lit(0)),
             F.countDistinct(F.col(bucket_col).cast("string")),
         )
-        .first()
     )
     return int(r[0]), int(r[1])
 
@@ -2933,10 +2931,10 @@ def _zonemap_delete_mor(
         )
         _publish_delta(acc, loc, int(ingest_id), "parquet",
                        subdir=DMANIFEST_DIR)
-        totals = acc.agg(
+        totals = _meta_row(acc.agg(
             F.coalesce(F.sum("n_deletes"), F.lit(0)),
             F.countDistinct(bucket_col),
-        ).first()
+        ))
         return {"n_buckets_affected": int(totals[1]),
                 "n_rows_deleted": int(totals[0]),
                 "ingest_id": int(ingest_id)}
@@ -3017,9 +3015,9 @@ def zonemap_vacuum(
         raw = reader.load(fs_spark_path(f"{loc}/manifest"))
         bucket_col = raw.columns[0]
         staged_v = [int(i) for i in (meta.get("staged_ingests") or [])]
-        current_max = raw.where(
+        current_max = _meta_row(raw.where(
             ~F.col("ingest").isin(staged_v) if staged_v else F.lit(True)
-        ).agg(F.max("ingest")).first()[0]
+        ).agg(F.max("ingest")))[0]
         if current_max is None:
             return {"n_dirs_removed": 0,
                     "vacuumed_through":
@@ -3246,6 +3244,52 @@ def zonemap_vacuum(
         return out
 
 
+class _metadata_conf:
+    """Conf context for MANIFEST-sized evaluation (the zonemap plan /
+    stats / count paths): AQE's per-exchange re-planning, whole-stage
+    codegen compiles, and session-wide shuffle widths are pure
+    overhead on metadata frames — a manifest is thousands of rows at
+    a petabyte table (Iceberg evaluates the equivalent on the driver,
+    single-threaded), so a 4-wide exchange with no AQE round-trips is
+    the scale-correct shape at EVERY table size, not a local-mode
+    tune. Same discipline (and measured 37→8-job precedent) as
+    events._metadata_scale_conf for targeted replication — minus the
+    codegen kill-switch: manifests reach 10⁵-10⁶ rows in the scale
+    harnesses, where interpreted expression eval costs more than the
+    (shape-cached) codegen compile it would save. Restores the
+    caller's conf on exit, exceptions included."""
+
+    _SET = (
+        ("spark.sql.adaptive.enabled", "false"),
+        ("spark.sql.shuffle.partitions", "4"),
+    )
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def __enter__(self):
+        self.saved = [
+            (k, self.spark.conf.get(k)) for k, _ in self._SET
+        ]
+        for k, v in self._SET:
+            self.spark.conf.set(k, v)
+        return self
+
+    def __exit__(self, *exc):
+        for k, v in self.saved:
+            self.spark.conf.set(k, v)
+        return False
+
+
+def _meta_row(df: DataFrame):
+    """Evaluate a metadata-sized SINGLE-ROW aggregate (delta totals,
+    stats rollups, horizon lookups) as one Spark job: collect() under
+    the manifest conf — ``.first()`` on the same frame costs an extra
+    job for the take-ramp and AQE adds one per exchange."""
+    with _metadata_conf(df.sparkSession):
+        return df.collect()[0]
+
+
 def zonemap_plan(
     spark: SparkSession,
     location: str,
@@ -3353,7 +3397,6 @@ def zonemap_plan(
                     F.array_contains(F.col(f"bloom_{col}"), p),
                     F.lit(False),
                 )
-    total = man.count()
     extra = list(keep_cols or [])  # e.g. zone columns for count pushdown
     # keep_cols the manifest does not carry (e.g. n_nulls_* on a
     # legacy layout written before null counts existed) come back as
@@ -3366,9 +3409,26 @@ def zonemap_plan(
     dv_cols = [c for c in ("__dv_rows", "__dv_ingests",
                            "__eq_ingests", "__eq_keys")
                if c in man.columns]
-    collected = man.where(keep).select(
-        bucket_col, "n_rows", "__ingests", *dv_cols, *present
-    ).collect()
+    # ONE action computes the total-bucket count AND ships the kept
+    # rows: collect_list skips the null the unkept branch yields, so
+    # a 1%-selective plan over a million-bucket manifest still ships
+    # ~10⁴ structs — and the merged-manifest DAG (delta read, base
+    # resolution join, monoid agg) evaluates once instead of twice
+    # (r13 opt: the old count() + collect() pair was ~half the Spark
+    # jobs of every plan call). Runs under the metadata conf: AQE
+    # re-planning, whole-stage codegen and 32-wide exchanges are pure
+    # overhead on manifest-sized frames at ANY table size.
+    out_cols = [bucket_col, "n_rows", "__ingests", *dv_cols, *present]
+    with _metadata_conf(man.sparkSession):
+        head = man.select(
+            F.when(keep, F.struct(*[F.col(c) for c in out_cols]))
+            .alias("__s")
+        ).agg(
+            F.count(F.lit(1)).alias("__total"),
+            F.collect_list("__s").alias("__kept"),
+        ).collect()[0]
+    total = head["__total"]
+    collected = head["__kept"]
     kept = [
         {bucket_col: r[bucket_col], "n_rows": r["n_rows"],
          "__ingests": list(r["__ingests"]),
@@ -3729,7 +3789,7 @@ def zonemap_stats(
                 1, KMV_K,
             ).alias(f"kmv_{c}")
         )
-    one = man.agg(*rolls).first()  # ONE metadata row
+    one = _meta_row(man.agg(*rolls))  # ONE metadata row
 
     def _ndv(arr) -> int | None:
         if arr is None:
