@@ -155,7 +155,10 @@ class JdbcAuditLogSource:
             if self._count_between(spark, last_id, hi) == len(rows):
                 break
             # a lower-id row committed between the two reads: re-fetch
-        entries = spark.createDataFrame(
+        from reair_spark.io import rows_df
+
+        entries = rows_df(
+            spark,
             rows,
             "id long, create_time timestamp, command_type string, command string",
         )
@@ -305,7 +308,7 @@ def run_incremental_jdbc(
         if batch is None:
             break
         batch = batch.cache()
-        hi = int(batch.agg(F.max("id")).first()[0])
+        hi = int(batch.agg(F.max("id")).collect()[0][0])
         jobs = compile_jobs(batch)
         job_store.append(jobs.select(*_job_cols()))
         executed = execute_jobs(spark, jobs, src_root, dest_root)

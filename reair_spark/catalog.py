@@ -511,7 +511,9 @@ def snapshot_tables(spark: SparkSession, catalog: MetastoreCatalog) -> DataFrame
             rec = catalog.get_table(db, table)
             if rec is not None:
                 rows.append(_table_row(rec))
-    return spark.createDataFrame(rows, TABLE_SCHEMA) if rows else spark.createDataFrame([], TABLE_SCHEMA)
+    from reair_spark.io import rows_df
+
+    return rows_df(spark, rows, TABLE_SCHEMA)
 
 
 def snapshot_partitions(spark: SparkSession, catalog: MetastoreCatalog) -> DataFrame:
@@ -530,11 +532,9 @@ def snapshot_partitions(spark: SparkSession, catalog: MetastoreCatalog) -> DataF
                         p.get("parameters", {}),
                     )
                 )
-    return (
-        spark.createDataFrame(rows, PARTITION_SCHEMA)
-        if rows
-        else spark.createDataFrame([], PARTITION_SCHEMA)
-    )
+    from reair_spark.io import rows_df
+
+    return rows_df(spark, rows, PARTITION_SCHEMA)
 
 
 def strip_non_comparables(params_col):

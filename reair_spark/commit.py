@@ -181,7 +181,14 @@ def execute_commits(
     from reair_spark.shipping import ensure_shipped
 
     ensure_shipped(spark)
-    parallelism = parallelism or spark.sparkContext.defaultParallelism
+    # width rides spark.sql.shuffle.partitions (conf-driven, so the
+    # targeted-replication metadata conf narrows it and a production
+    # session keeps its own sizing) instead of a flat defaultParallelism
+    # — the plan is changed-OBJECTS-scale, and 32 near-empty commit
+    # tasks each paid a catalog-client construction per call here
+    parallelism = parallelism or int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
     ordered = _enrich(plan).repartition(parallelism, "db", "table").sortWithinPartitions(
         "db", "table", F.col("action") != "DROP_TABLE", "partition_name"
     )
@@ -220,4 +227,6 @@ def apply_commits_driver(
         _apply_one(catalog, r, _json.loads(r["payload"]) if r["payload"] else None)
         for r in rows
     ]
-    return spark.createDataFrame(out, COMMIT_RESULT_SCHEMA)
+    from reair_spark.io import rows_df
+
+    return rows_df(spark, out, COMMIT_RESULT_SCHEMA)

@@ -561,8 +561,10 @@ def kmeans_fit(
         )
         cent_py = sorted((r.cluster, list(r.cemb)) for r in new_rows)
 
-    cent = spark.createDataFrame(
-        [(c, v) for c, v in cent_py], "cluster int, cemb array<double>"
+    from reair_spark.io import rows_df
+
+    cent = rows_df(
+        spark, [(c, v) for c, v in cent_py], "cluster int, cemb array<double>"
     )
     return assign(cent_py).select("vec_id", "cluster", "sim"), cent
 

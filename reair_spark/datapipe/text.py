@@ -726,7 +726,10 @@ def text_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
              F.first("dl").alias("dl"))
     )
     df_ = tf.groupBy("token").agg(F.count(F.lit(1)).cast("double").alias("df"))
-    qdf = spark.createDataFrame(
+    from reair_spark.io import rows_df
+
+    qdf = rows_df(
+        spark,
         [(qid, t) for qid, terms in BM25_QUERIES for t in terms],
         "query_id string, token string",
     )  # |queries|×|terms| rows — broadcast metadata, not data
@@ -825,7 +828,10 @@ def bm25_search(
     stats = spark.read.parquet(f"{index_dir}/stats.parquet")
     all_terms = sorted({t for _, terms in queries for t in terms})
     tf = postings.where(F.col("token").isin(all_terms))
-    qdf = spark.createDataFrame(
+    from reair_spark.io import rows_df
+
+    qdf = rows_df(
+        spark,
         [(qid, t) for qid, terms in queries for t in terms],
         "query_id string, token string",
     )

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from reair_spark.catalog import TABLE_SCHEMA
 from reair_spark.diff import table_diff
 from reair_spark.io import load_table as _t
+from reair_spark.io import rows_df
 
 
 def _derived_catalogs(spark: SparkSession, sf: str) -> tuple[DataFrame, DataFrame]:
@@ -443,7 +444,7 @@ def incremental_e2e_digest(spark: SparkSession, sf: str) -> DataFrame:
         # materialize INSIDE the context (the digest is ≤ ~25 rows —
         # lazy return would execute it under the restored wide conf)
         rows, schema = dig.collect(), dig.schema
-    return spark.createDataFrame(rows, schema)
+    return rows_df(spark, rows, schema)
 
 
 def _incremental_outcome_digest(spark: SparkSession, job_store, dest_root: str) -> DataFrame:
@@ -470,7 +471,7 @@ def _incremental_outcome_digest(spark: SparkSession, job_store, dest_root: str) 
         (dest_cat.get_table("wh", t)["location"],)
         for t in dest_cat.tables("wh")
     ]  # catalog read: metadata-scale (≤ 25 tables) by construction
-    inv = list_files(spark, spark.createDataFrame(locs, "location string"))
+    inv = list_files(spark, rows_df(spark, locs, "location string"))
     dest_state = (
         inv  # list_files returns file rows only (dirs drive recursion)
         .groupBy("root")
@@ -512,7 +513,7 @@ def incremental_streaming_digest(spark: SparkSession, sf: str) -> DataFrame:
         job_store = JobStore(spark, f"{state_dir}/replication_jobs")
         dig = _incremental_outcome_digest(spark, job_store, dest_root)
         rows, schema = dig.collect(), dig.schema
-    return spark.createDataFrame(rows, schema)
+    return rows_df(spark, rows, schema)
 
 
 def dirsync_e2e_digest(spark: SparkSession, sf: str) -> DataFrame:
@@ -2231,7 +2232,7 @@ def _orders_max_key(spark: SparkSession, sf: str) -> int:
     key = (spark.sparkContext.applicationId, sf)
     if key not in _ORDERS_MK_CACHE:
         _ORDERS_MK_CACHE[key] = int(
-            _t(spark, sf, "orders").agg(F.max("o_orderkey")).first()[0]
+            _t(spark, sf, "orders").agg(F.max("o_orderkey")).collect()[0][0]
         )
     return _ORDERS_MK_CACHE[key]
 
@@ -4472,7 +4473,7 @@ def stats_broadcast_join(spark: SparkSession, sf: str) -> DataFrame:
         rows, schema = agg.collect(), agg.schema
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-    out = spark.createDataFrame(rows, schema)
+    out = rows_df(spark, rows, schema)
     return out.select(
         F.lit(dec["num_rows_stat"]).cast("long").alias("num_rows_stat"),
         F.lit(int(dec["broadcast"])).cast("long").alias("broadcast_on"),
@@ -5029,7 +5030,7 @@ def zonemap_wap_publish(spark: SparkSession, sf: str) -> DataFrame:
     audit_row = zonemap_scan_staged(spark, layout, 1).agg(
         F.count(F.lit(1)).cast("long").alias("n_audit"),
         F.round(F.sum("o_totalprice"), 2).alias("sum_audit"),
-    ).first()
+    ).collect()[0]
     poison = o.select(
         (F.col("o_orderkey") + F.lit(int(mk))).alias("o_orderkey"),
         (F.col("o_totalprice") + F.lit(1e9)).alias("o_totalprice"),
@@ -5242,7 +5243,7 @@ def zonemap_key_erasure(spark: SparkSession, sf: str) -> DataFrame:
     agg = cur.agg(
         F.count(F.lit(1)).cast("long").alias("n_after"),
         F.round(F.sum("c_acctbal"), 2).alias("sum_after"),
-    ).first()
+    ).collect()[0]
     zonemap_compact(spark, layout)
     post, _ = zonemap_scan(spark, layout)
     purge_stable = post.agg(

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from reair_spark.datapipe.common import round_like_duckdb
 from reair_spark.io import load_table as _t
+from reair_spark.io import rows_df
 from reair_spark.operators import (
     asof_join,
     deletion_neighborhood_join,
@@ -143,7 +144,7 @@ def exact_stats(spark: SparkSession, sf: str) -> DataFrame:
     # scan rows through the shuffle); split branches each scan ONE
     # pruned column and shuffle only partial-agg state
     med = exact_median_scalable(li, "l_extendedprice")
-    med_df = spark.createDataFrame([(med,)], "median_price double")
+    med_df = rows_df(spark, [(med,)], "median_price double")
     n_parts = li.agg(F.count_distinct("l_partkey").alias("n_parts"))
     n_supps = li.agg(F.count_distinct("l_suppkey").alias("n_supps"))
     return med_df.crossJoin(n_parts).crossJoin(n_supps)
@@ -161,7 +162,8 @@ def exact_percentiles(spark: SparkSession, sf: str) -> DataFrame:
     li = _t(spark, sf, "lineitem")
     probs = [0.25, 0.5, 0.75, 0.9, 0.99]
     vals = exact_percentiles_scalable(li, "l_extendedprice", probs)
-    return spark.createDataFrame(
+    return rows_df(
+        spark,
         [tuple(vals)],
         "p25 double, p50 double, p75 double, p90 double, p99 double",
     )

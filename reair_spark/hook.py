@@ -257,7 +257,9 @@ class AuditLogHook:
         number of rows written."""
         if not self._buffer:
             return 0
-        df = self.spark.createDataFrame(self._buffer, AUDIT_SCHEMA)
+        from reair_spark.io import rows_df
+
+        df = rows_df(self.spark, self._buffer, AUDIT_SCHEMA)
         df.coalesce(1).write.mode("append").parquet(self.log_path)
         n = len(self._buffer)
         self._buffer.clear()

@@ -162,16 +162,26 @@ def list_files(
             F.col(col).cast("string").alias("dir"),
         ).where(F.col("root").isNotNull()).distinct()
     else:
-        dirs = spark.createDataFrame([(r, r) for r in roots], _DIR_SCHEMA)
+        from reair_spark.io import rows_df
+
+        # one slice per root (capped at parallelism): each root is a
+        # whole tree, so parallelism follows the root count instead of
+        # 64 mostly-empty tasks for a 2-root sync
+        dirs = rows_df(
+            spark, [(r, r) for r in roots], _DIR_SCHEMA, rows_per_slice=1
+        )
     scan_level = _make_scan_level(fs_registry(), include_hidden)
     files: DataFrame | None = None
     first = True
     while True:
-        # level 0 DataFrame roots arrive pre-spread (distinct/shuffle
-        # output) — re-shuffling them buys nothing; deeper levels are
+        # level 0 roots arrive pre-spread (distinct/shuffle output for
+        # DataFrame roots, rows_df row-count slicing for lists) —
+        # re-shuffling them buys nothing; deeper levels are
         # repartitioned because one parent's children land in one
-        # partition (the skew the reference's level-split also fights)
-        if first and isinstance(roots, DataFrame):
+        # partition (the skew the reference's level-split also fights).
+        # List-roots level 0 used to repartition a handful of dirs
+        # into min(parallelism, 64) near-empty tasks per listing call.
+        if first:
             balanced = dirs
         else:
             balanced = dirs.repartition(min(parallelism, 64))

@@ -112,7 +112,7 @@ def lag_seconds(incomplete_jobs: DataFrame, now_ts: float | None = None) -> floa
     """A7: age of the oldest in-flight job (StatsTracker.java:35-57 —
     ``now - create_time`` of the job with the smallest id). Returns 0.0
     when nothing is in flight."""
-    row = incomplete_jobs.agg(F.min("create_time").alias("oldest")).first()
+    row = incomplete_jobs.agg(F.min("create_time").alias("oldest")).collect()[0]
     if row is None or row["oldest"] is None:
         return 0.0
     now = time.time() if now_ts is None else now_ts

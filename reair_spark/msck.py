@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 
 from reair_spark.catalog import MetastoreCatalog, partition_name_to_values
 from reair_spark.inventory import list_files
+from reair_spark.io import rows_df
 
 PART_SEG_RE = r"^[^=/]+=[^/]+$"
 
@@ -91,18 +92,14 @@ def msck_repair(
         # Hive's MSCK is a no-op on unpartitioned tables; defaulting to
         # depth-1 discovery would register any k=v-named subdirectory
         # as a phantom partition
-        return spark.createDataFrame(
-            [], "partition_name string, state string, applied boolean"
+        return rows_df(
+            spark, [], "partition_name string, state string, applied boolean"
         )
     depth = len(keys)
     loc = rec["location"]
     listing = list_files(spark, [loc])
     parts = [(p["partition_name"],) for p in catalog.get_partitions(db, table)]
-    cat_df = (
-        spark.createDataFrame(parts, "partition_name string")
-        if parts
-        else spark.createDataFrame([], "partition_name string")
-    )
+    cat_df = rows_df(spark, parts, "partition_name string")
     plan = partition_discovery_plan(disk_partitions(listing, depth), cat_df)
     rows = plan.collect()  # metadata-scale: |partitions| of ONE table
     applied = []
@@ -120,8 +117,8 @@ def msck_repair(
             applied.append((r.partition_name, r.state, True))
         else:
             applied.append((r.partition_name, r.state, False))
-    return spark.createDataFrame(
-        applied, "partition_name string, state string, applied boolean"
+    return rows_df(
+        spark, applied, "partition_name string, state string, applied boolean"
     )
 
 

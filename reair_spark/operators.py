@@ -237,7 +237,7 @@ def _values_at_global_ranks(
     if _bounds is not None:
         lo, hi = _bounds
     else:
-        stats = df.agg(F.min(col).alias("lo"), F.max(col).alias("hi")).first()
+        stats = df.agg(F.min(col).alias("lo"), F.max(col).alias("hi")).collect()[0]
         lo, hi = stats["lo"], stats["hi"]
     if lo == hi:  # all remaining rows share one value — no fetch needed
         return dict.fromkeys(needed, lo)
@@ -335,7 +335,7 @@ def exact_percentiles_scalable(
     neighbors. Returns None for an empty input."""
     stats = df.agg(
         F.count(col).alias("n"), F.min(col).alias("lo"), F.max(col).alias("hi")
-    ).first()
+    ).collect()[0]
     n = stats["n"]
     if not n:
         return None

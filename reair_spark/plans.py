@@ -306,10 +306,12 @@ def execute_compaction(
     )
     stats = dirs_df.agg(
         F.sum("bytes").alias("b"), F.count(F.lit(1)).alias("d")
-    ).first()
+    ).collect()[0]
     if stats["d"] == 0:
-        return spark.createDataFrame(
-            [], "dir string, n_files_in long, bytes long, n_files_out long"
+        from reair_spark.io import rows_df
+
+        return rows_df(
+            spark, [], "dir string, n_files_in long, bytes long, n_files_out long"
         )
 
     df = spark.read.format(fmt).option("recursiveFileLookup", "true").load(src_root)
@@ -372,7 +374,9 @@ def execute_compaction(
         out_counts.append(("" if d == "." else d, n_out))
     shutil.rmtree(staging, ignore_errors=True)
 
-    planned = spark.createDataFrame(out_counts, "dir string, n_files_out long")
+    from reair_spark.io import rows_df
+
+    planned = rows_df(spark, out_counts, "dir string, n_files_out long")
     return (
         dirs_df.join(planned, "dir", "left")
         .select(

@@ -34,6 +34,7 @@ from reair_spark.copy import copy_summary, execute_copies, plan_copy_tasks
 from reair_spark.diff import PLAN_COLUMNS, warehouse_plan
 from reair_spark.filters import apply_regex_filters
 from reair_spark.inventory import dir_digest, list_files
+from reair_spark.io import rows_df
 from reair_spark.metrics import JobMetrics
 
 
@@ -147,7 +148,8 @@ def replicate_warehouse(
         # leave the snapshot set — their lifecycle belongs to the
         # table-format layer (publish below; drops/partitions never
         # touch them), and their catalog record is never overwritten.
-        zm_keys = F.broadcast(spark.createDataFrame(
+        zm_keys = F.broadcast(rows_df(
+            spark,
             [(t["db"], t["table"]) for t in zm_tables],
             "db string, table string",
         ))
@@ -173,7 +175,7 @@ def replicate_warehouse(
 
     if empty_snapshot:
         inv = None
-        plan = spark.createDataFrame([], _EMPTY_PLAN_SCHEMA)
+        plan = rows_df(spark, [], _EMPTY_PLAN_SCHEMA)
     else:
         inv, dg = _digests(spark, src_t, src_p, dest_t, dest_p)
 
@@ -267,7 +269,7 @@ def replicate_warehouse(
     else:
         from reair_spark.copy import COPY_RESULT_SCHEMA
 
-        copy_results = spark.createDataFrame([], COPY_RESULT_SCHEMA)
+        copy_results = rows_df(spark, [], COPY_RESULT_SCHEMA)
     metrics.mark_done("copy")
 
     _jd("replicate: stage2b format publish")
@@ -549,7 +551,8 @@ def _publish_zonemap_incremental(
             "partitioned source (partition TLDTs are the change "
             "signal); use snapshot mode for unpartitioned tables"
         )
-    cur_df = spark.createDataFrame(
+    cur_df = rows_df(
+        spark,
         [(p["partition_name"],
           (p.get("parameters") or {}).get("transient_lastDdlTime"))
          for p in parts],
@@ -635,7 +638,8 @@ def _publish_zonemap_incremental_core(
     recorded = _pubmap_read(spark, loc)
     if recorded is None and meta and meta.get("published_partitions"):
         legacy = meta["published_partitions"]
-        _pubmap_append(spark, loc, spark.createDataFrame(
+        _pubmap_append(spark, loc, rows_df(
+            spark,
             [(p, (v or {}).get("tldt"),
               [str(b) for b in (v or {}).get("buckets") or []], False)
              for p, v in legacy.items()],
@@ -764,8 +768,8 @@ def _publish_zonemap_incremental_core(
         )
     )
     if dropped:
-        upd = upd.unionByName(spark.createDataFrame(
-            [(p, None, None, True) for p in dropped], PUBMAP_SCHEMA,
+        upd = upd.unionByName(rows_df(
+            spark, [(p, None, None, True) for p in dropped], PUBMAP_SCHEMA,
         ))
     if scope or dropped:
         _pubmap_append(spark, loc, upd)
@@ -908,7 +912,6 @@ def _publish_zonemap_targets(
             res["n_buckets"], res["n_buckets_tombstoned"],
             res["ingest_id"],
         ))
-    # one partition: the per-table result set is metadata-sized and
-    # consumers probe it with first()/where().first() — spread over
-    # default parallelism those probes pay a 3-4 job take-ramp
-    return spark.createDataFrame(rows, _ZM_RESULT_SCHEMA).coalesce(1)
+    # one partition (rows_df): the per-table result set is
+    # metadata-sized and consumers probe it with first()/where().first()
+    return rows_df(spark, rows, _ZM_RESULT_SCHEMA)

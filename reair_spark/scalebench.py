@@ -803,7 +803,7 @@ def merge_scale_scenario(spark: SparkSession, n: int) -> dict:
     agg = df.agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.sum("v").cast("long").alias("sum_v"),
-    ).first()
+    ).collect()[0]
     return {
         "n_buckets_total": stats["n_buckets_total"],
         "n_buckets_affected_merge": m["n_buckets_affected"],
@@ -1017,7 +1017,7 @@ def mor_scale_scenario(spark: SparkSession, n: int) -> dict:
     agg = df.agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.sum("v").cast("long").alias("sum_v"),
-    ).first()
+    ).collect()[0]
     return {
         "n_buckets_total": stats["n_buckets_total"],
         "n_keys_masked": u["n_keys_masked"],

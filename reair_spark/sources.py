@@ -1219,8 +1219,10 @@ def append_zonemapped(
                 .alias(bucket_col)
             )
         else:
-            tomb_src = spark_.createDataFrame(
-                [(b,) for b in names], f"`{bucket_col}` string"
+            from reair_spark.io import rows_df
+
+            tomb_src = rows_df(
+                spark_, [(b,) for b in names], f"`{bucket_col}` string"
             )
         tomb = tomb_src.join(
             manifest.select(bucket_col), bucket_col, "left_anti"
@@ -3813,7 +3815,10 @@ def zonemap_stats(
             one[f"max_{c}"] if c in stat_cols else None,
             _ndv(one[f"kmv_{c}"]) if c in ndv_cols else None,
         ))
-    return spark.createDataFrame(
+    from reair_spark.io import rows_df
+
+    return rows_df(
+        spark,
         rows,
         "column string, n_rows long, n_nulls long, "
         "min_value string, max_value string, ndv long",

@@ -73,7 +73,7 @@ class JobStore:
         # latest-transition race, leaving requeued jobs PENDING forever
         self._seq = 0
         if os.path.exists(path):
-            row = spark.read.parquet(path).agg(F.max("seq")).first()
+            row = spark.read.parquet(path).agg(F.max("seq")).collect()[0]
             self._seq = int(row[0] or 0)
 
     def _recover_compaction(self) -> None:
@@ -170,7 +170,9 @@ class JobStore:
     def current(self) -> DataFrame:
         """Latest transition per job_id."""
         if not os.path.exists(self.path):
-            return self.spark.createDataFrame([], JOB_SCHEMA)
+            from reair_spark.io import rows_df
+
+            return rows_df(self.spark, [], JOB_SCHEMA)
         log = self.spark.read.parquet(self.path)
         w = W.partitionBy("job_id").orderBy(F.desc("seq"))
         return (

@@ -729,7 +729,9 @@ def scd2_state(
         if before is None or v < before
     ]
     if not versions:
-        return spark.createDataFrame([], SCD2_SCHEMA)
+        from reair_spark.io import rows_df
+
+        return rows_df(spark, [], SCD2_SCHEMA)
     return spark.read.parquet(f"{table_dir}/v{versions[-1]:09d}")
 
 
