@@ -44,6 +44,13 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "256m")
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "128m")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # multi-path reads (zonemap bucket scans) list their dirs at
+        # DataFrame-build time; the default threshold (32 paths) spins
+        # up a whole Spark JOB to list a few hundred directories —
+        # measured 0.3-0.5 s per scan at bench scale. Driver-side
+        # threaded listing handles O(1k) paths in milliseconds on any
+        # fs; the distributed job only pays off at ~10k+ paths.
+        .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "1024")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

@@ -2896,8 +2896,16 @@ def _zonemap_delete_mor(
             continue  # a commit landed since planning: recompute
         # delete files land like any ingest: dynamic partition
         # overwrite keyed by the claimed id (idempotent re-run)
+        # cluster the delete addresses by bucket before the write:
+        # `matched` arrives scan-partitioned (one task per pruned data
+        # split), so writing it directly fans every task across every
+        # bucket dir — task×bucket tiny files and a write stage as
+        # wide as the scan. The hash repartition (no explicit width —
+        # AQE sizes it by volume) is Iceberg's hash distribution-mode
+        # for delete files; positions are a few bytes/row at any scale.
         write_partitioned(
-            matched.withColumn("ingest", F.lit(int(ingest_id))),
+            matched.withColumn("ingest", F.lit(int(ingest_id)))
+            .repartition("ingest", bucket_col),
             fs_spark_path(f"{loc}/{DELETES_DIR}"),
             ["ingest", bucket_col],
             serde="parquet",
