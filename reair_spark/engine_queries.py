@@ -503,8 +503,11 @@ def incremental_streaming_digest(spark: SparkSession, sf: str) -> DataFrame:
     from reair_spark.streaming import stream_replicate
 
     hook, src_root, dest_root, state_dir = _incremental_scenario(spark, sf)
-    schema = spark.read.parquet(hook.log_path).schema
-    stream = spark.readStream.schema(schema).parquet(hook.log_path)
+    from reair_spark.hook import AUDIT_SCHEMA
+
+    # the log is engine-written AUDIT_SCHEMA by construction — a
+    # schema-inference read per call is a pure footer-sampling job
+    stream = spark.readStream.schema(AUDIT_SCHEMA).parquet(hook.log_path)
     with _metadata_scale_conf(spark):
         stream_replicate(
             spark, stream, src_root, dest_root,

@@ -73,7 +73,8 @@ class JobStore:
         # latest-transition race, leaving requeued jobs PENDING forever
         self._seq = 0
         if os.path.exists(path):
-            row = spark.read.parquet(path).agg(F.max("seq")).collect()[0]
+            row = spark.read.schema(JOB_SCHEMA).parquet(path)\
+                .agg(F.max("seq")).collect()[0]
             self._seq = int(row[0] or 0)
 
     def _recover_compaction(self) -> None:
@@ -173,7 +174,9 @@ class JobStore:
             from reair_spark.io import rows_df
 
             return rows_df(self.spark, [], JOB_SCHEMA)
-        log = self.spark.read.parquet(self.path)
+        # explicit schema: the log is engine-written JOB_SCHEMA by
+        # construction — inference costs a footer-sampling job per read
+        log = self.spark.read.schema(JOB_SCHEMA).parquet(self.path)
         w = W.partitionBy("job_id").orderBy(F.desc("seq"))
         return (
             log.withColumn("rn", F.row_number().over(w))
@@ -212,7 +215,9 @@ class JobStore:
 
         if not os.path.exists(self.path):
             return {}, 0.0
-        log = self.spark.read.parquet(self.path)
+        # explicit schema: the log is engine-written JOB_SCHEMA by
+        # construction — inference costs a footer-sampling job per read
+        log = self.spark.read.schema(JOB_SCHEMA).parquet(self.path)
         rows = (
             log.groupBy("job_id")
             .agg(
@@ -295,7 +300,9 @@ class JobStore:
 
         if not os.path.exists(self.path):
             return 0.0
-        log = self.spark.read.parquet(self.path)
+        # explicit schema: the log is engine-written JOB_SCHEMA by
+        # construction — inference costs a footer-sampling job per read
+        log = self.spark.read.schema(JOB_SCHEMA).parquet(self.path)
         first_seen = log.groupBy("job_id").agg(
             F.min("create_time").alias("create_time")
         )
