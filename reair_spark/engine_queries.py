@@ -2993,8 +2993,14 @@ def cdf_incremental_sync(spark: SparkSession, sf: str) -> DataFrame:
         ),
         key_cols=["o_orderkey"],
     )
-    # the sync: change rows + dest's affected buckets, nothing else
+    # the sync: change rows + dest's affected buckets, nothing else.
+    # checkpoint the feed FIRST: the change frame embeds per-commit
+    # scans and bucket-scoped diffs, and it feeds three consumers
+    # (bucket set, deletes, inserts) — un-checkpointed it re-ran the
+    # whole reconstruction per consumer (the streaming twin,
+    # zonemap_cdf_apply, already checkpoints; the batch gate did not)
     ch, st = zonemap_changes(spark, src, from_ingest=synced)
+    ch = ch.localCheckpoint(eager=True)
     cols = ["o_orderkey", "o_totalprice", "bucket"]
     buckets = [str(r[0]) for r in
                ch.select(F.col("bucket").cast("string"))

@@ -1030,13 +1030,18 @@ def zonemap_cdf_apply(
     if st["n_commits"] == 0:
         return {"n_commits": 0, "n_changes": 0, "n_buckets_synced": 0}
     ch = ch.localCheckpoint(eager=True)
-    n_changes = ch.count()
     bcol = (_read_layout_meta(dest_location.rstrip("/")) or {})[
         "bucket_col"
     ]
-    buckets = [str(r[0]) for r in
-               ch.select(F.col(bcol).cast("string"))
-               .distinct().collect()]
+    # ONE action: the change count and the affected-bucket set come
+    # from the same aggregate over the checkpointed feed (two actions
+    # before — a count plus a distinct-collect)
+    head = ch.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.collect_set(F.col(bcol).cast("string")).alias("__b"),
+    ).collect()[0]
+    n_changes = int(head["__n"])
+    buckets = sorted(head["__b"])
     to = st["commit_ingests"][-1] if to_ingest is None else to_ingest
     src_state, _ = zonemap_scan(spark, src_location, buckets=buckets,
                                 max_ingest=int(to))
