@@ -101,21 +101,47 @@ def main() -> None:
     with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
     headline = {k: v for k, v in timings.items() if k[:1] == "q" and k[1:3].isdigit()}
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall",
-                "value": detail["value"],
-                "median_total": detail["median_total"],
-                "unit": "sec",
-                "n_queries": len(timings),
-                "n_stall_suspect": len(stall_suspect),
-                "queries": headline,
-                "detail": "BENCH_DETAIL.json",
-                "sf": sf,
-            }
-        )
-    )
+    # r14 (additions-only, VERDICT r13 ask #2): the printed line used to
+    # expose only the 28 declared micros — 12% of the registry, all
+    # floor-bound sub-0.5 s queries, which blinded the driver's PERF
+    # geomean and made its cpus-scaling check false-positive. Add the
+    # top-20 slowest registry queries (the ones whose wall actually
+    # moves with cores and with optimization) and per-family subtotals.
+    # The q01..q28 dict entries are kept verbatim; nothing is removed
+    # or renamed. Budget guard: round-1 showed the driver's stdout
+    # capture chokes on an all-230-query line (~8 KB), so additions are
+    # trimmed to keep the line comfortably under that — top-20 first,
+    # then families, dropped in reverse priority if ever oversized.
+    slowest = {
+        k: v
+        for k, v in sorted(timings.items(), key=lambda kv: -kv[1])[:20]
+        if k not in headline
+    }
+    families: dict[str, float] = {}
+    for k, v in timings.items():
+        fam = "qNN" if k in headline else k.split("_")[0]
+        families[fam] = round(families.get(fam, 0.0) + v, 3)
+    line = {
+        "metric": "total_query_wall",
+        "value": detail["value"],
+        "median_total": detail["median_total"],
+        "unit": "sec",
+        "n_queries": len(timings),
+        "n_stall_suspect": len(stall_suspect),
+        "queries": {**headline, **slowest},
+        "families": families,
+        "detail": "BENCH_DETAIL.json",
+        "sf": sf,
+    }
+    out = json.dumps(line)
+    if len(out) > 3500:
+        line.pop("families")
+        out = json.dumps(line)
+    while len(out) > 3500 and slowest:
+        slowest.pop(sorted(slowest, key=lambda k: timings[k])[0])
+        line["queries"] = {**headline, **slowest}
+        out = json.dumps(line)
+    print(out)
 
 
 if __name__ == "__main__":

@@ -186,9 +186,13 @@ def execute_commits(
     # session keeps its own sizing) instead of a flat defaultParallelism
     # — the plan is changed-OBJECTS-scale, and 32 near-empty commit
     # tasks each paid a catalog-client construction per call here
-    parallelism = parallelism or int(
-        spark.conf.get("spark.sql.shuffle.partitions")
-    )
+    if not parallelism:
+        try:
+            parallelism = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        except ValueError:
+            # some distributions set the conf to a non-numeric value
+            # (e.g. "auto"); fall back to cluster parallelism
+            parallelism = spark.sparkContext.defaultParallelism
     ordered = _enrich(plan).repartition(parallelism, "db", "table").sortWithinPartitions(
         "db", "table", F.col("action") != "DROP_TABLE", "partition_name"
     )

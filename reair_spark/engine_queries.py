@@ -2301,47 +2301,44 @@ def _sync_digest(
     s_now: DataFrame, d_now: DataFrame, cols: list[str], price_col: str
 ) -> tuple[bool, int, float]:
     """Bidirectional multiset equality AND the dest totals in ONE
-    action (r13 opt): the CDF gates used to checkpoint the dest scan
-    and evaluate it twice (multiset probe + returned agg). The
-    full-outer count-compare join already holds every dest group, so
-    n_rows = Σ _nb and sum_price = Σ price·_nb fall out of the same
-    aggregate. price_col is one of ``cols`` (a group key), so the
-    per-row sum and the grouped sum add the same values; rounding at 2
-    stays on sums of 2-decimal inputs (the documented safe class).
-    Returns (in_sync, n_rows, sum_price)."""
-    ca = s_now.groupBy(*cols).agg(F.count(F.lit(1)).alias("_na"))
-    cb = d_now.groupBy(*cols).agg(F.count(F.lit(1)).alias("_nb"))
-    row = ca.join(cb, cols, "full_outer").agg(
+    action over ONE shuffle (r13 fused the two exceptAll passes into a
+    count-compare; r14 folds the two per-side groupBys + full-outer
+    join into a single union/±1 grouped sum — the RewriteExceptAll
+    shape, with map-side partial aggregation): per tuple, _d = n_src −
+    n_dest falsifies when nonzero, and _nb = dest-side count feeds the
+    dest totals from the same aggregate. groupBy groups NULL keys
+    together exactly as the full-outer join's coalesce-compare did, so
+    null tuples keep counting. price_col is one of ``cols`` (a group
+    key), so sum(price·_nb) adds the same values as a per-row sum;
+    rounding at 2 stays on sums of 2-decimal inputs (the documented
+    safe class). Returns (in_sync, n_rows, sum_price)."""
+    u = s_now.select(*cols).withColumn(
+        "_w", F.lit(1)
+    ).unionByName(d_now.select(*cols).withColumn("_w", F.lit(-1)))
+    g = u.groupBy(*cols).agg(
+        F.sum("_w").alias("_d"),
+        F.count(F.when(F.col("_w") < 0, F.lit(1))).alias("_nb"),
+    )
+    row = g.agg(
         F.sum(
-            F.when(
-                F.coalesce("_na", F.lit(0)) != F.coalesce("_nb", F.lit(0)),
-                F.lit(1),
-            ).otherwise(F.lit(0))
+            F.when(F.col("_d") != 0, F.lit(1)).otherwise(F.lit(0))
         ).alias("_bad"),
         F.sum("_nb").cast("long").alias("n_rows"),
-        F.round(F.sum(F.col(price_col) * F.col("_nb")), 2)
-        .alias("sum_price"),
+        # when(_nb > 0): a src-only group contributes NULL (skipped)
+        # exactly as the old full-outer join's null _nb side did, so
+        # an empty dest still digests to NULL, never 0.0
+        F.round(
+            F.sum(
+                F.when(F.col("_nb") > 0, F.col(price_col) * F.col("_nb"))
+            ),
+            2,
+        ).alias("sum_price"),
     ).collect()[0]
     return (
         int(row["_bad"] or 0) == 0,
         int(row["n_rows"] or 0),
         row["sum_price"],
     )
-
-
-def _multiset_equal(a: DataFrame, b: DataFrame, cols: list[str]) -> bool:
-    """Bidirectional multiset equality over non-null tuples in ONE
-    action: per-side counts grouped by the full tuple, full-outer
-    joined, any count mismatch falsifies. Value-identical to
-    ``a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0``
-    (for null-free columns — the equi-join drops null keys), which
-    cost two shuffle+count jobs over unaggregated rows."""
-    ca = a.groupBy(*cols).agg(F.count(F.lit(1)).alias("_na"))
-    cb = b.groupBy(*cols).agg(F.count(F.lit(1)).alias("_nb"))
-    mismatch = ca.join(cb, cols, "full_outer").where(
-        F.coalesce("_na", F.lit(0)) != F.coalesce("_nb", F.lit(0))
-    )
-    return mismatch.limit(1).count() == 0
 
 
 def zonemap_compact_scan(spark: SparkSession, sf: str) -> DataFrame:
@@ -3008,9 +3005,10 @@ def cdf_incremental_sync(spark: SparkSession, sf: str) -> DataFrame:
     dest_cur, _ = zonemap_scan(spark, dest, buckets=buckets)
     dels = ch.where("_change_type = 'delete'").select(*cols)
     ins = ch.where("_change_type = 'insert'").select(*cols)
-    new_view = (
-        dest_cur.select(*cols).exceptAll(dels).unionByName(ins)
-    ).localCheckpoint(eager=True)
+    # no caller-side checkpoint: zonemap_replace_buckets eagerly
+    # checkpoints its input itself (the commit pin), so one here was
+    # a second materialization of the same frame (r14)
+    new_view = dest_cur.select(*cols).exceptAll(dels).unionByName(ins)
     rb = zonemap_replace_buckets(spark, dest, new_view, buckets)
     # verification: dest is now multiset-identical to the source
     s_now, _ = zonemap_scan(spark, src)

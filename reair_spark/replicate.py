@@ -100,6 +100,31 @@ def replicate_warehouse(
     ``DirectoryCatalog`` on each root). A driver-bound dest client
     (e.g. ``SparkSqlCatalog``) commits via ``apply_commits_driver``;
     the default path keeps executor-parallel per-table committers."""
+    # stage labels (guide §1.5) are session-sticky: clear them even
+    # when a stage raises, or every subsequent session job would carry
+    # a stale 'replicate: ...' description (ADVICE r13)
+    try:
+        return _replicate_warehouse(
+            spark, src_root, dest_root, blacklist, whitelist,
+            overwrite_newer, work_dir, src_catalog, dest_catalog,
+            verify_checksum,
+        )
+    finally:
+        spark.sparkContext.setJobDescription(None)
+
+
+def _replicate_warehouse(
+    spark: SparkSession,
+    src_root: str,
+    dest_root: str,
+    blacklist: list[tuple[str, str]] | None,
+    whitelist: list[tuple[str, str]] | None,
+    overwrite_newer: bool,
+    work_dir: str | None,
+    src_catalog: MetastoreCatalog | None,
+    dest_catalog: MetastoreCatalog | None,
+    verify_checksum: bool,
+) -> dict[str, DataFrame]:
     src_cat = src_catalog or DirectoryCatalog(src_root)
     dest_cat = dest_catalog or DirectoryCatalog(dest_root)
     _jd = spark.sparkContext.setJobDescription  # guide §1.5 labels

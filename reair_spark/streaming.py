@@ -1029,13 +1029,21 @@ def zonemap_cdf_apply(
     )
     if st["n_commits"] == 0:
         return {"n_commits": 0, "n_changes": 0, "n_buckets_synced": 0}
-    ch = ch.localCheckpoint(eager=True)
     bcol = (_read_layout_meta(dest_location.rstrip("/")) or {})[
         "bucket_col"
     ]
     # ONE action: the change count and the affected-bucket set come
-    # from the same aggregate over the checkpointed feed (two actions
-    # before — a count plus a distinct-collect)
+    # from the same aggregate over the feed — its ONLY consumer, so
+    # the eager localCheckpoint the multi-consumer r13 shape needed
+    # was a pure extra materialization job once the count and bucket
+    # set fused into this aggregate (r14). collect_set skips
+    # NULLs, which is safe here by construction: the clustering column
+    # is non-null on every zonemap layout (write_zonemapped derives it
+    # from key expressions and partitionBy would otherwise route the
+    # row to __HIVE_DEFAULT_PARTITION__, which no manifest delta ever
+    # records — such a row could not have entered the feed). A null
+    # bucket would have been equally unsyncable under the prior
+    # distinct().collect(): str(None) matches no partition directory.
     head = ch.agg(
         F.count(F.lit(1)).alias("__n"),
         F.collect_set(F.col(bcol).cast("string")).alias("__b"),
@@ -1045,9 +1053,11 @@ def zonemap_cdf_apply(
     to = st["commit_ingests"][-1] if to_ingest is None else to_ingest
     src_state, _ = zonemap_scan(spark, src_location, buckets=buckets,
                                 max_ingest=int(to))
-    new_view = src_state.drop("ingest").localCheckpoint(eager=True)
-    rb = zonemap_replace_buckets(spark, dest_location, new_view,
-                                 buckets)
+    # no caller-side checkpoint: zonemap_replace_buckets eagerly
+    # checkpoints its input itself (the commit pin), so one here was a
+    # second materialization of the same frame (r14)
+    rb = zonemap_replace_buckets(spark, dest_location,
+                                 src_state.drop("ingest"), buckets)
     return {
         "n_commits": st["n_commits"],
         "n_changes": n_changes,
