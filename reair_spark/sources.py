@@ -2475,13 +2475,20 @@ def zonemap_delete_by_key(
         # — published AFTER the key files, so the commit point is the
         # delta rename (readers see neither half or both); built from
         # the readback of what actually landed (replay-exact)
+        eq_key = (loc, EQ_DELETES_DIR, "leaf", tuple(key_cols))
+        eq_schema = _DELTA_SCHEMA_CACHE.get(eq_key)
+        eq_reader = spark.read.option(
+            "basePath", fs_spark_path(f"{loc}/{EQ_DELETES_DIR}")
+        )
+        if eq_schema is not None:
+            eq_reader = eq_reader.schema(eq_schema)
+        eq_raw = eq_reader.parquet(fs_spark_path(
+            f"{loc}/{EQ_DELETES_DIR}/ingest={int(iid)}"
+        ))
+        if eq_schema is None:
+            _DELTA_SCHEMA_CACHE[eq_key] = eq_raw.schema
         eqc = (
-            spark.read.option(
-                "basePath", fs_spark_path(f"{loc}/{EQ_DELETES_DIR}")
-            )
-            .parquet(fs_spark_path(
-                f"{loc}/{EQ_DELETES_DIR}/ingest={int(iid)}"
-            ))
+            eq_raw
             # manifest bucket values are STRINGS (partition-value
             # convention, same cast every delta writer applies)
             .groupBy(F.col(bucket_col).cast("string")
@@ -3059,14 +3066,17 @@ def zonemap_vacuum(
         # every frame in this sweep is manifest-sized and ends in a
         # driver collect; building them all on the metadata session
         # (self-consistent — they join each other) keeps the narrow
-        # conf off the shared session (r14, VERDICT r13 #5)
-        reader = _meta_spark(spark).read.format(fmt)
-        if fmt in ("parquet", "orc") and (
-            meta.get("folded_through") is not None
-            or meta.get("eq_deletes")
-        ):
-            reader = reader.option("mergeSchema", "true")  # mixed deltas
-        raw = reader.load(fs_spark_path(f"{loc}/manifest"))
+        # conf off the shared session (r14, VERDICT r13 #5); schema
+        # rides the delta cache so repeat sweeps skip inference
+        raw = _delta_reader(
+            _meta_spark(spark), loc, "manifest", fmt,
+            _manifest_delta_ids(loc),
+            merge=fmt in ("parquet", "orc") and (
+                meta.get("folded_through") is not None
+                or meta.get("eq_deletes")
+            ),
+            token=_layout_schema_token(meta),
+        ).load(fs_spark_path(f"{loc}/manifest"))
         bucket_col = raw.columns[0]
         staged_v = [int(i) for i in (meta.get("staged_ingests") or [])]
         current_max = _meta_row(raw.where(
@@ -4301,15 +4311,23 @@ def zonemap_changes(
                                       buckets=eq_buckets,
                                       max_ingest=i - 1)
                 old = old.drop("ingest")
-                eqk = spark.read.option(
+                eq_key = (loc, EQ_DELETES_DIR, "leaf", tuple(key_cols))
+                eq_schema = _DELTA_SCHEMA_CACHE.get(eq_key)
+                eq_reader = spark.read.option(
                     "basePath",
                     fs_spark_path(f"{loc}/{EQ_DELETES_DIR}"),
-                ).parquet(*[
+                )
+                if eq_schema is not None:
+                    eq_reader = eq_reader.schema(eq_schema)
+                eq_raw = eq_reader.parquet(*[
                     fs_spark_path(
                         f"{loc}/{EQ_DELETES_DIR}/ingest={i}"
                         f"/{bucket_col}={_escape_partition_value(b)}"
                     ) for b in eq_buckets
-                ]).select(*key_cols)
+                ])
+                if eq_schema is None:
+                    _DELTA_SCHEMA_CACHE[eq_key] = eq_raw.schema
+                eqk = eq_raw.select(*key_cols)
                 pieces.append(_stamp(
                     old.join(eqk, key_cols, "left_semi"), "delete", i
                 ))
@@ -4607,12 +4625,14 @@ def zonemap_history(
     meta = _read_layout_meta(loc) or {}
     serde = _layout_serde(loc, serde)
     fmt = SERDE_FORMATS.get(serde, serde)
-    reader = spark.read.format(fmt)
-    if fmt in ("parquet", "orc") and (
-        meta.get("folded_through") is not None or meta.get("eq_deletes")
-    ):
-        reader = reader.option("mergeSchema", "true")
-    raw = reader.load(fs_spark_path(f"{loc}/manifest"))
+    raw = _delta_reader(
+        spark, loc, "manifest", fmt, _manifest_delta_ids(loc),
+        merge=fmt in ("parquet", "orc") and (
+            meta.get("folded_through") is not None
+            or meta.get("eq_deletes")
+        ),
+        token=_layout_schema_token(meta),
+    ).load(fs_spark_path(f"{loc}/manifest"))
     bucket_col = raw.columns[0]
     is_fold = (F.max(F.col("data_ingests").isNotNull().cast("int"))
                if "data_ingests" in raw.columns else F.max(F.lit(0)))
@@ -4643,9 +4663,12 @@ def zonemap_history(
     if meta.get("mor_deletes") and _scandir_or_empty(
         fs, f"{loc}/{DMANIFEST_DIR}"
     ):
-        dm = spark.read.option(
-            "basePath", fs_spark_path(f"{loc}/{DMANIFEST_DIR}")
-        ).parquet(fs_spark_path(f"{loc}/{DMANIFEST_DIR}"))
+        dm = _delta_reader(
+            spark, loc, DMANIFEST_DIR, "parquet",
+            _dmanifest_delta_ids(loc),
+            base_path=fs_spark_path(f"{loc}/{DMANIFEST_DIR}"),
+            token=meta.get("bucket_col"),
+        ).load(fs_spark_path(f"{loc}/{DMANIFEST_DIR}"))
         dcol = [c for c in dm.columns
                 if c not in ("ingest", "data_ingest", "n_deletes")][0]
         per = per.unionByName(
@@ -4714,10 +4737,13 @@ def zonemap_scan_staged(
         )
     serde = _layout_serde(loc, "parquet")
     fmt = SERDE_FORMATS.get(serde, serde)
-    r = spark.read.format(fmt)
-    if fmt in ("parquet", "orc"):
-        r = r.option("mergeSchema", "true")
-    delta = r.load(fs_spark_path(f"{loc}/manifest/ingest={sid}"))
+    # the staged delta was published through _publish_delta, which
+    # primed the single-delta schema cache — no inference job (r14)
+    delta = _delta_reader(
+        spark, loc, "manifest", fmt, (sid,),
+        merge=fmt in ("parquet", "orc"), single=True,
+        token=meta.get("bucket_col"),
+    ).load(fs_spark_path(f"{loc}/manifest/ingest={sid}"))
     bucket_col = delta.columns[0]
     kept = [
         {bucket_col: row[bucket_col], "n_rows": row["n_rows"],
@@ -5049,7 +5075,17 @@ def _bucket_reader(
             )
             for i, b in dv_pairs
         ]
-        dv = spark.read.parquet(*dv_paths).select("__file", "__pos")
+        # DV file schema is writer-constant per layout; cache it so
+        # repeat scans skip the per-load inference job (r14)
+        dv_key = (loc, DELETES_DIR, "leaf")
+        dv_schema = _DELTA_SCHEMA_CACHE.get(dv_key)
+        dv_reader = spark.read
+        if dv_schema is not None:
+            dv_reader = dv_reader.schema(dv_schema)
+        dv = dv_reader.parquet(*dv_paths)
+        if dv_schema is None:
+            _DELTA_SCHEMA_CACHE[dv_key] = dv.schema
+        dv = dv.select("__file", "__pos")
         if sum(int(r.get("__dv_rows") or 0) for r in kept) \
                 <= DV_BROADCAST_MAX_ROWS:
             dv = F.broadcast(dv)
@@ -5075,11 +5111,20 @@ def _bucket_reader(
             )
             for i, b in eq_pairs
         ]
+        # eq-delete file schema is pinned by the layout's recorded
+        # eq_key_cols; cache it to skip per-scan inference jobs (r14)
+        eq_key = (loc, EQ_DELETES_DIR, "leaf", tuple(key_cols))
+        eq_schema = _DELTA_SCHEMA_CACHE.get(eq_key)
+        eq_reader = spark.read.option(
+            "basePath", fs_spark_path(f"{loc}/{EQ_DELETES_DIR}")
+        )
+        if eq_schema is not None:
+            eq_reader = eq_reader.schema(eq_schema)
+        eq_raw = eq_reader.parquet(*eq_paths)
+        if eq_schema is None:
+            _DELTA_SCHEMA_CACHE[eq_key] = eq_raw.schema
         eqm = (
-            spark.read.option(
-                "basePath", fs_spark_path(f"{loc}/{EQ_DELETES_DIR}")
-            )
-            .parquet(*eq_paths)
+            eq_raw
             .groupBy(*key_cols)
             .agg(F.max("ingest").alias("__eq_max"))
         )

@@ -32,6 +32,9 @@ from pyspark.sql import functions as F
 from reair_spark.io import load_table
 
 
+_EVENTS_SCHEMA_CACHE: dict[str, object] = {}
+
+
 def stream_events(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
 ) -> DataFrame:
@@ -43,9 +46,17 @@ def stream_events(
     the nanos generation reads at all), then convert whatever arrived
     — long nanos → µs instant, NTZ → instant (session pinned UTC, so
     the cast is value-preserving). Downstream operators always see an
-    event-time TIMESTAMP they can watermark directly."""
+    event-time TIMESTAMP they can watermark directly. The inferred
+    schema is cached per sf_dir (r14): inference is a 1-task Spark
+    job every one of the 16 streaming gates paid per call, and the
+    bench inputs are immutable."""
     load_table(spark, sf_dir, "events")
-    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    raw_schema = _EVENTS_SCHEMA_CACHE.get(sf_dir)
+    if raw_schema is None:
+        raw_schema = spark.read.parquet(
+            os.path.join(sf_dir, "events.parquet")
+        ).schema
+        _EVENTS_SCHEMA_CACHE[sf_dir] = raw_schema
     # file-stream sources need a directory; select the one file by glob
     ev = (
         spark.readStream.schema(raw_schema)
