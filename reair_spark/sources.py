@@ -1380,11 +1380,42 @@ def _publish_delta(
     # delta back to the right tree
     pre = "" if subdir == "manifest" else f"{subdir}-"
     staged = f"{loc}/_staging/{pre}ingest={ingest_id}_.tmp_{token}"
+    # totals ride the staging write via observe() (r14, guide §1.2):
+    # manifest deltas hold ONE row per bucket, so rows written / live
+    # buckets / eq-key sums are plain observable aggregates of the
+    # frame the write already evaluates — the committer's readback
+    # (_delta_totals, the upsert key count) then answers from this
+    # cache instead of re-reading the delta with one Spark job per
+    # commit. Keyed by (loc, subdir, id): a replay re-publishes and
+    # re-observes, so the cache always reflects the delta in place.
+    obs = None
+    if subdir == "manifest" and "n_rows" in manifest.columns:
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
+        obs = Observation()
+        metrics = [
+            F.sum(F.when(F.col("n_rows") > 0, F.col("n_rows"))
+                  .otherwise(F.lit(0))).cast("long").alias("n_rows"),
+            F.count(F.when(F.col("n_rows") > 0, F.lit(1)))
+            .cast("long").alias("n_buckets"),
+            F.count(F.lit(1)).cast("long").alias("n_delta_rows"),
+        ]
+        if "n_eq_keys" in manifest.columns:
+            metrics.append(
+                F.sum(F.coalesce(F.col("n_eq_keys"), F.lit(0)))
+                .cast("long").alias("n_eq_keys")
+            )
+        manifest = manifest.observe(obs, *metrics)
     (
         manifest.write.format(SERDE_FORMATS.get(serde, serde))
         .mode("overwrite")
         .save(fs_spark_path(staged))
     )
+    if obs is not None:
+        if len(_DELTA_TOTALS_CACHE) > 4096:
+            _DELTA_TOTALS_CACHE.clear()
+        _DELTA_TOTALS_CACHE[(loc, subdir, int(ingest_id))] = obs.get
     final = f"{loc}/{subdir}/ingest={ingest_id}"
     fs.mkdirs(f"{loc}/{subdir}")
     parked = None
@@ -2365,15 +2396,19 @@ def zonemap_upsert_mor(
                                iid)
         from reair_spark.fs import fs_spark_path
 
-        keys = _meta_row(
-            _delta_reader(
-                _meta_spark(spark), loc, "manifest",
-                SERDE_FORMATS.get(meta["serde"], meta["serde"]),
-                (int(iid),), single=True, token=bucket_col,
-            )
-            .load(fs_spark_path(f"{loc}/manifest/ingest={iid}"))
-            .agg(F.coalesce(F.sum("n_eq_keys"), F.lit(0)))
-        )[0]
+        cached = _DELTA_TOTALS_CACHE.get((loc, "manifest", int(iid)))
+        if cached is not None and "n_eq_keys" in cached:
+            keys = int(cached["n_eq_keys"] or 0)
+        else:
+            keys = _meta_row(
+                _delta_reader(
+                    _meta_spark(spark), loc, "manifest",
+                    SERDE_FORMATS.get(meta["serde"], meta["serde"]),
+                    (int(iid),), single=True, token=bucket_col,
+                )
+                .load(fs_spark_path(f"{loc}/manifest/ingest={iid}"))
+                .agg(F.coalesce(F.sum("n_eq_keys"), F.lit(0)))
+            )[0]
         return {"n_rows_upserted": int(n_r),
                 "n_keys_masked": int(keys), "ingest_id": int(iid)}
 
@@ -2503,10 +2538,14 @@ def zonemap_delete_by_key(
         )
         _record_eq_keys(loc, list(key_cols))
         _publish_delta(eqc, loc, int(iid), serde)
-        # totals from the just-published delta (r14): aggregating eqc
-        # would re-read + re-group every eq-delete file; the delta IS
-        # eqc's rows, metadata-sized, and reading it on the metadata
-        # session keeps the narrow conf off the shared session
+        # totals from the publish-time observe() metrics when this
+        # process wrote the delta (r14) — one readback job otherwise
+        cached = _DELTA_TOTALS_CACHE.get((loc, "manifest", int(iid)))
+        if cached is not None and "n_eq_keys" in cached:
+            return {"n_keys_deleted": int(cached["n_eq_keys"] or 0),
+                    "n_buckets_affected": int(
+                        cached["n_delta_rows"] or 0),
+                    "ingest_id": int(iid)}
         totals = _meta_row(
             _delta_reader(
                 _meta_spark(spark), loc, "manifest",
@@ -2728,11 +2767,17 @@ def _delta_totals(
     ingest_id: int,
 ) -> tuple[int, int]:
     """(rows written, non-empty buckets) of ONE manifest delta —
-    tombstone rows (n_rows=0) excluded. Metadata-sized."""
+    tombstone rows (n_rows=0) excluded. Metadata-sized. Answered from
+    the publish-time observe() metrics when this process wrote the
+    delta (r14) — the readback job below is the fallback for deltas
+    committed elsewhere."""
     from pyspark.sql import functions as F
 
     from reair_spark.fs import fs_spark_path
 
+    cached = _DELTA_TOTALS_CACHE.get((loc, "manifest", int(ingest_id)))
+    if cached is not None:
+        return int(cached["n_rows"] or 0), int(cached["n_buckets"] or 0)
     fmt = SERDE_FORMATS.get(serde, serde)
     r = _meta_row(
         _delta_reader(
@@ -3372,6 +3417,12 @@ def _meta_row(df: DataFrame):
 
 
 _DELTA_SCHEMA_CACHE: dict[tuple, object] = {}
+
+# (loc, subdir, ingest_id) -> observed write metrics of the published
+# delta (n_rows / n_buckets / n_eq_keys) — populated by _publish_delta,
+# consumed by _delta_totals and the upsert key-count readback so a
+# commit never re-reads the delta it just wrote (r14, guide §1.2)
+_DELTA_TOTALS_CACHE: dict[tuple, dict] = {}
 
 
 def _layout_schema_token(meta: dict | None) -> tuple:
@@ -4971,6 +5022,11 @@ def zonemap_rollback(
                     fs.unlink(f_)
                 except (FileNotFoundError, OSError):
                     pass
+            # the claim file is gone, so the id can be re-minted —
+            # drop any publish-time observed totals for it (a re-
+            # publish would re-observe anyway; this closes the window)
+            _DELTA_TOTALS_CACHE.pop((loc, "manifest", int(i)), None)
+            _DELTA_TOTALS_CACHE.pop((loc, DMANIFEST_DIR, int(i)), None)
         if any(int(s) > to_ingest
                for s in (meta.get("staged_ingests") or [])):
             # staged (write-audit-publish) ids above the cut were
