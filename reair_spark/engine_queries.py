@@ -122,15 +122,24 @@ def replication_compact_plan(spark: SparkSession, sf: str) -> DataFrame:
     from reair_spark.plans import compact_plan
 
     li = _t(spark, sf, "lineitem")
+    # rel_path rides the PLAN as its natural long key and is rendered
+    # to the 12-digit zero-padded display string only after planning
+    # (r14, VERDICT r13 #9 / guide §2.3): the key is dense and
+    # positive, so the padded rendering is order-isomorphic to the
+    # number — the window cumsum orders, chunks and bins identically
+    # (proof: lpad(k, 12, '0') preserves < for k < 10^12) — while the
+    # window shuffle moves an 8-byte long instead of a 12-byte string.
     files = li.select(
         F.concat_ws("/", "l_returnflag", "l_linestatus").alias("dir"),
-        F.lpad(
-            (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("string"),
-            12, "0",
-        ).alias("rel_path"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("rel_path"),
         (F.col("l_quantity").cast("long") * 100).alias("size"),
     )
-    return compact_plan(files, small_bytes=2500, target_bytes=10000)
+    plan = compact_plan(files, small_bytes=2500, target_bytes=10000)
+    return plan.select(
+        "dir",
+        F.lpad(F.col("rel_path").cast("string"), 12, "0").alias("rel_path"),
+        "size", "task",
+    )
 
 
 def replication_table_diff(spark: SparkSession, sf: str) -> DataFrame:

@@ -210,10 +210,24 @@ def compact_plan(
     # 900 at sf0.1, 6.3 s vs 2.8 s measured). Any prefix length yields
     # the SAME cumsum (lexicographic prefixes are monotone along the
     # sort) — only the parallelism changes.
+    # numeric rel_path (r14, guide §2.3 narrower types): an inventory
+    # whose file names are dense numeric ids can pass rel_path as the
+    # NUMBER and render the display string after planning — the window
+    # shuffle then moves an 8-byte long instead of a 12-24 byte string
+    # and sorts with integer comparisons. The chunk becomes
+    # floor(key/10^4) (monotone in the key, ~10^4 files per chunk —
+    # the same decomposition the 8-char prefix gives a 12-digit
+    # zero-padded rendering of the same key, so bins are identical).
+    from pyspark.sql.types import NumericType
+
+    if isinstance(small.schema["rel_path"].dataType, NumericType):
+        chunk = F.floor(F.col("rel_path") / F.lit(10_000))
+    else:
+        chunk = F.substring("rel_path", 1, 8)
     binned = chunked_running_sum(
         small.select(dir_col, "rel_path", "size"),
         [dir_col],
-        F.substring("rel_path", 1, 8),
+        chunk,
         ["rel_path", "size"],
         "size",
         "__cum",

@@ -43,6 +43,17 @@ def get_spark(
         # ~400k tasks instead of millions
         .config("spark.sql.files.maxPartitionBytes", "256m")
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "128m")
+        # AQE coalescing is parallelism-first, but its 1 MB default
+        # partition-size FLOOR serializes CPU-heavy small-byte
+        # shuffles: a 6 MB compressed shuffle of 2M string-keyed rows
+        # coalesced to 6 tasks on 32 cores (replication_orphan_gc's
+        # path join, measured 4.9 s -> 3.1 s at 256k; compact_plan
+        # 3.6 -> 2.4, q13 1.0 -> 0.74). The floor only bounds shuffles
+        # under cores x 1 MB, so byte-bound exchanges still coalesce
+        # toward the 128 MB advisory above; on a real cluster the same
+        # floor keeps sub-32 MB shuffles parallelism-first, which is
+        # exactly AQE's documented intent (r14, guide §2.2)
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "256k")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         # multi-path reads (zonemap bucket scans) list their dirs at
         # DataFrame-build time; the default threshold (32 paths) spins
