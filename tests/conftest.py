@@ -32,3 +32,31 @@ def duck(sf_dir):
     con = duck_con(sf_dir)
     yield con
     con.close()
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: measured >= 8s in the full-suite durations run; "
+        "deselected by default (tests/slow_tier.py), run with -m slow "
+        "or -m ''",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    # measured tiering (VERDICT r13 #7): the full suite is ~48 min,
+    # which overran the driver's verification window in r13 (green
+    # tail, tests_ok=false). Exact node ids measured >= 8 s carry the
+    # `slow` marker; pyproject's addopts deselects them by default so
+    # the default tier covers every module in <20 min. The slow tier
+    # stays in the close-of-round protocol (`pytest -m slow`).
+    from tests.slow_tier import SLOW_TESTS
+
+    import pytest as _pytest
+
+    for item in items:
+        nodeid = item.nodeid.replace(os.sep, "/")
+        if not nodeid.startswith("tests/"):
+            nodeid = f"tests/{nodeid}"
+        if nodeid in SLOW_TESTS:
+            item.add_marker(_pytest.mark.slow)
