@@ -3475,6 +3475,9 @@ def _plan_state_token(loc: str) -> tuple:
     the same file every plan call already opens)."""
     from reair_spark.fs import fs_for
 
+    import json as _json
+    import re as _re
+
     fs = fs_for(loc)
     try:
         with fs.open_read(f"{loc}/{LAYOUT_META}") as fh:
@@ -3487,6 +3490,31 @@ def _plan_state_token(loc: str) -> tuple:
             e.name for e in _scandir_or_empty(fs, path)
         ))
 
+    # _staging: parked/tmp DELTA debris is load-bearing (recovery
+    # restores or sweeps it, and readers would otherwise mis-plan) so
+    # it tears the token; the CAS housekeeping artifacts are not —
+    # every descriptor CAS leaves a garbage version file (v<=canonical)
+    # under _staging/meta and a consumed claim under _staging/claims,
+    # and their sweep changes no reader-visible state (the canonical
+    # descriptor bytes are in the token; consumed claims only nudge
+    # future id minting upward). EXCEPT: a version file NEWER than the
+    # canonical descriptor is a crashed half-publish that recovery
+    # heals the canonical FROM — results depend on it, so it stays in
+    # the token (conservatively, so does any unparseable name).
+    staging = tuple(sorted(
+        e.name for e in _scandir_or_empty(fs, f"{loc}/_staging")
+        if e.name not in ("meta", "claims")
+    ))
+    try:
+        cur_v = int((_json.loads(meta_bytes) or {}).get(
+            "meta_version", 0)) if meta_bytes else 0
+    except Exception:
+        cur_v = -1  # unparseable descriptor: every version file counts
+    vre = _re.compile(r"^v(\d+)\.json$")
+    newer_versions = tuple(sorted(
+        e.name for e in _scandir_or_empty(fs, f"{loc}/_staging/meta")
+        if (m := vre.match(e.name)) is None or int(m.group(1)) > cur_v
+    ))
     parent, _, name = loc.rpartition("/")
     if parent.endswith(":/") or parent.endswith(":") or not name:
         siblings: tuple = ()
@@ -3498,8 +3526,8 @@ def _plan_state_token(loc: str) -> tuple:
     return (
         _names(f"{loc}/manifest"),
         _names(f"{loc}/{DMANIFEST_DIR}"),
-        _names(f"{loc}/_staging"),
-        _names(f"{loc}/_staging/claims"),
+        staging,
+        newer_versions,
         siblings,
         meta_bytes,
     )
