@@ -1160,7 +1160,7 @@ def _stream_dedup_corpus_q(spark: SparkSession, sf: str) -> DataFrame:
     atexit.register(shutil.rmtree, run, ignore_errors=True)
     corpus = f"{run}/corpus"
     seed_digest_corpus(spark, ref, corpus)
-    schema = spark.read.parquet(path).schema
+    schema = _tpl_schema(spark, path)
     stream = spark.readStream.schema(schema).parquet(path)
     stream_dedup_against_corpus(spark, stream, corpus, f"{run}/_ckpt")
     return accepted_candidates(spark, corpus)
@@ -1201,7 +1201,7 @@ def _stream_cdc_scd2_q(spark: SparkSession, sf: str) -> DataFrame:
 
     run = tempfile.mkdtemp(prefix="reair_scd2_run_")
     atexit.register(shutil.rmtree, run, ignore_errors=True)
-    schema = spark.read.parquet(path).schema
+    schema = _tpl_schema(spark, path)
     stream = spark.readStream.schema(schema).parquet(path)
     stream_cdc_scd2(spark, stream, f"{run}/table", f"{run}/_ckpt")
     return scd2_state(spark, f"{run}/table")
@@ -2098,7 +2098,7 @@ def _run_zonemap_stream(
     src = _zonemap_stream_src(spark, sf)
     run = tempfile.mkdtemp(prefix="reair_zstream_run_")
     atexit.register(shutil.rmtree, run, ignore_errors=True)
-    schema = spark.read.parquet(src).schema
+    schema = _tpl_schema(spark, src)
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
@@ -2248,6 +2248,20 @@ def _orders_max_key(spark: SparkSession, sf: str) -> int:
             _t(spark, sf, "orders").agg(F.max("o_orderkey")).collect()[0][0]
         )
     return _ORDERS_MK_CACHE[key]
+
+
+_TPL_SCHEMA_CACHE: dict = {}
+
+
+def _tpl_schema(spark: SparkSession, path: str):
+    """Schema of a session-memoized IMMUTABLE template dir, captured
+    once — re-inferring it was one footer-sampling Spark job per gate
+    call (r14, guide §6: skip inference where the writer is known)."""
+    s = _TPL_SCHEMA_CACHE.get(path)
+    if s is None:
+        s = spark.read.parquet(path).schema
+        _TPL_SCHEMA_CACHE[path] = s
+    return s
 
 
 def _seed_template(spark: SparkSession, sf: str, name: str, build) -> str:
@@ -2842,7 +2856,7 @@ def stream_upsert_latest(spark: SparkSession, sf: str) -> DataFrame:
     src = _seed_template(spark, sf, "upsert_waves", _build_chunks)
     run = tempfile.mkdtemp(prefix="reair_zstreamup_")
     atexit.register(shutil.rmtree, run, ignore_errors=True)
-    schema = spark.read.parquet(src).schema
+    schema = _tpl_schema(spark, src)
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(src)
