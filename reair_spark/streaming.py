@@ -34,6 +34,27 @@ from reair_spark.io import load_table
 
 _EVENTS_SCHEMA_CACHE: dict[str, object] = {}
 
+_STREAM_DF_CACHE: dict = {}
+
+
+def _memo_stream_df(spark: SparkSession, sf_dir: str, key: str, build):
+    """Reuse the BUILT streaming DataFrame across calls of one gate.
+
+    A streaming DataFrame is an immutable logical plan: every
+    ``writeStream.start()`` creates a fresh IncrementalExecution that
+    re-lists the source and recomputes from the parquet input, so this
+    caches plan CONSTRUCTION (a few hundred py4j round-trips per gate
+    call, ~0.2-0.45 s measured on the sessionize shape) and never data,
+    offsets, or results (r14, guide §1.2). Keyed by applicationId like
+    every template memo in this engine; all cached gates read only the
+    immutable bench inputs."""
+    k = (spark.sparkContext.applicationId, sf_dir, key)
+    df = _STREAM_DF_CACHE.get(k)
+    if df is None:
+        df = build()
+        _STREAM_DF_CACHE[k] = df
+    return df
+
 
 def stream_events(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
@@ -128,14 +149,17 @@ def stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling event-time window + watermark over the event stream;
     bounded run via memory sink. Complete mode → the final state equals
     the batch groupBy, making this streaming operator oracle-checkable."""
-    ev = stream_events(spark, sf_dir, max_files_per_trigger=1)
-    agg = (
-        ev.select("ts")
-        .withWatermark("ts", "1 hour")
-        .groupBy(F.window("ts", "1 hour").alias("w"))
-        .agg(F.count("*").alias("cnt"))
-        .select(F.col("w.start").alias("window_start"), "cnt")
-    )
+    def build():
+        ev = stream_events(spark, sf_dir, max_files_per_trigger=1)
+        return (
+            ev.select("ts")
+            .withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count("*").alias("cnt"))
+            .select(F.col("w.start").alias("window_start"), "cnt")
+        )
+
+    agg = _memo_stream_df(spark, sf_dir, "hourly_counts", build)
     return _run_to_memory(agg, "complete")
 
 
@@ -150,13 +174,16 @@ def stream_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_by folds incrementally), so the store size is the key
     cardinality regardless of stream volume; ties on ts break on
     event_id, making the snapshot engine-deterministic."""
-    ev = stream_events(spark, sf_dir, max_files_per_trigger=1)
-    last = F.max_by(
-        F.struct("ts", "event_id", "event_type", "value"),
-        F.struct("ts", "event_id"),
-    ).alias("lv")
-    agg = ev.groupBy("user_id").agg(last)
-    out = _run_to_memory(agg.select("user_id", "lv.*"), "complete")
+    def build():
+        ev = stream_events(spark, sf_dir, max_files_per_trigger=1)
+        last = F.max_by(
+            F.struct("ts", "event_id", "event_type", "value"),
+            F.struct("ts", "event_id"),
+        ).alias("lv")
+        return ev.groupBy("user_id").agg(last).select("user_id", "lv.*")
+
+    agg = _memo_stream_df(spark, sf_dir, "latest_state", build)
+    out = _run_to_memory(agg, "complete")
     return out.select(
         "user_id",
         F.col("ts").alias("last_ts"),
@@ -214,8 +241,13 @@ def stream_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact (n, Σv, Σv²) sums, so the state stays 3 numbers."""
     from pyspark.sql import Window as W
 
-    ev = stream_events(spark, sf_dir, max_files_per_trigger=1)
-    out = _run_to_memory(running_stats(ev), "update")
+    agg = _memo_stream_df(
+        spark, sf_dir, "running_stats",
+        lambda: running_stats(
+            stream_events(spark, sf_dir, max_files_per_trigger=1)
+        ),
+    )
+    out = _run_to_memory(agg, "update")
     # last update per type = the row with the largest n
     wl = W.partitionBy("event_type").orderBy(F.desc("n"))
     final = out.withColumn("rn", F.row_number().over(wl)).where(F.col("rn") == 1)
@@ -246,14 +278,19 @@ def stream_topk_trending(
     top-k) whose per-batch state churn dwarfs the table it maintains."""
     from pyspark.sql import Window as W
 
-    ev = stream_events(spark, sf_dir, max_files_per_trigger=1)
-    agg = (
-        ev.select("event_type", "ts")
-        .withWatermark("ts", "1 hour")
-        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count("*").alias("cnt"))
-        .select(F.col("w.start").alias("window_start"), "event_type", "cnt")
-    )
+    def build():
+        ev = stream_events(spark, sf_dir, max_files_per_trigger=1)
+        return (
+            ev.select("event_type", "ts")
+            .withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count("*").alias("cnt"))
+            .select(
+                F.col("w.start").alias("window_start"), "event_type", "cnt"
+            )
+        )
+
+    agg = _memo_stream_df(spark, sf_dir, "topk_trending", build)
     out = _run_to_memory(agg, "complete")
     wk = W.partitionBy("window_start").orderBy(F.desc("cnt"), "event_type")
     return (
@@ -271,19 +308,22 @@ def stream_sessionize(
 ) -> DataFrame:
     """Session windows per user (ST8 — absent in the reference's
     totally-ordered stream; native in Spark)."""
-    ev = stream_events(spark, sf_dir, max_files_per_trigger=1)
-    agg = (
-        ev.select("user_id", "ts")
-        .withWatermark("ts", "1 hour")
-        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
-        .agg(F.count("*").alias("n_events"))
-        .select(
-            "user_id",
-            F.col("w.start").alias("session_start"),
-            F.col("w.end").alias("session_end"),
-            "n_events",
+    def build():
+        ev = stream_events(spark, sf_dir, max_files_per_trigger=1)
+        return (
+            ev.select("user_id", "ts")
+            .withWatermark("ts", "1 hour")
+            .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+            .agg(F.count("*").alias("n_events"))
+            .select(
+                "user_id",
+                F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"),
+                "n_events",
+            )
         )
-    )
+
+    agg = _memo_stream_df(spark, sf_dir, f"sessionize:{gap}", build)
     return _run_to_memory(agg, "complete")
 
 
@@ -388,10 +428,14 @@ def stream_funnel(
     ``state_partitions`` pins the stateful operator's store count for
     THIS query (see ``_run_to_memory`` — fixed at first checkpoint, so
     it must be sized deliberately)."""
-    ev = stream_events(spark, sf_dir, max_files_per_trigger=1).withColumn(
-        "ts", F.unix_micros("ts")
+    agg = _memo_stream_df(
+        spark, sf_dir, "funnel",
+        lambda: funnel_detect(
+            stream_events(spark, sf_dir, max_files_per_trigger=1)
+            .withColumn("ts", F.unix_micros("ts"))
+        ),
     )
-    out = _run_to_memory(funnel_detect(ev), "update", state_partitions)
+    out = _run_to_memory(agg, "update", state_partitions)
     return out.select(
         "user_id",
         F.timestamp_micros("completed_ts_long").alias("completed_ts"),
@@ -410,37 +454,44 @@ def stream_order_event_join(
     exactly the batch join — oracle-checkable. Event days are remapped
     onto the order date domain exactly as `asof_orders_events` does
     (deterministic event_id → day mapping)."""
-    ev = stream_events(spark, sf_dir).select(
-        "event_id",
-        "user_id",
-        (
-            F.lit("1992-01-01 00:00:00").cast("timestamp")
-            + F.make_interval(secs=(F.col("event_id") % 2400) * 86400)
-        ).alias("ets"),
-    )
-    raw_orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).schema
-    orders = (
-        spark.readStream.schema(raw_orders)
-        .option("maxFilesPerTrigger", 1)
-        .option("pathGlobFilter", "orders.parquet")
-        .parquet(sf_dir)
-        # parquet NTZ → TIMESTAMP: watermarks require an instant type;
-        # the session is pinned UTC so the cast is value-preserving
-        .select(
-            "o_orderkey", "o_custkey",
-            F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
+    def build():
+        ev = stream_events(spark, sf_dir).select(
+            "event_id",
+            "user_id",
+            (
+                F.lit("1992-01-01 00:00:00").cast("timestamp")
+                + F.make_interval(secs=(F.col("event_id") % 2400) * 86400)
+            ).alias("ets"),
         )
-    )
-    j = (
-        orders.withWatermark("o_orderdate", "1 day")
-        .join(
-            ev.withWatermark("ets", "1 day"),
-            (F.col("o_custkey") == F.col("user_id"))
-            & (F.col("ets") >= F.col("o_orderdate"))
-            & (F.col("ets") < F.col("o_orderdate") + F.expr("INTERVAL 2 DAYS")),
+        raw_orders = spark.read.parquet(
+            os.path.join(sf_dir, "orders.parquet")
+        ).schema
+        orders = (
+            spark.readStream.schema(raw_orders)
+            .option("maxFilesPerTrigger", 1)
+            .option("pathGlobFilter", "orders.parquet")
+            .parquet(sf_dir)
+            # parquet NTZ → TIMESTAMP: watermarks require an instant
+            # type; the session is pinned UTC so the cast is
+            # value-preserving
+            .select(
+                "o_orderkey", "o_custkey",
+                F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
+            )
         )
-        .select("o_orderkey", "event_id", "ets")
-    )
+        return (
+            orders.withWatermark("o_orderdate", "1 day")
+            .join(
+                ev.withWatermark("ets", "1 day"),
+                (F.col("o_custkey") == F.col("user_id"))
+                & (F.col("ets") >= F.col("o_orderdate"))
+                & (F.col("ets")
+                   < F.col("o_orderdate") + F.expr("INTERVAL 2 DAYS")),
+            )
+            .select("o_orderkey", "event_id", "ets")
+        )
+
+    j = _memo_stream_df(spark, sf_dir, "order_event_join", build)
     # state-store count pinned by _run_to_memory (a stream-stream join
     # materializes ~4 state sub-stores per shuffle partition)
     return _run_to_memory(j, "append", state_partitions)
@@ -454,15 +505,18 @@ def stream_enrich_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     store — which is why dimension enrichment is the FIRST join to
     reach for on a stream; the drained result equals the batch join
     exactly."""
-    ev = stream_events(spark, sf_dir).select("event_id", "user_id")
-    cust = load_table(spark, sf_dir, "customer").select(
-        "c_custkey", "c_mktsegment"
-    )
-    agg = (
-        ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
-        .groupBy("c_mktsegment")
-        .agg(F.count(F.lit(1)).alias("n_events"))
-    )
+    def build():
+        ev = stream_events(spark, sf_dir).select("event_id", "user_id")
+        cust = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment"
+        )
+        return (
+            ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+            .groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+        )
+
+    agg = _memo_stream_df(spark, sf_dir, "enrich_events", build)
     return _run_to_memory(agg, "complete")
 
 
@@ -474,15 +528,20 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     unioning two independent readers of the same source — the at-least-
     once shape of any real bus — and the drained output equals the
     batch distinct."""
-    def one_reader():
-        return stream_events(spark, sf_dir).select("event_id", "user_id", "ts")
+    def build():
+        def one_reader():
+            return stream_events(spark, sf_dir).select(
+                "event_id", "user_id", "ts"
+            )
 
-    doubled = one_reader().union(one_reader())
-    out = (
-        doubled.withWatermark("ts", "1 hour")
-        .dropDuplicatesWithinWatermark(["event_id"])
-        .select("event_id", "user_id")
-    )
+        return (
+            one_reader().union(one_reader())
+            .withWatermark("ts", "1 hour")
+            .dropDuplicatesWithinWatermark(["event_id"])
+            .select("event_id", "user_id")
+        )
+
+    out = _memo_stream_df(spark, sf_dir, "dedup_events", build)
     return _run_to_memory(out, "append")
 
 
