@@ -40,6 +40,24 @@ def test_stream_sessionize_produces_sessions(spark, sf_dir):
         assert r.n_events >= 1
 
 
+def test_stream_plan_memo_reuses_plan_not_results(spark, sf_dir):
+    """The r14 plan memo must cache the BUILT streaming DataFrame
+    (same object on repeat calls) while every call still drains a
+    fresh run to identical results — plan-object reuse, never result
+    caching."""
+    from reair_spark import streaming as S
+
+    r1 = sorted(map(tuple, stream_sessionize(spark, sf_dir).collect()))
+    key = (spark.sparkContext.applicationId, sf_dir, "sessionize:30 minutes")
+    assert key in S._STREAM_DF_CACHE
+    cached = S._STREAM_DF_CACHE[key]
+    r2 = sorted(map(tuple, stream_sessionize(spark, sf_dir).collect()))
+    assert S._STREAM_DF_CACHE[key] is cached  # no rebuild
+    assert r1 == r2 and len(r1) > 0
+    # the cached object is the bounded STREAMING plan, not a result
+    assert cached.isStreaming
+
+
 def test_foreachbatch_compile_is_checkpointed(spark, tmp_path):
     events = spark.createDataFrame(
         [
